@@ -1,38 +1,820 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (reference benchmark shape: define →
+filter → fused count/mean + auto-range histogram) on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query for the correctness gate.
+
+Cross-engine determinism conventions (see tdataframe_spark/functions/numeric.py):
+- every externally-compared double aggregate sums in DECIMAL(25,6) then
+  converts once to double (order-independent, bit-stable);
+- vector math uses ordered left-folds (Spark ``aggregate`` HOF ==
+  DuckDB ``list_reduce``);
+- hashes are md5-derived (``portable_hash64``) — identical in both engines;
+- all timestamps are parquet NTZ (wall-clock, TZ-free in both engines).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tdataframe_spark import Frame  # noqa: E402
+from tdataframe_spark.functions.numeric import dmean, dsum  # noqa: E402
+from tdataframe_spark.functions.text import TOKEN_PATTERN, fingerprint64, n_tokens, n_words  # noqa: E402
+from tdataframe_spark.operators.asof import asof_join  # noqa: E402
+from tdataframe_spark.operators.windows import sessionize, top_per_group  # noqa: E402
+from tdataframe_spark.ops.dedup import (  # noqa: E402
+    MERSENNE61,
+    MINHASH_PERMS,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from tdataframe_spark.ops.multimodal import attach_payload, extract_features  # noqa: E402
+from tdataframe_spark.ops.similarity import cosine_topk, lsh_bucket_topk  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored verbatim into the oracle SQL)
+
+Q1_CUTOFF = "2000-12-01"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-30"
+Q5_REGION = "ASIA"
+HF_NBINS, HF_LO, HF_HI = 50, 0.5, 50.5
+HA_NBINS = 64
+FLAG_QTY = 10.0
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+JACCARD_N = 3
+JACCARD_T = 0.5
+TOPK_K = 10
+
+DEC = "DECIMAL(25,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    rejects; read nanos as long and truncate to epoch-MICROseconds (matching
+    what DuckDB keeps when it loads the same file). ``ts_us`` is bigint."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    ).drop("ts")
+
+
+def _dsum_sql(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS {DEC})) AS DOUBLE)"
+
+
+def _dmean_sql(x: str) -> str:
+    return f"{_dsum_sql(x)} / COUNT({x})"
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Reference-benchmark-shaped flagship on sf0.001: define disc_price →
+    filter → fused Count+Mean (one agg pass) + auto-range histogram
+    (cf. /root/reference/benchmarks/benchmark.cxx:95-123)."""
+    sf_dir = "/root/testdata/sf0.001"
+    fr = (
+        Frame(_t(spark, sf_dir, "lineitem"))
+        .define("disc_price", F.expr("l_extendedprice * (1 - l_discount)"))
+        .filter(F.col("l_quantity") > FLAG_QTY)
+    )
+    cnt, avg = fr.count(), fr.mean("disc_price")
+    assert cnt.get() > 0 and avg.get() is not None  # fused single-pass agg
+    return fr.histo_frame("disc_price", nbins=HA_NBINS)
+
+
+# ---------------------------------------------------------------------------
+# reference operators (SURVEY.md §2.1)
+
+
+def q_count_chain(spark, sf):
+    fr = (
+        Frame(_t(spark, sf, "lineitem"))
+        .filter("l_quantity < 25")
+        .filter("l_discount > 0.02 AND l_quantity > 5")
+    )
+    return fr.df.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+SQL_COUNT_CHAIN = """
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+WHERE l_quantity < 25 AND l_discount > 0.02 AND l_quantity > 5
+"""
+
+
+def q_define_filter_agg(spark, sf):
+    fr = (
+        Frame(_t(spark, sf, "lineitem"))
+        .define("disc_price", F.expr("l_extendedprice * (1 - l_discount)"))
+        .filter(F.col("l_quantity") > FLAG_QTY)
+    )
+    d = F.col("disc_price")
+    return fr.df.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min(d).alias("min_dp"),
+        F.max(d).alias("max_dp"),
+        dmean(d).alias("avg_dp"),
+    )
+
+
+SQL_DEFINE_FILTER_AGG = f"""
+WITH t AS (
+  SELECT l_extendedprice * (1 - l_discount) AS disc_price
+  FROM lineitem WHERE l_quantity > {FLAG_QTY}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(disc_price) AS min_dp,
+       MAX(disc_price) AS max_dp,
+       {_dmean_sql('disc_price')} AS avg_dp
+FROM t
+"""
+
+
+def q_explode_agg(spark, sf):
+    """Array-flatten aggregation semantics (SURVEY.md §1.3): aggregates over
+    a collection column apply to the flattened elements."""
+    li = _t(spark, sf, "lineitem").select(
+        F.array("l_quantity", "l_extendedprice", "l_tax").alias("arr")
+    )
+    return li.agg(
+        F.min(F.array_min("arr")).alias("min_v"),
+        F.max(F.array_max("arr")).alias("max_v"),
+        F.sum(F.size("arr")).cast("long").alias("n_v"),
+    )
+
+
+SQL_EXPLODE_AGG = """
+SELECT MIN(v) AS min_v, MAX(v) AS max_v, CAST(COUNT(*) AS BIGINT) AS n_v
+FROM (SELECT UNNEST([l_quantity, l_extendedprice, l_tax]) AS v FROM lineitem)
+"""
+
+
+def q_histo_fixed(spark, sf):
+    return Frame(_t(spark, sf, "lineitem")).histo_frame(
+        "l_quantity", nbins=HF_NBINS, lo=HF_LO, hi=HF_HI
+    )
+
+
+SQL_HISTO_FIXED = f"""
+WITH v AS (
+  SELECT l_quantity AS x FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_quantity >= {HF_LO} AND l_quantity < {HF_HI}
+),
+c AS (
+  SELECT CAST(FLOOR((x - {HF_LO}) / {(HF_HI - HF_LO) / HF_NBINS!r}) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM v GROUP BY 1
+),
+g AS (SELECT CAST(s AS INT) AS bin FROM generate_series(0, {HF_NBINS - 1}) t(s))
+SELECT g.bin,
+       {HF_LO} + CAST(g.bin AS DOUBLE) * {(HF_HI - HF_LO) / HF_NBINS!r} AS bin_lo,
+       {HF_LO} + CAST(g.bin + 1 AS DOUBLE) * {(HF_HI - HF_LO) / HF_NBINS!r} AS bin_hi,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM g LEFT JOIN c ON g.bin = c.bin
+"""
+
+
+def q_histo_auto(spark, sf):
+    fr = Frame(_t(spark, sf, "lineitem")).define(
+        "disc_price", F.expr("l_extendedprice * (1 - l_discount)")
+    )
+    return fr.histo_frame("disc_price", nbins=HA_NBINS)
+
+
+SQL_HISTO_AUTO = f"""
+WITH v AS (
+  SELECT l_extendedprice * (1 - l_discount) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+),
+p AS (SELECT MIN(x) AS lo, MAX(x) AS hi, (MAX(x) - MIN(x)) / {HA_NBINS} AS w FROM v),
+c AS (
+  SELECT LEAST(CAST(FLOOR((x - lo) / w) AS INT), {HA_NBINS - 1}) AS bin, COUNT(*) AS n
+  FROM v, p GROUP BY 1
+),
+g AS (SELECT CAST(s AS INT) AS bin FROM generate_series(0, {HA_NBINS - 1}) t(s))
+SELECT g.bin,
+       p.lo + CAST(g.bin AS DOUBLE) * p.w AS bin_lo,
+       p.lo + CAST(g.bin + 1 AS DOUBLE) * p.w AS bin_hi,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM g CROSS JOIN p LEFT JOIN c ON g.bin = c.bin
+"""
+
+
+def q_take_col(spark, sf):
+    """Take = ordered column materialization; expressed as the select the
+    engine's take() runs (/root/reference/TDataFrame.hxx:869-884)."""
+    return (
+        Frame(_t(spark, sf, "lineitem"))
+        .filter("l_quantity >= 49")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .df
+    )
+
+
+SQL_TAKE_COL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators (SURVEY.md §2.2)
+
+
+def q_q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        Frame(li)
+        .filter(F.col("l_shipdate").cast("date") <= F.lit(Q1_CUTOFF))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=dsum("l_quantity"),
+            sum_base_price=dsum("l_extendedprice"),
+            sum_disc_price=dsum(F.expr("l_extendedprice * (1 - l_discount)")),
+            avg_qty=dmean("l_quantity"),
+            avg_price=dmean("l_extendedprice"),
+            count_order=F.count(F.lit(1)).cast("long"),
+        )
+        .df
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dmean_sql('l_quantity')} AS avg_qty,
+       {_dmean_sql('l_extendedprice')} AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_topk_revenue(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == Q3_SEGMENT)
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit(Q3_DATE)
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit(Q3_DATE)
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    rev = (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(TOPK_K)
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_orderpriority,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q3_DATE}'
+  AND CAST(l_shipdate AS DATE) > DATE '{Q3_DATE}'
+GROUP BY l_orderkey, o_date, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {TOPK_K}
+"""
+
+
+def q_q5_region_revenue(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == Q5_REGION)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name, {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+GROUP BY n_name
+"""
+
+
+def q_window_top_orders(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return top_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+SQL_WINDOW_TOP = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+def q_join_semi(spark, sf):
+    cust = Frame(_t(spark, sf, "customer"))
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .df
+    )
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_join_anti(spark, sf):
+    cust = Frame(_t(spark, sf, "customer"))
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .df
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_setops_nations(spark, sf):
+    cn = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    conly = cn.exceptAll(sn).withColumn("tag", F.lit("cust_only"))
+    sonly = sn.exceptAll(cn).withColumn("tag", F.lit("supp_only"))
+    return both.unionByName(conly).unionByName(sonly)
+
+
+SQL_SETOPS = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'cust_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'supp_only' AS tag FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+"""
+
+
+def q_rollup_returnflag(spark, sf):
+    return (
+        Frame(_t(spark, sf, "lineitem"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=dsum("l_quantity"),
+            n=F.count(F.lit(1)).cast("long"),
+        )
+        .df
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_supp_per_flag(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("n_supp"))
+    )
+
+
+SQL_DISTINCT_SUPP = """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_topk_orders(spark, sf):
+    return (
+        Frame(_t(spark, sf, "orders"))
+        .order_by(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .df
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: as-of join, sessionization, JSON
+
+
+def q_asof_click_purchase(spark, sf):
+    ev = _events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        matched_col="prior_purchase_ts_us",
+    ).select("event_id", "user_id", "ts_us", "prior_purchase_ts_us")
+
+
+SQL_ASOF = """
+SELECT l.event_id, l.user_id,
+       CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+       MAX(CAST(epoch_us(r.ts) AS BIGINT)) AS prior_purchase_ts_us
+FROM events l
+LEFT JOIN events r
+  ON r.user_id = l.user_id AND r.event_type = 'purchase' AND r.ts <= l.ts
+WHERE l.event_type = 'click'
+GROUP BY l.event_id, l.user_id, l.ts
+"""
+
+
+def q_sessionize(spark, sf):
+    ev = _events(spark, sf)
+    s = sessionize(ev, "user_id", "ts_us", gap_seconds=SESSION_GAP_US // 1_000_000)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR tu - prev > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM d
+)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_json_events(spark, sf):
+    ev = _events(spark, sf).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return (
+        ev.filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+SQL_JSON_EVENTS = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       {_dsum_sql('value')} AS sum_value
+FROM e WHERE k > 50 GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings: dedup, similarity, text analysis
+
+
+def q_dedup_exact(spark, sf):
+    return exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_stats(spark, sf):
+    from tdataframe_spark.core.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(_t(spark, sf, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars2"),
+        n_words(t).cast("long").alias("n_words"),
+        n_tokens(t).cast("long").alias("n_tokens"),
+        fingerprint64(t).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars2,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+       CAST(concat('0x', substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=JACCARD_N, threshold=JACCARD_T
+    )
+
+
+SQL_SHINGLES = f"""
+  w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  sh0 AS (
+    SELECT doc_id, ws[s] || ' ' || ws[s+1] || ' ' || ws[s+2] AS sh
+    FROM w, UNNEST(generate_series(1, len(ws) - {JACCARD_N - 1})) AS t(s)
+  ),
+  sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
+"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= {JACCARD_T}
+"""
+
+
+def q_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        n=JACCARD_N, k=16, bands=4, threshold=JACCARD_T,
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    h = "CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)"
+    mins = ",\n    ".join(
+        f"MIN(({a} * {h} + {b}) % {MERSENNE61}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS[:16])
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', m{j0}, m{j1}, m{j2}, m{j3}) AS key FROM sig".format(
+            bi=bi, j0=bi * 4, j1=bi * 4 + 1, j2=bi * 4 + 2, j3=bi * 4 + 3
+        )
+        for bi in range(4)
+    )
+    return f"""
+WITH {SQL_SHINGLES},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+FROM cand c
+JOIN common ON common.id_a = c.id_a AND common.id_b = c.id_b
+JOIN sizes na ON na.doc_id = c.id_a
+JOIN sizes nb ON nb.doc_id = c.id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= {JACCARD_T}
+"""
+
+
+def q_simhash(spark, sf):
+    return simhash64(_t(spark, sf, "documents"), "doc_id", "text", n=1)
+
+
+def _simhash_oracle_sql() -> str:
+    h = "CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)"
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN ({h} & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(60)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id, ws[s] AS sh
+        FROM w, UNNEST(generate_series(1, len(ws))) AS t(s)),
+sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+bits AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM bits
+"""
+
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(queries, emb, "vec_id", "embedding", k=TOPK_K).select(
+        "query_id", "neighbor_id", "cos_sim", "rnk"
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]),
+                          (p, s) -> p + s)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS vn
+  FROM n
+),
+q AS (SELECT vec_id AS query_id, vn AS qn FROM u WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, u.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(qn, vn), x -> x[1] * x[2]),
+                     (p, s) -> p + s) AS cos_sim
+  FROM q CROSS JOIN u
+  WHERE q.query_id != u.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only checks): multimodal stub, LSH ANN
+
+
+def q_multimodal_features(spark, sf):
+    docs = _t(spark, sf, "documents")
+    media = attach_payload(docs, "doc_id", "text", kind="text-as-binary")
+    return extract_features(media, dim=8, decode_stub=True)
+
+
+def q_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_bucket_topk(queries, emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "cos_sim", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference operators (SURVEY.md §2.1)
+        "count_chain": q_count_chain,
+        "define_filter_agg": q_define_filter_agg,
+        "explode_agg": q_explode_agg,
+        "histo_fixed": q_histo_fixed,
+        "histo_auto": q_histo_auto,
+        "take_col": q_take_col,
+        # relational (SURVEY.md §2.2)
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_topk_revenue": q_q3_topk_revenue,
+        "q5_region_revenue": q_q5_region_revenue,
+        "window_top_orders": q_window_top_orders,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "setops_nations": q_setops_nations,
+        "rollup_returnflag": q_rollup_returnflag,
+        "distinct_supp_per_flag": q_distinct_supp_per_flag,
+        "topk_orders": q_topk_orders,
+        # events
+        "asof_click_purchase": q_asof_click_purchase,
+        "sessionize": q_sessionize,
+        "json_events": q_json_events,
+        # documents / embeddings (north-star pipeline ops)
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        # rows-only (no SQL equivalent)
+        "multimodal_features": q_multimodal_features,
+        "lsh_ann": q_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "count_chain": SQL_COUNT_CHAIN,
+        "define_filter_agg": SQL_DEFINE_FILTER_AGG,
+        "explode_agg": SQL_EXPLODE_AGG,
+        "histo_fixed": SQL_HISTO_FIXED,
+        "histo_auto": SQL_HISTO_AUTO,
+        "take_col": SQL_TAKE_COL,
+        "q1_pricing_summary": SQL_Q1,
+        "q3_topk_revenue": SQL_Q3,
+        "q5_region_revenue": SQL_Q5,
+        "window_top_orders": SQL_WINDOW_TOP,
+        "join_semi": SQL_JOIN_SEMI,
+        "join_anti": SQL_JOIN_ANTI,
+        "setops_nations": SQL_SETOPS,
+        "rollup_returnflag": SQL_ROLLUP,
+        "distinct_supp_per_flag": SQL_DISTINCT_SUPP,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "asof_click_purchase": SQL_ASOF,
+        "sessionize": SQL_SESSIONIZE,
+        "json_events": SQL_JSON_EVENTS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "text_stats": SQL_TEXT_STATS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_lsh": _minhash_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
+        "cosine_topk": SQL_COSINE_TOPK,
+        # multimodal_features / lsh_ann intentionally omitted → rows-only
+    }

@@ -1,0 +1,85 @@
+"""Whole-frame aggregate planning, including array-flatten ("explode")
+semantics.
+
+Reference parity (SURVEY.md §1.3, §2.1 A1-A4):
+- function-less aggregates over a collection-typed column operate on the
+  FLATTENED elements, not per-row values: ``Min/Max/MeanOperation::Exec``
+  container overloads /root/reference/TDataFrame.hxx:611-615, :636-640,
+  :665-672; golden value mean(dv)=5.1379310344827588963 over 290 flattened
+  elements (/root/reference/tests/test_misc.cxx:184).
+- empty-input semantics: the reference returns sentinels (min→+DBL_MAX,
+  max→DBL_MIN — the latter a seed bug we deliberately do NOT copy — mean→0;
+  /root/reference/tests/regression_zeroentries.cxx:35-37). This engine
+  returns SQL NULL (None) for min/max/mean/sum on empty input: documented
+  divergence, saner at scale, and what the DuckDB oracle produces.
+
+Spark re-expression: instead of a physical ``explode`` (which multiplies row
+count before the aggregate), flattening is pushed INTO per-row higher-order
+functions (``array_min``, ``aggregate``, ``size``) so every whole-frame
+aggregate — flat or flattened — remains a single fusable ``agg()`` expression
+evaluated inside whole-stage codegen. At 100 TB this avoids materializing the
+exploded relation entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType
+
+from tdataframe_spark.core.errors import UnknownColumnError
+
+ScalarPlan = tuple[dict[str, Column], Callable[[dict[str, Any]], Any]]
+
+
+def column_type(df: DataFrame, name: str) -> DataType:
+    for f_ in df.schema.fields:
+        if f_.name == name:
+            return f_.dataType
+    raise UnknownColumnError(
+        f"unknown column {name!r}; available: {df.columns}"
+    )
+
+
+def _array_sum(c: Column) -> Column:
+    # left-fold in element order: deterministic summation per row
+    return F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def scalar_agg_plan(df: DataFrame, col: str | None, kind: str) -> ScalarPlan:
+    """Build (named agg expressions, finisher) for one lazy scalar action.
+
+    ``kind`` in {count, min, max, mean, sum}. Array-typed columns aggregate
+    over their flattened elements (SURVEY.md §1.3).
+    """
+    if kind == "count":
+        return {"v": F.count(F.lit(1))}, lambda r: int(r["v"])
+
+    assert col is not None
+    dtype = column_type(df, col)
+    c = F.col(col)
+    is_array = isinstance(dtype, ArrayType)
+
+    if kind == "min":
+        e = F.min(F.array_min(c)) if is_array else F.min(c)
+        return {"v": e}, lambda r: r["v"]
+    if kind == "max":
+        e = F.max(F.array_max(c)) if is_array else F.max(c)
+        return {"v": e}, lambda r: r["v"]
+    if kind == "sum":
+        e = F.sum(_array_sum(c)) if is_array else F.sum(c.cast("double"))
+        return {"v": e}, lambda r: r["v"]
+    if kind == "mean":
+        if is_array:
+            exprs = {"s": F.sum(_array_sum(c)), "n": F.sum(F.size(c))}
+
+            def finish(r: dict[str, Any]) -> Any:
+                n = r["n"]
+                return None if not n else r["s"] / n
+
+            return exprs, finish
+        return {"v": F.avg(c.cast("double"))}, lambda r: r["v"]
+
+    raise ValueError(f"unknown aggregate kind {kind!r}")

@@ -1,0 +1,385 @@
+"""The Frame: a thin, lazily-evaluated wrapper over a Spark DataFrame with
+the reference's functional-chain API plus the relational surface the
+reference lacks.
+
+Reference parity map (SURVEY.md §2.1):
+- ``filter``  → T1 ``.Filter``  /root/reference/TDataFrame.hxx:744-757
+- ``define``  → T2 ``.AddBranch`` /root/reference/TDataFrame.hxx:779-793
+  (duplicate name raises, :290-297)
+- ``count/min/max/mean/sum`` → A1-A4 (+ planned ``Sum``,
+  /root/reference/TDFGuide.md:282) via the fused scalar-agg engine
+- ``histo``   → A5 /root/reference/TDataFrame.hxx:897-934
+- ``take``    → A6 /root/reference/TDataFrame.hxx:869-884
+- ``foreach/foreach_slot`` → A7/A8 /root/reference/TDataFrame.hxx:805-839
+  (instant actions: they flush every pending lazy result first, matching
+  ``df->Run()`` at :838)
+- ``snapshot`` → the reference's planned-but-missing sink
+  (/root/reference/TDFGuide.md:283)
+- default column list → ctor default-branches
+  (/root/reference/TDataFrame.hxx:716, ``PickBranchNames`` :300-314)
+
+Everything relational (join/group_by/order_by/...) is a typed passthrough to
+Spark — Catalyst owns optimization; the engine adds no scheduling of its own
+beyond multi-action fusion (core/proxy.py).
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any, Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tdataframe_spark.core.aggregates import scalar_agg_plan
+from tdataframe_spark.core.errors import (
+    ArityError,
+    DuplicateColumnError,
+    UnknownColumnError,
+)
+from tdataframe_spark.core.histogram import histo_frame
+from tdataframe_spark.core.proxy import Engine, Result
+
+ColumnLike = "Column | str"
+
+
+def _fn_arity(fn: Callable) -> int | None:
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return None
+    n = 0
+    for p in sig.parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            n += 1
+        elif p.kind == p.VAR_POSITIONAL:
+            return None  # variadic: accepts anything
+    return n
+
+
+class Frame:
+    """A lazily-evaluated analytics frame over a Spark DataFrame."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        engine: Engine | None = None,
+        default_columns: Sequence[str] = (),
+    ) -> None:
+        self._df = df
+        self._engine = engine if engine is not None else Engine()
+        self._defaults = tuple(default_columns)
+
+    # -- plumbing --------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        """The underlying Spark DataFrame (escape hatch)."""
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    @property
+    def engine(self) -> Engine:
+        return self._engine
+
+    def _derive(self, df: DataFrame) -> "Frame":
+        return Frame(df, self._engine, self._defaults)
+
+    def _resolve_cols(
+        self, cols: Sequence[str] | None, fn: Callable | None = None, extra: int = 0
+    ) -> list[str]:
+        """Resolve an input-column list, falling back to the frame's default
+        columns (reference ``PickBranchNames``
+        /root/reference/TDataFrame.hxx:300-314) and checking UDF arity."""
+        resolved = list(cols) if cols else list(self._defaults)
+        if fn is not None:
+            arity = _fn_arity(fn)
+            if not resolved and arity:
+                raise UnknownColumnError(
+                    "no input columns given and the frame has no default columns"
+                )
+            if arity is not None and arity != len(resolved) + extra:
+                raise ArityError(
+                    f"callable takes {arity} positional args but "
+                    f"{len(resolved) + extra} were implied by columns {resolved}"
+                )
+        for c in resolved:
+            if c not in self._df.columns:
+                raise UnknownColumnError(
+                    f"unknown column {c!r}; available: {self._df.columns}"
+                )
+        return resolved
+
+    def _vector_udf(
+        self, fn: Callable, cols: Sequence[str], return_type: str, vectorized: bool
+    ) -> Column:
+        if vectorized:
+            pudf = F.pandas_udf(fn, return_type)
+        else:
+            import pandas as pd
+
+            # fixed-arity, annotation-free wrapper: PySpark 4 infers the
+            # pandas eval type from the signature, and variadic/annotated
+            # wrappers are rejected
+            ns: dict[str, Any] = {"pd": pd, "fn": fn}
+            params = ", ".join(f"s{i}" for i in range(len(cols)))
+            exec(
+                f"def _wrapped({params}):\n"
+                f"    return pd.Series([fn(*vals) for vals in zip({params})])\n",
+                ns,
+            )
+            pudf = F.pandas_udf(ns["_wrapped"], return_type)
+        return pudf(*[F.col(c) for c in cols])
+
+    # -- transformations (reference T1/T2) -------------------------------
+    def filter(
+        self,
+        condition: "Column | str | Callable" = None,
+        cols: Sequence[str] | None = None,
+        *,
+        return_type: str = "boolean",
+        vectorized: bool = False,
+    ) -> "Frame":
+        """Row predicate. ``condition`` may be a Column expression, a SQL
+        string (fast path, stays in codegen), or a Python callable over
+        ``cols`` (compiled to an Arrow-batched pandas UDF — the slow path,
+        mirroring the reference's lambda filters,
+        /root/reference/TDataFrame.hxx:744-757)."""
+        if callable(condition) and not isinstance(condition, Column):
+            use = self._resolve_cols(cols, condition)
+            pred = self._vector_udf(condition, use, return_type, vectorized)
+            return self._derive(self._df.filter(pred))
+        if isinstance(condition, str):
+            return self._derive(self._df.filter(F.expr(condition)))
+        return self._derive(self._df.filter(condition))
+
+    def define(
+        self,
+        name: str,
+        expr: "Column | str | Callable",
+        cols: Sequence[str] | None = None,
+        *,
+        return_type: str = "double",
+        vectorized: bool = False,
+    ) -> "Frame":
+        """Computed column (reference ``AddBranch``). Raises
+        DuplicateColumnError if ``name`` exists — Spark's ``withColumn``
+        silently replaces, the reference throws
+        (/root/reference/TDataFrame.hxx:290-297); we keep the reference
+        contract."""
+        if name in self._df.columns:
+            raise DuplicateColumnError(
+                f"column {name!r} already exists (reference AddBranch semantics "
+                "forbid redefinition; use a new name)"
+            )
+        if callable(expr) and not isinstance(expr, Column):
+            use = self._resolve_cols(cols, expr)
+            col = self._vector_udf(expr, use, return_type, vectorized)
+        elif isinstance(expr, str):
+            col = F.expr(expr)
+        else:
+            col = expr
+        return self._derive(self._df.withColumn(name, col))
+
+    # -- lazy scalar actions (A1-A4 + Sum) --------------------------------
+    def _scalar(self, col: str | None, kind: str) -> Result:
+        exprs, finish = scalar_agg_plan(self._df, col, kind)
+        return self._engine.book_scalar(self._df, exprs, finish)
+
+    def count(self) -> Result:
+        return self._scalar(None, "count")
+
+    def min(self, col: str | None = None) -> Result:
+        return self._scalar(self._one_default(col), "min")
+
+    def max(self, col: str | None = None) -> Result:
+        return self._scalar(self._one_default(col), "max")
+
+    def mean(self, col: str | None = None) -> Result:
+        return self._scalar(self._one_default(col), "mean")
+
+    def sum(self, col: str | None = None) -> Result:
+        return self._scalar(self._one_default(col), "sum")
+
+    def _one_default(self, col: str | None) -> str:
+        if col:
+            return col
+        if len(self._defaults) != 1:
+            raise UnknownColumnError(
+                "no column given and the frame does not have exactly one "
+                f"default column (defaults={list(self._defaults)})"
+            )
+        return self._defaults[0]
+
+    # -- histogram (A5) ---------------------------------------------------
+    def histo(
+        self, col: str | None = None, nbins: int = 128, lo: float = 0.0, hi: float = 0.0
+    ) -> Result:
+        """Lazy 1-D histogram; resolves to a list of (bin, lo, hi, cnt)."""
+        c = self._one_default(col)
+
+        def run(df: DataFrame) -> list[tuple[int, float, float, int]]:
+            return [
+                (r["bin"], r["bin_lo"], r["bin_hi"], r["cnt"])
+                for r in histo_frame(df, c, nbins, lo, hi).collect()
+            ]
+
+        return self._engine.book_job(self._df, run)
+
+    def histo_frame(
+        self, col: str | None = None, nbins: int = 128, lo: float = 0.0, hi: float = 0.0
+    ) -> DataFrame:
+        """Eager-planned histogram bin table as a DataFrame (for pipelines /
+        oracle queries)."""
+        return histo_frame(self._df, self._one_default(col), nbins, lo, hi)
+
+    # -- take (A6) --------------------------------------------------------
+    def take(self, col: str | None = None, limit: int | None = None) -> Result:
+        """Collect one column's (post-filter) values driver-side. At scale
+        prefer ``snapshot``; ``limit`` caps driver memory (the reference's
+        Take is unbounded driver-local by design,
+        /root/reference/TDataFrame.hxx:869-884)."""
+        c = self._one_default(col)
+
+        def run(df: DataFrame) -> list[Any]:
+            d = df.select(c)
+            if limit is not None:
+                d = d.limit(limit)
+            return [r[0] for r in d.collect()]
+
+        return self._engine.book_job(self._df, run)
+
+    # -- instant UDF sinks (A7/A8) ---------------------------------------
+    def foreach(self, fn: Callable, cols: Sequence[str] | None = None) -> None:
+        """Run ``fn(*col_values)`` per passing row, NOW. Flushes all pending
+        lazy actions first (reference instant-action contract, §3.2)."""
+        use = self._resolve_cols(cols, fn)
+        self._engine.flush()
+
+        def run_partition(rows: Iterable) -> None:
+            for row in rows:
+                fn(*[row[c] for c in use])
+
+        self._df.select(*use).foreachPartition(run_partition)
+
+    def foreach_slot(self, fn: Callable, cols: Sequence[str] | None = None) -> None:
+        """Like ``foreach`` but ``fn(slot, *col_values)`` where ``slot`` is
+        the partition id — the Spark analogue of the reference's slot index
+        (/root/reference/TDataFrame.hxx:830-839)."""
+        use = self._resolve_cols(cols, fn, extra=1)
+        self._engine.flush()
+
+        def run_partition(rows: Iterable) -> None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            slot = ctx.partitionId() if ctx is not None else 0
+            for row in rows:
+                fn(slot, *[row[c] for c in use])
+
+        self._df.select(*use).foreachPartition(run_partition)
+
+    # -- sink (planned in reference: Snapshot) ----------------------------
+    def snapshot(
+        self,
+        path: str,
+        cols: Sequence[str] | None = None,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] | None = None,
+    ) -> "Frame":
+        """Write the (post-filter/define) frame to Parquet and return a new
+        frame reading it back — the scalable replacement for Take."""
+        d = self._df.select(*cols) if cols else self._df
+        w = d.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return Frame(self._df.sparkSession.read.parquet(path), self._engine)
+
+    # -- relational surface (absent in reference; SURVEY.md §2.2) ---------
+    def select(self, *cols: "Column | str") -> "Frame":
+        return self._derive(self._df.select(*cols))
+
+    def join(
+        self,
+        other: "Frame | DataFrame",
+        on: "str | list[str] | Column",
+        how: str = "inner",
+        *,
+        broadcast: bool = False,
+    ) -> "Frame":
+        right = other.df if isinstance(other, Frame) else other
+        if broadcast:
+            right = F.broadcast(right)
+        return self._derive(self._df.join(right, on, how))
+
+    def group_by(self, *cols: "Column | str") -> "GroupedFrame":
+        return GroupedFrame(self, self._df.groupBy(*cols))
+
+    def rollup(self, *cols: "Column | str") -> "GroupedFrame":
+        return GroupedFrame(self, self._df.rollup(*cols))
+
+    def cube(self, *cols: "Column | str") -> "GroupedFrame":
+        return GroupedFrame(self, self._df.cube(*cols))
+
+    def order_by(self, *cols: "Column | str") -> "Frame":
+        return self._derive(self._df.orderBy(*cols))
+
+    def limit(self, n: int) -> "Frame":
+        return self._derive(self._df.limit(n))
+
+    def top_k(self, k: int, by: "Column | str", ascending: bool = False) -> "Frame":
+        """Top-k — Spark plans TakeOrderedAndProject (no full sort at scale)."""
+        c = F.col(by) if isinstance(by, str) else by
+        return self._derive(self._df.orderBy(c.asc() if ascending else c.desc()).limit(k))
+
+    def distinct(self) -> "Frame":
+        return self._derive(self._df.distinct())
+
+    def drop_duplicates(self, subset: Sequence[str] | None = None) -> "Frame":
+        return self._derive(self._df.dropDuplicates(subset))
+
+    def union(self, other: "Frame | DataFrame") -> "Frame":
+        right = other.df if isinstance(other, Frame) else other
+        return self._derive(self._df.unionByName(right))
+
+    def intersect(self, other: "Frame | DataFrame") -> "Frame":
+        right = other.df if isinstance(other, Frame) else other
+        return self._derive(self._df.intersect(right))
+
+    def except_all(self, other: "Frame | DataFrame") -> "Frame":
+        right = other.df if isinstance(other, Frame) else other
+        return self._derive(self._df.exceptAll(right))
+
+    def with_defaults(self, *cols: str) -> "Frame":
+        """Return a frame with a new default-column list (reference ctor's
+        default branch list)."""
+        for c in cols:
+            if c not in self._df.columns:
+                raise UnknownColumnError(f"unknown column {c!r}")
+        return Frame(self._df, self._engine, cols)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+
+class GroupedFrame:
+    """Thin wrapper over Spark's GroupedData returning Frames."""
+
+    def __init__(self, parent: Frame, grouped) -> None:
+        self._parent = parent
+        self._grouped = grouped
+
+    def agg(self, *exprs: Column, **named: Column) -> Frame:
+        cols = list(exprs) + [e.alias(n) for n, e in named.items()]
+        return self._parent._derive(self._grouped.agg(*cols))
+
+    def count(self) -> Frame:
+        return self._parent._derive(
+            self._grouped.agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def apply_in_pandas(self, fn: Callable, schema: str) -> Frame:
+        return self._parent._derive(self._grouped.applyInPandas(fn, schema))

@@ -1,0 +1,60 @@
+"""Window-function operators (absent in the reference, SURVEY.md §2.2).
+
+All single-shuffle designs: one ``partitionBy(key)`` shuffle, per-partition
+sort, no driver materialization — the shapes that hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Deterministic per-group top-k via row_number over a total order.
+
+    ``order_by`` must be a total order (include a unique tiebreaker) for
+    deterministic output.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session indexes per user (1-based): a new session
+    starts when the time since the previous event exceeds ``gap_seconds``.
+
+    ``ts_col`` may be a timestamp (gap measured via ``timestampdiff`` in
+    microseconds — wall-clock, TZ/DST-free on NTZ) or an integer epoch in
+    MICROSECONDS (plain subtraction). Both paths are integer-exact and
+    engine-portable.
+    """
+    from pyspark.sql.types import IntegerType, LongType
+
+    gap_us = gap_seconds * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    d = df.withColumn("__prev_ts", F.lag(F.col(ts_col)).over(w))
+    if isinstance(df.schema[ts_col].dataType, (LongType, IntegerType)):
+        diff = F.col(ts_col) - F.col("__prev_ts")
+    else:
+        diff = F.expr(f"timestampdiff(MICROSECOND, __prev_ts, {ts_col})")
+    is_new = F.when(
+        F.col("__prev_ts").isNull() | (diff > gap_us), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.withColumn(session_col, F.sum(is_new).over(run)).drop("__prev_ts")

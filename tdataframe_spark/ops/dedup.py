@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale text corpora: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB rules):
+- exact dedup: hash-groupBy — one shuffle on a 128-bit digest, no driver
+  state.
+- n-gram Jaccard: shingle → self-join on shingle → per-pair intersection
+  counts. The shingle join is the classic inverted-index plan; hot shingles
+  are the skew risk, so extremely frequent shingles can be dropped via
+  ``max_shingle_freq`` (standard df-cut trick) before the join.
+- MinHash+LSH: k permutation min-hashes per doc (one shuffle: explode
+  shingles → groupBy doc), band signatures, bucket-join on (band, band_key)
+  so only same-bucket docs pair up — candidate generation is linear-ish in
+  corpus size instead of quadratic.
+- SimHash: 64-bit sign-aggregated token hashes; near-dups share low Hamming
+  distance (verification joins on rotated prefixes can be layered on).
+
+All hashes go through ``portable_hash64`` (md5-derived) so every stage is
+integer-exact and reproducible in the DuckDB oracle — no engine-private
+hash functions in semantically meaningful places.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tdataframe_spark.core.partitioning import ensure_min_partitions
+from tdataframe_spark.functions.numeric import portable_hash64
+from tdataframe_spark.functions.text import word_shingles
+
+# fixed (a, b) parameters for the k min-hash permutations over the Mersenne
+# prime p = 2^61 - 1; a*h stays < 2^63 because h < 2^60 and a <= 7
+MERSENNE61 = (1 << 61) - 1
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (2, 12820163), (3, 906010081), (5, 22801), (7, 96002303),
+    (2, 404201477), (3, 11213), (5, 700001093), (7, 4000037),
+    (2, 900001541), (3, 52600121), (5, 300007), (7, 104729),
+    (2, 15487469), (3, 32452843), (5, 49979687), (7, 67867979),
+]
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Group identical documents by content digest; returns one row per
+    distinct content with the canonical (minimum) id and duplicate count."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    return (
+        ensure_min_partitions(df)
+        .select(F.md5(t).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    df = ensure_min_partitions(df)
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, n)).alias("__sh"),
+    )
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """Pairwise Jaccard from a (__id, __sh) table: inverted-index self-join,
+    per-pair intersection counts, integer-exact similarity."""
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("id_a"), "__sh")
+    b = sh.select(F.col("__id").alias("id_b"), "__sh")
+    common = (
+        a.join(b, "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"__id": "id_a", "__n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"__id": "id_b", "__n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard similarity >= threshold.
+
+    Returns (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b.
+    Jaccard is integer-derived (|∩| / (|A|+|B|-|∩|)) — exact double math.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "__sh").drop("__f")
+    return _jaccard_from_shingles(sh, threshold)
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature columns m0..m{k-1} (docs with >=1 shingle)."""
+    assert k <= len(MINHASH_PERMS)
+    sh = _shingle_table(df, id_col, text_col, n)
+    h = portable_hash64(F.col("__sh"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS[:k])
+    ]
+    return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    Candidate pairs = docs sharing at least one identical band of the
+    signature (rows_per_band = k/bands); candidates are then verified with
+    the exact n-gram Jaccard, so the result has no false positives (only the
+    usual LSH false-negative probability).
+    Returns (id_a, id_b, jaccard).
+    """
+    assert k % bands == 0
+    rpb = k // bands
+    sig = minhash_signature(df, id_col, text_col, n, k)
+
+    # one (band, key) struct array exploded from a SINGLE pass over the
+    # signature — a union of per-band selects would recompute the signature
+    # aggregation once per band per join side
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("__band"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{bi * rpb + j}") for j in range(rpb)]
+                ).alias("__key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    bucketed = sig.select(
+        F.col(id_col).alias("__id"), F.explode(band_structs).alias("__bk")
+    ).select("__id", F.col("__bk.__band").alias("__band"), F.col("__bk.__key").alias("__key"))
+
+    left = bucketed.select(F.col("__id").alias("id_a"), "__band", "__key")
+    right = bucketed.select(F.col("__id").alias("id_b"), "__band", "__key")
+    cand = (
+        left.join(right, ["__band", "__key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # verify ONLY candidate docs: restrict the shingle table to ids that
+    # appear in some candidate pair before the quadratic-ish exact pass —
+    # at scale this is the difference between verifying O(candidates) and
+    # recomputing all-pairs Jaccard
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .union(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = _shingle_table(df, id_col, text_col, n).join(
+        F.broadcast(cand_ids), "__id", "left_semi"
+    )
+    exact = _jaccard_from_shingles(sh, threshold=0.0)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, n: int = 1
+) -> DataFrame:
+    """64-bit SimHash per document over word n-gram hashes.
+
+    bit_j(doc) = 1 iff sum over tokens of sign(bit_j(hash(token))) > 0.
+    Implemented as one explode + groupBy with 64 conditional sums folded
+    into a packed bigint (docs → one row each; a single shuffle).
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    h = portable_hash64(F.col("__sh"))
+    # contribution of each token to each of 60 usable bits: +1 or -1
+    # (bitwiseAND keeps the test integer-exact; h does not fit a double)
+    bit_sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    per_doc = sh.groupBy(F.col("__id").alias(id_col)).agg(*bit_sums)
+    packed = None
+    for j in range(60):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return per_doc.select(F.col(id_col), packed.alias("simhash"))

@@ -1,0 +1,85 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` payloads plus typed metadata (SURVEY.md §2.2
+north star). The Spark-side machinery — schema, Arrow-batched
+``mapInPandas`` pipelines, partition sizing — is real and tested; the codec
+step itself is STUBBED (`decode_stub=True` produces deterministic fake
+features; `False` raises NotImplementedError) because no image/audio
+libraries exist in this container. Swapping the stub for PIL/ffmpeg is a
+one-function change; nothing else moves.
+
+Scale notes: payloads never pass through the driver; ``mapInPandas``
+streams Arrow batches, and ``spark.sql.files.maxPartitionBytes`` (not row
+count) governs partition sizing for large binaries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "width int, height int, n_frames int, sample_rate int"
+)
+
+FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes long, feature array<double>"
+
+
+def attach_payload(
+    df: DataFrame, id_col: str, content_col: str, kind: str
+) -> DataFrame:
+    """Wrap arbitrary string/binary content as a typed media-payload frame
+    (demo path: real pipelines read payload files via
+    ``spark.read.format('binaryFile')``)."""
+    from tdataframe_spark.core.partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+    payload = F.col(content_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector: bytes of
+    repeated sha256, scaled to [0,1). Stable across runs/machines."""
+    out: list[float] = []
+    h = payload or b"\x00"
+    while len(out) < dim:
+        h = hashlib.sha256(h).digest()
+        out.extend(b / 256.0 for b in h)
+    return out[:dim]
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, decode_stub: bool = True
+) -> DataFrame:
+    """Decode + feature-extract media payloads via Arrow-batched
+    ``mapInPandas``. With ``decode_stub=False`` this is where a real codec
+    (PIL / torchaudio / ffmpeg) plugs in."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decoding requires image/audio libraries not present "
+            "in this environment; use decode_stub=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,167 @@
+"""Core Frame semantics, pinned to the reference's golden test values.
+
+Fixtures F1/F2 from FIXTURES.md (sources: /root/reference/tests/
+tdf001_introduction.cxx, test_misc.cxx); golden numbers quoted inline.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tdataframe_spark import DuplicateColumnError, Frame, UnknownColumnError
+from tdataframe_spark.core.errors import ArityError
+
+
+@pytest.fixture(scope="module")
+def f1(spark):
+    """F1 simple_tree: b1=i (double), b2=i*i (int), 10 rows."""
+    rows = [Row(b1=float(i), b2=i * i) for i in range(10)]
+    return Frame(spark.createDataFrame(rows))
+
+
+@pytest.fixture(scope="module")
+def f2(spark):
+    """F2 misc_tree: b1, b2 + cumulative array column dv (5+i elems)."""
+    rows = [
+        Row(b1=float(i), b2=i * i, dv=[-1.0, 2.0, 3.0, 4.0] + [float(j) for j in range(i + 1)])
+        for i in range(20)
+    ]
+    return Frame(spark.createDataFrame(rows))
+
+
+# -- F1 golden expectations (tdf001_introduction.out) ---------------------
+
+
+def test_chained_filter_count(f1):
+    c = f1.filter("b1 < 5").filter("b2 % 2 != 0 AND b1 < 4").count()
+    assert c.get() == 2
+
+
+def test_filtered_aggregates(f1):
+    fd = f1.filter("b1 < 5").filter("b2 % 2 != 0 AND b1 < 4")
+    mn, mean_b2, mx = fd.min("b1"), fd.mean("b2"), fd.max("b1")
+    assert mn.get() == 1.0
+    assert mean_b2.get() == 5.0
+    assert mx.get() == 3.0
+
+
+def test_take(f1):
+    vals = f1.filter("b1 < 5").take("b1")
+    assert sorted(vals.get()) == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_define_filter_count(f1):
+    c = f1.define("s", F.col("b1") + F.col("b2")).filter("s > 4.2").count()
+    assert c.get() == 8
+
+
+# -- F2 golden expectations (test_misc.cxx) -------------------------------
+
+
+def test_forked_graph_counts(f2):
+    base = f2.filter(F.lit(True))
+    c_all = base.count()
+    c_even = base.define("iseven", F.expr("b2 % 2 == 0")).filter("iseven").count()
+    assert c_all.get() == 20
+    assert c_even.get() == 10
+
+
+def test_scalar_aggregates(f2):
+    assert f2.min("b2").get() == 0
+    assert f2.max("b2").get() == 361
+    assert f2.mean("b2").get() == pytest.approx(123.5)
+
+
+def test_array_flatten_aggregates(f2):
+    """SURVEY.md §1.3 load-bearing check: aggregates over array columns
+    operate on flattened elements; golden mean over 290 elements."""
+    assert f2.min("dv").get() == -1.0
+    assert f2.max("dv").get() == 19.0
+    assert f2.mean("dv").get() == pytest.approx(5.1379310344827588963, abs=1e-12)
+
+
+def test_single_pass_fusion(f2):
+    """All scalar actions booked on one frame flush as one agg() job and all
+    become ready after the first get() (reference X1 contract)."""
+    mn, mx, me, ct = f2.min("b1"), f2.max("b1"), f2.mean("b1"), f2.count()
+    assert not mx.ready
+    assert mn.get() == 0.0
+    assert mx.ready and me.ready and ct.ready
+    assert mx.get() == 19.0 and ct.get() == 20
+
+
+# -- error surface --------------------------------------------------------
+
+
+def test_duplicate_define_raises(f1):
+    with pytest.raises(DuplicateColumnError):
+        f1.define("b1", F.lit(1.0))
+
+
+def test_unknown_column_raises(f1):
+    with pytest.raises(UnknownColumnError):
+        f1.min("nope")
+
+
+def test_udf_arity_mismatch_raises(f1):
+    with pytest.raises(ArityError):
+        f1.filter(lambda x, y: x > y, cols=["b1"])
+
+
+# -- UDF path -------------------------------------------------------------
+
+
+def test_callable_filter_and_define(f1):
+    fr = f1.filter(lambda b1: b1 < 5.0, cols=["b1"]).define(
+        "sq", lambda b1: b1 * b1, cols=["b1"], vectorized=True
+    )
+    assert fr.count().get() == 5
+    assert fr.max("sq").get() == 16.0
+
+
+def test_default_columns(f1):
+    fr = f1.with_defaults("b1")
+    assert fr.min().get() == 0.0
+    assert fr.filter(lambda b1: b1 > 7.0).count().get() == 2
+
+
+# -- empty input (F4): SQL NULL, documented divergence from sentinels ------
+
+
+def test_empty_input_null_semantics(f1):
+    empty = f1.filter(F.lit(False))
+    assert empty.count().get() == 0
+    assert empty.min("b1").get() is None
+    assert empty.max("b1").get() is None
+    assert empty.mean("b1").get() is None
+    assert empty.take("b1").get() == []
+
+
+# -- foreach / foreach_slot ------------------------------------------------
+
+
+def test_foreach_slot_accumulates(spark, f1):
+    acc = spark.sparkContext.accumulator(0)
+
+    def add(slot, b2):
+        acc.add(b2)
+
+    f1.foreach_slot(add, cols=["b2"])
+    assert acc.value == sum(i * i for i in range(10))
+
+
+def test_foreach_flushes_pending(f1):
+    c = f1.count()
+    assert not c.ready
+    f1.foreach(lambda b1: None, cols=["b1"])
+    assert c.ready and c.get() == 10
+
+
+# -- snapshot -------------------------------------------------------------
+
+
+def test_snapshot_roundtrip(tmp_path, f1):
+    out = str(tmp_path / "snap")
+    fr = f1.filter("b1 >= 5").snapshot(out)
+    assert fr.count().get() == 5
+    assert sorted(fr.take("b1").get()) == [5.0, 6.0, 7.0, 8.0, 9.0]

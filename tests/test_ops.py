@@ -1,0 +1,129 @@
+"""Unit tests for operators and pipeline ops with hand-checked fixtures
+(complementing the DuckDB-oracle harness, which covers the same ops on the
+driver's tables)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tdataframe_spark.operators.asof import asof_join
+from tdataframe_spark.operators.windows import sessionize, top_per_group
+from tdataframe_spark.ops.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from tdataframe_spark.ops.multimodal import attach_payload, extract_features
+from tdataframe_spark.ops.similarity import cosine_topk, lsh_bucket_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=2, text="completely different words entirely here now"),
+        Row(doc_id=3, text="The  quick brown fox jumps over the lazy dog"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup_groups(docs, "doc_id", "text").collect()}
+    # doc 3 normalizes (lowercase, whitespace collapse) to doc 0's text
+    assert out[0] == 3  # docs 0, 3, 4
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 4)] == 1.0  # identical docs
+    # 0 vs 1: 9 words → 7 shingles each, 6 shared → 6/8
+    assert pairs[(0, 1)] == pytest.approx(0.75)
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (0, 4) in pairs  # identical must collide in every band
+    assert all(2 not in p for p in pairs)
+
+
+def test_simhash_similarity(docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    ham01 = bin(h[0] ^ h[1]).count("1")
+    ham02 = bin(h[0] ^ h[2]).count("1")
+    assert h[0] == h[4]  # identical text → identical hash
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_asof_join(spark):
+    left = spark.createDataFrame([Row(k=1, t=10, tag="a"), Row(k=1, t=5, tag="b"), Row(k=2, t=7, tag="c")])
+    right = spark.createDataFrame([Row(k=1, t=6), Row(k=1, t=10), Row(k=2, t=9)])
+    out = {r["tag"]: r["m"] for r in asof_join(left, right, on="k", left_ts="t", right_ts="t", matched_col="m").collect()}
+    assert out["a"] == 10  # equal ts matches (<= semantics)
+    assert out["b"] is None  # no prior right row
+    assert out["c"] is None  # right row is later
+
+
+def test_sessionize(spark):
+    rows = [Row(u=1, t=i) for i in [0, 10, 2_000_000_000, 2_000_000_005]] + [Row(u=2, t=0)]
+    out = sessionize(spark.createDataFrame(rows), "u", "t", gap_seconds=30)
+    per_user = {
+        (r["u"], r["t"]): r["session_id"] for r in out.collect()
+    }
+    assert per_user[(1, 0)] == 1 and per_user[(1, 10)] == 1
+    assert per_user[(1, 2_000_000_000)] == 2 and per_user[(1, 2_000_000_005)] == 2
+    assert per_user[(2, 0)] == 1
+
+
+def test_top_per_group(spark):
+    df = spark.createDataFrame([Row(g=1, v=i) for i in range(5)] + [Row(g=2, v=9)])
+    out = top_per_group(df, ["g"], [F.col("v").desc()], k=2)
+    got = {(r["g"], r["v"]) for r in out.collect()}
+    assert got == {(1, 4), (1, 3), (2, 9)}
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    out = cosine_topk(emb.filter("vec_id = 0"), emb, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_lsh_ann_self_recall(spark):
+    rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(8)]) for i in range(8)]
+    emb = spark.createDataFrame(rows)
+    out = lsh_bucket_topk(emb, emb, k=3, n_bits=4, dim=8)
+    # every query only pairs within its bucket; results are valid cosine sims
+    for r in out.collect():
+        assert r["query_id"] != r["neighbor_id"]
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+
+
+def test_multimodal_features_shape(docs):
+    media = attach_payload(docs, "doc_id", "text", kind="text-as-binary")
+    feats = extract_features(media, dim=8, decode_stub=True)
+    rows = feats.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x < 1.0 for x in r["feature"])
+    # deterministic: identical payloads → identical features
+    by_id = {r["media_id"]: r["feature"] for r in rows}
+    assert by_id[0] == by_id[4]
+    # unstubbed decode is explicitly not implemented in this container
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_stub=False)
