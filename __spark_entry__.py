@@ -39,7 +39,11 @@ from tdataframe_spark.ops.dedup import (  # noqa: E402
     simhash64,
 )
 from tdataframe_spark.ops.multimodal import attach_payload, extract_features  # noqa: E402
-from tdataframe_spark.ops.similarity import cosine_topk, lsh_bucket_topk  # noqa: E402
+from tdataframe_spark.ops.similarity import (  # noqa: E402
+    cosine_pairs,
+    cosine_topk,
+    lsh_bucket_topk,
+)
 
 # ---------------------------------------------------------------------------
 # shared constants (mirrored verbatim into the oracle SQL)
@@ -730,6 +734,267 @@ QUALIFY rnk <= {TOPK_K}
 """
 
 
+def q_q6_revenue_delta(spark, sf):
+    """TPC-H Q6 shape: tight filter + single aggregate — the pure
+    predicate-pushdown + map-side-combine query."""
+    li = _t(spark, sf, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1996-01-01"))
+            & (d < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.expr("l_extendedprice * l_discount")).alias("revenue"))
+    )
+
+
+SQL_Q6 = f"""
+SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+
+def q_string_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(F.col("p_name").like("%e%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_name", 1, 10).alias("name10"),
+            F.length("p_name").cast("int").alias("name_len"),
+            F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("type_sub"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        )
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       substr(p_name, 1, 10) AS name10,
+       CAST(length(p_name) AS INT) AS name_len,
+       replace(p_type, 'O', '0') AS type_sub,
+       p_brand || ':' || p_type AS brand_type
+FROM part WHERE p_name LIKE '%e%'
+"""
+
+
+def q_date_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("o_totalprice").alias("sum_tp"),
+        )
+    )
+
+
+SQL_DATE_FUNCS = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('o_totalprice')} AS sum_tp
+FROM orders GROUP BY y, m
+"""
+
+
+def q_case_when_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(
+        F.lit(0.0)
+    )
+    kept = F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(
+        F.lit(0.0)
+    )
+    return li.groupBy("l_linestatus").agg(
+        dsum(returned).alias("rev_returned"),
+        dsum(kept).alias("rev_kept"),
+    )
+
+
+SQL_CASE_WHEN = f"""
+SELECT l_linestatus,
+       {_dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END")} AS rev_returned,
+       {_dsum_sql("CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0.0 END")} AS rev_kept
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_above_customer_avg(spark, sf):
+    """Correlated-subquery shape (orders above their customer's average),
+    decorrelated into one window pass — single shuffle on the key."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_tp = (
+        F.sum(F.col("o_totalprice").cast(DEC.lower())).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", avg_tp)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+SQL_ABOVE_AVG = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+WHERE o_totalprice > cust_avg
+"""
+
+
+def q_doc_profile(spark, sf):
+    """Full text-analysis profile: counts, quality score, language guess,
+    fingerprint — the engine's corpus-curation projection."""
+    from tdataframe_spark.ops.textstats import doc_stats
+
+    return doc_stats(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _doc_profile_oracle_sql() -> str:
+    from tdataframe_spark.functions.text import LANG_MARKERS
+
+    score_cols = ", ".join(
+        f"len(regexp_extract_all(' ' || lower(text) || ' ', ' ({'|'.join(m)}) ')) AS s_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    case = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = g THEN '{lang}'" for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS npunct,
+         CAST(length(text) AS DOUBLE) AS nchar,
+         {score_cols}
+  FROM documents
+),
+scored AS (SELECT *, {g} AS g FROM base)
+SELECT doc_id,
+       CAST(nchar AS BIGINT) AS n_chars,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+       round((least(nw / 50.0, 1.0)
+              + (1.0 - least(npunct / greatest(nchar, 1.0) * 5, 1.0))) / 2, 6) AS quality,
+       CASE {case} ELSE 'und' END AS lang_guess,
+       CAST(concat('0x', substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fingerprint
+FROM scored
+"""
+
+
+def q_simhash_hamming(spark, sf):
+    """Near-duplicate candidates by SimHash Hamming distance."""
+    h = simhash64(_t(spark, sf, "documents"), "doc_id", "text", n=1)
+    a = h.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = h.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(h_a ^ h_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+def _simhash_hamming_oracle_sql() -> str:
+    inner = _simhash_oracle_sql().strip()
+    return f"""
+WITH sims AS ({inner})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+def q_cosine_pairs(spark, sf):
+    return cosine_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.35
+    )
+
+
+SQL_COSINE_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]),
+                          (p, s) -> p + s)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS vn
+  FROM n
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_reduce(list_transform(list_zip(a.vn, b.vn), x -> x[1] * x[2]),
+                   (p, s) -> p + s) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.vn, b.vn), x -> x[1] * x[2]),
+                  (p, s) -> p + s) > 0.35
+"""
+
+
+def q_grouped_udaf(spark, sf):
+    """Grouped pandas UDAF (applyInPandas): the reference's ForeachSlot
+    partial-state pattern, re-expressed as Arrow-batched per-group Python.
+    Integer-valued sums keep it engine-exact."""
+    import pandas as pd
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = float(pdf["l_quantity"].sum())
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "n": [n],
+                "sum_qty": [s],
+                "avg_qty": [s / n],
+            }
+        )
+
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .applyInPandas(
+            stats,
+            "l_returnflag string, l_linestatus string, n long, sum_qty double, avg_qty double",
+        )
+    )
+
+
+SQL_GROUPED_UDAF = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only checks): multimodal stub, LSH ANN
 
@@ -776,8 +1041,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_purchase": q_asof_click_purchase,
         "sessionize": q_sessionize,
         "json_events": q_json_events,
+        # relational round 2: scalar-function + subquery shapes
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "case_when_agg": q_case_when_agg,
+        "above_customer_avg": q_above_customer_avg,
+        "grouped_udaf": q_grouped_udaf,
         # documents / embeddings (north-star pipeline ops)
         "dedup_exact": q_dedup_exact,
+        "doc_profile": q_doc_profile,
+        "simhash_hamming": q_simhash_hamming,
+        "cosine_pairs": q_cosine_pairs,
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -810,7 +1085,16 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_purchase": SQL_ASOF,
         "sessionize": SQL_SESSIONIZE,
         "json_events": SQL_JSON_EVENTS,
+        "q6_revenue_delta": SQL_Q6,
+        "string_funcs": SQL_STRING_FUNCS,
+        "date_funcs": SQL_DATE_FUNCS,
+        "case_when_agg": SQL_CASE_WHEN,
+        "above_customer_avg": SQL_ABOVE_AVG,
+        "grouped_udaf": SQL_GROUPED_UDAF,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "doc_profile": _doc_profile_oracle_sql(),
+        "simhash_hamming": _simhash_hamming_oracle_sql(),
+        "cosine_pairs": SQL_COSINE_PAIRS,
         "text_stats": SQL_TEXT_STATS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh": _minhash_oracle_sql(),

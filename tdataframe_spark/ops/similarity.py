@@ -81,6 +81,30 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All vector pairs with cosine similarity above ``threshold``
+    (embedding near-duplicate detection). Brute-force O(n²) scoring —
+    correct and exact; at corpus scale use ``lsh_bucket_topk``-style
+    bucketing to bound the pair space instead.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    u = _normalized(df, id_col, vec_col, "__id")
+    a = u.select(F.col("__id").alias("id_a"), F.col("__vn").alias("__va"))
+    b = u.select(F.col("__id").alias("id_b"), F.col("__vn").alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") > threshold)
+    )
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

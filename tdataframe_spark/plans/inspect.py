@@ -1,0 +1,49 @@
+"""Physical-plan inspection helpers.
+
+The 100 TB contract is enforced here: tests assert that filters reach the
+parquet scan (`PushedFilters`), that projections prune the read schema
+(`ReadSchema`), that dimension joins broadcast, and that hot paths stay
+inside whole-stage codegen. A query that silently loses one of these
+properties would still be correct at sf0.01 and unusable at 100 TB — plan
+assertions catch the regression at test time.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """ReadSchema blocks (one per scan) from the formatted plan."""
+    text = explain_str(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", text)]
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    # "simple" mode prints the full tree even under AQE (formatted mode
+    # abbreviates non-final adaptive plans)
+    text = explain_str(df, "simple")
+    return "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    return "WholeStageCodegen" in explain_str(df, "codegen")

@@ -1,0 +1,88 @@
+"""Plan-quality assertions: the properties that make queries survive 100 TB.
+
+These tests pin the physical plan, not the results: filter pushdown into the
+parquet scan, column pruning, broadcast joins for dimension tables, and
+whole-stage codegen on the hot paths.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from tdataframe_spark import Frame
+from tdataframe_spark.plans import (
+    has_broadcast_join,
+    has_whole_stage_codegen,
+    pushed_filters,
+    scan_read_schema,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    fr = Frame(li).filter("l_quantity > 45").filter("l_discount > 0.01")
+    pushed = pushed_filters(fr.df)
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("l_discount" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = Frame(li).filter("l_quantity > 45").select("l_orderkey").df
+    schemas = scan_read_schema(df)
+    assert schemas, "no scan found"
+    # only the projected + filtered columns are read, not all 11
+    assert "l_extendedprice" not in schemas[0]
+    assert "l_orderkey" in schemas[0]
+    assert "l_quantity" in schemas[0]
+
+
+def test_q3_broadcasts_dimension(spark):
+    df = em.q_q3_topk_revenue(spark, SF)
+    assert has_broadcast_join(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_q5_broadcasts_dims(spark):
+    df = em.q_q5_region_revenue(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_fused_agg_is_single_aggregate(spark):
+    """All scalar actions on one frame must compile to ONE partial+final
+    aggregate pair (the reference's one-event-loop contract, X1)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    fr = Frame(li).filter("l_quantity > 10")
+    from tdataframe_spark.core.aggregates import scalar_agg_plan
+
+    exprs = {}
+    for i, kind in enumerate(["count", "min", "max", "mean"]):
+        e, _ = scalar_agg_plan(fr.df, None if kind == "count" else "l_quantity", kind)
+        for k, v in e.items():
+            exprs[f"a{i}_{k}"] = v
+    agg_df = fr.df.agg(*[v.alias(k) for k, v in exprs.items()])
+    from tdataframe_spark.plans import explain_str
+
+    text = explain_str(agg_df, "simple")
+    assert text.count("HashAggregate") == 2, text  # partial + final only
+    assert has_whole_stage_codegen(agg_df)
+
+
+def test_histo_stays_jvm_side(spark):
+    """Histogram = bucketize + hash agg; no Python eval nodes in the plan."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = Frame(li).histo_frame("l_quantity", nbins=50, lo=0.5, hi=50.5)
+    from tdataframe_spark.plans import explain_str
+
+    text = explain_str(df)
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_topk_plans_take_ordered(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    df = Frame(orders).top_k(15, "o_totalprice").df
+    from tdataframe_spark.plans import explain_str
+
+    assert "TakeOrderedAndProject" in explain_str(df)

@@ -1,0 +1,81 @@
+"""Structured Streaming: file source → watermarked windowed agg → sink,
+and batch/stream parity of the same expressions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdataframe_spark.streaming import (
+    run_to_memory_sink,
+    stream_from_files,
+    windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Write the sf0.001 events (ts as ntz-compatible micros) as a streaming
+    input dir of several files."""
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_windowed_stream_matches_batch(spark, stream_dir):
+    batch = spark.read.parquet(stream_dir)
+    stream = stream_from_files(
+        spark, stream_dir, batch.schema, max_files_per_trigger=2
+    )
+    agg = windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        aggs={"n": F.count(F.lit(1)).cast("long")},
+        watermark="30 minutes",
+        group_cols=["event_type"],
+    )
+    name, q = run_to_memory_sink(agg)
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): r["n"]
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        expect = {
+            (r["ws"], r["event_type"]): r["n"]
+            for r in batch.groupBy(
+                F.window("ts", "1 hour")["start"].alias("ws"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        # watermark may hold back the trailing window in append mode; all
+        # emitted windows must match batch exactly
+        assert got, "stream emitted nothing"
+        for k, v in got.items():
+            assert expect[k] == v
+    finally:
+        q.stop()
+
+
+def test_stream_filter_define_parity(spark, stream_dir):
+    """The engine's transformation expressions are mode-agnostic: the same
+    filter/define column expressions run on a stream."""
+    batch = spark.read.parquet(stream_dir)
+    stream = stream_from_files(spark, stream_dir, batch.schema)
+    out = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withColumn("v2", F.col("value") * 2)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v2").alias("s"))
+    )
+    name, q = run_to_memory_sink(out, mode="complete")
+    try:
+        got = spark.sql(f"select sum(n) as n from {name}").first()["n"]
+        expect = batch.filter("event_type = 'purchase'").count()
+        assert got == expect
+    finally:
+        q.stop()
