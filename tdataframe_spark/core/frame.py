@@ -226,7 +226,9 @@ class Frame:
                 for r in histo_frame(df, c, nbins, lo, hi).collect()
             ]
 
-        return self._engine.book_job(self._df, run)
+        # a histogram consumes every frame row → it can carry piggybacked
+        # observe() metrics for scalar actions booked on the same frame
+        return self._engine.book_job(self._df, run, full_scan=True)
 
     def histo_frame(
         self, col: str | None = None, nbins: int = 128, lo: float = 0.0, hi: float = 0.0
@@ -249,7 +251,9 @@ class Frame:
                 d = d.limit(limit)
             return [r[0] for r in d.collect()]
 
-        return self._engine.book_job(self._df, run)
+        # an unbounded take consumes every row (can carry observe metrics);
+        # a limited take short-circuits, so it must not
+        return self._engine.book_job(self._df, run, full_scan=limit is None)
 
     # -- instant UDF sinks (A7/A8) ---------------------------------------
     def foreach(self, fn: Callable, cols: Sequence[str] | None = None) -> None:

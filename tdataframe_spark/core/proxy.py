@@ -81,10 +81,18 @@ class _ScalarAction:
 
 @dataclass
 class _JobAction:
-    """A non-fusable action executed as its own Spark job."""
+    """A non-fusable action executed as its own Spark job.
+
+    ``full_scan=True`` promises the job consumes every row of ``df`` exactly
+    once (e.g. a histogram); such jobs can carry piggybacked ``observe()``
+    metrics for the scalar actions booked on the same frame — N results,
+    literally one scan, the reference's X1 contract
+    (/root/reference/TDataFrame.hxx:1391-1393).
+    """
 
     df: DataFrame
     run: Callable[[DataFrame], Any]
+    full_scan: bool = False
     result: Result = field(repr=False, default=None)  # type: ignore[assignment]
 
 
@@ -106,9 +114,14 @@ class Engine:
         self._scalars.append(_ScalarAction(df, exprs, finish, res))
         return res
 
-    def book_job(self, df: DataFrame, run: Callable[[DataFrame], Any]) -> Result:
+    def book_job(
+        self,
+        df: DataFrame,
+        run: Callable[[DataFrame], Any],
+        full_scan: bool = False,
+    ) -> Result:
         res = Result(self)
-        self._jobs.append(_JobAction(df, run, res))
+        self._jobs.append(_JobAction(df, run, full_scan, res))
         return res
 
     @property
@@ -140,27 +153,44 @@ class Engine:
 
         for g in by_frame.values():
             df: DataFrame = g["df"]
-            n_spark_jobs = (1 if g["scalars"] else 0) + len(g["jobs"])
+            scalars: list[_ScalarAction] = g["scalars"]
+            jobs: list[_JobAction] = g["jobs"]
+
+            aliased: list[Column] = []
+            slots: list[tuple[_ScalarAction, list[str]]] = []
+            for i, s in enumerate(scalars):
+                names = []
+                for key, expr in s.exprs.items():
+                    alias = f"__a{i}_{key}"
+                    aliased.append(expr.alias(alias))
+                    names.append((key, alias))
+                slots.append((s, names))
+
+            def publish_scalars(row: dict) -> None:
+                for s, names in slots:
+                    s.result._publish(s.finish({k: row[a] for k, a in names}))
+
+            # piggyback scalar aggregates on a full-scan job via observe():
+            # N results from literally one pass over the data (reference X1)
+            carrier = next((j for j in jobs if j.full_scan), None) if scalars else None
+
+            n_passes = (1 if scalars and carrier is None else 0) + len(jobs)
             persisted = False
-            if n_spark_jobs > 1:
+            if n_passes > 1:
                 df.persist(StorageLevel.MEMORY_AND_DISK)
                 persisted = True
             try:
-                if g["scalars"]:
-                    aliased = []
-                    slots: list[tuple[_ScalarAction, list[str]]] = []
-                    for i, s in enumerate(g["scalars"]):
-                        names = []
-                        for key, expr in s.exprs.items():
-                            alias = f"__a{i}_{key}"
-                            aliased.append(expr.alias(alias))
-                            names.append((key, alias))
-                        slots.append((s, names))
-                    row = df.agg(*aliased).first().asDict()
-                    for s, names in slots:
-                        s.result._publish(s.finish({k: row[a] for k, a in names}))
-                for j in g["jobs"]:
-                    j.result._publish(j.run(df))
+                if carrier is not None:
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    carrier.result._publish(carrier.run(df.observe(obs, *aliased)))
+                    publish_scalars(obs.get)
+                elif scalars:
+                    publish_scalars(df.agg(*aliased).first().asDict())
+                for j in jobs:
+                    if j is not carrier:
+                        j.result._publish(j.run(df))
             finally:
                 if persisted:
                     df.unpersist()

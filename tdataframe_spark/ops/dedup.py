@@ -137,6 +137,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    persist: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
@@ -145,10 +146,27 @@ def minhash_lsh_pairs(
     the exact n-gram Jaccard, so the result has no false positives (only the
     usual LSH false-negative probability).
     Returns (id_a, id_b, jaccard).
+
+    ``persist=True`` caches the shingle and signature tables, which feed
+    multiple branches of the plan (bucket self-join sides + verification).
+    Enable on cluster-scale corpora where shingle recomputation dominates;
+    at small scale the extra cache stages cost more than they save.
     """
     assert k % bands == 0
     rpb = k // bands
-    sig = minhash_signature(df, id_col, text_col, n, k)
+    sh_all = _shingle_table(df, id_col, text_col, n)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sh_all = sh_all.persist(StorageLevel.MEMORY_AND_DISK)
+    h = portable_hash64(F.col("__sh"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS[:k])
+    ]
+    sig = sh_all.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    if persist:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     # one (band, key) struct array exploded from a SINGLE pass over the
     # signature — a union of per-band selects would recompute the signature
@@ -186,9 +204,7 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    sh = _shingle_table(df, id_col, text_col, n).join(
-        F.broadcast(cand_ids), "__id", "left_semi"
-    )
+    sh = sh_all.join(F.broadcast(cand_ids), "__id", "left_semi")
     exact = _jaccard_from_shingles(sh, threshold=0.0)
     return (
         cand.join(exact, ["id_a", "id_b"])

@@ -1,0 +1,61 @@
+"""CSV / JSON / in-memory sources and file sinks.
+
+The reference reads exactly one format (TTree files); an engine replacing it
+for pipeline work needs the common interchange formats. These are thin typed
+wrappers over Spark's readers/writers — schema-explicit by default, since
+schema inference is a full extra pass over the data at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from tdataframe_spark.core.frame import Frame
+
+
+def read_csv(
+    spark: SparkSession,
+    *paths: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    default_columns: Sequence[str] = (),
+) -> Frame:
+    reader = spark.read.option("header", header).option("sep", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)  # extra pass; test-scale only
+    return Frame(reader.csv(list(paths)), default_columns=default_columns)
+
+
+def read_json(
+    spark: SparkSession,
+    *paths: str,
+    schema: StructType | str | None = None,
+    multiline: bool = False,
+    default_columns: Sequence[str] = (),
+) -> Frame:
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return Frame(reader.json(list(paths)), default_columns=default_columns)
+
+
+def from_rows(
+    spark: SparkSession, rows, schema: StructType | str | None = None
+) -> Frame:
+    """In-memory source (the reference's 'in-memory tree' ctor,
+    /root/reference/TDataFrame.hxx:725)."""
+    return Frame(spark.createDataFrame(rows, schema=schema))
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

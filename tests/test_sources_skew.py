@@ -1,0 +1,75 @@
+"""CSV/JSON/memory sources, sinks, skew operators, and observe-fused
+multi-action flushes."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tdataframe_spark import Frame
+from tdataframe_spark.operators.skew import salted_group_count, salted_join
+from tdataframe_spark.sources.files import (
+    from_rows,
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    fr = from_rows(spark, [Row(a=1, b="x"), Row(a=2, b="y")])
+    p = str(tmp_path / "csv")
+    write_csv(fr.df, p)
+    back = read_csv(spark, p, schema="a int, b string")
+    assert sorted((r["a"], r["b"]) for r in back.df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    fr = from_rows(spark, [Row(a=1, b=[1.0, 2.0]), Row(a=2, b=[3.0])])
+    p = str(tmp_path / "json")
+    write_json(fr.df, p)
+    back = read_json(spark, p, schema="a int, b array<double>")
+    got = {r["a"]: r["b"] for r in back.df.collect()}
+    assert got == {1: [1.0, 2.0], 2: [3.0]}
+
+
+def test_salted_group_count_matches_plain(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).alias("k")  # key 0 is as hot as the rest; fine
+    )
+    plain = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("cnt")).collect()}
+    salted = {r["k"]: r["cnt"] for r in salted_group_count(df, ["k"], salt_buckets=8).collect()}
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.range(5_000).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame([Row(k=0, tag="zero"), Row(k=1, tag="one"), Row(k=2, tag="two")])
+    plain = left.join(right, "k").groupBy("tag").count()
+    salted = salted_join(left, right, "k", salt_buckets=4).groupBy("tag").count()
+    assert {(r["tag"], r["count"]) for r in plain.collect()} == {
+        (r["tag"], r["count"]) for r in salted.collect()
+    }
+
+
+def test_observe_fused_histo_carries_scalars(spark):
+    """Scalars + a full-scan histogram on the same frame: ONE Spark pass
+    produces all results (observe piggyback), and values are correct."""
+    fr = Frame(spark.createDataFrame([Row(x=float(i)) for i in range(100)]))
+    f2 = fr.filter("x >= 10")
+    cnt, mn, me = f2.count(), f2.min("x"), f2.mean("x")
+    h = f2.histo("x", nbins=9, lo=10.0, hi=100.0)
+    bins = h.get()  # triggers flush: histogram + piggybacked metrics
+    assert cnt.ready and mn.ready and me.ready
+    assert cnt.get() == 90
+    assert mn.get() == 10.0
+    assert me.get() == pytest.approx(54.5)
+    assert sum(b[3] for b in bins) == 90
+
+
+def test_observe_fusion_empty_frame(spark):
+    fr = Frame(spark.createDataFrame([Row(x=1.0)])).filter(F.lit(False))
+    cnt = fr.count()
+    taken = fr.take("x")  # unbounded take is full-scan → carrier
+    assert taken.get() == []
+    assert cnt.get() == 0
