@@ -995,6 +995,73 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_time_bucket_agg(spark, sf):
+    """Hypertable-style time-bucket rollup: integer µs bucketing is
+    engine-portable and TZ-free."""
+    ev = _events(spark, sf)
+    hour = F.expr("ts_us div 3600000000").alias("hour_bucket")
+    return (
+        ev.groupBy(hour, "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+SQL_TIME_BUCKET = f"""
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS sum_value
+FROM events GROUP BY hour_bucket, event_type
+"""
+
+
+def q_min_per_group(spark, sf):
+    """Q2 shape (min-per-group then join back): parts priced at their
+    brand's minimum, via a single window pass instead of a self-join."""
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_retailprice", "min_price")
+    )
+
+
+SQL_MIN_PER_GROUP = """
+SELECT p_brand, p_partkey, p_retailprice, min_price
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         MIN(p_retailprice) OVER (PARTITION BY p_brand) AS min_price
+  FROM part
+)
+WHERE p_retailprice = min_price
+"""
+
+
+def q_quantiles(spark, sf):
+    """Exact percentiles (interpolated) — bit-identical across engines."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only checks): multimodal stub, LSH ANN
 
@@ -1048,6 +1115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_when_agg": q_case_when_agg,
         "above_customer_avg": q_above_customer_avg,
         "grouped_udaf": q_grouped_udaf,
+        "time_bucket_agg": q_time_bucket_agg,
+        "min_per_group": q_min_per_group,
+        "quantiles": q_quantiles,
         # documents / embeddings (north-star pipeline ops)
         "dedup_exact": q_dedup_exact,
         "doc_profile": q_doc_profile,
@@ -1091,6 +1161,9 @@ def oracle_sql() -> dict[str, str]:
         "case_when_agg": SQL_CASE_WHEN,
         "above_customer_avg": SQL_ABOVE_AVG,
         "grouped_udaf": SQL_GROUPED_UDAF,
+        "time_bucket_agg": SQL_TIME_BUCKET,
+        "min_per_group": SQL_MIN_PER_GROUP,
+        "quantiles": SQL_QUANTILES,
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_profile": _doc_profile_oracle_sql(),
         "simhash_hamming": _simhash_hamming_oracle_sql(),

@@ -65,10 +65,15 @@ class Frame:
         df: DataFrame,
         engine: Engine | None = None,
         default_columns: Sequence[str] = (),
+        observations: "tuple[tuple[str, Any], ...]" = (),
     ) -> None:
         self._df = df
         self._engine = engine if engine is not None else Engine()
         self._defaults = tuple(default_columns)
+        # (name, Observation) per named filter, in chain order — the
+        # reference's planned named-filter/Report feature
+        # (/root/reference/TDFGuide.md:285-295)
+        self._observations = observations
 
     # -- plumbing --------------------------------------------------------
     @property
@@ -84,8 +89,13 @@ class Frame:
     def engine(self) -> Engine:
         return self._engine
 
-    def _derive(self, df: DataFrame) -> "Frame":
-        return Frame(df, self._engine, self._defaults)
+    def _derive(self, df: DataFrame, observations=None) -> "Frame":
+        return Frame(
+            df,
+            self._engine,
+            self._defaults,
+            self._observations if observations is None else observations,
+        )
 
     def _resolve_cols(
         self, cols: Sequence[str] | None, fn: Callable | None = None, extra: int = 0
@@ -139,6 +149,7 @@ class Frame:
         condition: "Column | str | Callable" = None,
         cols: Sequence[str] | None = None,
         *,
+        name: str | None = None,
         return_type: str = "boolean",
         vectorized: bool = False,
     ) -> "Frame":
@@ -146,14 +157,43 @@ class Frame:
         string (fast path, stays in codegen), or a Python callable over
         ``cols`` (compiled to an Arrow-batched pandas UDF — the slow path,
         mirroring the reference's lambda filters,
-        /root/reference/TDataFrame.hxx:744-757)."""
+        /root/reference/TDataFrame.hxx:744-757).
+
+        ``name`` registers the filter for ``report()`` (the reference's
+        planned named-filter cutflow, /root/reference/TDFGuide.md:285-295):
+        an observe() node counts rows passing this stage, evaluated for free
+        by whatever action eventually runs — no extra pass."""
         if callable(condition) and not isinstance(condition, Column):
             use = self._resolve_cols(cols, condition)
             pred = self._vector_udf(condition, use, return_type, vectorized)
-            return self._derive(self._df.filter(pred))
-        if isinstance(condition, str):
-            return self._derive(self._df.filter(F.expr(condition)))
-        return self._derive(self._df.filter(condition))
+        elif isinstance(condition, str):
+            pred = F.expr(condition)
+        else:
+            pred = condition
+        filtered = self._df.filter(pred)
+        obs = self._observations
+        if name is not None:
+            from pyspark.sql import Observation
+
+            ob = Observation()
+            filtered = filtered.observe(ob, F.count(F.lit(1)).alias("n"))
+            obs = obs + ((name, ob),)
+        return self._derive(filtered, observations=obs)
+
+    def report(self) -> list[tuple[str, int]]:
+        """Cutflow: rows passing each named upstream filter, in chain order.
+
+        All counts come from the observe() nodes already embedded in the
+        plan, so ONE pass over the data (triggered here if no action ran
+        yet) prices the whole cutflow — the reference's Report semantics."""
+        if not self._observations:
+            return []
+        # drive one pass with a DataFrame action so every observe node
+        # reports (rdd-path actions like foreachPartition bypass the SQL
+        # listener that resolves Observations); if an earlier action already
+        # materialized the plan, the first-reported metrics win
+        self._df.count()
+        return [(nm, int(ob.get["n"])) for nm, ob in self._observations]
 
     def define(
         self,

@@ -137,6 +137,24 @@ def test_empty_input_null_semantics(f1):
     assert empty.take("b1").get() == []
 
 
+# -- named filters + report (reference's planned cutflow feature) ----------
+
+
+def test_named_filter_report(f1):
+    chain = (
+        f1.filter("b1 >= 2", name="ge2")
+        .define("s", F.col("b1") + F.col("b2"))
+        .filter("s < 60", name="slt60")
+    )
+    # b1=i, b2=i*i: ge2 passes i=2..9 (8 rows); s=i+i*i<60 passes i=2..7 (6)
+    assert chain.report() == [("ge2", 8), ("slt60", 6)]
+    assert chain.count().get() == 6
+
+
+def test_report_empty_when_unnamed(f1):
+    assert f1.filter("b1 > 3").report() == []
+
+
 # -- foreach / foreach_slot ------------------------------------------------
 
 
