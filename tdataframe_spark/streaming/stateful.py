@@ -1,0 +1,71 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The engine's answer to "operators Spark lacks" in streaming form: arbitrary
+per-key state machines (sessionization with emit-on-timeout, running
+de-duplication, custom accumulators) that the built-in windowed aggregates
+can't express. State lives in Spark's state store (per key, checkpointed);
+each micro-batch delivers a key's new rows to ``func`` with its state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Stateful streaming sessionization: per user, count sessions (gap >
+    ``gap_seconds`` starts a new one) across micro-batches.
+
+    Emits one row per user per batch with the running session count —
+    the streaming twin of ``operators.windows.sessionize`` (whose batch
+    results it matches when all data has arrived).
+
+    State per key: (last_ts_epoch_us, n_sessions).
+
+    Ordering contract: rows are sorted within each micro-batch, but a
+    gap-based session boundary is inherently order-sensitive ACROSS
+    batches — the source must deliver a key's events in (approximate)
+    event-time order, as a per-key-partitioned log (Kafka) does. For
+    unordered sources, add a watermark-delayed buffer in front.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, n_sessions = state.get
+        else:
+            last_us, n_sessions = None, 0
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(pdf[ts_col].tolist())
+        for t in sorted(ts_all):
+            t_us = int(pd.Timestamp(t).value // 1_000)
+            if last_us is None or t_us - last_us > gap_us:
+                n_sessions += 1
+            last_us = t_us
+        state.update((last_us, n_sessions))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions]}
+        )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_sessions long",
+            stateStructType="last_us long, n_sessions long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -61,6 +61,49 @@ def test_windowed_stream_matches_batch(spark, stream_dir):
         q.stop()
 
 
+def test_stateful_streaming_sessionize_matches_batch(spark, stream_dir, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streaming session
+    counts converge to the batch sessionize() result once all data arrived."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.operators.windows import sessionize
+    from tdataframe_spark.streaming.stateful import streaming_session_counts
+
+    batch = spark.read.parquet(stream_dir)
+    # no maxFilesPerTrigger: one batch — the file source doesn't deliver
+    # event-time order across batches, which gap sessionization requires
+    # (see streaming_session_counts ordering contract)
+    stream = stream_from_files(spark, stream_dir, batch.schema)
+    out = streaming_session_counts(stream, "user_id", "ts", gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode appends one row per user per batch: take the LAST emit
+        got = {
+            r["user_id"]: r["n_sessions"]
+            for r in spark.sql(
+                "select user_id, last(n_sessions) as n_sessions from "
+                "(select * from sess_state) group by user_id"
+            ).collect()
+        }
+        expect = {
+            r["user_id"]: r["n"]
+            for r in sessionize(batch, "user_id", "ts", gap_seconds=1800)
+            .groupBy("user_id")
+            .agg(F2.max("session_id").alias("n"))
+            .collect()
+        }
+        assert got == expect
+    finally:
+        q.stop()
+
+
 def test_stream_filter_define_parity(spark, stream_dir):
     """The engine's transformation expressions are mode-agnostic: the same
     filter/define column expressions run on a stream."""
