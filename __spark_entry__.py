@@ -995,6 +995,109 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_pivot_status(spark, sf):
+    """Pivot: returnflag columns per linestatus (wide conditional agg)."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_linestatus",
+        F.coalesce(F.col("A"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("N"), F.lit(0)).cast("long").alias("n_n"),
+        F.coalesce(F.col("R"), F.lit(0)).cast("long").alias("n_r"),
+    )
+
+
+SQL_PIVOT = """
+SELECT l_linestatus,
+       CAST(COUNT(*) FILTER (l_returnflag = 'A') AS BIGINT) AS n_a,
+       CAST(COUNT(*) FILTER (l_returnflag = 'N') AS BIGINT) AS n_n,
+       CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_array_agg_sorted(spark, sf):
+    """Grouped array aggregation; sorted for deterministic comparison
+    (collect_list order is partition-dependent)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("big_orders"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+SQL_ARRAY_AGG = """
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS big_orders,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+"""
+
+
+def q_posexplode_tokens(spark, sf):
+    """Generator / table function: positional explode of word arrays."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+
+
+SQL_POSEXPLODE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+FROM w, UNNEST(generate_series(1, len(ws))) AS g(i)
+"""
+
+
+def q_dedup_components(spark, sf):
+    """Duplicate-cluster assembly: connected components over the n-gram
+    Jaccard near-dup pair graph (iterative label propagation; oracle is a
+    recursive CTE computing min-reachable-id)."""
+    from tdataframe_spark.ops.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=JACCARD_N, threshold=JACCARD_T
+    )
+    return connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= {JACCARD_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION
+  SELECT w.id, e.dst
+  FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT id, MIN(reach) AS component FROM walk GROUP BY id
+"""
+
+
 def q_time_bucket_agg(spark, sf):
     """Hypertable-style time-bucket rollup: integer µs bucketing is
     engine-portable and TZ-free."""
@@ -1118,6 +1221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_agg": q_time_bucket_agg,
         "min_per_group": q_min_per_group,
         "quantiles": q_quantiles,
+        "pivot_status": q_pivot_status,
+        "array_agg_sorted": q_array_agg_sorted,
+        "posexplode_tokens": q_posexplode_tokens,
+        "dedup_components": q_dedup_components,
         # documents / embeddings (north-star pipeline ops)
         "dedup_exact": q_dedup_exact,
         "doc_profile": q_doc_profile,
@@ -1164,6 +1271,10 @@ def oracle_sql() -> dict[str, str]:
         "time_bucket_agg": SQL_TIME_BUCKET,
         "min_per_group": SQL_MIN_PER_GROUP,
         "quantiles": SQL_QUANTILES,
+        "pivot_status": SQL_PIVOT,
+        "array_agg_sorted": SQL_ARRAY_AGG,
+        "posexplode_tokens": SQL_POSEXPLODE,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_profile": _doc_profile_oracle_sql(),
         "simhash_hamming": _simhash_hamming_oracle_sql(),

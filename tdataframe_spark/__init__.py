@@ -18,6 +18,14 @@ from tdataframe_spark.core.errors import (
 )
 from tdataframe_spark.core.frame import Frame
 from tdataframe_spark.core.proxy import Result
+from tdataframe_spark.operators import asof_join, sessionize, top_per_group
+from tdataframe_spark.ops import (
+    cosine_topk,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
 from tdataframe_spark.session import get_spark
 from tdataframe_spark.sources.parquet import read_parquet, read_testdata
 
@@ -30,6 +38,14 @@ __all__ = [
     "get_spark",
     "read_parquet",
     "read_testdata",
+    "asof_join",
+    "sessionize",
+    "top_per_group",
+    "exact_dedup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "cosine_topk",
 ]
 
 __version__ = "0.1.0"

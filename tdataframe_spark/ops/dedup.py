@@ -213,6 +213,60 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a pair graph (duplicate-cluster assembly):
+    every node gets the MINIMUM id reachable from it as its component label.
+
+    Iterative label propagation — each round joins current labels across
+    edges and keeps the per-node minimum, converging in O(graph diameter)
+    rounds; the loop is driver-side control flow but all data stays
+    distributed (the standard large-graph CC shape; GraphFrames does the
+    same under the hood). Deterministic output: (id, component).
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .union(pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        # labels flowing across edges: each node may learn a smaller label
+        # from any neighbour
+        candidate = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(candidate)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # convergence check: any node improved this round?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "component")
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, n: int = 1
 ) -> DataFrame:
