@@ -1098,6 +1098,44 @@ SELECT id, MIN(reach) AS component FROM walk GROUP BY id
 """
 
 
+def q_join_outer(spark, sf):
+    """Left outer join + grouped count: customers keep a row even with zero
+    urgent orders (COUNT of the nullable right key)."""
+    cust = _t(spark, sf, "customer")
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_urgent"))
+    )
+
+
+SQL_JOIN_OUTER = """
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_urgent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+GROUP BY c_custkey
+"""
+
+
+def q_regex_extract(spark, sf):
+    """Regex group extraction (identical dialect subset both engines)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+    )
+
+
+SQL_REGEX_EXTRACT = """
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+FROM part
+"""
+
+
 def q_time_bucket_agg(spark, sf):
     """Hypertable-style time-bucket rollup: integer µs bucketing is
     engine-portable and TZ-free."""
@@ -1221,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_agg": q_time_bucket_agg,
         "min_per_group": q_min_per_group,
         "quantiles": q_quantiles,
+        "join_outer": q_join_outer,
+        "regex_extract": q_regex_extract,
         "pivot_status": q_pivot_status,
         "array_agg_sorted": q_array_agg_sorted,
         "posexplode_tokens": q_posexplode_tokens,
@@ -1271,6 +1311,8 @@ def oracle_sql() -> dict[str, str]:
         "time_bucket_agg": SQL_TIME_BUCKET,
         "min_per_group": SQL_MIN_PER_GROUP,
         "quantiles": SQL_QUANTILES,
+        "join_outer": SQL_JOIN_OUTER,
+        "regex_extract": SQL_REGEX_EXTRACT,
         "pivot_status": SQL_PIVOT,
         "array_agg_sorted": SQL_ARRAY_AGG,
         "posexplode_tokens": SQL_POSEXPLODE,

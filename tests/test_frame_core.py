@@ -183,3 +183,20 @@ def test_snapshot_roundtrip(tmp_path, f1):
     fr = f1.filter("b1 >= 5").snapshot(out)
     assert fr.count().get() == 5
     assert sorted(fr.take("b1").get()) == [5.0, 6.0, 7.0, 8.0, 9.0]
+
+
+def test_snapshot_partitioned(tmp_path, f1):
+    """Hive-partitioned snapshot: partition values become directories and
+    partition pruning applies on read-back."""
+    import os
+
+    out = str(tmp_path / "snap_part")
+    f2 = f1.define("even", F.expr("b2 % 2 = 0"))
+    fr = f2.snapshot(out, partition_by=["even"])
+    assert fr.count().get() == 10
+    assert any(d.startswith("even=") for d in os.listdir(out))
+    from tdataframe_spark.plans import explain_str
+
+    pruned = fr.filter("even = true")
+    assert "PartitionFilters: [isnotnull(even" in explain_str(pruned.df, "simple")
+    assert pruned.count().get() == 5
