@@ -1136,6 +1136,33 @@ FROM part
 """
 
 
+def q_range_join(spark, sf):
+    """Interval join via grid bucketing (operators/rangejoin.py): parts
+    priced within each brand's [min, max] price band."""
+    from tdataframe_spark.operators.rangejoin import range_join
+
+    part = _t(spark, sf, "part")
+    points = part.filter(F.col("p_partkey") < 100).select(
+        "p_partkey", "p_retailprice"
+    )
+    intervals = part.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    out = range_join(points, intervals, "p_retailprice", "lo", "hi", bucket_width=200.0)
+    return out.select("p_partkey", "p_brand", "p_retailprice", "lo", "hi")
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT p_brand, MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_partkey, iv.p_brand, p.p_retailprice, iv.lo, iv.hi
+FROM part p JOIN iv ON p.p_retailprice BETWEEN iv.lo AND iv.hi
+WHERE p.p_partkey < 100
+"""
+
+
 def q_time_bucket_agg(spark, sf):
     """Hypertable-style time-bucket rollup: integer µs bucketing is
     engine-portable and TZ-free."""
@@ -1261,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "join_outer": q_join_outer,
         "regex_extract": q_regex_extract,
+        "range_join": q_range_join,
         "pivot_status": q_pivot_status,
         "array_agg_sorted": q_array_agg_sorted,
         "posexplode_tokens": q_posexplode_tokens,
@@ -1313,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": SQL_QUANTILES,
         "join_outer": SQL_JOIN_OUTER,
         "regex_extract": SQL_REGEX_EXTRACT,
+        "range_join": SQL_RANGE_JOIN,
         "pivot_status": SQL_PIVOT,
         "array_agg_sorted": SQL_ARRAY_AGG,
         "posexplode_tokens": SQL_POSEXPLODE,

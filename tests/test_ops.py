@@ -73,6 +73,41 @@ def test_asof_join(spark):
     assert out["c"] is None  # right row is later
 
 
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame([Row(k=1, t=10, tag="a"), Row(k=1, t=100, tag="b")])
+    right = spark.createDataFrame([Row(k=1, t=12), Row(k=1, t=50)])
+    fwd = {
+        r["tag"]: r["m"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            matched_col="m", direction="forward",
+        ).collect()
+    }
+    assert fwd["a"] == 12  # nearest right at-or-after 10
+    assert fwd["b"] is None  # nothing at-or-after 100
+    tol = {
+        r["tag"]: r["m"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            matched_col="m", tolerance=5,
+        ).collect()
+    }
+    assert tol["a"] is None  # backward match would be none; 12 is forward-only
+    assert tol["b"] is None  # backward match 50 is 50 away > 5
+
+
+def test_range_join(spark):
+    from tdataframe_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([Row(p=float(x)) for x in [1, 5, 14, 25]])
+    iv = spark.createDataFrame(
+        [Row(name="low", lo=0.0, hi=6.0), Row(name="mid", lo=5.0, hi=20.0)]
+    )
+    out = range_join(points, iv, "p", "lo", "hi", bucket_width=4.0)
+    got = {(r["p"], r["name"]) for r in out.collect()}
+    assert got == {(1.0, "low"), (5.0, "low"), (5.0, "mid"), (14.0, "mid")}
+
+
 def test_sessionize(spark):
     rows = [Row(u=1, t=i) for i in [0, 10, 2_000_000_000, 2_000_000_005]] + [Row(u=2, t=0)]
     out = sessionize(spark.createDataFrame(rows), "u", "t", gap_seconds=30)
@@ -111,6 +146,31 @@ def test_lsh_ann_self_recall(spark):
     for r in out.collect():
         assert r["query_id"] != r["neighbor_id"]
         assert -1.0001 <= r["cos_sim"] <= 1.0001
+
+
+def test_udtf_char_ngrams(spark, docs):
+    from tdataframe_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, g.pos, g.ngram FROM udtf_docs d, "
+        "LATERAL char_ngrams(d.text, 3) g WHERE d.doc_id = 2"
+    ).collect()
+    text = "completely different words entirely here now"
+    assert len(rows) == len(text) - 2
+    assert rows[0]["ngram"] == "com" and rows[0]["pos"] == 0
+
+
+def test_udtf_enumerate_array(spark):
+    from tdataframe_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    got = spark.sql(
+        "SELECT g.idx, g.value FROM VALUES (array(2.5, 1.0)) AS t(a), "
+        "LATERAL enumerate_array(t.a) g"
+    ).collect()
+    assert [(r["idx"], r["value"]) for r in got] == [(0, 2.5), (1, 1.0)]
 
 
 def test_multimodal_features_shape(docs):
