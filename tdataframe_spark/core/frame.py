@@ -40,9 +40,6 @@ from tdataframe_spark.core.errors import (
 from tdataframe_spark.core.histogram import histo_frame
 from tdataframe_spark.core.proxy import Engine, Result
 
-ColumnLike = "Column | str"
-
-
 def _fn_arity(fn: Callable) -> int | None:
     try:
         sig = inspect.signature(fn)
@@ -396,6 +393,41 @@ class Frame:
     def except_all(self, other: "Frame | DataFrame") -> "Frame":
         right = other.df if isinstance(other, Frame) else other
         return self._derive(self._df.exceptAll(right))
+
+    def drop(self, *cols: str) -> "Frame":
+        return self._derive(self._df.drop(*cols))
+
+    def rename(self, mapping: dict[str, str]) -> "Frame":
+        return self._derive(self._df.withColumnsRenamed(mapping))
+
+    def fill_na(self, value, subset: Sequence[str] | None = None) -> "Frame":
+        return self._derive(self._df.fillna(value, subset=subset))
+
+    def drop_na(self, subset: Sequence[str] | None = None, how: str = "any") -> "Frame":
+        return self._derive(self._df.dropna(how=how, subset=subset))
+
+    def sample(self, fraction: float, seed: int = 0) -> "Frame":
+        """Deterministic-seeded row sample (corpus subsampling)."""
+        return self._derive(self._df.sample(fraction=fraction, seed=seed))
+
+    def repartition(self, num: int, *cols: "Column | str") -> "Frame":
+        return self._derive(self._df.repartition(num, *cols) if cols else self._df.repartition(num))
+
+    def cache(self) -> "Frame":
+        """Persist across multiple downstream jobs (the cross-job analogue
+        of the reference's per-entry memoization, SURVEY.md §2.1 X2)."""
+        self._df.persist()
+        return self
+
+    def unpersist(self) -> "Frame":
+        self._df.unpersist()
+        return self
+
+    def approx_count_distinct(self, col: str, rsd: float = 0.05) -> Result:
+        """HyperLogLog distinct-count estimate (scale path where exact
+        count-distinct would shuffle every value)."""
+        exprs = {"v": F.approx_count_distinct(col, rsd=rsd)}
+        return self._engine.book_scalar(self._df, exprs, lambda r: int(r["v"]))
 
     def with_defaults(self, *cols: str) -> "Frame":
         """Return a frame with a new default-column list (reference ctor's

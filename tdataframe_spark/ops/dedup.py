@@ -22,7 +22,7 @@ hash functions in semantically meaningful places.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tdataframe_spark.core.partitioning import ensure_min_partitions
