@@ -42,6 +42,7 @@ from tdataframe_spark.ops.multimodal import attach_payload, extract_features  # 
 from tdataframe_spark.ops.similarity import (  # noqa: E402
     cosine_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_bucket_topk,
 )
 
@@ -1248,6 +1249,14 @@ def q_lsh_ann(spark, sf):
     )
 
 
+def q_ivf_ann(spark, sf):
+    """IVF approximate nearest neighbours (k-means cells + n_probe search);
+    approximate by design → rows-only check, recall tested in pytest."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1306,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent)
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
     }
 
 

@@ -105,6 +105,107 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iterations: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbours: k-means-partition
+    the corpus into ``n_cells`` cells, then search each query only in its
+    ``n_probe`` closest cells.
+
+    Training is distributed Lloyd iterations (assign = broadcast-centroid
+    argmax, update = groupBy-cell mean); deterministic: centroids seed from
+    evenly spaced corpus rows, ties broken by cell id. The corpus is scanned
+    once per training iteration and once for assignment — no driver-side
+    vectors beyond the n_cells centroids. Recall < 1 by construction; raise
+    ``n_probe`` toward n_cells for exactness.
+
+    Returns (query_id, neighbor_id, cos_sim, rnk).
+    """
+    u = _normalized(corpus, id_col, vec_col, "__cid")
+    # deterministic seeds: rank corpus ids, take evenly spaced rows
+    ids = [r[0] for r in u.select("__cid").orderBy("__cid").collect()]
+    step = max(1, len(ids) // n_cells)
+    seed_ids = ids[::step][:n_cells]
+    centroids = [
+        (ci, r["__vn"])
+        for ci, r in enumerate(
+            u.filter(F.col("__cid").isin(seed_ids)).orderBy("__cid").collect()
+        )
+    ]
+
+    def nearest_cell(vec_col_expr):
+        """argmax over broadcast centroids, inlined as greatest-of-dots."""
+        best_sim, best_cell = None, None
+        for ci, cvec in centroids:
+            sim = dot(vec_col_expr, F.array(*[F.lit(float(x)) for x in cvec]))
+            if best_sim is None:
+                best_sim, best_cell = sim, F.lit(ci)
+            else:
+                is_better = sim > best_sim
+                best_cell = F.when(is_better, F.lit(ci)).otherwise(best_cell)
+                best_sim = F.when(is_better, sim).otherwise(best_sim)
+        return best_cell
+
+    for _ in range(lloyd_iterations):
+        assigned = u.withColumn("__cell", nearest_cell(F.col("__vn")))
+        dim = len(centroids[0][1])
+        sums = assigned.groupBy("__cell").agg(
+            *[
+                F.sum(F.col("__vn")[d]).alias(f"s{d}")
+                for d in range(dim)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        new_centroids = []
+        for r in sums.orderBy("__cell").collect():
+            mean = [r[f"s{d}"] / r["n"] for d in range(dim)]
+            norm = sum(x * x for x in mean) ** 0.5 or 1.0
+            new_centroids.append((r["__cell"], [x / norm for x in mean]))
+        if new_centroids:
+            centroids = new_centroids
+
+    corpus_cells = u.withColumn("__cell", nearest_cell(F.col("__vn")))
+
+    # per query: its n_probe closest cells → explode → bucket equi-join
+    qn = _normalized(queries, id_col, vec_col, "query_id").withColumnRenamed(
+        "__vn", "__qn"
+    )
+    cell_sims = F.array(
+        *[
+            F.struct(
+                (-dot(F.col("__qn"), F.array(*[F.lit(float(x)) for x in cvec]))).alias("negsim"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cvec in centroids
+        ]
+    )
+    q_probed = (
+        qn.withColumn("__probe", F.slice(F.array_sort(cell_sims), 1, n_probe))
+        .withColumn("__cell", F.explode(F.col("__probe.cell")))
+        .select("query_id", "__qn", "__cell")
+    )
+    scored = (
+        q_probed.join(corpus_cells.select("__cid", "__vn", "__cell"), "__cell")
+        .filter(F.col("query_id") != F.col("__cid"))
+        .select(
+            "query_id",
+            F.col("__cid").alias("neighbor_id"),
+            dot(F.col("__qn"), F.col("__vn")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

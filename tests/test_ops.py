@@ -138,6 +138,50 @@ def test_cosine_topk_exact(spark):
     assert out[0]["cos_sim"] > 0.99
 
 
+def test_ivf_recall_floor(spark):
+    """IVF ANN: deterministic pipeline, recall vs exact top-k above a floor
+    on the fixed test embeddings."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F2.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, emb, k=10, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # deterministic: measured 0.74 on this data
+
+
+def test_asof_matches_bruteforce(spark):
+    """Property: union+window as-of equals the brute-force theta-join argmax
+    on seeded random data."""
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [Row(k=rng.randint(0, 4), t=rng.randint(0, 1000), lid=i) for i in range(200)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=rng.randint(0, 4), t=rng.randint(0, 1000)) for _ in range(100)]
+    )
+    got = {
+        r["lid"]: r["m"]
+        for r in asof_join(left, right, on="k", left_ts="t", right_ts="t", matched_col="m").collect()
+    }
+    lrows = left.collect()
+    rrows = right.collect()
+    for lr in lrows:
+        cands = [rr["t"] for rr in rrows if rr["k"] == lr["k"] and rr["t"] <= lr["t"]]
+        assert got[lr["lid"]] == (max(cands) if cands else None)
+
+
 def test_lsh_ann_self_recall(spark):
     rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(8)]) for i in range(8)]
     emb = spark.createDataFrame(rows)
