@@ -128,67 +128,82 @@ def ivf_topk(
 
     Returns (query_id, neighbor_id, cos_sim, rnk).
     """
+    spark = corpus.sparkSession
     u = _normalized(corpus, id_col, vec_col, "__cid")
     # deterministic seeds: rank corpus ids, take evenly spaced rows
     ids = [r[0] for r in u.select("__cid").orderBy("__cid").collect()]
     step = max(1, len(ids) // n_cells)
     seed_ids = ids[::step][:n_cells]
     centroids = [
-        (ci, r["__vn"])
+        (ci, list(r["__vn"]))
         for ci, r in enumerate(
             u.filter(F.col("__cid").isin(seed_ids)).orderBy("__cid").collect()
         )
     ]
 
-    def nearest_cell(vec_col_expr):
-        """argmax over broadcast centroids, inlined as greatest-of-dots."""
-        best_sim, best_cell = None, None
-        for ci, cvec in centroids:
-            sim = dot(vec_col_expr, F.array(*[F.lit(float(x)) for x in cvec]))
-            if best_sim is None:
-                best_sim, best_cell = sim, F.lit(ci)
-            else:
-                is_better = sim > best_sim
-                best_cell = F.when(is_better, F.lit(ci)).otherwise(best_cell)
-                best_sim = F.when(is_better, sim).otherwise(best_sim)
-        return best_cell
+    def centroid_df(cents):
+        return spark.createDataFrame(
+            [(ci, vec) for ci, vec in cents], "__cell int, __cvec array<double>"
+        )
+
+    def assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFrame:
+        """Nearest-centroid assignment as a broadcast data-join + argmax —
+        ONE generic plan reused across Lloyd iterations (baking centroids in
+        as literals would recompile codegen every iteration)."""
+        scored = vectors.crossJoin(F.broadcast(centroid_df(cents))).select(
+            id_field,
+            vec_field,
+            "__cell",
+            dot(F.col(vec_field), F.col("__cvec")).alias("__sim"),
+        )
+        # deterministic argmax: max similarity, ties to the lowest cell id
+        return scored.groupBy(id_field, vec_field).agg(
+            F.max_by("__cell", F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc"))).alias(
+                "__cell"
+            )
+        )
 
     for _ in range(lloyd_iterations):
-        assigned = u.withColumn("__cell", nearest_cell(F.col("__vn")))
-        dim = len(centroids[0][1])
-        sums = assigned.groupBy("__cell").agg(
-            *[
-                F.sum(F.col("__vn")[d]).alias(f"s{d}")
-                for d in range(dim)
-            ],
-            F.count(F.lit(1)).alias("n"),
+        assigned = assign(u, "__vn", "__cid", centroids)
+        sums = (
+            assigned.select(
+                "__cell", F.posexplode(F.col("__vn")).alias("__d", "__x")
+            )
+            .groupBy("__cell", "__d")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
         )
+        comp = {
+            (r["__cell"], r["__d"]): (r["__s"], r["__n"])
+            for r in sums.collect()
+        }
         new_centroids = []
-        for r in sums.orderBy("__cell").collect():
-            mean = [r[f"s{d}"] / r["n"] for d in range(dim)]
+        for ci in sorted({c for c, _ in comp}):
+            dims = sorted(d for c, d in comp if c == ci)
+            mean = [comp[(ci, d)][0] / comp[(ci, d)][1] for d in dims]
             norm = sum(x * x for x in mean) ** 0.5 or 1.0
-            new_centroids.append((r["__cell"], [x / norm for x in mean]))
+            new_centroids.append((ci, [x / norm for x in mean]))
         if new_centroids:
             centroids = new_centroids
 
-    corpus_cells = u.withColumn("__cell", nearest_cell(F.col("__vn")))
+    corpus_cells = assign(u, "__vn", "__cid", centroids)
 
-    # per query: its n_probe closest cells → explode → bucket equi-join
+    # per query: its n_probe closest cells via windowed top-k over the same
+    # broadcast centroid join
     qn = _normalized(queries, id_col, vec_col, "query_id").withColumnRenamed(
         "__vn", "__qn"
     )
-    cell_sims = F.array(
-        *[
-            F.struct(
-                (-dot(F.col("__qn"), F.array(*[F.lit(float(x)) for x in cvec]))).alias("negsim"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, cvec in centroids
-        ]
+    q_scored = qn.crossJoin(F.broadcast(centroid_df(centroids))).select(
+        "query_id",
+        "__qn",
+        "__cell",
+        dot(F.col("__qn"), F.col("__cvec")).alias("__sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("__cell").asc()
     )
     q_probed = (
-        qn.withColumn("__probe", F.slice(F.array_sort(cell_sims), 1, n_probe))
-        .withColumn("__cell", F.explode(F.col("__probe.cell")))
+        q_scored.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
         .select("query_id", "__qn", "__cell")
     )
     scored = (
