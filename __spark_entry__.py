@@ -996,6 +996,56 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_ntile_ranks(spark, sf):
+    """Rank-family window functions: quartiles + percent_rank (integer-ratio
+    exact) over order values per priority class."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )
+
+
+SQL_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       CAST(rank() OVER w AS BIGINT) AS rnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+def q_sql_grouping_sets(spark, sf):
+    """Full-SQL interface: GROUPING SETS through spark.sql (the SQL parser
+    surface the reference lacks entirely, SURVEY.md §2.2)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def q_pivot_status(spark, sf):
     """Pivot: returnflag columns per linestatus (wide conditional agg)."""
     li = _t(spark, sf, "lineitem")
@@ -1298,6 +1348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_outer": q_join_outer,
         "regex_extract": q_regex_extract,
         "range_join": q_range_join,
+        "ntile_ranks": q_ntile_ranks,
+        "sql_grouping_sets": q_sql_grouping_sets,
         "pivot_status": q_pivot_status,
         "array_agg_sorted": q_array_agg_sorted,
         "posexplode_tokens": q_posexplode_tokens,
@@ -1352,6 +1404,8 @@ def oracle_sql() -> dict[str, str]:
         "join_outer": SQL_JOIN_OUTER,
         "regex_extract": SQL_REGEX_EXTRACT,
         "range_join": SQL_RANGE_JOIN,
+        "ntile_ranks": SQL_NTILE,
+        "sql_grouping_sets": SQL_GROUPING_SETS,
         "pivot_status": SQL_PIVOT,
         "array_agg_sorted": SQL_ARRAY_AGG,
         "posexplode_tokens": SQL_POSEXPLODE,
