@@ -66,6 +66,26 @@ def windowed_agg(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication by key.
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark`` so per-key state
+    is EVICTED once the watermark passes — bounded state, the only shape
+    that survives an unbounded 100 TB stream. Without a ts column, plain
+    ``dropDuplicates`` keeps state forever (test/finite streams only).
+    """
+    if ts_col is not None:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return stream.dropDuplicates(key_cols)
+
+
 def run_to_memory_sink(
     result: DataFrame, query_name: str | None = None, mode: str = "append"
 ) -> tuple[str, object]:

@@ -104,6 +104,26 @@ def test_stateful_streaming_sessionize_matches_batch(spark, stream_dir, tmp_path
         q.stop()
 
 
+def test_streaming_dedup(spark, stream_dir, tmp_path):
+    """Watermarked streaming dedup: duplicated input collapses to one row
+    per key, matching batch distinct."""
+    from tdataframe_spark.streaming import dedup_stream
+
+    # build an input dir where every event appears twice
+    dup_dir = str(tmp_path / "dup_in")
+    batch = spark.read.parquet(stream_dir)
+    batch.unionAll(batch).repartition(4).write.mode("overwrite").parquet(dup_dir)
+
+    stream = stream_from_files(spark, dup_dir, batch.schema)
+    deduped = dedup_stream(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    name, q = run_to_memory_sink(deduped)
+    try:
+        got = spark.sql(f"select count(*) as n from {name}").first()["n"]
+        assert got == batch.select("event_id").distinct().count()
+    finally:
+        q.stop()
+
+
 def test_stream_filter_define_parity(spark, stream_dir):
     """The engine's transformation expressions are mode-agnostic: the same
     filter/define column expressions run on a stream."""
