@@ -1073,13 +1073,21 @@ FROM lineitem GROUP BY l_linestatus
 
 def q_array_agg_sorted(spark, sf):
     """Grouped array aggregation; sorted for deterministic comparison
-    (collect_list order is partition-dependent)."""
+    (collect_list order is partition-dependent). The array is serialized to
+    a CSV string at the query boundary because the driver's canonicalizer
+    cannot sort/hash array-typed cells (round-1 failure)."""
     o = _t(spark, sf, "orders")
     return (
         o.filter(F.col("o_totalprice") > 400000)
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("big_orders"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("big_orders"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
@@ -1087,7 +1095,7 @@ def q_array_agg_sorted(spark, sf):
 
 SQL_ARRAY_AGG = """
 SELECT o_custkey,
-       list_sort(list(o_orderkey)) AS big_orders,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS big_orders,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
 """
@@ -1286,9 +1294,21 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_multimodal_features(spark, sf):
+    """Feature vector serialized as fixed-precision CSV at the query
+    boundary: the driver's canonicalizer cannot sort/hash array cells.
+    Fake features are in [0,1) so %.9f has no locale/overflow surprises."""
     docs = _t(spark, sf, "documents")
     media = attach_payload(docs, "doc_id", "text", kind="text-as-binary")
-    return extract_features(media, dim=8, decode_stub=True)
+    feats = extract_features(media, dim=8, decode_stub=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: F.format_string("%.9f", x)),
+            ",",
+        ).alias("feature"),
+    )
 
 
 def q_lsh_ann(spark, sf):
