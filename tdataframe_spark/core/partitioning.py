@@ -15,8 +15,17 @@ from pyspark.sql import DataFrame
 
 
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition only leaf file-scans that arrive with fewer files than
+    the session's parallelism. Uses ``inputFiles()`` (plan analysis only)
+    instead of ``df.rdd`` — the RDD conversion forced physical planning on
+    every dedup/similarity call. Derived frames are left alone: their
+    parallelism is governed by ``spark.sql.shuffle.partitions``."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < target:
         return df.repartition(target)
     return df

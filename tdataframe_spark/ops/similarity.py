@@ -120,26 +120,35 @@ def ivf_topk(
     ``n_probe`` closest cells.
 
     Training is distributed Lloyd iterations (assign = broadcast-centroid
-    argmax, update = groupBy-cell mean); deterministic: centroids seed from
-    evenly spaced corpus rows, ties broken by cell id. The corpus is scanned
-    once per training iteration and once for assignment — no driver-side
-    vectors beyond the n_cells centroids. Recall < 1 by construction; raise
+    argmax, update = groupBy-cell mean); deterministic: centroids seed
+    distributively — ids are hash-bucketed into ``n_cells`` groups and each
+    cell seeds from its bucket's min-id row, so exactly n_cells rows (not
+    the corpus) reach the driver. The normalized corpus is persisted for
+    the duration of training, so Lloyd iterations + final assignment read
+    it from cache instead of re-scanning/re-normalizing the source. No
+    driver-side state beyond the n_cells centroids and the n_cells×dim
+    component sums per iteration. Recall < 1 by construction; raise
     ``n_probe`` toward n_cells for exactness.
 
-    Returns (query_id, neighbor_id, cos_sim, rnk).
+    Returns (query_id, neighbor_id, cos_sim, rnk). The persisted corpus
+    cache lives until the session evicts it (LRU) — call
+    ``spark.catalog.clearCache()`` between unrelated index builds if memory
+    is tight.
     """
     spark = corpus.sparkSession
-    u = _normalized(corpus, id_col, vec_col, "__cid")
-    # deterministic seeds: rank corpus ids, take evenly spaced rows
-    ids = [r[0] for r in u.select("__cid").orderBy("__cid").collect()]
-    step = max(1, len(ids) // n_cells)
-    seed_ids = ids[::step][:n_cells]
-    centroids = [
-        (ci, list(r["__vn"]))
-        for ci, r in enumerate(
-            u.filter(F.col("__cid").isin(seed_ids)).orderBy("__cid").collect()
-        )
-    ]
+    u = _normalized(corpus, id_col, vec_col, "__cid").persist()
+    # distributed deterministic seeding: hash ids into n_cells buckets, seed
+    # each cell with its bucket's min-id row (hash-empty buckets simply
+    # yield fewer initial cells; Lloyd re-spreads them)
+    seed_rows = (
+        u.filter(F.col("__vn").isNotNull())  # zero-norm vectors can't seed
+        .groupBy(F.pmod(F.xxhash64("__cid"), F.lit(n_cells)).alias("__b"))
+        .agg(F.min_by(F.struct("__cid", "__vn"), F.col("__cid")).alias("__s"))
+        .select(F.col("__s.__vn").alias("__vn"), "__b")
+        .orderBy("__b")
+        .collect()
+    )
+    centroids = [(ci, list(r["__vn"])) for ci, r in enumerate(seed_rows)]
 
     def centroid_df(cents):
         return spark.createDataFrame(
@@ -149,15 +158,18 @@ def ivf_topk(
     def assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFrame:
         """Nearest-centroid assignment as a broadcast data-join + argmax —
         ONE generic plan reused across Lloyd iterations (baking centroids in
-        as literals would recompile codegen every iteration)."""
+        as literals would recompile codegen every iteration). Groups by the
+        scalar id ONLY (returns (id, cell)): grouping by the vector column
+        itself forces a sort-based aggregate over n_cells× replicated
+        arrays — the round-1 shape that collapsed at 1M+ rows. Callers that
+        need the vector join it back by id."""
         scored = vectors.crossJoin(F.broadcast(centroid_df(cents))).select(
             id_field,
-            vec_field,
             "__cell",
             dot(F.col(vec_field), F.col("__cvec")).alias("__sim"),
         )
         # deterministic argmax: max similarity, ties to the lowest cell id
-        return scored.groupBy(id_field, vec_field).agg(
+        return scored.groupBy(id_field).agg(
             F.max_by("__cell", F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc"))).alias(
                 "__cell"
             )
@@ -166,9 +178,8 @@ def ivf_topk(
     for _ in range(lloyd_iterations):
         assigned = assign(u, "__vn", "__cid", centroids)
         sums = (
-            assigned.select(
-                "__cell", F.posexplode(F.col("__vn")).alias("__d", "__x")
-            )
+            assigned.join(u, "__cid")
+            .select("__cell", F.posexplode(F.col("__vn")).alias("__d", "__x"))
             .groupBy("__cell", "__d")
             .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
         )
@@ -185,7 +196,11 @@ def ivf_topk(
         if new_centroids:
             centroids = new_centroids
 
-    corpus_cells = assign(u, "__vn", "__cid", centroids)
+    # persisted: the driver typically runs count + collect on the result,
+    # and re-running assignment would rescan the corpus each time
+    corpus_cells = (
+        assign(u, "__vn", "__cid", centroids).join(u, "__cid").persist()
+    )
 
     # per query: its n_probe closest cells via windowed top-k over the same
     # broadcast centroid join

@@ -35,3 +35,27 @@ def test_histo_50m(big):
     assert sum(b[3] for b in hist) == N
     # uniform residues: every bin exactly N/10
     assert all(b[3] == N // 10 for b in hist)
+
+
+def test_ivf_1m_vectors(spark):
+    """IVF index build + probe on a 1M-vector in-engine corpus: proves the
+    training loop holds beyond toy sizes with no corpus-sized driver
+    collect (round-1 seeding collected every id)."""
+    from tdataframe_spark.ops.similarity import ivf_topk
+
+    corpus = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), d -> cast(sin(id * d) as double))"
+        ).alias("embedding"),
+    )
+    # offset 7 skips vec_id=0, whose all-zero vector has no direction
+    queries = corpus.filter(F.col("vec_id") % 200_000 == 7)
+    out = ivf_topk(queries, corpus, k=5, n_cells=16, n_probe=4)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 5
+    assert all(len(v) == 5 for v in by_q.values())
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
