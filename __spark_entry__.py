@@ -31,6 +31,7 @@ from tdataframe_spark.functions.text import TOKEN_PATTERN, fingerprint64, n_toke
 from tdataframe_spark.operators.asof import asof_join  # noqa: E402
 from tdataframe_spark.operators.windows import sessionize, top_per_group  # noqa: E402
 from tdataframe_spark.ops.dedup import (  # noqa: E402
+    DEFAULT_MAX_SHINGLE_FREQ,
     MERSENNE61,
     MINHASH_PERMS,
     exact_dedup_groups,
@@ -612,12 +613,22 @@ SQL_SHINGLES = f"""
   sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
 """
 
+# mirrors ngram_jaccard_pairs' default df-cut: drop shingles with more than
+# DEFAULT_MAX_SHINGLE_FREQ (doc, shingle) rows before the self-join
+SQL_SHINGLES_CUT = f"""{SQL_SHINGLES},
+  shf AS (
+    SELECT doc_id, sh FROM sh
+    WHERE sh IN (SELECT sh FROM sh GROUP BY sh
+                 HAVING COUNT(*) <= {DEFAULT_MAX_SHINGLE_FREQ})
+  )
+"""
+
 SQL_NGRAM_JACCARD = f"""
-WITH {SQL_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH {SQL_SHINGLES_CUT},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM sh a JOIN sh b USING (sh)
+  FROM shf a JOIN shf b USING (sh)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -639,7 +650,9 @@ def q_minhash_lsh(spark, sf):
 
 
 def _minhash_oracle_sql() -> str:
-    h = "CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)"
+    # 14 hex digits = 56-bit hash: headroom for multipliers up to 127
+    # (mirrors ops/dedup._minhash56)
+    h = "CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT)"
     mins = ",\n    ".join(
         f"MIN(({a} * {h} + {b}) % {MERSENNE61}) AS m{i}"
         for i, (a, b) in enumerate(MINHASH_PERMS[:16])
@@ -1130,11 +1143,11 @@ def q_dedup_components(spark, sf):
 
 
 SQL_DEDUP_COMPONENTS = f"""
-WITH RECURSIVE {SQL_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH RECURSIVE {SQL_SHINGLES_CUT},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM sh a JOIN sh b USING (sh)
+  FROM shf a JOIN shf b USING (sh)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
 pairs AS (

@@ -32,7 +32,20 @@ def range_join(
     ``lo <= point <= hi`` (closed interval), via grid bucketing.
 
     Returns points columns + intervals columns (like an equi-join).
+
+    The range predicate lives IN the join condition (not a post-filter):
+    a post-filter would silently drop the null-extended rows of a left
+    join, degrading outer semantics to inner. Only ``inner`` and ``left``
+    are supported — each point has exactly one bucket so those are exact;
+    ``right``/``full`` would emit one null-extended duplicate per bucket
+    replica of an unmatched interval.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r}: "
+            "unmatched intervals are bucket-replicated and would duplicate "
+            "under right/full outer"
+        )
     p_bucket = F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     p = points.withColumn("__bucket", p_bucket)
 
@@ -42,7 +55,10 @@ def range_join(
         "__bucket", F.explode(F.sequence(lo_b, hi_b))
     )
 
-    joined = p.join(iv, "__bucket", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    cond = (
+        (p["__bucket"] == iv["__bucket"])
+        & (p[point_col] >= iv[lo_col])
+        & (p[point_col] <= iv[hi_col])
     )
-    return joined.drop("__bucket")
+    joined = p.join(iv, cond, how)
+    return joined.drop(p["__bucket"]).drop(iv["__bucket"])

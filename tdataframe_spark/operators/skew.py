@@ -48,7 +48,18 @@ def salted_join(
 
     Right-side replication costs |right| × salt_buckets — use when the right
     side is modest but still too big (or too skewed) to broadcast.
+
+    Only ``inner`` and ``left`` joins are supported: each left row carries
+    exactly one salt, so those produce exact results. ``right``/``full``
+    would emit ``salt_buckets`` null-extended duplicates for every unmatched
+    right row (one per replica) and are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full outer would duplicate unmatched right rows "
+            "salt_buckets times"
+        )
     l = left.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
     r = right.withColumn(
         "__salt",

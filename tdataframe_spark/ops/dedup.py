@@ -30,14 +30,32 @@ from tdataframe_spark.functions.numeric import portable_hash64
 from tdataframe_spark.functions.text import word_shingles
 
 # fixed (a, b) parameters for the k min-hash permutations over the Mersenne
-# prime p = 2^61 - 1; a*h stays < 2^63 because h < 2^60 and a <= 7
+# prime p = 2^61 - 1. The multipliers are 16 DISTINCT odd values (reusing a
+# few multipliers correlates the "permutations": same a ⇒ the min is often
+# attained at the same shingle, biasing similarity estimates and LSH band
+# collision rates). a <= 127 requires h < 2^56 for a*h + b < 2^63 — hence
+# the 56-bit (14-hex-digit) md5 prefix in `_minhash56`.
 MERSENNE61 = (1 << 61) - 1
 MINHASH_PERMS: list[tuple[int, int]] = [
-    (2, 12820163), (3, 906010081), (5, 22801), (7, 96002303),
-    (2, 404201477), (3, 11213), (5, 700001093), (7, 4000037),
-    (2, 900001541), (3, 52600121), (5, 300007), (7, 104729),
-    (2, 15487469), (3, 32452843), (5, 49979687), (7, 67867979),
+    (3, 12820163), (11, 906010081), (19, 22801), (29, 96002303),
+    (37, 404201477), (43, 11213), (53, 700001093), (61, 4000037),
+    (71, 900001541), (79, 52600121), (89, 300007), (101, 104729),
+    (107, 15487469), (113, 32452843), (121, 49979687), (127, 67867979),
 ]
+
+# scale-safe document-frequency cut for the shingle inverted-index join: a
+# shingle occurring in more docs than this is dropped before the self-join
+# (the standard df-cut). Without it one stopword shingle in every doc turns
+# the join into an all-pairs cross product.
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
+def _minhash56(c):
+    """56-bit portable hash (14 hex digits of md5): the headroom that lets
+    minhash multipliers go up to 127 without int64 overflow.
+    DuckDB equivalent: CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
 
 
 def exact_dedup_groups(
@@ -101,12 +119,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard similarity >= threshold.
 
     Returns (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b.
     Jaccard is integer-derived (|∩| / (|A|+|B|-|∩|)) — exact double math.
+
+    ``max_shingle_freq`` (df-cut) defaults ON: shingles present in more
+    than that many (doc, shingle) rows are dropped before the self-join.
+    This bounds the join's per-shingle fan-out at the cost of slightly
+    underestimating similarity for docs that share only ubiquitous
+    shingles. Pass ``None`` explicitly to disable (all-pairs risk on
+    corpora with stopword shingles).
     """
     sh = _shingle_table(df, id_col, text_col, n)
     if max_shingle_freq is not None:
@@ -121,7 +146,7 @@ def minhash_signature(
     """Per-doc MinHash signature columns m0..m{k-1} (docs with >=1 shingle)."""
     assert k <= len(MINHASH_PERMS)
     sh = _shingle_table(df, id_col, text_col, n)
-    h = portable_hash64(F.col("__sh"))
+    h = _minhash56(F.col("__sh"))
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:k])
@@ -159,7 +184,7 @@ def minhash_lsh_pairs(
         from pyspark.storagelevel import StorageLevel
 
         sh_all = sh_all.persist(StorageLevel.MEMORY_AND_DISK)
-    h = portable_hash64(F.col("__sh"))
+    h = _minhash56(F.col("__sh"))
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:k])
@@ -227,18 +252,30 @@ def connected_components(
     rounds; the loop is driver-side control flow but all data stays
     distributed (the standard large-graph CC shape; GraphFrames does the
     same under the hood). Deterministic output: (id, component).
+
+    Persistence discipline (the part that makes the loop viable at depth):
+    ``edges`` and each round's labels are persisted, the previous round is
+    unpersisted once superseded, and lineage is truncated with
+    ``localCheckpoint`` every few rounds — otherwise the per-round
+    convergence count re-executes the whole chain from the root (O(rounds²)
+    scans) and the plan grows without bound. On a multi-node cluster with
+    executor churn, prefer a reliable ``checkpoint()`` directory over
+    localCheckpoint.
     """
+    checkpoint_every = 5
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .union(pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .persist()
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         # labels flowing across edges: each node may learn a smaller label
         # from any neighbour
         candidate = (
@@ -253,7 +290,11 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # convergence check: any node improved this round?
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        # convergence check: any node improved this round? (also the action
+        # that materializes new_labels into its cache)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -261,9 +302,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select("id", "component")
 
 

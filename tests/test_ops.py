@@ -231,3 +231,61 @@ def test_multimodal_features_shape(docs):
     # unstubbed decode is explicitly not implemented in this container
     with pytest.raises(NotImplementedError):
         extract_features(media, decode_stub=False)
+
+
+def test_connected_components_chain(spark):
+    """A 50-node path graph (worst-case diameter for label propagation):
+    everything must collapse to component 0, and the persist/checkpoint
+    discipline must keep the loop viable at that depth."""
+    from tdataframe_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(49)]
+    )
+    out = connected_components(pairs, max_iterations=60)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_ngram_jaccard_df_cut_bounds_stopword_blowup(spark):
+    """Every doc shares one 'stopword' shingle; with the df-cut the shared
+    hot shingle is dropped, so no pair survives — the join never fans out
+    quadratically. With the cut disabled all pairs appear."""
+    rows = [
+        Row(doc_id=i, text=f"unique{i} tokens{i} here{i} common stop words")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows)
+    cut = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, max_shingle_freq=10
+    )
+    assert cut.count() == 0
+    uncut = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, max_shingle_freq=None
+    )
+    # 30 docs × 4 shingles each, 1 shared → jaccard 1/7 for all 435 pairs
+    assert uncut.count() == 30 * 29 // 2
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from tdataframe_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([Row(p=float(x)) for x in [1, 99]])
+    iv = spark.createDataFrame([Row(name="low", lo=0.0, hi=6.0)])
+    out = range_join(points, iv, "p", "lo", "hi", bucket_width=4.0, how="left")
+    got = {(r["p"], r["name"]) for r in out.collect()}
+    # the unmatched point must survive with a null interval, exactly once
+    assert got == {(1.0, "low"), (99.0, None)}
+    with pytest.raises(ValueError):
+        range_join(points, iv, "p", "lo", "hi", bucket_width=4.0, how="full")
+
+
+def test_salted_join_rejects_outer(spark):
+    from tdataframe_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([Row(k=1, v=1)])
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="right")
