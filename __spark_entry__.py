@@ -224,6 +224,38 @@ FROM g CROSS JOIN p LEFT JOIN c ON g.bin = c.bin
 """
 
 
+# non-uniform bin edges (log-ish spacing — the physics norm the reference's
+# Histo(col, model) supports via arbitrary TH1F edges)
+HE_EDGES = [1.0, 2.0, 3.0, 5.0, 8.0, 13.0, 21.0, 34.0, 51.0]
+
+
+def q_histo_edges(spark, sf):
+    """Variable-bin-edge histogram (reference Histo(col, model),
+    /root/reference/TDataFrame.hxx:897-904)."""
+    return Frame(_t(spark, sf, "lineitem")).histo_frame("l_quantity", edges=HE_EDGES)
+
+
+def _histo_edges_oracle_sql() -> str:
+    values = ", ".join(
+        f"(CAST({i} AS INT), CAST({HE_EDGES[i]!r} AS DOUBLE), CAST({HE_EDGES[i + 1]!r} AS DOUBLE))"
+        for i in range(len(HE_EDGES) - 1)
+    )
+    return f"""
+WITH bins(bin, bin_lo, bin_hi) AS (VALUES {values}),
+v AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+  WHERE l_quantity IS NOT NULL
+    AND l_quantity >= {HE_EDGES[0]!r} AND l_quantity < {HE_EDGES[-1]!r}
+),
+c AS (
+  SELECT bin, COUNT(*) AS n
+  FROM v JOIN bins ON x >= bin_lo AND x < bin_hi GROUP BY bin
+)
+SELECT b.bin, b.bin_lo, b.bin_hi, CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM bins b LEFT JOIN c ON b.bin = c.bin
+"""
+
+
 def q_take_col(spark, sf):
     """Take = ordered column materialization; expressed as the select the
     engine's take() runs (/root/reference/TDataFrame.hxx:869-884)."""
@@ -1352,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_agg": q_explode_agg,
         "histo_fixed": q_histo_fixed,
         "histo_auto": q_histo_auto,
+        "histo_edges": q_histo_edges,
         "take_col": q_take_col,
         # relational (SURVEY.md §2.2)
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1411,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_agg": SQL_EXPLODE_AGG,
         "histo_fixed": SQL_HISTO_FIXED,
         "histo_auto": SQL_HISTO_AUTO,
+        "histo_edges": _histo_edges_oracle_sql(),
         "take_col": SQL_TAKE_COL,
         "q1_pricing_summary": SQL_Q1,
         "q3_topk_revenue": SQL_Q3,

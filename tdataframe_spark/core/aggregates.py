@@ -48,12 +48,36 @@ def _array_sum(c: Column) -> Column:
     return F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
 
 
-def scalar_agg_plan(df: DataFrame, col: str | None, kind: str) -> ScalarPlan:
+# reference empty-input sentinels (regression_zeroentries.cxx:35-37): the
+# reference's Max seeds from +DBL_MAX — a seed bug yielding +DBL_MAX on empty
+# input in some builds and DBL_MIN in others — which we deliberately do NOT
+# copy; "sentinel" mode returns the mathematically sensible identity values
+# (min of nothing = +inf-like DBL_MAX, max of nothing = -DBL_MAX, mean/sum 0).
+DBL_MAX = 1.7976931348623157e308
+_EMPTY_SENTINELS = {"min": DBL_MAX, "max": -DBL_MAX, "mean": 0.0, "sum": 0.0}
+
+
+def scalar_agg_plan(
+    df: DataFrame, col: str | None, kind: str, empty: str = "null"
+) -> ScalarPlan:
     """Build (named agg expressions, finisher) for one lazy scalar action.
 
     ``kind`` in {count, min, max, mean, sum}. Array-typed columns aggregate
     over their flattened elements (SURVEY.md §1.3).
+
+    ``empty`` selects empty-input semantics: ``"null"`` (default — SQL NULL,
+    what any SQL oracle computes) or ``"sentinel"`` (compatibility mode for
+    code ported from the reference, which returns sentinel values instead,
+    /root/reference/tests/regression_zeroentries.cxx:35-37).
     """
+    if empty not in ("null", "sentinel"):
+        raise ValueError(f"empty must be 'null' or 'sentinel', got {empty!r}")
+
+    def on_empty(v: Any) -> Any:
+        if v is None and empty == "sentinel":
+            return _EMPTY_SENTINELS[kind]
+        return v
+
     if kind == "count":
         return {"v": F.count(F.lit(1))}, lambda r: int(r["v"])
 
@@ -64,22 +88,22 @@ def scalar_agg_plan(df: DataFrame, col: str | None, kind: str) -> ScalarPlan:
 
     if kind == "min":
         e = F.min(F.array_min(c)) if is_array else F.min(c)
-        return {"v": e}, lambda r: r["v"]
+        return {"v": e}, lambda r: on_empty(r["v"])
     if kind == "max":
         e = F.max(F.array_max(c)) if is_array else F.max(c)
-        return {"v": e}, lambda r: r["v"]
+        return {"v": e}, lambda r: on_empty(r["v"])
     if kind == "sum":
         e = F.sum(_array_sum(c)) if is_array else F.sum(c.cast("double"))
-        return {"v": e}, lambda r: r["v"]
+        return {"v": e}, lambda r: on_empty(r["v"])
     if kind == "mean":
         if is_array:
             exprs = {"s": F.sum(_array_sum(c)), "n": F.sum(F.size(c))}
 
             def finish(r: dict[str, Any]) -> Any:
                 n = r["n"]
-                return None if not n else r["s"] / n
+                return on_empty(None if not n else r["s"] / n)
 
             return exprs, finish
-        return {"v": F.avg(c.cast("double"))}, lambda r: r["v"]
+        return {"v": F.avg(c.cast("double"))}, lambda r: on_empty(r["v"])
 
     raise ValueError(f"unknown aggregate kind {kind!r}")

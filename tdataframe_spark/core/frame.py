@@ -181,15 +181,24 @@ class Frame:
         """Cutflow: rows passing each named upstream filter, in chain order.
 
         All counts come from the observe() nodes already embedded in the
-        plan, so ONE pass over the data (triggered here if no action ran
-        yet) prices the whole cutflow — the reference's Report semantics."""
+        plan, so if ANY prior action already materialized the plan, report()
+        is free — the Observations are probed optimistically (JVM
+        ``getOrEmpty``) and a counting pass runs only when some are still
+        unresolved (no action has run yet)."""
         if not self._observations:
             return []
-        # drive one pass with a DataFrame action so every observe node
-        # reports (rdd-path actions like foreachPartition bypass the SQL
-        # listener that resolves Observations); if an earlier action already
-        # materialized the plan, the first-reported metrics win
-        self._df.count()
+
+        def resolved(ob) -> bool:
+            try:
+                return not ob._jo.getOrEmpty().isEmpty()
+            except Exception:
+                return False  # probe unavailable: fall back to the count
+
+        if not all(resolved(ob) for _, ob in self._observations):
+            # drive one pass with a DataFrame action so every observe node
+            # reports (rdd-path actions like foreachPartition bypass the SQL
+            # listener that resolves Observations)
+            self._df.count()
         return [(nm, int(ob.get["n"])) for nm, ob in self._observations]
 
     def define(
@@ -221,24 +230,27 @@ class Frame:
         return self._derive(self._df.withColumn(name, col))
 
     # -- lazy scalar actions (A1-A4 + Sum) --------------------------------
-    def _scalar(self, col: str | None, kind: str) -> Result:
-        exprs, finish = scalar_agg_plan(self._df, col, kind)
+    def _scalar(self, col: str | None, kind: str, empty: str = "null") -> Result:
+        exprs, finish = scalar_agg_plan(self._df, col, kind, empty)
         return self._engine.book_scalar(self._df, exprs, finish)
 
     def count(self) -> Result:
         return self._scalar(None, "count")
 
-    def min(self, col: str | None = None) -> Result:
-        return self._scalar(self._one_default(col), "min")
+    def min(self, col: str | None = None, empty: str = "null") -> Result:
+        """``empty="sentinel"`` opts into reference empty-input semantics
+        (+DBL_MAX instead of NULL) for ported code; see
+        core/aggregates.py."""
+        return self._scalar(self._one_default(col), "min", empty)
 
-    def max(self, col: str | None = None) -> Result:
-        return self._scalar(self._one_default(col), "max")
+    def max(self, col: str | None = None, empty: str = "null") -> Result:
+        return self._scalar(self._one_default(col), "max", empty)
 
-    def mean(self, col: str | None = None) -> Result:
-        return self._scalar(self._one_default(col), "mean")
+    def mean(self, col: str | None = None, empty: str = "null") -> Result:
+        return self._scalar(self._one_default(col), "mean", empty)
 
-    def sum(self, col: str | None = None) -> Result:
-        return self._scalar(self._one_default(col), "sum")
+    def sum(self, col: str | None = None, empty: str = "null") -> Result:
+        return self._scalar(self._one_default(col), "sum", empty)
 
     def _one_default(self, col: str | None) -> str:
         if col:
@@ -252,26 +264,72 @@ class Frame:
 
     # -- histogram (A5) ---------------------------------------------------
     def histo(
-        self, col: str | None = None, nbins: int = 128, lo: float = 0.0, hi: float = 0.0
+        self,
+        col: str | None = None,
+        nbins: int = 128,
+        lo: float = 0.0,
+        hi: float = 0.0,
+        edges: list[float] | None = None,
     ) -> Result:
-        """Lazy 1-D histogram; resolves to a list of (bin, lo, hi, cnt)."""
+        """Lazy 1-D histogram; resolves to a list of (bin, lo, hi, cnt).
+        ``edges`` selects variable-bin mode (reference ``Histo(col, model)``
+        with non-uniform TH1F edges) and overrides nbins/lo/hi."""
+        from tdataframe_spark.core.histogram import (
+            bin_rows,
+            histo_edges_frame,
+            resolve_auto_range,
+        )
+
         c = self._one_default(col)
 
-        def run(df: DataFrame) -> list[tuple[int, float, float, int]]:
-            return [
-                (r["bin"], r["bin_lo"], r["bin_hi"], r["cnt"])
-                for r in histo_frame(df, c, nbins, lo, hi).collect()
-            ]
+        if edges is not None:
+            def run_edges(df: DataFrame) -> list[tuple[int, float, float, int]]:
+                return [
+                    (r["bin"], r["bin_lo"], r["bin_hi"], r["cnt"])
+                    for r in histo_edges_frame(df, c, edges).collect()
+                ]
 
-        # a histogram consumes every frame row → it can carry piggybacked
-        # observe() metrics for scalar actions booked on the same frame
-        return self._engine.book_job(self._df, run, full_scan=True)
+            return self._engine.book_job(self._df, run_edges, full_scan=True)
+
+        if hi > lo:  # fixed range: the bucketize pass is the only pass
+            def run(df: DataFrame) -> list[tuple[int, float, float, int]]:
+                return bin_rows(df, c, nbins, lo, hi, clamp_max=False)
+
+            # a histogram consumes every frame row → it can carry piggybacked
+            # observe() metrics for scalar actions booked on the same frame
+            return self._engine.book_job(self._df, run, full_scan=True)
+
+        # auto-range: book the min/max prepass as FUSABLE scalar actions so
+        # it shares the frame's single agg()/observe pass with every other
+        # booked scalar (count/mean/...). The bucketize job then reads the
+        # published bounds — auto-histo + N scalars = exactly 2 jobs.
+        res_min = self._scalar(c, "min")
+        res_max = self._scalar(c, "max")
+
+        def run_auto(df: DataFrame) -> list[tuple[int, float, float, int]]:
+            # ready by construction: the engine publishes a frame's scalars
+            # before running its jobs within one flush
+            b_lo, b_hi = resolve_auto_range(res_min.get(), res_max.get())
+            return bin_rows(df, c, nbins, b_lo, b_hi, clamp_max=True)
+
+        # NOT full_scan: this job must never be the observe carrier — its
+        # input range depends on the scalar pass having already run
+        return self._engine.book_job(self._df, run_auto, full_scan=False)
 
     def histo_frame(
-        self, col: str | None = None, nbins: int = 128, lo: float = 0.0, hi: float = 0.0
+        self,
+        col: str | None = None,
+        nbins: int = 128,
+        lo: float = 0.0,
+        hi: float = 0.0,
+        edges: list[float] | None = None,
     ) -> DataFrame:
         """Eager-planned histogram bin table as a DataFrame (for pipelines /
         oracle queries)."""
+        if edges is not None:
+            from tdataframe_spark.core.histogram import histo_edges_frame
+
+            return histo_edges_frame(self._df, self._one_default(col), edges)
         return histo_frame(self._df, self._one_default(col), nbins, lo, hi)
 
     # -- take (A6) --------------------------------------------------------

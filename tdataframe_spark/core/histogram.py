@@ -73,6 +73,29 @@ def _bin_table(
     )
 
 
+def resolve_auto_range(mn, mx) -> tuple[float, float]:
+    """Auto-range edge cases: empty input → unit range; degenerate
+    min==max → widen by 1 so the single value lands in bin 0."""
+    if mn is None:
+        return 0.0, 1.0
+    lo, hi = float(mn), float(mx)
+    if lo == hi:
+        hi = lo + 1.0
+    return lo, hi
+
+
+def bin_rows(
+    df: DataFrame, col: str, nbins: int, lo: float, hi: float, clamp_max: bool
+) -> list[tuple[int, float, float, int]]:
+    """Materialized bin table for an already-resolved range — the bucketize
+    pass alone, so callers that obtained min/max elsewhere (e.g. fused into
+    a shared scalar-agg pass) don't pay a second prepass here."""
+    return [
+        (r["bin"], r["bin_lo"], r["bin_hi"], r["cnt"])
+        for r in _bin_table(_values(df, col), nbins, lo, hi, clamp_max).collect()
+    ]
+
+
 def histo_frame(
     df: DataFrame,
     col: str,
@@ -87,13 +110,48 @@ def histo_frame(
     auto = not (hi > lo)
     if auto:
         row = vals.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
-        if row["lo"] is None:  # empty input: empty (all-zero) unit-range table
-            lo, hi = 0.0, 1.0
-        else:
-            lo, hi = float(row["lo"]), float(row["hi"])
-            if lo == hi:
-                hi = lo + 1.0
+        lo, hi = resolve_auto_range(row["lo"], row["hi"])
     return _bin_table(vals, nbins, lo, hi, clamp_max=auto)
+
+
+def histo_edges_frame(
+    df: DataFrame, col: str, edges: list[float]
+) -> DataFrame:
+    """Variable-bin-edge histogram (reference ``Histo(col, model)`` with a
+    non-uniform-edge TH1F model, /root/reference/TDataFrame.hxx:897-904 —
+    the physics norm for e.g. log-scale pT bins).
+
+    ``edges`` is an ascending list of k+1 boundaries defining k bins; bin i
+    covers [edges[i], edges[i+1]). Values outside [edges[0], edges[-1]) are
+    dropped (fixed-range semantics — the reference routes them to invisible
+    under/overflow bins).
+
+    Plan: bin id = (#edges <= x) - 1, a JVM-side higher-order filter over a
+    small edge-array literal, then the same tiny groupBy as the uniform
+    case — one scan, one ~k-key shuffle, scale-indifferent.
+    """
+    if len(edges) < 2 or any(a >= b for a, b in zip(edges, edges[1:])):
+        raise ValueError(f"edges must be >= 2 strictly ascending values: {edges}")
+    edges = [float(e) for e in edges]
+    vals = _values(df, col)
+    v = F.col("__v")
+    arr = F.array(*[F.lit(e) for e in edges])
+    binned = vals.filter(
+        v.isNotNull() & (v >= edges[0]) & (v < edges[-1])
+    ).select((F.size(F.filter(arr, lambda e: e <= v)) - 1).cast("int").alias("bin"))
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    bins = vals.sparkSession.createDataFrame(
+        [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)],
+        "bin int, bin_lo double, bin_hi double",
+    )
+    return (
+        bins.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin", "bin_lo", "bin_hi",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+        .orderBy("bin")
+    )
 
 
 def histo_rows(

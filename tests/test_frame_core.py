@@ -200,3 +200,79 @@ def test_snapshot_partitioned(tmp_path, f1):
     pruned = fr.filter("even = true")
     assert "PartitionFilters: [isnotnull(even" in explain_str(pruned.df, "simple")
     assert pruned.count().get() == 5
+
+
+def test_auto_histo_fuses_prepass(spark):
+    """The auto-range histo's min/max prepass fuses into the frame's shared
+    scalar-agg pass: booking count + mean alongside the histo adds ZERO
+    Spark jobs over a bare auto-histo (absolute counts are AQE-noisy, so
+    the assert is comparative), and all scalars resolve from that one
+    flush."""
+    sc = spark.sparkContext
+    rows = [Row(b1=float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows)
+
+    def njobs(group, fn):
+        sc.setJobGroup(group, "")
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    bare = Frame(df).filter("b1 >= 0")
+    n_bare = njobs("histo_bare", lambda: bare.histo("b1", nbins=10).get())
+
+    fr = Frame(df).filter("b1 >= 0")
+    h = fr.histo("b1", nbins=10)
+    ct, me = fr.count(), fr.mean("b1")
+    got = {}
+    n_fused = njobs("histo_fused", lambda: got.setdefault("h", h.get()))
+    assert ct.ready and me.ready
+    assert ct.get() == 100 and me.get() == pytest.approx(49.5)
+    hist = got["h"]
+    assert sum(b[3] for b in hist) == 100
+    assert hist[0][1] == 0.0 and hist[-1][2] == 99.0
+    assert n_fused == n_bare, (n_fused, n_bare)
+
+
+def test_histo_variable_edges(spark):
+    """Non-uniform edges: [0,2), [2,5), [5,10); 7.5 and 100 out of range."""
+    rows = [Row(b1=x) for x in [0.0, 1.9, 2.0, 4.99, 5.0, 9.99, 10.0, -1.0]]
+    fr = Frame(spark.createDataFrame(rows))
+    hist = fr.histo("b1", edges=[0.0, 2.0, 5.0, 10.0]).get()
+    assert hist == [(0, 0.0, 2.0, 2), (1, 2.0, 5.0, 2), (2, 5.0, 10.0, 2)]
+    with pytest.raises(ValueError):
+        fr.histo("b1", edges=[1.0, 1.0, 2.0]).get()
+
+
+def test_min_max_sentinel_compat(f1):
+    """Reference empty-input compatibility mode: sentinels instead of NULL
+    (regression_zeroentries.cxx:35-37; the reference Max's seed bug is
+    documented, not copied — max of nothing here is -DBL_MAX)."""
+    from tdataframe_spark.core.aggregates import DBL_MAX
+
+    empty = f1.filter(F.lit(False))
+    assert empty.min("b1", empty="sentinel").get() == DBL_MAX
+    assert empty.max("b1", empty="sentinel").get() == -DBL_MAX
+    assert empty.mean("b1", empty="sentinel").get() == 0.0
+    assert empty.sum("b1", empty="sentinel").get() == 0.0
+    # non-empty input: sentinel mode is a no-op
+    assert f1.min("b1", empty="sentinel").get() == 0.0
+    with pytest.raises(ValueError):
+        f1.min("b1", empty="bogus")
+
+
+def test_report_free_after_action(spark, f1):
+    """An action resolves the observe() nodes; report() right after must
+    trigger ZERO further Spark jobs."""
+    sc = spark.sparkContext
+    chain = f1.filter("b1 >= 2", name="ge2").filter("b1 < 8", name="lt8")
+    assert chain.count().get() == 6
+    sc.setJobGroup("report_free", "")
+    try:
+        rep = chain.report()
+    finally:
+        sc.setJobGroup(None, None)
+    assert rep == [("ge2", 8), ("lt8", 6)]
+    assert sc.statusTracker().getJobIdsForGroup("report_free") == []
