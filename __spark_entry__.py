@@ -458,6 +458,63 @@ SELECT nationkey, 'supp_only' AS tag FROM (SELECT nationkey FROM sn EXCEPT SELEC
 """
 
 
+def q_setops_multiset(spark, sf):
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL): duplicate multiplicity
+    is preserved — per nation key, min(|supp|, |cust|) 'both' rows and the
+    surplus side's remainder."""
+    from tdataframe_spark import Frame
+
+    cn = Frame(_t(spark, sf, "customer").select(F.col("c_nationkey").alias("nkey")))
+    sn = Frame(_t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nkey")))
+    both = cn.intersect_all(sn).df.withColumn("tag", F.lit("both"))
+    conly = cn.except_all(sn).df.withColumn("tag", F.lit("cust_extra"))
+    return both.unionByName(conly)
+
+
+SQL_SETOPS_MULTISET = """
+SELECT nkey, 'both' AS tag FROM
+  (SELECT c_nationkey AS nkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nkey, 'cust_extra' AS tag FROM
+  (SELECT c_nationkey AS nkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_map_props(spark, sf):
+    """Map-typed column surface: parse the events' JSON props into a
+    map<string,bigint>, then map_keys/element_at/map_entries — the map is
+    serialized to sorted 'k=v' CSV at the query boundary (the driver's
+    canonicalizer cannot hash map cells, same rule as arrays)."""
+    ev = _events(spark, sf)
+    m = F.from_json("props", "map<string,bigint>")
+    entries = F.sort_array(F.map_entries(m))
+    return ev.select(
+        "event_id",
+        F.size(m).cast("int").alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("props_map"),
+    )
+
+
+SQL_MAP_PROPS = """
+WITH kv AS (
+  SELECT event_id, k, CAST(json_extract(props, '$.' || k) AS BIGINT) AS v
+  FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+)
+SELECT event_id,
+       CAST(COUNT(*) AS INT) AS n_keys,
+       MAX(CASE WHEN k = 'k' THEN v END) AS k_val,
+       string_agg(k || '=' || CAST(v AS VARCHAR), ',' ORDER BY k) AS props_map
+FROM kv GROUP BY event_id
+"""
+
+
 def q_rollup_returnflag(spark, sf):
     return (
         Frame(_t(spark, sf, "lineitem"))
@@ -1394,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
+        "setops_multiset": q_setops_multiset,
+        "map_props": q_map_props,
         "rollup_returnflag": q_rollup_returnflag,
         "distinct_supp_per_flag": q_distinct_supp_per_flag,
         "topk_orders": q_topk_orders,
@@ -1453,6 +1512,8 @@ def oracle_sql() -> dict[str, str]:
         "join_semi": SQL_JOIN_SEMI,
         "join_anti": SQL_JOIN_ANTI,
         "setops_nations": SQL_SETOPS,
+        "setops_multiset": SQL_SETOPS_MULTISET,
+        "map_props": SQL_MAP_PROPS,
         "rollup_returnflag": SQL_ROLLUP,
         "distinct_supp_per_flag": SQL_DISTINCT_SUPP,
         "topk_orders": SQL_TOPK_ORDERS,

@@ -448,6 +448,12 @@ class Frame:
         right = other.df if isinstance(other, Frame) else other
         return self._derive(self._df.intersect(right))
 
+    def intersect_all(self, other: "Frame | DataFrame") -> "Frame":
+        """Multiset intersection (keeps duplicate multiplicity: per key,
+        min(count_left, count_right) copies) — SQL INTERSECT ALL."""
+        right = other.df if isinstance(other, Frame) else other
+        return self._derive(self._df.intersectAll(right))
+
     def except_all(self, other: "Frame | DataFrame") -> "Frame":
         right = other.df if isinstance(other, Frame) else other
         return self._derive(self._df.exceptAll(right))

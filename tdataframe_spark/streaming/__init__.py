@@ -1,8 +1,21 @@
 from tdataframe_spark.streaming.ops import (
     dedup_stream,
+    kafka_reader,
+    parse_kafka_json,
     run_to_memory_sink,
     stream_from_files,
+    stream_from_kafka,
+    stream_stream_join,
     windowed_agg,
 )
 
-__all__ = ["stream_from_files", "windowed_agg", "run_to_memory_sink", "dedup_stream"]
+__all__ = [
+    "stream_from_files",
+    "windowed_agg",
+    "run_to_memory_sink",
+    "dedup_stream",
+    "stream_stream_join",
+    "kafka_reader",
+    "stream_from_kafka",
+    "parse_kafka_json",
+]

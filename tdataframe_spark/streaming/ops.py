@@ -86,6 +86,93 @@ def dedup_stream(
     return stream.dropDuplicates(key_cols)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: rows match when the keys are equal
+    AND ``right_ts`` falls in [left_ts, left_ts + within].
+
+    Both sides get watermarks and the time bound lives in the join
+    condition — the combination Structured Streaming requires to EVICT join
+    state (without it, both sides' state grows forever; the unbounded-stream
+    killer). Output = left columns + right's non-key columns, so the two
+    ``ts`` column names must differ.
+
+    The same expression shape works in batch mode for parity testing.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides; rename "
+            "before joining (output keeps left.* + right's non-key columns)"
+        )
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    key_cond = " AND ".join(f"l.{k} = r.{k}" for k in on)
+    time_cond = (
+        f"r.{right_ts} >= l.{left_ts} AND "
+        f"r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
+    )
+    joined = l.join(r, F.expr(f"{key_cond} AND {time_cond}"), how)
+    return joined.select("l.*", *[f"r.{c}" for c in right.columns if c not in on])
+
+
+def kafka_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    **options: str,
+):
+    """Configured (unloaded) Kafka streaming reader. Split from
+    ``stream_from_kafka`` so the wiring is testable without the Kafka
+    connector jar (not shipped in every Spark build)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def stream_from_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    **options: str,
+) -> DataFrame:
+    """Kafka streaming source (raw Kafka schema: key/value binary + topic,
+    partition, offset, timestamp). Compose with ``parse_kafka_json`` to get
+    typed rows. Requires the spark-sql-kafka connector on the classpath."""
+    return kafka_reader(
+        spark, bootstrap_servers, topics, starting_offsets, **options
+    ).load()
+
+
+def parse_kafka_json(
+    raw: DataFrame, schema: StructType | str, ts_col: str = "kafka_ts"
+) -> DataFrame:
+    """Decode Kafka-shaped records (``value`` binary JSON) into typed
+    columns + the broker timestamp. Works identically on a real Kafka
+    stream and on any mock frame with (value binary, timestamp) — which is
+    how the wiring is tested without a broker."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("__j"),
+        F.col("timestamp").alias(ts_col),
+    ).select("__j.*", ts_col)
+
+
 def run_to_memory_sink(
     result: DataFrame, query_name: str | None = None, mode: str = "append"
 ) -> tuple[str, object]:
