@@ -7,8 +7,14 @@ Reference parity (SURVEY.md §2.1 "error-handling surface"):
   ``withColumn`` silently replaces, so the engine must check and raise.
 - UDF arity vs column-list mismatch throws — ``PickBranchNames``
   /root/reference/TDataFrame.hxx:303-310.
-- use of a dead/invalid frame throws — ``GetDataFrameChecked``
-  /root/reference/TDataFrame.hxx:994-1001.
+- the reference also throws on use of a dead/invalid frame
+  (``GetDataFrameChecked`` /root/reference/TDataFrame.hxx:994-1001,
+  regression_invalidref.cxx). That error class is NOT implemented here —
+  deliberately: it exists because C++ proxies can outlive the TDataFrame
+  they weakly reference, while in Python every Frame/Result holds a strong
+  reference to its engine and DataFrame, so a "dangling frame" is
+  unconstructible by the language's lifetime rules. There is nothing to
+  check at runtime.
 """
 
 

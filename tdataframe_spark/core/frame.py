@@ -335,8 +335,8 @@ class Frame:
     # -- take (A6) --------------------------------------------------------
     def take(self, col: str | None = None, limit: int | None = None) -> Result:
         """Collect one column's (post-filter) values driver-side. At scale
-        prefer ``snapshot``; ``limit`` caps driver memory (the reference's
-        Take is unbounded driver-local by design,
+        prefer ``snapshot`` or ``take_iter``; ``limit`` caps driver memory
+        (the reference's Take is unbounded driver-local by design,
         /root/reference/TDataFrame.hxx:869-884)."""
         c = self._one_default(col)
 
@@ -349,6 +349,19 @@ class Frame:
         # an unbounded take consumes every row (can carry observe metrics);
         # a limited take short-circuits, so it must not
         return self._engine.book_job(self._df, run, full_scan=limit is None)
+
+    def take_iter(self, col: str | None = None, prefetch: bool = False):
+        """Streaming Take for results too big to hold driver-side at once:
+        yields one value at a time via ``toLocalIterator``, holding at most
+        one partition in driver memory (SURVEY.md §2.1 A6's scale path).
+
+        Instant action (flushes pending lazy results first, like foreach):
+        the iterator owns the job, so it can't be fused. ``prefetch``
+        pipelines the next partition's fetch behind consumption."""
+        c = self._one_default(col)
+        self._engine.flush()
+        for row in self._df.select(c).toLocalIterator(prefetchPartitions=prefetch):
+            yield row[0]
 
     # -- instant UDF sinks (A7/A8) ---------------------------------------
     def foreach(self, fn: Callable, cols: Sequence[str] | None = None) -> None:

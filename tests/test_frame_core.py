@@ -276,3 +276,14 @@ def test_report_free_after_action(spark, f1):
         sc.setJobGroup(None, None)
     assert rep == [("ge2", 8), ("lt8", 6)]
     assert sc.statusTracker().getJobIdsForGroup("report_free") == []
+
+
+def test_take_iter_streams_values(f1):
+    """Streaming take: iterator yields all post-filter values and flushes
+    pending lazy actions first (instant-action contract)."""
+    fr = f1.filter("b1 < 5")
+    ct = fr.count()
+    it = fr.take_iter("b1")
+    first = next(it)
+    assert ct.ready  # flushed before iteration began
+    assert sorted([first] + list(it)) == [0.0, 1.0, 2.0, 3.0, 4.0]
