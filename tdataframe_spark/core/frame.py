@@ -400,14 +400,34 @@ class Frame:
         cols: Sequence[str] | None = None,
         mode: str = "overwrite",
         partition_by: Sequence[str] | None = None,
+        sort_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
+        n_files: int = 16,
     ) -> "Frame":
         """Write the (post-filter/define) frame to Parquet and return a new
-        frame reading it back — the scalable replacement for Take."""
+        frame reading it back — the scalable replacement for Take.
+
+        Layout options (mutually exclusive; see ``sources/layout.py`` for
+        why they matter at scale): ``sort_by`` range-partitions + sorts so
+        per-file min/max are near-disjoint on the sort column (row-group
+        skipping); ``zorder_by`` interleaves quantile-bucket bits of
+        several columns so filters on ANY of them skip."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         d = self._df.select(*cols) if cols else self._df
-        w = d.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        if sort_by:
+            from tdataframe_spark.sources.layout import write_sorted
+
+            write_sorted(d, path, list(sort_by), n_files, mode)
+        elif zorder_by:
+            from tdataframe_spark.sources.layout import write_zordered
+
+            write_zordered(d, path, list(zorder_by), n_files, mode=mode)
+        else:
+            w = d.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
         return Frame(self._df.sparkSession.read.parquet(path), self._engine)
 
     # -- relational surface (absent in reference; SURVEY.md §2.2) ---------

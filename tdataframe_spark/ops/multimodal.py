@@ -83,3 +83,103 @@ def extract_features(
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Populate the typed media metadata columns (width/height for images,
+    n_frames for video, sample_rate for audio) from the payload headers —
+    the ffprobe step of a real pipeline. STUBBED: deterministic fake values
+    derived from the payload digest (real probing needs media libraries not
+    in this container); the schema, NULL conventions per kind, and the
+    Arrow batch path are the real contract.
+
+    Returns media columns + width, height, n_frames, sample_rate (typed
+    ints, NULL where the kind has no such dimension).
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real header probing requires media libraries not present in "
+            "this environment; use decode_stub=True"
+        )
+
+    schema = (
+        "media_id bigint, kind string, payload binary, n_bytes bigint, "
+        "width int, height int, n_frames int, sample_rate int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r["payload"] or b"\x00"
+                h = hashlib.sha256(p).digest()
+                kind = r["kind"]
+                is_img = kind.startswith("image")
+                is_vid = kind.startswith("video")
+                is_aud = kind.startswith("audio")
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": kind,
+                        "payload": r["payload"],
+                        "n_bytes": len(p),
+                        "width": 64 + h[0] % 192 if (is_img or is_vid) else None,
+                        "height": 64 + h[1] % 192 if (is_img or is_vid) else None,
+                        "n_frames": 1 + h[2] % 64 if is_vid else None,
+                        "sample_rate": 8000 * (1 + h[3] % 6) if is_aud else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """Explode video payloads into sampled frames: one output row per kept
+    frame (media_id, frame_idx, frame_payload) — the fan-out stage of a
+    video featurization pipeline. STUBBED decode: frames are deterministic
+    payload slices (a real impl seeks keyframes via ffmpeg); the 1→N Arrow
+    ``mapInPandas`` fan-out, frame indexing, and partition behavior are the
+    real contract. Non-video rows pass through with a single frame 0.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame extraction requires ffmpeg-like libraries not "
+            "present in this environment; use decode_stub=True"
+        )
+
+    schema = "media_id bigint, kind string, frame_idx int, frame_payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r["payload"] or b"\x00"
+                kind = r["kind"]
+                if kind.startswith("video"):
+                    h = hashlib.sha256(p).digest()
+                    n_frames = 1 + h[2] % 64  # matches probe_metadata's stub
+                    for idx in range(0, n_frames, every_n):
+                        lo = (idx * 31) % max(1, len(p))
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "kind": kind,
+                                "frame_idx": idx,
+                                "frame_payload": p[lo : lo + 16],
+                            }
+                        )
+                else:
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "kind": kind,
+                            "frame_idx": 0,
+                            "frame_payload": p[:16],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema)

@@ -105,41 +105,40 @@ def cosine_pairs(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    lloyd_iterations: int = 3,
-) -> DataFrame:
-    """IVF (inverted-file) approximate nearest neighbours: k-means-partition
-    the corpus into ``n_cells`` cells, then search each query only in its
-    ``n_probe`` closest cells.
+def _centroid_df(spark, cents) -> DataFrame:
+    return spark.createDataFrame(
+        [(ci, vec) for ci, vec in cents], "__cell int, __cvec array<double>"
+    )
 
-    Training is distributed Lloyd iterations (assign = broadcast-centroid
-    argmax, update = groupBy-cell mean); deterministic: centroids seed
-    distributively — ids are hash-bucketed into ``n_cells`` groups and each
-    cell seeds from its bucket's min-id row, so exactly n_cells rows (not
-    the corpus) reach the driver. The normalized corpus is persisted for
-    the duration of training, so Lloyd iterations + final assignment read
-    it from cache instead of re-scanning/re-normalizing the source. No
-    driver-side state beyond the n_cells centroids and the n_cells×dim
-    component sums per iteration. Recall < 1 by construction; raise
-    ``n_probe`` toward n_cells for exactness.
 
-    Returns (query_id, neighbor_id, cos_sim, rnk). The persisted corpus
-    cache lives until the session evicts it (LRU) — call
-    ``spark.catalog.clearCache()`` between unrelated index builds if memory
-    is tight.
-    """
-    spark = corpus.sparkSession
-    u = _normalized(corpus, id_col, vec_col, "__cid").persist()
-    # distributed deterministic seeding: hash ids into n_cells buckets, seed
-    # each cell with its bucket's min-id row (hash-empty buckets simply
-    # yield fewer initial cells; Lloyd re-spreads them)
+def _assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast data-join + argmax — ONE
+    generic plan reused across Lloyd iterations (baking centroids in as
+    literals would recompile codegen every iteration). Groups by the scalar
+    id ONLY (returns (id, cell)): grouping by the vector column itself
+    forces a sort-based aggregate over n_cells× replicated arrays — the
+    round-1 shape that collapsed at 1M+ rows. Callers that need the vector
+    join it back by id."""
+    spark = vectors.sparkSession
+    scored = vectors.crossJoin(F.broadcast(_centroid_df(spark, cents))).select(
+        id_field,
+        "__cell",
+        dot(F.col(vec_field), F.col("__cvec")).alias("__sim"),
+    )
+    # deterministic argmax: max similarity, ties to the lowest cell id
+    return scored.groupBy(id_field).agg(
+        F.max_by("__cell", F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc"))).alias(
+            "__cell"
+        )
+    )
+
+
+def _train_ivf(u: DataFrame, n_cells: int, lloyd_iterations: int) -> list:
+    """Distributed deterministic IVF training over a normalized corpus
+    ``u`` (__cid, __vn). Seeding hash-buckets ids into n_cells groups and
+    takes each bucket's min-id row, so exactly n_cells rows (not the
+    corpus) reach the driver; Lloyd updates collect only the n_cells×dim
+    component sums per iteration. Returns [(cell, centroid_vec)]."""
     seed_rows = (
         u.filter(F.col("__vn").isNotNull())  # zero-norm vectors can't seed
         .groupBy(F.pmod(F.xxhash64("__cid"), F.lit(n_cells)).alias("__b"))
@@ -150,33 +149,8 @@ def ivf_topk(
     )
     centroids = [(ci, list(r["__vn"])) for ci, r in enumerate(seed_rows)]
 
-    def centroid_df(cents):
-        return spark.createDataFrame(
-            [(ci, vec) for ci, vec in cents], "__cell int, __cvec array<double>"
-        )
-
-    def assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFrame:
-        """Nearest-centroid assignment as a broadcast data-join + argmax —
-        ONE generic plan reused across Lloyd iterations (baking centroids in
-        as literals would recompile codegen every iteration). Groups by the
-        scalar id ONLY (returns (id, cell)): grouping by the vector column
-        itself forces a sort-based aggregate over n_cells× replicated
-        arrays — the round-1 shape that collapsed at 1M+ rows. Callers that
-        need the vector join it back by id."""
-        scored = vectors.crossJoin(F.broadcast(centroid_df(cents))).select(
-            id_field,
-            "__cell",
-            dot(F.col(vec_field), F.col("__cvec")).alias("__sim"),
-        )
-        # deterministic argmax: max similarity, ties to the lowest cell id
-        return scored.groupBy(id_field).agg(
-            F.max_by("__cell", F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc"))).alias(
-                "__cell"
-            )
-        )
-
     for _ in range(lloyd_iterations):
-        assigned = assign(u, "__vn", "__cid", centroids)
+        assigned = _assign(u, "__vn", "__cid", centroids)
         sums = (
             assigned.join(u, "__cid")
             .select("__cell", F.posexplode(F.col("__vn")).alias("__d", "__x"))
@@ -195,19 +169,26 @@ def ivf_topk(
             new_centroids.append((ci, [x / norm for x in mean]))
         if new_centroids:
             centroids = new_centroids
+    return centroids
 
-    # persisted: the driver typically runs count + collect on the result,
-    # and re-running assignment would rescan the corpus each time
-    corpus_cells = (
-        assign(u, "__vn", "__cid", centroids).join(u, "__cid").persist()
-    )
 
-    # per query: its n_probe closest cells via windowed top-k over the same
-    # broadcast centroid join
+def _probe_and_score(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    corpus_cells: DataFrame,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Per query: its n_probe closest cells via windowed top-k over the
+    broadcast centroid join, then exact cosine against only those cells'
+    vectors."""
+    spark = queries.sparkSession
     qn = _normalized(queries, id_col, vec_col, "query_id").withColumnRenamed(
         "__vn", "__qn"
     )
-    q_scored = qn.crossJoin(F.broadcast(centroid_df(centroids))).select(
+    q_scored = qn.crossJoin(F.broadcast(_centroid_df(spark, centroids))).select(
         "query_id",
         "__qn",
         "__cell",
@@ -234,6 +215,99 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iterations: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbours: k-means-partition
+    the corpus into ``n_cells`` cells, then search each query only in its
+    ``n_probe`` closest cells.
+
+    Training is distributed Lloyd iterations (assign = broadcast-centroid
+    argmax, update = groupBy-cell mean) — see ``_train_ivf`` for the
+    no-driver-state seeding. The normalized corpus is persisted for the
+    duration of training, so Lloyd iterations + final assignment read it
+    from cache instead of re-scanning/re-normalizing the source. Recall <
+    1 by construction; raise ``n_probe`` toward n_cells for exactness.
+    For repeated query batches over the same corpus, build the index once
+    with ``ivf_build`` and search with ``ivf_query``.
+
+    Returns (query_id, neighbor_id, cos_sim, rnk). The persisted corpus
+    cache lives until the session evicts it (LRU) — call
+    ``spark.catalog.clearCache()`` between unrelated index builds if memory
+    is tight.
+    """
+    u = _normalized(corpus, id_col, vec_col, "__cid").persist()
+    centroids = _train_ivf(u, n_cells, lloyd_iterations)
+    # persisted: the driver typically runs count + collect on the result,
+    # and re-running assignment would rescan the corpus each time
+    corpus_cells = (
+        _assign(u, "__vn", "__cid", centroids).join(u, "__cid").persist()
+    )
+    return _probe_and_score(
+        queries, id_col, vec_col, centroids, corpus_cells, k, n_probe
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    lloyd_iterations: int = 3,
+) -> None:
+    """Materialize an IVF index on disk so repeated query batches skip
+    training entirely: ``index_path/cells`` holds (id, normalized vector,
+    cell) parquet PARTITIONED BY cell — a probe that needs n_probe cells
+    reads only those directories — and ``index_path/centroids`` the
+    n_cells centroid vectors."""
+    spark = corpus.sparkSession
+    u = _normalized(corpus, id_col, vec_col, "__cid").persist()
+    centroids = _train_ivf(u, n_cells, lloyd_iterations)
+    cells = _assign(u, "__vn", "__cid", centroids).join(u, "__cid")
+    (
+        cells.write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(f"{index_path}/cells")
+    )
+    _centroid_df(spark, centroids).write.mode("overwrite").parquet(
+        f"{index_path}/centroids"
+    )
+    u.unpersist()
+
+
+def ivf_query(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a prebuilt ``ivf_build`` index: loads the (tiny) centroid
+    table driver-side, probes, and scores against only the probed cells'
+    partitions. Identical results to ``ivf_topk`` with the same build
+    parameters — minus the training cost per batch."""
+    centroids = [
+        (r["__cell"], list(r["__cvec"]))
+        for r in spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("__cell")
+        .collect()
+    ]
+    corpus_cells = spark.read.parquet(f"{index_path}/cells")
+    return _probe_and_score(
+        queries, id_col, vec_col, centroids, corpus_cells, k, n_probe
+    )
 
 
 def lsh_bucket_topk(

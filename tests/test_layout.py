@@ -1,0 +1,70 @@
+"""Write-layout (sorted / z-ordered parquet) and the footer statistics that
+make data skipping work: the tests read back the exact per-file min/max a
+parquet reader's row-group pruning consults."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdataframe_spark import Frame
+from tdataframe_spark.sources.layout import parquet_column_ranges
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_sorted_snapshot_disjoint_ranges(spark, lineitem, tmp_path):
+    """Range-partitioned sorted write: per-file [min,max] of the sort
+    column are non-overlapping (boundary values may repeat), so a point or
+    range filter touches one file's row groups. An unsorted control write
+    has every file spanning ~the full range."""
+    out = str(tmp_path / "sorted")
+    Frame(lineitem).snapshot(out, sort_by=["l_extendedprice"], n_files=4)
+    ranges = sorted(parquet_column_ranges(out, "l_extendedprice"))
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (equal at boundary allowed)
+
+    ctrl = str(tmp_path / "plain")
+    lineitem.repartition(4).write.parquet(ctrl)
+    ctrl_ranges = parquet_column_ranges(ctrl, "l_extendedprice")
+    full = max(hi for _, hi in ctrl_ranges) - min(lo for lo, _ in ctrl_ranges)
+    # unsorted: every file covers nearly the whole value range
+    assert all((hi - lo) > 0.9 * full for lo, hi in ctrl_ranges)
+
+    # content unchanged by the layout
+    back = spark.read.parquet(out)
+    assert back.count() == lineitem.count()
+    assert back.agg(F.sum("l_quantity")).first()[0] == \
+        lineitem.agg(F.sum("l_quantity")).first()[0]
+
+
+def test_zorder_snapshot_bounds_both_columns(spark, lineitem, tmp_path):
+    """Z-order on (l_extendedprice, l_quantity): EVERY z-ordered column
+    gets bounded per-file ranges — a plain sort on price would leave
+    quantity full-range in every file."""
+    out = str(tmp_path / "zorder")
+    Frame(lineitem).snapshot(
+        out, zorder_by=["l_extendedprice", "l_quantity"], n_files=16
+    )
+    for col in ["l_extendedprice", "l_quantity"]:
+        ranges = parquet_column_ranges(out, col)
+        assert len(ranges) == 16
+        full = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+        widths = [hi - lo for lo, hi in ranges]
+        avg_width = sum(widths) / len(widths)
+        # each file covers a sub-slab of the space in BOTH dimensions
+        assert avg_width < 0.6 * full, (col, avg_width, full)
+
+    back = spark.read.parquet(out)
+    assert back.count() == lineitem.count()
+
+
+def test_sorted_and_zorder_mutually_exclusive(lineitem, tmp_path):
+    with pytest.raises(ValueError):
+        Frame(lineitem).snapshot(
+            str(tmp_path / "x"), sort_by=["l_quantity"], zorder_by=["l_tax"]
+        )

@@ -289,3 +289,61 @@ def test_salted_join_rejects_outer(spark):
         salted_join(df, df, "k", how="full")
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_ivf_build_query_matches_topk(spark, tmp_path):
+    """A prebuilt on-disk IVF index returns the same neighbours as the
+    train-inline ivf_topk with identical parameters (training is
+    deterministic), and the cells table is partitioned by cell (directory
+    pruning on probe)."""
+    import os
+
+    from tdataframe_spark.ops.similarity import ivf_build, ivf_query, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 7)
+
+    inline = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ivf_topk(queries, emb, k=5, n_cells=8, n_probe=3).collect()
+    }
+    idx = str(tmp_path / "ivf_idx")
+    ivf_build(emb, idx, n_cells=8)
+    from_index = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ivf_query(spark, idx, queries, k=5, n_probe=3).collect()
+    }
+    assert from_index == inline
+    assert any(
+        d.startswith("__cell=") for d in os.listdir(os.path.join(idx, "cells"))
+    )
+
+
+def test_multimodal_metadata_and_frames(spark, docs):
+    """Typed metadata per kind (NULL where the modality has no such
+    dimension) and the 1→N frame-sampling fan-out, both deterministic."""
+    from tdataframe_spark.ops.multimodal import probe_metadata, sample_frames
+
+    media = attach_payload(docs, "doc_id", "text", kind="video/fake")
+    meta = probe_metadata(media).collect()
+    assert len(meta) == 5
+    for r in meta:
+        assert r["width"] is not None and r["n_frames"] is not None
+        assert r["sample_rate"] is None  # video has no audio rate in stub
+    by_id = {r["media_id"]: (r["width"], r["n_frames"]) for r in meta}
+    assert by_id[0] == by_id[4]  # identical payload → identical metadata
+
+    frames = sample_frames(media, every_n=4).collect()
+    n_by_id = {}
+    for r in frames:
+        n_by_id[r["media_id"]] = n_by_id.get(r["media_id"], 0) + 1
+        assert r["frame_idx"] % 4 == 0
+    # fan-out count = ceil(n_frames / every_n), deterministic per payload
+    expect = {r["media_id"]: (r["n_frames"] + 3) // 4 for r in meta}
+    assert n_by_id == expect
+
+    audio = attach_payload(docs, "doc_id", "text", kind="audio/fake")
+    arow = probe_metadata(audio).first()
+    assert arow["sample_rate"] is not None and arow["width"] is None
+    # non-video kinds pass through frame sampling as a single frame
+    assert sample_frames(audio).count() == 5

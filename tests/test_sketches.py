@@ -1,0 +1,76 @@
+"""Mergeable sketches: the merge law (union of part-sketches == sketch of
+whole) and error bounds vs exact answers — the properties that let 100 TB
+pipelines pre-aggregate distinct counts per shard and roll up later."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdataframe_spark.functions.sketches import (
+    approx_quantiles,
+    grouped_distinct_sketches,
+    hll_estimate,
+    hll_merge,
+    merge_distinct_sketches,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_hll_estimate_within_error(spark, orders):
+    est = (
+        orders.agg(hll_estimate(
+            F.hll_sketch_agg(F.col("o_custkey"), F.lit(12))
+        ).alias("e"))
+        .first()["e"]
+    )
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(est - exact) / exact < 0.05  # lgk=12 → ~0.8% typical
+
+
+def test_hll_merge_law(spark, orders):
+    """Sketch per order-priority shard, merged == estimate over the whole
+    table: pre-aggregation then rollup gives the same answer path."""
+    parts = grouped_distinct_sketches(orders, ["o_orderpriority"], "o_custkey")
+    merged = (
+        parts.agg(hll_estimate(hll_merge("sketch")).alias("e")).first()["e"]
+    )
+    whole = (
+        orders.agg(hll_estimate(
+            F.hll_sketch_agg(F.col("o_custkey"), F.lit(12))
+        ).alias("e"))
+        .first()["e"]
+    )
+    assert merged == whole  # identical value set → identical sketch estimate
+
+
+def test_grouped_rollup_estimates(spark, orders):
+    per_status = merge_distinct_sketches(
+        grouped_distinct_sketches(orders, ["o_orderstatus", "o_orderpriority"], "o_custkey"),
+        ["o_orderstatus"],
+    )
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in per_status.collect():
+        assert abs(r["approx_distinct"] - exact[r["o_orderstatus"]]) / exact[
+            r["o_orderstatus"]
+        ] < 0.05
+
+
+def test_approx_quantiles_close_to_exact(spark, orders):
+    got = approx_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.75]).first()[
+        "quantiles"
+    ]
+    exact = orders.agg(
+        F.percentile(F.col("o_totalprice").cast("double"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    ).first()[0]
+    for g, e in zip(got, exact):
+        assert abs(g - e) / e < 0.01
