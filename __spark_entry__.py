@@ -1148,6 +1148,121 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def q_running_window(spark, sf):
+    """Window FRAME specs: running (unbounded-preceding) sum, 3-row moving
+    average, and lag diff per customer ordered by order key. Decimal
+    accumulation inside the frame: engines disagree on windowed-double
+    addition order (DuckDB segment trees vs Spark forward accumulation),
+    decimals are associative-exact."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = w.rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(run).cast("double").alias("run_spend"),
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).over(last3).cast("double")
+            / F.count(F.lit(1)).over(last3)
+        ).alias("ma3"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
+    )
+
+
+SQL_RUNNING_WINDOW = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) OVER w_run AS DOUBLE) AS run_spend,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) OVER w3 AS DOUBLE)
+         / COUNT(*) OVER w3 AS ma3,
+       o_totalprice - LAG(o_totalprice) OVER w_ord AS delta_prev
+FROM orders WHERE o_custkey < 200
+WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       w_run AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w3   AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_exists_subquery(spark, sf):
+    """Correlated EXISTS / NOT EXISTS through the SQL interface (Catalyst
+    rewrites them to semi/anti joins — the plan a hand-written join would
+    be)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("cust_ex")
+    _t(spark, sf, "orders").createOrReplaceTempView("ord_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM cust_ex c
+        WHERE EXISTS (SELECT 1 FROM ord_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM ord_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+SQL_EXISTS = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+"""
+
+
+def q_corpus_curation(spark, sf):
+    """Composite curation pipeline — the end-to-end shape a training-data
+    job runs: profile (tokens/quality/lang) → drop exact duplicates (keep
+    min-id per content) → quality floor → per-language corpus stats. Every
+    stage is deterministic, so the whole pipeline is oracle-checked."""
+    from tdataframe_spark.ops.dedup import exact_dedup_groups
+    from tdataframe_spark.ops.textstats import doc_stats
+
+    docs = _t(spark, sf, "documents")
+    prof = doc_stats(docs, "doc_id", "text")
+    keep = exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        prof.join(keep, "doc_id", "left_semi")
+        .filter(F.col("quality") >= 0.5)
+        .groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast(DEC)).cast("double") / F.count("quality"), 6
+            ).alias("mean_quality"),
+        )
+    )
+
+
+def _corpus_curation_oracle_sql() -> str:
+    profile = _doc_profile_oracle_sql()
+    return f"""
+WITH prof AS ({profile}),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+)
+SELECT lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(quality AS {DEC})) AS DOUBLE) / COUNT(quality), 6) AS mean_quality
+FROM prof JOIN keep USING (doc_id)
+WHERE quality >= 0.5
+GROUP BY lang_guess
+"""
+
+
 def q_pivot_status(spark, sf):
     """Pivot: returnflag columns per linestatus (wide conditional agg)."""
     li = _t(spark, sf, "lineitem")
@@ -1453,6 +1568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_nations": q_setops_nations,
         "setops_multiset": q_setops_multiset,
         "map_props": q_map_props,
+        "running_window": q_running_window,
+        "exists_subquery": q_exists_subquery,
+        "corpus_curation": q_corpus_curation,
         "rollup_returnflag": q_rollup_returnflag,
         "distinct_supp_per_flag": q_distinct_supp_per_flag,
         "topk_orders": q_topk_orders,
@@ -1514,6 +1632,9 @@ def oracle_sql() -> dict[str, str]:
         "setops_nations": SQL_SETOPS,
         "setops_multiset": SQL_SETOPS_MULTISET,
         "map_props": SQL_MAP_PROPS,
+        "running_window": SQL_RUNNING_WINDOW,
+        "exists_subquery": SQL_EXISTS,
+        "corpus_curation": _corpus_curation_oracle_sql(),
         "rollup_returnflag": SQL_ROLLUP,
         "distinct_supp_per_flag": SQL_DISTINCT_SUPP,
         "topk_orders": SQL_TOPK_ORDERS,

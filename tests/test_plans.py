@@ -86,3 +86,14 @@ def test_topk_plans_take_ordered(spark):
     from tdataframe_spark.plans import explain_str
 
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_exists_rewrites_to_semi_anti_join(spark):
+    """Correlated EXISTS / NOT EXISTS must become semi/anti joins, not
+    per-row subquery execution."""
+    import __spark_entry__ as entrymod
+    from tdataframe_spark.plans import explain_str
+
+    df = entrymod.q_exists_subquery(spark, SF)
+    text = explain_str(df, "simple")
+    assert "LeftSemi" in text and "LeftAnti" in text, text
