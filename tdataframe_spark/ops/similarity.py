@@ -89,8 +89,8 @@ def cosine_pairs(
 ) -> DataFrame:
     """All vector pairs with cosine similarity above ``threshold``
     (embedding near-duplicate detection). Brute-force O(n²) scoring —
-    correct and exact; at corpus scale use ``lsh_bucket_topk``-style
-    bucketing to bound the pair space instead.
+    correct and exact; at corpus scale use ``lsh_cosine_pairs``, which
+    bounds the pair space with bucketing and verifies candidates exactly.
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b.
     """
@@ -215,6 +215,81 @@ def _probe_and_score(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: the LSH-bucketed variant of
+    ``cosine_pairs``. Vectors are sign-hashed into buckets by ``n_tables``
+    independent hyperplane sets; only same-bucket pairs (in any table) are
+    scored exactly, then threshold-filtered — candidate generation is
+    linear-ish in corpus size instead of the all-pairs O(n²) crossJoin.
+
+    No false positives (exact verification); false negatives at the usual
+    LSH rate — two vectors above threshold missed only if they disagree on
+    ≥1 bit in EVERY table (P ≈ (1-(θ'/π)^n_bits-ish); raise n_tables for
+    recall). Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    import random
+
+    rng = random.Random(seed)
+    u = _normalized(df, id_col, vec_col, "__id")
+
+    def table_bucket(vec, planes):
+        bits = []
+        for b, plane in enumerate(planes):
+            prods = F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            )
+            s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+            bits.append(F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        out = bits[0]
+        for t in bits[1:]:
+            out = out + t
+        return out
+
+    # one struct-array explode for ALL tables — a single pass over the
+    # vectors, not n_tables scans
+    tables = []
+    for ti in range(n_tables):
+        planes = [
+            [rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_bits)
+        ]
+        tables.append(
+            F.struct(
+                F.lit(ti).alias("__t"),
+                table_bucket(F.col("__vn"), planes).alias("__b"),
+            )
+        )
+    bucketed = u.select(
+        "__id", "__vn", F.explode(F.array(*tables)).alias("__tb")
+    ).select("__id", "__vn", F.col("__tb.__t").alias("__t"), F.col("__tb.__b").alias("__b"))
+
+    a = bucketed.select(
+        F.col("__id").alias("id_a"), F.col("__vn").alias("__va"), "__t", "__b"
+    )
+    b = bucketed.select(
+        F.col("__id").alias("id_b"), F.col("__vn").alias("__vb"), "__t", "__b"
+    )
+    cand = (
+        a.join(b, ["__t", "__b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])  # same pair may collide in 2+ tables
+    )
+    return cand.select(
+        "id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") > threshold)
 
 
 def ivf_topk(

@@ -347,3 +347,45 @@ def test_multimodal_metadata_and_frames(spark, docs):
     assert arow["sample_rate"] is not None and arow["width"] is None
     # non-video kinds pass through frame sampling as a single frame
     assert sample_frames(audio).count() == 5
+
+
+def test_lsh_cosine_pairs_subset_of_exact(spark):
+    """LSH-bucketed threshold pairs on a corpus with planted near-dups
+    (cos >= ~0.98): every emitted pair is an exact-verified true positive
+    (subset of brute-force cosine_pairs, identical fold arithmetic) and
+    recall on genuinely-near pairs beats a floor — the regime the operator
+    targets (sign-LSH recall decays for low thresholds by construction)."""
+    import random
+
+    from tdataframe_spark.ops.similarity import cosine_pairs, lsh_cosine_pairs
+
+    rng = random.Random(0)
+    dim = 16
+    rows = []
+    for i in range(120):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append(Row(vec_id=i, embedding=base))
+        if i < 40:  # plant a near-duplicate of the first 40
+            rows.append(
+                Row(
+                    vec_id=1000 + i,
+                    embedding=[x + rng.gauss(0, 0.02) for x in base],
+                )
+            )
+    emb = spark.createDataFrame(rows)
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, threshold=0.9).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_cosine_pairs(
+            emb, threshold=0.9, dim=dim, n_tables=6
+        ).collect()
+    }
+    assert set(approx) <= set(exact)  # no false positives, ever
+    for k, v in approx.items():
+        assert v == exact[k]  # same ordered-fold arithmetic
+    assert len(exact) >= 40  # the planted pairs are above threshold
+    assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
