@@ -5,6 +5,7 @@ from tdataframe_spark.streaming.ops import (
     run_to_memory_sink,
     stream_from_files,
     stream_from_kafka,
+    stream_to_parquet,
     stream_stream_join,
     windowed_agg,
 )
@@ -17,5 +18,6 @@ __all__ = [
     "stream_stream_join",
     "kafka_reader",
     "stream_from_kafka",
+    "stream_to_parquet",
     "parse_kafka_json",
 ]

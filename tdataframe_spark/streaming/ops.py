@@ -173,6 +173,32 @@ def parse_kafka_json(
     ).select("__j.*", ts_col)
 
 
+def stream_to_parquet(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    available_now: bool = True,
+):
+    """Durable streaming sink: parquet files + checkpointed offsets =
+    exactly-once file output (the production counterpart of the memory
+    sink). ``available_now=True`` drains everything currently available
+    then stops — the batch-refresh pattern; ``False`` runs continuously
+    until the caller stops the returned query."""
+    w = (
+        result.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def run_to_memory_sink(
     result: DataFrame, query_name: str | None = None, mode: str = "append"
 ) -> tuple[str, object]:

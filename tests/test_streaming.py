@@ -242,3 +242,24 @@ def test_kafka_reader_is_configured(spark):
         spark, "broker:9092", "events", maxOffsetsPerTrigger="1000"
     )
     assert reader._jreader is not None  # configured, unloaded
+
+
+def test_stream_to_parquet_exactly_once(spark, stream_dir, tmp_path):
+    """Durable parquet sink with availableNow: drains the source, writes
+    every row exactly once, and a restart with the same checkpoint writes
+    nothing new (offsets are committed)."""
+    from tdataframe_spark.streaming import stream_to_parquet
+
+    batch = spark.read.parquet(stream_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = stream_from_files(spark, stream_dir, batch.schema)
+    stream_to_parquet(stream.filter(F.col("value") > 0), out, ckpt)
+    expect = batch.filter("value > 0").count()
+    assert spark.read.parquet(out).count() == expect
+
+    # second run, same checkpoint: no new input → no duplicate rows
+    stream2 = stream_from_files(spark, stream_dir, batch.schema)
+    stream_to_parquet(stream2.filter(F.col("value") > 0), out, ckpt)
+    assert spark.read.parquet(out).count() == expect

@@ -149,3 +149,49 @@ def test_exact_dedup_partition_invariant(spark, texts):
     ).collect()
     assert sum(r["n_dups"] for r in out) == len(texts)
     assert all(0 <= r["keep_id"] < len(texts) for r in out)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: distributed label propagation == a driver-side union-find
+    on random small graphs (labels = min reachable id)."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iterations=40).collect()
+    }
+    assert got == expect
