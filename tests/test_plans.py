@@ -97,3 +97,22 @@ def test_exists_rewrites_to_semi_anti_join(spark):
     df = entrymod.q_exists_subquery(spark, SF)
     text = explain_str(df, "simple")
     assert "LeftSemi" in text and "LeftAnti" in text, text
+
+
+def test_range_join_predicate_in_join_condition(spark):
+    """The range predicate must live in the Join node itself (a post-Filter
+    would silently break left-join semantics and delay row elimination)."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.operators.rangejoin import range_join
+    from tdataframe_spark.plans import explain_str
+
+    points = spark.createDataFrame([Row(p=1.0)])
+    iv = spark.createDataFrame([Row(name="a", lo=0.0, hi=2.0)])
+    df = range_join(points, iv, "p", "lo", "hi", bucket_width=1.0)
+    text = explain_str(df, "simple")
+    join_lines = [ln for ln in text.splitlines() if "Join [__bucket" in ln]
+    assert join_lines, text
+    # the residual range condition sits ON the join, e.g.
+    #   SortMergeJoin [__bucket#4L], [__bucket#6L], Inner, ((p#0 >= lo#2) AND (p#0 <= hi#3))
+    assert any(">= lo" in ln and "<= hi" in ln for ln in join_lines), text
