@@ -1263,6 +1263,74 @@ GROUP BY lang_guess
 """
 
 
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark, sf):
+    """Training-batch sequence packing (concat-and-chunk per hash shard):
+    deterministic chunk/offset layout for every document. Shard = portable
+    md5 hash so the oracle can mirror it (pmod of the 60-bit hash)."""
+    from tdataframe_spark.functions.numeric import portable_hash64
+    from tdataframe_spark.ops.textstats import doc_stats, pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    toks = doc_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    toks = toks.withColumn(
+        "shard", F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(PACK_SHARDS))
+    )
+    return pack_sequences(
+        toks, "doc_id", "n_tokens", budget=PACK_BUDGET, shard_col="shard"
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM documents
+),
+laid AS (
+  SELECT id, tokens, shard,
+         COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM toks
+)
+SELECT id, tokens, shard,
+       CAST(FLOOR(start / {PACK_BUDGET}) AS BIGINT) AS chunk,
+       start % {PACK_BUDGET} AS offset_in_chunk,
+       CAST(FLOOR((start + greatest(tokens, 1) - 1) / {PACK_BUDGET}) - FLOOR(start / {PACK_BUDGET}) + 1 AS BIGINT) AS n_chunks_spanned
+FROM laid
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sample: 20% of orders per orderpriority
+    stratum, selected by portable-hash order — engine-independent rows."""
+    from tdataframe_spark.ops.textstats import stratified_sample
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return stratified_sample(o, ["o_orderpriority"], 0.2, "o_orderkey")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT),
+                    o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM ranked WHERE rn <= CEIL(n * 0.2)
+"""
+
+
 def q_pivot_status(spark, sf):
     """Pivot: returnflag columns per linestatus (wide conditional agg)."""
     li = _t(spark, sf, "lineitem")
@@ -1571,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_running_window,
         "exists_subquery": q_exists_subquery,
         "corpus_curation": q_corpus_curation,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         "rollup_returnflag": q_rollup_returnflag,
         "distinct_supp_per_flag": q_distinct_supp_per_flag,
         "topk_orders": q_topk_orders,
@@ -1635,6 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         "running_window": SQL_RUNNING_WINDOW,
         "exists_subquery": SQL_EXISTS,
         "corpus_curation": _corpus_curation_oracle_sql(),
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "rollup_returnflag": SQL_ROLLUP,
         "distinct_supp_per_flag": SQL_DISTINCT_SUPP,
         "topk_orders": SQL_TOPK_ORDERS,

@@ -389,3 +389,45 @@ def test_lsh_cosine_pairs_subset_of_exact(spark):
         assert v == exact[k]  # same ordered-fold arithmetic
     assert len(exact) >= 40  # the planted pairs are above threshold
     assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk layout invariants per shard: contiguous offsets,
+    offset < budget, non-straddling docs fit inside their chunk, and the
+    stream is gap-free (next start = prev start + prev tokens)."""
+    from tdataframe_spark.ops.textstats import pack_sequences
+
+    rows = [Row(doc_id=i, toks=(i * 37) % 900 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = pack_sequences(df, "doc_id", "toks", budget=512, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["id"])
+        pos = 0
+        for r in shard_rows:
+            assert r["chunk"] == pos // 512
+            assert r["offset_in_chunk"] == pos % 512
+            end_chunk = (pos + max(r["tokens"], 1) - 1) // 512
+            assert r["n_chunks_spanned"] == end_chunk - r["chunk"] + 1
+            if r["n_chunks_spanned"] == 1:
+                assert r["offset_in_chunk"] + r["tokens"] <= 512
+            pos += r["tokens"]
+
+
+def test_stratified_sample_exact_rates(spark):
+    """Every stratum is sampled at ceil(frac*n) regardless of skew, and the
+    selection is deterministic across calls."""
+    from tdataframe_spark.ops.textstats import stratified_sample
+
+    rows = [Row(k=i, g="big") for i in range(1000)] + [
+        Row(k=10000 + i, g="small") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows)
+    s1 = stratified_sample(df, ["g"], 0.1, "k")
+    counts = {r["g"]: r["n"] for r in s1.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 100, "small": 1}
+    s2 = {r["k"] for r in stratified_sample(df, ["g"], 0.1, "k").collect()}
+    assert {r["k"] for r in s1.collect()} == s2
