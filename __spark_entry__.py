@@ -1331,6 +1331,28 @@ FROM ranked WHERE rn <= CEIL(n * 0.2)
 """
 
 
+def q_merge_upsert(spark, sf):
+    """CDC-style upsert merge: a 10% batch of re-priced orders replaces the
+    originals, unseen keys would append (anti-join + union = one key
+    shuffle; SQL MERGE semantics without a table format)."""
+    from tdataframe_spark import Frame
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    return Frame(o).upsert(upd, on=["o_orderkey"]).df
+
+
+SQL_MERGE_UPSERT = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 10 != 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
 def q_pivot_status(spark, sf):
     """Pivot: returnflag columns per linestatus (wide conditional agg)."""
     li = _t(spark, sf, "lineitem")
@@ -1641,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "merge_upsert": q_merge_upsert,
         "rollup_returnflag": q_rollup_returnflag,
         "distinct_supp_per_flag": q_distinct_supp_per_flag,
         "topk_orders": q_topk_orders,
@@ -1707,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _corpus_curation_oracle_sql(),
         "pack_sequences": SQL_PACK_SEQUENCES,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "merge_upsert": SQL_MERGE_UPSERT,
         "rollup_returnflag": SQL_ROLLUP,
         "distinct_supp_per_flag": SQL_DISTINCT_SUPP,
         "topk_orders": SQL_TOPK_ORDERS,

@@ -487,6 +487,17 @@ class Frame:
         right = other.df if isinstance(other, Frame) else other
         return self._derive(self._df.intersectAll(right))
 
+    def upsert(self, updates: "Frame | DataFrame", on: Sequence[str]) -> "Frame":
+        """CDC-style merge: rows from ``updates`` replace rows with the same
+        key; new keys append (SQL MERGE's update+insert arms). Planned as
+        anti-join + union — ONE shuffle on the key, no per-column coalesce
+        over a full outer join, and the anti side broadcasts when updates
+        are small. Schemas must match by name."""
+        right = updates.df if isinstance(updates, Frame) else updates
+        keys = right.select(*on).distinct()
+        kept = self._df.join(keys, list(on), "left_anti")
+        return self._derive(kept.unionByName(right))
+
     def except_all(self, other: "Frame | DataFrame") -> "Frame":
         right = other.df if isinstance(other, Frame) else other
         return self._derive(self._df.exceptAll(right))

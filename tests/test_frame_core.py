@@ -287,3 +287,12 @@ def test_take_iter_streams_values(f1):
     first = next(it)
     assert ct.ready  # flushed before iteration began
     assert sorted([first] + list(it)) == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_upsert_replaces_and_appends(spark):
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    upd = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
+    out = {r["k"]: r["v"] for r in Frame(base).upsert(upd, on=["k"]).df.collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
