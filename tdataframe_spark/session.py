@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime row-level join pruning: inject a bloom filter built from
+        # the filtered small side into the big side's scan — on a selective
+        # dim-fact join this cuts the fact shuffle before it happens (off by
+        # default in Spark; a pure win at 100 TB, negligible below).
+        # Do NOT also enable runtimeFilter.semiJoinReduction: on this Spark
+        # build it sends bucketed-join planning into a loop (test hang).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         # many distinct codegen'd plans in one session exhaust the default
         # 240m code cache, silently disabling JIT and slowing late queries
