@@ -116,3 +116,44 @@ def test_range_join_predicate_in_join_condition(spark):
     # the residual range condition sits ON the join, e.g.
     #   SortMergeJoin [__bucket#4L], [__bucket#6L], Inner, ((p#0 >= lo#2) AND (p#0 <= hi#3))
     assert any(">= lo" in ln and "<= hi" in ln for ln in join_lines), text
+
+
+def test_runtime_bloom_filter_injection_path_live(spark):
+    """The session enables runtime bloom-filter join pruning
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`). At production scale
+    Spark only injects the filter when the fact-side scan exceeds
+    `applicationSideScanSizeThreshold` (10 GB default) — unreachable in a
+    local test — so lower the thresholds and assert the injection machinery
+    actually rewrites a selective dim→fact join to probe a bloom filter
+    (`might_contain`) on the fact side before the shuffle."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        # force a shuffle join so the bloom filter (not a broadcast) is the
+        # mechanism that prunes the fact side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice"
+        )
+        text = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in text or "bloom_filter_agg" in text, text
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
