@@ -1597,6 +1597,198 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# round-2 widening: classic multi-join / disjunctive / having-subquery
+# shapes plus corpus heavy-hitters and a semantic-dedup composite
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+Q18_MIN_QTY = 300.0
+SEMDEDUP_T = 0.35
+
+
+def q_q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: bilateral trade volume within a nation set — the same
+    dimension joined twice under different roles (supplier vs customer
+    nation), an inequality predicate across the two aliases, grouped by both
+    role columns and ship year. Both nation aliases broadcast."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation").filter(F.col("n_name").isin(*Q7_NATIONS))
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__s_natkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__c_natkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("__s_natkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("__c_natkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+
+
+SQL_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN {Q7_NATIONS!r} AND n2.n_name IN {Q7_NATIONS!r}
+  AND n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: aggregate-then-join — orders whose lineitems exceed a
+    total-quantity threshold (HAVING over a grouped subquery), joined back to
+    orders and customer for the report columns."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+SQL_Q18 = f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM (SELECT l_orderkey, {_dsum_sql('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING {_dsum_sql('l_quantity')} > {Q18_MIN_QTY}) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape: disjunction of conjunctive blocks spanning both join
+    sides (brand × size × quantity ranges). The whole OR predicate lives in
+    the join condition of a broadcast join, so each block's part-side
+    conjuncts can prune before the probe."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    block = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (part.p_brand == brand)
+        & part.p_size.between(s_lo, s_hi)
+        & li.l_quantity.between(q_lo, q_hi)
+    )
+    cond = (li.l_partkey == part.p_partkey) & (
+        block("Brand#12", 1, 15, 1, 21)
+        | block("Brand#23", 10, 30, 10, 30)
+        | block("Brand#34", 20, 50, 20, 40)
+    )
+    return li.join(F.broadcast(part), cond).agg(
+        dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+SQL_Q19 = f"""
+SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q_top_ngrams(spark, sf):
+    """Corpus heavy-hitters: top-20 word trigrams by document frequency
+    (shingles are distinct per doc, so count = df). Deterministic k-cut via
+    (df DESC, shingle ASC) total order. The frequent-n-gram report is the
+    contamination / boilerplate detector of a training-data pipeline."""
+    from tdataframe_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf, "documents")
+    sh = docs.select(F.explode(word_shingles("text", JACCARD_N)).alias("sh"))
+    return (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("sh").asc())
+        .limit(20)
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH {SQL_SHINGLES}
+SELECT sh, CAST(COUNT(*) AS BIGINT) AS df
+FROM sh GROUP BY sh
+ORDER BY df DESC, sh ASC LIMIT 20
+"""
+
+
+def q_semantic_dedup(spark, sf):
+    """Semantic near-dup clustering end-to-end: exact cosine pairs over the
+    embedding table → connected components → cluster cardinality per
+    representative (min reachable id). The oracle mirrors the whole pipeline
+    with a recursive CTE."""
+    from tdataframe_spark.ops.dedup import connected_components
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=SEMDEDUP_T)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]),
+                          (p, s) -> p + s)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS vn
+  FROM n
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.vn, b.vn), x -> x[1] * x[2]),
+                    (p, s) -> p + s) > {SEMDEDUP_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION
+  SELECT w.id, e.dst
+  FROM walk w JOIN edges e ON w.reach = e.src
+),
+lab AS (SELECT id, MIN(reach) AS component FROM walk GROUP BY id)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM lab GROUP BY component
+"""
+
+
 # non-SQL-expressible ops (rows-only checks): multimodal stub, LSH ANN
 
 
@@ -1664,6 +1856,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "merge_upsert": q_merge_upsert,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive": q_q19_disjunctive,
+        "top_ngrams": q_top_ngrams,
+        "semantic_dedup": q_semantic_dedup,
         "rollup_returnflag": q_rollup_returnflag,
         "distinct_supp_per_flag": q_distinct_supp_per_flag,
         "topk_orders": q_topk_orders,
@@ -1731,6 +1928,11 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "merge_upsert": SQL_MERGE_UPSERT,
+        "q7_volume_shipping": SQL_Q7,
+        "q18_large_orders": SQL_Q18,
+        "q19_disjunctive": SQL_Q19,
+        "top_ngrams": SQL_TOP_NGRAMS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "rollup_returnflag": SQL_ROLLUP,
         "distinct_supp_per_flag": SQL_DISTINCT_SUPP,
         "topk_orders": SQL_TOPK_ORDERS,
