@@ -73,3 +73,46 @@ def test_observe_fusion_empty_frame(spark):
     taken = fr.take("x")  # unbounded take is full-scan → carrier
     assert taken.get() == []
     assert cnt.get() == 0
+
+
+def test_salting_bounds_hot_key_reducer_work(spark):
+    """The property that makes salting matter at 100 TB: a key holding 90%
+    of rows must spread ~evenly over the salt buckets, so no single reducer
+    sees more than ~1/salt_buckets of the hot key's rows. Mirrors the
+    operators' salting recipe (rand(seed=0) routing) and checks the
+    per-(key, salt) bucket sizes directly."""
+    buckets = 8
+    hot = 9_000
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < hot, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    salted = df.withColumn("__salt", (F.rand(seed=0) * buckets).cast("int"))
+    sizes = [
+        r["c"]
+        for r in salted.filter("k = 0")
+        .groupBy("__salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert len(sizes) == buckets  # every bucket participates
+    assert sum(sizes) == hot
+    # no straggler: the largest bucket holds well under 2x the fair share
+    assert max(sizes) < 2 * hot / buckets, sizes
+
+
+def test_salted_group_count_on_skewed_input(spark):
+    """Correctness under real skew (not just uniform keys): 90% of rows on
+    one key, remainder scattered."""
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(0)).otherwise(F.col("id") % 7).alias("k")
+    )
+    plain = {
+        r["k"]: r["cnt"]
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    salted = {
+        r["k"]: r["cnt"] for r in salted_group_count(df, ["k"], salt_buckets=8).collect()
+    }
+    assert plain == salted
