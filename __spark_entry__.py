@@ -1738,6 +1738,208 @@ ORDER BY df DESC, sh ASC LIMIT 20
 """
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition quality signals (dup-word fraction, top
+    n-gram fraction) — the boilerplate/spam markers of corpus filtering."""
+    from tdataframe_spark.ops.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf, "documents"), "doc_id", "text", n=JACCARD_N)
+
+
+SQL_REPETITION = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g0 AS (
+  SELECT doc_id, ws[s] || ' ' || ws[s+1] || ' ' || ws[s+2] AS g
+  FROM w, UNNEST(generate_series(1, len(ws) - {JACCARD_N - 1})) AS t(s)
+),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g0 GROUP BY 1, 2),
+gs AS (SELECT doc_id, MAX(c) AS m, SUM(c) AS tot FROM gc GROUP BY 1)
+SELECT w.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+           / CAST(greatest(len(ws), 1) AS DOUBLE) AS dup_word_frac,
+       COALESCE(CAST(m AS DOUBLE) / CAST(tot AS DOUBLE), 0.0) AS top_gram_frac
+FROM w LEFT JOIN gs USING (doc_id)
+"""
+
+
+EVAL_MOD = 50  # every 50th doc plays the held-out eval set
+
+
+def q_decontamination(spark, sf):
+    """Benchmark decontamination: corpus docs sharing any word trigram with
+    the (broadcast) eval set, with contaminated-shingle counts."""
+    from tdataframe_spark.ops.dedup import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return decontaminate(corpus, ev, "doc_id", "text", n=JACCARD_N)
+
+
+SQL_DECONTAMINATION = f"""
+WITH {SQL_SHINGLES},
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+co AS (SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM co JOIN ev USING (sh) GROUP BY 1
+"""
+
+
+def q_pii_redact(spark, sf):
+    """PII redaction over a deterministically synthesized PII-laden text
+    (the slim customer table carries no emails/IPs, so the query plants
+    them identically in both engines): count matches, then mask."""
+    from tdataframe_spark.functions.text import count_pii, redact_pii
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.col("c_name"),
+        F.lit(" user"), k.cast("string"),
+        F.lit("@example.com ip 10.0."), (k % 256).cast("string"),
+        F.lit("."), (F.col("c_nationkey") % 256).cast("string"),
+        F.lit(" tel "), (k % 90 + 10).cast("string"),
+        F.lit("-555-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    return c.select(
+        "c_custkey",
+        redact_pii(text).alias("redacted"),
+        count_pii(text).alias("n_pii"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from tdataframe_spark.functions.text import PII_PATTERNS
+
+    text = (
+        "c_name || ' user' || CAST(c_custkey AS VARCHAR)"
+        " || '@example.com ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)"
+        " || '.' || CAST(c_nationkey % 256 AS VARCHAR)"
+        " || ' tel ' || CAST(c_custkey % 90 + 10 AS VARCHAR)"
+        " || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    )
+    red = text
+    for pat, token in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    cnt = " + ".join(
+        f"len(regexp_extract_all({text}, '{pat}'))"
+        for pat, _ in PII_PATTERNS.values()
+    )
+    return f"""
+SELECT c_custkey, {red} AS redacted, CAST({cnt} AS BIGINT) AS n_pii
+FROM customer
+"""
+
+
+MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1, "src3": 1}
+
+
+def q_domain_mix(spark, sf):
+    """Domain-mixture sampling at exact integer weight ratios (3:2:1:1 over
+    four sources), deterministic via portable-hash ordering."""
+    from tdataframe_spark.ops.textstats import mix_domains
+
+    return mix_domains(_t(spark, sf, "documents"), "source", MIX_WEIGHTS, "doc_id")
+
+
+def _domain_mix_oracle_sql() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())
+    return f"""
+WITH wt(source, w) AS (VALUES {vals}),
+d AS (SELECT doc_id, source, w FROM documents JOIN wt USING (source)),
+c AS (SELECT source, MIN(w) AS w, COUNT(*) AS n FROM d GROUP BY source),
+t AS (SELECT MIN(n // w) AS t FROM c),
+r AS (
+  SELECT doc_id, source, w,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM d
+)
+SELECT doc_id, source FROM r, t WHERE rn <= w * t.t
+"""
+
+
+Q17_BRAND = "Brand#23"
+
+
+def q_q17_small_qty(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    subquery decorrelated Spark-first into a per-part aggregate joined back;
+    the brand-filtered part list is broadcast so only matching lineitems
+    flow. DuckDB oracle keeps the correlated form."""
+    li = _t(spark, sf, "lineitem")
+    pt = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li2 = li.join(F.broadcast(pt), "l_partkey").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg = li2.groupBy("l_partkey").agg(dmean("l_quantity").alias("avg_qty"))
+    return (
+        li2.join(avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+SQL_Q17 = f"""
+WITH pt AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+li2 AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN pt ON l_partkey = p_partkey
+)
+SELECT {_dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM li2 a
+WHERE l_quantity < 0.2 * (
+  SELECT {_dmean_sql('l_quantity')} FROM li2 b WHERE b.l_partkey = a.l_partkey
+)
+"""
+
+
+Q22_DATE = "2001-06-01"  # "no recent orders" cutoff (corpus covers every
+# customer with at least one order, so the classic no-orders-ever predicate
+# would be empty at every SF)
+
+
+def q_q22_idle_customers(spark, sf):
+    """TPC-H Q22 shape (global-sales-opportunity): scalar subquery (avg
+    positive balance) broadcast, anti-join against recent orders, grouped
+    by nation. Exercises scalar-subquery + NOT EXISTS decorrelation."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit(Q22_DATE)
+    )
+    avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(dmean("c_acctbal").alias("__avg"))
+    cand = (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+    )
+    return cand.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
+SQL_Q22 = f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {_dsum_sql('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {_dmean_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '{Q22_DATE}')
+GROUP BY c_nationkey
+"""
+
+
 def q_semantic_dedup(spark, sf):
     """Semantic near-dup clustering end-to-end: exact cosine pairs over the
     embedding table → connected components → cluster cardinality per
@@ -1861,6 +2063,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q_q19_disjunctive,
         "top_ngrams": q_top_ngrams,
         "semantic_dedup": q_semantic_dedup,
+        "repetition_signals": q_repetition_signals,
+        "decontamination": q_decontamination,
+        "pii_redact": q_pii_redact,
+        "domain_mix": q_domain_mix,
+        "q17_small_qty": q_q17_small_qty,
+        "q22_idle_customers": q_q22_idle_customers,
         "rollup_returnflag": q_rollup_returnflag,
         "distinct_supp_per_flag": q_distinct_supp_per_flag,
         "topk_orders": q_topk_orders,
@@ -1933,6 +2141,12 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive": SQL_Q19,
         "top_ngrams": SQL_TOP_NGRAMS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "repetition_signals": SQL_REPETITION,
+        "decontamination": SQL_DECONTAMINATION,
+        "pii_redact": _pii_oracle_sql(),
+        "domain_mix": _domain_mix_oracle_sql(),
+        "q17_small_qty": SQL_Q17,
+        "q22_idle_customers": SQL_Q22,
         "rollup_returnflag": SQL_ROLLUP,
         "distinct_supp_per_flag": SQL_DISTINCT_SUPP,
         "topk_orders": SQL_TOPK_ORDERS,

@@ -57,6 +57,52 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """All word n-grams in order, duplicates kept (unlike ``word_shingles``
+    which is the distinct set) — the per-document frequency view that
+    repetition-quality signals need. JVM-side sequence+transform."""
+    w = words(text)
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data hygiene)
+#
+# Patterns live in the Java-regex ∩ RE2 subset so DuckDB (RE2) computes the
+# same matches; insertion order IS the redaction order (emails first — they
+# contain dotted/numeric substrings the later patterns could split).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    "ipv4": ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    "phone": ("[0-9]{2,3}-[0-9]{3,4}-[0-9]{3,4}(-[0-9]{4})?", "<PHONE>"),
+}
+
+
+def count_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Total PII matches in the ORIGINAL text (sum over pattern kinds)."""
+    t = _c(text)
+    out = F.lit(0)
+    for kind in kinds or list(PII_PATTERNS):
+        out = out + F.regexp_count(t, F.lit(PII_PATTERNS[kind][0]))
+    return out.cast("long")
+
+
+def redact_pii(
+    text: Column | str, kinds: list[str] | None = None
+) -> Column:
+    """Replace every PII match with its kind token (``<EMAIL>`` etc.),
+    chained in ``PII_PATTERNS`` order. Pure ``regexp_replace`` — JVM-side,
+    streaming-safe, and exactly reproducible in any RE2/PCRE engine."""
+    out = _c(text)
+    for kind in kinds or list(PII_PATTERNS):
+        pat, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def stopword_ratio(text: Column | str, markers: list[str]) -> Column:
     """(# marker-word occurrences) / (# words); word-boundary matching."""
     pat = "(^| )(" + "|".join(markers) + ")( |$)"

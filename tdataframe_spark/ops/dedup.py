@@ -77,6 +77,39 @@ def exact_dedup_groups(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination check: flag corpus documents that share at
+    least one word ``n``-gram with any document in ``eval_df`` (the held-out
+    eval/benchmark set). Returns ``(id, n_hits)`` where ``n_hits`` is the
+    number of distinct contaminated shingles — join back on id to drop or
+    quarantine the flagged docs.
+
+    Scale shape: eval sets are tiny next to a training corpus, so the
+    distinct eval-shingle set is broadcast (``broadcast_eval=True``) and
+    the check is one map-side semi-ish join over the corpus shingle stream —
+    no shuffle of corpus-sized data beyond the per-doc count. Set
+    ``broadcast_eval=False`` for pathological eval sets to fall back to a
+    shuffle join.
+    """
+    csh = _shingle_table(corpus, id_col, text_col, n)
+    esh = _shingle_table(eval_df, id_col, text_col, n).select("__sh").distinct()
+    if broadcast_eval:
+        esh = F.broadcast(esh)
+    return (
+        csh.join(esh, "__sh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select(F.col("__id").alias(id_col), "n_hits")
+    )
+
+
 def _shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

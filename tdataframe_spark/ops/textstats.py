@@ -89,6 +89,108 @@ def pack_sequences(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_words``         whitespace word count
+    - ``dup_word_frac``   1 - |distinct words| / |words| (0 = no repeats)
+    - ``top_gram_frac``   count of the most frequent word ``n``-gram /
+                          total n-gram count (0 when the doc is shorter
+                          than ``n`` words)
+
+    High values of either fraction are the classic boilerplate/spam
+    markers used by corpus-quality filters. Word-level fractions are pure
+    JVM array expressions (no shuffle); the n-gram mode needs the
+    per-(doc, gram) frequency table, one explode + two hash aggregations
+    keyed by doc — linear in corpus token count, no all-pairs anywhere.
+    All ratios are integer-derived doubles (cross-engine exact).
+    """
+    from tdataframe_spark.functions.text import word_ngrams, words
+
+    df = ensure_min_partitions(df)
+    w = words(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(w)).cast("double")
+            / F.greatest(F.size(w), F.lit(1)).cast("double")
+        ).alias("dup_word_frac"),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__g")
+    )
+    per_gram = grams.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("__c").alias("__m"), F.sum("__c").alias("__tot")
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        "dup_word_frac",
+        F.coalesce(
+            F.col("__m").cast("double") / F.col("__tot").cast("double"),
+            F.lit(0.0),
+        ).alias("top_gram_frac"),
+    )
+
+
+def mix_domains(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, int],
+    id_col: str,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: downsample each listed domain
+    so the output matches the integer weight ratios exactly at the largest
+    achievable size. With ``t = min_d floor(n_d / w_d)`` every domain ``d``
+    keeps exactly ``w_d * t`` rows — integer math only, so any engine picks
+    the identical sample. Rows are chosen by portable-hash order within the
+    domain (decorrelated from ingestion order); unlisted domains drop out.
+
+    Scale shape: the per-domain counts are a tiny aggregate broadcast back;
+    the only big operation is one window rank per domain. For domains so
+    large that a single ordered partition is a bottleneck, switch to
+    threshold-hash sampling (rate = w_d*t/n_d) — approximate counts, no
+    ordering; this operator favors exactness.
+    """
+    from pyspark.sql import Window
+
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    d = df.filter(F.col(domain_col).isin(list(weights)))
+    counts = d.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    t = counts.select(
+        F.min(F.expr(f"__n div {_weight_case(domain_col, weights)}")).alias("__t")
+    )
+    h = portable_hash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(t))
+        .filter(F.col("__rn") <= wmap[F.col(domain_col)] * F.col("__t"))
+        .select(F.col(id_col), F.col(domain_col))
+    )
+
+
+def _weight_case(domain_col: str, weights: dict[str, int]) -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in weights.items()
+    )
+    return f"(CASE {domain_col} {arms} END)"
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

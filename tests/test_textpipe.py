@@ -1,0 +1,83 @@
+"""Unit tests for the training-data text-pipeline operators added on top of
+doc_stats: repetition signals, eval-set decontamination, PII redaction, and
+domain-mixture sampling."""
+
+from __future__ import annotations
+
+from tdataframe_spark.functions.text import count_pii, redact_pii
+from tdataframe_spark.ops.dedup import decontaminate
+from tdataframe_spark.ops.textstats import mix_domains, repetition_signals
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_values(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a a a"),            # 4 words, 1 distinct; bigrams: "a a" x3
+            (2, "w x y z"),            # no repetition
+            (3, "hi"),                 # shorter than n -> no grams
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(df, "doc_id", "text", n=2).collect()
+    }
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["top_gram_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0
+    # "w x","x y","y z" all distinct -> top fraction 1/3
+    assert abs(out[2]["top_gram_frac"] - 1 / 3) < 1e-12
+    assert out[3]["top_gram_frac"] == 0.0 and out[3]["dup_word_frac"] == 0.0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),   # shares trigram with eval 100
+            (2, "completely unrelated words here"),
+        ],
+    )
+    ev = _docs(spark, [(100, "quick brown fox trot")])
+    out = decontaminate(corpus, ev, "doc_id", "text", n=3)
+    rows = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert rows == {1: 1}  # only "quick brown fox" is shared
+    # eval side is broadcast: the join must not shuffle the corpus shingles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_redact_and_count_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.org ip 10.0.0.1 tel 22-555-0099 done")],
+        "id long, t string",
+    )
+    row = df.select(
+        redact_pii("t").alias("r"), count_pii("t").alias("n")
+    ).first()
+    assert row["r"] == "mail <EMAIL> ip <IP> tel <PHONE> done"
+    assert row["n"] == 3
+
+
+def test_mix_domains_exact_ratios_and_determinism(spark):
+    rows = [(i, "a") for i in range(100)] + [(i + 1000, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # t = min(100//3, 10//1) = 10 -> keep 30 a's and 10 b's
+    out = mix_domains(df, "source", {"a": 3, "b": 1}, "doc_id")
+    got = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"a": 30, "b": 10}
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mix_domains(df, "source", {"a": 3, "b": 1}, "doc_id").collect()
+    )
+    assert ids1 == ids2  # hash-ordered pick is deterministic
+    # unlisted domains are dropped entirely
+    df2 = df.union(spark.createDataFrame([(5000, "junk")], df.schema))
+    out2 = mix_domains(df2, "source", {"a": 3, "b": 1}, "doc_id")
+    assert out2.filter("source = 'junk'").count() == 0
