@@ -53,6 +53,20 @@ def from_rows(
     return Frame(spark.createDataFrame(rows, schema=schema))
 
 
+def read_orc(
+    spark: SparkSession,
+    *paths: str,
+    default_columns: Sequence[str] = (),
+) -> Frame:
+    """ORC source (schema is self-describing, like parquet; Spark's reader
+    is vectorized and supports predicate pushdown + column pruning)."""
+    return Frame(spark.read.orc(list(paths)), default_columns=default_columns)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", header).csv(path)
 

@@ -3,6 +3,7 @@ from tdataframe_spark.streaming.ops import (
     kafka_reader,
     parse_kafka_json,
     run_to_memory_sink,
+    session_agg,
     stream_from_files,
     stream_from_kafka,
     stream_to_parquet,
@@ -15,6 +16,7 @@ __all__ = [
     "windowed_agg",
     "run_to_memory_sink",
     "dedup_stream",
+    "session_agg",
     "stream_stream_join",
     "kafka_reader",
     "stream_from_kafka",

@@ -66,6 +66,41 @@ def windowed_agg(
     )
 
 
+def session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, F.Column] | None = None,
+    watermark: str = "10 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Native session-window aggregation (``F.session_window``): windows
+    grow while events keep arriving within ``gap`` of the previous one and
+    close after a silence — Spark merges overlapping session state per key,
+    and the watermark finalizes (and evicts) sessions once no earlier data
+    can arrive. This is the built-in counterpart of the
+    ``applyInPandasWithState`` sessionizer in ``streaming/stateful.py``
+    (use that one when per-session logic goes beyond aggregates).
+
+    Identical expression works in batch mode — parity-tested both ways.
+    """
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    keys = [F.session_window(F.col(ts_col), gap)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(*[e.alias(n) for n, e in aggs.items()])
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *(group_cols or []),
+            *aggs.keys(),
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

@@ -33,6 +33,20 @@ def test_json_roundtrip(spark, tmp_path):
     assert got == {1: [1.0, 2.0], 2: [3.0]}
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from tdataframe_spark.sources.files import read_orc, write_orc
+
+    fr = from_rows(spark, [Row(a=i, b=f"s{i}") for i in range(100)])
+    p = str(tmp_path / "orc")
+    write_orc(fr.df, p)
+    back = read_orc(spark, p).filter(F.col("a") < 10).df.select("a")
+    assert sorted(r["a"] for r in back.collect()) == list(range(10))
+    # filter + projection must reach the ORC scan (same contract as parquet)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(a,10)" in plan
+    assert "ReadSchema: struct<a:bigint>" in plan
+
+
 def test_salted_group_count_matches_plain(spark):
     df = spark.range(10_000).select(
         (F.col("id") % 5).alias("k")  # key 0 is as hot as the rest; fine

@@ -61,6 +61,44 @@ def test_windowed_stream_matches_batch(spark, stream_dir):
         q.stop()
 
 
+def test_session_window_stream_matches_batch(spark, stream_dir):
+    """Native session_window aggregation: emitted (finalized) sessions must
+    equal the batch session_window result for the same data."""
+    from tdataframe_spark.streaming import session_agg
+
+    batch = spark.read.parquet(stream_dir)
+    stream = stream_from_files(
+        spark, stream_dir, batch.schema, max_files_per_trigger=2
+    )
+    agg = session_agg(
+        stream,
+        "ts",
+        gap="30 minutes",
+        aggs={"n": F.count(F.lit(1)).cast("long")},
+        watermark="30 minutes",
+        group_cols=["user_id"],
+    )
+    name, q = run_to_memory_sink(agg)
+    try:
+        got = {
+            (r["session_start"], r["user_id"]): (r["session_end"], r["n"])
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        expect = {
+            (r["w"]["start"], r["user_id"]): (r["w"]["end"], r["n"])
+            for r in batch.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        assert got, "stream emitted no finalized sessions"
+        for k, v in got.items():
+            assert expect[k] == v
+    finally:
+        q.stop()
+
+
 def test_stateful_streaming_sessionize_matches_batch(spark, stream_dir, tmp_path):
     """Custom stateful operator (applyInPandasWithState): streaming session
     counts converge to the batch sessionize() result once all data arrived."""
