@@ -1863,6 +1863,55 @@ SELECT doc_id, source FROM r, t WHERE rn <= w * t.t
 """
 
 
+BM25_TERMS = ["spark", "hash", "merge"]
+BM25_K = 15
+
+
+def q_bm25_topk(spark, sf):
+    """Lexical retrieval: BM25 top-k over the corpus for a 3-term query.
+    Postings-only scoring (query terms pushed into the index scan), ordered
+    per-doc fold so double addition is canonical cross-engine. The score is
+    rounded to 9 dp at the query boundary: Java's Math.log and the oracle's
+    ln differ by 1 ulp on some inputs (observed at sf0.01), and 9 dp absorbs
+    that while keeping the ranking exact."""
+    from tdataframe_spark.ops.search import bm25_topk
+
+    out = bm25_topk(_t(spark, sf, "documents"), BM25_TERMS, k=BM25_K)
+    return out.select("id", F.round("score", 9).alias("score"), "n_terms_hit")
+
+
+def _bm25_oracle_sql() -> str:
+    from tdataframe_spark.ops.search import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1 = f"CAST({BM25_K1} AS DOUBLE)"
+    b = f"CAST({BM25_B} AS DOUBLE)"
+    return f"""
+WITH w AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
+lens AS (SELECT id, CAST(len(ws) AS BIGINT) AS len FROM w),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avglen
+      FROM lens),
+tf AS (SELECT id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w, UNNEST(ws) AS u(t) WHERE t IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT id, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf / (tf + {k1} * (1.0 - {b} + {b} * len / avglen)) AS wgt
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (id), g
+),
+agg AS (
+  SELECT id,
+         list_reduce(list(wgt ORDER BY term), (a, x) -> a + x) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM sc GROUP BY id
+)
+SELECT id, ROUND(score, 9) AS score, n_terms_hit FROM agg
+ORDER BY agg.score DESC, id ASC LIMIT {BM25_K}
+"""
+
+
 Q17_BRAND = "Brand#23"
 
 
@@ -2067,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "pii_redact": q_pii_redact,
         "domain_mix": q_domain_mix,
+        "bm25_topk": q_bm25_topk,
         "q17_small_qty": q_q17_small_qty,
         "q22_idle_customers": q_q22_idle_customers,
         "rollup_returnflag": q_rollup_returnflag,
@@ -2145,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": SQL_DECONTAMINATION,
         "pii_redact": _pii_oracle_sql(),
         "domain_mix": _domain_mix_oracle_sql(),
+        "bm25_topk": _bm25_oracle_sql(),
         "q17_small_qty": SQL_Q17,
         "q22_idle_customers": SQL_Q22,
         "rollup_returnflag": SQL_ROLLUP,

@@ -1,0 +1,116 @@
+"""Lexical retrieval over a document corpus: term statistics and BM25
+top-k scoring — the keyword-search/retrieval side of a training-data
+pipeline (query-based corpus inspection, boilerplate hunting, eval-leak
+checks by keyword).
+
+Scale shape: the term index is one explode + hash aggregation keyed by
+(term, doc) — linear in corpus token count; document frequencies are a
+term-keyed aggregate of that index; the query side is a literal `isin`
+filter (predicate-pushdown-friendly) so scoring only ever touches postings
+of the query terms, never the full index. Global scalars (N, avg doc
+length) are a 1-row aggregate broadcast into the scoring plan. No
+driver-side state beyond the query terms themselves.
+
+Determinism: all counts are integers; the only transcendental is `ln` in
+the BM25 idf. Both Spark (java.lang.Math.log) and the DuckDB oracle (ln)
+are evaluated over the same small set of rational inputs, which the oracle
+parity gate pins exactly — cross-engine agreement is verified empirically
+by the `bm25_topk` driver query rather than assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tdataframe_spark.core.partitioning import ensure_min_partitions
+from tdataframe_spark.functions.text import words
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Postings with term frequencies: (term, id, tf). Whitespace terms,
+    lowercased."""
+    df = ensure_min_partitions(df)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag of query terms.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Robertson-Sparck Jones)
+    score  = sum_t idf(t) * tf / (tf + k1 * (1 - b + b * len/avglen))
+
+    Ties broken by ascending id for a total order. Returns
+    (id, score, n_terms_hit).
+    """
+    idx = term_index(df, id_col, text_col)
+    lens = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.size(words(F.col(text_col))).cast("long").alias("len"),
+    )
+    # global scalars: corpus size and average length (exact decimal mean)
+    g = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("len").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avglen"),
+    )
+    hits = idx.filter(F.col("term").isin([t.lower() for t in query_terms]))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("len") / F.col("avglen"))
+            ),
+        )
+    )
+    # per-doc score: ordered fold over (term, w) so the double additions
+    # happen in one canonical order on any partitioning / any engine
+    per_doc = scored.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("term", "w"))).alias("__tw"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    score = F.aggregate(
+        F.col("__tw"), F.lit(0.0), lambda acc, x: acc + x["w"]
+    )
+    return (
+        per_doc.select("id", score.alias("score"), "n_terms_hit")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

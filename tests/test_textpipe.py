@@ -64,6 +64,31 @@ def test_redact_and_count_pii(spark):
     assert row["n"] == 3
 
 
+def test_bm25_ranking_and_determinism(spark):
+    from tdataframe_spark.ops.search import bm25_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "rare common common filler filler filler"),
+            (2, "common filler filler filler filler filler"),
+            (3, "filler only document nothing relevant here"),
+            (4, "common common filler filler"),
+        ],
+    )
+    out = bm25_topk(docs, ["rare", "common"], k=4).collect()
+    ids = [r["id"] for r in out]
+    assert 3 not in ids  # no query term -> no score
+    # doc 1 holds the only 'rare' posting (idf max) plus 'common' -> top
+    assert ids[0] == 1
+    assert out[0]["n_terms_hit"] == 2
+    # double-sum determinism: same scores on a different partitioning
+    again = bm25_topk(docs.repartition(7), ["rare", "common"], k=4).collect()
+    assert [(r["id"], r["score"]) for r in again] == [
+        (r["id"], r["score"]) for r in out
+    ]
+
+
 def test_mix_domains_exact_ratios_and_determinism(spark):
     rows = [(i, "a") for i in range(100)] + [(i + 1000, "b") for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
