@@ -1863,6 +1863,113 @@ SELECT doc_id, source FROM r, t WHERE rn <= w * t.t
 """
 
 
+PR_OFFSET = 1_000_000  # disjoint id ranges for the bipartite node set
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def q_pagerank(spark, sf):
+    """Fixed-iteration PageRank over the symmetrized supplier-part purchase
+    graph (edges = distinct (suppkey, partkey) pairs from lineitem, both
+    directions). 3 iterations, damping 0.85, fixed-point-accumulated
+    incoming sums — bit-identical to the SQL-unrolled oracle."""
+    from tdataframe_spark.ops.graph import pagerank
+
+    li = (
+        _t(spark, sf, "lineitem")
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("l_partkey") + PR_OFFSET).cast("long").alias("p"),
+        )
+        .distinct()
+    )
+    edges = li.select(F.col("s").alias("src"), F.col("p").alias("dst")).union(
+        li.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    r = pagerank(edges, iters=PR_ITERS)
+    return r.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(PR_TOPK)
+
+
+def _pagerank_oracle_sql() -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d}) / nn.n"
+    parts = [
+        f"""
+pairs AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                          CAST(l_partkey + {PR_OFFSET} AS BIGINT) AS p
+          FROM lineitem),
+e AS (SELECT s AS src, p AS dst FROM pairs
+      UNION SELECT p AS src, s AS dst FROM pairs),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""
+c{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(floor(r.rank / o.outdeg * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS s
+  FROM e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         {base} + {d} * COALESCE(c{i}.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nodes.node
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT node, rank FROM r{PR_ITERS}
+ORDER BY rank DESC, node ASC LIMIT {PR_TOPK}
+"""
+
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_numeric(spark, sf):
+    """Deterministic describe(): one fused agg pass over four lineitem
+    measures, unpivoted JVM-side; decimal sums make mean/std engine-exact."""
+    from tdataframe_spark.core.aggregates import profile_numeric
+
+    return profile_numeric(_t(spark, sf, "lineitem"), PROFILE_COLS)
+
+
+def _profile_oracle_sql() -> str:
+    selects = []
+    for c in PROFILE_COLS:
+        d = f"CAST({c} AS DOUBLE)"
+        s = f"CAST(SUM(CAST({d} AS DECIMAL(25,6))) AS DOUBLE)"
+        x2 = f"({d} * {d})"
+        ss = (
+            f"(CAST(SUM(CAST(floor({x2}) AS BIGINT)) AS DOUBLE)"
+            f" + CAST(SUM(CAST(floor(({x2} - floor({x2})) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
+            f" / CAST(1000000000.0 AS DOUBLE))"
+        )
+        n = f"COUNT({c})"
+        var = f"({ss} - {s} * {s} / {n}) / ({n} - 1)"
+        selects.append(
+            f"""
+SELECT '{c}' AS column,
+       CAST({n} AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       MIN({d}) AS vmin,
+       MAX({d}) AS vmax,
+       {s} / {n} AS mean,
+       CASE WHEN {n} > 1 THEN sqrt(greatest({var}, CAST(0.0 AS DOUBLE))) END AS std
+FROM lineitem"""
+        )
+    return " UNION ALL ".join(selects)
+
+
 BM25_TERMS = ["spark", "hash", "merge"]
 BM25_K = 15
 
@@ -2117,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "domain_mix": q_domain_mix,
         "bm25_topk": q_bm25_topk,
+        "pagerank": q_pagerank,
+        "profile_numeric": q_profile_numeric,
         "q17_small_qty": q_q17_small_qty,
         "q22_idle_customers": q_q22_idle_customers,
         "rollup_returnflag": q_rollup_returnflag,
@@ -2196,6 +2305,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_oracle_sql(),
         "domain_mix": _domain_mix_oracle_sql(),
         "bm25_topk": _bm25_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
+        "profile_numeric": _profile_oracle_sql(),
         "q17_small_qty": SQL_Q17,
         "q22_idle_customers": SQL_Q22,
         "rollup_returnflag": SQL_ROLLUP,

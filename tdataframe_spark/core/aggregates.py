@@ -107,3 +107,61 @@ def scalar_agg_plan(
         return {"v": F.avg(c.cast("double"))}, lambda r: on_empty(r["v"])
 
     raise ValueError(f"unknown aggregate kind {kind!r}")
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deterministic numeric profile (the ``describe()`` replacement whose
+    values are reproducible cross-engine): one hash-aggregation pass over
+    all columns, unpivoted JVM-side to long format
+    ``(column, n, n_null, vmin, vmax, mean, std)``.
+
+    The linear sum accumulates in decimal (exact, associative). The sum of
+    squares CANNOT portably use a wide decimal — converting a decimal whose
+    unscaled value exceeds 2^53 back to double is not correctly rounded in
+    every engine (DuckDB's hugeint→double path drifts ~1e-8 on a 5e19
+    unscaled sum) — so x² is split into integer part + 1e-9-quantized
+    fraction, each summed as int64 (exact), and recombined with two
+    correctly-rounded casts. std uses the textbook
+    ``sqrt((ss - s^2/n)/(n-1))`` with a 0-clamp; every step is an identical
+    IEEE op in both engines, so values are bit-stable cross-engine (the ss
+    quantization of ≤1e-9 per row is part of the operator's definition).
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        d = col.cast("double")
+        x2 = d * d
+        aggs += [
+            F.count(col).alias(f"__n_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"__nn_{c}"),
+            F.min(d).alias(f"__min_{c}"),
+            F.max(d).alias(f"__max_{c}"),
+            F.sum(d.cast("decimal(25,6)")).cast("double").alias(f"__s_{c}"),
+            F.sum(F.floor(x2).cast("long")).alias(f"__sshi_{c}"),
+            F.sum(
+                F.floor((x2 - F.floor(x2)) * F.lit(1.0e9)).cast("long")
+            ).alias(f"__ssfr_{c}"),
+        ]
+    a = df.agg(*aggs)
+
+    def entry(c: str):
+        n = F.col(f"__n_{c}")
+        s = F.col(f"__s_{c}")
+        ss = (
+            F.col(f"__sshi_{c}").cast("double")
+            + F.col(f"__ssfr_{c}").cast("double") / F.lit(1.0e9)
+        )
+        mean = s / n
+        var = (ss - s * s / n) / (n - F.lit(1))
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        return F.struct(
+            F.lit(c).alias("column"),
+            n.cast("long").alias("n"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__min_{c}").alias("vmin"),
+            F.col(f"__max_{c}").alias("vmax"),
+            mean.alias("mean"),
+            F.when(n > 1, std).alias("std"),
+        )
+
+    return a.select(F.inline(F.array(*[entry(c) for c in cols])))

@@ -1,0 +1,98 @@
+"""Distributed graph algorithms beyond connected components: fixed-iteration
+PageRank. Companion to ``ops/dedup.py connected_components`` (same iterative
+persist/unpersist discipline).
+
+Scale shape: each iteration is one shuffle — contributions grouped by
+destination (hash agg, partial+final). Node state (rank) and the static
+degree table are persisted; superseded iterations are unpersisted so memory
+stays O(V) regardless of iteration count. No driver-side state beyond the
+loop counter; no collect anywhere.
+
+Determinism: per-edge contributions are quantized to fixed point
+(``floor(r/outdeg * 10^12)``) and summed as integers — exact and
+associative, so the per-destination sum is identical on any partitioning
+and in any engine (a DECIMAL accumulator is NOT portable: DuckDB's
+double→decimal cast rounds through double arithmetic, observed drifting
+2.8e-17 from Spark's). ``floor``, ``*`` and ``/`` on identical doubles are
+identical IEEE ops, so a fixed iteration count yields bit-identical ranks
+across engines — the property the SQL-unrolled oracle checks. The
+quantization (≤1e-12 lost per edge per iteration) is part of the
+operator's definition. Total contribution mass is ≤ 10^12 per node, so
+the int64 sum cannot overflow at any graph size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # fixed-point quantum for contribution accumulation
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Simplified PageRank (no dangling-mass redistribution) over a directed
+    edge list, fixed ``iters`` iterations from a uniform start:
+
+        r'(v) = (1 - d)/N + d * sum_{u->v} r(u) / outdeg(u)
+
+    Nodes are everything appearing as a source or destination. Dangling
+    nodes (no out-edges) receive rank but leak their own mass — supply a
+    symmetrized edge list (both directions) when that matters.
+
+    Returns (node, rank). Deterministic: see module docstring.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # also materializes the persist
+    outdeg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    )
+    # static across iterations: join edges to out-degrees once
+    ed = e.join(outdeg, "src").persist()
+    ed.count()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0) / n_nodes).persist()
+    ranks.count()
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("rank") / F.col("outdeg") * F.lit(float(PR_SCALE)))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg((F.sum("c") / F.lit(float(PR_SCALE))).alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    nodes.unpersist()
+    ed.unpersist()
+    return ranks

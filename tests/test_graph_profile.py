@@ -1,0 +1,70 @@
+"""PageRank (ops/graph.py) and the deterministic numeric profiler
+(core/aggregates.profile_numeric)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tdataframe_spark.core.aggregates import profile_numeric
+from tdataframe_spark.ops.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # symmetric 3-cycle: all nodes equivalent -> equal ranks summing to ~1
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)])
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    assert len(set(ranks.values())) == 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_center_dominates(spark):
+    # undirected star: center 0, leaves 1..5
+    pairs = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    ranks = {r["node"]: r["rank"] for r in pagerank(_edges(spark, pairs), iters=3).collect()}
+    assert ranks[0] > max(ranks[i] for i in range(1, 6)) * 2
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling mass
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    pairs = [(i, (i * 7) % 20) for i in range(20)] + [((i * 7) % 20, i) for i in range(20)]
+    e = _edges(spark, pairs)
+    r1 = sorted((r["node"], r["rank"]) for r in pagerank(e, iters=4).collect())
+    r2 = sorted(
+        (r["node"], r["rank"]) for r in pagerank(e.repartition(13), iters=4).collect()
+    )
+    assert r1 == r2  # fixed-point accumulation: bit-identical on any layout
+
+
+def test_profile_numeric_matches_reference(spark):
+    import random
+
+    rnd = random.Random(7)
+    vals = [rnd.uniform(0, 100) for _ in range(500)]
+    rows = [(v,) for v in vals] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "x double")
+    out = profile_numeric(df, ["x"]).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    assert out["n"] == n and out["n_null"] == 5
+    assert out["vmin"] == min(vals) and out["vmax"] == max(vals)
+    assert abs(out["mean"] - mean) < 1e-6   # decimal(25,6) quantization
+    assert abs(out["std"] - math.sqrt(var)) < 1e-6
+    # single-row frames: std is NULL (n-1 degrees of freedom undefined)
+    one = profile_numeric(spark.createDataFrame([(3.0,)], "x double"), ["x"]).collect()[0]
+    assert one["std"] is None and one["mean"] == 3.0
+
+
+def test_profile_numeric_is_one_pass(spark):
+    df = spark.createDataFrame([(float(i), float(i * 2)) for i in range(100)], "a double, b double")
+    out = profile_numeric(df, ["a", "b"])
+    # both columns' stats come from ONE aggregate (no per-column jobs):
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 4  # partial+final (x2 for AQE shells)
+    assert {r["column"] for r in out.collect()} == {"a", "b"}
