@@ -1863,6 +1863,141 @@ SELECT doc_id, source FROM r, t WHERE rn <= w * t.t
 """
 
 
+Q4_D1, Q4_D2 = "1996-01-01", "1996-07-01"
+Q4_LATE_DAYS = 60
+
+
+def q_q4_priority_exists(spark, sf):
+    """TPC-H Q4 shape (order-priority checking), adapted to the slim schema:
+    orders in a half-year window having at least one lineitem shipped more
+    than 60 days after the order date (EXISTS → left-semi join), counted by
+    priority."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit(Q4_D1))
+        & (F.col("o_orderdate").cast("date") < F.lit(Q4_D2))
+    )
+    li = _t(spark, sf, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate.cast("date")
+        > F.date_add(o.o_orderdate.cast("date"), Q4_LATE_DAYS)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+SQL_Q4 = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '{Q4_D1}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q4_D2}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+Q14_TYPE = "PROMO"
+Q14_D1, Q14_D2 = "1997-09-01", "1997-10-01"
+
+
+def q_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape (promotion effect): conditional revenue share of
+    PROMO-type parts in one ship month. Parts broadcast; both sums decimal-
+    accumulated so the ratio is engine-exact."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit(Q14_D1))
+        & (F.col("l_shipdate").cast("date") < F.lit(Q14_D2))
+    )
+    pt = _t(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).withColumn("disc_price", F.expr("l_extendedprice * (1 - l_discount)"))
+    promo = F.when(F.col("p_type") == Q14_TYPE, F.col("disc_price")).otherwise(0.0)
+    return j.agg(
+        (F.lit(100.0) * dsum(promo) / dsum("disc_price")).alias("promo_pct")
+    )
+
+
+SQL_Q14 = f"""
+SELECT 100.0 * {_dsum_sql(f"CASE WHEN p_type = '{Q14_TYPE}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '{Q14_D1}'
+  AND CAST(l_shipdate AS DATE) < DATE '{Q14_D2}'
+"""
+
+
+Q16_BRAND = "Brand#13"
+Q16_MAX_SIZE = 15
+
+
+def q_q16_supplier_counts(spark, sf):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct suppliers per
+    (brand, size) over the lineitem link table, excluding one brand and the
+    NOT-IN set of negative-balance suppliers (anti join)."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    pt = (
+        _t(spark, sf, "part")
+        .filter((F.col("p_brand") != Q16_BRAND) & (F.col("p_size") <= Q16_MAX_SIZE))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = f"""
+SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_BRAND}'
+  AND p_size <= {Q16_MAX_SIZE}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q_lag_lead_gaps(spark, sf):
+    """Per-customer order cadence: days since the previous order and until
+    the next (lag/lead over a deterministic (date, key) order) — the offset
+    window functions the suite didn't cover yet."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(d, F.lag(d).over(w)).cast("int").alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).cast("int").alias("days_to_next"),
+        F.row_number().over(w).cast("long").alias("nth_order"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), lead(CAST(o_orderdate AS DATE)) OVER w) AS INT) AS days_to_next,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS nth_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
+"""
+
+
 PR_OFFSET = 1_000_000  # disjoint id ranges for the bipartite node set
 PR_ITERS = 3
 PR_TOPK = 20
@@ -2226,6 +2361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pagerank": q_pagerank,
         "profile_numeric": q_profile_numeric,
+        "q4_priority_exists": q_q4_priority_exists,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q16_supplier_counts": q_q16_supplier_counts,
+        "lag_lead_gaps": q_lag_lead_gaps,
         "q17_small_qty": q_q17_small_qty,
         "q22_idle_customers": q_q22_idle_customers,
         "rollup_returnflag": q_rollup_returnflag,
@@ -2307,6 +2446,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "profile_numeric": _profile_oracle_sql(),
+        "q4_priority_exists": SQL_Q4,
+        "q14_promo_revenue": SQL_Q14,
+        "q16_supplier_counts": SQL_Q16,
+        "lag_lead_gaps": SQL_LAG_LEAD,
         "q17_small_qty": SQL_Q17,
         "q22_idle_customers": SQL_Q22,
         "rollup_returnflag": SQL_ROLLUP,
