@@ -153,6 +153,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    persist: bool = False,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard similarity >= threshold.
 
@@ -165,11 +166,23 @@ def ngram_jaccard_pairs(
     underestimating similarity for docs that share only ubiquitous
     shingles. Pass ``None`` explicitly to disable (all-pairs risk on
     corpora with stopword shingles).
+
+    ``persist=True`` caches the shingle table (consumed by the df-cut,
+    both self-join sides, and the size agg — 4 scans otherwise) — use it
+    whenever the input isn't a cheap re-scannable source.
     """
     sh = _shingle_table(df, id_col, text_col, n)
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_freq is not None:
         freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
         sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "__sh").drop("__f")
+        if persist:
+            from pyspark import StorageLevel
+
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     return _jaccard_from_shingles(sh, threshold)
 
 

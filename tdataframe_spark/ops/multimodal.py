@@ -48,23 +48,17 @@ def attach_payload(
     )
 
 
-def _fake_feature(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a decoded-media feature vector: bytes of
-    repeated sha256, scaled to [0,1). Stable across runs/machines."""
-    out: list[float] = []
-    h = payload or b"\x00"
-    while len(out) < dim:
-        h = hashlib.sha256(h).digest()
-        out.extend(b / 256.0 for b in h)
-    return out[:dim]
-
-
 def extract_features(
     media: DataFrame, dim: int = 16, decode_stub: bool = True
 ) -> DataFrame:
     """Decode + feature-extract media payloads via Arrow-batched
     ``mapInPandas``. With ``decode_stub=False`` this is where a real codec
-    (PIL / torchaudio / ffmpeg) plugs in."""
+    (PIL / torchaudio / ffmpeg) plugs in.
+
+    The mapped closure is deliberately self-contained (stdlib-only, no
+    module-global references) so cloudpickle ships it by value — workers
+    need no importable copy of this package on their PYTHONPATH.
+    """
     if not decode_stub:
         raise NotImplementedError(
             "real media decoding requires image/audio libraries not present "
@@ -72,13 +66,22 @@ def extract_features(
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_feature(payload, n):
+            # deterministic stand-in feature: repeated sha256 bytes in [0,1)
+            out: list[float] = []
+            h = payload or b"\x00"
+            while len(out) < n:
+                h = hashlib.sha256(h).digest()
+                out.extend(b / 256.0 for b in h)
+            return out[:n]
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
+                    "feature": [fake_feature(p, dim) for p in pdf["payload"]],
                 }
             )
 

@@ -86,23 +86,61 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All vector pairs with cosine similarity above ``threshold``
-    (embedding near-duplicate detection). Brute-force O(n²) scoring —
-    correct and exact; at corpus scale use ``lsh_cosine_pairs``, which
-    bounds the pair space with bucketing and verifies candidates exactly.
+    (embedding near-duplicate detection). EXACT all-pairs scoring, but
+    distributed as a block-grid theta→equi join (Okcan & Riedewald): each
+    vector is hashed to one of ``n_blocks`` blocks, replicated to its
+    ~B/2 grid cells, and cells join on an equi key — a plain shuffled
+    hash/sort-merge join, NO cartesian/broadcast-nested-loop in the plan,
+    with per-task work bounded by (n/B)² regardless of corpus size. Raise
+    ``n_blocks`` ~ sqrt(cluster cores) at scale.
+
+    O(n²) dot products are inherent to exact threshold-pairs on dense
+    vectors; when approximate recall is acceptable use ``lsh_cosine_pairs``
+    (bucketed candidates, exact verify, linear-ish work).
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b.
     """
     u = _normalized(df, id_col, vec_col, "__id")
-    a = u.select(F.col("__id").alias("id_a"), F.col("__vn").alias("__va"))
-    b = u.select(F.col("__id").alias("id_b"), F.col("__vn").alias("__vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") > threshold)
+    B = n_blocks
+    blk = F.pmod(F.xxhash64(F.col("__id")), F.lit(B)).cast("int")
+    u = u.withColumn("__blk", blk)
+    # A vector in block p appears on the LEFT of every cell (p, q>=p) and on
+    # the RIGHT of every cell (q<=p, p); joining on the cell key yields each
+    # unordered block pair in exactly one cell. ~B/2 replicas per side.
+    left = u.select(
+        F.col("__id").alias("__ida"),
+        F.col("__vn").alias("__va"),
+        F.col("__blk").alias("__ba"),
+        F.explode(
+            F.sequence(F.col("__blk"), F.lit(B - 1))
+        ).alias("__cell_hi"),
+    ).withColumn("__cell", F.concat_ws("_", "__ba", "__cell_hi"))
+    right = u.select(
+        F.col("__id").alias("__idb"),
+        F.col("__vn").alias("__vb"),
+        F.col("__blk").alias("__bb"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__blk"))
+        ).alias("__cell_lo"),
+    ).withColumn("__cell", F.concat_ws("_", "__cell_lo", "__bb"))
+    pairs = (
+        left.join(right, "__cell")
+        # off-diagonal cells see each unordered pair once; diagonal cells
+        # (p,p) see both orderings — keep one by id order
+        .filter(
+            (F.col("__ba") < F.col("__bb"))
+            | ((F.col("__ba") == F.col("__bb")) & (F.col("__ida") < F.col("__idb")))
+        )
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            dot(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        )
     )
+    return pairs.filter(F.col("cos_sim") > threshold)
 
 
 def _centroid_df(spark, cents) -> DataFrame:

@@ -1,0 +1,2294 @@
+"""Query registry implementations: every oracle-checked query the
+driver contract (`__spark_entry__.py`) exposes, plus its DuckDB oracle
+SQL. One module so Spark code and its oracle stay side by side; the
+entry file re-exports everything and holds only the registries.
+
+Cross-engine determinism conventions (functions/numeric.py): decimal
+sums, ordered folds, portable md5 hashes, NTZ timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from tdataframe_spark import Frame  # noqa: E402
+from tdataframe_spark.functions.numeric import dmean, dsum  # noqa: E402
+from tdataframe_spark.functions.text import TOKEN_PATTERN, fingerprint64, n_tokens, n_words  # noqa: E402
+from tdataframe_spark.operators.asof import asof_join  # noqa: E402
+from tdataframe_spark.operators.windows import sessionize, top_per_group  # noqa: E402
+from tdataframe_spark.ops.dedup import (  # noqa: E402
+    DEFAULT_MAX_SHINGLE_FREQ,
+    MERSENNE61,
+    MINHASH_PERMS,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from tdataframe_spark.ops.multimodal import attach_payload, extract_features  # noqa: E402
+from tdataframe_spark.ops.similarity import (  # noqa: E402
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from tdataframe_spark.sources.parquet import read_table  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored verbatim into the oracle SQL)
+
+Q1_CUTOFF = "2000-12-01"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-30"
+Q5_REGION = "ASIA"
+HF_NBINS, HF_LO, HF_HI = 50, 0.5, 50.5
+HA_NBINS = 64
+FLAG_QTY = 10.0
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+JACCARD_N = 3
+JACCARD_T = 0.5
+TOPK_K = 10
+
+DEC = "DECIMAL(25,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to ``ts_us`` (bigint epoch micros),
+    whatever parquet encoding the testdata was written with — see
+    ``sources.parquet.read_table`` (the dtype-adaptive read). DuckDB oracles
+    use ``epoch_us(ts)`` on the same file and agree by construction."""
+    return read_table(spark, sf_dir, "events")
+
+
+def _dsum_sql(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS {DEC})) AS DOUBLE)"
+
+
+def _dmean_sql(x: str) -> str:
+    return f"{_dsum_sql(x)} / COUNT({x})"
+
+
+# ---------------------------------------------------------------------------
+# reference operators (SURVEY.md §2.1)
+
+
+def q_count_chain(spark, sf):
+    fr = (
+        Frame(_t(spark, sf, "lineitem"))
+        .filter("l_quantity < 25")
+        .filter("l_discount > 0.02 AND l_quantity > 5")
+    )
+    return fr.df.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+SQL_COUNT_CHAIN = """
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+WHERE l_quantity < 25 AND l_discount > 0.02 AND l_quantity > 5
+"""
+
+
+def q_define_filter_agg(spark, sf):
+    fr = (
+        Frame(_t(spark, sf, "lineitem"))
+        .define("disc_price", F.expr("l_extendedprice * (1 - l_discount)"))
+        .filter(F.col("l_quantity") > FLAG_QTY)
+    )
+    d = F.col("disc_price")
+    return fr.df.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min(d).alias("min_dp"),
+        F.max(d).alias("max_dp"),
+        dmean(d).alias("avg_dp"),
+    )
+
+
+SQL_DEFINE_FILTER_AGG = f"""
+WITH t AS (
+  SELECT l_extendedprice * (1 - l_discount) AS disc_price
+  FROM lineitem WHERE l_quantity > {FLAG_QTY}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(disc_price) AS min_dp,
+       MAX(disc_price) AS max_dp,
+       {_dmean_sql('disc_price')} AS avg_dp
+FROM t
+"""
+
+
+def q_explode_agg(spark, sf):
+    """Array-flatten aggregation semantics (SURVEY.md §1.3): aggregates over
+    a collection column apply to the flattened elements."""
+    li = _t(spark, sf, "lineitem").select(
+        F.array("l_quantity", "l_extendedprice", "l_tax").alias("arr")
+    )
+    return li.agg(
+        F.min(F.array_min("arr")).alias("min_v"),
+        F.max(F.array_max("arr")).alias("max_v"),
+        F.sum(F.size("arr")).cast("long").alias("n_v"),
+    )
+
+
+SQL_EXPLODE_AGG = """
+SELECT MIN(v) AS min_v, MAX(v) AS max_v, CAST(COUNT(*) AS BIGINT) AS n_v
+FROM (SELECT UNNEST([l_quantity, l_extendedprice, l_tax]) AS v FROM lineitem)
+"""
+
+
+def q_histo_fixed(spark, sf):
+    return Frame(_t(spark, sf, "lineitem")).histo_frame(
+        "l_quantity", nbins=HF_NBINS, lo=HF_LO, hi=HF_HI
+    )
+
+
+SQL_HISTO_FIXED = f"""
+WITH v AS (
+  SELECT l_quantity AS x FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_quantity >= {HF_LO} AND l_quantity < {HF_HI}
+),
+c AS (
+  SELECT CAST(FLOOR((x - {HF_LO}) / {(HF_HI - HF_LO) / HF_NBINS!r}) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM v GROUP BY 1
+),
+g AS (SELECT CAST(s AS INT) AS bin FROM generate_series(0, {HF_NBINS - 1}) t(s))
+SELECT g.bin,
+       {HF_LO} + CAST(g.bin AS DOUBLE) * {(HF_HI - HF_LO) / HF_NBINS!r} AS bin_lo,
+       {HF_LO} + CAST(g.bin + 1 AS DOUBLE) * {(HF_HI - HF_LO) / HF_NBINS!r} AS bin_hi,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM g LEFT JOIN c ON g.bin = c.bin
+"""
+
+
+def q_histo_auto(spark, sf):
+    fr = Frame(_t(spark, sf, "lineitem")).define(
+        "disc_price", F.expr("l_extendedprice * (1 - l_discount)")
+    )
+    return fr.histo_frame("disc_price", nbins=HA_NBINS)
+
+
+SQL_HISTO_AUTO = f"""
+WITH v AS (
+  SELECT l_extendedprice * (1 - l_discount) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+),
+p AS (SELECT MIN(x) AS lo, MAX(x) AS hi, (MAX(x) - MIN(x)) / {HA_NBINS} AS w FROM v),
+c AS (
+  SELECT LEAST(CAST(FLOOR((x - lo) / w) AS INT), {HA_NBINS - 1}) AS bin, COUNT(*) AS n
+  FROM v, p GROUP BY 1
+),
+g AS (SELECT CAST(s AS INT) AS bin FROM generate_series(0, {HA_NBINS - 1}) t(s))
+SELECT g.bin,
+       p.lo + CAST(g.bin AS DOUBLE) * p.w AS bin_lo,
+       p.lo + CAST(g.bin + 1 AS DOUBLE) * p.w AS bin_hi,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM g CROSS JOIN p LEFT JOIN c ON g.bin = c.bin
+"""
+
+
+# non-uniform bin edges (log-ish spacing — the physics norm the reference's
+# Histo(col, model) supports via arbitrary TH1F edges)
+HE_EDGES = [1.0, 2.0, 3.0, 5.0, 8.0, 13.0, 21.0, 34.0, 51.0]
+
+
+def q_histo_edges(spark, sf):
+    """Variable-bin-edge histogram (reference Histo(col, model),
+    /root/reference/TDataFrame.hxx:897-904)."""
+    return Frame(_t(spark, sf, "lineitem")).histo_frame("l_quantity", edges=HE_EDGES)
+
+
+def _histo_edges_oracle_sql() -> str:
+    values = ", ".join(
+        f"(CAST({i} AS INT), CAST({HE_EDGES[i]!r} AS DOUBLE), CAST({HE_EDGES[i + 1]!r} AS DOUBLE))"
+        for i in range(len(HE_EDGES) - 1)
+    )
+    return f"""
+WITH bins(bin, bin_lo, bin_hi) AS (VALUES {values}),
+v AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+  WHERE l_quantity IS NOT NULL
+    AND l_quantity >= {HE_EDGES[0]!r} AND l_quantity < {HE_EDGES[-1]!r}
+),
+c AS (
+  SELECT bin, COUNT(*) AS n
+  FROM v JOIN bins ON x >= bin_lo AND x < bin_hi GROUP BY bin
+)
+SELECT b.bin, b.bin_lo, b.bin_hi, CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM bins b LEFT JOIN c ON b.bin = c.bin
+"""
+
+
+def q_take_col(spark, sf):
+    """Take = ordered column materialization; expressed as the select the
+    engine's take() runs (/root/reference/TDataFrame.hxx:869-884)."""
+    return (
+        Frame(_t(spark, sf, "lineitem"))
+        .filter("l_quantity >= 49")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .df
+    )
+
+
+SQL_TAKE_COL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators (SURVEY.md §2.2)
+
+
+def q_q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        Frame(li)
+        .filter(F.col("l_shipdate").cast("date") <= F.lit(Q1_CUTOFF))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=dsum("l_quantity"),
+            sum_base_price=dsum("l_extendedprice"),
+            sum_disc_price=dsum(F.expr("l_extendedprice * (1 - l_discount)")),
+            avg_qty=dmean("l_quantity"),
+            avg_price=dmean("l_extendedprice"),
+            count_order=F.count(F.lit(1)).cast("long"),
+        )
+        .df
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dmean_sql('l_quantity')} AS avg_qty,
+       {_dmean_sql('l_extendedprice')} AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_topk_revenue(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == Q3_SEGMENT)
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit(Q3_DATE)
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit(Q3_DATE)
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    rev = (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(TOPK_K)
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_orderpriority,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q3_DATE}'
+  AND CAST(l_shipdate AS DATE) > DATE '{Q3_DATE}'
+GROUP BY l_orderkey, o_date, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {TOPK_K}
+"""
+
+
+def q_q5_region_revenue(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == Q5_REGION)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name, {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+GROUP BY n_name
+"""
+
+
+def q_window_top_orders(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return top_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+SQL_WINDOW_TOP = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+def q_join_semi(spark, sf):
+    cust = Frame(_t(spark, sf, "customer"))
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .df
+    )
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_join_anti(spark, sf):
+    cust = Frame(_t(spark, sf, "customer"))
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .df
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_setops_nations(spark, sf):
+    cn = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    conly = cn.exceptAll(sn).withColumn("tag", F.lit("cust_only"))
+    sonly = sn.exceptAll(cn).withColumn("tag", F.lit("supp_only"))
+    return both.unionByName(conly).unionByName(sonly)
+
+
+SQL_SETOPS = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'cust_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'supp_only' AS tag FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+"""
+
+
+def q_setops_multiset(spark, sf):
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL): duplicate multiplicity
+    is preserved — per nation key, min(|supp|, |cust|) 'both' rows and the
+    surplus side's remainder."""
+    from tdataframe_spark import Frame
+
+    cn = Frame(_t(spark, sf, "customer").select(F.col("c_nationkey").alias("nkey")))
+    sn = Frame(_t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nkey")))
+    both = cn.intersect_all(sn).df.withColumn("tag", F.lit("both"))
+    conly = cn.except_all(sn).df.withColumn("tag", F.lit("cust_extra"))
+    return both.unionByName(conly)
+
+
+SQL_SETOPS_MULTISET = """
+SELECT nkey, 'both' AS tag FROM
+  (SELECT c_nationkey AS nkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nkey, 'cust_extra' AS tag FROM
+  (SELECT c_nationkey AS nkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_map_props(spark, sf):
+    """Map-typed column surface: parse the events' JSON props into a
+    map<string,bigint>, then map_keys/element_at/map_entries — the map is
+    serialized to sorted 'k=v' CSV at the query boundary (the driver's
+    canonicalizer cannot hash map cells, same rule as arrays)."""
+    ev = _events(spark, sf)
+    m = F.from_json("props", "map<string,bigint>")
+    entries = F.sort_array(F.map_entries(m))
+    return ev.select(
+        "event_id",
+        F.size(m).cast("int").alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("props_map"),
+    )
+
+
+SQL_MAP_PROPS = """
+WITH kv AS (
+  SELECT event_id, k, CAST(json_extract(props, '$.' || k) AS BIGINT) AS v
+  FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+)
+SELECT event_id,
+       CAST(COUNT(*) AS INT) AS n_keys,
+       MAX(CASE WHEN k = 'k' THEN v END) AS k_val,
+       string_agg(k || '=' || CAST(v AS VARCHAR), ',' ORDER BY k) AS props_map
+FROM kv GROUP BY event_id
+"""
+
+
+def q_rollup_returnflag(spark, sf):
+    return (
+        Frame(_t(spark, sf, "lineitem"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=dsum("l_quantity"),
+            n=F.count(F.lit(1)).cast("long"),
+        )
+        .df
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_supp_per_flag(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("n_supp"))
+    )
+
+
+SQL_DISTINCT_SUPP = """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_topk_orders(spark, sf):
+    return (
+        Frame(_t(spark, sf, "orders"))
+        .order_by(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .df
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: as-of join, sessionization, JSON
+
+
+def q_asof_click_purchase(spark, sf):
+    ev = _events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        matched_col="prior_purchase_ts_us",
+    ).select("event_id", "user_id", "ts_us", "prior_purchase_ts_us")
+
+
+SQL_ASOF = """
+SELECT l.event_id, l.user_id,
+       CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+       MAX(CAST(epoch_us(r.ts) AS BIGINT)) AS prior_purchase_ts_us
+FROM events l
+LEFT JOIN events r
+  ON r.user_id = l.user_id AND r.event_type = 'purchase' AND r.ts <= l.ts
+WHERE l.event_type = 'click'
+GROUP BY l.event_id, l.user_id, l.ts
+"""
+
+
+def q_sessionize(spark, sf):
+    ev = _events(spark, sf)
+    s = sessionize(ev, "user_id", "ts_us", gap_seconds=SESSION_GAP_US // 1_000_000)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR tu - prev > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM d
+)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_json_events(spark, sf):
+    ev = _events(spark, sf).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return (
+        ev.filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+SQL_JSON_EVENTS = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       {_dsum_sql('value')} AS sum_value
+FROM e WHERE k > 50 GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings: dedup, similarity, text analysis
+
+
+def q_dedup_exact(spark, sf):
+    return exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_stats(spark, sf):
+    from tdataframe_spark.core.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(_t(spark, sf, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars2"),
+        n_words(t).cast("long").alias("n_words"),
+        n_tokens(t).cast("long").alias("n_tokens"),
+        fingerprint64(t).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars2,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+       CAST(concat('0x', substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        n=JACCARD_N, threshold=JACCARD_T, persist=True,
+    )
+
+
+SQL_SHINGLES = f"""
+  w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  sh0 AS (
+    SELECT doc_id, ws[s] || ' ' || ws[s+1] || ' ' || ws[s+2] AS sh
+    FROM w, UNNEST(generate_series(1, len(ws) - {JACCARD_N - 1})) AS t(s)
+  ),
+  sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
+"""
+
+# mirrors ngram_jaccard_pairs' default df-cut: drop shingles with more than
+# DEFAULT_MAX_SHINGLE_FREQ (doc, shingle) rows before the self-join
+SQL_SHINGLES_CUT = f"""{SQL_SHINGLES},
+  shf AS (
+    SELECT doc_id, sh FROM sh
+    WHERE sh IN (SELECT sh FROM sh GROUP BY sh
+                 HAVING COUNT(*) <= {DEFAULT_MAX_SHINGLE_FREQ})
+  )
+"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SQL_SHINGLES_CUT},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shf a JOIN shf b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= {JACCARD_T}
+"""
+
+
+def q_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        n=JACCARD_N, k=16, bands=4, threshold=JACCARD_T, persist=True,
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    # 14 hex digits = 56-bit hash: headroom for multipliers up to 127
+    # (mirrors ops/dedup._minhash56)
+    h = "CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT)"
+    mins = ",\n    ".join(
+        f"MIN(({a} * {h} + {b}) % {MERSENNE61}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS[:16])
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', m{j0}, m{j1}, m{j2}, m{j3}) AS key FROM sig".format(
+            bi=bi, j0=bi * 4, j1=bi * 4 + 1, j2=bi * 4 + 2, j3=bi * 4 + 3
+        )
+        for bi in range(4)
+    )
+    return f"""
+WITH {SQL_SHINGLES},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+FROM cand c
+JOIN common ON common.id_a = c.id_a AND common.id_b = c.id_b
+JOIN sizes na ON na.doc_id = c.id_a
+JOIN sizes nb ON nb.doc_id = c.id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= {JACCARD_T}
+"""
+
+
+def q_simhash(spark, sf):
+    return simhash64(_t(spark, sf, "documents"), "doc_id", "text", n=1)
+
+
+def _simhash_oracle_sql() -> str:
+    h = "CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)"
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN ({h} & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(60)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id, ws[s] AS sh
+        FROM w, UNNEST(generate_series(1, len(ws))) AS t(s)),
+sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+bits AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM bits
+"""
+
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(queries, emb, "vec_id", "embedding", k=TOPK_K).select(
+        "query_id", "neighbor_id", "cos_sim", "rnk"
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]),
+                          (p, s) -> p + s)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS vn
+  FROM n
+),
+q AS (SELECT vec_id AS query_id, vn AS qn FROM u WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, u.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(qn, vn), x -> x[1] * x[2]),
+                     (p, s) -> p + s) AS cos_sim
+  FROM q CROSS JOIN u
+  WHERE q.query_id != u.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {TOPK_K}
+"""
+
+
+def q_q6_revenue_delta(spark, sf):
+    """TPC-H Q6 shape: tight filter + single aggregate — the pure
+    predicate-pushdown + map-side-combine query."""
+    li = _t(spark, sf, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1996-01-01"))
+            & (d < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.expr("l_extendedprice * l_discount")).alias("revenue"))
+    )
+
+
+SQL_Q6 = f"""
+SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+
+def q_string_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(F.col("p_name").like("%e%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_name", 1, 10).alias("name10"),
+            F.length("p_name").cast("int").alias("name_len"),
+            F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("type_sub"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        )
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       substr(p_name, 1, 10) AS name10,
+       CAST(length(p_name) AS INT) AS name_len,
+       replace(p_type, 'O', '0') AS type_sub,
+       p_brand || ':' || p_type AS brand_type
+FROM part WHERE p_name LIKE '%e%'
+"""
+
+
+def q_date_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("o_totalprice").alias("sum_tp"),
+        )
+    )
+
+
+SQL_DATE_FUNCS = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('o_totalprice')} AS sum_tp
+FROM orders GROUP BY y, m
+"""
+
+
+def q_case_when_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(
+        F.lit(0.0)
+    )
+    kept = F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(
+        F.lit(0.0)
+    )
+    return li.groupBy("l_linestatus").agg(
+        dsum(returned).alias("rev_returned"),
+        dsum(kept).alias("rev_kept"),
+    )
+
+
+SQL_CASE_WHEN = f"""
+SELECT l_linestatus,
+       {_dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END")} AS rev_returned,
+       {_dsum_sql("CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0.0 END")} AS rev_kept
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_above_customer_avg(spark, sf):
+    """Correlated-subquery shape (orders above their customer's average),
+    decorrelated into one window pass — single shuffle on the key."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_tp = (
+        F.sum(F.col("o_totalprice").cast(DEC.lower())).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", avg_tp)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+SQL_ABOVE_AVG = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+WHERE o_totalprice > cust_avg
+"""
+
+
+def q_doc_profile(spark, sf):
+    """Full text-analysis profile: counts, quality score, language guess,
+    fingerprint — the engine's corpus-curation projection."""
+    from tdataframe_spark.ops.textstats import doc_stats
+
+    return doc_stats(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _doc_profile_oracle_sql() -> str:
+    from tdataframe_spark.functions.text import LANG_MARKERS
+
+    score_cols = ", ".join(
+        f"len(regexp_extract_all(' ' || lower(text) || ' ', ' ({'|'.join(m)}) ')) AS s_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    case = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = g THEN '{lang}'" for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS npunct,
+         CAST(length(text) AS DOUBLE) AS nchar,
+         {score_cols}
+  FROM documents
+),
+scored AS (SELECT *, {g} AS g FROM base)
+SELECT doc_id,
+       CAST(nchar AS BIGINT) AS n_chars,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+       round((least(nw / 50.0, 1.0)
+              + (1.0 - least(npunct / greatest(nchar, 1.0) * 5, 1.0))) / 2, 6) AS quality,
+       CASE {case} ELSE 'und' END AS lang_guess,
+       CAST(concat('0x', substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fingerprint
+FROM scored
+"""
+
+
+def q_simhash_hamming(spark, sf):
+    """Near-duplicate candidates by SimHash Hamming distance."""
+    h = simhash64(_t(spark, sf, "documents"), "doc_id", "text", n=1)
+    a = h.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = h.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(h_a ^ h_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+def _simhash_hamming_oracle_sql() -> str:
+    inner = _simhash_oracle_sql().strip()
+    return f"""
+WITH sims AS ({inner})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+def q_cosine_pairs(spark, sf):
+    return cosine_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.35
+    )
+
+
+SQL_COSINE_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]),
+                          (p, s) -> p + s)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS vn
+  FROM n
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_reduce(list_transform(list_zip(a.vn, b.vn), x -> x[1] * x[2]),
+                   (p, s) -> p + s) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.vn, b.vn), x -> x[1] * x[2]),
+                  (p, s) -> p + s) > 0.35
+"""
+
+
+def q_grouped_udaf(spark, sf):
+    """Grouped pandas UDAF (applyInPandas): the reference's ForeachSlot
+    partial-state pattern, re-expressed as Arrow-batched per-group Python.
+    Integer-valued sums keep it engine-exact."""
+    import pandas as pd
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = float(pdf["l_quantity"].sum())
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "n": [n],
+                "sum_qty": [s],
+                "avg_qty": [s / n],
+            }
+        )
+
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .applyInPandas(
+            stats,
+            "l_returnflag string, l_linestatus string, n long, sum_qty double, avg_qty double",
+        )
+    )
+
+
+SQL_GROUPED_UDAF = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_ntile_ranks(spark, sf):
+    """Rank-family window functions: quartiles + percent_rank (integer-ratio
+    exact) over order values per priority class."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )
+
+
+SQL_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       CAST(rank() OVER w AS BIGINT) AS rnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+def q_sql_grouping_sets(spark, sf):
+    """Full-SQL interface: GROUPING SETS through spark.sql (the SQL parser
+    surface the reference lacks entirely, SURVEY.md §2.2)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_running_window(spark, sf):
+    """Window FRAME specs: running (unbounded-preceding) sum, 3-row moving
+    average, and lag diff per customer ordered by order key. Decimal
+    accumulation inside the frame: engines disagree on windowed-double
+    addition order (DuckDB segment trees vs Spark forward accumulation),
+    decimals are associative-exact."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = w.rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(run).cast("double").alias("run_spend"),
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).over(last3).cast("double")
+            / F.count(F.lit(1)).over(last3)
+        ).alias("ma3"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
+    )
+
+
+SQL_RUNNING_WINDOW = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) OVER w_run AS DOUBLE) AS run_spend,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) OVER w3 AS DOUBLE)
+         / COUNT(*) OVER w3 AS ma3,
+       o_totalprice - LAG(o_totalprice) OVER w_ord AS delta_prev
+FROM orders WHERE o_custkey < 200
+WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       w_run AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w3   AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_exists_subquery(spark, sf):
+    """Correlated EXISTS / NOT EXISTS through the SQL interface (Catalyst
+    rewrites them to semi/anti joins — the plan a hand-written join would
+    be)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("cust_ex")
+    _t(spark, sf, "orders").createOrReplaceTempView("ord_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM cust_ex c
+        WHERE EXISTS (SELECT 1 FROM ord_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM ord_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+SQL_EXISTS = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+"""
+
+
+def q_corpus_curation(spark, sf):
+    """Composite curation pipeline — the end-to-end shape a training-data
+    job runs: profile (tokens/quality/lang) → drop exact duplicates (keep
+    min-id per content) → quality floor → per-language corpus stats. Every
+    stage is deterministic, so the whole pipeline is oracle-checked."""
+    from tdataframe_spark.ops.dedup import exact_dedup_groups
+    from tdataframe_spark.ops.textstats import doc_stats
+
+    docs = _t(spark, sf, "documents")
+    prof = doc_stats(docs, "doc_id", "text")
+    keep = exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        prof.join(keep, "doc_id", "left_semi")
+        .filter(F.col("quality") >= 0.5)
+        .groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast(DEC)).cast("double") / F.count("quality"), 6
+            ).alias("mean_quality"),
+        )
+    )
+
+
+def _corpus_curation_oracle_sql() -> str:
+    profile = _doc_profile_oracle_sql()
+    return f"""
+WITH prof AS ({profile}),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+)
+SELECT lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(quality AS {DEC})) AS DOUBLE) / COUNT(quality), 6) AS mean_quality
+FROM prof JOIN keep USING (doc_id)
+WHERE quality >= 0.5
+GROUP BY lang_guess
+"""
+
+
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark, sf):
+    """Training-batch sequence packing (concat-and-chunk per hash shard):
+    deterministic chunk/offset layout for every document. Shard = portable
+    md5 hash so the oracle can mirror it (pmod of the 60-bit hash)."""
+    from tdataframe_spark.functions.numeric import portable_hash64
+    from tdataframe_spark.ops.textstats import doc_stats, pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    toks = doc_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    toks = toks.withColumn(
+        "shard", F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(PACK_SHARDS))
+    )
+    return pack_sequences(
+        toks, "doc_id", "n_tokens", budget=PACK_BUDGET, shard_col="shard"
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM documents
+),
+laid AS (
+  SELECT id, tokens, shard,
+         COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM toks
+)
+SELECT id, tokens, shard,
+       CAST(FLOOR(start / {PACK_BUDGET}) AS BIGINT) AS chunk,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS offset_in_chunk,
+       CAST(FLOOR((start + greatest(tokens, 1) - 1) / {PACK_BUDGET}) - FLOOR(start / {PACK_BUDGET}) + 1 AS BIGINT) AS n_chunks_spanned
+FROM laid
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sample: 20% of orders per orderpriority
+    stratum, selected by portable-hash order — engine-independent rows."""
+    from tdataframe_spark.ops.textstats import stratified_sample
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return stratified_sample(o, ["o_orderpriority"], 0.2, "o_orderkey")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT),
+                    o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM ranked WHERE rn <= CEIL(n * 0.2)
+"""
+
+
+def q_merge_upsert(spark, sf):
+    """CDC-style upsert merge: a 10% batch of re-priced orders replaces the
+    originals, unseen keys would append (anti-join + union = one key
+    shuffle; SQL MERGE semantics without a table format)."""
+    from tdataframe_spark import Frame
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    return Frame(o).upsert(upd, on=["o_orderkey"]).df
+
+
+SQL_MERGE_UPSERT = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 10 != 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+def q_pivot_status(spark, sf):
+    """Pivot: returnflag columns per linestatus (wide conditional agg)."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_linestatus",
+        F.coalesce(F.col("A"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("N"), F.lit(0)).cast("long").alias("n_n"),
+        F.coalesce(F.col("R"), F.lit(0)).cast("long").alias("n_r"),
+    )
+
+
+SQL_PIVOT = """
+SELECT l_linestatus,
+       CAST(COUNT(*) FILTER (l_returnflag = 'A') AS BIGINT) AS n_a,
+       CAST(COUNT(*) FILTER (l_returnflag = 'N') AS BIGINT) AS n_n,
+       CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_array_agg_sorted(spark, sf):
+    """Grouped array aggregation; sorted for deterministic comparison
+    (collect_list order is partition-dependent). The array is serialized to
+    a CSV string at the query boundary because the driver's canonicalizer
+    cannot sort/hash array-typed cells (round-1 failure)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("big_orders"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+SQL_ARRAY_AGG = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS big_orders,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+"""
+
+
+def q_posexplode_tokens(spark, sf):
+    """Generator / table function: positional explode of word arrays."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+
+
+SQL_POSEXPLODE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+FROM w, UNNEST(generate_series(1, len(ws))) AS g(i)
+"""
+
+
+def q_dedup_components(spark, sf):
+    """Duplicate-cluster assembly: connected components over the n-gram
+    Jaccard near-dup pair graph (iterative label propagation; oracle is a
+    recursive CTE computing min-reachable-id)."""
+    from tdataframe_spark.ops.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=JACCARD_N, threshold=JACCARD_T
+    )
+    return connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {SQL_SHINGLES_CUT},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shf a JOIN shf b USING (sh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= {JACCARD_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION
+  SELECT w.id, e.dst
+  FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT id, MIN(reach) AS component FROM walk GROUP BY id
+"""
+
+
+def q_join_outer(spark, sf):
+    """Left outer join + grouped count: customers keep a row even with zero
+    urgent orders (COUNT of the nullable right key)."""
+    cust = _t(spark, sf, "customer")
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_urgent"))
+    )
+
+
+SQL_JOIN_OUTER = """
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_urgent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+GROUP BY c_custkey
+"""
+
+
+def q_regex_extract(spark, sf):
+    """Regex group extraction (identical dialect subset both engines)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+    )
+
+
+SQL_REGEX_EXTRACT = """
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+FROM part
+"""
+
+
+def q_range_join(spark, sf):
+    """Interval join via grid bucketing (operators/rangejoin.py): parts
+    priced within each brand's [min, max] price band."""
+    from tdataframe_spark.operators.rangejoin import range_join
+
+    part = _t(spark, sf, "part")
+    points = part.filter(F.col("p_partkey") < 100).select(
+        "p_partkey", "p_retailprice"
+    )
+    intervals = part.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    out = range_join(points, intervals, "p_retailprice", "lo", "hi", bucket_width=200.0)
+    return out.select("p_partkey", "p_brand", "p_retailprice", "lo", "hi")
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT p_brand, MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_partkey, iv.p_brand, p.p_retailprice, iv.lo, iv.hi
+FROM part p JOIN iv ON p.p_retailprice BETWEEN iv.lo AND iv.hi
+WHERE p.p_partkey < 100
+"""
+
+
+def q_time_bucket_agg(spark, sf):
+    """Hypertable-style time-bucket rollup: integer µs bucketing is
+    engine-portable and TZ-free."""
+    ev = _events(spark, sf)
+    hour = F.expr("ts_us div 3600000000").alias("hour_bucket")
+    return (
+        ev.groupBy(hour, "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+SQL_TIME_BUCKET = f"""
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS sum_value
+FROM events GROUP BY hour_bucket, event_type
+"""
+
+
+def q_min_per_group(spark, sf):
+    """Q2 shape (min-per-group then join back): parts priced at their
+    brand's minimum, via a single window pass instead of a self-join."""
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_retailprice", "min_price")
+    )
+
+
+SQL_MIN_PER_GROUP = """
+SELECT p_brand, p_partkey, p_retailprice, min_price
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         MIN(p_retailprice) OVER (PARTITION BY p_brand) AS min_price
+  FROM part
+)
+WHERE p_retailprice = min_price
+"""
+
+
+def q_quantiles(spark, sf):
+    """Exact percentiles (interpolated) — bit-identical across engines."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-2 widening: classic multi-join / disjunctive / having-subquery
+# shapes plus corpus heavy-hitters and a semantic-dedup composite
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+Q18_MIN_QTY = 300.0
+SEMDEDUP_T = 0.35
+
+
+def q_q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: bilateral trade volume within a nation set — the same
+    dimension joined twice under different roles (supplier vs customer
+    nation), an inequality predicate across the two aliases, grouped by both
+    role columns and ship year. Both nation aliases broadcast."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation").filter(F.col("n_name").isin(*Q7_NATIONS))
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__s_natkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__c_natkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("__s_natkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("__c_natkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+
+
+SQL_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN {Q7_NATIONS!r} AND n2.n_name IN {Q7_NATIONS!r}
+  AND n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: aggregate-then-join — orders whose lineitems exceed a
+    total-quantity threshold (HAVING over a grouped subquery), joined back to
+    orders and customer for the report columns."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+SQL_Q18 = f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM (SELECT l_orderkey, {_dsum_sql('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING {_dsum_sql('l_quantity')} > {Q18_MIN_QTY}) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape: disjunction of conjunctive blocks spanning both join
+    sides (brand × size × quantity ranges). The whole OR predicate lives in
+    the join condition of a broadcast join, so each block's part-side
+    conjuncts can prune before the probe."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    block = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (part.p_brand == brand)
+        & part.p_size.between(s_lo, s_hi)
+        & li.l_quantity.between(q_lo, q_hi)
+    )
+    cond = (li.l_partkey == part.p_partkey) & (
+        block("Brand#12", 1, 15, 1, 21)
+        | block("Brand#23", 10, 30, 10, 30)
+        | block("Brand#34", 20, 50, 20, 40)
+    )
+    return li.join(F.broadcast(part), cond).agg(
+        dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+SQL_Q19 = f"""
+SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q_top_ngrams(spark, sf):
+    """Corpus heavy-hitters: top-20 word trigrams by document frequency
+    (shingles are distinct per doc, so count = df). Deterministic k-cut via
+    (df DESC, shingle ASC) total order. The frequent-n-gram report is the
+    contamination / boilerplate detector of a training-data pipeline."""
+    from tdataframe_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf, "documents")
+    sh = docs.select(F.explode(word_shingles("text", JACCARD_N)).alias("sh"))
+    return (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("sh").asc())
+        .limit(20)
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH {SQL_SHINGLES}
+SELECT sh, CAST(COUNT(*) AS BIGINT) AS df
+FROM sh GROUP BY sh
+ORDER BY df DESC, sh ASC LIMIT 20
+"""
+
+
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition quality signals (dup-word fraction, top
+    n-gram fraction) — the boilerplate/spam markers of corpus filtering."""
+    from tdataframe_spark.ops.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf, "documents"), "doc_id", "text", n=JACCARD_N)
+
+
+SQL_REPETITION = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g0 AS (
+  SELECT doc_id, ws[s] || ' ' || ws[s+1] || ' ' || ws[s+2] AS g
+  FROM w, UNNEST(generate_series(1, len(ws) - {JACCARD_N - 1})) AS t(s)
+),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g0 GROUP BY 1, 2),
+gs AS (SELECT doc_id, MAX(c) AS m, SUM(c) AS tot FROM gc GROUP BY 1)
+SELECT w.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+           / CAST(greatest(len(ws), 1) AS DOUBLE) AS dup_word_frac,
+       COALESCE(CAST(m AS DOUBLE) / CAST(tot AS DOUBLE), 0.0) AS top_gram_frac
+FROM w LEFT JOIN gs USING (doc_id)
+"""
+
+
+EVAL_MOD = 50  # every 50th doc plays the held-out eval set
+
+
+def q_decontamination(spark, sf):
+    """Benchmark decontamination: corpus docs sharing any word trigram with
+    the (broadcast) eval set, with contaminated-shingle counts."""
+    from tdataframe_spark.ops.dedup import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return decontaminate(corpus, ev, "doc_id", "text", n=JACCARD_N)
+
+
+SQL_DECONTAMINATION = f"""
+WITH {SQL_SHINGLES},
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+co AS (SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM co JOIN ev USING (sh) GROUP BY 1
+"""
+
+
+def q_pii_redact(spark, sf):
+    """PII redaction over a deterministically synthesized PII-laden text
+    (the slim customer table carries no emails/IPs, so the query plants
+    them identically in both engines): count matches, then mask."""
+    from tdataframe_spark.functions.text import count_pii, redact_pii
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.col("c_name"),
+        F.lit(" user"), k.cast("string"),
+        F.lit("@example.com ip 10.0."), (k % 256).cast("string"),
+        F.lit("."), (F.col("c_nationkey") % 256).cast("string"),
+        F.lit(" tel "), (k % 90 + 10).cast("string"),
+        F.lit("-555-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    return c.select(
+        "c_custkey",
+        redact_pii(text).alias("redacted"),
+        count_pii(text).alias("n_pii"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from tdataframe_spark.functions.text import PII_PATTERNS
+
+    text = (
+        "c_name || ' user' || CAST(c_custkey AS VARCHAR)"
+        " || '@example.com ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)"
+        " || '.' || CAST(c_nationkey % 256 AS VARCHAR)"
+        " || ' tel ' || CAST(c_custkey % 90 + 10 AS VARCHAR)"
+        " || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    )
+    red = text
+    for pat, token in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    cnt = " + ".join(
+        f"len(regexp_extract_all({text}, '{pat}'))"
+        for pat, _ in PII_PATTERNS.values()
+    )
+    return f"""
+SELECT c_custkey, {red} AS redacted, CAST({cnt} AS BIGINT) AS n_pii
+FROM customer
+"""
+
+
+MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1, "src3": 1}
+
+
+def q_domain_mix(spark, sf):
+    """Domain-mixture sampling at exact integer weight ratios (3:2:1:1 over
+    four sources), deterministic via portable-hash ordering."""
+    from tdataframe_spark.ops.textstats import mix_domains
+
+    return mix_domains(_t(spark, sf, "documents"), "source", MIX_WEIGHTS, "doc_id")
+
+
+def _domain_mix_oracle_sql() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())
+    return f"""
+WITH wt(source, w) AS (VALUES {vals}),
+d AS (SELECT doc_id, source, w FROM documents JOIN wt USING (source)),
+c AS (SELECT source, MIN(w) AS w, COUNT(*) AS n FROM d GROUP BY source),
+t AS (SELECT MIN(n // w) AS t FROM c),
+r AS (
+  SELECT doc_id, source, w,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM d
+)
+SELECT doc_id, source FROM r, t WHERE rn <= w * t.t
+"""
+
+
+Q4_D1, Q4_D2 = "1996-01-01", "1996-07-01"
+Q4_LATE_DAYS = 60
+
+
+def q_q4_priority_exists(spark, sf):
+    """TPC-H Q4 shape (order-priority checking), adapted to the slim schema:
+    orders in a half-year window having at least one lineitem shipped more
+    than 60 days after the order date (EXISTS → left-semi join), counted by
+    priority."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit(Q4_D1))
+        & (F.col("o_orderdate").cast("date") < F.lit(Q4_D2))
+    )
+    li = _t(spark, sf, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate.cast("date")
+        > F.date_add(o.o_orderdate.cast("date"), Q4_LATE_DAYS)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+SQL_Q4 = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '{Q4_D1}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q4_D2}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+Q14_TYPE = "PROMO"
+Q14_D1, Q14_D2 = "1997-09-01", "1997-10-01"
+
+
+def q_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape (promotion effect): conditional revenue share of
+    PROMO-type parts in one ship month. Parts broadcast; both sums decimal-
+    accumulated so the ratio is engine-exact."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit(Q14_D1))
+        & (F.col("l_shipdate").cast("date") < F.lit(Q14_D2))
+    )
+    pt = _t(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).withColumn("disc_price", F.expr("l_extendedprice * (1 - l_discount)"))
+    promo = F.when(F.col("p_type") == Q14_TYPE, F.col("disc_price")).otherwise(0.0)
+    return j.agg(
+        (F.lit(100.0) * dsum(promo) / dsum("disc_price")).alias("promo_pct")
+    )
+
+
+SQL_Q14 = f"""
+SELECT 100.0 * {_dsum_sql(f"CASE WHEN p_type = '{Q14_TYPE}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '{Q14_D1}'
+  AND CAST(l_shipdate AS DATE) < DATE '{Q14_D2}'
+"""
+
+
+Q16_BRAND = "Brand#13"
+Q16_MAX_SIZE = 15
+
+
+def q_q16_supplier_counts(spark, sf):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct suppliers per
+    (brand, size) over the lineitem link table, excluding one brand and the
+    NOT-IN set of negative-balance suppliers (anti join)."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    pt = (
+        _t(spark, sf, "part")
+        .filter((F.col("p_brand") != Q16_BRAND) & (F.col("p_size") <= Q16_MAX_SIZE))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = f"""
+SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_BRAND}'
+  AND p_size <= {Q16_MAX_SIZE}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q_lag_lead_gaps(spark, sf):
+    """Per-customer order cadence: days since the previous order and until
+    the next (lag/lead over a deterministic (date, key) order) — the offset
+    window functions the suite didn't cover yet."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(d, F.lag(d).over(w)).cast("int").alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).cast("int").alias("days_to_next"),
+        F.row_number().over(w).cast("long").alias("nth_order"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), lead(CAST(o_orderdate AS DATE)) OVER w) AS INT) AS days_to_next,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS nth_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
+"""
+
+
+PR_OFFSET = 1_000_000  # disjoint id ranges for the bipartite node set
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def q_pagerank(spark, sf):
+    """Fixed-iteration PageRank over the symmetrized supplier-part purchase
+    graph (edges = distinct (suppkey, partkey) pairs from lineitem, both
+    directions). 3 iterations, damping 0.85, fixed-point-accumulated
+    incoming sums — bit-identical to the SQL-unrolled oracle."""
+    from tdataframe_spark.ops.graph import pagerank
+
+    li = (
+        _t(spark, sf, "lineitem")
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("l_partkey") + PR_OFFSET).cast("long").alias("p"),
+        )
+        .distinct()
+    )
+    edges = li.select(F.col("s").alias("src"), F.col("p").alias("dst")).union(
+        li.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    r = pagerank(edges, iters=PR_ITERS)
+    return r.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(PR_TOPK)
+
+
+def _pagerank_oracle_sql() -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d}) / nn.n"
+    parts = [
+        f"""
+pairs AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                          CAST(l_partkey + {PR_OFFSET} AS BIGINT) AS p
+          FROM lineitem),
+e AS (SELECT s AS src, p AS dst FROM pairs
+      UNION SELECT p AS src, s AS dst FROM pairs),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""
+c{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(floor(r.rank / o.outdeg * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS s
+  FROM e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         {base} + {d} * COALESCE(c{i}.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nodes.node
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT node, rank FROM r{PR_ITERS}
+ORDER BY rank DESC, node ASC LIMIT {PR_TOPK}
+"""
+
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_numeric(spark, sf):
+    """Deterministic describe(): one fused agg pass over four lineitem
+    measures, unpivoted JVM-side; decimal sums make mean/std engine-exact."""
+    from tdataframe_spark.core.aggregates import profile_numeric
+
+    return profile_numeric(_t(spark, sf, "lineitem"), PROFILE_COLS)
+
+
+def _profile_oracle_sql() -> str:
+    selects = []
+    for c in PROFILE_COLS:
+        d = f"CAST({c} AS DOUBLE)"
+        s = f"CAST(SUM(CAST({d} AS DECIMAL(25,6))) AS DOUBLE)"
+        x2 = f"({d} * {d})"
+        ss = (
+            f"(CAST(SUM(CAST(floor({x2}) AS BIGINT)) AS DOUBLE)"
+            f" + CAST(SUM(CAST(floor(({x2} - floor({x2})) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
+            f" / CAST(1000000000.0 AS DOUBLE))"
+        )
+        n = f"COUNT({c})"
+        var = f"({ss} - {s} * {s} / {n}) / ({n} - 1)"
+        selects.append(
+            f"""
+SELECT '{c}' AS column,
+       CAST({n} AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       MIN({d}) AS vmin,
+       MAX({d}) AS vmax,
+       {s} / {n} AS mean,
+       CASE WHEN {n} > 1 THEN sqrt(greatest({var}, CAST(0.0 AS DOUBLE))) END AS std
+FROM lineitem"""
+        )
+    return " UNION ALL ".join(selects)
+
+
+BM25_TERMS = ["spark", "hash", "merge"]
+BM25_K = 15
+
+
+def q_bm25_topk(spark, sf):
+    """Lexical retrieval: BM25 top-k over the corpus for a 3-term query.
+    Postings-only scoring (query terms pushed into the index scan), ordered
+    per-doc fold so double addition is canonical cross-engine. The score is
+    rounded to 9 dp at the query boundary: Java's Math.log and the oracle's
+    ln differ by 1 ulp on some inputs (observed at sf0.01), and 9 dp absorbs
+    that while keeping the ranking exact."""
+    from tdataframe_spark.ops.search import bm25_topk
+
+    out = bm25_topk(_t(spark, sf, "documents"), BM25_TERMS, k=BM25_K)
+    return out.select("id", F.round("score", 9).alias("score"), "n_terms_hit")
+
+
+def _bm25_oracle_sql() -> str:
+    from tdataframe_spark.ops.search import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1 = f"CAST({BM25_K1} AS DOUBLE)"
+    b = f"CAST({BM25_B} AS DOUBLE)"
+    return f"""
+WITH w AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
+lens AS (SELECT id, CAST(len(ws) AS BIGINT) AS len FROM w),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avglen
+      FROM lens),
+tf AS (SELECT id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w, UNNEST(ws) AS u(t) WHERE t IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT id, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf / (tf + {k1} * (1.0 - {b} + {b} * len / avglen)) AS wgt
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (id), g
+),
+agg AS (
+  SELECT id,
+         list_reduce(list(wgt ORDER BY term), (a, x) -> a + x) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM sc GROUP BY id
+)
+SELECT id, ROUND(score, 9) AS score, n_terms_hit FROM agg
+ORDER BY agg.score DESC, id ASC LIMIT {BM25_K}
+"""
+
+
+Q17_BRAND = "Brand#23"
+
+
+def q_q17_small_qty(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    subquery decorrelated Spark-first into a per-part aggregate joined back;
+    the brand-filtered part list is broadcast so only matching lineitems
+    flow. DuckDB oracle keeps the correlated form."""
+    li = _t(spark, sf, "lineitem")
+    pt = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li2 = li.join(F.broadcast(pt), "l_partkey").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg = li2.groupBy("l_partkey").agg(dmean("l_quantity").alias("avg_qty"))
+    return (
+        li2.join(avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+SQL_Q17 = f"""
+WITH pt AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+li2 AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN pt ON l_partkey = p_partkey
+)
+SELECT {_dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM li2 a
+WHERE l_quantity < 0.2 * (
+  SELECT {_dmean_sql('l_quantity')} FROM li2 b WHERE b.l_partkey = a.l_partkey
+)
+"""
+
+
+Q22_DATE = "2001-06-01"  # "no recent orders" cutoff (corpus covers every
+# customer with at least one order, so the classic no-orders-ever predicate
+# would be empty at every SF)
+
+
+def q_q22_idle_customers(spark, sf):
+    """TPC-H Q22 shape (global-sales-opportunity): scalar subquery (avg
+    positive balance) broadcast, anti-join against recent orders, grouped
+    by nation. Exercises scalar-subquery + NOT EXISTS decorrelation."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit(Q22_DATE)
+    )
+    avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(dmean("c_acctbal").alias("__avg"))
+    cand = (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+    )
+    return cand.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
+SQL_Q22 = f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {_dsum_sql('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {_dmean_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '{Q22_DATE}')
+GROUP BY c_nationkey
+"""
+
+
+def q_semantic_dedup(spark, sf):
+    """Semantic near-dup clustering end-to-end: exact cosine pairs over the
+    embedding table → connected components → cluster cardinality per
+    representative (min reachable id). The oracle mirrors the whole pipeline
+    with a recursive CTE."""
+    from tdataframe_spark.ops.dedup import connected_components
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=SEMDEDUP_T)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]),
+                          (p, s) -> p + s)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS vn
+  FROM n
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.vn, b.vn), x -> x[1] * x[2]),
+                    (p, s) -> p + s) > {SEMDEDUP_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION
+  SELECT w.id, e.dst
+  FROM walk w JOIN edges e ON w.reach = e.src
+),
+lab AS (SELECT id, MIN(reach) AS component FROM walk GROUP BY id)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM lab GROUP BY component
+"""
+
+
+# non-SQL-expressible ops (rows-only checks): multimodal stub, LSH ANN
+
+
+def q_multimodal_features(spark, sf):
+    """Feature vector serialized as fixed-precision CSV at the query
+    boundary: the driver's canonicalizer cannot sort/hash array cells.
+    Fake features are in [0,1) so %.9f has no locale/overflow surprises."""
+    docs = _t(spark, sf, "documents")
+    media = attach_payload(docs, "doc_id", "text", kind="text-as-binary")
+    feats = extract_features(media, dim=8, decode_stub=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: F.format_string("%.9f", x)),
+            ",",
+        ).alias("feature"),
+    )
+
+
+def q_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_bucket_topk(queries, emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "cos_sim", "rnk"
+    )
+
+
+def q_ivf_ann(spark, sf):
+    """IVF approximate nearest neighbours (k-means cells + n_probe search);
+    approximate by design → rows-only check, recall tested in pytest."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
+
+
+# re-export surface for `from tdataframe_spark.queries import *`
+# (single-underscore helpers like _events and the oracle builders are
+# part of the contract surface; dunders are not)
+__all__ = [n for n in dir() if not n.startswith("__")]

@@ -1,3 +1,15 @@
-from tdataframe_spark.sources.parquet import read_parquet, read_testdata
+from tdataframe_spark.sources.parquet import (
+    SchemaDriftError,
+    normalize_events,
+    read_parquet,
+    read_table,
+    read_testdata,
+)
 
-__all__ = ["read_parquet", "read_testdata"]
+__all__ = [
+    "SchemaDriftError",
+    "normalize_events",
+    "read_parquet",
+    "read_table",
+    "read_testdata",
+]

@@ -15,6 +15,7 @@ import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tdataframe_spark.core.frame import Frame
 
@@ -48,6 +49,62 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+class SchemaDriftError(TypeError):
+    """A testdata table arrived with a column type no adapter understands."""
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Adapt whatever encoding ``events.ts`` arrived in to one canonical
+    column ``ts_us``: BIGINT epoch-microseconds (UTC wall clock).
+
+    Known encodings of the same logical instant column:
+    - ``timestamp`` / ``timestamp_ntz`` (parquet TIMESTAMP micros) — the
+      current testdata encoding; session TZ is UTC so the NTZ→TZ cast is a
+      pure relabel and ``unix_micros`` yields the wall-clock micros DuckDB's
+      ``epoch_us(ts)`` computes on the same file.
+    - ``bigint`` — parquet TIMESTAMP(NANOS) surfaced via Spark's
+      ``nanosAsLong`` legacy read: nanoseconds, truncated to micros.
+
+    This mirrors the reference's per-type-code branch dispatch
+    (/root/reference/TDataFrame.hxx:1132-1154): the scan adapts to the
+    declared on-disk type instead of assuming one encoding.
+    """
+    dtypes = dict(df.dtypes)
+    t = dtypes.get("ts")
+    if t is None:
+        if "ts_us" in dtypes:  # already normalized
+            return df
+        raise SchemaDriftError("events has neither 'ts' nor 'ts_us'")
+    if t.startswith("timestamp"):
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    elif t == "bigint":
+        ts_us = F.expr("ts div 1000")
+    else:
+        raise SchemaDriftError(f"events.ts: unsupported dtype {t!r}")
+    return df.withColumn("ts_us", ts_us).drop("ts")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-drift-tolerant testdata read: one place that validates/adapts
+    per-table column encodings so a parquet re-encode can't break call sites.
+
+    ``events`` is normalized to ``ts_us`` (bigint epoch micros); a legacy
+    TIMESTAMP(NANOS) file (which Spark's reader rejects outright) is retried
+    with the ``nanosAsLong`` legacy conf and then truncated to micros.
+    """
+    try:
+        df = load_table(spark, sf_dir, name)
+    except Exception as exc:  # legacy nanos encoding: reader refuses the type
+        if name == "events" and "nanos" in str(exc).lower():
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = load_table(spark, sf_dir, name)
+        else:
+            raise
+    if name == "events":
+        df = normalize_events(df)
+    return df
 
 
 def read_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -69,6 +69,14 @@ def test_query_matches_oracle(spark, name):
     assert len(spark_df) == len(duck_df), (
         f"{name}: row count spark={len(spark_df)} duck={len(duck_df)}"
     )
+    # the driver hashes serialized values, so int-vs-float dtype drift (e.g.
+    # DuckDB HUGEINT → float64) fails its gate even when values compare equal
+    for c in spark_df.columns:
+        sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+        assert sk == dk or {sk, dk} <= {"i", "u"} or "O" in {sk, dk}, (
+            f"{name}.{c}: dtype kind mismatch spark={spark_df[c].dtype} "
+            f"duck={duck_df[c].dtype}"
+        )
     s, d = _canon(spark_df), _canon(duck_df)
     for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()

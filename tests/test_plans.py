@@ -157,3 +157,15 @@ def test_runtime_bloom_filter_injection_path_live(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cosine_pairs_no_cartesian(spark):
+    """Exact threshold-pairs must plan as a block-grid equi-join (shuffled
+    hash/sort-merge), never a cartesian/nested-loop — the difference between
+    a distributable O(n²/cluster) job and an undistributable one."""
+    from tdataframe_spark.plans.inspect import explain_str
+
+    df = em.q_cosine_pairs(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -130,3 +130,72 @@ def test_salted_group_count_on_skewed_input(spark):
         r["k"]: r["cnt"] for r in salted_group_count(df, ["k"], salt_buckets=8).collect()
     }
     assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# schema-drift guard (read_table / normalize_events)
+
+
+def _write_events(tmp_path, subdir, ts_type):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / subdir
+    d.mkdir()
+    base_us = 1_600_000_000_000_000  # epoch micros
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [base_us, base_us + 1_000_000, base_us + 2_500_000], pa.int64()
+            ).cast(pa.timestamp("us"))
+            if ts_type == "us"
+            else pa.array(
+                [
+                    base_us * 1000,
+                    (base_us + 1_000_000) * 1000,
+                    (base_us + 2_500_000) * 1000,
+                ],
+                pa.int64(),
+            ).cast(pa.timestamp("ns")),
+            "user_id": pa.array([10, 10, 11], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_read_table_adapts_timestamp_us_events(spark, tmp_path):
+    from tdataframe_spark.sources.parquet import read_table
+
+    d = _write_events(tmp_path, "ev_us", "us")
+    df = read_table(spark, d, "events")
+    assert dict(df.dtypes)["ts_us"] == "bigint"
+    assert "ts" not in df.columns
+    got = sorted(r["ts_us"] for r in df.collect())
+    assert got == [
+        1_600_000_000_000_000,
+        1_600_000_001_000_000,
+        1_600_000_002_500_000,
+    ]
+
+
+def test_read_table_adapts_nanos_events(spark, tmp_path):
+    from tdataframe_spark.sources.parquet import read_table
+
+    d = _write_events(tmp_path, "ev_ns", "ns")
+    df = read_table(spark, d, "events")
+    got = sorted(r["ts_us"] for r in df.collect())
+    assert got == [
+        1_600_000_000_000_000,
+        1_600_000_001_000_000,
+        1_600_000_002_500_000,
+    ]
+
+
+def test_read_table_rejects_unknown_ts_dtype(spark, tmp_path):
+    from tdataframe_spark.sources.parquet import SchemaDriftError, normalize_events
+
+    df = spark.createDataFrame([(1, "not-a-time")], "event_id long, ts string")
+    with pytest.raises(SchemaDriftError):
+        normalize_events(df)

@@ -4,6 +4,7 @@ and batch/stream parity of the same expressions."""
 import pytest
 from pyspark.sql import functions as F
 
+from tdataframe_spark.sources.parquet import read_table
 from tdataframe_spark.streaming import (
     run_to_memory_sink,
     stream_from_files,
@@ -16,11 +17,9 @@ def stream_dir(spark, tmp_path_factory):
     """Write the sf0.001 events (ts as ntz-compatible micros) as a streaming
     input dir of several files."""
     d = str(tmp_path_factory.mktemp("stream_in"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    ).drop("ts_us")
     ev.repartition(4).write.mode("overwrite").parquet(d)
     return d
 
