@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders,
         # --- rotated out this round (position 51+): every entry below is
         # r1/r2 driver-green and stays green in the local sf0.01 gate ---
+        # new in r3 (locally oracle-verified; rotate into the window next round)
+        "q8_market_share": q_q8_market_share,
+        "q9_profit": q_q9_profit,
+        "q10_returned_items": q_q10_returned_items,
+        "q13_order_distribution": q_q13_order_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -264,5 +270,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "cosine_topk": SQL_COSINE_TOPK,
+        "q8_market_share": SQL_Q8,
+        "q9_profit": SQL_Q9,
+        "q10_returned_items": SQL_Q10,
+        "q13_order_distribution": SQL_Q13,
+        "q15_top_supplier": SQL_Q15,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

@@ -2288,6 +2288,241 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+# ---------------------------------------------------------------------------
+# round-3 TPC-H widening: the remaining dashboard shapes expressible on this
+# testdata schema (no partsupp table, no commit/receipt dates, so Q2/Q11/Q12/
+# Q20/Q21 are out of reach by data, not by engine). Reference has no joins at
+# all (SURVEY §2.2); these exercise multi-way join planning + broadcast.
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_7"
+Q8_D1, Q8_D2 = "1997-01-01", "1999-01-01"
+
+
+def q_q8_market_share(spark, sf):
+    """TPC-H Q8 shape (national market share): of ECONOMY-part order volume
+    delivered into ASIA customers over two years, the share supplied by one
+    nation, per order year. 6-way join; all dims broadcast, the single
+    shuffle is the final tiny group-by-year hash agg."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit(Q8_D1))
+        & (F.col("o_orderdate").cast("date") < F.lit(Q8_D2))
+    )
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    pt = _t(spark, sf, "part").filter(F.col("p_type") == Q8_TYPE)
+    nat_c = _t(spark, sf, "nation").alias("nc")
+    nat_s = _t(spark, sf, "nation").alias("ns")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == Q8_REGION)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), cust.c_nationkey == F.col("nc.n_nationkey"))
+        .join(F.broadcast(reg), F.col("nc.n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), supp.s_nationkey == F.col("ns.n_nationkey"))
+    )
+    vol = F.expr("l_extendedprice * (1 - l_discount)")
+    nat_vol = F.when(F.col("ns.n_name") == Q8_NATION, vol).otherwise(0.0)
+    return (
+        j.select(
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+            vol.alias("volume"),
+            nat_vol.alias("nat_volume"),
+        )
+        .groupBy("o_year")
+        .agg((dsum("nat_volume") / dsum("volume")).alias("mkt_share"))
+    )
+
+
+SQL_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_dsum_sql(f"CASE WHEN ns.n_name = '{Q8_NATION}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN part      ON l_partkey = p_partkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region    ON nc.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = '{Q8_REGION}'
+  AND p_type = '{Q8_TYPE}'
+  AND CAST(o_orderdate AS DATE) >= DATE '{Q8_D1}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q8_D2}'
+GROUP BY o_year
+"""
+
+
+Q9_PART_WORD = "widget"
+Q9_COST_RATE = 0.4
+
+
+def q_q9_profit(spark, sf):
+    """TPC-H Q9 shape (product-type profit by nation/year), adapted: the
+    testdata has no partsupp/ps_supplycost, so cost is modeled as
+    ``Q9_COST_RATE * p_retailprice * l_quantity`` — same join/agg topology
+    (lineitem ⋈ part ⋈ supplier ⋈ nation, group by nation × year)."""
+    li = _t(spark, sf, "lineitem")
+    pt = _t(spark, sf, "part").filter(F.col("p_name").contains(Q9_PART_WORD))
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    j = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    profit = F.expr(
+        f"l_extendedprice * (1 - l_discount) - {Q9_COST_RATE} * p_retailprice * l_quantity"
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("l_shipdate")).cast("int").alias("o_year"),
+            profit.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount").alias("sum_profit"))
+    )
+
+
+SQL_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS INTEGER) AS o_year,
+       {_dsum_sql(f'l_extendedprice * (1 - l_discount) - {Q9_COST_RATE} * p_retailprice * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_PART_WORD}%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+Q10_D1, Q10_D2 = "1999-01-01", "1999-04-01"
+Q10_K = 20
+
+
+def q_q10_returned_items(spark, sf):
+    """TPC-H Q10 shape (returned-item reporting): top customers by revenue
+    lost to returns in one quarter. Fact-fact join shuffles on orderkey;
+    customer/nation broadcast; top-k plans TakeOrderedAndProject."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit(Q10_D1))
+        & (F.col("o_orderdate").cast("date") < F.lit(Q10_D2))
+    )
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    rev = (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(Q10_K)
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND CAST(o_orderdate AS DATE) >= DATE '{Q10_D1}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q10_D2}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_K}
+"""
+
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def q_q13_order_distribution(spark, sf):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    customer→(filtered orders) so zero-order customers count as 0, then a
+    second aggregation over the counts. Two shuffles, both on shrinking
+    keys — the canonical histogram-of-groups plan."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDE_PRIORITY)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+SQL_Q13 = f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+Q15_D1, Q15_D2 = "2000-01-01", "2000-04-01"
+
+
+def q_q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+    the supplier(s) achieving the global max — max computed as a 1-row
+    broadcast-joined scalar, not a driver collect, so the plan survives any
+    supplier count."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit(Q15_D1))
+        & (F.col("l_shipdate").cast("date") < F.lit(Q15_D2))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{Q15_D1}'
+    AND CAST(l_shipdate AS DATE) < DATE '{Q15_D2}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -90,6 +90,67 @@ def write_zordered(
     )
 
 
+def read_pruned(
+    spark,
+    path: str,
+    column: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Manifest-style file pruning: read only the parquet files whose footer
+    min/max for ``column`` overlaps [lo, hi], then apply the same predicate
+    row-wise. Equivalent result to a full scan + filter, but Spark never
+    opens the skipped files at all (file-level skipping — one level above
+    the row-group skipping the scan already does).
+
+    This is the read-side half of ``write_sorted``/``write_zordered``: on a
+    layout with near-disjoint per-file ranges, a narrow range keeps O(1)
+    files out of N. At 100 TB the per-file stats live in a table-format
+    manifest (Delta/Iceberg) instead of being re-read from footers; this
+    driver-side footer pass is the sandbox stand-in (metadata-only, no data
+    pages are read) and is itself O(files) — fine for the file counts a
+    sorted write produces, and replaceable by a manifest table without
+    touching callers.
+    """
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    keep = []
+    for f, rng in zip(files, _file_ranges(files, column)):
+        if rng is None:  # no stats → cannot prune, must read
+            keep.append(f)
+        elif not (rng[1] < lo or rng[0] > hi):
+            keep.append(f)
+    pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    if not keep:
+        return spark.read.parquet(path).filter(pred).limit(0)
+    return spark.read.parquet(*keep).filter(pred)
+
+
+def _file_ranges(files: list[str], column: str) -> list:
+    """Per-file (min, max) for ``column`` from footer stats; None when any
+    row group lacks statistics for it."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        ok = True
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column:
+                    if col.statistics is None:
+                        ok = False
+                    else:
+                        mins.append(col.statistics.min)
+                        maxs.append(col.statistics.max)
+        out.append((min(mins), max(maxs)) if ok and mins else None)
+    return out
+
+
 def parquet_column_ranges(
     path: str, column: str
 ) -> list[tuple[float, float]]:

@@ -8,6 +8,7 @@ from tdataframe_spark.streaming.ops import (
     stream_from_kafka,
     stream_to_parquet,
     stream_stream_join,
+    stream_upsert_to_parquet,
     windowed_agg,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "kafka_reader",
     "stream_from_kafka",
     "stream_to_parquet",
+    "stream_upsert_to_parquet",
     "parse_kafka_json",
 ]

@@ -234,6 +234,68 @@ def stream_to_parquet(
     return q
 
 
+def stream_upsert_to_parquet(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC upsert: each micro-batch is MERGEd into the keyed
+    parquet table at ``path`` via ``foreachBatch`` — batch rows replace
+    same-key rows, new keys append. Within a batch, ``order_col`` picks the
+    winning version per key (last-wins); without it, batches are assumed
+    key-unique.
+
+    The merge itself is the batch upsert shape (anti-join survivors ∪ batch)
+    — one shuffle on the keys. Parquet has no transactional MERGE, so the
+    rewrite goes to a staging dir then swaps in (single-writer semantics,
+    fine for a checkpointed stream which is single-writer by construction);
+    on a real deployment the foreachBatch body becomes a Delta/Iceberg
+    MERGE INTO and the swap disappears — callers don't change.
+    """
+    from pyspark.sql import Window
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        spark = batch.sparkSession
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        import os
+
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+            survivors = current.join(
+                batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
+            )
+            merged = survivors.unionByName(batch)
+            staging = f"{path}.__staging__"
+            merged.write.mode("overwrite").parquet(staging)
+            shutil.rmtree(path)
+            os.rename(staging, path)
+        else:
+            batch.write.mode("overwrite").parquet(path)
+
+    w = (
+        result.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")  # changed-rows semantics; append-equivalent for stateless streams
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def run_to_memory_sink(
     result: DataFrame, query_name: str | None = None, mode: str = "append"
 ) -> tuple[str, object]:

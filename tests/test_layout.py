@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tdataframe_spark import Frame
-from tdataframe_spark.sources.layout import parquet_column_ranges
+from tdataframe_spark.sources.layout import parquet_column_ranges, read_pruned
 
 SF = "/root/testdata/sf0.001"
 
@@ -61,6 +61,45 @@ def test_zorder_snapshot_bounds_both_columns(spark, lineitem, tmp_path):
 
     back = spark.read.parquet(out)
     assert back.count() == lineitem.count()
+
+
+def test_read_pruned_skips_files_same_answer(spark, lineitem, tmp_path):
+    """File-level skipping on a sorted layout: a narrow range on the sort
+    column opens a strict subset of files (df.inputFiles() proves Spark
+    never lists the skipped ones) and returns exactly the full-scan
+    answer."""
+    out = str(tmp_path / "sorted")
+    Frame(lineitem).snapshot(out, sort_by=["l_extendedprice"], n_files=8)
+
+    lo, hi = 1000.0, 2000.0
+    pruned = read_pruned(spark, out, "l_extendedprice", lo, hi)
+    n_total = len(spark.read.parquet(out).inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_total == 8
+    assert n_pruned < n_total  # skipped at least one file outright
+
+    expect = (
+        lineitem.filter(
+            (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") <= hi)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("s"),
+        )
+        .first()
+    )
+    got = pruned.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+    ).first()
+    assert (got["n"], got["s"]) == (expect["n"], expect["s"])
+
+
+def test_read_pruned_empty_range(spark, lineitem, tmp_path):
+    """A range outside every file's stats reads zero files and zero rows."""
+    out = str(tmp_path / "sorted2")
+    Frame(lineitem).snapshot(out, sort_by=["l_quantity"], n_files=4)
+    pruned = read_pruned(spark, out, "l_quantity", 1e12, 2e12)
+    assert pruned.count() == 0
 
 
 def test_sorted_and_zorder_mutually_exclusive(lineitem, tmp_path):

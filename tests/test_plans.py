@@ -159,6 +159,26 @@ def test_runtime_bloom_filter_injection_path_live(spark):
             spark.conf.set(k, v)
 
 
+def test_q8_six_way_join_broadcasts_no_cartesian(spark):
+    """Q8's 6-way join: every dimension side broadcast, no cartesian — the
+    only shuffles left are the fact-fact orderkey join and the tiny final
+    group-by-year agg."""
+    from tdataframe_spark.plans.inspect import explain_str
+
+    df = em.q_q8_market_share(spark, SF)
+    plan = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q15_max_revenue_is_broadcast_not_collect(spark):
+    """Q15's global-max scalar joins back via broadcast (1-row side), so the
+    plan has no driver-side collect of the revenue table."""
+    df = em.q_q15_top_supplier(spark, SF)
+    assert has_broadcast_join(df)
+
+
 def test_cosine_pairs_no_cartesian(spark):
     """Exact threshold-pairs must plan as a block-grid equi-join (shuffled
     hash/sort-merge), never a cartesian/nested-loop — the difference between

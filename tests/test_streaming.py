@@ -300,3 +300,34 @@ def test_stream_to_parquet_exactly_once(spark, stream_dir, tmp_path):
     stream2 = stream_from_files(spark, stream_dir, batch.schema)
     stream_to_parquet(stream2.filter(F.col("value") > 0), out, ckpt)
     assert spark.read.parquet(out).count() == expect
+
+
+def test_stream_upsert_cdc_merge(spark, tmp_path):
+    """foreachBatch CDC upsert: a second drain with the same checkpoint
+    merges only the new file — same-key rows replaced (last-wins by version
+    inside a batch), new keys appended, untouched keys preserved."""
+    from tdataframe_spark.streaming import stream_upsert_to_parquet
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "k int, v string, ver int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    schema = "k int, v string, ver int"
+    write_batch("b1", [(1, "a", 1), (2, "b", 1)])
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    stream_upsert_to_parquet(stream, out, ckpt, keys=["k"], order_col="ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("a", 1), 2: ("b", 1)}
+
+    # second CDC batch: update k=2, insert k=3 (with an in-batch stale dup)
+    write_batch("b2", [(2, "b2", 2), (3, "c_old", 1), (3, "c", 2)])
+    stream2 = spark.readStream.schema(schema).parquet(f"{src}/*")
+    stream_upsert_to_parquet(stream2, out, ckpt, keys=["k"], order_col="ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 2)}
