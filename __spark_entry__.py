@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q13_order_distribution": q_q13_order_distribution,
         "q15_top_supplier": q_q15_top_supplier,
+        "chunk_docs": q_chunk_docs,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -275,5 +276,6 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": SQL_Q10,
         "q13_order_distribution": SQL_Q13,
         "q15_top_supplier": SQL_Q15,
+        "chunk_docs": SQL_CHUNK_DOCS,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

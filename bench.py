@@ -63,6 +63,10 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            # queries that persist intermediates (ngram_jaccard, minhash_lsh)
+            # would otherwise leak cache across runs/queries — each timed run
+            # must pay its own persist cost and nothing else's
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

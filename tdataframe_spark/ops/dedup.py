@@ -192,12 +192,15 @@ def minhash_signature(
     """Per-doc MinHash signature columns m0..m{k-1} (docs with >=1 shingle)."""
     assert k <= len(MINHASH_PERMS)
     sh = _shingle_table(df, id_col, text_col, n)
-    h = _minhash56(F.col("__sh"))
+    # hash once per row in a projection; the k min-aggs then run on cheap
+    # integer math (inlining h into every agg expression would evaluate the
+    # md5 up to k times per shingle if codegen CSE declines to merge them)
+    hashed = sh.select("__id", _minhash56(F.col("__sh")).alias("__h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:k])
     ]
-    return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    return hashed.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -230,12 +233,13 @@ def minhash_lsh_pairs(
         from pyspark.storagelevel import StorageLevel
 
         sh_all = sh_all.persist(StorageLevel.MEMORY_AND_DISK)
-    h = _minhash56(F.col("__sh"))
+    # hash once per row (projection), k min-aggs on integer math only
+    hashed = sh_all.select("__id", _minhash56(F.col("__sh")).alias("__h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:k])
     ]
-    sig = sh_all.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    sig = hashed.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
     if persist:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 

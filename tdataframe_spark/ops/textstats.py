@@ -35,6 +35,50 @@ def doc_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping word-window chunks — the
+    long-context training prep that turns documents into model-sized
+    pieces while keeping ``overlap`` words of continuity between
+    neighbours.
+
+    Chunk starts are 0, step, 2*step, … with step = chunk_size - overlap;
+    the last chunk may be shorter. Fully JVM-side: one
+    sequence→transform→posexplode per document, no shuffle at all (the
+    operator is embarrassingly parallel over input partitions — at 100 TB
+    it scales with the scan).
+
+    Returns (id, chunk_id, chunk_text, n_words_chunk), chunk_id dense from
+    0 in document order.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    step = chunk_size - overlap
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(w, s + 1, chunk_size), " ")
+    )
+    return (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int"),
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_words_chunk"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -2483,6 +2483,40 @@ FROM (
 """
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 48, 12
+CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def q_chunk_docs(spark, sf):
+    """Overlapping word-window chunking (long-context training prep) —
+    shuffle-free posexplode; see ops/textstats.chunk_documents."""
+    from tdataframe_spark.ops.textstats import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        chunk_size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+SQL_CHUNK_DOCS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws) - {CHUNK_OVERLAP}, 1), {CHUNK_STEP})) AS st
+  FROM w
+)
+SELECT doc_id,
+       CAST(st / {CHUNK_STEP} AS INTEGER) AS chunk_id,
+       array_to_string(ws[st + 1 : st + {CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(len(string_split(array_to_string(ws[st + 1 : st + {CHUNK_SIZE}], ' '), ' ')) AS BIGINT)
+         AS n_words_chunk
+FROM s
+"""
+
+
 Q15_D1, Q15_D2 = "2000-01-01", "2000-04-01"
 
 

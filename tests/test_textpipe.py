@@ -106,3 +106,40 @@ def test_mix_domains_exact_ratios_and_determinism(spark):
     df2 = df.union(spark.createDataFrame([(5000, "junk")], df.schema))
     out2 = mix_domains(df2, "source", {"a": 3, "b": 1}, "doc_id")
     assert out2.filter("source = 'junk'").count() == 0
+
+
+def test_chunk_documents_invariants(spark):
+    from tdataframe_spark.ops.textstats import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    df = _docs(
+        spark,
+        [
+            (1, " ".join(words)),   # 25 words -> chunks at 0, 6, 12, 18
+            (2, "a b"),             # shorter than chunk_size -> one chunk
+            (3, "solo"),            # single word
+        ],
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=8, overlap=2)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out.collect()]
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # starts are 0, 6, 12, 18 (step = chunk_size - overlap = 6)
+    assert [c for _, c, _ in d1] == [0, 1, 2, 3]
+    # full coverage: every word appears in some chunk, in order
+    seen = []
+    for _, _, text in d1:
+        seen.extend(w for w in text.split(" ") if w not in seen)
+    assert seen == words
+    # consecutive chunks share exactly `overlap` words
+    first, second = d1[0][2].split(" "), d1[1][2].split(" ")
+    assert first[-2:] == second[:2]
+    # short docs yield exactly one chunk equal to the doc
+    assert [r[2] for r in rows if r[0] == 2] == ["a b"]
+    assert [r[2] for r in rows if r[0] == 3] == ["solo"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=4)
