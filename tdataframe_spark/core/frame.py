@@ -363,6 +363,54 @@ class Frame:
         for row in self._df.select(c).toLocalIterator(prefetchPartitions=prefetch):
             yield row[0]
 
+    # -- head / tail / entry ranges (planned in reference:
+    # TDFGuide.md:378-384 Head/Tail pretty-printers, entry Ranges) --------
+    def head(self, n: int = 5) -> list:
+        """First ``n`` rows in scan order (instant action). The reference
+        planned Head as a pretty-printer; here it returns Rows — print-
+        friendly and testable. Scan-order determinism matches the
+        reference's entry order for a single-file dataset."""
+        self._engine.flush()
+        return self._df.take(n)
+
+    def tail(self, n: int = 5) -> list:
+        """Last ``n`` rows in scan order (instant action) — Spark computes
+        this from the trailing partitions without a full collect."""
+        self._engine.flush()
+        return self._df.tail(n)
+
+    def entry_range(
+        self,
+        begin: int,
+        end: int,
+        order_by: Sequence[str] | None = None,
+    ) -> "Frame":
+        """Entries [begin, end) — the reference's planned Range restriction.
+
+        With ``order_by``, rows are numbered by a window over those columns
+        — deterministic on any cluster, at the cost of one global sort
+        shuffle (row_number over an unpartitioned window; use only when a
+        true global slice is needed, it funnels through one task at the
+        numbering step). Without it, Spark's offset/limit follow scan order
+        — deterministic for a stable file layout, like the reference's
+        TTree entry order, and shuffle-free."""
+        if begin < 0 or end < begin:
+            raise ValueError(f"need 0 <= begin <= end, got [{begin}, {end})")
+        if order_by:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(*[F.col(c) for c in order_by])
+            df = (
+                self._df.withColumn("__entry", F.row_number().over(w))
+                .filter(
+                    (F.col("__entry") > begin) & (F.col("__entry") <= end)
+                )
+                .drop("__entry")
+            )
+        else:
+            df = self._df.offset(begin).limit(end - begin)
+        return self._derive(df)
+
     # -- instant UDF sinks (A7/A8) ---------------------------------------
     def foreach(self, fn: Callable, cols: Sequence[str] | None = None) -> None:
         """Run ``fn(*col_values)`` per passing row, NOW. Flushes all pending

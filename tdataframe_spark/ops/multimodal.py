@@ -2,10 +2,12 @@
 
 Media are opaque ``binary`` payloads plus typed metadata (SURVEY.md §2.2
 north star). The Spark-side machinery — schema, Arrow-batched
-``mapInPandas`` pipelines, partition sizing — is real and tested; the codec
-step itself is STUBBED (`decode_stub=True` produces deterministic fake
-features; `False` raises NotImplementedError) because no image/audio
-libraries exist in this container. Swapping the stub for PIL/ffmpeg is a
+``mapInPandas`` pipelines, partition sizing — is real and tested. Decode:
+``decode_images`` REALLY decodes the netpbm formats (PPM/PGM — header +
+raster parse in pure numpy, no media libs needed); for codecs that do need
+libraries absent from this container (JPEG/PNG/audio/video), the codec step
+is STUBBED (`decode_stub=True` produces deterministic fake features;
+`False` raises NotImplementedError). Swapping a stub for PIL/ffmpeg is a
 one-function change; nothing else moves.
 
 Scale notes: payloads never pass through the driver; ``mapInPandas``
@@ -86,6 +88,110 @@ def extract_features(
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "media_id bigint, kind string, ok boolean, width int, height int, "
+    "channels int, mean_channel array<double>"
+)
+
+
+def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
+    """REAL image decode for the netpbm binary formats (PPM ``P6`` /
+    PGM ``P5``) — header + raster parse in pure numpy, no media libraries
+    needed. This is the non-stub counterpart of ``extract_features``: for
+    payloads in a format the sandbox can parse, the decode→resize→feature
+    path is fully real; other formats (JPEG/PNG/...) come back ``ok=false``
+    rather than raising, so one pass classifies and decodes a mixed corpus.
+
+    ``resize_to``: optional square nearest-neighbour downsample applied
+    before feature computation (numpy index slicing — the shape of a real
+    resize stage without an interpolation library).
+
+    Output per payload: parsed (width, height, channels) and the per-channel
+    pixel mean in [0,1] — a real, deterministic image statistic usable as a
+    trivial embedding. Arrow-batched ``mapInPandas``; closure is
+    self-contained (numpy/pandas only) so workers need no copy of this
+    package.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        def parse_netpbm(buf):
+            # returns (arr HxWxC float in [0,1]) or None
+            try:
+                if buf is None or len(buf) < 10 or buf[:1] != b"P":
+                    return None
+                magic = buf[:2]
+                if magic not in (b"P5", b"P6"):
+                    return None
+                # header = magic + 3 ints (w, h, maxval) separated by
+                # whitespace/comments, then ONE whitespace byte, then raster
+                pos, vals = 2, []
+                while len(vals) < 3:
+                    while pos < len(buf) and buf[pos : pos + 1].isspace():
+                        pos += 1
+                    if buf[pos : pos + 1] == b"#":  # comment to EOL
+                        while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                            pos += 1
+                        continue
+                    start = pos
+                    while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                        pos += 1
+                    vals.append(int(buf[start:pos]))
+                pos += 1  # the single whitespace after maxval
+                w, h, maxval = vals
+                ch = 3 if magic == b"P6" else 1
+                if not (0 < w and 0 < h and 0 < maxval < 65536):
+                    return None
+                dtype = np.uint8 if maxval < 256 else ">u2"
+                need = w * h * ch * (1 if maxval < 256 else 2)
+                raster = buf[pos : pos + need]
+                if len(raster) != need:
+                    return None
+                arr = np.frombuffer(raster, dtype=dtype).reshape(h, w, ch)
+                return arr.astype(np.float64) / maxval
+            except Exception:
+                return None
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = parse_netpbm(r["payload"])
+                if arr is None:
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "kind": r["kind"],
+                            "ok": False,
+                            "width": None,
+                            "height": None,
+                            "channels": None,
+                            "mean_channel": None,
+                        }
+                    )
+                    continue
+                h0, w0 = arr.shape[0], arr.shape[1]
+                if resize_to is not None:
+                    yi = np.linspace(0, h0 - 1, resize_to).round().astype(int)
+                    xi = np.linspace(0, w0 - 1, resize_to).round().astype(int)
+                    arr = arr[yi][:, xi]
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "ok": True,
+                        "width": w0,
+                        "height": h0,
+                        "channels": arr.shape[2],
+                        "mean_channel": [float(x) for x in arr.mean(axis=(0, 1))],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
 
 
 def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:

@@ -296,3 +296,29 @@ def test_upsert_replaces_and_appends(spark):
     upd = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
     out = {r["k"]: r["v"] for r in Frame(base).upsert(upd, on=["k"]).df.collect()}
     assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_head_tail_flush_pending(f1):
+    """Head/Tail (reference planned pretty-printers): instant actions that
+    flush pending lazies first; deterministic on a stable scan order."""
+    fr = f1.filter("b1 >= 0")
+    c = fr.count()
+    h = fr.head(3)
+    assert c.ready  # instant action flushed the pending count
+    assert [r["b1"] for r in h] == [0.0, 1.0, 2.0]
+    t = fr.tail(2)
+    assert [r["b1"] for r in t] == [8.0, 9.0]
+
+
+def test_entry_range_ordered_and_scan(f1):
+    """entry_range: ordered mode is a deterministic global slice; scan mode
+    is offset/limit and returns exactly end-begin rows."""
+    got = sorted(
+        r["b1"] for r in f1.entry_range(2, 5, order_by=["b1"]).df.collect()
+    )
+    assert got == [2.0, 3.0, 4.0]
+    # scan mode: right cardinality, rows drawn from the frame
+    rows = f1.entry_range(3, 7).df.collect()
+    assert len(rows) == 4
+    with pytest.raises(ValueError):
+        f1.entry_range(5, 2)

@@ -94,6 +94,24 @@ def test_read_pruned_skips_files_same_answer(spark, lineitem, tmp_path):
     assert (got["n"], got["s"]) == (expect["n"], expect["s"])
 
 
+def test_read_pruned_on_second_zorder_column(spark, lineitem, tmp_path):
+    """Z-ordering bounds EVERY z-ordered column per file, so file-level
+    pruning works on the non-leading column too — where a plain sort on
+    price would leave quantity full-range in every file (nothing to
+    skip)."""
+    out = str(tmp_path / "z2")
+    Frame(lineitem).snapshot(
+        out, zorder_by=["l_extendedprice", "l_quantity"], n_files=16
+    )
+    lo, hi = 1.0, 5.0  # narrow slice of l_quantity (values ~1..50)
+    pruned = read_pruned(spark, out, "l_quantity", lo, hi)
+    assert len(pruned.inputFiles()) < 16
+    expect = lineitem.filter(
+        (F.col("l_quantity") >= lo) & (F.col("l_quantity") <= hi)
+    ).count()
+    assert pruned.count() == expect
+
+
 def test_read_pruned_empty_range(spark, lineitem, tmp_path):
     """A range outside every file's stats reads zero files and zero rows."""
     out = str(tmp_path / "sorted2")

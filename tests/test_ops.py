@@ -431,3 +431,48 @@ def test_stratified_sample_exact_rates(spark):
     assert counts == {"big": 100, "small": 1}
     s2 = {r["k"] for r in stratified_sample(df, ["g"], 0.1, "k").collect()}
     assert {r["k"] for r in s1.collect()} == s2
+
+
+def test_decode_images_real_ppm(spark):
+    """decode_images REALLY parses netpbm payloads: a generated P6 gradient
+    and a P5 grayscale come back with exact dimensions and per-channel
+    means; junk and truncated payloads classify as ok=false in the same
+    pass."""
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import decode_images
+
+    # P6: 4x2 RGB gradient, maxval 255
+    w, h = 4, 2
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    p6 = b"P6\n# a comment\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    # P5: 3x3 grayscale, all 128
+    p5 = b"P5\n3 3\n255\n" + bytes([128] * 9)
+    junk = b"\x89PNG not actually parseable here"
+    truncated = b"P6\n4 2\n255\n\x00\x01"
+
+    rows = [
+        (0, "image/ppm", bytearray(p6)),
+        (1, "image/pgm", bytearray(p5)),
+        (2, "image/png", bytearray(junk)),
+        (3, "image/ppm", bytearray(truncated)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in decode_images(media).collect()}
+
+    assert out[0]["ok"] and (out[0]["width"], out[0]["height"]) == (w, h)
+    assert out[0]["channels"] == 3
+    expect_means = rgb.astype(float).mean(axis=(0, 1)) / 255.0
+    for got, exp in zip(out[0]["mean_channel"], expect_means):
+        assert abs(got - exp) < 1e-12
+    assert out[1]["ok"] and out[1]["channels"] == 1
+    assert abs(out[1]["mean_channel"][0] - 128.0 / 255.0) < 1e-12
+    assert not out[2]["ok"] and out[2]["width"] is None
+    assert not out[3]["ok"]
+
+    # nearest-neighbour resize path: means recompute over the subsample
+    small = {r["media_id"]: r for r in decode_images(media, resize_to=2).collect()}
+    assert small[0]["ok"] and (small[0]["width"], small[0]["height"]) == (w, h)
+    assert len(small[0]["mean_channel"]) == 3

@@ -331,3 +331,30 @@ def test_stream_upsert_cdc_merge(spark, tmp_path):
     stream_upsert_to_parquet(stream2, out, ckpt, keys=["k"], order_col="ver")
     got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
     assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 2)}
+
+
+def test_text_pipeline_runs_on_stream(spark, tmp_path):
+    """The batch text ops are mode-agnostic: chunk_documents runs unchanged
+    on a readStream of the documents table and emits exactly the batch
+    result (stateless projection → no watermark needed)."""
+    from tdataframe_spark.ops.textstats import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(d)
+
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    chunked = chunk_documents(stream, "doc_id", "text", chunk_size=32, overlap=8)
+    name, q = run_to_memory_sink(chunked)
+    try:
+        got = spark.sql(
+            f"select count(*) as c, sum(n_words_chunk) as s from {name}"
+        ).first()
+        expect = (
+            chunk_documents(docs, "doc_id", "text", chunk_size=32, overlap=8)
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("n_words_chunk").alias("s"))
+            .first()
+        )
+        assert (got["c"], got["s"]) == (expect["c"], expect["s"])
+    finally:
+        q.stop()
