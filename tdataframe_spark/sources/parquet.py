@@ -115,3 +115,18 @@ def read_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if os.path.exists(p):
             out[name] = spark.read.parquet(p)
     return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> list[str]:
+    """Register every testdata table under ``sf_dir`` as a temp view
+    (``events`` dtype-adapted via :func:`read_table`), enabling the full
+    ``spark.sql(...)`` interface over the corpus in one call. Returns the
+    registered view names."""
+    names = []
+    for name in TESTDATA_TABLES:
+        if os.path.exists(table_path(sf_dir, name)):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+            names.append(prefix + name)
+    return names

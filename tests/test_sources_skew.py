@@ -199,3 +199,25 @@ def test_read_table_rejects_unknown_ts_dtype(spark, tmp_path):
     df = spark.createDataFrame([(1, "not-a-time")], "event_id long, ts string")
     with pytest.raises(SchemaDriftError):
         normalize_events(df)
+
+
+def test_register_views_full_sql_interface(spark):
+    """register_views exposes every testdata table to spark.sql in one
+    call, with events dtype-adapted (ts_us present whatever the parquet
+    encoding)."""
+    from tdataframe_spark.sources.parquet import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "events" in names
+    n = spark.sql("select count(*) as n from lineitem").first()["n"]
+    assert n > 0
+    joined = spark.sql(
+        "select count(*) as n from orders o join customer c "
+        "on o.o_custkey = c.c_custkey"
+    ).first()["n"]
+    assert joined > 0
+    # events arrives normalized: ts_us bigint, no raw ts column
+    cols = dict(spark.table("events").dtypes)
+    assert cols.get("ts_us") == "bigint" and "ts" not in cols
+    for v in names:
+        spark.catalog.dropTempView(v)

@@ -195,3 +195,42 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(pairs, max_iterations=40).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("xy z"), min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk_size=st.integers(min_value=2, max_value=9),
+    overlap=st.integers(min_value=0, max_value=3),
+)
+def test_chunk_documents_coverage_property(spark, texts, chunk_size, overlap):
+    """Chunking invariants on arbitrary corpora: word-multiset coverage
+    (every word of every doc appears in its chunks exactly once after
+    removing the overlap copies), chunk ids dense from 0, and no chunk
+    longer than chunk_size."""
+    from tdataframe_spark.ops.textstats import chunk_documents
+
+    overlap = min(overlap, chunk_size - 1)
+    step = chunk_size - overlap
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_size, overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        chunks = sorted(by_doc[i])
+        assert [c for c, _ in chunks] == list(range(len(chunks)))
+        # reconstruct: first chunk whole, then drop the overlap prefix
+        rebuilt = chunks[0][1].split(" ")
+        for _, ctext in chunks[1:]:
+            cw = ctext.split(" ")
+            assert overlap == 0 or cw[:overlap] == rebuilt[-overlap:]
+            rebuilt.extend(cw[overlap:])
+        assert rebuilt == words
+        assert all(len(c.split(" ")) <= chunk_size for _, c in chunks)
