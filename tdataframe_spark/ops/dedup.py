@@ -270,19 +270,34 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify ONLY candidate docs: restrict the shingle table to ids that
-    # appear in some candidate pair before the quadratic-ish exact pass —
-    # at scale this is the difference between verifying O(candidates) and
-    # recomputing all-pairs Jaccard
-    cand_ids = (
-        cand.select(F.col("id_a").alias("__id"))
-        .union(cand.select(F.col("id_b").alias("__id")))
-        .distinct()
+    # verify ONLY candidate PAIRS: join each pair to its two per-doc shingle
+    # sets and compute |∩| with array_intersect — work is O(pairs × set
+    # size). (An inverted-index join over candidate DOCS would degenerate to
+    # the full no-df-cut all-pairs job whenever banding flags most of the
+    # corpus as some candidate, which one hot band key is enough to cause.)
+    doc_sets = sh_all.groupBy("__id").agg(
+        F.collect_set("__sh").alias("__set"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
     )
-    sh = sh_all.join(F.broadcast(cand_ids), "__id", "left_semi")
-    exact = _jaccard_from_shingles(sh, threshold=0.0)
+    sa = doc_sets.select(
+        F.col("__id").alias("id_a"),
+        F.col("__set").alias("__set_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    sb = doc_sets.select(
+        F.col("__id").alias("id_b"),
+        F.col("__set").alias("__set_b"),
+        F.col("__n").alias("__n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b"))).cast("long")
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.col("__n_a") + F.col("__n_b") - inter).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
