@@ -482,6 +482,8 @@ class Frame:
     def select(self, *cols: "Column | str") -> "Frame":
         return self._derive(self._df.select(*cols))
 
+    _JOIN_STRATEGIES = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+
     def join(
         self,
         other: "Frame | DataFrame",
@@ -489,10 +491,29 @@ class Frame:
         how: str = "inner",
         *,
         broadcast: bool = False,
+        strategy: str | None = None,
     ) -> "Frame":
+        """Join; ``strategy`` pins the physical join algorithm via a plan
+        hint on the right side — ``broadcast`` (map-side, no shuffle of the
+        left), ``merge`` (sort-merge: stable for huge ~equal sides),
+        ``shuffle_hash`` (hash instead of sort — faster when one side fits
+        a partition's memory and sorting is the cost). Catalyst/AQE picks
+        well on statistics it has; the hint is for what it can't see
+        (e.g. a filter that will collapse the right side at runtime)."""
         right = other.df if isinstance(other, Frame) else other
-        if broadcast:
-            right = F.broadcast(right)
+        if broadcast and strategy is None:
+            strategy = "broadcast"
+        if strategy is not None:
+            if strategy not in self._JOIN_STRATEGIES:
+                raise ValueError(
+                    f"unknown join strategy {strategy!r}; "
+                    f"choose from {sorted(self._JOIN_STRATEGIES)}"
+                )
+            right = (
+                F.broadcast(right)
+                if strategy == "broadcast"
+                else right.hint(strategy)
+            )
         return self._derive(self._df.join(right, on, how))
 
     def group_by(self, *cols: "Column | str") -> "GroupedFrame":

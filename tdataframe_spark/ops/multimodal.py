@@ -194,6 +194,110 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "media_id bigint, kind string, ok boolean, sample_rate int, "
+    "n_channels int, n_samples bigint, duration_s double, "
+    "mean_abs double, peak_abs double"
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode for WAV (RIFF) PCM payloads — chunk walk + sample
+    parse in pure numpy, no audio libraries needed. The audio counterpart
+    of :func:`decode_images`: 8/16/32-bit integer and 32/64-bit float PCM
+    come back with format fields and amplitude statistics (normalized to
+    [-1, 1]); any other payload classifies ``ok=false`` in the same pass.
+
+    Arrow-batched ``mapInPandas``; self-contained closure (numpy/pandas
+    only).
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        def parse_wav(buf):
+            try:
+                if buf is None or len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    return None
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+                    body = buf[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        fmt = body
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if fmt is None or data is None or len(fmt) < 16:
+                    return None
+                audio_format = int.from_bytes(fmt[0:2], "little")
+                n_ch = int.from_bytes(fmt[2:4], "little")
+                rate = int.from_bytes(fmt[4:8], "little")
+                bits = int.from_bytes(fmt[14:16], "little")
+                if n_ch < 1 or rate < 1:
+                    return None
+                if audio_format == 1:  # integer PCM
+                    dt = {8: np.uint8, 16: "<i2", 32: "<i4"}.get(bits)
+                    scale = {8: 128.0, 16: 32768.0, 32: 2147483648.0}.get(bits)
+                elif audio_format == 3:  # float PCM
+                    dt = {32: "<f4", 64: "<f8"}.get(bits)
+                    scale = 1.0
+                else:
+                    return None
+                if dt is None:
+                    return None
+                width = bits // 8
+                n = len(data) // (width * n_ch)
+                if n == 0:
+                    return None
+                x = np.frombuffer(data[: n * width * n_ch], dtype=dt).astype(np.float64)
+                if audio_format == 1 and bits == 8:
+                    x = x - 128.0  # 8-bit WAV is unsigned
+                x = x / scale
+                return rate, n_ch, n, x
+            except Exception:
+                return None
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                parsed = parse_wav(r["payload"])
+                if parsed is None:
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "kind": r["kind"],
+                            "ok": False,
+                            "sample_rate": None,
+                            "n_channels": None,
+                            "n_samples": None,
+                            "duration_s": None,
+                            "mean_abs": None,
+                            "peak_abs": None,
+                        }
+                    )
+                    continue
+                rate, n_ch, n, x = parsed
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "ok": True,
+                        "sample_rate": rate,
+                        "n_channels": n_ch,
+                        "n_samples": n,
+                        "duration_s": n / rate,
+                        "mean_abs": float(np.abs(x).mean()),
+                        "peak_abs": float(np.abs(x).max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
 def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Populate the typed media metadata columns (width/height for images,
     n_frames for video, sample_rate for audio) from the payload headers —

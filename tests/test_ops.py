@@ -476,3 +476,56 @@ def test_decode_images_real_ppm(spark):
     small = {r["media_id"]: r for r in decode_images(media, resize_to=2).collect()}
     assert small[0]["ok"] and (small[0]["width"], small[0]["height"]) == (w, h)
     assert len(small[0]["mean_channel"]) == 3
+
+
+def test_decode_audio_real_wav(spark):
+    """decode_audio REALLY parses RIFF/WAV PCM: a generated 16-bit sine and
+    a float32 stereo ramp come back with exact format fields and amplitude
+    stats; junk classifies ok=false in the same pass."""
+    import struct
+
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import decode_audio
+
+    def wav_bytes(samples, rate, n_ch, bits, fmt_code):
+        data = samples.tobytes()
+        fmt = struct.pack(
+            "<HHIIHH",
+            fmt_code,
+            n_ch,
+            rate,
+            rate * n_ch * bits // 8,
+            n_ch * bits // 8,
+            bits,
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    t = np.arange(8000, dtype=np.float64)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 30000).astype("<i2")
+    mono16 = wav_bytes(sine, 8000, 1, 16, 1)
+    ramp = np.linspace(-0.5, 0.5, 200, dtype="<f4")  # interleaved stereo
+    stereo_f32 = wav_bytes(ramp, 44100, 2, 32, 3)
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio/wav", bytearray(mono16)),
+            (1, "audio/wav", bytearray(stereo_f32)),
+            (2, "audio/mp3", bytearray(b"ID3 not a wav")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_audio(media).collect()}
+
+    r0 = out[0]
+    assert r0["ok"] and r0["sample_rate"] == 8000 and r0["n_channels"] == 1
+    assert r0["n_samples"] == 8000 and abs(r0["duration_s"] - 1.0) < 1e-12
+    expect_mean = np.abs(sine.astype(np.float64) / 32768.0).mean()
+    assert abs(r0["mean_abs"] - expect_mean) < 1e-12
+    r1 = out[1]
+    assert r1["ok"] and r1["n_channels"] == 2 and r1["sample_rate"] == 44100
+    assert r1["n_samples"] == 100  # 200 interleaved frames / 2 channels
+    assert abs(r1["peak_abs"] - 0.5) < 1e-6
+    assert not out[2]["ok"]

@@ -189,3 +189,27 @@ def test_cosine_pairs_no_cartesian(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_join_strategy_hints_pin_physical_join(spark):
+    """Frame.join(strategy=) pins the physical algorithm: merge -> SortMergeJoin,
+    shuffle_hash -> ShuffledHashJoin, broadcast -> BroadcastHashJoin."""
+    from tdataframe_spark.plans.inspect import explain_str
+
+    li = Frame(spark.read.parquet(f"{SF}/lineitem.parquet"))
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    cases = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for strategy, node in cases.items():
+        df = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey"), strategy=strategy
+        ).df
+        plan = explain_str(df, "simple")
+        assert node in plan, (strategy, plan)
+
+    with pytest.raises(ValueError):
+        li.join(orders, "l_orderkey", strategy="nested_gpu")
