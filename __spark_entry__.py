@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_distribution": q_q13_order_distribution,
         "q15_top_supplier": q_q15_top_supplier,
         "chunk_docs": q_chunk_docs,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -277,5 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "q13_order_distribution": SQL_Q13,
         "q15_top_supplier": SQL_Q15,
         "chunk_docs": SQL_CHUNK_DOCS,
+        "funnel_steps": SQL_FUNNEL,
+        "cohort_retention": SQL_COHORT,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

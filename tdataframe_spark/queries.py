@@ -2557,6 +2557,98 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
 
 
+# ---------------------------------------------------------------------------
+# product-analytics shapes over the event stream (funnel, cohort retention):
+# the classic clickstream dashboards, all integer-µs window math so both
+# engines agree exactly.
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_funnel_steps(spark, sf):
+    """Ordered 3-step funnel (view → click → purchase): a user converts a
+    step only with an event strictly after their previous step's first
+    event. Three shrinking per-user aggregates, each joined back broadcast
+    (per-user scalars are small next to the event stream); one wide shuffle
+    total on user_id."""
+    ev = _events(spark, sf).select("user_id", "event_type", "ts_us")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    one = F.count(F.lit(1)).cast("long")
+    return (
+        v.agg(one.alias("n")).select(F.lit("1_view").alias("stage"), "n")
+        .unionByName(c.agg(one.alias("n")).select(F.lit("2_click").alias("stage"), "n"))
+        .unionByName(
+            p.agg(one.alias("n")).select(F.lit("3_purchase").alias("stage"), "n")
+        )
+    )
+
+
+SQL_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (SELECT user_id, MIN(ts_us) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(ts_us) AS t_click FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts_us > t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM v
+UNION ALL
+SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention: users grouped by first-event week, counted
+    as active per week offset — the classic retention triangle. All week
+    math is integer division on epoch-micros (engine-exact); one user-level
+    aggregate then one (cohort, offset) aggregate."""
+    ev = _events(spark, sf).select("user_id", "ts_us")
+    wk = F.expr(f"ts_us div {WEEK_US}")  # integer division: exact, matches //
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+SQL_COHORT = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM e)
+SELECT cohort_week,
+       CAST(week - cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -59,3 +59,34 @@ def test_ivf_1m_vectors(spark):
     assert len(by_q) == 5
     assert all(len(v) == 5 for v in by_q.values())
     assert all(-1.0 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_minhash_lsh_50k_docs(spark):
+    """MinHash+LSH at 10x the bench corpus (50k docs built by replicating
+    sf0.1 documents with perturbed ids): the pair-restricted verify must
+    hold up when banding yields corpus-wide candidates — planted exact
+    replicas must be found, runtime bounded by the smoke timeout rather
+    than an all-pairs blowup."""
+    from tdataframe_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # 10 copies; copy k shifts ids by k*100_000 — every doc has 9 exact
+    # replicas, so banding floods the candidate set on purpose
+    replicated = docs.selectExpr(
+        "explode(sequence(0, 9)) as k", "doc_id", "text"
+    ).select(
+        (F.col("doc_id") + F.col("k") * 100_000).alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_pairs(
+        replicated, "doc_id", "text", n=3, k=16, bands=4, threshold=0.9,
+        persist=True,
+    )
+    # replicas of doc 0: pairs among {0, 100000, ..., 900000} with jaccard 1
+    hits = pairs.filter(
+        (F.col("id_a") % 100_000 == 0) & (F.col("id_b") % 100_000 == 0)
+        & (F.col("jaccard") == 1.0)
+    ).count()
+    assert hits >= 45  # C(10,2) pairs for doc 0 alone
+    spark.catalog.clearCache()
