@@ -121,15 +121,50 @@ def _shingle_table(
     )
 
 
-def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
-    """Pairwise Jaccard from a (__id, __sh) table: inverted-index self-join,
-    per-pair intersection counts, integer-exact similarity."""
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col("__id").alias("id_a"), "__sh")
-    b = sh.select(F.col("__id").alias("id_b"), "__sh")
+def _jaccard_from_shingles(
+    sh: DataFrame,
+    threshold: float,
+    max_freq: int | None = None,
+    persist: bool = False,
+) -> DataFrame:
+    """Pairwise Jaccard from a (__id, __sh) table via a postings-list plan:
+    ONE shuffle groups each shingle to its sorted doc list, the df-cut is a
+    free filter on that list's size, and candidate pairs are generated
+    JVM-side from each posting (a nested transform — C(f,2) structs per
+    shingle, bounded by the cut). The older inverted-index self-join
+    shuffled the shingle table three times (freq agg, cut join, self join);
+    this shuffles it once.
+
+    Per-doc sizes are recomputed from the (cut) postings so jaccard
+    denominators see exactly the shingles the intersection counted.
+    """
+    postings = sh.groupBy("__sh").agg(
+        F.sort_array(F.collect_list("__id")).alias("__ids")
+    )
+    if max_freq is not None:
+        postings = postings.filter(F.size("__ids") <= max_freq)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = (
+        postings.select(F.explode("__ids").alias("__id"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    ids = F.col("__ids")
+    pair_lists = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        postings.select(F.explode(pair_lists).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
@@ -161,29 +196,21 @@ def ngram_jaccard_pairs(
     Jaccard is integer-derived (|∩| / (|A|+|B|-|∩|)) — exact double math.
 
     ``max_shingle_freq`` (df-cut) defaults ON: shingles present in more
-    than that many (doc, shingle) rows are dropped before the self-join.
-    This bounds the join's per-shingle fan-out at the cost of slightly
-    underestimating similarity for docs that share only ubiquitous
-    shingles. Pass ``None`` explicitly to disable (all-pairs risk on
-    corpora with stopword shingles).
+    than that many (doc, shingle) rows are dropped — with the postings
+    plan this is a free filter on the posting-list size, and it bounds the
+    per-shingle pair fan-out to C(max_freq, 2). Slightly underestimates
+    similarity for docs that share only ubiquitous shingles. Pass ``None``
+    explicitly to disable (all-pairs risk on corpora with stopword
+    shingles).
 
-    ``persist=True`` caches the shingle table (consumed by the df-cut,
-    both self-join sides, and the size agg — 4 scans otherwise) — use it
-    whenever the input isn't a cheap re-scannable source.
+    ``persist=True`` caches the postings table (consumed by both the pair
+    generation and the per-doc size agg) — use it whenever the input isn't
+    a cheap re-scannable source.
     """
     sh = _shingle_table(df, id_col, text_col, n)
-    if persist:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
-        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "__sh").drop("__f")
-        if persist:
-            from pyspark import StorageLevel
-
-            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    return _jaccard_from_shingles(sh, threshold)
+    return _jaccard_from_shingles(
+        sh, threshold, max_freq=max_shingle_freq, persist=persist
+    )
 
 
 def minhash_signature(
