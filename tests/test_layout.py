@@ -125,3 +125,47 @@ def test_sorted_and_zorder_mutually_exclusive(lineitem, tmp_path):
         Frame(lineitem).snapshot(
             str(tmp_path / "x"), sort_by=["l_quantity"], zorder_by=["l_tax"]
         )
+
+
+def test_compact_small_files(spark, lineitem, tmp_path):
+    """Compaction rewrites a many-small-files directory into right-sized
+    files with identical content; sort_by additionally restores disjoint
+    per-file ranges."""
+    from tdataframe_spark.sources.layout import compact
+
+    out = str(tmp_path / "fragmented")
+    lineitem.repartition(64).write.parquet(out)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{out}/*.parquet")) == 64
+    before_cnt = lineitem.count()
+    before_sum = lineitem.agg(F.sum("l_quantity")).first()[0]
+
+    n = compact(spark, out, target_file_bytes=10 * 1024 * 1024)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n and n < 64
+    back = spark.read.parquet(out)
+    assert back.count() == before_cnt
+    assert back.agg(F.sum("l_quantity")).first()[0] == before_sum
+
+    # compaction with sort re-establishes skippable layout
+    compact(spark, out, target_file_bytes=1, sort_by=["l_extendedprice"])
+    ranges = sorted(parquet_column_ranges(out, "l_extendedprice"))
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: files written with an added column read
+    back as one table with mergeSchema, NULLs where the column predates."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        f"{out}/part=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, v string, score double"
+    ).write.parquet(f"{out}/part=2")
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["score"] == 3.5
+    assert rows[1]["score"] is None
