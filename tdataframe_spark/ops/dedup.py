@@ -213,21 +213,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_doc_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, k: int
+) -> DataFrame:
+    """Per-row minhash doc table: (__id, __set, __n, m0..m{k-1}) with NO
+    shuffle — ``word_shingles`` already yields each doc's distinct shingle
+    set as an array, shingle hashes are computed once into an array column,
+    and every signature component is an ``array_min`` over integer math.
+    Being pure projections, this runs identically on a streaming DataFrame
+    (the key to incremental index matching). Docs with zero shingles
+    (< n words) are dropped, matching the explode-based formulation."""
+    assert k <= len(MINHASH_PERMS)
+    d = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), n).alias("__set"),
+        )
+        .filter(F.size("__set") > 0)
+        .withColumn("__hs", F.transform(F.col("__set"), _minhash56))
+    )
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("__hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61),
+            )
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS[:k])
+    ]
+    return d.select(
+        "__id", "__set", F.size("__set").cast("long").alias("__n"), *sigs
+    )
+
+
+def _band_structs(k: int, bands: int):
+    """(band, key) struct array over signature columns m0..m{k-1}."""
+    rpb = k // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("__band"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{bi * rpb + j}") for j in range(rpb)]
+                ).alias("__key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature columns m0..m{k-1} (docs with >=1 shingle)."""
-    assert k <= len(MINHASH_PERMS)
-    sh = _shingle_table(df, id_col, text_col, n)
-    # hash once per row in a projection; the k min-aggs then run on cheap
-    # integer math (inlining h into every agg expression would evaluate the
-    # md5 up to k times per shingle if codegen CSE declines to merge them)
-    hashed = sh.select("__id", _minhash56(F.col("__sh")).alias("__h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS[:k])
-    ]
-    return hashed.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    """Per-doc MinHash signature columns m0..m{k-1} (docs with >=1 shingle).
+    Shuffle-free: see `_minhash_doc_table`."""
+    doc = _minhash_doc_table(df, id_col, text_col, n, k)
+    return doc.select(F.col("__id").alias(id_col), *[f"m{i}" for i in range(k)])
 
 
 def minhash_lsh_pairs(
@@ -248,44 +290,35 @@ def minhash_lsh_pairs(
     usual LSH false-negative probability).
     Returns (id_a, id_b, jaccard).
 
-    ``persist=True`` caches the shingle and signature tables, which feed
-    multiple branches of the plan (bucket self-join sides + verification).
-    Enable on cluster-scale corpora where shingle recomputation dominates;
-    at small scale the extra cache stages cost more than they save.
+    Signatures here use the explode+groupBy formulation: one extra shuffle
+    of (id, hash) pairs, but the whole pipeline stays inside whole-stage
+    codegen — measurably faster than the per-row higher-order-function
+    form (`_minhash_doc_table`), whose lambdas are interpreted. The
+    per-row form exists for the incremental index ops, where statelessness
+    (streamability) is the requirement; `test_minhash_index_incremental_
+    match` pins the two formulations to identical results.
+    ``persist=True`` caches the doc table (signatures + shingle sets),
+    which feeds the bucket join and both verification sides.
     """
     assert k % bands == 0
-    rpb = k // bands
     sh_all = _shingle_table(df, id_col, text_col, n)
     if persist:
         from pyspark.storagelevel import StorageLevel
 
         sh_all = sh_all.persist(StorageLevel.MEMORY_AND_DISK)
-    # hash once per row (projection), k min-aggs on integer math only
     hashed = sh_all.select("__id", _minhash56(F.col("__sh")).alias("__h"))
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:k])
     ]
-    sig = hashed.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
-    if persist:
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # one (band, key) struct array exploded from a SINGLE pass over the
-    # signature — a union of per-band selects would recompute the signature
-    # aggregation once per band per join side
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("__band"),
-                F.concat_ws(
-                    "_", *[F.col(f"m{bi * rpb + j}") for j in range(rpb)]
-                ).alias("__key"),
-            )
-            for bi in range(bands)
-        ]
+    sig = hashed.groupBy("__id").agg(*aggs)
+    doc = sh_all.groupBy("__id").agg(
+        F.collect_set("__sh").alias("__set"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
     )
+
     bucketed = sig.select(
-        F.col(id_col).alias("__id"), F.explode(band_structs).alias("__bk")
+        "__id", F.explode(_band_structs(k, bands)).alias("__bk")
     ).select("__id", F.col("__bk.__band").alias("__band"), F.col("__bk.__key").alias("__key"))
 
     left = bucketed.select(F.col("__id").alias("id_a"), "__band", "__key")
@@ -302,16 +335,12 @@ def minhash_lsh_pairs(
     # size). (An inverted-index join over candidate DOCS would degenerate to
     # the full no-df-cut all-pairs job whenever banding flags most of the
     # corpus as some candidate, which one hot band key is enough to cause.)
-    doc_sets = sh_all.groupBy("__id").agg(
-        F.collect_set("__sh").alias("__set"),
-        F.count(F.lit(1)).cast("long").alias("__n"),
-    )
-    sa = doc_sets.select(
+    sa = doc.select(
         F.col("__id").alias("id_a"),
         F.col("__set").alias("__set_a"),
         F.col("__n").alias("__n_a"),
     )
-    sb = doc_sets.select(
+    sb = doc.select(
         F.col("__id").alias("id_b"),
         F.col("__set").alias("__set_b"),
         F.col("__n").alias("__n_b"),
@@ -328,6 +357,99 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the incremental near-dup state for a corpus: ``path/buckets``
+    (band, key, id) and ``path/docs`` (id, shingle set, set size). New data
+    then matches against this with :func:`match_minhash_index` WITHOUT
+    re-processing the corpus — the index is the only thing a 100 TB
+    pipeline keeps between ingestion batches. ``mode="append"`` grows the
+    index incrementally as matched batches are admitted."""
+    assert k % bands == 0
+    doc = _minhash_doc_table(df, id_col, text_col, n, k)
+    doc.select(
+        "__id", F.explode(_band_structs(k, bands)).alias("__bk")
+    ).select(
+        F.col("__id").alias("id"),
+        F.col("__bk.__band").alias("band"),
+        F.col("__bk.__key").alias("key"),
+    ).write.mode(mode).parquet(f"{path}/buckets")
+    doc.select(
+        F.col("__id").alias("id"),
+        F.col("__set").alias("shingles"),
+        F.col("__n").alias("n_shingles"),
+    ).write.mode(mode).parquet(f"{path}/docs")
+
+
+def match_minhash_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Flag near-duplicates of NEW documents against a prebuilt
+    :func:`build_minhash_index` — the incremental-ingestion dedup step.
+    Returns (new_id, corpus_id, jaccard).
+
+    The new side is pure stateless projections (per-row signatures +
+    band explode, shingle set carried along), joined against the STATIC
+    index tables — so ``new_docs`` may be a STREAMING DataFrame: the plan
+    is a stream-static join, no stateful operator needed. Pass
+    ``dedupe=False`` on streams (a pair matched by several bands then
+    appears once per matching band; ``dropDuplicates`` is a stateful op
+    the caller can add with a watermark if exact-once pairs matter).
+    """
+    assert k % bands == 0
+    spark = new_docs.sparkSession
+    doc = _minhash_doc_table(new_docs, id_col, text_col, n, k)
+    new_buckets = doc.select(
+        F.col("__id").alias("new_id"),
+        F.col("__set").alias("__set_a"),
+        F.col("__n").alias("__n_a"),
+        F.explode(_band_structs(k, bands)).alias("__bk"),
+    ).select(
+        "new_id",
+        "__set_a",
+        "__n_a",
+        F.col("__bk.__band").alias("band"),
+        F.col("__bk.__key").alias("key"),
+    )
+    corpus_buckets = spark.read.parquet(f"{index_path}/buckets")
+    corpus_docs = spark.read.parquet(f"{index_path}/docs").select(
+        F.col("id").alias("corpus_id"),
+        F.col("shingles").alias("__set_b"),
+        F.col("n_shingles").alias("__n_b"),
+    )
+    cand = new_buckets.join(corpus_buckets, ["band", "key"]).select(
+        "new_id", "__set_a", "__n_a", F.col("id").alias("corpus_id")
+    )
+    inter = F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b"))).cast("long")
+    out = (
+        cand.join(corpus_docs, "corpus_id")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.col("__n_a") + F.col("__n_b") - inter).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    return out.dropDuplicates(["new_id", "corpus_id"]) if dedupe else out
 
 
 def connected_components(

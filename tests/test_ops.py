@@ -529,3 +529,96 @@ def test_decode_audio_real_wav(spark):
     assert r1["n_samples"] == 100  # 200 interleaved frames / 2 channels
     assert abs(r1["peak_abs"] - 0.5) < 1e-6
     assert not out[2]["ok"]
+
+
+def test_minhash_index_incremental_match(spark, tmp_path):
+    """Incremental near-dup: build the index once, then match a new batch
+    against it — an exact replica and a light perturbation are flagged
+    with the right jaccard; novel text is not. Matching must agree with
+    running the full pairwise op over the union (restricted to
+    new-vs-corpus pairs)."""
+    from tdataframe_spark.ops.dedup import (
+        build_minhash_index,
+        match_minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, "doc_id", "text", idx)
+
+    base = {r["doc_id"]: r["text"] for r in corpus.limit(3).collect()}
+    ids = sorted(base)
+    new_rows = [
+        (10_001, base[ids[0]]),                      # exact replica
+        (10_002, base[ids[1]] + " extra tail words"),  # near dup
+        (10_003, "completely novel text " * 10),       # novel
+    ]
+    new_docs = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in match_minhash_index(
+            new_docs, idx, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got[(10_001, ids[0])] == 1.0
+    assert (10_002, ids[1]) in got and got[(10_002, ids[1])] >= 0.5
+    assert not any(nid == 10_003 for nid, _ in got)
+
+    # cross-check against the full pairwise op over the union
+    union = corpus.unionByName(new_docs)
+    full = {
+        (r["id_b"], r["id_a"]): r["jaccard"]
+        for r in minhash_lsh_pairs(union, "doc_id", "text", threshold=0.5)
+        .filter((F.col("id_b") >= 10_000) & (F.col("id_a") < 10_000))
+        .collect()
+    }
+    assert got == full
+
+
+def test_minhash_index_match_runs_on_stream(spark, tmp_path):
+    """The match side is stateless projections + stream-static joins, so
+    the SAME call works on a readStream of new documents and emits exactly
+    the batch result (modulo per-band duplicates, dedupe=False)."""
+    from tdataframe_spark.ops.dedup import build_minhash_index, match_minhash_index
+    from tdataframe_spark.streaming import run_to_memory_sink
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "mh_index_s")
+    build_minhash_index(corpus, "doc_id", "text", idx)
+
+    base = corpus.limit(2).collect()
+    new_docs = spark.createDataFrame(
+        [(20_000 + i, r["text"]) for i, r in enumerate(base)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "new_in")
+    new_docs.write.parquet(src)
+
+    stream = spark.readStream.schema(new_docs.schema).parquet(src)
+    matched = match_minhash_index(
+        stream, idx, "doc_id", "text", threshold=0.9, dedupe=False
+    )
+    name, q = run_to_memory_sink(matched)
+    try:
+        got = {
+            (r["new_id"], r["corpus_id"])
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        expect = {
+            (r["new_id"], r["corpus_id"])
+            for r in match_minhash_index(
+                new_docs, idx, "doc_id", "text", threshold=0.9
+            ).collect()
+        }
+        assert got == expect
+        # each new doc must at least match its exact corpus source (it may
+        # also legitimately match that source's own planted near-dups)
+        assert {r["doc_id"] for r in base} <= {cid for _, cid in got}
+    finally:
+        q.stop()
