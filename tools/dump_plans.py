@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: the formatted physical plan of every headline
+query at sf0.001, as evidence of the plan properties the engine is
+designed around (scan pushdown, column pruning, broadcast placement,
+whole-stage codegen spans). Run from the repo root:
+
+    python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bench import HEADLINE  # noqa: E402
+from tdataframe_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("dump-plans", cpus=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    out = [
+        "# PLANS — headline-query physical plans (sf0.001, regenerate with "
+        "`python tools/dump_plans.py`)",
+        "",
+        "What to look for: `PushedFilters`/`ReadSchema` on scans (pushdown +",
+        "pruning), `BroadcastHashJoin` for dimension sides, `WholeStageCodegen`",
+        "spans on hot paths, and the absence of `CartesianProduct`/",
+        "`BroadcastNestedLoopJoin` anywhere.",
+        "",
+    ]
+    for name in HEADLINE:
+        df = queries[name](spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"## {name}\n\n```\n{plan.rstrip()}\n```\n")
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(HEADLINE)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
