@@ -302,22 +302,28 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     sh_all = _shingle_table(df, id_col, text_col, n)
-    if persist:
-        from pyspark.storagelevel import StorageLevel
-
-        sh_all = sh_all.persist(StorageLevel.MEMORY_AND_DISK)
-    hashed = sh_all.select("__id", _minhash56(F.col("__sh")).alias("__h"))
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:k])
     ]
-    sig = hashed.groupBy("__id").agg(*aggs)
-    doc = sh_all.groupBy("__id").agg(
-        F.collect_set("__sh").alias("__set"),
-        F.count(F.lit(1)).cast("long").alias("__n"),
+    # ONE aggregation pass produces signatures AND the verification sets —
+    # hash and shingle ride the same shuffle; the aggregated doc table (one
+    # row per doc) then feeds the bucket explode and both verify sides
+    doc = (
+        sh_all.select("__id", "__sh", _minhash56(F.col("__sh")).alias("__h"))
+        .groupBy("__id")
+        .agg(
+            *aggs,
+            F.collect_set("__sh").alias("__set"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
     )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
 
-    bucketed = sig.select(
+        doc = doc.persist(StorageLevel.MEMORY_AND_DISK)
+
+    bucketed = doc.select(
         "__id", F.explode(_band_structs(k, bands)).alias("__bk")
     ).select("__id", F.col("__bk.__band").alias("__band"), F.col("__bk.__key").alias("__key"))
 
