@@ -614,8 +614,14 @@ class Frame:
                 raise UnknownColumnError(f"unknown column {c!r}")
         return Frame(self._df, self._engine, cols)
 
-    def explain(self, mode: str = "formatted") -> None:
-        self._df.explain(mode)
+    def explain(self, mode: str = "formatted") -> str:
+        """Return the physical plan as a string (``formatted``/``simple``/
+        ``extended``/``cost``/``codegen``) — the plan-inspection surface the
+        100 TB design rules are checked against (``plans/inspect`` holds the
+        structured predicates the tests use)."""
+        from tdataframe_spark.plans.inspect import explain_str
+
+        return explain_str(self._df, mode)
 
 
 class GroupedFrame:

@@ -322,3 +322,9 @@ def test_entry_range_ordered_and_scan(f1):
     assert len(rows) == 4
     with pytest.raises(ValueError):
         f1.entry_range(5, 2)
+
+
+def test_frame_explain_modes(f1):
+    text = f1.filter("b1 < 5").explain()
+    assert "Physical Plan" in text and "Filter" in text
+    assert "Filter" in f1.filter("b1 < 5").explain("simple")
