@@ -365,6 +365,43 @@ def minhash_lsh_pairs(
     )
 
 
+def build_exact_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    normalize: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the exact-dedup state: one (content_hash, keep_id) row per
+    distinct normalized content. The exact-match counterpart of
+    :func:`build_minhash_index` for incremental ingestion."""
+    exact_dedup_groups(df, id_col, text_col, normalize=normalize).select(
+        "content_hash", "keep_id"
+    ).write.mode(mode).parquet(path)
+
+
+def match_exact_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Flag NEW documents whose content already exists in a
+    :func:`build_exact_index` — returns (new_id, keep_id). Stateless hash
+    projection + static join: works on a streaming ``new_docs`` too."""
+    spark = new_docs.sparkSession
+    t = F.col(text_col)
+    if normalize:
+        t = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    hashed = new_docs.select(
+        F.col(id_col).alias("new_id"), F.md5(t).alias("content_hash")
+    )
+    idx = spark.read.parquet(index_path)
+    return hashed.join(idx, "content_hash").select("new_id", "keep_id")
+
+
 def build_minhash_index(
     df: DataFrame,
     id_col: str,

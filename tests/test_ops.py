@@ -622,3 +622,27 @@ def test_minhash_index_match_runs_on_stream(spark, tmp_path):
         assert {r["doc_id"] for r in base} <= {cid for _, cid in got}
     finally:
         q.stop()
+
+
+def test_exact_index_incremental_match(spark, tmp_path):
+    """Exact-dedup index: a new batch matches only the content that already
+    exists (normalization applied), mapping each hit to the corpus keep_id."""
+    from tdataframe_spark.ops.dedup import build_exact_index, match_exact_index
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "other text"), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "exact_idx")
+    build_exact_index(corpus, "doc_id", "text", idx)
+
+    new = spark.createDataFrame(
+        [(10, "HELLO world"), (11, "brand new content")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["keep_id"])
+        for r in match_exact_index(new, idx, "doc_id", "text").collect()
+    }
+    # docs 1 and 3 normalize to the same content with keep_id 1
+    assert got == {(10, 1)}
