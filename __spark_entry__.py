@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
+        "decayed_engagement": q_decayed_engagement,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -281,5 +282,6 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": SQL_CHUNK_DOCS,
         "funnel_steps": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT,
+        "decayed_engagement": SQL_DECAYED,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

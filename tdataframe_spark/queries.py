@@ -2649,6 +2649,52 @@ GROUP BY cohort_week, week_offset
 """
 
 
+DECAY_BASE = 0.5  # power of two ⇒ value * base^d is EXACT in IEEE doubles
+DECAY_HALF_LIFE_DAYS = 7
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def q_decayed_engagement(spark, sf):
+    """Per-user exponentially time-decayed engagement score — the classic
+    recency-weighted ML feature: each event contributes
+    ``value * 0.5^(weeks before the corpus max timestamp)`` (7-day
+    half-life).
+
+    Determinism: the half-life offset is exact integer math, and a
+    power-of-two decay base makes every term an EXACT float product (pure
+    exponent shift — pow(0.97, d) differs by an ulp across libm
+    implementations and flips value hashes at rounding boundaries; tried,
+    failed, documented). Terms are decimal-accumulated (dsum). The global
+    max timestamp is a 1-row broadcast join, not a driver collect."""
+    half_life_us = DECAY_HALF_LIFE_DAYS * DAY_US
+    ev = _events(spark, sf).select("user_id", "value", "ts_us")
+    mx = ev.agg(F.max("ts_us").alias("max_ts"))
+    periods = F.expr(f"(max_ts - ts_us) div {half_life_us}")
+    term = F.col("value") * F.pow(F.lit(DECAY_BASE), periods)
+    return (
+        ev.join(F.broadcast(mx))
+        .select("user_id", term.alias("t"))
+        .groupBy("user_id")
+        .agg(F.round(dsum("t"), 6).alias("score"))
+    )
+
+
+SQL_DECAYED = f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         (SELECT MAX(epoch_us(ts)) FROM events) AS max_ts
+  FROM events
+),
+t AS (
+  SELECT user_id,
+         value * POWER({DECAY_BASE}, (max_ts - ts_us) // {DECAY_HALF_LIFE_DAYS * DAY_US}) AS t
+  FROM e
+)
+SELECT user_id, ROUND({_dsum_sql('t')}, 6) AS score
+FROM t GROUP BY user_id
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)
