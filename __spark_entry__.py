@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "decayed_engagement": q_decayed_engagement,
+        "decontamination_bloom": q_decontamination_bloom,
+        "rolling_window": q_rolling_window,
+        "outliers": q_outliers,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -283,5 +286,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT,
         "decayed_engagement": SQL_DECAYED,
+        "decontamination_bloom": SQL_DECONTAMINATION_BLOOM,
+        "rolling_window": SQL_ROLLING_WINDOW,
+        "outliers": SQL_OUTLIERS,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

@@ -29,6 +29,39 @@ def top_per_group(
     )
 
 
+def rolling_time_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    trailing_seconds: int,
+    sum_col: str = "roll_sum",
+    count_col: str = "roll_n",
+) -> DataFrame:
+    """Trailing-time-window aggregates per key: for every row, the sum and
+    count of ``value_col`` over the preceding ``trailing_seconds`` (RANGE
+    frame on an integer epoch-µs axis, inclusive of the current row).
+
+    One shuffle on ``key_col``; the RANGE frame is evaluated with a sliding
+    cursor inside each sorted partition — no self-join, no explode of the
+    window into rows, which is what makes it hold at 100 TB (the naive
+    range self-join is O(rows × window width)).
+
+    Sums accumulate in DECIMAL so the result is identical on any partition
+    order and in the DuckDB oracle (see ``functions.numeric.dsum``).
+    """
+    lo = -trailing_seconds * 1_000_000
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_us_col)
+        .rangeBetween(lo, Window.currentRow)
+    )
+    return df.withColumn(
+        sum_col,
+        F.sum(F.col(value_col).cast("decimal(25,6)")).over(w).cast("double"),
+    ).withColumn(count_col, F.count(F.lit(1)).over(w).cast("long"))
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -22,7 +22,7 @@ hash functions in semantically meaningful places.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tdataframe_spark.core.partitioning import ensure_min_partitions
@@ -104,6 +104,99 @@ def decontaminate(
         esh = F.broadcast(esh)
     return (
         csh.join(esh, "__sh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select(F.col("__id").alias(id_col), "n_hits")
+    )
+
+
+def _bloom_hits(col: Column, bits_lit: Column, m_bits: int, k: int) -> Column:
+    """AND of k membership probes against a bitset embedded as an
+    array<long> literal: position = xxhash64(value, seed) mod m, probe =
+    (words[p/64] >> (p%64)) & 1 — pure JVM bit math inside whole-stage
+    codegen, no join, no UDF."""
+    cond = F.lit(True)
+    for seed in range(k):
+        p = F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
+        word = F.element_at(bits_lit, (p / 64).cast("int") + 1)
+        # F.shiftleft only takes a Python-int shift; call_function passes
+        # the column through to the SQL function, which accepts it
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def build_bloom_bits(
+    df: DataFrame, col: str, m_bits: int, k: int
+) -> list[int]:
+    """Distributed Bloom-filter build: each value sets k bit positions;
+    positions fold to ≤ m/64 (word_idx, OR-of-bits) rows in one hash-agg,
+    and only that FIXED-size bitset (m/64 longs — independent of row count)
+    comes back to the driver. The standard 'aggregate a sketch, broadcast
+    it' shape."""
+    pos = df.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m_bits))
+                for seed in range(k)
+            ])
+        ).alias("__p")
+    )
+    words = (
+        pos.groupBy((F.col("__p") / 64).cast("int").alias("__w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("__p") % 64).cast("int"),
+                )
+            ).alias("__bits")
+        )
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["__w"]] = r["__bits"]
+    return arr
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom-filter prefilter — the shape for eval
+    sets whose distinct shingle table is too big to broadcast raw.
+
+    Two stages, exact final answer:
+    1. The eval shingles fold into an ``m_bits`` bitset (2^20 bits = 128 KB
+       vs potentially hundreds of MB of distinct strings); it rides into
+       every task as a plan literal and the k-probe membership test drops
+       the overwhelming majority of corpus shingles map-side, inside
+       codegen — the corpus never shuffles at full width.
+    2. Bloom survivors (true hits + ~(1-e^(-kn/m))^k false positives) are
+       verified with an exact semi-join against the eval shingle set, so
+       the output is identical to exact ``decontaminate`` — only the
+       *shuffled volume* is approximate.
+
+    At 100 TB the corpus side is the cost; this plan touches it with one
+    map-side filter and shuffles only ``~(hit_rate + fpp)`` of it. The
+    driver materializes exactly ``m_bits/64`` longs — a constant, like a
+    histogram's bin table, not data-proportional state.
+    """
+    csh = _shingle_table(corpus, id_col, text_col, n)
+    esh = _shingle_table(eval_df, id_col, text_col, n).select("__sh").distinct()
+    bits = F.lit(build_bloom_bits(esh, "__sh", m_bits, k))
+    survivors = csh.where(_bloom_hits(F.col("__sh"), bits, m_bits, k))
+    return (
+        survivors.join(esh, "__sh", "left_semi")
         .groupBy("__id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
         .select(F.col("__id").alias(id_col), "n_hits")

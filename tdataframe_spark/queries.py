@@ -2695,6 +2695,122 @@ FROM t GROUP BY user_id
 """
 
 
+def q_decontamination_bloom(spark, sf):
+    """`decontamination` through the Bloom-prefilter path: identical exact
+    output (bloom survivors are re-verified with an exact semi-join), but
+    the corpus shingle stream is cut map-side by a ~1 MB broadcast bitset
+    instead of joining against the full eval shingle set — the shape for
+    eval sets too large to broadcast raw. Oracle: same SQL as the exact
+    query, by construction."""
+    from tdataframe_spark.ops.dedup import decontaminate_bloom
+
+    docs = _t(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return decontaminate_bloom(corpus, ev, "doc_id", "text", n=JACCARD_N)
+
+
+SQL_DECONTAMINATION_BLOOM = SQL_DECONTAMINATION
+
+ROLL_WINDOW_S = 3600  # trailing 1 hour
+
+
+def q_rolling_window(spark, sf):
+    """Trailing 1-hour per-user rolling sum/count over events: RANGE frame
+    on the integer µs axis — sliding-cursor evaluation inside one sorted
+    shuffle partition, no self-join (the naive time-range self-join is
+    O(rows × window) and dies at scale). Decimal accumulation keeps the
+    windowed double sum bit-stable across engines and partition orders."""
+    from tdataframe_spark.operators.windows import rolling_time_agg
+
+    ev = _events(spark, sf).select("event_id", "user_id", "ts_us", "value")
+    return rolling_time_agg(
+        ev, "user_id", "ts_us", "value", trailing_seconds=ROLL_WINDOW_S
+    )
+
+
+SQL_ROLLING_WINDOW = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       CAST(SUM(CAST(value AS {DEC})) OVER w AS DOUBLE) AS roll_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLL_WINDOW_S * 1_000_000} PRECEDING
+             AND CURRENT ROW)
+"""
+
+Z_CUT = 1.6  # o_totalprice is uniform-ish (max |z| = sqrt(3)); 1.6 keeps ~8% tails
+
+
+def q_outliers(spark, sf):
+    """Per-group z-score outliers: orders whose total price sits more than
+    ``Z_CUT`` standard deviations from their order-priority group mean.
+    Group moments come from ONE window shuffle (no agg+join); Σx and Σx²
+    accumulate in decimal, so μ and σ are bit-identical doubles in both
+    engines and the boundary filter can't flip on an ulp.
+
+    x² is squared IN decimal (money is exactly DECIMAL(12,2); the square
+    is an exact DECIMAL(25,4)) — casting the double product x*x to decimal
+    rounds differently across engines (Spark converts the full binary
+    value, DuckDB goes through a double multiply) and drifted Σx² by
+    ~1e-3 over 3k rows. Exact-input exact-arithmetic sidesteps the
+    engines' cast disagreement entirely."""
+    w = Window.partitionBy("o_orderpriority")
+    x = F.col("o_totalprice")
+    xd = x.cast("decimal(12,2)")
+    n = F.count(F.lit(1)).over(w)
+    # Σx² scaled to 10^4 exceeds 2^53, where DuckDB's decimal→double
+    # (int128→double, then /10^scale) double-rounds vs Spark's BigDecimal
+    # single rounding. Explicit ROUND to scale 0 first (error ≤0.5, BELOW
+    # the double's own ulp at this magnitude — lossless; and HALF_UP agrees
+    # across engines for positives, while DuckDB's downscale CAST truncates)
+    # leaves both engines ONE correctly-rounded int→double conversion.
+    # Σx stays under 2^53 scaled, so its direct cast is already exact.
+    mu = F.sum(xd).over(w).cast("double") / n
+    m2 = (
+        F.round(F.sum(xd * xd).over(w), 0)
+        .cast("decimal(38,0)")
+        .cast("double")
+        / n
+    )
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        mu.alias("__mu"),
+        F.sqrt(m2 - mu * mu).alias("__sigma"),
+    )
+    z = (F.col("o_totalprice") - F.col("__mu")) / F.col("__sigma")
+    return (
+        o.where(F.col("__sigma") > 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", z.alias("z"))
+        .where(F.abs(F.col("z")) > Z_CUT)
+    )
+
+
+SQL_OUTLIERS = f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS xd
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(SUM(xd) OVER w AS DOUBLE) / COUNT(*) OVER w AS mu,
+         SQRT(CAST(CAST(ROUND(SUM(xd * xd) OVER w, 0) AS DECIMAL(38,0))
+                   AS DOUBLE)
+                / COUNT(*) OVER w
+              - (CAST(SUM(xd) OVER w AS DOUBLE) / COUNT(*) OVER w)
+                * (CAST(SUM(xd) OVER w AS DOUBLE) / COUNT(*) OVER w)) AS sigma
+  FROM d
+  WINDOW w AS (PARTITION BY o_orderpriority)
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       (o_totalprice - mu) / sigma AS z
+FROM s WHERE sigma > 0 AND ABS((o_totalprice - mu) / sigma) > {Z_CUT}
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

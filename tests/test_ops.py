@@ -646,3 +646,58 @@ def test_exact_index_incremental_match(spark, tmp_path):
     }
     # docs 1 and 3 normalize to the same content with keep_id 1
     assert got == {(10, 1)}
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    from tdataframe_spark.ops.dedup import decontaminate, decontaminate_bloom
+
+    rows = [
+        Row(doc_id=i, text=f"shared prefix words alpha beta {i} gamma delta epsilon zeta")
+        for i in range(40)
+    ] + [Row(doc_id=100 + i, text=f"totally disjoint vocabulary item number {i} ok fine") for i in range(10)]
+    docs = spark.createDataFrame(rows)
+    ev = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, ev, "doc_id", "text").collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate_bloom(corpus, ev, "doc_id", "text").collect()
+    }
+    # the bloom prefilter + exact verify must reproduce the exact answer
+    assert bloom == exact and exact  # non-trivial overlap
+
+
+def test_bloom_bits_membership(spark):
+    """Every inserted value must probe positive (no false negatives); a
+    disjoint probe set at this sizing should be overwhelmingly negative."""
+    from tdataframe_spark.ops.dedup import _bloom_hits, build_bloom_bits
+
+    m, k = 1 << 16, 5
+    vals = spark.range(1000).select(F.concat(F.lit("v"), F.col("id")).alias("s"))
+    bits = F.lit(build_bloom_bits(vals, "s", m, k))
+    assert vals.where(~_bloom_hits(F.col("s"), bits, m, k)).count() == 0
+    probes = spark.range(1000).select(F.concat(F.lit("absent"), F.col("id")).alias("s"))
+    fp = probes.where(_bloom_hits(F.col("s"), bits, m, k)).count()
+    assert fp < 50  # theoretical fpp ~ (1-e^(-5*1000/65536))^5 << 1%
+
+
+def test_rolling_time_agg_bruteforce(spark):
+    from tdataframe_spark.operators.windows import rolling_time_agg
+
+    rows = [
+        Row(k=u, ts=t * 1_000_000, v=float(u * 10 + i))
+        for u in (1, 2)
+        for i, t in enumerate([0, 10, 30, 30, 100, 3600, 3605, 8000])
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"], r["ts"], r["v"]): (r["roll_sum"], r["roll_n"])
+        for r in rolling_time_agg(df, "k", "ts", "v", trailing_seconds=60).collect()
+    }
+    data = [(r.k, r.ts, r.v) for r in rows]
+    for k, ts, v in data:
+        win = [v2 for (k2, ts2, v2) in data if k2 == k and ts - 60_000_000 <= ts2 <= ts]
+        assert got[(k, ts, v)] == (sum(win), len(win)), (k, ts)
