@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_bloom": q_decontamination_bloom,
         "rolling_window": q_rolling_window,
         "outliers": q_outliers,
+        "nearest_centroid": q_nearest_centroid,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -289,5 +290,6 @@ def oracle_sql() -> dict[str, str]:
         "decontamination_bloom": SQL_DECONTAMINATION_BLOOM,
         "rolling_window": SQL_ROLLING_WINDOW,
         "outliers": SQL_OUTLIERS,
+        "nearest_centroid": SQL_NEAREST_CENTROID,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

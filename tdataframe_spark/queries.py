@@ -2811,6 +2811,56 @@ FROM s WHERE sigma > 0 AND ABS((o_totalprice - mu) / sigma) > {Z_CUT}
 """
 
 
+def q_nearest_centroid(spark, sf):
+    """Train-and-evaluate in two shuffles: per-class embedding centroids
+    (exact int64 partial sums of ROUND(x·10^6)-quantized elements — dense-
+    digit floats can't ride the decimal-sum convention because the engines'
+    double→DECIMAL casts disagree in the last place), then every vector
+    classified to its max-dot centroid (broadcast, argmax as a partial-
+    aggregable max — one row per vector crosses the shuffle), output as a
+    confusion matrix."""
+    from tdataframe_spark.ops.classify import nearest_centroid_confusion
+
+    return nearest_centroid_confusion(_t(spark, sf, "embeddings"))
+
+
+SQL_NEAREST_CENTROID = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT label, t.z[1] AS q, t.z[2] AS pos
+  FROM q, UNNEST(list_zip(qv, generate_series(1, len(qv)))) AS t(z)
+),
+per_dim AS (
+  SELECT label, pos, SUM(q) AS s, COUNT(*) AS n FROM ex GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS class,
+         list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS centroid
+  FROM per_dim GROUP BY label
+),
+scored AS (
+  SELECT q.vec_id, q.label, c.class,
+         list_reduce(list_transform(list_zip(qv, centroid),
+                                    x -> CAST(x[1] AS DOUBLE) * x[2]),
+                     (p, s) -> p + s) AS d
+  FROM q CROSS JOIN cents c
+),
+pred AS (
+  SELECT vec_id, label, class AS pred,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d DESC, class ASC) AS rn
+  FROM scored
+)
+SELECT label, CAST(pred AS INT) AS pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1 GROUP BY label, pred
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -701,3 +701,21 @@ def test_rolling_time_agg_bruteforce(spark):
     for k, ts, v in data:
         win = [v2 for (k2, ts2, v2) in data if k2 == k and ts - 60_000_000 <= ts2 <= ts]
         assert got[(k, ts, v)] == (sum(win), len(win)), (k, ts)
+
+
+def test_nearest_centroid_separable(spark):
+    """Two well-separated clusters must classify perfectly, and centroids
+    must equal the exact per-class means."""
+    from tdataframe_spark.ops.classify import class_centroids, nearest_centroid_confusion
+
+    rows = [
+        Row(vec_id=i, label=0, embedding=[1.0 + 0.01 * i, 0.0]) for i in range(5)
+    ] + [
+        Row(vec_id=10 + i, label=1, embedding=[0.0, 2.0 + 0.01 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    cents = {r["label"]: r["centroid"] for r in class_centroids(df).collect()}
+    assert cents[0] == pytest.approx([1.02, 0.0])
+    assert cents[1] == pytest.approx([0.0, 2.02])
+    conf = {(r["label"], r["pred"]): r["n"] for r in nearest_centroid_confusion(df).collect()}
+    assert conf == {(0, 0): 5, (1, 1): 5}
