@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": q_rolling_window,
         "outliers": q_outliers,
         "nearest_centroid": q_nearest_centroid,
+        "rollup_incremental": q_rollup_incremental,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -291,5 +292,6 @@ def oracle_sql() -> dict[str, str]:
         "rolling_window": SQL_ROLLING_WINDOW,
         "outliers": SQL_OUTLIERS,
         "nearest_centroid": SQL_NEAREST_CENTROID,
+        "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

@@ -1,0 +1,111 @@
+"""Incremental time-bucket rollup — a "continuous aggregate" maintained as
+partial-aggregate state on disk, refreshed per ingestion batch without
+reprocessing history.
+
+This is the hypertable-rollup shape at 100 TB: the raw event stream is
+append-only and enormous; the rollup state is (bucket, dims, COUNT, exact
+DECIMAL SUM) — tiny, *mergeable* partials. A new batch is aggregated alone
+(one shuffle over just the batch), merged with the state of only the
+**affected day partitions** (partition pruning on read, dynamic partition
+overwrite on write — untouched days are never read or rewritten), and the
+result is bit-identical to a full recompute because decimal sums are exact
+and associative.
+
+Mergeability is the design contract: COUNT and decimal SUM re-aggregate
+losslessly, so state can be merged batch-by-batch in any order. AVG is
+derived at serve time (sum/n), never stored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAY_US = 24 * 3600 * 1_000_000
+HOUR_US = 3600 * 1_000_000
+_DEC = "decimal(25,6)"
+
+
+def _partials(
+    events: DataFrame, value_col: str, bucket_us: int, group_cols: list[str]
+) -> DataFrame:
+    """One shuffle over just this data: (day, bucket, dims, n, sum_value)
+    partial-aggregate rows. ``day`` is the on-disk partition key so a
+    refresh prunes to the days a batch actually touches."""
+    b = F.expr(f"ts_us div {bucket_us}").alias("bucket")
+    day = F.expr(f"ts_us div {DAY_US}").cast("long").alias("day")
+    return events.groupBy(day, b, *group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast(_DEC)).cast(_DEC).alias("sum_value"),
+    )
+
+
+def _merge(parts: DataFrame) -> DataFrame:
+    keys = [c for c in parts.columns if c not in ("n", "sum_value")]
+    return parts.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_value").cast(_DEC).alias("sum_value"),
+    )
+
+
+def build_rollup(
+    events: DataFrame,
+    path: str,
+    value_col: str = "value",
+    bucket_us: int = HOUR_US,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Materialize the rollup state, partitioned by day."""
+    _partials(events, value_col, bucket_us, group_cols or []).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+
+
+def refresh_rollup(
+    new_events: DataFrame,
+    path: str,
+    value_col: str = "value",
+    bucket_us: int = HOUR_US,
+    group_cols: list[str] | None = None,
+) -> list[int]:
+    """Merge a new batch into the persisted rollup. Reads ONLY the day
+    partitions the batch touches, rewrites ONLY those (dynamic partition
+    overwrite) — cost scales with the batch, not with history. Returns the
+    refreshed day list (bounded: distinct days in one batch)."""
+    spark = new_events.sparkSession
+    batch = _partials(new_events, value_col, bucket_us, group_cols or [])
+    days = [r["day"] for r in batch.select("day").distinct().collect()]
+    if not days:
+        return []
+    existing = (
+        spark.read.parquet(path)
+        .where(F.col("day").isin(days))
+        .select(*batch.columns)
+    )
+    # localCheckpoint cuts the read-from-path lineage so the dynamic
+    # partition overwrite below doesn't read the files it is replacing
+    merged = _merge(existing.unionByName(batch)).localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    return sorted(days)
+
+
+def serve_rollup(
+    spark, path: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Finalize the state for consumption: (bucket, dims, n, sum_value,
+    avg_value) with the decimal partials converted to double ONCE — the
+    same value a from-scratch ``dsum`` over the raw events produces."""
+    st = spark.read.parquet(path)
+    keys = ["bucket", *(group_cols or [])]
+    agg = _merge(st.select(*keys, "n", "sum_value").withColumn("day", F.lit(0)))
+    return agg.select(
+        *keys,
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
+    )

@@ -2811,6 +2811,37 @@ FROM s WHERE sigma > 0 AND ABS((o_totalprice - mu) / sigma) > {Z_CUT}
 """
 
 
+def q_rollup_incremental(spark, sf):
+    """Continuous-aggregate proof: build the hourly rollup state from half
+    the events, merge the other half in with a partition-pruned refresh
+    (only touched day partitions are read/rewritten), and serve — the
+    oracle is the plain one-shot aggregate over ALL events, so a match
+    proves the incremental path is bit-identical to full recompute
+    (mergeable decimal partials)."""
+    import tempfile
+
+    from tdataframe_spark.ops.rollup import (
+        build_rollup,
+        refresh_rollup,
+        serve_rollup,
+    )
+
+    ev = _events(spark, sf).select("ts_us", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="rollup_state_")
+    build_rollup(ev.where(F.col("ts_us") % 2 == 0), path, group_cols=["event_type"])
+    refresh_rollup(ev.where(F.col("ts_us") % 2 != 0), path, group_cols=["event_type"])
+    return serve_rollup(spark, path, ["event_type"])
+
+
+SQL_ROLLUP_INCREMENTAL = f"""
+SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS sum_value,
+       {_dsum_sql('value')} / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_nearest_centroid(spark, sf):
     """Train-and-evaluate in two shuffles: per-class embedding centroids
     (exact int64 partial sums of ROUND(x·10^6)-quantized elements — dense-
