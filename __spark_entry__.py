@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers": q_outliers,
         "nearest_centroid": q_nearest_centroid,
         "rollup_incremental": q_rollup_incremental,
+        "dq_report": q_dq_report,
+        "snapshot_diff": q_snapshot_diff,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -293,5 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "outliers": SQL_OUTLIERS,
         "nearest_centroid": SQL_NEAREST_CENTROID,
         "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
+        "dq_report": SQL_DQ_REPORT,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

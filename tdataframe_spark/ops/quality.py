@@ -1,0 +1,89 @@
+"""Data-quality expectations and snapshot diffing — the validation layer a
+100 TB ingestion pipeline runs before admitting a batch.
+
+Every check is a tiny aggregate over one declarative plan (filters and
+joins Catalyst can push down), so a full expectation suite costs one scan
+per table plus key-shuffles only where uniqueness/referential checks need
+them. Nothing row-sized ever reaches the driver — each expectation reduces
+to a single (rule, violations) row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expect(df: DataFrame, rule: str, cond: Column) -> DataFrame:
+    """Violations of a row-level predicate: rows where ``cond`` is NOT
+    satisfied (NULL counts as a violation, like SQL CHECK semantics
+    inverted for auditing)."""
+    return (
+        df.where(~F.coalesce(cond, F.lit(False)))
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit(rule).alias("rule"), "violations")
+    )
+
+
+def expect_not_null(df: DataFrame, rule: str, col: str) -> DataFrame:
+    return expect(df, rule, F.col(col).isNotNull())
+
+
+def expect_unique(df: DataFrame, rule: str, cols: list[str]) -> DataFrame:
+    """Rows participating in a duplicated key (total rows minus distinct
+    keys would hide WHICH side; this counts every row beyond the first per
+    key — 0 iff the key is unique)."""
+    dups = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).cast("long").alias("violations"))
+    )
+    return dups.select(F.lit(rule).alias("rule"), "violations")
+
+
+def expect_fk(
+    df: DataFrame, rule: str, col: str, dim: DataFrame, key: str
+) -> DataFrame:
+    """Referential integrity: fact rows whose ``col`` has no match in the
+    (broadcast) dimension ``key`` — an anti join, so the fact side never
+    shuffles when the dimension broadcasts."""
+    missing = df.join(
+        F.broadcast(dim.select(F.col(key).alias(col)).distinct()),
+        col,
+        "left_anti",
+    )
+    return missing.agg(
+        F.count(F.lit(1)).cast("long").alias("violations")
+    ).select(F.lit(rule).alias("rule"), "violations")
+
+
+def dq_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the expectation rows into one (rule, violations) report."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """CDC between two keyed snapshots: (keys…, op) with op ∈
+    added | removed | changed. One full-outer key shuffle; row equality is
+    an md5 over the canonically-ordered non-key columns, so wide rows
+    compare as one hash instead of N column equalities."""
+    non_key = sorted(c for c in new.columns if c not in keys)
+    assert non_key == sorted(c for c in old.columns if c not in keys)
+
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in non_key]))
+        return df.select(*keys, h.alias(out))
+
+    j = hashed(old, "__h_old").join(hashed(new, "__h_new"), keys, "full_outer")
+    op = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return j.select(*keys, op.alias("op")).where(F.col("op").isNotNull())

@@ -2892,6 +2892,113 @@ FROM pred WHERE rn = 1 GROUP BY label, pred
 """
 
 
+def q_dq_report(spark, sf):
+    """Data-quality expectation suite over orders: row-level CHECK, key
+    uniqueness, and referential integrity against (broadcast) customer —
+    each expectation is one tiny aggregate; the report is their union."""
+    from tdataframe_spark.ops.quality import (
+        dq_report,
+        expect,
+        expect_fk,
+        expect_not_null,
+        expect_unique,
+    )
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return dq_report([
+        expect(o, "totalprice_positive", F.col("o_totalprice") > 0),
+        expect(o, "status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+        expect_not_null(o, "orderdate_not_null", "o_orderdate"),
+        expect_unique(o, "orderkey_unique", ["o_orderkey"]),
+        expect_fk(o, "custkey_fk", "o_custkey", c, "c_custkey"),
+    ])
+
+
+SQL_DQ_REPORT = """
+SELECT 'totalprice_positive' AS rule,
+       CAST(COUNT(*) FILTER (NOT COALESCE(o_totalprice > 0, FALSE)) AS BIGINT)
+         AS violations
+FROM orders
+UNION ALL
+SELECT 'status_known',
+       CAST(COUNT(*) FILTER (NOT COALESCE(o_orderstatus IN ('O','F','P'),
+                                          FALSE)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderdate_not_null',
+       CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'custkey_fk', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+SNAPDIFF_DROP_MOD = 97   # keys missing from the "old" snapshot → added
+SNAPDIFF_EDIT_MOD = 89   # keys with a different price in "old" → changed
+
+
+def q_snapshot_diff(spark, sf):
+    """CDC diff of two keyed snapshots (one full-outer key shuffle, rows
+    compared as ONE md5 over canonically-ordered non-key columns). The
+    'old' snapshot is derived deterministically from orders so both
+    engines diff identical inputs: every 97th key removed (→ added) and
+    every 89th price perturbed (→ changed)."""
+    from tdataframe_spark.ops.quality import snapshot_diff
+
+    new = _t(spark, sf, "orders")
+    old = (
+        new.where(F.col("o_orderkey") % SNAPDIFF_DROP_MOD != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % SNAPDIFF_EDIT_MOD == 0,
+                F.col("o_totalprice") + F.lit(1.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH newt AS (SELECT * FROM orders),
+old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % {SNAPDIFF_EDIT_MOD} = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {SNAPDIFF_DROP_MOD} <> 0
+),
+ho AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                       CAST(o_orderdate AS VARCHAR), o_orderpriority,
+                       o_orderstatus, CAST(o_totalprice AS VARCHAR))) AS h
+  FROM old
+),
+hn AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                       CAST(o_orderdate AS VARCHAR), o_orderpriority,
+                       o_orderstatus, CAST(o_totalprice AS VARCHAR))) AS h
+  FROM newt
+)
+SELECT COALESCE(ho.o_orderkey, hn.o_orderkey) AS o_orderkey,
+       CASE WHEN ho.h IS NULL THEN 'added'
+            WHEN hn.h IS NULL THEN 'removed'
+            WHEN ho.h <> hn.h THEN 'changed' END AS op
+FROM ho FULL OUTER JOIN hn USING (o_orderkey)
+WHERE (CASE WHEN ho.h IS NULL THEN 'added'
+            WHEN hn.h IS NULL THEN 'removed'
+            WHEN ho.h <> hn.h THEN 'changed' END) IS NOT NULL
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

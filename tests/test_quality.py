@@ -1,0 +1,68 @@
+"""Data-quality expectations and snapshot diff: planted violations must be
+counted exactly, and the CDC diff must classify added/removed/changed."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tdataframe_spark.ops.quality import (
+    dq_report,
+    expect,
+    expect_fk,
+    expect_not_null,
+    expect_unique,
+    snapshot_diff,
+)
+
+
+def test_expectations_count_planted_violations(spark):
+    rows = [
+        Row(k=1, v=10.0, fk=1),
+        Row(k=2, v=-1.0, fk=1),   # check violation
+        Row(k=2, v=5.0, fk=2),    # duplicate key
+        Row(k=3, v=None, fk=9),   # null v (counts for the check too) + bad fk
+        Row(k=4, v=2.0, fk=9),    # bad fk
+    ]
+    df = spark.createDataFrame(rows)
+    dim = spark.createDataFrame([Row(id=1), Row(id=2)])
+    rep = {
+        r["rule"]: r["violations"]
+        for r in dq_report([
+            expect(df, "v_positive", F.col("v") > 0),
+            expect_not_null(df, "v_not_null", "v"),
+            expect_unique(df, "k_unique", ["k"]),
+            expect_fk(df, "fk_valid", "fk", dim, "id"),
+        ]).collect()
+    }
+    assert rep == {
+        "v_positive": 2,   # -1.0 and NULL
+        "v_not_null": 1,
+        "k_unique": 1,     # one extra row beyond the first for k=2
+        "fk_valid": 2,
+    }
+
+
+def test_expectations_all_green_on_clean_data(spark):
+    df = spark.createDataFrame([Row(k=i, v=float(i + 1)) for i in range(10)])
+    rep = {
+        r["rule"]: r["violations"]
+        for r in dq_report([
+            expect(df, "v_positive", F.col("v") > 0),
+            expect_unique(df, "k_unique", ["k"]),
+        ]).collect()
+    }
+    assert rep == {"v_positive": 0, "k_unique": 0}
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame([
+        Row(k=1, a="x", b=1.0),
+        Row(k=2, a="y", b=2.0),
+        Row(k=3, a="z", b=3.0),
+    ])
+    new = spark.createDataFrame([
+        Row(k=1, a="x", b=1.0),    # unchanged → absent from diff
+        Row(k=2, a="y", b=99.0),   # changed
+        Row(k=4, a="w", b=4.0),    # added
+    ])
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
