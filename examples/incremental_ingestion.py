@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Incremental ingestion example: the admit-a-batch loop a 100 TB pipeline
+runs when new data arrives — NOTHING here reprocesses the existing corpus;
+every step touches only the batch plus fixed-size or partition-pruned
+state.
+
+Per batch:
+1. gate      — data-quality expectations (reject the batch on violations)
+2. exact     — drop docs whose content hash is already in the exact index
+3. near-dup  — drop docs the persisted MinHash index flags (stream-safe)
+4. decontam  — drop docs sharing n-grams with the eval set (Bloom prefilter)
+5. admit     — append survivors to the corpus + grow both indexes
+6. rollup    — fold batch events into the continuous aggregate
+   (reads/rewrites only touched day partitions)
+
+Run: python examples/incremental_ingestion.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tdataframe_spark import get_spark
+from tdataframe_spark.ops.dedup import (
+    build_exact_index,
+    build_minhash_index,
+    decontaminate_bloom,
+    match_exact_index,
+    match_minhash_index,
+)
+from tdataframe_spark.ops.quality import dq_report, expect, expect_unique
+from tdataframe_spark.ops.rollup import build_rollup, refresh_rollup, serve_rollup
+from tdataframe_spark.sources.parquet import read_table
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark("incremental-ingestion", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="ingest_")
+    exact_idx = os.path.join(work, "exact_idx")
+    nd_idx = os.path.join(work, "minhash_idx")
+    rollup = os.path.join(work, "rollup")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    # day 0: the corpus so far; the "arriving batch" is the other half
+    corpus = docs.filter((F.col("doc_id") % 50 != 0) & (F.col("doc_id") % 2 == 0))
+    batch = docs.filter((F.col("doc_id") % 50 != 0) & (F.col("doc_id") % 2 != 0))
+
+    build_exact_index(corpus, "doc_id", "text", exact_idx)
+    build_minhash_index(corpus, "doc_id", "text", nd_idx)
+
+    # 1. gate
+    report = dq_report([
+        expect(batch, "text_nonempty", F.length("text") > 0),
+        expect_unique(batch, "doc_id_unique", ["doc_id"]),
+    ])
+    report.show(truncate=False)
+    assert all(r["violations"] == 0 for r in report.collect()), "batch rejected"
+
+    # 2-4. dedup + decontaminate, all against persisted/broadcast state
+    exact_hits = match_exact_index(batch, exact_idx, "doc_id", "text")
+    near_hits = match_minhash_index(batch, nd_idx, "doc_id", "text")
+    contaminated = decontaminate_bloom(batch, eval_set, "doc_id", "text")
+    drop = (
+        exact_hits.select(F.col("new_id").alias("doc_id"))
+        .unionByName(near_hits.select(F.col("new_id").alias("doc_id")))
+        .unionByName(contaminated.select("doc_id"))
+        .distinct()
+    )
+    admitted = batch.join(drop, "doc_id", "left_anti")
+    print(
+        f"batch={batch.count()} admitted={admitted.count()} "
+        f"(exact={exact_hits.count()}, near={near_hits.count()}, "
+        f"contaminated={contaminated.count()})"
+    )
+
+    # 5. admit: grow the indexes with only the admitted docs
+    build_exact_index(admitted, "doc_id", "text", exact_idx, mode="append")
+    build_minhash_index(admitted, "doc_id", "text", nd_idx, mode="append")
+
+    # 6. continuous aggregate over the event stream, split the same way
+    events = read_table(spark, sf_dir, "events")
+    build_rollup(events.filter(F.col("event_id") % 2 == 0), rollup,
+                 group_cols=["event_type"])
+    days = refresh_rollup(events.filter(F.col("event_id") % 2 != 0), rollup,
+                          group_cols=["event_type"])
+    print(f"rollup refreshed {len(days)} day partition(s)")
+    serve_rollup(spark, rollup, ["event_type"]).orderBy("bucket", "event_type").show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -6,6 +6,7 @@ from tdataframe_spark.streaming.ops import (
     session_agg,
     stream_from_files,
     stream_from_kafka,
+    stream_rollup_refresh,
     stream_to_parquet,
     stream_stream_join,
     stream_upsert_to_parquet,
@@ -23,5 +24,6 @@ __all__ = [
     "stream_from_kafka",
     "stream_to_parquet",
     "stream_upsert_to_parquet",
+    "stream_rollup_refresh",
     "parse_kafka_json",
 ]

@@ -311,3 +311,58 @@ def run_to_memory_sink(
     )
     q.processAllAvailable()
     return name, q
+
+
+def stream_rollup_refresh(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    bucket_us: int = 3600 * 1_000_000,
+    group_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming continuous aggregate: every micro-batch folds into the
+    persisted time-bucket rollup via ``ops.rollup.refresh_rollup`` — reads
+    and rewrites only the day partitions the batch touches, so sink cost
+    tracks the batch, not history.
+
+    Exactly-once: ``refresh_rollup`` ADDS counts, so a replayed batch
+    (foreachBatch is at-least-once after a crash) must not re-apply. Each
+    applied batch drops a ``path/_applied/batch-<id>`` marker AFTER its
+    refresh; a replay sees the marker and skips. Marker-write follows the
+    state-write, so a crash between them replays the refresh — markers
+    must therefore be checked, not assumed (same ledger pattern Delta's
+    ``txnAppId`` provides natively).
+    """
+    import os
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from tdataframe_spark.ops.rollup import build_rollup, refresh_rollup
+
+        marker_dir = os.path.join(path, "_applied")
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: already folded in
+        if os.path.exists(os.path.join(path, "_SUCCESS")) or any(
+            n.startswith("day=") for n in (
+                os.listdir(path) if os.path.exists(path) else []
+            )
+        ):
+            refresh_rollup(batch, path, value_col, bucket_us, group_cols)
+        else:
+            build_rollup(batch, path, value_col, bucket_us, group_cols)
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    w = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -91,3 +91,33 @@ def test_rollup_merge_is_order_independent(spark, tmp_path):
     refresh_rollup(a, p2, group_cols=["event_type"])
 
     assert _served(spark, p1) == _served(spark, p2)
+
+
+def test_stream_rollup_refresh_matches_batch(spark, tmp_path):
+    """Drain a file stream through the rollup sink in several micro-batches;
+    the served aggregate must equal a one-shot batch build, and replaying
+    the whole stream (fresh checkpoint, same batch ids) must be a no-op
+    thanks to the applied-batch markers."""
+    from tdataframe_spark.streaming import stream_from_files, stream_rollup_refresh
+
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    state = str(tmp_path / "state")
+    batch_view = spark.read.parquet(src)
+    stream = stream_from_files(spark, src, batch_view.schema, max_files_per_trigger=1)
+    stream_rollup_refresh(
+        stream, state, str(tmp_path / "ckpt1"), group_cols=["event_type"]
+    )
+
+    full = str(tmp_path / "full")
+    build_rollup(ev, full, group_cols=["event_type"])
+    assert _served(spark, state) == _served(spark, full)
+
+    # replay everything with a fresh checkpoint: markers must suppress it
+    stream2 = stream_from_files(spark, src, batch_view.schema, max_files_per_trigger=1)
+    stream_rollup_refresh(
+        stream2, state, str(tmp_path / "ckpt2"), group_cols=["event_type"]
+    )
+    assert _served(spark, state) == _served(spark, full)
