@@ -55,7 +55,10 @@ DEC = "DECIMAL(25,6)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """All testdata reads flow through the schema-drift chokepoint
+    (sources.parquet.read_table) so the next parquet re-encode is a
+    one-place fix, not a 90-query hunt."""
+    return read_table(spark, sf_dir, name)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
