@@ -69,3 +69,51 @@ def streaming_session_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_running_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) via ``transformWithStateInPandas`` —
+    Spark 4's typed-state successor to ``applyInPandasWithState``: state is
+    a declared ValueState the store can evolve/inspect, not an opaque
+    tuple. Emits each key's running totals every micro-batch it appears
+    in; once a stream drains, the totals equal the batch groupBy.
+
+    Runtime requirement: the TWS python worker speaks protobuf to the JVM,
+    so ``google.protobuf`` must be installed (absent in some sandboxes —
+    the ``applyInPandasWithState`` operators above have no such
+    dependency).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {user_col: [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=f"{user_col} long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -358,3 +358,51 @@ def test_text_pipeline_runs_on_stream(spark, tmp_path):
         assert (got["c"], got["s"]) == (expect["c"], expect["s"])
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_totals(spark, stream_dir):
+    """Spark-4 typed-state operator: after the stream drains, each user's
+    last emitted running (n, total) must equal the batch aggregate.
+
+    transformWithStateInPandas drives its worker over a protobuf channel;
+    skip where the google.protobuf python package is absent/broken (this
+    sandbox) — the applyInPandasWithState operators cover stateful
+    streaming there."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf unavailable: transformWithState needs it")
+    from pyspark.sql import functions as F
+
+    from tdataframe_spark.streaming import run_to_memory_sink, stream_from_files
+    from tdataframe_spark.streaming.stateful import streaming_running_totals
+
+    batch = spark.read.parquet(stream_dir)
+    stream = stream_from_files(
+        spark, stream_dir, batch.schema, max_files_per_trigger=2
+    )
+    result = streaming_running_totals(stream)
+    name, q = run_to_memory_sink(result, mode="update")
+    try:
+        # memory sink in update mode appends; last row per user wins
+        rows = spark.sql(f"select * from {name}").collect()
+        last = {}
+        for r in rows:
+            last[r["user_id"]] = (r["n"], r["total"])
+        expect = {
+            r["user_id"]: (r["n"], r["total"])
+            for r in batch.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("value").alias("total"),
+            )
+            .collect()
+        }
+        assert set(last) == set(expect)
+        for u, (n, total) in expect.items():
+            assert last[u][0] == n
+            assert last[u][1] == _pytest.approx(total, rel=1e-9)
+    finally:
+        q.stop()
