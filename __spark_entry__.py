@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "dq_report": q_dq_report,
         "snapshot_diff": q_snapshot_diff,
+        "histo_equidepth": q_histo_equidepth,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -297,5 +298,6 @@ def oracle_sql() -> dict[str, str]:
         "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
         "dq_report": SQL_DQ_REPORT,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "histo_equidepth": SQL_HISTO_EQUIDEPTH,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

@@ -3002,6 +3002,57 @@ WHERE (CASE WHEN ho.h IS NULL THEN 'added'
 """
 
 
+HED_K = 8  # equi-depth bins; edge fractions i/8 are exact binary doubles
+
+
+def q_histo_equidepth(spark, sf):
+    """Equi-depth (quantile-edge) histogram — the percentile-driven member
+    of the histogram family (fixed/auto/edges are uniform-grid): pass 1
+    computes the K-1 interior edges with the exact interpolated percentile
+    (bit-identical across engines, proven by `quantiles`), pass 2
+    broadcasts the 1-row edge array and bins every value with an ordered
+    fold — ties on an edge go to the upper bin by exact double compare."""
+    li = _t(spark, sf, "lineitem")
+    fracs = ", ".join(str(i / HED_K) for i in range(1, HED_K))
+    edges = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("__edges")
+    )
+    v = F.col("l_extendedprice")
+    bin_id = F.aggregate(
+        F.col("__edges"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(v >= e, 1).otherwise(0),
+    ).cast("int")
+    return (
+        li.join(F.broadcast(edges))
+        .select(bin_id.alias("bin"), v.alias("__v"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )
+
+
+SQL_HISTO_EQUIDEPTH = f"""
+WITH e AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [{", ".join(str(i / HED_K) for i in range(1, HED_K))}])
+           AS edges
+  FROM lineitem
+),
+b AS (
+  SELECT l_extendedprice AS v,
+         CAST(len(list_filter(edges, x -> l_extendedprice >= x)) AS INT)
+           AS bin
+  FROM lineitem, e
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+FROM b GROUP BY bin
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)
