@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "snapshot_diff": q_snapshot_diff,
         "histo_equidepth": q_histo_equidepth,
+        "fuzzy_join": q_fuzzy_join,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -299,5 +300,6 @@ def oracle_sql() -> dict[str, str]:
         "dq_report": SQL_DQ_REPORT,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "histo_equidepth": SQL_HISTO_EQUIDEPTH,
+        "fuzzy_join": SQL_FUZZY_JOIN,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

@@ -203,6 +203,85 @@ def decontaminate_bloom(
     )
 
 
+def char_shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, distinct lowercase char n-gram) pairs, built JVM-side with a
+    sequence→substring transform (no UDF). Strings shorter than ``n``
+    contribute themselves."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 1)),"
+                    f" i -> substring(lower({text_col}), i, {n}))"
+                )
+            )
+        ).alias("__sh"),
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_freq: int | None = None,
+) -> DataFrame:
+    """Approximate string join (entity resolution): pairs whose char
+    n-gram Jaccard similarity reaches ``threshold``. Returns
+    (left_id, right_id, n_common, n_left, n_right, jaccard).
+
+    The cross-table twin of :func:`ngram_jaccard_pairs`: an inverted-index
+    equi-join on shingles replaces the quadratic compare-everything — only
+    pairs sharing at least one (df-cut-surviving) gram are ever scored.
+    ``max_freq`` drops grams present in more than that many RIGHT-side
+    entities (stopword grams — e.g. a shared brand prefix — are the skew
+    risk that would otherwise turn one gram into an all-pairs join).
+    """
+    lt = char_shingle_table(left, left_id, left_text, n)
+    rt = char_shingle_table(right, right_id, right_text, n)
+    if max_freq is not None:
+        hot = (
+            rt.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") > max_freq)
+            .select("__sh")
+        )
+        lt = lt.join(F.broadcast(hot), "__sh", "left_anti")
+        rt = rt.join(F.broadcast(hot), "__sh", "left_anti")
+    sizes_l = lt.groupBy("__id").agg(F.count(F.lit(1)).alias("n_left"))
+    sizes_r = rt.groupBy("__id").agg(F.count(F.lit(1)).alias("n_right"))
+    common = (
+        lt.join(rt.withColumnRenamed("__id", "__rid"), "__sh")
+        .groupBy("__id", "__rid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common.join(sizes_l, "__id")
+        .join(sizes_r.withColumnRenamed("__id", "__rid"), "__rid")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_left") + F.col("n_right") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__id").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "n_common",
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            "jaccard",
+        )
+    )
+
+
 def _shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

@@ -3053,6 +3053,65 @@ FROM b GROUP BY bin
 """
 
 
+FUZZY_T = 0.4
+
+
+def q_fuzzy_join(spark, sf):
+    """Entity resolution: every-5th-char-deleted part names matched back to
+    the clean catalog by char-trigram Jaccard over an inverted gram index —
+    only pairs sharing a surviving gram are scored, never the cross
+    product. Both engines corrupt with the same regex (drop the 5th char
+    of each 5-char block), so inputs are identical strings."""
+    from tdataframe_spark.ops.dedup import fuzzy_join
+
+    names = (
+        _t(spark, sf, "part")
+        .select(F.lower(F.col("p_name")).alias("name"))
+        .distinct()
+    )
+    corrupted = names.select(
+        F.regexp_replace(F.col("name"), "(.{4}).", "$1").alias("qname")
+    ).distinct()
+    return fuzzy_join(
+        corrupted, names, "qname", "qname", "name", "name",
+        n=3, threshold=FUZZY_T,
+    )
+
+
+SQL_FUZZY_JOIN = f"""
+WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+corrupted AS (
+  SELECT DISTINCT regexp_replace(name, '(.{{4}}).', '\\1', 'g') AS qname
+  FROM names
+),
+lt AS (
+  SELECT DISTINCT qname AS id, g AS sh
+  FROM corrupted, UNNEST(list_transform(
+        generate_series(1, greatest(len(qname) - 2, 1)),
+        i -> qname[i:i+2])) AS t(g)
+),
+rt AS (
+  SELECT DISTINCT name AS id, g AS sh
+  FROM names, UNNEST(list_transform(
+        generate_series(1, greatest(len(name) - 2, 1)),
+        i -> name[i:i+2])) AS t(g)
+),
+sl AS (SELECT id, COUNT(*) AS n_left FROM lt GROUP BY id),
+sr AS (SELECT id, COUNT(*) AS n_right FROM rt GROUP BY id),
+c AS (
+  SELECT lt.id AS qname, rt.id AS name, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM lt JOIN rt USING (sh) GROUP BY lt.id, rt.id
+)
+SELECT qname, name, n_common,
+       CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+       CAST(n_common AS DOUBLE) / (n_left + n_right - n_common) AS jaccard
+FROM c
+JOIN sl ON sl.id = c.qname
+JOIN sr ON sr.id = c.name
+WHERE CAST(n_common AS DOUBLE) / (n_left + n_right - n_common) >= {FUZZY_T}
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -719,3 +719,46 @@ def test_nearest_centroid_separable(spark):
     assert cents[1] == pytest.approx([0.0, 2.02])
     conf = {(r["label"], r["pred"]): r["n"] for r in nearest_centroid_confusion(df).collect()}
     assert conf == {(0, 0): 5, (1, 1): 5}
+
+
+def test_fuzzy_join_resolves_typos(spark):
+    """Corrupted entity names must match their catalog originals above the
+    threshold, and unrelated names must not pair up."""
+    from tdataframe_spark.ops.dedup import fuzzy_join
+
+    catalog = spark.createDataFrame(
+        [Row(name=n) for n in ["golden lavender lace", "midnight chocolate spring", "turquoise almond rose"]]
+    )
+    queries = spark.createDataFrame(
+        [Row(q="golden lavendr lace"),      # one char dropped
+         Row(q="midnight choclate spring"), # one char dropped
+         Row(q="completely unrelated")]
+    )
+    got = {
+        (r["q"], r["name"]): r["jaccard"]
+        for r in fuzzy_join(queries, catalog, "q", "q", "name", "name",
+                            threshold=0.5).collect()
+    }
+    assert ("golden lavendr lace", "golden lavender lace") in got
+    assert ("midnight choclate spring", "midnight chocolate spring") in got
+    assert all(q != "completely unrelated" for q, _ in got)
+    # each corrupted query resolves to exactly its own original
+    assert len(got) == 2
+
+
+def test_fuzzy_join_df_cut_drops_stopword_grams(spark):
+    """A shared brand prefix must not pair everything with everything once
+    max_freq cuts its grams."""
+    from tdataframe_spark.ops.dedup import fuzzy_join
+
+    catalog = spark.createDataFrame(
+        [Row(name=f"acme corporation item {i} variant {i*7%13}") for i in range(30)]
+    )
+    out = fuzzy_join(
+        catalog.select(F.col("name").alias("q")), catalog,
+        "q", "q", "name", "name", threshold=0.9, max_freq=10,
+    )
+    # with the brand grams cut, only self-pairs clear 0.9
+    rows = out.collect()
+    assert all(r["q"] == r["name"] for r in rows)
+    assert len(rows) == 30

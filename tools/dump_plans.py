@@ -35,7 +35,10 @@ def main() -> None:
         "`BroadcastNestedLoopJoin` anywhere.",
         "",
     ]
-    for name in HEADLINE:
+    # headline bench queries plus the round-3 showcase operators whose plan
+    # shape is the point (broadcast centroid argmax, bloom map-side filter,
+    # inverted-index fuzzy join)
+    for name in HEADLINE + ["nearest_centroid", "decontamination_bloom", "fuzzy_join"]:
         df = queries[name](spark, SF)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
@@ -43,7 +46,7 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{plan.rstrip()}\n```\n")
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE)} plans)")
+    print(f"wrote PLANS.md ({len(HEADLINE) + 3} plans)")
     spark.stop()
 
 
