@@ -90,3 +90,27 @@ def test_minhash_lsh_50k_docs(spark):
     ).count()
     assert hits >= 45  # C(10,2) pairs for doc 0 alone
     spark.catalog.clearCache()
+
+
+def test_nearest_centroid_500k_vectors(spark):
+    """Classifier scale shape: 500k synthetic 16-dim vectors in 10 exactly
+    separable clusters — centroids must land on the cluster structure and
+    classification must be perfect, with the per-(label,dim) partial-sum
+    shuffle and one-row-per-vector argmax holding at this size."""
+    from tdataframe_spark.ops.classify import nearest_centroid_confusion
+
+    n, dim, classes = 500_000, 16, 10
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % classes).cast("int").alias("label"),
+        F.expr(
+            # one-hot-ish: strong signal at dim (label mod 16) plus a small
+            # deterministic per-row wobble elsewhere
+            "transform(sequence(0, 15), d -> CAST("
+            "  CASE WHEN d = CAST(id % 10 AS INT) THEN 10.0 "
+            "       ELSE (pmod(id * 37 + d, 7)) / 100.0 END AS FLOAT))"
+        ).alias("embedding"),
+    )
+    conf = nearest_centroid_confusion(df).collect()
+    assert sum(r["n"] for r in conf) == n
+    assert all(r["label"] == r["pred"] for r in conf), conf
