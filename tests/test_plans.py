@@ -213,3 +213,61 @@ def test_join_strategy_hints_pin_physical_join(spark):
 
     with pytest.raises(ValueError):
         li.join(orders, "l_orderkey", strategy="nested_gpu")
+
+
+def test_nearest_centroid_broadcasts_and_no_pair_shuffle(spark):
+    """Inference must broadcast the centroid table and fold the argmax with
+    a partial aggregate BEFORE the exchange (one row per vector crosses);
+    no cartesian escape."""
+    from tdataframe_spark.plans.inspect import explain_str
+
+    df = em.q_nearest_centroid(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_max" in plan, plan  # map-side argmax fold
+
+
+def test_bloom_decontamination_filters_before_any_join(spark):
+    """The bloom probe must appear as a plain Filter on the corpus shingle
+    stream (codegen bit math) — the corpus must NOT join the eval set at
+    full width; its only join input is the post-filter survivor stream."""
+    from tdataframe_spark.plans.inspect import explain_str
+
+    df = em.q_decontamination_bloom(spark, SF)
+    plan = explain_str(df, "formatted")
+    assert "shiftleft" in plan, plan       # the literal-bitset probe
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rolling_window_single_exchange(spark):
+    """The RANGE-frame rolling aggregate must cost exactly one shuffle (the
+    user partition) — any time self-join would show as a second join/
+    exchange pair."""
+    from tdataframe_spark.plans.inspect import explain_str
+
+    df = em.q_rolling_window(spark, SF)
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_fuzzy_join_is_inverted_index_not_cross(spark):
+    from tdataframe_spark.plans.inspect import explain_str
+
+    df = em.q_fuzzy_join(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dq_fk_check_broadcasts_dimension(spark):
+    """The referential-integrity expectation must anti-join against a
+    BROADCAST dimension — the fact side must not shuffle."""
+    from tdataframe_spark.ops.quality import expect_fk
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    df = expect_fk(o, "fk", "o_custkey", c, "c_custkey")
+    assert has_broadcast_join(df), df._jdf.queryExecution().executedPlan().toString()
