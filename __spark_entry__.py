@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "histo_equidepth": q_histo_equidepth,
         "fuzzy_join": q_fuzzy_join,
+        "hopping_window": q_hopping_window,
+        "activity_streaks": q_activity_streaks,
+        "event_transitions": q_event_transitions,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -301,5 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "histo_equidepth": SQL_HISTO_EQUIDEPTH,
         "fuzzy_join": SQL_FUZZY_JOIN,
+        "hopping_window": SQL_HOPPING_WINDOW,
+        "activity_streaks": SQL_ACTIVITY_STREAKS,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

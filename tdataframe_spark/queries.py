@@ -3112,6 +3112,113 @@ WHERE CAST(n_common AS DOUBLE) / (n_left + n_right - n_common) >= {FUZZY_T}
 """
 
 
+HOP_US = 3600 * 1_000_000  # 1h hop, 2h window ⇒ every event in exactly 2
+
+
+def q_hopping_window(spark, sf):
+    """Hopping (sliding-bucket) window aggregation in batch with Spark's
+    native window() generator — 2h windows every 1h, epoch-aligned, so
+    each event lands in exactly two. The oracle replicates the window
+    assignment with integer µs floor math and a 2-element unnest."""
+    ev = _events(spark, sf)
+    w = F.window(F.timestamp_micros(F.col("ts_us")), "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            F.unix_micros("w.end").alias("we_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_HOPPING_WINDOW = f"""
+WITH e AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+x AS (
+  SELECT (tu // {HOP_US} - t.s) * {HOP_US} AS ws, event_type, value
+  FROM e, UNNEST([0, 1]) AS t(s)
+)
+SELECT ws AS ws_us, ws + {2 * HOP_US} AS we_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS sum_value
+FROM x GROUP BY 1, 2, 3
+"""
+
+
+def q_activity_streaks(spark, sf):
+    """Gap-and-islands: per user, contiguous runs of active DAYS (streaks)
+    via the day − dense_rank constant-offset trick — one window shuffle,
+    no self-join; emits each user's streaks with start/end day and length."""
+    ev = _events(spark, sf)
+    days = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.col("day") - F.dense_rank().over(w).cast("long")
+    )
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+        )
+        .drop("island")
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+i AS (SELECT user_id, day,
+             day - dense_rank() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM d)
+SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS streak_days
+FROM i GROUP BY user_id, island
+"""
+
+
+def q_event_transitions(spark, sf):
+    """First-order Markov transition counts: (event_type → next event_type)
+    per user over a TOTAL order (ts, then event_id as tie-break — without
+    the tie-break, same-timestamp neighbors would make `lag` output
+    engine-dependent). One window shuffle + one small aggregate."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)
