@@ -98,8 +98,9 @@ DECODED_SCHEMA = (
 
 def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
     """REAL image decode for the netpbm binary formats (PPM ``P6`` /
-    PGM ``P5``) — header + raster parse in pure numpy, no media libraries
-    needed. This is the non-stub counterpart of ``extract_features``: for
+    PGM ``P5``) and uncompressed 24/32-bit BI_RGB BMP (bottom-up or
+    top-down, BGR(A)→RGB, 4-byte row padding) — header + raster parse in
+    pure numpy, no media libraries needed. This is the non-stub counterpart of ``extract_features``: for
     payloads in a format the sandbox can parse, the decode→resize→feature
     path is fully real; other formats (JPEG/PNG/...) come back ``ok=false``
     rather than raising, so one pass classifies and decodes a mixed corpus.
@@ -156,10 +157,42 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
             except Exception:
                 return None
 
+        def parse_bmp(buf):
+            # uncompressed BI_RGB 24/32-bit BMP → HxWx3 float in [0,1]
+            try:
+                if buf is None or len(buf) < 54 or buf[:2] != b"BM":
+                    return None
+                data_off = int.from_bytes(buf[10:14], "little")
+                w = int.from_bytes(buf[18:22], "little", signed=True)
+                h = int.from_bytes(buf[22:26], "little", signed=True)
+                bits = int.from_bytes(buf[28:30], "little")
+                compression = int.from_bytes(buf[30:34], "little")
+                if compression != 0 or bits not in (24, 32) or w <= 0 or h == 0:
+                    return None
+                top_down, h_abs = h < 0, abs(h)
+                bpp = bits // 8
+                stride = (w * bpp + 3) & ~3  # rows pad to 4 bytes
+                need = stride * h_abs
+                raster = buf[data_off : data_off + need]
+                if len(raster) != need:
+                    return None
+                rows_ = np.frombuffer(raster, dtype=np.uint8).reshape(h_abs, stride)
+                px = rows_[:, : w * bpp].reshape(h_abs, w, bpp)
+                if not top_down:
+                    px = px[::-1]  # BMP stores bottom-up by default
+                rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+                return rgb.astype(np.float64) / 255.0
+            except Exception:
+                return None
+
+        def parse_image(buf):
+            arr = parse_netpbm(buf)
+            return arr if arr is not None else parse_bmp(buf)
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                arr = parse_netpbm(r["payload"])
+                arr = parse_image(r["payload"])
                 if arr is None:
                     rows.append(
                         {

@@ -762,3 +762,33 @@ def test_fuzzy_join_df_cut_drops_stopword_grams(spark):
     rows = out.collect()
     assert all(r["q"] == r["name"] for r in rows)
     assert len(rows) == 30
+
+
+def test_decode_images_real_bmp(spark):
+    """Hand-built 24-bit bottom-up BMP with row padding must decode to the
+    right dims, RGB order, and exact channel means."""
+    import struct as _struct
+
+    from tdataframe_spark.ops.multimodal import decode_images
+
+    w, h = 3, 2
+    # rows bottom-up, BGR, padded to 4 bytes (3*3=9 → pad 3)
+    bottom = bytes([255, 0, 0] * w)  # blue row (B=255) — image row 1
+    top = bytes([0, 0, 255] * w)     # red row (R=255) — image row 0
+    pad = b"\x00" * 3
+    raster = bottom + pad + top + pad
+    header = (
+        b"BM" + _struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    payload = header + raster
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload)), (2, "image", bytearray(b"notbmp"))],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_images(media).collect()}
+    good = out[1]
+    assert good["ok"] and (good["width"], good["height"], good["channels"]) == (3, 2, 3)
+    # top image row red, bottom blue → means R=0.5, G=0, B=0.5
+    assert good["mean_channel"] == pytest.approx([0.5, 0.0, 0.5])
+    assert out[2]["ok"] is False

@@ -66,3 +66,40 @@ def test_snapshot_diff_classifies(spark):
     ])
     got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edits=st.dictionaries(
+        st.integers(min_value=0, max_value=29),
+        st.sampled_from(["drop", "change"]),
+        max_size=12,
+    ),
+    n_added=st.integers(min_value=0, max_value=5),
+)
+def test_snapshot_diff_reconstructs_random_edits(spark, edits, n_added):
+    """Apply a random edit script old→new; the diff must recover exactly
+    the script (dropped→removed, changed→changed, new keys→added, and
+    nothing else)."""
+    base = [(k, f"val{k}", float(k)) for k in range(30)]
+    old = spark.createDataFrame(base, "k long, a string, b double")
+    new_rows = []
+    for k, a, b in base:
+        op = edits.get(k)
+        if op == "drop":
+            continue
+        if op == "change":
+            new_rows.append((k, a + "_x", b))
+        else:
+            new_rows.append((k, a, b))
+    new_rows += [(100 + i, "new", 0.0) for i in range(n_added)]
+    new = spark.createDataFrame(new_rows, "k long, a string, b double")
+
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    want = {k: ("removed" if op == "drop" else "changed") for k, op in edits.items()}
+    want.update({100 + i: "added" for i in range(n_added)})
+    assert got == want
