@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": q_hopping_window,
         "activity_streaks": q_activity_streaks,
         "event_transitions": q_event_transitions,
+        "global_rank": q_global_rank,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -307,5 +308,6 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window": SQL_HOPPING_WINDOW,
         "activity_streaks": SQL_ACTIVITY_STREAKS,
         "event_transitions": SQL_EVENT_TRANSITIONS,
+        "global_rank": SQL_GLOBAL_RANK,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

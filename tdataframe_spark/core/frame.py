@@ -391,9 +391,11 @@ class Frame:
         — deterministic on any cluster, at the cost of one global sort
         shuffle (row_number over an unpartitioned window; use only when a
         true global slice is needed, it funnels through one task at the
-        numbering step). Without it, Spark's offset/limit follow scan order
-        — deterministic for a stable file layout, like the reference's
-        TTree entry order, and shuffle-free."""
+        numbering step — for dataset-scale numbering use
+        ``operators.windows.global_row_number``, the range-partitioned
+        shape that never single-tasks). Without it, Spark's offset/limit
+        follow scan order — deterministic for a stable file layout, like
+        the reference's TTree entry order, and shuffle-free."""
         if begin < 0 or end < begin:
             raise ValueError(f"need 0 <= begin <= end, got [{begin}, {end})")
         if order_by:

@@ -29,6 +29,65 @@ def top_per_group(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row numbers over a TOTAL order — without the
+    single-task trap. `row_number() OVER (ORDER BY …)` funnels the whole
+    dataset through one partition; this plans the scalable shape instead:
+
+    1. range-partition + sort within partitions on the order key (the same
+       machinery as a distributed ORDER BY — every partition holds a
+       contiguous key range);
+    2. number rows inside each partition via
+       ``monotonically_increasing_id`` (partition ordinal in the high bits,
+       in-order record index in the low 33) — a pure projection, no window,
+       no extra exchange;
+    3. count rows per partition (ONE bounded job: ≤ num_partitions rows to
+       the driver) and add each partition's prefix offset back as a
+       broadcast map literal.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker) —
+    result is then bit-identical on any cluster/partitioning.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    omap = F.create_map(
+        *[x for pid in range(n) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    idx_in_part = F.col("__mid") - (F.col("__pid").cast("long") * F.lit(1 << 33))
+    return part.withColumn(
+        out_col,
+        (F.element_at(omap, F.col("__pid")) + idx_in_part + 1).cast("long"),
+    ).drop("__mid", "__pid")
+
+
 def rolling_time_agg(
     df: DataFrame,
     key_col: str,

@@ -3219,6 +3219,27 @@ FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
 """
 
 
+def q_global_rank(spark, sf):
+    """Global row numbering at scale: range-partition + in-partition
+    numbering + broadcast prefix offsets — never the single-task
+    `row_number() OVER (ORDER BY …)` plan. Oracle is exactly that global
+    window, proving the distributed shape computes the identical ranks."""
+    from tdataframe_spark.operators.windows import global_row_number
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return global_row_number(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], out_col="rn"
+    )
+
+
+SQL_GLOBAL_RANK = """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rn
+FROM orders
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -792,3 +792,23 @@ def test_decode_images_real_bmp(spark):
     # top image row red, bottom blue → means R=0.5, G=0, B=0.5
     assert good["mean_channel"] == pytest.approx([0.5, 0.0, 0.5])
     assert out[2]["ok"] is False
+
+
+def test_global_row_number_matches_window_and_is_total(spark):
+    from tdataframe_spark.operators.windows import global_row_number
+    from pyspark.sql import Window
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("k"), F.col("id").alias("uid")
+    )
+    got = {
+        (r["k"], r["uid"]): r["rn"]
+        for r in global_row_number(df, [F.col("k"), F.col("uid")], num_partitions=13).collect()
+    }
+    w = Window.orderBy("k", "uid")
+    want = {
+        (r["k"], r["uid"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 10_001))

@@ -271,3 +271,16 @@ def test_dq_fk_check_broadcasts_dimension(spark):
     c = spark.read.parquet(f"{SF}/customer.parquet")
     df = expect_fk(o, "fk", "o_custkey", c, "c_custkey")
     assert has_broadcast_join(df), df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_rank_never_single_partitions(spark):
+    """The distributed global numbering must plan a RANGE repartition and
+    contain no window operator and no single-partition exchange — the
+    failure mode it exists to avoid."""
+    from tdataframe_spark.plans.inspect import explain_str
+
+    df = em.q_global_rank(spark, SF)
+    plan = explain_str(df, "simple").lower()
+    assert "rangepartitioning" in plan, plan
+    assert "window" not in plan, plan
+    assert "singlepartition" not in plan, plan
