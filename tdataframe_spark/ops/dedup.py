@@ -29,12 +29,29 @@ from tdataframe_spark.core.partitioning import ensure_min_partitions
 from tdataframe_spark.functions.numeric import portable_hash64
 from tdataframe_spark.functions.text import word_shingles
 
-# fixed (a, b) parameters for the k min-hash permutations over the Mersenne
-# prime p = 2^61 - 1. The multipliers are 16 DISTINCT odd values (reusing a
-# few multipliers correlates the "permutations": same a ⇒ the min is often
-# attained at the same shingle, biasing similarity estimates and LSH band
-# collision rates). a <= 127 requires h < 2^56 for a*h + b < 2^63 — hence
-# the 56-bit (14-hex-digit) md5 prefix in `_minhash56`.
+# Per-permutation XOR masks for the k min-hashes: m_i = min over shingles
+# of (h56(shingle) XOR MINHASH_XOR[i]).
+#
+# Why XOR, not the textbook (a*h + b) mod p affine family: int64 overflow
+# caps the multiplier at a <= 127 (h < 2^56), and for every hash with
+# a*h < p the affine map is ORDER-PRESERVING — all k "permutations" then
+# pick the same min shingle and the signature degenerates to a min-shingle
+# fingerprint (observed: two docs at Jaccard 0.86 sharing ZERO of 16
+# signature slots because the one unshared shingle hashed smallest).
+# XOR with a full-width random constant is an order-breaking bijection on
+# [0, 2^56), is one cheap integer op, and DuckDB's xor() reproduces it
+# exactly for the oracle. Constants are the md5 of "minhash-perm-{i}"
+# (first 14 hex digits) — fixed, documented provenance.
+MINHASH_XOR: list[int] = [
+    5219494209792805, 56220535428324277, 10406094378268877,
+    28650798363752103, 42505226248051183, 28191584683659461,
+    67789192207942985, 64808199727250801, 71185343203040298,
+    22678422856652888, 16621100350893093, 43058040837333365,
+    44194947493436087, 57309002542948519, 4556952874206207,
+    12131346054396882,
+]
+# retained for backward import compatibility (the affine family is no
+# longer used by the signature builder)
 MERSENNE61 = (1 << 61) - 1
 MINHASH_PERMS: list[tuple[int, int]] = [
     (3, 12820163), (11, 906010081), (19, 22801), (29, 96002303),
@@ -395,7 +412,7 @@ def _minhash_doc_table(
     Being pure projections, this runs identically on a streaming DataFrame
     (the key to incremental index matching). Docs with zero shingles
     (< n words) are dropped, matching the explode-based formulation."""
-    assert k <= len(MINHASH_PERMS)
+    assert k <= len(MINHASH_XOR)
     d = (
         ensure_min_partitions(df)
         .select(
@@ -407,12 +424,9 @@ def _minhash_doc_table(
     )
     sigs = [
         F.array_min(
-            F.transform(
-                F.col("__hs"),
-                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61),
-            )
+            F.transform(F.col("__hs"), lambda h: h.bitwiseXOR(F.lit(c)))
         ).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS[:k])
+        for i, c in enumerate(MINHASH_XOR[:k])
     ]
     return d.select(
         "__id", "__set", F.size("__set").cast("long").alias("__n"), *sigs
@@ -475,8 +489,8 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     sh_all = _shingle_table(df, id_col, text_col, n)
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS[:k])
+        F.min(F.col("__h").bitwiseXOR(F.lit(c))).alias(f"m{i}")
+        for i, c in enumerate(MINHASH_XOR[:k])
     ]
     # ONE aggregation pass produces signatures AND the verification sets —
     # hash and shingle ride the same shuffle; the aggregated doc table (one
@@ -766,3 +780,89 @@ def simhash64(
         )
         packed = term if packed is None else packed + term
     return per_doc.select(F.col(id_col), packed.alias("simhash"))
+
+
+def build_cluster_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """Persist the full near-dup state for incremental ingestion: the
+    MinHash bucket/doc index (``path/buckets``, ``path/docs``) plus the
+    corpus' duplicate-cluster labels (``path/clusters``: id, cluster) —
+    every doc labeled, non-duplicates as singleton clusters of themselves.
+    """
+    build_minhash_index(df, id_col, text_col, path, n, k, bands)
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n, k, bands, threshold, persist=True
+    )
+    comp = connected_components(pairs)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    (
+        all_ids.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/clusters")
+    )
+
+
+def assign_clusters(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental cluster assignment: place NEW documents into the
+    persisted near-dup clusters WITHOUT reprocessing the corpus. Returns
+    (new_id, cluster, n_clusters_hit, needs_merge):
+
+    - no match → the doc founds its own singleton cluster (cluster =
+      new_id, n_clusters_hit = 0);
+    - matches in one existing cluster → that cluster;
+    - matches spanning SEVERAL clusters → the doc is a bridge: it gets the
+      minimum matched cluster and ``needs_merge=true``. Bridges are the
+      one case incremental assignment cannot settle locally (a true merge
+      rewrites other docs' labels) — the honest contract is to flag them
+      and fold them in at the next periodic full ``build_cluster_index``,
+      exactly how production dedup services square incremental ingestion
+      with global connectivity.
+
+    Match side is stateless projections + static-table joins (stream-safe,
+    like :func:`match_minhash_index`).
+    """
+    spark = new_docs.sparkSession
+    m = match_minhash_index(
+        new_docs, index_path, id_col, text_col, n, k, bands, threshold
+    )
+    clusters = spark.read.parquet(f"{index_path}/clusters").select(
+        F.col("id").alias("corpus_id"), "cluster"
+    )
+    hit = (
+        m.join(clusters, "corpus_id")
+        .groupBy("new_id")
+        .agg(
+            F.min("cluster").alias("__cluster"),
+            F.countDistinct("cluster").cast("long").alias("n_clusters_hit"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(hit, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("__cluster", F.col("new_id")).alias("cluster"),
+            F.coalesce("n_clusters_hit", F.lit(0)).cast("long").alias(
+                "n_clusters_hit"
+            ),
+            (F.coalesce("n_clusters_hit", F.lit(0)) > 1).alias("needs_merge"),
+        )
+    )

@@ -711,12 +711,15 @@ def q_minhash_lsh(spark, sf):
 
 
 def _minhash_oracle_sql() -> str:
-    # 14 hex digits = 56-bit hash: headroom for multipliers up to 127
-    # (mirrors ops/dedup._minhash56)
+    # 14 hex digits = 56-bit hash (mirrors ops/dedup._minhash56); each
+    # "permutation" is an order-breaking XOR with a fixed 56-bit constant
+    # (mirrors ops/dedup.MINHASH_XOR — see there for why not affine)
+    from tdataframe_spark.ops.dedup import MINHASH_XOR
+
     h = "CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT)"
     mins = ",\n    ".join(
-        f"MIN(({a} * {h} + {b}) % {MERSENNE61}) AS m{i}"
-        for i, (a, b) in enumerate(MINHASH_PERMS[:16])
+        f"MIN(xor({h}, {c})) AS m{i}"
+        for i, c in enumerate(MINHASH_XOR[:16])
     )
     bands = "\nUNION ALL\n".join(
         "SELECT doc_id, {bi} AS band, concat_ws('_', m{j0}, m{j1}, m{j2}, m{j3}) AS key FROM sig".format(

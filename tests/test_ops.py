@@ -812,3 +812,44 @@ def test_global_row_number_matches_window_and_is_total(spark):
     }
     assert got == want
     assert sorted(got.values()) == list(range(1, 10_001))
+
+
+def test_assign_clusters_incremental(spark, tmp_path):
+    """New docs must inherit existing cluster labels, found singletons when
+    unmatched, and be flagged when they bridge two clusters."""
+    from tdataframe_spark.ops.dedup import assign_clusters, build_cluster_index
+
+    A = "alpha beta gamma delta epsilon zeta eta theta"
+    B = "one two three four five six seven eight nine"
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=A),
+        Row(doc_id=2, text=A + " iota"),          # near-dup of 1 → cluster 1
+        Row(doc_id=3, text=B),
+        Row(doc_id=4, text=B + " ten"),           # near-dup of 3 → cluster 3
+        Row(doc_id=5, text="totally different content entirely here"),
+    ])
+    path = str(tmp_path / "idx")
+    # single-row bands: any shared minhash proposes a candidate (exact
+    # verify filters) — keeps the test off the banding-probability lottery
+    build_cluster_index(corpus, "doc_id", "text", path, bands=16)
+    clusters = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{path}/clusters").collect()
+    }
+    assert clusters[1] == clusters[2] == 1
+    assert clusters[3] == clusters[4] == 3
+    assert clusters[5] == 5  # singleton
+
+    new = spark.createDataFrame([
+        Row(doc_id=10, text=A + " kappa"),                 # joins cluster 1
+        Row(doc_id=11, text="nothing in common at all"),   # new singleton
+        Row(doc_id=12, text=A + " " + B),                  # bridges 1 and 3
+    ])
+    got = {
+        r["new_id"]: (r["cluster"], r["n_clusters_hit"], r["needs_merge"])
+        for r in assign_clusters(new, path, "doc_id", "text", bands=16,
+                                 threshold=0.3).collect()
+    }
+    assert got[10] == (1, 1, False)
+    assert got[11] == (11, 0, False)
+    assert got[12][0] == 1 and got[12][1] == 2 and got[12][2] is True
