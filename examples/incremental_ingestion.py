@@ -81,7 +81,16 @@ def main(sf_dir: str) -> None:
         f"contaminated={contaminated.count()})"
     )
 
-    # 5. admit: grow the indexes with only the admitted docs
+    # 5. admit: grow the indexes with only the admitted docs; place every
+    # admitted doc into the existing near-dup clusters (bridges flagged
+    # for the next periodic full rebuild)
+    from tdataframe_spark.ops.dedup import assign_clusters, build_cluster_index
+
+    cl_idx = os.path.join(work, "cluster_idx")
+    build_cluster_index(corpus, "doc_id", "text", cl_idx)
+    assignments = assign_clusters(admitted, cl_idx, "doc_id", "text")
+    n_bridges = assignments.where(F.col("needs_merge")).count()
+    print(f"cluster assignments: {assignments.count()} ({n_bridges} bridge docs flagged)")
     build_exact_index(admitted, "doc_id", "text", exact_idx, mode="append")
     build_minhash_index(admitted, "doc_id", "text", nd_idx, mode="append")
 

@@ -38,7 +38,12 @@ def main() -> None:
     # headline bench queries plus the round-3 showcase operators whose plan
     # shape is the point (broadcast centroid argmax, bloom map-side filter,
     # inverted-index fuzzy join)
-    for name in HEADLINE + ["nearest_centroid", "decontamination_bloom", "fuzzy_join"]:
+    for name in HEADLINE + [
+        "nearest_centroid",
+        "decontamination_bloom",
+        "fuzzy_join",
+        "global_rank",
+    ]:
         df = queries[name](spark, SF)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
@@ -46,7 +51,7 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{plan.rstrip()}\n```\n")
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE) + 3} plans)")
+    print(f"wrote PLANS.md ({len(HEADLINE) + 4} plans)")
     spark.stop()
 
 
