@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_streaks": q_activity_streaks,
         "event_transitions": q_event_transitions,
         "global_rank": q_global_rank,
+        "resample_daily": q_resample_daily,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -309,5 +310,6 @@ def oracle_sql() -> dict[str, str]:
         "activity_streaks": SQL_ACTIVITY_STREAKS,
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "global_rank": SQL_GLOBAL_RANK,
+        "resample_daily": SQL_RESAMPLE_DAILY,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

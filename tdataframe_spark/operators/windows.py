@@ -150,3 +150,45 @@ def sessionize(
     ).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return d.withColumn(session_col, F.sum(is_new).over(run)).drop("__prev_ts")
+
+
+def resample_time_series(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_cols: list[str],
+    fill: str = "zero",
+) -> DataFrame:
+    """Regularize a sparse per-key time series: emit one row for EVERY
+    integer bucket between each key's min and max, filling gaps with
+    ``fill`` = "zero" (missing → 0 / null-as-0 semantics), "ffill"
+    (forward-fill the last observed value), or "null".
+
+    Shape: the dense bucket axis is generated per key with
+    ``sequence`` + ``explode`` (work ∝ output rows, no cross join against
+    a global calendar), left-joined to the observations on (key, bucket);
+    forward-fill is ``last(ignorenulls)`` over one per-key window — the
+    same single-shuffle discipline as every other window op here.
+    """
+    bounds = df.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    axis = bounds.select(
+        key_col,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(bucket_col),
+    )
+    out = axis.join(df, [key_col, bucket_col], "left")
+    if fill == "zero":
+        for c in value_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0).cast(dict(df.dtypes)[c])))
+    elif fill == "ffill":
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in value_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif fill != "null":
+        raise ValueError(f"unknown fill mode {fill!r}")
+    return out

@@ -3243,6 +3243,38 @@ FROM orders
 """
 
 
+def q_resample_daily(spark, sf):
+    """Time-series regularization: per-user daily event counts densified to
+    a gapless day axis (zero-filled) between each user's first and last
+    active day — sequence+explode generates only the needed rows, no
+    global-calendar cross join."""
+    from tdataframe_spark.operators.windows import resample_time_series
+
+    ev = _events(spark, sf)
+    daily = (
+        ev.groupBy(
+            "user_id", F.expr("ts_us div 86400000000").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return resample_time_series(daily, "user_id", "day", ["n"], fill="zero")
+
+
+SQL_RESAMPLE_DAILY = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1),
+axis AS (
+  SELECT user_id, t.day FROM b, UNNEST(generate_series(lo, hi)) AS t(day)
+)
+SELECT a.user_id, a.day, COALESCE(n, 0) AS n
+FROM axis a LEFT JOIN d USING (user_id, day)
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -853,3 +853,22 @@ def test_assign_clusters_incremental(spark, tmp_path):
     assert got[10] == (1, 1, False)
     assert got[11] == (11, 0, False)
     assert got[12][0] == 1 and got[12][1] == 2 and got[12][2] is True
+
+
+def test_resample_time_series_fill_modes(spark):
+    from tdataframe_spark.operators.windows import resample_time_series
+
+    df = spark.createDataFrame(
+        [Row(k="a", b=1, v=10.0), Row(k="a", b=4, v=40.0), Row(k="b", b=7, v=70.0)]
+    )
+    zero = {(r["k"], r["b"]): r["v"]
+            for r in resample_time_series(df, "k", "b", ["v"], fill="zero").collect()}
+    assert zero == {("a", 1): 10.0, ("a", 2): 0.0, ("a", 3): 0.0,
+                    ("a", 4): 40.0, ("b", 7): 70.0}
+    ff = {(r["k"], r["b"]): r["v"]
+          for r in resample_time_series(df, "k", "b", ["v"], fill="ffill").collect()}
+    assert ff == {("a", 1): 10.0, ("a", 2): 10.0, ("a", 3): 10.0,
+                  ("a", 4): 40.0, ("b", 7): 70.0}
+    nul = {(r["k"], r["b"]): r["v"]
+           for r in resample_time_series(df, "k", "b", ["v"], fill="null").collect()}
+    assert nul[("a", 2)] is None and nul[("a", 1)] == 10.0
