@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "global_rank": q_global_rank,
         "resample_daily": q_resample_daily,
+        "lm_score": q_lm_score,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -311,5 +312,6 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "global_rank": SQL_GLOBAL_RANK,
         "resample_daily": SQL_RESAMPLE_DAILY,
+        "lm_score": SQL_LM_SCORE,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

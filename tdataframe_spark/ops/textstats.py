@@ -264,3 +264,81 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .drop("__rn", "__n")
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model quality score (the CCNet/Gopher-style filter):
+    train Laplace-smoothed bigram probabilities on the corpus itself, then
+    score every document by its mean bigram log-probability —
+    low-probability (junk / boilerplate-shuffled / wrong-language) text
+    scores far below fluent text. Returns (id, n_bigrams, avg_logp); docs
+    with < 2 words have no bigrams and are absent.
+
+    Shapes: counting is two hash aggregates over the exploded bigram
+    stream (map-side combined); the vocab size is a 1-row broadcast;
+    scoring joins each doc bigram to the count tables on the bigram key —
+    count tables are aggregated (distinct bigrams), so the join never
+    amplifies. Determinism: ln over identical rational inputs plus an
+    ordered per-doc fold (the BM25 convention).
+    """
+    from tdataframe_spark.functions.text import words
+
+    w = words(F.col(text_col))
+    bg = (
+        ensure_min_partitions(df)
+        .filter(F.size(w) >= 2)  # Spark sequence() DESCENDS for n<2
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("__b"),
+        )
+        .select("__id", "__b.pos", "__b.w1", "__b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = (
+        df.select(F.explode(w).alias("__w"))
+        .agg(F.countDistinct("__w").alias("__v"))
+    )
+    # round the transcendental to 9 dp: Java's Math.log and other libm
+    # implementations disagree by an ulp on a subset of inputs, and with
+    # tens of thousands of distinct bigram probabilities some land in this
+    # query where BM25's few idf inputs happened not to — 9 dp erases the
+    # ulp while keeping full filtering resolution
+    lp = F.round(
+        F.log(
+            (F.col("__c12") + F.lit(alpha))
+            / (F.col("__c1") + F.lit(alpha) * F.col("__v"))
+        ),
+        9,
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("__id", "pos", lp.alias("__lp"))
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "__lp"))).alias("__lps")
+    )
+    total = F.aggregate(
+        F.col("__lps"), F.lit(0.0), lambda acc, x: acc + x["__lp"]
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.size("__lps").cast("long").alias("n_bigrams"),
+        (total / F.size("__lps")).alias("avg_logp"),
+    )

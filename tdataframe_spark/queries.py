@@ -3275,6 +3275,36 @@ FROM axis a LEFT JOIN d USING (user_id, day)
 """
 
 
+def q_lm_score(spark, sf):
+    """Bigram-LM quality scoring over documents (Laplace-smoothed, trained
+    on the corpus itself) — CCNet/Gopher-style perplexity filtering as one
+    declarative plan."""
+    from tdataframe_spark.ops.textstats import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_LM_SCORE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, t.s AS pos, ws[t.s] AS w1, ws[t.s + 1] AS w2
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(s)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT u.wd) AS v
+      FROM (SELECT UNNEST(ws) AS wd FROM w) u),
+s AS (
+  SELECT doc_id, pos, ROUND(LN((c12 + 1.0) / (c1 + 1.0 * v)), 9) AS lp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+l AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM s GROUP BY doc_id)
+SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+       list_reduce(lps, (a, b) -> a + b) / len(lps) AS avg_logp
+FROM l
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

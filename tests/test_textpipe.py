@@ -143,3 +143,19 @@ def test_chunk_documents_invariants(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_ngram_lm_score_ranks_fluent_above_junk(spark):
+    """A repeated-pattern corpus trains the LM; a document made of common
+    bigrams must out-score a doc of never-repeated bigrams."""
+    from pyspark.sql import Row
+    from tdataframe_spark.ops.textstats import ngram_lm_score
+
+    rows = [Row(doc_id=i, text="the cat sat on the mat") for i in range(20)]
+    rows += [Row(doc_id=100, text="the cat sat on the mat"),
+             Row(doc_id=101, text="zx qv jk wp mn bv"),
+             Row(doc_id=102, text="one")]  # < 2 words → no bigrams
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r["avg_logp"] for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    assert got[100] > got[101]  # fluent >> junk
+    assert 102 not in got
