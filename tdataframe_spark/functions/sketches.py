@@ -81,3 +81,70 @@ def approx_quantiles(
     if keys:
         return df.groupBy(*keys).agg(agg)
     return df.agg(agg)
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 5, width: int = 2048
+) -> DataFrame:
+    """Count-min sketch as a (r, c, n) counter table: item x increments
+    counter (r, xxhash64(x, r) mod width) for each of ``depth`` rows.
+    One explode(×depth) + hash-aggregate; the result is ≤ depth×width rows
+    REGARDLESS of input size — the pre-aggregate a 100 TB frequency
+    pipeline persists per shard/day.
+
+    Guarantees (standard CMS): point estimates never undercount; overcount
+    ≤ e·N/width with probability 1-(1/2)^depth per query."""
+    pairs = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(width))
+                    .cast("int")
+                    .alias("c"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("__rc")
+    )
+    return (
+        pairs.groupBy(F.col("__rc.r").alias("r"), F.col("__rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union counter tables by element-wise sum — sketches built on data
+    slices merge into exactly the sketch of the union (tested law)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "c").agg(F.sum("n").cast("long").alias("n"))
+
+
+def cms_query(
+    sketch: DataFrame, items: DataFrame, col: str, width: int = 2048
+) -> DataFrame:
+    """Frequency estimates for ``items``: min over rows of the item's
+    counter. The probe side replicates each item ``depth`` ways and joins
+    the (bounded) sketch — broadcast-sized by construction."""
+    depth = sketch.select(F.max("r")).first()[0] + 1
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(width))
+                    .cast("int")
+                    .alias("c"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("__rc"),
+    ).select(col, F.col("__rc.r").alias("r"), F.col("__rc.c").alias("c"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est"))
+    )

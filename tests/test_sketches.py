@@ -74,3 +74,33 @@ def test_approx_quantiles_close_to_exact(spark, orders):
     ).first()[0]
     for g, e in zip(got, exact):
         assert abs(g - e) / e < 0.01
+
+
+def test_cms_merge_law_and_bounds(spark):
+    """Sketch of parts, merged == sketch of the whole (EXACT counter
+    equality), and point estimates never undercount."""
+    from pyspark.sql import functions as F
+
+    from tdataframe_spark.functions.sketches import cms_build, cms_merge, cms_query
+
+    # Zipf-ish: value v appears ~N/v times
+    df = spark.range(20_000).select(
+        (F.floor(F.pow(F.lit(2.0), F.col("id") % 12)) % 97).cast("string").alias("v")
+    )
+    left = spark.range(20_000).where(F.col("id") % 2 == 0).select(
+        (F.floor(F.pow(F.lit(2.0), F.col("id") % 12)) % 97).cast("string").alias("v"))
+    right = spark.range(20_000).where(F.col("id") % 2 != 0).select(
+        (F.floor(F.pow(F.lit(2.0), F.col("id") % 12)) % 97).cast("string").alias("v"))
+
+    whole = {(r["r"], r["c"]): r["n"] for r in cms_build(df, "v").collect()}
+    merged = {(r["r"], r["c"]): r["n"]
+              for r in cms_merge(cms_build(left, "v"), cms_build(right, "v")).collect()}
+    assert whole == merged
+
+    exact = {r["v"]: r["n"] for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    items = df.select("v").distinct()
+    est = {r["v"]: r["est"] for r in cms_query(cms_build(df, "v"), items, "v").collect()}
+    n_total = sum(exact.values())
+    for v, n in exact.items():
+        assert est[v] >= n  # CMS never undercounts
+        assert est[v] <= n + (2 * n_total) // 2048 + 1  # generous e·N/w bound
