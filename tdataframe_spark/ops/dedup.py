@@ -208,10 +208,20 @@ def decontaminate_bloom(
     driver materializes exactly ``m_bits/64`` longs — a constant, like a
     histogram's bin table, not data-proportional state.
     """
+    spark = corpus.sparkSession
     csh = _shingle_table(corpus, id_col, text_col, n)
     esh = _shingle_table(eval_df, id_col, text_col, n).select("__sh").distinct()
-    bits = F.lit(build_bloom_bits(esh, "__sh", m_bits, k))
-    survivors = csh.where(_bloom_hits(F.col("__sh"), bits, m_bits, k))
+    # ship the bitset as a broadcast 1-row DataFrame, NOT a plan literal:
+    # a 2^20-bit filter is a 16k-element array, and embedding it in the
+    # expression tree (×k probes) blows codegen up to ~10 s of compile
+    # time — as data it broadcasts once and the plan stays tiny
+    arr = build_bloom_bits(esh, "__sh", m_bits, k)
+    bloom_df = spark.createDataFrame([(arr,)], "__bloom array<bigint>")
+    survivors = (
+        csh.join(F.broadcast(bloom_df))
+        .where(_bloom_hits(F.col("__sh"), F.col("__bloom"), m_bits, k))
+        .drop("__bloom")
+    )
     return (
         survivors.join(esh, "__sh", "left_semi")
         .groupBy("__id")

@@ -236,9 +236,13 @@ def test_bloom_decontamination_filters_before_any_join(spark):
 
     df = em.q_decontamination_bloom(spark, SF)
     plan = explain_str(df, "formatted")
-    assert "shiftleft" in plan, plan       # the literal-bitset probe
+    assert "shiftleft" in plan, plan       # the bitset probe
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the only nested-loop join allowed is the 1-row broadcast bloom attach
+    # (count on the simple plan: formatted repeats each node in its detail
+    # section)
+    simple = explain_str(df, "simple")
+    assert simple.count("BroadcastNestedLoopJoin") <= 1, simple
 
 
 def test_rolling_window_single_exchange(spark):
