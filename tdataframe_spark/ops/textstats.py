@@ -266,32 +266,16 @@ def stratified_sample(
     )
 
 
-def ngram_lm_score(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    alpha: float = 1.0,
-) -> DataFrame:
-    """Bigram language-model quality score (the CCNet/Gopher-style filter):
-    train Laplace-smoothed bigram probabilities on the corpus itself, then
-    score every document by its mean bigram log-probability —
-    low-probability (junk / boilerplate-shuffled / wrong-language) text
-    scores far below fluent text. Returns (id, n_bigrams, avg_logp); docs
-    with < 2 words have no bigrams and are absent.
-
-    Shapes: counting is two hash aggregates over the exploded bigram
-    stream (map-side combined); the vocab size is a 1-row broadcast;
-    scoring joins each doc bigram to the count tables on the bigram key —
-    count tables are aggregated (distinct bigrams), so the join never
-    amplifies. Determinism: ln over identical rational inputs plus an
-    ordered per-doc fold (the BM25 convention).
-    """
+def _bigram_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, pos, w1, w2) rows — every adjacent word pair with its
+    1-based position (the canonical fold-order key). Docs with < 2 words
+    yield nothing (guarded: Spark's sequence() DESCENDS for n < 2)."""
     from tdataframe_spark.functions.text import words
 
     w = words(F.col(text_col))
-    bg = (
+    return (
         ensure_min_partitions(df)
-        .filter(F.size(w) >= 2)  # Spark sequence() DESCENDS for n<2
+        .filter(F.size(w) >= 2)
         .select(
             F.col(id_col).alias("__id"),
             F.explode(
@@ -307,17 +291,123 @@ def ngram_lm_score(
         )
         .select("__id", "__b.pos", "__b.w1", "__b.w2")
     )
+
+
+def _fold_logprobs(scored: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_bigrams, avg_logp) from (__id, pos, __lp) rows via the
+    canonical ordered fold."""
+    per_doc = scored.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "__lp"))).alias("__lps")
+    )
+    total = F.aggregate(
+        F.col("__lps"), F.lit(0.0), lambda acc, x: acc + x["__lp"]
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.size("__lps").cast("long").alias("n_bigrams"),
+        (total / F.size("__lps")).alias("avg_logp"),
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    alpha: float = 1.0,
+) -> None:
+    """Persist a Laplace bigram LM: ``path/c12`` (w1, w2, c12), ``path/c1``
+    (w1, c1), ``path/meta`` (v = vocab size, alpha). Train once on the
+    reference corpus (the CCNet shape: a fixed high-quality LM scores all
+    incoming data), score forever with :func:`lm_score_with` — including
+    on streams."""
+    from tdataframe_spark.functions.text import words
+
+    bg = _bigram_table(df, id_col, text_col)
+    bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).write.mode("overwrite").parquet(f"{path}/c12")
+    bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    ).write.mode("overwrite").parquet(f"{path}/c1")
+    (
+        df.select(F.explode(words(F.col(text_col))).alias("__w"))
+        .agg(
+            F.countDistinct("__w").cast("long").alias("v"),
+            F.lit(alpha).alias("alpha"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+
+
+def lm_score_with(
+    docs: DataFrame, path: str, id_col: str, text_col: str
+) -> DataFrame:
+    """Score documents against a :func:`train_bigram_lm` model WITHOUT
+    touching the training corpus: two left joins against the persisted
+    count tables + one broadcast meta row. Bigrams unseen in training get
+    the Laplace floor (c12→0; unseen context w1 → c1→0), so out-of-domain
+    text scores low instead of erroring — the property that makes this a
+    quality FILTER. Stateless projections + static joins: ``docs`` may be
+    a streaming DataFrame.
+
+    Self-consistency law (tested): scoring the training corpus itself
+    reproduces :func:`ngram_lm_score` exactly.
+    """
+    spark = docs.sparkSession
+    bg = _bigram_table(docs, id_col, text_col)
+    c12 = spark.read.parquet(f"{path}/c12")
+    c1 = spark.read.parquet(f"{path}/c1")
+    meta = spark.read.parquet(f"{path}/meta")
+    lp = F.round(
+        F.log(
+            (F.coalesce("c12", F.lit(0)) + F.col("alpha"))
+            / (F.coalesce("c1", F.lit(0)) + F.col("alpha") * F.col("v"))
+        ),
+        9,
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(meta))
+        .select("__id", "pos", lp.alias("__lp"))
+    )
+    return _fold_logprobs(scored, id_col)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model quality score (the CCNet/Gopher-style filter):
+    train Laplace-smoothed bigram probabilities on the corpus itself, then
+    score every document by its mean bigram log-probability —
+    low-probability (junk / boilerplate-shuffled / wrong-language) text
+    scores far below fluent text. Returns (id, n_bigrams, avg_logp); docs
+    with < 2 words have no bigrams and are absent. For the
+    train-once / score-anything (incl. streams) split, see
+    :func:`train_bigram_lm` / :func:`lm_score_with`.
+
+    Shapes: counting is two hash aggregates over the exploded bigram
+    stream (map-side combined); the vocab size is a 1-row broadcast;
+    scoring joins each doc bigram to the count tables on the bigram key —
+    count tables are aggregated (distinct bigrams), so the join never
+    amplifies. Determinism: ln rounded to 9 dp (libm implementations
+    disagree by an ulp on a subset of inputs) plus an ordered per-doc
+    fold (the BM25 convention).
+    """
+    from tdataframe_spark.functions.text import words
+
+    bg = _bigram_table(df, id_col, text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
     vocab = (
-        df.select(F.explode(w).alias("__w"))
+        df.select(F.explode(words(F.col(text_col))).alias("__w"))
         .agg(F.countDistinct("__w").alias("__v"))
     )
-    # round the transcendental to 9 dp: Java's Math.log and other libm
-    # implementations disagree by an ulp on a subset of inputs, and with
-    # tens of thousands of distinct bigram probabilities some land in this
-    # query where BM25's few idf inputs happened not to — 9 dp erases the
-    # ulp while keeping full filtering resolution
     lp = F.round(
         F.log(
             (F.col("__c12") + F.lit(alpha))
@@ -331,14 +421,4 @@ def ngram_lm_score(
         .crossJoin(F.broadcast(vocab))
         .select("__id", "pos", lp.alias("__lp"))
     )
-    per_doc = scored.groupBy("__id").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "__lp"))).alias("__lps")
-    )
-    total = F.aggregate(
-        F.col("__lps"), F.lit(0.0), lambda acc, x: acc + x["__lp"]
-    )
-    return per_doc.select(
-        F.col("__id").alias(id_col),
-        F.size("__lps").cast("long").alias("n_bigrams"),
-        (total / F.size("__lps")).alias("avg_logp"),
-    )
+    return _fold_logprobs(scored, id_col)

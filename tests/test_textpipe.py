@@ -159,3 +159,63 @@ def test_ngram_lm_score_ranks_fluent_above_junk(spark):
     got = {r["doc_id"]: r["avg_logp"] for r in ngram_lm_score(df, "doc_id", "text").collect()}
     assert got[100] > got[101]  # fluent >> junk
     assert 102 not in got
+
+
+def test_lm_train_apply_self_consistency(spark, tmp_path):
+    """Scoring the training corpus against its own persisted LM must
+    reproduce the one-shot self-trained scorer exactly."""
+    from tdataframe_spark.ops.textstats import (
+        lm_score_with,
+        ngram_lm_score,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "lm")
+    train_bigram_lm(docs, "doc_id", "text", path)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in lm_score_with(docs, path, "doc_id", "text").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in ngram_lm_score(docs, "doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_lm_apply_floors_unseen_and_streams(spark, tmp_path):
+    """Out-of-domain text hits the Laplace floor (scores below any
+    in-domain doc), and the scorer runs unchanged on a readStream
+    (stateless projections + stream-static joins + update-mode fold)."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.textstats import lm_score_with, train_bigram_lm
+    from tdataframe_spark.streaming import run_to_memory_sink
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat") for i in range(10)]
+    )
+    path = str(tmp_path / "lm2")
+    train_bigram_lm(corpus, "doc_id", "text", path)
+
+    probe = spark.createDataFrame([
+        Row(doc_id=1, text="the cat sat on the mat"),
+        Row(doc_id=2, text="qq ww ee rr tt yy"),  # fully unseen
+    ])
+    batch = {r["doc_id"]: r["avg_logp"]
+             for r in lm_score_with(probe, path, "doc_id", "text").collect()}
+    assert batch[1] > batch[2]
+
+    src = str(tmp_path / "probe_in")
+    probe.write.parquet(src)
+    stream = spark.readStream.schema(probe.schema).parquet(src)
+    name, q = run_to_memory_sink(
+        lm_score_with(stream, path, "doc_id", "text"), mode="update"
+    )
+    try:
+        got = {r["doc_id"]: r["avg_logp"]
+               for r in spark.sql(f"select * from {name}").collect()}
+        assert got == batch
+    finally:
+        q.stop()
