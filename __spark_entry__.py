@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank": q_global_rank,
         "resample_daily": q_resample_daily,
         "lm_score": q_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
+        "dedup_keep_best": q_dedup_keep_best,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -313,5 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": SQL_GLOBAL_RANK,
         "resample_daily": SQL_RESAMPLE_DAILY,
         "lm_score": SQL_LM_SCORE,
+        "ccnet_buckets": SQL_CCNET_BUCKETS,
+        "dedup_keep_best": _dedup_keep_best_oracle_sql(),
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

@@ -876,3 +876,53 @@ def assign_clusters(
             (F.coalesce("n_clusters_hit", F.lit(0)) > 1).alias("needs_merge"),
         )
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score: Column | None = None,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Cluster-canonicalization: group near-duplicates (connected
+    components over ``pairs``), then keep exactly ONE representative per
+    cluster — the member with the highest ``score`` (default:
+    :func:`~tdataframe_spark.functions.text.quality_score` of ``text``),
+    ties to the lowest id. Singleton docs form their own cluster and are
+    always kept. This is the step after near-dup *detection* that real
+    curation pipelines need: not "which docs collide" but "which copy do
+    we train on".
+
+    Returns one row per input doc: (id, cluster, quality, keep 0/1).
+
+    Scale shape: CC is the persisted/checkpointed label-propagation loop;
+    the representative choice is ONE window shuffle on cluster id (near-dup
+    clusters are small and numerous — no hot partition). The score is any
+    JVM-side expression; plug in an LM score column for CCNet-style
+    best-of-cluster selection.
+    """
+    from pyspark.sql import Window
+
+    from tdataframe_spark.functions.text import quality_score
+
+    if score is None:
+        score = quality_score(F.col("text"))
+    comp = connected_components(pairs, left_col, right_col)
+    labeled = (
+        docs.withColumn("__q", score)
+        .join(comp, docs[id_col] == comp["id"], "left")
+        .select(
+            docs[id_col],
+            F.coalesce("component", docs[id_col]).alias("cluster"),
+            F.col("__q").alias("quality"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn(
+        "keep",
+        (F.row_number().over(w) == 1).cast("int"),
+    )

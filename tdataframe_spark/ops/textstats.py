@@ -422,3 +422,71 @@ def ngram_lm_score(
         .select("__id", "pos", lp.alias("__lp"))
     )
     return _fold_logprobs(scored, id_col)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "lang",
+    n_buckets: int = 3,
+    method: str = "ntile",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    bigram LM (:func:`ngram_lm_score`), then split each ``group_col``
+    stratum (typically language) into ``n_buckets`` equal-size quality
+    tiers — bucket 1 = head (highest avg log-prob / lowest perplexity),
+    ``n_buckets`` = tail. Downstream mixers sample per (group, bucket),
+    the CCNet recipe for trading data quality against volume.
+
+    ``method="ntile"`` (default, exact): one window shuffle per group with
+    an in-partition sort; ties broken by id so the assignment is a total
+    order, identical across engines. At 100 TB a single dominant language
+    makes that group's partition the bottleneck — ``method="approx"``
+    assigns buckets by comparing against per-group ``percentile_approx``
+    cut points instead (two hash aggregates + a broadcast join, no sort,
+    no hot partition; boundaries approximate, assignment stable).
+
+    Returns (id, group, n_bigrams, avg_logp, bucket).
+    """
+    from pyspark.sql import Window
+
+    scored = ngram_lm_score(df, id_col, text_col)
+    if group_col is None:
+        joined = scored.withColumn("__g", F.lit("all"))
+        gname = "group"
+    else:
+        joined = scored.join(
+            df.select(id_col, F.col(group_col).alias("__g")), id_col
+        )
+        gname = group_col
+    if method == "ntile":
+        w = Window.partitionBy("__g").orderBy(
+            F.col("avg_logp").desc(), F.col(id_col).asc()
+        )
+        out = joined.withColumn("bucket", F.ntile(n_buckets).over(w))
+    elif method == "approx":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = joined.groupBy("__g").agg(
+            F.percentile_approx("avg_logp", qs).alias("__cuts")
+        )
+        # cuts ascend; head = highest score = bucket 1, so bucket is
+        # 1 + (number of cut points the score is strictly below)
+        n_below = F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("avg_logp") < c, F.lit(1)).otherwise(F.lit(0)),
+        )
+        out = joined.join(F.broadcast(cuts), "__g").withColumn(
+            "bucket", F.lit(1) + n_below
+        ).drop("__cuts")
+    else:  # pragma: no cover - guarded
+        raise ValueError(f"unknown method {method!r}")
+    return out.select(
+        id_col,
+        F.col("__g").alias(gname),
+        "n_bigrams",
+        "avg_logp",
+        F.col("bucket").cast("int").alias("bucket"),
+    )

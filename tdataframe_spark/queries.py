@@ -3305,6 +3305,112 @@ FROM l
 """
 
 
+def q_dedup_keep_best(spark, sf):
+    """Near-dup canonicalization end-to-end: Jaccard pair graph →
+    connected components → keep the highest-quality member per cluster
+    (singletons keep themselves). One row per doc with its cluster and a
+    0/1 keep flag — the "which copy do we train on" decision."""
+    from tdataframe_spark.ops.dedup import dedup_keep_best
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_T
+    )
+    return dedup_keep_best(docs, pairs, "doc_id")
+
+
+def _dedup_keep_best_oracle_sql() -> str:
+    # components CTE body reused from SQL_DEDUP_COMPONENTS, plus the
+    # verified quality expression from the doc-profile oracle
+    return f"""
+WITH RECURSIVE {SQL_SHINGLES_CUT},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shf a JOIN shf b USING (sh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) >= {JACCARD_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION SELECT id_b, id_a FROM prs
+),
+walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION
+  SELECT w.id, e.dst
+  FROM walk w JOIN edges e ON w.reach = e.src
+),
+comp AS (SELECT id, MIN(reach) AS component FROM walk GROUP BY id),
+q AS (
+  SELECT doc_id,
+         round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+                + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0))) / 2,
+               6) AS quality
+  FROM documents
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster, q.quality
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.id
+  JOIN q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, cluster, quality,
+       CAST(CASE WHEN row_number() OVER (PARTITION BY cluster
+                                         ORDER BY quality DESC, doc_id) = 1
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM lab
+"""
+
+
+def q_ccnet_buckets(spark, sf):
+    """CCNet-style quality tiers: bigram-LM score every document, then
+    ntile(3) within each language — head/middle/tail buckets that
+    downstream domain mixers sample from. The approx (no-sort) variant is
+    `perplexity_buckets(..., method="approx")` — same surface, percentile
+    cut points instead of a per-language window sort (the 100 TB path when
+    one language dominates)."""
+    from tdataframe_spark.ops.textstats import perplexity_buckets
+
+    return perplexity_buckets(
+        _t(spark, sf, "documents"), "doc_id", "text", "lang", n_buckets=3
+    )
+
+
+SQL_CCNET_BUCKETS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, t.s AS pos, ws[t.s] AS w1, ws[t.s + 1] AS w2
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(s)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT u.wd) AS v
+      FROM (SELECT UNNEST(ws) AS wd FROM w) u),
+s AS (
+  SELECT doc_id, pos, ROUND(LN((c12 + 1.0) / (c1 + 1.0 * v)), 9) AS lp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+l AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM s GROUP BY doc_id),
+sc AS (
+  SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+         list_reduce(lps, (a, b) -> a + b) / len(lps) AS avg_logp
+  FROM l
+)
+SELECT sc.doc_id, d.lang, sc.n_bigrams, sc.avg_logp,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY sc.avg_logp DESC, sc.doc_id) AS INT)
+         AS bucket
+FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

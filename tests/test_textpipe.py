@@ -219,3 +219,58 @@ def test_lm_apply_floors_unseen_and_streams(spark, tmp_path):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_perplexity_buckets_ntile_and_approx_agree_on_extremes(spark):
+    """Head/tail membership must be stable across the exact (ntile) and
+    approx (percentile-cut) assignment paths; both must cover every doc
+    exactly once with buckets in [1, 3]."""
+    import pyspark.sql.functions as F
+
+    from tdataframe_spark.ops.textstats import perplexity_buckets
+
+    fluent = "the cat sat on the mat and the dog sat on the rug " * 5
+    rows = (
+        [(i, fluent + f"extra {i}", "en") for i in range(6)]
+        + [(10 + i, f"zz{i} qq{i} jj{i} xx{i} ww{i} kk{i} vv{i}", "en")
+           for i in range(6)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = perplexity_buckets(docs, "doc_id", "text", "lang").toPandas()
+    approx = perplexity_buckets(
+        docs, "doc_id", "text", "lang", method="approx"
+    ).toPandas()
+    for out in (exact, approx):
+        assert len(out) == 12
+        assert set(out["bucket"]) <= {1, 2, 3}
+    # fluent repeated docs score higher (head) than junk (tail) in both
+    ex = exact.set_index("doc_id")["bucket"]
+    ap = approx.set_index("doc_id")["bucket"]
+    for i in range(6):
+        assert ex[i] < ex[10 + i]
+        assert ap[i] <= ap[10 + i]
+
+
+def test_dedup_keep_best_one_keeper_per_cluster(spark):
+    """Exactly one keep per cluster; singletons keep themselves; the
+    keeper is the highest-quality member (ties to lowest id)."""
+    import pyspark.sql.functions as F
+
+    from tdataframe_spark.ops.dedup import dedup_keep_best
+
+    long_doc = "many words here repeated for a better length score " * 10
+    docs = spark.createDataFrame(
+        [
+            (1, long_doc),          # cluster {1,2}: 1 is longer → kept
+            (2, long_doc[:100]),
+            (3, "a lone document with nothing like it"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup_keep_best(docs, pairs, "doc_id").toPandas()
+    assert len(out) == 3
+    per_cluster = out.groupby("cluster")["keep"].sum()
+    assert (per_cluster == 1).all()
+    kept = set(out[out["keep"] == 1]["doc_id"])
+    assert kept == {1, 3}
