@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "pq_ann": q_pq_ann,
     }
 
 

@@ -482,3 +482,308 @@ def lsh_bucket_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+
+
+def _subvec_table(u: DataFrame, id_field: str, m: int) -> DataFrame:
+    """(id, __sub, __sv): each normalized vector split into ``m`` contiguous
+    subvectors (dim must be divisible by m — checked per-row by slice
+    bounds). One shuffle-free projection; rows fan out ×m but each carries
+    only dim/m floats, so total bytes stay ~constant."""
+    sub_len = (F.size("__vn") / m).cast("int")
+    return u.select(
+        id_field,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("__sub"),
+                    F.slice(F.col("__vn"), j * sub_len + 1, sub_len).alias(
+                        "__sv"
+                    ),
+                ),
+            )
+        ).alias("__e"),
+    ).select(id_field, "__e.__sub", "__e.__sv")
+
+
+def _pq_codebook_df(spark, codebook) -> DataFrame:
+    return spark.createDataFrame(
+        [(s, c, vec) for (s, c), vec in sorted(codebook.items())],
+        "__sub int, __cell int, __cvec array<double>",
+    )
+
+
+def _pq_assign(sv: DataFrame, id_field: str, codebook_df: DataFrame) -> DataFrame:
+    """Per (id, subspace): nearest codeword by L2 — argmax of
+    (s·c − ||c||²/2), the expansion of −||s−c||²/2 with the ||s||² term
+    dropped (constant per row). Broadcast codebook, one map-side argmax
+    groupBy — mirrors ``_assign`` but keyed by (id, sub)."""
+    scored = sv.join(F.broadcast(codebook_df), "__sub").select(
+        id_field,
+        "__sub",
+        "__cell",
+        (
+            dot(F.col("__sv"), F.col("__cvec"))
+            - dot(F.col("__cvec"), F.col("__cvec")) / 2
+        ).alias("__sc"),
+    )
+    return scored.groupBy(id_field, "__sub").agg(
+        F.max_by(
+            "__cell", F.struct(F.col("__sc"), (-F.col("__cell")).alias("__nc"))
+        ).alias("__cell")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    k: int = 16,
+    lloyd_iterations: int = 3,
+) -> dict:
+    """Train a product-quantization codebook: split each (normalized)
+    vector into ``m`` subvectors and k-means each subspace independently
+    (``k`` codewords). Returns {(sub, cell): centroid list}.
+
+    All ``m`` subspaces train in ONE set of jobs per Lloyd iteration (the
+    subspace id rides the rows), not m sequential trainings. Driver state
+    is the codebook itself: m×k×(dim/m) = k×dim doubles — independent of
+    corpus size. Deterministic: hash-bucket seeding by id, fixed iteration
+    count, ties to the lowest cell id.
+    """
+    spark = corpus.sparkSession
+    u = _normalized(corpus, id_col, vec_col, "__cid").filter(
+        F.col("__vn").isNotNull()
+    )
+    sv = _subvec_table(u, "__cid", m).persist()
+    try:
+        seed_rows = (
+            sv.groupBy(
+                "__sub",
+                F.pmod(F.xxhash64("__cid"), F.lit(k)).alias("__b"),
+            )
+            .agg(F.min_by("__sv", F.col("__cid")).alias("__s"))
+            .collect()
+        )
+        codebook = {}
+        cells = {}
+        for r in sorted(seed_rows, key=lambda r: (r["__sub"], r["__b"])):
+            c = cells.get(r["__sub"], 0)
+            codebook[(r["__sub"], c)] = list(r["__s"])
+            cells[r["__sub"]] = c + 1
+        for _ in range(lloyd_iterations):
+            assigned = _pq_assign(sv, "__cid", _pq_codebook_df(spark, codebook))
+            sums = (
+                assigned.join(sv, ["__cid", "__sub"])
+                .select(
+                    "__sub",
+                    "__cell",
+                    F.posexplode("__sv").alias("__d", "__x"),
+                )
+                .groupBy("__sub", "__cell", "__d")
+                .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            comp = {}
+            for r in sums:
+                comp.setdefault((r["__sub"], r["__cell"]), {})[r["__d"]] = (
+                    r["__s"] / r["__n"]
+                )
+            new_codebook = dict(codebook)
+            for key, dims in comp.items():
+                new_codebook[key] = [dims[d] for d in sorted(dims)]
+            codebook = new_codebook
+    finally:
+        sv.unpersist()
+    return codebook
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to its per-subspace
+    nearest-codeword indices — with m=8, k=16 that is 8 small ints standing
+    in for 64 floats (a ~32× memory cut before bit-packing). The encoded
+    table is what a 100 TB deployment persists and scans at query time;
+    raw vectors are only revisited for reranking."""
+    spark = corpus.sparkSession
+    m = max(s for s, _ in codebook) + 1
+    u = _normalized(corpus, id_col, vec_col, "__cid").filter(
+        F.col("__vn").isNotNull()
+    )
+    sv = _subvec_table(u, "__cid", m)
+    assigned = _pq_assign(sv, "__cid", _pq_codebook_df(spark, codebook))
+    return (
+        assigned.groupBy("__cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__sub", "__cell"))),
+                lambda st: st["__cell"],
+            ).alias("codes")
+        )
+        .select(F.col("__cid").alias(id_col), "codes")
+    )
+
+
+def _adc_search(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    cb: DataFrame,
+    code_rows: DataFrame,
+    k: int,
+    rerank: int,
+    rerank_vecs: DataFrame | None,
+) -> DataFrame:
+    """Shared PQ query path: broadcast the per-query (subspace, codeword) →
+    partial-dot ADC table, score the compressed code rows map-side, top-k
+    per query; optionally re-score the leading ``rerank`` candidates
+    exactly against ``rerank_vecs`` (__cid, __vn)."""
+    qn = _normalized(queries, id_col, vec_col, "query_id").filter(
+        F.col("__vn").isNotNull()
+    )
+    qsv = _subvec_table(qn, "query_id", m)
+    adc = qsv.join(F.broadcast(cb), "__sub").select(
+        "query_id",
+        "__sub",
+        "__cell",
+        dot(F.col("__sv"), F.col("__cvec")).alias("__p"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(adc), ["__sub", "__cell"])
+        .filter(F.col("query_id") != F.col("__cid"))
+        .groupBy("query_id", "__cid")
+        .agg(F.sum("__p").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("__cid").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rnk") <= k).select(
+            "query_id", F.col("__cid").alias("neighbor_id"), "cos_sim", "rnk"
+        )
+    cands = ranked.filter(F.col("rnk") <= rerank).select("query_id", "__cid")
+    exact = (
+        cands.join(rerank_vecs, "__cid")
+        .join(qn.select("query_id", F.col("__vn").alias("__qn")), "query_id")
+        .select(
+            "query_id",
+            F.col("__cid").alias("neighbor_id"),
+            dot(F.col("__qn"), F.col("__vn")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 16,
+    n_codes: int = 16,
+    lloyd_iterations: int = 3,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC):
+    train + encode the corpus, build each query's (subspace, codeword) →
+    partial-dot lookup table, and score every corpus vector entirely in
+    the compressed domain — the scan reads m small codes per vector, never
+    the floats. ``rerank > 0`` re-scores the top ``rerank`` candidates per
+    query with exact cosine (one semi-join back to the raw vectors) —
+    the standard recall-restoring final pass.
+
+    Scale shape: the ADC table is |queries|·m·n_codes tiny rows —
+    broadcast; scoring is a map-side join + one (query, id) hash-agg whose
+    map-side combine collapses the ×m fan-out before the shuffle. Returns
+    (query_id, neighbor_id, cos_sim, rnk) like the other ANN paths
+    (cos_sim is the ADC approximation unless reranked).
+    """
+    spark = corpus.sparkSession
+    codebook = pq_train(corpus, id_col, vec_col, m, n_codes, lloyd_iterations)
+    cb = _pq_codebook_df(spark, codebook)
+    code_rows = pq_encode(corpus, codebook, id_col, vec_col).select(
+        F.col(id_col).alias("__cid"),
+        F.posexplode("codes").alias("__sub", "__cell"),
+    )
+    rerank_vecs = (
+        _normalized(corpus, id_col, vec_col, "__cid") if rerank else None
+    )
+    return _adc_search(
+        queries, id_col, vec_col, m, cb, code_rows, k, rerank, rerank_vecs
+    )
+
+
+def pq_build(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    n_codes: int = 16,
+    lloyd_iterations: int = 3,
+) -> None:
+    """Materialize a PQ index on disk: ``index_path/codebook`` holds the
+    m×n_codes codewords, ``index_path/codes`` one compressed row per
+    vector, ``index_path/vectors`` the normalized raw vectors (rerank
+    side). Query batches then scan codes only — the 100 TB shape where the
+    compressed table is orders of magnitude smaller than the embeddings.
+    New data appends through :func:`pq_encode` with the SAME codebook
+    (``mode="append"`` on codes/vectors) — no retraining per batch."""
+    codebook = pq_train(corpus, id_col, vec_col, m, n_codes, lloyd_iterations)
+    spark = corpus.sparkSession
+    _pq_codebook_df(spark, codebook).write.mode("overwrite").parquet(
+        f"{index_path}/codebook"
+    )
+    pq_encode(corpus, codebook, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/codes")
+    _normalized(corpus, id_col, vec_col, id_col).filter(
+        F.col("__vn").isNotNull()
+    ).write.mode("overwrite").parquet(f"{index_path}/vectors")
+
+
+def pq_query(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank: int = 0,
+) -> DataFrame:
+    """Search a prebuilt ``pq_build`` index: ADC scan over the compressed
+    codes; ``rerank`` re-scores the leading candidates against the stored
+    normalized vectors. Same result shape as :func:`pq_topk`."""
+    cb = spark.read.parquet(f"{index_path}/codebook")
+    m = cb.agg(F.max("__sub")).collect()[0][0] + 1
+    code_rows = spark.read.parquet(f"{index_path}/codes").select(
+        F.col(id_col).alias("__cid"),
+        F.posexplode("codes").alias("__sub", "__cell"),
+    )
+    rerank_vecs = (
+        spark.read.parquet(f"{index_path}/vectors").select(
+            F.col(id_col).alias("__cid"), "__vn"
+        )
+        if rerank
+        else None
+    )
+    return _adc_search(
+        queries, id_col, vec_col, m, cb, code_rows, k, rerank, rerank_vecs
+    )

@@ -2294,6 +2294,16 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+def q_pq_ann(spark, sf):
+    """Product-quantization ANN (compressed-domain ADC scan + exact rerank);
+    approximate by design → rows-only check, recall tested in pytest."""
+    from tdataframe_spark.ops.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(queries, emb, "vec_id", "embedding", k=5, rerank=50)
+
+
 # ---------------------------------------------------------------------------
 # round-3 TPC-H widening: the remaining dashboard shapes expressible on this
 # testdata schema (no partsupp table, no commit/receipt dates, so Q2/Q11/Q12/

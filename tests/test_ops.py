@@ -872,3 +872,53 @@ def test_resample_time_series_fill_modes(spark):
     nul = {(r["k"], r["b"]): r["v"]
            for r in resample_time_series(df, "k", "b", ["v"], fill="null").collect()}
     assert nul[("a", 2)] is None and nul[("a", 1)] == 10.0
+
+
+def test_pq_recall_floor_and_code_shape(spark):
+    """PQ ANN: codes are m small ints per vector; ADC + exact rerank
+    recovers most of the exact top-k on the fixed test embeddings."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F2.col("vec_id") % 25 == 0)
+    cb = pq_train(emb, m=16, k=8, lloyd_iterations=2)
+    assert len(cb) == 16 * 8 and all(len(v) == 4 for v in cb.values())
+    codes = pq_encode(emb, cb).collect()
+    assert all(len(r["codes"]) == 16 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r["codes"])
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            q, emb, k=5, m=16, n_codes=8, lloyd_iterations=2, rerank=20
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # deterministic pipeline: fixed value on this data
+
+
+def test_pq_build_query_matches_topk(spark, tmp_path):
+    """Persisted PQ index returns exactly what the one-shot pq_topk does
+    with the same parameters (train once / query many)."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import pq_build, pq_query, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F2.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "pqidx")
+    pq_build(emb, path, m=16, n_codes=8, lloyd_iterations=2)
+    direct = pq_topk(
+        q, emb, k=5, m=16, n_codes=8, lloyd_iterations=2, rerank=20
+    ).collect()
+    via_index = pq_query(spark, path, q, k=5, rerank=20).collect()
+    key = lambda r: (r["query_id"], r["rnk"])
+    assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, via_index), key=lambda t: (t[0], t[3])
+    )
