@@ -45,6 +45,9 @@ EXTENDED = [
     "global_rank",
     "rollup_incremental",
     "lm_score",
+    "ccnet_buckets",
+    "dedup_keep_best",
+    "pq_ann",
 ]
 
 
