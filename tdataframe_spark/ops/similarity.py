@@ -538,6 +538,50 @@ def _pq_assign(sv: DataFrame, id_field: str, codebook_df: DataFrame) -> DataFram
     )
 
 
+def _pq_fit(sv: DataFrame, k: int, lloyd_iterations: int) -> dict:
+    """Per-subspace Lloyd k-means over a (persisted) subvector table
+    (__cid, __sub, __sv). All subspaces train in ONE set of jobs per
+    iteration; driver state per iteration is the k×dim codebook sums."""
+    spark = sv.sparkSession
+    seed_rows = (
+        sv.groupBy(
+            "__sub",
+            F.pmod(F.xxhash64("__cid"), F.lit(k)).alias("__b"),
+        )
+        .agg(F.min_by("__sv", F.col("__cid")).alias("__s"))
+        .collect()
+    )
+    codebook = {}
+    cells = {}
+    for r in sorted(seed_rows, key=lambda r: (r["__sub"], r["__b"])):
+        c = cells.get(r["__sub"], 0)
+        codebook[(r["__sub"], c)] = list(r["__s"])
+        cells[r["__sub"]] = c + 1
+    for _ in range(lloyd_iterations):
+        assigned = _pq_assign(sv, "__cid", _pq_codebook_df(spark, codebook))
+        sums = (
+            assigned.join(sv, ["__cid", "__sub"])
+            .select(
+                "__sub",
+                "__cell",
+                F.posexplode("__sv").alias("__d", "__x"),
+            )
+            .groupBy("__sub", "__cell", "__d")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        comp = {}
+        for r in sums:
+            comp.setdefault((r["__sub"], r["__cell"]), {})[r["__d"]] = (
+                r["__s"] / r["__n"]
+            )
+        new_codebook = dict(codebook)
+        for key, dims in comp.items():
+            new_codebook[key] = [dims[d] for d in sorted(dims)]
+        codebook = new_codebook
+    return codebook
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -556,51 +600,21 @@ def pq_train(
     corpus size. Deterministic: hash-bucket seeding by id, fixed iteration
     count, ties to the lowest cell id.
     """
-    spark = corpus.sparkSession
     u = _normalized(corpus, id_col, vec_col, "__cid").filter(
         F.col("__vn").isNotNull()
     )
     sv = _subvec_table(u, "__cid", m).persist()
     try:
-        seed_rows = (
-            sv.groupBy(
-                "__sub",
-                F.pmod(F.xxhash64("__cid"), F.lit(k)).alias("__b"),
-            )
-            .agg(F.min_by("__sv", F.col("__cid")).alias("__s"))
-            .collect()
-        )
-        codebook = {}
-        cells = {}
-        for r in sorted(seed_rows, key=lambda r: (r["__sub"], r["__b"])):
-            c = cells.get(r["__sub"], 0)
-            codebook[(r["__sub"], c)] = list(r["__s"])
-            cells[r["__sub"]] = c + 1
-        for _ in range(lloyd_iterations):
-            assigned = _pq_assign(sv, "__cid", _pq_codebook_df(spark, codebook))
-            sums = (
-                assigned.join(sv, ["__cid", "__sub"])
-                .select(
-                    "__sub",
-                    "__cell",
-                    F.posexplode("__sv").alias("__d", "__x"),
-                )
-                .groupBy("__sub", "__cell", "__d")
-                .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
-                .collect()
-            )
-            comp = {}
-            for r in sums:
-                comp.setdefault((r["__sub"], r["__cell"]), {})[r["__d"]] = (
-                    r["__s"] / r["__n"]
-                )
-            new_codebook = dict(codebook)
-            for key, dims in comp.items():
-                new_codebook[key] = [dims[d] for d in sorted(dims)]
-            codebook = new_codebook
+        return _pq_fit(sv, k, lloyd_iterations)
     finally:
         sv.unpersist()
-    return codebook
+
+
+def _pq_code_rows(sv: DataFrame, codebook: dict) -> DataFrame:
+    """(__cid, __sub, __cell): the exploded compressed representation —
+    what the ADC scan consumes directly."""
+    spark = sv.sparkSession
+    return _pq_assign(sv, "__cid", _pq_codebook_df(spark, codebook))
 
 
 def pq_encode(
@@ -610,17 +624,15 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>): each vector compressed to its per-subspace
-    nearest-codeword indices — with m=8, k=16 that is 8 small ints standing
-    in for 64 floats (a ~32× memory cut before bit-packing). The encoded
-    table is what a 100 TB deployment persists and scans at query time;
-    raw vectors are only revisited for reranking."""
-    spark = corpus.sparkSession
+    nearest-codeword indices — with m=16, k=16 that is 16 small ints
+    standing in for 64 floats (a ~16× memory cut before bit-packing). The
+    encoded table is what a 100 TB deployment persists and scans at query
+    time; raw vectors are only revisited for reranking."""
     m = max(s for s, _ in codebook) + 1
     u = _normalized(corpus, id_col, vec_col, "__cid").filter(
         F.col("__vn").isNotNull()
     )
-    sv = _subvec_table(u, "__cid", m)
-    assigned = _pq_assign(sv, "__cid", _pq_codebook_df(spark, codebook))
+    assigned = _pq_code_rows(_subvec_table(u, "__cid", m), codebook)
     return (
         assigned.groupBy("__cid")
         .agg(
@@ -716,17 +728,18 @@ def pq_topk(
     (cos_sim is the ADC approximation unless reranked).
     """
     spark = corpus.sparkSession
-    codebook = pq_train(corpus, id_col, vec_col, m, n_codes, lloyd_iterations)
+    # one normalized pass + one subvector table feed training, encoding,
+    # AND reranking (persisted, like ivf_topk — the session LRU evicts)
+    u = _normalized(corpus, id_col, vec_col, "__cid").filter(
+        F.col("__vn").isNotNull()
+    ).persist()
+    sv = _subvec_table(u, "__cid", m).persist()
+    codebook = _pq_fit(sv, n_codes, lloyd_iterations)
     cb = _pq_codebook_df(spark, codebook)
-    code_rows = pq_encode(corpus, codebook, id_col, vec_col).select(
-        F.col(id_col).alias("__cid"),
-        F.posexplode("codes").alias("__sub", "__cell"),
-    )
-    rerank_vecs = (
-        _normalized(corpus, id_col, vec_col, "__cid") if rerank else None
-    )
+    code_rows = _pq_code_rows(sv, codebook)
     return _adc_search(
-        queries, id_col, vec_col, m, cb, code_rows, k, rerank, rerank_vecs
+        queries, id_col, vec_col, m, cb, code_rows, k, rerank,
+        u if rerank else None,
     )
 
 

@@ -288,3 +288,42 @@ def test_global_rank_never_single_partitions(spark):
     assert "rangepartitioning" in plan, plan
     assert "window" not in plan, plan
     assert "singlepartition" not in plan, plan
+
+
+def test_pq_adc_scan_broadcasts_and_no_cartesian(spark):
+    """PQ search must score the compressed codes via a BROADCAST ADC-table
+    join (map-side, no shuffle of the corpus for candidate generation) and
+    never fall back to a cartesian/nested-loop pair plan."""
+    from tdataframe_spark.plans.inspect import explain_str
+
+    df = em.q_pq_ann(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_perplexity_buckets_approx_has_no_window_sort(spark):
+    """The approx bucket path exists to dodge the per-group window sort: its
+    plan must contain no Window operator (the exact ntile path has one)."""
+    from tdataframe_spark.ops.textstats import perplexity_buckets
+    from tdataframe_spark.plans.inspect import explain_str
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = perplexity_buckets(docs, "doc_id", "text", "lang")
+    approx = perplexity_buckets(docs, "doc_id", "text", "lang", method="approx")
+    assert "Window" in explain_str(exact, "simple")
+    assert "Window" not in explain_str(approx, "simple")
+
+
+def test_dedup_keep_best_single_window_over_cluster(spark):
+    """Representative selection is one window pass partitioned by cluster —
+    no join back, no cartesian."""
+    from tdataframe_spark.ops.dedup import dedup_keep_best
+    from tdataframe_spark.plans.inspect import explain_str
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = explain_str(dedup_keep_best(docs, pairs, "doc_id"), "simple")
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan
