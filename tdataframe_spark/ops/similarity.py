@@ -800,3 +800,171 @@ def pq_query(
     return _adc_search(
         queries, id_col, vec_col, m, cb, code_rows, k, rerank, rerank_vecs
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse cells over compressed codes (the combined 100 TB index)
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 16,
+    lloyd_iterations: int = 3,
+) -> None:
+    """Build the combined index: IVF coarse cells bound WHICH vectors a
+    query touches (partition pruning), PQ codes bound HOW MUCH each touch
+    costs (compressed-domain scoring). ``index_path/codes`` is written
+    PARTITIONED BY coarse cell, so an ``n_probe``-cell query reads only
+    those directories of a table already ~16× smaller than the raw
+    embeddings — the two multiplicative savings that make trillion-vector
+    corpora searchable. ``/centroids``, ``/codebook``, ``/vectors``
+    (rerank side, also cell-partitioned) complete the index."""
+    spark = corpus.sparkSession
+    u = _normalized(corpus, id_col, vec_col, "__cid").filter(
+        F.col("__vn").isNotNull()
+    ).persist()
+    try:
+        centroids = _train_ivf(u, n_cells, lloyd_iterations)
+        coarse = _assign(u, "__vn", "__cid", centroids).withColumnRenamed(
+            "__cell", "__coarse"
+        )
+        sv = _subvec_table(u, "__cid", m).persist()
+        try:
+            codebook = _pq_fit(sv, n_codes, lloyd_iterations)
+            codes = (
+                _pq_code_rows(sv, codebook)
+                .groupBy("__cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__sub", "__cell"))),
+                        lambda st: st["__cell"],
+                    ).alias("codes")
+                )
+            )
+        finally:
+            sv.unpersist()
+        (
+            codes.join(coarse, "__cid")
+            .write.mode("overwrite")
+            .partitionBy("__coarse")
+            .parquet(f"{index_path}/codes")
+        )
+        (
+            u.join(coarse, "__cid")
+            .write.mode("overwrite")
+            .partitionBy("__coarse")
+            .parquet(f"{index_path}/vectors")
+        )
+        _centroid_df(spark, centroids).write.mode("overwrite").parquet(
+            f"{index_path}/centroids"
+        )
+        _pq_codebook_df(spark, codebook).write.mode("overwrite").parquet(
+            f"{index_path}/codebook"
+        )
+    finally:
+        u.unpersist()
+
+
+def ivfpq_query(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 0,
+) -> DataFrame:
+    """Search an ``ivfpq_build`` index: probe each query's ``n_probe``
+    closest coarse cells, ADC-score only those cells' code rows, exact
+    rerank against only those cells' stored vectors. The union of probed
+    cells reaches the scan as a pushed IN-filter on the partition column —
+    partition pruning keeps unprobed directories unread."""
+    centroids = [
+        (r["__cell"], list(r["__cvec"]))
+        for r in spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("__cell")
+        .collect()
+    ]
+    cb = spark.read.parquet(f"{index_path}/codebook")
+    m = cb.agg(F.max("__sub")).collect()[0][0] + 1
+
+    qn = _normalized(queries, id_col, vec_col, "query_id").filter(
+        F.col("__vn").isNotNull()
+    )
+    q_scored = qn.crossJoin(
+        F.broadcast(_centroid_df(spark, centroids))
+    ).select(
+        "query_id",
+        "__cell",
+        dot(F.col("__vn"), F.col("__cvec")).alias("__sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("__cell").asc()
+    )
+    q_probed = (
+        q_scored.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", F.col("__cell").alias("__coarse"))
+    )
+    probed_cells = [
+        r["__coarse"] for r in q_probed.select("__coarse").distinct().collect()
+    ]
+
+    code_rows = (
+        spark.read.parquet(f"{index_path}/codes")
+        .filter(F.col("__coarse").isin(probed_cells))
+        .join(F.broadcast(q_probed), "__coarse")
+        .select(
+            "query_id",
+            "__cid",
+            F.posexplode("codes").alias("__sub", "__cell"),
+        )
+    )
+    qsv = _subvec_table(qn, "query_id", m)
+    adc = qsv.join(F.broadcast(cb), "__sub").select(
+        "query_id",
+        "__sub",
+        "__cell",
+        dot(F.col("__sv"), F.col("__cvec")).alias("__p"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(adc), ["query_id", "__sub", "__cell"])
+        .filter(F.col("query_id") != F.col("__cid"))
+        .groupBy("query_id", "__cid")
+        .agg(F.sum("__p").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("__cid").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rnk") <= k).select(
+            "query_id", F.col("__cid").alias("neighbor_id"), "cos_sim", "rnk"
+        )
+    cands = ranked.filter(F.col("rnk") <= rerank).select("query_id", "__cid")
+    u = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("__coarse").isin(probed_cells))
+        .select("__cid", "__vn")
+    )
+    exact = (
+        cands.join(u, "__cid")
+        .join(qn.select("query_id", F.col("__vn").alias("__qn")), "query_id")
+        .select(
+            "query_id",
+            F.col("__cid").alias("neighbor_id"),
+            dot(F.col("__qn"), F.col("__vn")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= k
+    )

@@ -922,3 +922,36 @@ def test_pq_build_query_matches_topk(spark, tmp_path):
     assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, via_index), key=lambda t: (t[0], t[3])
     )
+
+
+def test_ivfpq_full_probe_matches_pq_and_prunes_partitions(spark, tmp_path):
+    """With n_probe = n_cells the IVF-PQ index must reproduce the plain PQ
+    index's results exactly (same codebook training, candidate set
+    unrestricted); with a partial probe the codes scan must read only the
+    probed cells' partition directories."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import ivfpq_build, ivfpq_query, pq_build, pq_query
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F2.col("vec_id") % 25 == 0)
+    p1 = str(tmp_path / "pq")
+    p2 = str(tmp_path / "ivfpq")
+    pq_build(emb, p1, m=16, n_codes=8, lloyd_iterations=2)
+    ivfpq_build(emb, p2, n_cells=4, m=16, n_codes=8, lloyd_iterations=2)
+
+    flat = pq_query(spark, p1, q, k=5, rerank=20).collect()
+    full = ivfpq_query(spark, p2, q, k=5, n_probe=4, rerank=20).collect()
+    keyf = lambda t: (t[0], t[3])
+    assert sorted(map(tuple, flat), key=keyf) == sorted(map(tuple, full), key=keyf)
+
+    # one query probing one cell: the probed-cell predicate must reach the
+    # codes scan as a PARTITION filter (directory pruning), not a row filter
+    q1 = emb.filter(F2.col("vec_id") == 0)
+    partial = ivfpq_query(spark, p2, q1, k=5, n_probe=1, rerank=10)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^\]]*__coarse[^\]]*\]", plan)
+    assert pf, plan[:4000]
+    assert partial.count() > 0
