@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 

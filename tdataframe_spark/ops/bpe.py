@@ -1,0 +1,179 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training + application.
+
+The classic Sennrich word-frequency formulation: BPE merges are learned
+from the (word, frequency) table, not the raw corpus — ONE corpus-sized
+shuffle builds that table, and every Lloyd-style merge iteration after it
+runs over vocab-sized data (bounded by distinct words, not corpus rows).
+Driver state per iteration is a single (pair, count) row: the argmax.
+
+Scale notes (100 TB):
+- the word-frequency aggregate is the only corpus-sized job (map-side
+  combined hash agg);
+- each of the ``n_merges`` iterations re-pairs and re-aggregates the
+  persisted vocab table (persist + unpersist + localCheckpoint every few
+  rounds — the connected-components loop discipline, constant plan depth);
+- tokenization joins documents' words against the learned segmentation
+  table (vocab-sized, usually broadcastable); out-of-vocabulary words
+  fall back to character splits — the standard subword contract.
+
+All merge application is JVM-side: adjacent-pair replacement is an
+ordered ``aggregate`` fold over the symbol array; no Python in any loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tdataframe_spark.functions.text import words
+
+END_OF_WORD = "▁"  # marks word end so merges can't cross words
+
+
+def _merge_pair_expr(col: str, a: str, b: str) -> str:
+    """SQL expression rebuilding ``col`` (array<string>) with every
+    adjacent (a, b) replaced by their concatenation — a left fold that
+    either glues x onto a pending ``a`` or appends. Greedy left-to-right,
+    matching the reference BPE algorithm."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return f"""
+    aggregate(
+      {col},
+      cast(array() as array<string>),
+      (acc, x) -> IF(
+        size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}',
+        concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')),
+        concat(acc, array(x))
+      )
+    )
+    """
+
+
+def _word_freq_symbols(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq, syms): distinct corpus words with counts, split into
+    character symbols with the end-of-word marker appended."""
+    w = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return w.withColumn(
+        "syms",
+        F.concat(
+            F.split(F.col("word"), ""),
+            F.array(F.lit(END_OF_WORD)),
+        ),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    checkpoint_every: int = 10,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
+    ordered merge list [(a, b), ...] — apply with :func:`bpe_tokenize`.
+
+    Ties in pair frequency break lexicographically (deterministic across
+    partitionings and engines)."""
+    vocab = _word_freq_symbols(df, text_col).persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        for i in range(n_merges):
+            pairs = (
+                vocab.select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(slice(syms, 1, size(syms) - 1),"
+                            " (s, j) -> struct(s as a,"
+                            " element_at(syms, j + 2) as b))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0]["n"] < 2:
+                break
+            a, b = pairs[0]["a"], pairs[0]["b"]
+            merges.append((a, b))
+            nxt = vocab.withColumn(
+                "syms", F.expr(_merge_pair_expr("syms", a, b))
+            ).persist()
+            if (i + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint()
+            nxt.count()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_segment_table(
+    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(word, syms): the learned segmentation of every corpus word —
+    the artifact a deployment persists next to the merge list. Built by
+    replaying the merge rules over the vocab table (vocab-sized work)."""
+    vocab = _word_freq_symbols(df, text_col).select("word", "syms")
+    for a, b in merges:
+        vocab = vocab.withColumn("syms", F.expr(_merge_pair_expr("syms", a, b)))
+        # n_merges chained folds would nest the expression tree past
+        # codegen limits — truncate lineage periodically
+        if len(merges) > 8:
+            vocab = vocab.localCheckpoint(eager=False)
+    return vocab
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    segments: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_segments: bool = True,
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens): tokenize documents by joining
+    their words against the learned segmentation table; words not in the
+    table (out-of-vocabulary) fall back to character symbols. Stateless
+    projections + one join — ``docs`` may be a streaming DataFrame when
+    the segment table is static."""
+    seg = segments.select("word", F.col("syms").alias("__seg"))
+    if broadcast_segments:
+        seg = F.broadcast(seg)
+    exploded = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(words(F.col(text_col))).alias("__pos", "word"),
+    ).filter(F.length("word") > 0)
+    joined = exploded.join(seg, "word", "left").select(
+        "__id",
+        "__pos",
+        F.coalesce(
+            "__seg",
+            F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD))),
+        ).alias("__seg"),
+    )
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__seg"))
+                    ),
+                    lambda st: st["__seg"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
+        )
+    )

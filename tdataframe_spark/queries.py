@@ -2294,6 +2294,28 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+def q_bpe_tokens(spark, sf):
+    """Learned-subword tokenization end-to-end: train BPE merges on the
+    corpus word-frequency table, segment the vocab, tokenize every doc.
+    Iterative trainer (driver sees one argmax row per merge) → rows-only
+    check; merge-list correctness is pinned against a pure-Python
+    reference implementation in pytest."""
+    from tdataframe_spark.ops.bpe import (
+        bpe_segment_table,
+        bpe_tokenize,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf, "documents")
+    merges = train_bpe(docs, n_merges=12)
+    seg = bpe_segment_table(docs, merges)
+    return bpe_tokenize(docs, seg).select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_csv"),
+        "n_tokens",
+    )
+
+
 def q_pq_ann(spark, sf):
     """Product-quantization ANN (compressed-domain ADC scan + exact rerank);
     approximate by design → rows-only check, recall tested in pytest."""

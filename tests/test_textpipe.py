@@ -274,3 +274,76 @@ def test_dedup_keep_best_one_keeper_per_cluster(spark):
     assert (per_cluster == 1).all()
     kept = set(out[out["keep"] == 1]["doc_id"])
     assert kept == {1, 3}
+
+
+def _reference_bpe(word_freqs: dict, n_merges: int):
+    """Pure-Python Sennrich BPE on a word-frequency table (test oracle)."""
+    vocab = {tuple(list(w) + ["▁"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        # deterministic: max count, then lexicographically smallest pair
+        top = max(pairs.values())
+        best = min(p for p, n in pairs.items() if n == top)
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = f
+        vocab = new_vocab
+    return merges, {"".join(k).replace("▁", ""): list(k) for k in vocab}
+
+
+def test_bpe_matches_reference_implementation(spark):
+    """Distributed BPE must learn the same ordered merge list and the same
+    final segmentations as a driver-side reference implementation."""
+    from tdataframe_spark.ops.bpe import bpe_segment_table, train_bpe
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got_merges = train_bpe(docs, n_merges=8)
+    want_merges, want_segs = _reference_bpe(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 8
+    )
+    assert got_merges == want_merges
+    segs = {
+        r["word"]: list(r["syms"])
+        for r in bpe_segment_table(docs, got_merges).collect()
+    }
+    for w, syms in segs.items():
+        assert syms == want_segs[w], (w, syms, want_segs[w])
+
+
+def test_bpe_tokenize_oov_falls_back_to_chars(spark):
+    """Words absent from the segmentation table tokenize as raw character
+    symbols (the subword OOV contract); token order follows word order."""
+    from tdataframe_spark.ops.bpe import bpe_segment_table, bpe_tokenize, train_bpe
+
+    train = spark.createDataFrame(
+        [(1, "aaa aaa aaa bbb bbb")], "doc_id long, text string"
+    )
+    merges = train_bpe(train, n_merges=4)
+    seg = bpe_segment_table(train, merges)
+    new = spark.createDataFrame([(9, "aaa zz")], "doc_id long, text string")
+    out = bpe_tokenize(new, seg).collect()[0]
+    toks = list(out["tokens"])
+    assert toks[0].startswith("aaa")  # learned merge applied
+    assert toks[-3:] == ["z", "z", "▁"]  # OOV char fallback
+    assert out["n_tokens"] == len(toks)
