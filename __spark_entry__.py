@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_keep_best": q_dedup_keep_best,
+        "group_split": q_group_split,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -319,5 +320,6 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": SQL_LM_SCORE,
         "ccnet_buckets": SQL_CCNET_BUCKETS,
         "dedup_keep_best": _dedup_keep_best_oracle_sql(),
+        "group_split": SQL_GROUP_SPLIT,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

@@ -490,3 +490,30 @@ def perplexity_buckets(
         "avg_logp",
         F.col("bucket").cast("int").alias("bucket"),
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    eval_fraction: float = 0.1,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Leakage-free train/eval split: EVERY row of a group lands on the
+    same side, decided by a portable hash of the group key — near-dup or
+    same-source rows (same domain, same base document, same user) can
+    never straddle the boundary, the property a random row split silently
+    violates. Adds ``split`` = 'train' | 'eval'.
+
+    Map-side only (a projection — no shuffle, no state); the assignment
+    is a pure function of the key, so it is stable across runs, engines,
+    and data arrivals — new rows of a known group inherit its side,
+    which is what makes the split safe to apply incrementally/on streams.
+    ``eval_fraction`` resolves to floor(buckets·fraction) hash buckets.
+    """
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    cut = int(buckets * eval_fraction)
+    b = F.pmod(portable_hash64(F.col(group_col).cast("string")), F.lit(buckets))
+    return df.withColumn(
+        "split", F.when(b < cut, F.lit("eval")).otherwise(F.lit("train"))
+    )

@@ -2294,6 +2294,27 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+def q_group_split(spark, sf):
+    """Leakage-free train/eval split: every document of a source lands on
+    the same side via a portable group-key hash (map-side projection, no
+    shuffle, stable under incremental arrivals)."""
+    from tdataframe_spark.ops.textstats import group_split
+
+    docs = _t(spark, sf, "documents")
+    return group_split(docs, "source", eval_fraction=0.2).select(
+        "doc_id", "source", "split"
+    )
+
+
+SQL_GROUP_SPLIT = """
+SELECT doc_id, source,
+       CASE WHEN ((CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT)
+                   % 1000) + 1000) % 1000 < 200
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_bpe_tokens(spark, sf):
     """Learned-subword tokenization end-to-end: train BPE merges on the
     corpus word-frequency table, segment the vocab, tokenize every doc.

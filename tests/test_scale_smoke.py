@@ -114,3 +114,28 @@ def test_nearest_centroid_500k_vectors(spark):
     conf = nearest_centroid_confusion(df).collect()
     assert sum(r["n"] for r in conf) == n
     assert all(r["label"] == r["pred"] for r in conf), conf
+
+
+def test_pq_200k_vectors(spark):
+    """PQ train+encode+ADC search on a 200k-vector in-engine corpus (dim
+    16, m=4 subspaces): the compressed-domain path beyond toy sizes —
+    codebook training's driver state stays k×dim regardless of corpus."""
+    from tdataframe_spark.ops.similarity import pq_topk
+
+    corpus = spark.range(200_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), d -> cast(sin(id * d) as double))"
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") % 50_000 == 7)
+    out = pq_topk(
+        queries, corpus, k=5, m=4, n_codes=16, lloyd_iterations=2, rerank=20
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 4
+    assert all(len(v) == 5 for v in by_q.values())
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)

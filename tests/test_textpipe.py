@@ -347,3 +347,22 @@ def test_bpe_tokenize_oov_falls_back_to_chars(spark):
     assert toks[0].startswith("aaa")  # learned merge applied
     assert toks[-3:] == ["z", "z", "▁"]  # OOV char fallback
     assert out["n_tokens"] == len(toks)
+
+
+def test_group_split_is_leakage_free_and_stable(spark):
+    """All rows of a group land on one side; assignment is a pure function
+    of the key (subset recomputation agrees with the full run)."""
+    from tdataframe_spark.ops.textstats import group_split
+
+    rows = [(i, f"g{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = group_split(df, "grp", eval_fraction=0.3).toPandas()
+    sides = out.groupby("grp")["split"].nunique()
+    assert (sides == 1).all()
+    # stability under incremental arrival: a disjoint subset gets the
+    # same per-group assignment
+    sub = group_split(
+        df.filter("id >= 35"), "grp", eval_fraction=0.3
+    ).toPandas()
+    full_map = dict(zip(out["grp"], out["split"]))
+    assert all(full_map[g] == s for g, s in zip(sub["grp"], sub["split"]))
