@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_keep_best": q_dedup_keep_best,
         "group_split": q_group_split,
+        "retrieval_metrics": q_retrieval_metrics,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -321,5 +322,6 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": SQL_CCNET_BUCKETS,
         "dedup_keep_best": _dedup_keep_best_oracle_sql(),
         "group_split": SQL_GROUP_SPLIT,
+        "retrieval_metrics": SQL_RETRIEVAL_METRICS,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

@@ -114,3 +114,79 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Standard retrieval-quality metrics per query from a RANKED result
+    table (any of the ANN/BM25 paths) and a (query, relevant id) truth
+    set: recall@k, MRR@k, nDCG@k — the evaluation loop that tells you
+    whether an index's speed/recall trade is acceptable before deploying
+    it over the full corpus.
+
+    Per query: recall = |relevant retrieved in top-k| / |relevant|;
+    MRR = 1 / rank of the first relevant hit (0 if none); nDCG = DCG over
+    relevant hits at 1/log2(rank+1) divided by the ideal DCG of
+    min(|relevant|, k) hits. Queries with no relevant set rows are absent
+    (nothing to measure).
+
+    Scale + determinism: one join of the top-k rows (|queries|·k) against
+    the truth set keyed by (query, neighbor), then one hash-agg per query;
+    log2 terms are rounded to 9 dp and summed via an ORDERED fold over the
+    rank-sorted hit list (the avg_logp/BM25 convention), so the metric
+    doubles are bit-identical across engines and partitionings.
+    """
+    r = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(neighbor_col).alias("__n"),
+        F.col(rank_col).alias("__r"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    ).distinct()
+    n_rel = t.groupBy("__q").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    hits = r.join(t, ["__q", "__n"]).select("__q", "__r")
+    per_q = hits.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("__r").alias("__first"),
+        F.array_sort(F.collect_list("__r")).alias("__ranks"),
+    )
+    dcg = F.aggregate(
+        F.transform(
+            F.col("__ranks"),
+            lambda rr: F.round(F.lit(1.0) / F.log2(rr + 1), 9),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    idcg = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+            lambda i: F.round(F.lit(1.0) / F.log2(i + 1), 9),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        n_rel.join(per_q, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            "n_rel",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_rel"), 9
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), 9
+            ).alias("mrr_at_k"),
+            F.round(
+                F.coalesce(dcg, F.lit(0.0)) / idcg, 9
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -2294,6 +2294,92 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+def q_retrieval_metrics(spark, sf):
+    """Retrieval evaluation closing the ANN loop: score exact cosine
+    top-10 results against a same-label relevance set (embeddings carry a
+    class label) — per-query recall@k, MRR@k, nDCG@k with the ordered-fold
+    9-dp log2 convention."""
+    from tdataframe_spark.ops.search import retrieval_metrics
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    results = cosine_topk(queries, emb, "vec_id", "embedding", k=TOPK_K)
+    labels = emb.select("vec_id", "label")
+    truth = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            labels.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "label",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return retrieval_metrics(results, truth, k=TOPK_K)
+
+
+SQL_RETRIEVAL_METRICS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]),
+                          (p, s) -> p + s)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS vn
+  FROM n
+),
+q AS (SELECT vec_id AS query_id, vn AS qn FROM u WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, u.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(qn, vn), x -> x[1] * x[2]),
+                     (p, s) -> p + s) AS cos_sim
+  FROM q CROSS JOIN u
+  WHERE q.query_id != u.vec_id
+),
+res AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM scored QUALIFY rnk <= {TOPK_K}
+),
+truth AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM embeddings a JOIN embeddings b USING (label)
+  WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id
+),
+n_rel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM truth GROUP BY 1
+),
+hits AS (
+  SELECT r.query_id, r.rnk FROM res r JOIN truth t
+  ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+),
+per_q AS (
+  SELECT query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(rnk) AS first_hit,
+         list(rnk ORDER BY rnk) AS ranks
+  FROM hits GROUP BY 1
+)
+SELECT n_rel.query_id,
+       n_rel.n_rel,
+       COALESCE(per_q.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(per_q.n_hits, 0) / n_rel.n_rel, 9) AS recall_at_k,
+       ROUND(COALESCE(1.0 / per_q.first_hit, 0.0), 9) AS mrr_at_k,
+       ROUND(
+         COALESCE(list_reduce(list_transform(per_q.ranks,
+                                             r -> ROUND(1.0 / log2(r + 1), 9)),
+                              (p, s) -> p + s), 0.0)
+         / list_reduce(list_transform(generate_series(1, LEAST(n_rel.n_rel, {TOPK_K})),
+                                      i -> ROUND(1.0 / log2(i + 1), 9)),
+                       (p, s) -> p + s),
+         9) AS ndcg_at_k
+FROM n_rel LEFT JOIN per_q USING (query_id)
+"""
+
+
 def q_group_split(spark, sf):
     """Leakage-free train/eval split: every document of a source lands on
     the same side via a portable group-key hash (map-side projection, no

@@ -366,3 +366,38 @@ def test_group_split_is_leakage_free_and_stable(spark):
     ).toPandas()
     full_map = dict(zip(out["grp"], out["split"]))
     assert all(full_map[g] == s for g, s in zip(sub["grp"], sub["split"]))
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """recall/MRR/nDCG against hand-computed values, including a query
+    with zero hits and one with a partial hit set."""
+    import math
+
+    from tdataframe_spark.ops.search import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [
+            (1, "a", 1), (1, "x", 2), (1, "b", 3),
+            (2, "y", 1), (2, "z", 2),
+        ],
+        "query_id long, neighbor_id string, rnk int",
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "q")],
+        "query_id long, neighbor_id string",
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(results, truth, k=3).collect()
+    }
+    r1 = out[1]
+    assert r1["n_rel"] == 3 and r1["n_hits"] == 2
+    assert abs(r1["recall_at_k"] - 2 / 3) < 1e-9
+    assert r1["mrr_at_k"] == 1.0
+    dcg = round(1 / math.log2(2), 9) + round(1 / math.log2(4), 9)
+    idcg = sum(round(1 / math.log2(i + 1), 9) for i in (1, 2, 3))
+    assert abs(r1["ndcg_at_k"] - round(dcg / idcg, 9)) < 1e-9
+    r2 = out[2]
+    assert (r2["n_hits"], r2["recall_at_k"], r2["mrr_at_k"], r2["ndcg_at_k"]) == (
+        0, 0.0, 0.0, 0.0,
+    )
