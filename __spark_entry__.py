@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "group_split": q_group_split,
         "retrieval_metrics": q_retrieval_metrics,
+        "winsorize": q_winsorize,
+        "weighted_sample": q_weighted_sample,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -323,5 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _dedup_keep_best_oracle_sql(),
         "group_split": SQL_GROUP_SPLIT,
         "retrieval_metrics": SQL_RETRIEVAL_METRICS,
+        "winsorize": SQL_WINSORIZE,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

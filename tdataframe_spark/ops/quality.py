@@ -87,3 +87,41 @@ def snapshot_diff(
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
     )
     return j.select(*keys, op.alias("op")).where(F.col("op").isNotNull())
+
+
+def winsorize(
+    df,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+):
+    """Percentile clipping (winsorization) of numeric columns — the
+    standard heavy-tail tamer before training on or aggregating noisy
+    numeric features. Each listed column gains ``<col>_w`` clipped to its
+    [lower, upper] exact percentiles.
+
+    Shape: ONE aggregate computes every bound (2×len(cols) exact
+    percentiles), broadcast back as a 1-row cross join; clipping is pure
+    map-side least/greatest. Exact percentile is sort-based — at 100 TB
+    swap in `percentile_approx` for sketch bounds (same query shape, the
+    equi-depth-histogram trade).
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"__{c}_{tag}")
+            for c in cols
+            for q, tag in ((lower, "lo"), (upper, "hi"))
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_w",
+            F.least(
+                F.greatest(F.col(c).cast("double"), F.col(f"__{c}_lo")),
+                F.col(f"__{c}_hi"),
+            ),
+        )
+    return out.drop(*[f"__{c}_{t}" for c in cols for t in ("lo", "hi")])

@@ -517,3 +517,24 @@ def group_split(
     return df.withColumn(
         "split", F.when(b < cut, F.lit("eval")).otherwise(F.lit("train"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic weighted (Poisson) sampling: row ``i`` is kept iff
+    hash(id) < p_i · 2⁶⁰ with inclusion probability p_i = min(rate · wᵢ, 1)
+    — higher-quality rows are proportionally likelier to survive, the
+    CCNet/DataComp quality-weighted downsampling shape. Pure map-side
+    projection: no shuffle, no RNG state; the same row always gets the
+    same verdict (stable across runs, engines, and incremental arrivals —
+    the property Bernoulli `sample()` lacks).
+    """
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    h = portable_hash64(F.col(id_col).cast("string"))
+    p = F.least(F.col(weight_col).cast("double") * F.lit(rate), F.lit(1.0))
+    return df.filter(h < F.floor(p * F.lit(float(1 << 60))).cast("long"))

@@ -2294,6 +2294,61 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+def q_winsorize(spark, sf):
+    """Heavy-tail clipping: order totals winsorized to their exact
+    [5th, 95th] percentiles — one aggregate for the bounds (broadcast
+    1-row), map-side least/greatest clip."""
+    from tdataframe_spark.ops.quality import winsorize
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    return winsorize(o, ["price"], lower=0.05, upper=0.95)
+
+
+SQL_WINSORIZE = """
+WITH b AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS lo,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS hi
+  FROM orders
+)
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+       least(greatest(CAST(o_totalprice AS DOUBLE), lo), hi) AS price_w
+FROM orders CROSS JOIN b
+"""
+
+
+def q_weighted_sample(spark, sf):
+    """Quality-weighted deterministic downsampling: documents survive with
+    probability proportional to their quality score (hash-thresholded —
+    no RNG, stable under re-runs and incremental arrival)."""
+    from tdataframe_spark.functions.text import quality_score
+    from tdataframe_spark.ops.textstats import weighted_sample
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    return weighted_sample(docs, "quality", rate=0.5, id_col="doc_id").select(
+        "doc_id", "quality"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH q AS (
+  SELECT doc_id,
+         round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+                + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0))) / 2,
+               6) AS quality
+  FROM documents
+)
+SELECT doc_id, quality
+FROM q
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < CAST(floor(least(quality * 0.5, 1.0) * 1152921504606846976) AS BIGINT)
+"""
+
+
 def q_retrieval_metrics(spark, sf):
     """Retrieval evaluation closing the ANN loop: score exact cosine
     top-10 results against a same-label relevance set (embeddings carry a

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from tdataframe_spark.core.frame import Frame
@@ -73,3 +74,40 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_json_robust(
+    spark: SparkSession,
+    *paths: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON ingestion that QUARANTINES instead of dropping or
+    dying: returns (good, bad) where ``bad`` carries the raw unparseable
+    line. At 100 TB some records are always malformed — silently losing
+    them (DROPMALFORMED) breaks row accounting and FAILFAST kills the job
+    a billion rows in; the quarantine table is what gets re-parsed or
+    audited. Schema is required (schema inference is itself a full pass
+    and guesses wrong on dirty data).
+    """
+    from pyspark.sql.types import StringType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    full = schema.add(corrupt_col, StringType())
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(list(paths))
+        # Spark disallows filtering on ONLY the corrupt column of a lazy
+        # json relation (SPARK-21610) — materialize the parse first
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad

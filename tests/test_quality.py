@@ -103,3 +103,18 @@ def test_snapshot_diff_reconstructs_random_edits(spark, edits, n_added):
     want = {k: ("removed" if op == "drop" else "changed") for k, op in edits.items()}
     want.update({100 + i: "added" for i in range(n_added)})
     assert got == want
+
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    from tdataframe_spark.ops.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, x double"
+    )
+    out = winsorize(df, ["x"], lower=0.10, upper=0.90).toPandas()
+    assert len(out) == 100
+    # exact percentile of 1..100 at 0.1/0.9 (linear interp) = 10.9 / 90.1
+    assert abs(out["x_w"].min() - 10.9) < 1e-9
+    assert abs(out["x_w"].max() - 90.1) < 1e-9
+    mid = out[(out["x"] > 20) & (out["x"] < 80)]
+    assert (mid["x_w"] == mid["x"]).all()  # interior untouched

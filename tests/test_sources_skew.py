@@ -221,3 +221,23 @@ def test_register_views_full_sql_interface(spark):
     assert cols.get("ts_us") == "bigint" and "ts" not in cols
     for v in names:
         spark.catalog.dropTempView(v)
+
+
+def test_read_json_robust_quarantines_bad_lines(spark, tmp_path):
+    """PERMISSIVE ingestion: parseable lines land in `good`, malformed
+    lines are preserved verbatim in the quarantine — nothing silently
+    dropped, total accounting holds."""
+    from tdataframe_spark.sources.files import read_json_robust
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "t": "ok"}\n'
+        '{"id": 2 "t": "missing comma"}\n'
+        '{"id": 3, "t": "fine"}\n'
+    )
+    good, bad = read_json_robust(spark, str(p), schema="id long, t string")
+    g = {r["id"] for r in good.collect()}
+    b = [r["raw"] for r in bad.collect()]
+    assert g == {1, 3}
+    assert len(b) == 1 and "missing comma" in b[0]
+    assert good.count() + bad.count() == 3

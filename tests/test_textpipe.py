@@ -401,3 +401,23 @@ def test_retrieval_metrics_hand_computed(spark):
     assert (r2["n_hits"], r2["recall_at_k"], r2["mrr_at_k"], r2["ndcg_at_k"]) == (
         0, 0.0, 0.0, 0.0,
     )
+
+
+def test_weighted_sample_monotone_and_deterministic(spark):
+    """Inclusion is monotone in weight (same id, higher weight can only
+    add it) and byte-stable across runs and partitionings."""
+    from tdataframe_spark.ops.textstats import weighted_sample
+
+    rows = [(i, 0.1 if i % 2 else 0.9) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    kept = weighted_sample(df, "w", rate=1.0, id_col="id").toPandas()
+    hi = (kept["w"] > 0.5).sum()
+    lo = (kept["w"] < 0.5).sum()
+    assert hi > lo * 3  # ~9x inclusion probability
+    again = weighted_sample(
+        df.repartition(13), "w", rate=1.0, id_col="id"
+    ).toPandas()
+    assert sorted(kept["id"]) == sorted(again["id"])
+    # monotone: everything kept at rate r stays kept at rate 2r
+    bigger = weighted_sample(df, "w", rate=2.0, id_col="id").toPandas()
+    assert set(kept["id"]) <= set(bigger["id"])
