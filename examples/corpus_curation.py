@@ -3,10 +3,13 @@
 corpus job runs, on the synthetic `documents` + `embeddings` tables.
 
 Stages: profile (tokens / quality / language) → exact dedup → near-dup
-removal (MinHash-LSH pair graph → connected components, keep cluster
-minimum) → quality floor → per-language stats; plus an embedding ANN index
-build + query. Every stage is a DataFrame plan — one driver, no
-row-at-a-time Python in the hot path.
+removal (MinHash-LSH pair graph → connected components, keep the BEST
+cluster member by quality) → quality floor → CCNet perplexity buckets →
+quality-weighted downsampling → leakage-free train/eval split →
+per-language stats; plus BPE subword tokenization and an embedding ANN
+index (IVF-PQ: cell-partitioned compressed codes) build + query. Every
+stage is a DataFrame plan — one driver, no row-at-a-time Python in the
+hot path.
 
 Run: python examples/corpus_curation.py [sf_dir]
 """
@@ -22,13 +25,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from tdataframe_spark import get_spark
+from tdataframe_spark.ops.bpe import bpe_segment_table, bpe_tokenize, train_bpe
 from tdataframe_spark.ops.dedup import (
-    connected_components,
+    dedup_keep_best,
     exact_dedup_groups,
     minhash_lsh_pairs,
 )
-from tdataframe_spark.ops.similarity import ivf_build, ivf_query
-from tdataframe_spark.ops.textstats import doc_stats
+from tdataframe_spark.ops.similarity import ivfpq_build, ivfpq_query
+from tdataframe_spark.ops.textstats import (
+    doc_stats,
+    group_split,
+    perplexity_buckets,
+    weighted_sample,
+)
 
 
 def main() -> None:
@@ -47,17 +56,16 @@ def main() -> None:
         F.col("keep_id").alias("doc_id")
     )
 
-    # 3. near-dup removal: LSH candidate pairs → exact-verified pair graph →
-    #    connected components → drop everything but each cluster's minimum
+    # 3. near-dup removal: LSH candidate pairs → connected components →
+    #    keep each cluster's HIGHEST-QUALITY member (not just the min id)
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
-    clusters = connected_components(pairs)
-    near_dupes = clusters.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
-    )
+    keep_best = dedup_keep_best(docs, pairs, "doc_id").filter(
+        F.col("keep") == 1
+    ).select("doc_id")
 
     kept = (
         prof.join(keep_exact, "doc_id", "left_semi")
-        .join(near_dupes, "doc_id", "left_anti")
+        .join(keep_best, "doc_id", "left_semi")
         .filter(F.col("quality") >= 0.5)
     )
 
@@ -68,16 +76,49 @@ def main() -> None:
         F.round(F.avg("quality"), 4).alias("mean_quality"),
     ).orderBy("lang_guess").show(truncate=False)
 
-    # 4. similarity index over the (kept) embeddings: build once, query often
+    # 3b. CCNet quality tiers + weighted downsample + leakage-free split:
+    #     keep the head tier whole, downsample the rest by quality, and
+    #     split whole SOURCES across train/eval (no near-dup straddling).
+    #     The curated corpus is MATERIALIZED first — every stage below
+    #     iterates over it, and re-executing the dedup lineage per
+    #     iteration is the classic pipeline blow-up (a real deployment
+    #     writes the curated snapshot to parquet here).
+    kept_docs = (
+        docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint()
+    )
+    tiers = perplexity_buckets(kept_docs, "doc_id", "text", group_col="lang")
+    print("perplexity tier sizes per language:")
+    tiers.groupBy("lang", "bucket").count().orderBy("lang", "bucket").show(
+        9, truncate=False
+    )
+    sampled = weighted_sample(
+        kept_docs.join(prof.select("doc_id", "quality"), "doc_id"),
+        "quality", rate=0.8, id_col="doc_id",
+    )
+    split = group_split(sampled, "source", eval_fraction=0.1)
+    split.groupBy("split").count().show(truncate=False)
+
+    # 3c. learned subword tokenization (BPE trained on the kept corpus)
+    merges = train_bpe(kept_docs, n_merges=12)
+    seg = bpe_segment_table(kept_docs, merges)
+    toks = bpe_tokenize(kept_docs, seg)
+    toks.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("total_subword_tokens"),
+    ).show(truncate=False)
+
+    # 4. similarity index: IVF-PQ — coarse cells prune WHICH vectors a
+    #    query touches, PQ codes shrink HOW MUCH each touch costs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with tempfile.TemporaryDirectory() as d:
-        idx = os.path.join(d, "ivf")
-        ivf_build(emb, idx, n_cells=8)
+        idx = os.path.join(d, "ivfpq")
+        ivfpq_build(emb, idx, n_cells=8, m=16, n_codes=8)
         queries = emb.filter(F.col("vec_id") % 100 == 7)
-        print("ANN neighbours from the prebuilt index:")
-        ivf_query(spark, idx, queries, k=3).orderBy("query_id", "rnk").show(
-            9, truncate=False
-        )
+        print("ANN neighbours from the prebuilt compressed index:")
+        ivfpq_query(
+            spark, idx, queries, k=3, n_probe=3, rerank=10
+        ).orderBy("query_id", "rnk").show(9, truncate=False)
 
     spark.stop()
 
