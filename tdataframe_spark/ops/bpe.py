@@ -30,23 +30,26 @@ from tdataframe_spark.functions.text import words
 END_OF_WORD = "▁"  # marks word end so merges can't cross words
 
 
-def _merge_pair_expr(col: str, a: str, b: str) -> str:
-    """SQL expression rebuilding ``col`` (array<string>) with every
-    adjacent (a, b) replaced by their concatenation — a left fold that
-    either glues x onto a pending ``a`` or appends. Greedy left-to-right,
-    matching the reference BPE algorithm."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
-    return f"""
-    aggregate(
-      {col},
-      cast(array() as array<string>),
-      (acc, x) -> IF(
-        size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}',
-        concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')),
-        concat(acc, array(x))
-      )
+def _merge_pair(col, a: str, b: str):
+    """Column rebuilding ``col`` (array<string>) with every adjacent
+    (a, b) replaced by their concatenation — a left fold that either
+    glues x onto a pending ``a`` or appends. Greedy left-to-right,
+    matching the reference BPE algorithm. Built with the HOF API and
+    ``F.lit`` symbols (no SQL-string interpolation — symbols may contain
+    quotes, backslashes, or any other text)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        col,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
-    """
 
 
 def _word_freq_symbols(df: DataFrame, text_col: str) -> DataFrame:
@@ -103,12 +106,14 @@ def train_bpe(
                 break
             a, b = pairs[0]["a"], pairs[0]["b"]
             merges.append((a, b))
-            nxt = vocab.withColumn(
-                "syms", F.expr(_merge_pair_expr("syms", a, b))
-            ).persist()
+            nxt = vocab.withColumn("syms", _merge_pair("syms", a, b))
+            # localCheckpoint both stores the data AND truncates lineage;
+            # persist alone suffices between truncation rounds
             if (i + 1) % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint()
-            nxt.count()
+            else:
+                nxt = nxt.persist()
+                nxt.count()
             vocab.unpersist()
             vocab = nxt
     finally:
@@ -123,11 +128,11 @@ def bpe_segment_table(
     the artifact a deployment persists next to the merge list. Built by
     replaying the merge rules over the vocab table (vocab-sized work)."""
     vocab = _word_freq_symbols(df, text_col).select("word", "syms")
-    for a, b in merges:
-        vocab = vocab.withColumn("syms", F.expr(_merge_pair_expr("syms", a, b)))
-        # n_merges chained folds would nest the expression tree past
-        # codegen limits — truncate lineage periodically
-        if len(merges) > 8:
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.withColumn("syms", _merge_pair("syms", a, b))
+        # dozens of chained folds nest the expression tree past codegen
+        # limits — truncate lineage every few merges, not every merge
+        if (i + 1) % 8 == 0:
             vocab = vocab.localCheckpoint(eager=False)
     return vocab
 
@@ -141,9 +146,11 @@ def bpe_tokenize(
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens): tokenize documents by joining
     their words against the learned segmentation table; words not in the
-    table (out-of-vocabulary) fall back to character symbols. Stateless
-    projections + one join — ``docs`` may be a streaming DataFrame when
-    the segment table is static."""
+    table (out-of-vocabulary) fall back to character symbols. Every input
+    doc appears in the output — empty/whitespace-only text yields empty
+    tokens with n_tokens 0 (no silent row loss). Stateless projections +
+    one join — ``docs`` may be a streaming DataFrame when the segment
+    table is static."""
     seg = segments.select("word", F.col("syms").alias("__seg"))
     if broadcast_segments:
         seg = F.broadcast(seg)
@@ -159,21 +166,22 @@ def bpe_tokenize(
             F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD))),
         ).alias("__seg"),
     )
+    per_doc = joined.groupBy("__id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda st: st["__seg"],
+            )
+        ).alias("tokens")
+    )
     return (
-        joined.groupBy("__id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__pos", "__seg"))
-                    ),
-                    lambda st: st["__seg"],
-                )
-            ).alias("tokens")
-        )
+        docs.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            "tokens",
-            F.size("tokens").cast("long").alias("n_tokens"),
+            F.coalesce(
+                "tokens", F.expr("cast(array() as array<string>)")
+            ).alias("tokens"),
         )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
     )

@@ -117,11 +117,16 @@ def winsorize(
     )
     out = df.crossJoin(F.broadcast(bounds))
     for c in cols:
+        # guard NULL explicitly: greatest/least SKIP nulls, which would
+        # fabricate the lower bound for missing measurements
         out = out.withColumn(
             f"{c}_w",
-            F.least(
-                F.greatest(F.col(c).cast("double"), F.col(f"__{c}_lo")),
-                F.col(f"__{c}_hi"),
+            F.when(
+                F.col(c).isNotNull(),
+                F.least(
+                    F.greatest(F.col(c).cast("double"), F.col(f"__{c}_lo")),
+                    F.col(f"__{c}_hi"),
+                ),
             ),
         )
     return out.drop(*[f"__{c}_{t}" for c in cols for t in ("lo", "hi")])

@@ -490,10 +490,24 @@ def lsh_bucket_topk(
 
 def _subvec_table(u: DataFrame, id_field: str, m: int) -> DataFrame:
     """(id, __sub, __sv): each normalized vector split into ``m`` contiguous
-    subvectors (dim must be divisible by m — checked per-row by slice
-    bounds). One shuffle-free projection; rows fan out ×m but each carries
-    only dim/m floats, so total bytes stay ~constant."""
+    subvectors. Dim MUST be divisible by m — enforced per row with a
+    raising assert folded into the slice start (silent truncation here
+    would quietly drop trailing dimensions from training, encoding, AND
+    scoring). One shuffle-free projection; rows fan out ×m but each
+    carries only dim/m floats, so total bytes stay ~constant."""
     sub_len = (F.size("__vn") / m).cast("int")
+    # assert_true returns NULL on success; coalesced to 0 it rides the
+    # slice-start arithmetic so column pruning can never elide the check
+    chk = F.coalesce(
+        F.assert_true(
+            F.pmod(F.size("__vn"), F.lit(m)) == 0,
+            F.concat(
+                F.lit(f"PQ requires dim divisible by m={m}; got dim="),
+                F.size("__vn").cast("string"),
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
     return u.select(
         id_field,
         F.explode(
@@ -501,9 +515,9 @@ def _subvec_table(u: DataFrame, id_field: str, m: int) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda j: F.struct(
                     j.cast("int").alias("__sub"),
-                    F.slice(F.col("__vn"), j * sub_len + 1, sub_len).alias(
-                        "__sv"
-                    ),
+                    F.slice(
+                        F.col("__vn"), j * sub_len + 1 + chk, sub_len
+                    ).alias("__sv"),
                 ),
             )
         ).alias("__e"),
@@ -633,15 +647,19 @@ def pq_encode(
         F.col("__vn").isNotNull()
     )
     assigned = _pq_code_rows(_subvec_table(u, "__cid", m), codebook)
-    return (
-        assigned.groupBy("__cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__sub", "__cell"))),
-                lambda st: st["__cell"],
-            ).alias("codes")
-        )
-        .select(F.col("__cid").alias(id_col), "codes")
+    return _codes_to_array(assigned).select(
+        F.col("__cid").alias(id_col), "codes"
+    )
+
+
+def _codes_to_array(assigned: DataFrame) -> DataFrame:
+    """(__cid, codes): fold per-(id, subspace) codeword rows into the
+    subspace-ordered code array (the persisted compressed row format)."""
+    return assigned.groupBy("__cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__sub", "__cell"))),
+            lambda st: st["__cell"],
+        ).alias("codes")
     )
 
 
@@ -655,11 +673,14 @@ def _adc_search(
     k: int,
     rerank: int,
     rerank_vecs: DataFrame | None,
+    per_query_codes: bool = False,
 ) -> DataFrame:
     """Shared PQ query path: broadcast the per-query (subspace, codeword) →
     partial-dot ADC table, score the compressed code rows map-side, top-k
     per query; optionally re-score the leading ``rerank`` candidates
-    exactly against ``rerank_vecs`` (__cid, __vn)."""
+    exactly against ``rerank_vecs`` (__cid, __vn). With
+    ``per_query_codes`` the code rows already carry a query_id (IVF-PQ's
+    probed-cell restriction) and the ADC join keys on it too."""
     qn = _normalized(queries, id_col, vec_col, "query_id").filter(
         F.col("__vn").isNotNull()
     )
@@ -670,8 +691,11 @@ def _adc_search(
         "__cell",
         dot(F.col("__sv"), F.col("__cvec")).alias("__p"),
     )
+    join_keys = (
+        ["query_id", "__sub", "__cell"] if per_query_codes else ["__sub", "__cell"]
+    )
     scored = (
-        code_rows.join(F.broadcast(adc), ["__sub", "__cell"])
+        code_rows.join(F.broadcast(adc), join_keys)
         .filter(F.col("query_id") != F.col("__cid"))
         .groupBy("query_id", "__cid")
         .agg(F.sum("__p").alias("cos_sim"))
@@ -836,16 +860,7 @@ def ivfpq_build(
         sv = _subvec_table(u, "__cid", m).persist()
         try:
             codebook = _pq_fit(sv, n_codes, lloyd_iterations)
-            codes = (
-                _pq_code_rows(sv, codebook)
-                .groupBy("__cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("__sub", "__cell"))),
-                        lambda st: st["__cell"],
-                    ).alias("codes")
-                )
-            )
+            codes = _codes_to_array(_pq_code_rows(sv, codebook))
         finally:
             sv.unpersist()
         (
@@ -926,45 +941,14 @@ def ivfpq_query(
             F.posexplode("codes").alias("__sub", "__cell"),
         )
     )
-    qsv = _subvec_table(qn, "query_id", m)
-    adc = qsv.join(F.broadcast(cb), "__sub").select(
-        "query_id",
-        "__sub",
-        "__cell",
-        dot(F.col("__sv"), F.col("__cvec")).alias("__p"),
-    )
-    scored = (
-        code_rows.join(F.broadcast(adc), ["query_id", "__sub", "__cell"])
-        .filter(F.col("query_id") != F.col("__cid"))
-        .groupBy("query_id", "__cid")
-        .agg(F.sum("__p").alias("cos_sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("__cid").asc()
-    )
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
-    if not rerank:
-        return ranked.filter(F.col("rnk") <= k).select(
-            "query_id", F.col("__cid").alias("neighbor_id"), "cos_sim", "rnk"
-        )
-    cands = ranked.filter(F.col("rnk") <= rerank).select("query_id", "__cid")
-    u = (
+    rerank_vecs = (
         spark.read.parquet(f"{index_path}/vectors")
         .filter(F.col("__coarse").isin(probed_cells))
         .select("__cid", "__vn")
+        if rerank
+        else None
     )
-    exact = (
-        cands.join(u, "__cid")
-        .join(qn.select("query_id", F.col("__vn").alias("__qn")), "query_id")
-        .select(
-            "query_id",
-            F.col("__cid").alias("neighbor_id"),
-            dot(F.col("__qn"), F.col("__vn")).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return exact.withColumn("rnk", F.row_number().over(w2)).filter(
-        F.col("rnk") <= k
+    return _adc_search(
+        queries, id_col, vec_col, m, cb, code_rows, k, rerank, rerank_vecs,
+        per_query_codes=True,
     )

@@ -96,7 +96,12 @@ def read_json_robust(
         from pyspark.sql.types import _parse_datatype_string
 
         schema = _parse_datatype_string(schema)
-    full = schema.add(corrupt_col, StringType())
+    # StructType.add mutates in place — never modify the caller's object
+    from pyspark.sql.types import StructField
+
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
     df = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -955,3 +955,20 @@ def test_ivfpq_full_probe_matches_pq_and_prunes_partitions(spark, tmp_path):
     pf = re.findall(r"PartitionFilters: \[[^\]]*__coarse[^\]]*\]", plan)
     assert pf, plan[:4000]
     assert partial.count() > 0
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """PQ must raise (not silently truncate) when dim % m != 0."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import Row
+    from pyspark.sql.utils import AnalysisException
+
+    from tdataframe_spark.ops.similarity import pq_train
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i + d) for d in range(5)]) for i in range(20)]
+    )
+    with pytest.raises(Exception) as ei:
+        pq_train(emb, m=2, k=2, lloyd_iterations=1)
+    assert "divisible" in str(ei.value)

@@ -118,3 +118,14 @@ def test_winsorize_clips_to_exact_percentiles(spark):
     assert abs(out["x_w"].max() - 90.1) < 1e-9
     mid = out[(out["x"] > 20) & (out["x"] < 80)]
     assert (mid["x_w"] == mid["x"]).all()  # interior untouched
+
+
+def test_winsorize_preserves_nulls(spark):
+    from tdataframe_spark.ops.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 100.0)], "id long, x double"
+    )
+    out = {r["id"]: r["x_w"] for r in winsorize(df, ["x"], 0.0, 1.0).collect()}
+    assert out[2] is None
+    assert out[1] == 1.0 and out[3] == 100.0

@@ -241,3 +241,18 @@ def test_read_json_robust_quarantines_bad_lines(spark, tmp_path):
     assert g == {1, 3}
     assert len(b) == 1 and "missing comma" in b[0]
     assert good.count() + bad.count() == 3
+
+
+def test_read_json_robust_does_not_mutate_schema(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from tdataframe_spark.sources.files import read_json_robust
+
+    p = tmp_path / "a.jsonl"
+    p.write_text('{"id": 1, "t": "x"}\n')
+    schema = StructType([StructField("id", LongType()), StructField("t", StringType())])
+    n_before = len(schema.fields)
+    g1, _ = read_json_robust(spark, str(p), schema=schema)
+    g2, _ = read_json_robust(spark, str(p), schema=schema)  # second use must not see a grown schema
+    assert len(schema.fields) == n_before
+    assert g1.count() == 1 and g2.count() == 1

@@ -421,3 +421,32 @@ def test_weighted_sample_monotone_and_deterministic(spark):
     # monotone: everything kept at rate r stays kept at rate 2r
     bigger = weighted_sample(df, "w", rate=2.0, id_col="id").toPandas()
     assert set(kept["id"]) <= set(bigger["id"])
+
+
+def test_bpe_handles_quotes_and_backslashes(spark):
+    """Merge symbols are data, not SQL: words containing backslashes and
+    quotes must train and segment without parse errors."""
+    from tdataframe_spark.ops.bpe import bpe_segment_table, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "a\\b a\\b a\\b it's it's it's")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=4)
+    assert merges, merges
+    segs = {r["word"]: list(r["syms"]) for r in bpe_segment_table(docs, merges).collect()}
+    assert "a\\b" in segs and "it's" in segs
+
+
+def test_bpe_tokenize_keeps_empty_docs(spark):
+    """Row accounting: empty/whitespace-only docs come back with zero
+    tokens instead of vanishing."""
+    from tdataframe_spark.ops.bpe import bpe_segment_table, bpe_tokenize, train_bpe
+
+    train = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    merges = train_bpe(train, n_merges=2)
+    out = {r["doc_id"]: r for r in bpe_tokenize(train, bpe_segment_table(train, merges)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_tokens"] == 0 and list(out[2]["tokens"]) == []
+    assert out[3]["n_tokens"] == 0
