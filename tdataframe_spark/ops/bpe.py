@@ -166,22 +166,28 @@ def bpe_tokenize(
             F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD))),
         ).alias("__seg"),
     )
-    per_doc = joined.groupBy("__id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
-                lambda st: st["__seg"],
-            )
-        ).alias("tokens")
+    # an empty marker row per doc keeps wordless docs in the output while
+    # preserving the SINGLE-aggregation shape (update-mode stream-safe —
+    # a join back after the aggregation would not be)
+    marker = docs.select(
+        F.col(id_col).alias("__id"),
+        F.lit(-1).alias("__pos"),
+        F.expr("cast(array() as array<string>)").alias("__seg"),
     )
     return (
-        docs.select(F.col(id_col).alias("__id"))
-        .join(per_doc, "__id", "left")
+        joined.unionByName(marker)
+        .groupBy("__id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                    lambda st: st["__seg"],
+                )
+            ).alias("tokens")
+        )
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce(
-                "tokens", F.expr("cast(array() as array<string>)")
-            ).alias("tokens"),
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
         )
-        .withColumn("n_tokens", F.size("tokens").cast("long"))
     )

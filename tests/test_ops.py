@@ -972,3 +972,42 @@ def test_pq_rejects_indivisible_dim(spark):
     with pytest.raises(Exception) as ei:
         pq_train(emb, m=2, k=2, lloyd_iterations=1)
     assert "divisible" in str(ei.value)
+
+
+def test_pq_index_incremental_append(spark, tmp_path):
+    """New vectors encode with the SAME persisted codebook and append to
+    the codes/vectors tables; queries then retrieve them — the no-retrain
+    ingestion contract the pq_build docstring promises."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import (
+        _normalized,
+        pq_build,
+        pq_encode,
+        pq_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F2.col("vec_id") < 40)
+    new = emb.filter((F2.col("vec_id") >= 40) & (F2.col("vec_id") < 50))
+    path = str(tmp_path / "pq")
+    pq_build(old, path, m=16, n_codes=8, lloyd_iterations=2)
+
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    codebook = {
+        (r["__sub"], r["__cell"]): list(r["__cvec"]) for r in cb_rows
+    }
+    pq_encode(new, codebook).write.mode("append").parquet(f"{path}/codes")
+    _normalized(new, "vec_id", "embedding", "vec_id").filter(
+        F2.col("__vn").isNotNull()
+    ).write.mode("append").parquet(f"{path}/vectors")
+
+    # query WITH one of the new vectors: it must see old corpus neighbors,
+    # and an old query must be able to retrieve a new vector
+    out = pq_query(spark, path, new.limit(1), k=5, rerank=20).collect()
+    assert len(out) == 5
+    all_ids = {
+        r["neighbor_id"]
+        for r in pq_query(spark, path, old.limit(3), k=45, rerank=49).collect()
+    }
+    assert any(40 <= i < 50 for i in all_ids)

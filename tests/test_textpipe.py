@@ -450,3 +450,36 @@ def test_bpe_tokenize_keeps_empty_docs(spark):
     assert set(out) == {1, 2, 3}
     assert out[2]["n_tokens"] == 0 and list(out[2]["tokens"]) == []
     assert out[3]["n_tokens"] == 0
+
+
+def test_bpe_tokenize_streams(spark, tmp_path):
+    """bpe_tokenize's claim: with a static segment table, tokenization runs
+    unchanged on a readStream (stateless projections + stream-static join +
+    ONE update-mode aggregation) and matches the batch result."""
+    from tdataframe_spark.ops.bpe import bpe_segment_table, bpe_tokenize, train_bpe
+    from tdataframe_spark.streaming import run_to_memory_sink
+
+    train = spark.createDataFrame(
+        [(1, "aa bb aa bb aa bb"), (2, "aa aa"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(train, n_merges=3)
+    seg = bpe_segment_table(train, merges)
+    batch = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_tokenize(train, seg).collect()
+    }
+    assert set(batch) == {1, 2, 3} and batch[3][1] == 0
+
+    src = str(tmp_path / "bpe_in")
+    train.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    name, q = run_to_memory_sink(bpe_tokenize(stream, seg), mode="update")
+    try:
+        got = {
+            r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
