@@ -185,9 +185,81 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
             except Exception:
                 return None
 
+        def parse_png(buf):
+            # real PNG decode: stdlib zlib + scanline unfiltering. 8-bit
+            # non-interlaced gray/gray+alpha/RGB/RGBA (the overwhelmingly
+            # common cases); anything else classifies ok=false.
+            try:
+                import zlib
+
+                if buf is None or buf[:8] != b"\x89PNG\r\n\x1a\n":
+                    return None
+                pos, ihdr, idat = 8, None, b""
+                while pos + 8 <= len(buf):
+                    ln = int.from_bytes(buf[pos : pos + 4], "big")
+                    typ = buf[pos + 4 : pos + 8]
+                    data = buf[pos + 8 : pos + 8 + ln]
+                    if typ == b"IHDR":
+                        ihdr = data
+                    elif typ == b"IDAT":
+                        idat += data
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + ln  # len + type + data + crc
+                if ihdr is None or not idat:
+                    return None
+                w = int.from_bytes(ihdr[0:4], "big")
+                h = int.from_bytes(ihdr[4:8], "big")
+                depth, ctype, comp, filt, interlace = ihdr[8:13]
+                ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+                if depth != 8 or ch is None or comp or filt or interlace:
+                    return None
+                raw = zlib.decompress(idat)
+                stride = w * ch
+                if len(raw) != h * (stride + 1):
+                    return None
+                out = np.zeros((h, stride), dtype=np.uint8)
+                for y in range(h):
+                    f = raw[y * (stride + 1)]
+                    line = bytearray(
+                        raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                    )
+                    prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+                    if f == 0:
+                        pass
+                    elif f == 2:  # Up
+                        line = bytearray(
+                            (np.frombuffer(bytes(line), np.uint8) + prev).astype(
+                                np.uint8
+                            ).tobytes()
+                        )
+                    else:  # Sub/Average/Paeth need the prior pixel: per byte
+                        for i in range(stride):
+                            a = line[i - ch] if i >= ch else 0
+                            b = int(prev[i])
+                            c = int(prev[i - ch]) if i >= ch else 0
+                            if f == 1:
+                                line[i] = (line[i] + a) & 0xFF
+                            elif f == 3:
+                                line[i] = (line[i] + (a + b) // 2) & 0xFF
+                            elif f == 4:
+                                p = a + b - c
+                                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                                line[i] = (line[i] + pred) & 0xFF
+                            else:
+                                return None
+                    out[y] = np.frombuffer(bytes(line), np.uint8)
+                return out.reshape(h, w, ch).astype(np.float64) / 255.0
+            except Exception:
+                return None
+
         def parse_image(buf):
-            arr = parse_netpbm(buf)
-            return arr if arr is not None else parse_bmp(buf)
+            for p in (parse_netpbm, parse_bmp, parse_png):
+                arr = p(buf)
+                if arr is not None:
+                    return arr
+            return None
 
         for pdf in batches:
             rows = []
@@ -334,18 +406,22 @@ def decode_audio(media: DataFrame) -> DataFrame:
 def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Populate the typed media metadata columns (width/height for images,
     n_frames for video, sample_rate for audio) from the payload headers —
-    the ffprobe step of a real pipeline. STUBBED: deterministic fake values
-    derived from the payload digest (real probing needs media libraries not
-    in this container); the schema, NULL conventions per kind, and the
-    Arrow batch path are the real contract.
+    the ffprobe step of a real pipeline. REAL header parsing for the
+    formats whose containers are pure byte layouts (PNG IHDR, JPEG SOFn
+    marker scan, GIF logical screen descriptor, BMP info header, netpbm,
+    RIFF/WAV fmt chunk); payloads in any other format fall back to
+    deterministic digest-derived fake values (kept so mixed corpora still
+    produce the full typed schema; real probing of compressed video needs
+    libraries not in this container).
 
     Returns media columns + width, height, n_frames, sample_rate (typed
     ints, NULL where the kind has no such dimension).
     """
     if not decode_stub:
         raise NotImplementedError(
-            "real header probing requires media libraries not present in "
-            "this environment; use decode_stub=True"
+            "real header probing beyond PNG/JPEG/GIF/BMP/netpbm/WAV "
+            "requires media libraries not present in this environment; "
+            "use decode_stub=True"
         )
 
     schema = (
@@ -354,25 +430,105 @@ def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def image_dims(p):
+            """(w, h) from real headers, or None."""
+            try:
+                if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+                    return (
+                        int.from_bytes(p[16:20], "big"),
+                        int.from_bytes(p[20:24], "big"),
+                    )
+                if p[:3] == b"GIF" and len(p) >= 10:
+                    return (
+                        int.from_bytes(p[6:8], "little"),
+                        int.from_bytes(p[8:10], "little"),
+                    )
+                if p[:2] == b"BM" and len(p) >= 26:
+                    return (
+                        int.from_bytes(p[18:22], "little", signed=True),
+                        abs(int.from_bytes(p[22:26], "little", signed=True)),
+                    )
+                if p[:2] in (b"P5", b"P6"):
+                    vals, pos = [], 2
+                    while len(vals) < 2 and pos < len(p):
+                        while pos < len(p) and p[pos : pos + 1].isspace():
+                            pos += 1
+                        if p[pos : pos + 1] == b"#":
+                            while pos < len(p) and p[pos : pos + 1] != b"\n":
+                                pos += 1
+                            continue
+                        start = pos
+                        while pos < len(p) and not p[pos : pos + 1].isspace():
+                            pos += 1
+                        vals.append(int(p[start:pos]))
+                    return (vals[0], vals[1]) if len(vals) == 2 else None
+                if p[:2] == b"\xff\xd8":  # JPEG: scan markers for SOFn
+                    pos = 2
+                    while pos + 9 < len(p):
+                        if p[pos] != 0xFF:
+                            pos += 1
+                            continue
+                        marker = p[pos + 1]
+                        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                            pos += 2
+                            continue
+                        seg = int.from_bytes(p[pos + 2 : pos + 4], "big")
+                        if 0xC0 <= marker <= 0xCF and marker not in (
+                            0xC4,
+                            0xC8,
+                            0xCC,
+                        ):
+                            return (
+                                int.from_bytes(p[pos + 7 : pos + 9], "big"),
+                                int.from_bytes(p[pos + 5 : pos + 7], "big"),
+                            )
+                        pos += 2 + seg
+            except Exception:
+                return None
+            return None
+
+        def wav_rate(p):
+            try:
+                if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                    return None
+                pos = 12
+                while pos + 8 <= len(p):
+                    cid = p[pos : pos + 4]
+                    ln = int.from_bytes(p[pos + 4 : pos + 8], "little")
+                    if cid == b"fmt ":
+                        return int.from_bytes(p[pos + 12 : pos + 16], "little")
+                    pos += 8 + ln + (ln & 1)
+            except Exception:
+                return None
+            return None
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                p = r["payload"] or b"\x00"
+                p = bytes(r["payload"] or b"\x00")
                 h = hashlib.sha256(p).digest()
                 kind = r["kind"]
                 is_img = kind.startswith("image")
                 is_vid = kind.startswith("video")
                 is_aud = kind.startswith("audio")
+                dims = image_dims(p) if (is_img or is_vid) else None
+                rate = wav_rate(p) if is_aud else None
                 rows.append(
                     {
                         "media_id": r["media_id"],
                         "kind": kind,
                         "payload": r["payload"],
                         "n_bytes": len(p),
-                        "width": 64 + h[0] % 192 if (is_img or is_vid) else None,
-                        "height": 64 + h[1] % 192 if (is_img or is_vid) else None,
+                        "width": dims[0] if dims else (
+                            64 + h[0] % 192 if (is_img or is_vid) else None
+                        ),
+                        "height": dims[1] if dims else (
+                            64 + h[1] % 192 if (is_img or is_vid) else None
+                        ),
                         "n_frames": 1 + h[2] % 64 if is_vid else None,
-                        "sample_rate": 8000 * (1 + h[3] % 6) if is_aud else None,
+                        "sample_rate": rate if rate else (
+                            8000 * (1 + h[3] % 6) if is_aud else None
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)
