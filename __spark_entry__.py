@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics": q_retrieval_metrics,
         "winsorize": q_winsorize,
         "weighted_sample": q_weighted_sample,
+        "phrase_search": q_phrase_search,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -327,5 +328,6 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_metrics": SQL_RETRIEVAL_METRICS,
         "winsorize": SQL_WINSORIZE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "phrase_search": SQL_PHRASE_SEARCH,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

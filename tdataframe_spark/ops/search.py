@@ -190,3 +190,46 @@ def retrieval_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase retrieval: (id, n_occurrences, first_pos) for every
+    document containing the words of ``phrase`` consecutively — the
+    positional-inverted-index query BM25's bag-of-words scoring cannot
+    answer.
+
+    Plan: one posexplode builds (id, pos, word) restricted by an `isin`
+    filter to ONLY the phrase's words (predicate pushdown keeps the
+    postings tiny), then the i-th word's positions equi-join the first
+    word's at (id, pos + i) — n-1 shuffle-free-after-the-first joins on
+    already-small postings. Linear in occurrences of the phrase words,
+    never in corpus size; no full-text scan reaches the join.
+    """
+    terms = [w for w in phrase.split(" ") if w]
+    if not terms:
+        raise ValueError("empty phrase")
+    from tdataframe_spark.functions.text import words
+
+    postings = (
+        ensure_min_partitions(docs)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(words(F.col(text_col))).alias("__pos", "__w"),
+        )
+        .filter(F.col("__w").isin(terms))
+    )
+    starts = postings.filter(F.col("__w") == terms[0]).select("__id", "__pos")
+    for i, w in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("__w") == w).select(
+            "__id", (F.col("__pos") - i).alias("__pos")
+        )
+        starts = starts.join(nxt, ["__id", "__pos"])
+    return starts.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("__pos").cast("long").alias("first_pos"),
+    ).select(F.col("__id").alias(id_col), "n_occurrences", "first_pos")

@@ -2294,6 +2294,35 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+PHRASE = "table value"
+
+
+def q_phrase_search(spark, sf):
+    """Exact phrase retrieval via positional-posting joins: docs where the
+    phrase words occur consecutively, with occurrence count and first
+    position (0-based)."""
+    from tdataframe_spark.ops.search import phrase_search
+
+    return phrase_search(_t(spark, sf, "documents"), PHRASE)
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, t.s - 1 AS pos, ws[t.s] AS wd
+  FROM w, UNNEST(generate_series(1, len(ws))) AS t(s)
+  WHERE ws[t.s] IN ('{PHRASE.split()[0]}', '{PHRASE.split()[1]}')
+)
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(a.pos) AS BIGINT) AS first_pos
+FROM p a JOIN p b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.wd = '{PHRASE.split()[0]}' AND b.wd = '{PHRASE.split()[1]}'
+GROUP BY a.doc_id
+"""
+
+
 def q_winsorize(spark, sf):
     """Heavy-tail clipping: order totals winsorized to their exact
     [5th, 95th] percentiles — one aggregate for the bounds (broadcast

@@ -483,3 +483,29 @@ def test_bpe_tokenize_streams(spark, tmp_path):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_phrase_search_consecutive_only(spark):
+    """Phrase hits require consecutive positions; repeated-word phrases
+    and multiple occurrences count correctly."""
+    from tdataframe_spark.ops.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big red fox and big red dog"),
+            (2, "red big fox"),               # words present, wrong order
+            (3, "big nothing red"),            # not consecutive
+            (4, "big red big red big red"),    # 3 occurrences
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_search(docs, "big red").collect()
+    }
+    assert out == {1: (2, 0), 4: (3, 0)}
+    three = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(docs, "big red fox").collect()
+    }
+    assert three == {1: 1}
