@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "weighted_sample": q_weighted_sample,
         "phrase_search": q_phrase_search,
+        "collocations": q_collocations,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -329,5 +330,6 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": SQL_WINSORIZE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "phrase_search": SQL_PHRASE_SEARCH,
+        "collocations": SQL_COLLOCATIONS,
         # multimodal_features / lsh_ann intentionally omitted → rows-only
     }

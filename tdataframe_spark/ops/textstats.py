@@ -538,3 +538,63 @@ def weighted_sample(
     h = portable_hash64(F.col(id_col).cast("string"))
     p = F.least(F.col(weight_col).cast("double") * F.lit(rate), F.lit(1.0))
     return df.filter(h < F.floor(p * F.lit(float(1 << 60))).cast("long"))
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: word pairs that
+    co-occur adjacently far more than their unigram frequencies predict —
+    the standard detector for multiword expressions ("new york", "machine
+    learning") worth treating as single tokens before training.
+
+    PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) computed over the corpus bigram
+    table; pairs below ``min_count`` occurrences are dropped first (PMI is
+    noise-dominated at low counts). Returns the ``top_k`` pairs by PMI
+    (ties → lexicographic) with their counts.
+
+    Shapes: the bigram/unigram counts are two hash aggregates over one
+    exploded pass (the LM-scoring tables); totals broadcast as a 1-row
+    join; ln rounded to 9 dp (the cross-libm convention).
+    """
+    bg = _bigram_table(df, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    ).filter(F.col("n_pair") >= min_count)
+    u = bg.select(F.col("w1").alias("w")).union(
+        bg.select(F.col("w2").alias("w"))
+    )
+    # unigram occurrences counted over bigram slots (left+right) so the
+    # probabilities share one denominator with the pair counts
+    c1 = u.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    tot = bg.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("n_tot_u"),
+        F.count(F.lit(1)).cast("long").alias("n_tot_b"),
+    )
+    scored = (
+        c12.join(c1.withColumnsRenamed({"w": "w1", "n_w": "n_w1"}), "w1")
+        .join(c1.withColumnsRenamed({"w": "w2", "n_w": "n_w2"}), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_tot_b"))
+                    / (
+                        (F.col("n_w1") / F.col("n_tot_u"))
+                        * (F.col("n_w2") / F.col("n_tot_u"))
+                    )
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)

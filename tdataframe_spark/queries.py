@@ -2294,6 +2294,46 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+def q_collocations(spark, sf):
+    """Top word pairs by pointwise mutual information (multiword-expression
+    mining) with a min-count noise floor."""
+    from tdataframe_spark.ops.textstats import collocations
+
+    return collocations(
+        _t(spark, sf, "documents"), "doc_id", "text", min_count=5, top_k=30
+    )
+
+
+SQL_COLLOCATIONS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT ws[t.s] AS w1, ws[t.s + 1] AS w2
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(s)
+),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+u AS (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg),
+c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM u GROUP BY 1),
+tot AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_tot_u,
+         CAST(COUNT(*) AS BIGINT) AS n_tot_b
+  FROM bg
+)
+SELECT w1, w2, n_pair,
+       ROUND(LN((n_pair / CAST(n_tot_b AS DOUBLE))
+                / ((a.n_w / CAST(n_tot_u AS DOUBLE))
+                   * (b.n_w / CAST(n_tot_u AS DOUBLE)))), 9) AS pmi
+FROM c12
+JOIN c1 a ON a.w = c12.w1
+JOIN c1 b ON b.w = c12.w2
+CROSS JOIN tot
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 30
+"""
+
+
 PHRASE = "table value"
 
 

@@ -509,3 +509,25 @@ def test_phrase_search_consecutive_only(spark):
         for r in phrase_search(docs, "big red fox").collect()
     }
     assert three == {1: 1}
+
+
+def test_collocations_finds_planted_pair(spark):
+    """A word pair that always co-occurs ranks above pairs of independent
+    common words; pairs under the count floor are excluded."""
+    import itertools
+
+    from tdataframe_spark.ops.textstats import collocations
+
+    filler = ["w%d" % (i % 9) for i in range(200)]
+    text = " ".join(
+        itertools.chain.from_iterable(
+            (["hong", "kong"] if i % 10 == 0 else [filler[i]])
+            for i in range(200)
+        )
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = collocations(docs, min_count=3, top_k=5).collect()
+    assert (out[0]["w1"], out[0]["w2"]) == ("hong", "kong")
+    assert out[0]["pmi"] > 0
+    rare = collocations(docs, min_count=100, top_k=5).collect()
+    assert all(r["n_pair"] >= 100 for r in rare)
