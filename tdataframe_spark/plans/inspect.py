@@ -47,3 +47,39 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     return "WholeStageCodegen" in explain_str(df, "codegen")
+
+
+# scale-killer patterns a healthy plan must not contain (see lint_plan)
+_LINT_RULES = [
+    (
+        "cartesian",
+        "CartesianProduct",
+        "unkeyed cross product — undistributable at scale",
+    ),
+    (
+        "python-row-udf",
+        "BatchEvalPython",
+        "row-at-a-time Python in the plan — use built-ins or Arrow",
+    ),
+    (
+        "single-partition-exchange",
+        "Exchange SinglePartition",
+        "all data funneled through one task (global window/sort?)",
+    ),
+]
+
+
+def lint_plan(df: DataFrame) -> list[str]:
+    """Scan a physical plan for the known scale-killers and return one
+    '<rule>: <why>' line per hit (empty = clean). Rules: cartesian
+    products, row-at-a-time Python (BatchEvalPython — Arrow paths like
+    MapInPandas/ArrowEvalPython are fine), and single-partition
+    exchanges. Used by the registry-wide audit in tests/test_plans.py;
+    callers with a deliberate exception (e.g. a global ntile) whitelist
+    by rule name."""
+    plan = explain_str(df, "simple")
+    return [
+        f"{name}: {why}"
+        for name, needle, why in _LINT_RULES
+        if needle in plan
+    ]

@@ -327,3 +327,39 @@ def test_dedup_keep_best_single_window_over_cluster(spark):
     plan = explain_str(dedup_keep_best(docs, pairs, "doc_id"), "simple")
     assert plan.count("Window") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# the registry-wide audit enforces the two unconditional scale-killers;
+# "single-partition-exchange" is informational only — every global .agg()
+# legitimately funnels its PARTIAL rows (#partitions of them) through one
+# task, and string matching can't tell that apart from a full-data sort
+_LINT_ENFORCED = {"cartesian", "python-row-udf"}
+
+
+def test_registry_wide_plan_lint(spark):
+    """EVERY registered query's physical plan must be free of cartesian
+    products and row-at-a-time Python — the structural 100 TB audit."""
+    from tdataframe_spark.plans.inspect import lint_plan
+
+    heavy_builders = {
+        # these train/materialize during DataFrame CONSTRUCTION; their
+        # plan properties are pinned by dedicated tests instead
+        "pq_ann", "ivf_ann", "lsh_ann", "bpe_tokens", "dedup_components",
+        "dedup_keep_best", "rollup_incremental", "snapshot_diff",
+        "merge_upsert", "global_rank", "decontamination_bloom",
+        "nearest_centroid", "lm_score",
+    }
+    failures = []
+    for name, fn in em.queries().items():
+        if name in heavy_builders:
+            continue
+        try:
+            df = fn(spark, SF)
+        except Exception as e:  # construction itself must not fail
+            failures.append(f"{name}: construction error {e}")
+            continue
+        for hit in lint_plan(df):
+            if hit.split(":")[0] not in _LINT_ENFORCED:
+                continue
+            failures.append(f"{name}: {hit}")
+    assert not failures, "\n".join(failures)
