@@ -116,3 +116,39 @@ def read_json_robust(
         F.col(corrupt_col).alias("raw")
     )
     return good, bad
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    *paths: str,
+    schema: StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_json_robust`: PERMISSIVE parse with the
+    malformed raw line quarantined instead of silently nulled or fatally
+    failed. Returns (good, bad)."""
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    from pyspark.sql.types import StringType, StructField
+
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(list(paths))
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad

@@ -256,3 +256,16 @@ def test_read_json_robust_does_not_mutate_schema(spark, tmp_path):
     g2, _ = read_json_robust(spark, str(p), schema=schema)  # second use must not see a grown schema
     assert len(schema.fields) == n_before
     assert g1.count() == 1 and g2.count() == 1
+
+
+def test_read_csv_robust_quarantines_bad_lines(spark, tmp_path):
+    from tdataframe_spark.sources.files import read_csv_robust
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,t,x\n1,ok,2.5\n2,bad-line-with-too-few-cols\n3,fine,9.0\n")
+    good, bad = read_csv_robust(
+        spark, str(p), schema="id long, t string, x double"
+    )
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    b = [r["raw"] for r in bad.collect()]
+    assert len(b) == 1 and "too-few-cols" in b[0]
