@@ -93,8 +93,17 @@ def scalar_agg_plan(
         e = F.max(F.array_max(c)) if is_array else F.max(c)
         return {"v": e}, lambda r: on_empty(r["v"])
     if kind == "sum":
-        e = F.sum(_array_sum(c)) if is_array else F.sum(c.cast("double"))
-        return {"v": e}, lambda r: on_empty(r["v"])
+        if is_array:
+            # per-row fold yields 0.0 for an empty array, so an all-empty
+            # column must be detected by element count or sum would report
+            # 0.0 where min/max/mean report NULL (documented semantics)
+            exprs = {"s": F.sum(_array_sum(c)), "n": F.sum(F.size(c))}
+
+            def finish_sum(r: dict[str, Any]) -> Any:
+                return on_empty(None if not r["n"] else r["s"])
+
+            return exprs, finish_sum
+        return {"v": F.sum(c.cast("double"))}, lambda r: on_empty(r["v"])
     if kind == "mean":
         if is_array:
             exprs = {"s": F.sum(_array_sum(c)), "n": F.sum(F.size(c))}
@@ -125,6 +134,11 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     ``sqrt((ss - s^2/n)/(n-1))`` with a 0-clamp; every step is an identical
     IEEE op in both engines, so values are bit-stable cross-engine (the ss
     quantization of ≤1e-9 per row is part of the operator's definition).
+
+    Domain: the int64 split of x² is exact only while x² < 2^63, i.e.
+    |x| ≲ 3.03e9. Past that the session's ANSI mode raises
+    ARITHMETIC_OVERFLOW during aggregation (loud, not silent) — rescale
+    such columns before profiling.
     """
     aggs = []
     for c in cols:

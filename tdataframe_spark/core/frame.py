@@ -40,18 +40,23 @@ from tdataframe_spark.core.errors import (
 from tdataframe_spark.core.histogram import histo_frame
 from tdataframe_spark.core.proxy import Engine, Result
 
-def _fn_arity(fn: Callable) -> int | None:
+def _fn_arity(fn: Callable) -> "tuple[int, int] | None":
+    """(required, total) positional-arg counts, or None for variadic /
+    unsignatured callables. Parameters with defaults count toward total
+    but not required — a lambda (x, scale=2.0) accepts one column."""
     try:
         sig = inspect.signature(fn)
     except (TypeError, ValueError):
         return None
-    n = 0
+    required = total = 0
     for p in sig.parameters.values():
         if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
-            n += 1
+            total += 1
+            if p.default is p.empty:
+                required += 1
         elif p.kind == p.VAR_POSITIONAL:
             return None  # variadic: accepts anything
-    return n
+    return required, total
 
 
 class Frame:
@@ -103,14 +108,20 @@ class Frame:
         resolved = list(cols) if cols else list(self._defaults)
         if fn is not None:
             arity = _fn_arity(fn)
-            if not resolved and arity:
+            if not resolved and arity and arity[0]:
                 raise UnknownColumnError(
                     "no input columns given and the frame has no default columns"
                 )
-            if arity is not None and arity != len(resolved) + extra:
+            implied = len(resolved) + extra
+            if arity is not None and not (arity[0] <= implied <= arity[1]):
+                want = (
+                    str(arity[0])
+                    if arity[0] == arity[1]
+                    else f"{arity[0]}..{arity[1]}"
+                )
                 raise ArityError(
-                    f"callable takes {arity} positional args but "
-                    f"{len(resolved) + extra} were implied by columns {resolved}"
+                    f"callable takes {want} positional args but "
+                    f"{implied} were implied by columns {resolved}"
                 )
         for c in resolved:
             if c not in self._df.columns:
@@ -160,6 +171,12 @@ class Frame:
         planned named-filter cutflow, /root/reference/TDFGuide.md:285-295):
         an observe() node counts rows passing this stage, evaluated for free
         by whatever action eventually runs — no extra pass."""
+        if condition is None:
+            raise ValueError(
+                "filter() needs a condition (Column, SQL string, or "
+                "callable); for an observe-only count use filter('true', "
+                "name=...)"
+            )
         if callable(condition) and not isinstance(condition, Column):
             use = self._resolve_cols(cols, condition)
             pred = self._vector_udf(condition, use, return_type, vectorized)
@@ -478,7 +495,13 @@ class Frame:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(path)
-        return Frame(self._df.sparkSession.read.parquet(path), self._engine)
+        return Frame(
+            self._df.sparkSession.read.parquet(path),
+            self._engine,
+            # defaults describe the data, which survives the round-trip;
+            # observations belong to the WRITTEN plan and do not
+            self._defaults if not cols else (),
+        )
 
     # -- relational surface (absent in reference; SURVEY.md §2.2) ---------
     def select(self, *cols: "Column | str") -> "Frame":
@@ -610,11 +633,11 @@ class Frame:
 
     def with_defaults(self, *cols: str) -> "Frame":
         """Return a frame with a new default-column list (reference ctor's
-        default branch list)."""
+        default branch list). Named-filter observations carry over."""
         for c in cols:
             if c not in self._df.columns:
                 raise UnknownColumnError(f"unknown column {c!r}")
-        return Frame(self._df, self._engine, cols)
+        return Frame(self._df, self._engine, cols, self._observations)
 
     def explain(self, mode: str = "formatted") -> str:
         """Return the physical plan as a string (``formatted``/``simple``/

@@ -54,8 +54,11 @@ def _bin_table(
             F.least(b, F.lit(nbins - 1)).alias("bin")
         )
     else:
+        # clamp here too: when (hi-lo)/nbins rounds DOWN, a value just
+        # below hi (in range, passes the filter) can compute bin == nbins
+        # and would otherwise vanish from the bin table
         binned = vals.filter(v.isNotNull() & (v >= lo) & (v < hi)).select(
-            b.alias("bin")
+            F.least(b, F.lit(nbins - 1)).alias("bin")
         )
     counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     bins = vals.sparkSession.range(nbins).select(F.col("id").cast("int").alias("bin"))

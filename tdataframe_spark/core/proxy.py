@@ -35,12 +35,13 @@ class Result:
     without re-running anything.
     """
 
-    __slots__ = ("_engine", "_ready", "_value")
+    __slots__ = ("_engine", "_ready", "_value", "_error")
 
     def __init__(self, engine: "Engine") -> None:
         self._engine = engine
         self._ready = False
         self._value: Any = None
+        self._error: BaseException | None = None
 
     @property
     def ready(self) -> bool:
@@ -51,8 +52,13 @@ class Result:
         self._ready = True
 
     def get(self) -> Any:
-        if not self._ready:
+        if not self._ready and self._error is None:
             self._engine.flush()
+        if self._error is not None:
+            # a sibling action's failure voided this flush — surface it
+            # instead of silently returning None (reference: a failing
+            # event loop aborts every booked result)
+            raise self._error
         return self._value
 
     # convenience dunders so proxies feel like the value (reference deref `*r`)
@@ -140,6 +146,7 @@ class Engine:
         jobs, self._jobs = self._jobs, []
         if not scalars and not jobs:
             return
+        popped = [a.result for a in (*scalars, *jobs)]
 
         # group by the underlying DataFrame object so one agg() serves all
         # scalar actions booked on the same (filtered/defined) frame
@@ -151,6 +158,17 @@ class Engine:
             g = by_frame.setdefault(id(j.df), {"df": j.df, "scalars": [], "jobs": []})
             g["jobs"].append(j)
 
+        try:
+            self._run_groups(by_frame)
+        except BaseException as e:
+            # one action's failure aborts the flush; every still-pending
+            # sibling must ERROR on .get(), never silently return None
+            for r in popped:
+                if not r._ready and r._error is None:
+                    r._error = e
+            raise
+
+    def _run_groups(self, by_frame: dict[int, dict[str, Any]]) -> None:
         for g in by_frame.values():
             df: DataFrame = g["df"]
             scalars: list[_ScalarAction] = g["scalars"]

@@ -156,7 +156,10 @@ WITH v AS (
   WHERE l_quantity IS NOT NULL AND l_quantity >= {HF_LO} AND l_quantity < {HF_HI}
 ),
 c AS (
-  SELECT CAST(FLOOR((x - {HF_LO}) / {(HF_HI - HF_LO) / HF_NBINS!r}) AS INT) AS bin,
+  -- LEAST mirrors the engine's clamp: a rounded-down width can compute
+  -- bin == nbins for an in-range value just below hi
+  SELECT LEAST(CAST(FLOOR((x - {HF_LO}) / {(HF_HI - HF_LO) / HF_NBINS!r}) AS INT),
+               {HF_NBINS - 1}) AS bin,
          COUNT(*) AS n
   FROM v GROUP BY 1
 ),

@@ -270,16 +270,29 @@ def stream_upsert_to_parquet(
             )
         import os
 
+        staging = f"{path}.__staging__"
+        retired = f"{path}.__old__"
+        # crash recovery: a previous swap may have died between renames —
+        # the retired copy is the last good table, restore it first
+        if not os.path.exists(path) and os.path.exists(retired):
+            os.rename(retired, path)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # dead staging from an aborted write
         if os.path.exists(path):
             current = spark.read.parquet(path)
             survivors = current.join(
                 batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
             )
             merged = survivors.unionByName(batch)
-            staging = f"{path}.__staging__"
             merged.write.mode("overwrite").parquet(staging)
-            shutil.rmtree(path)
+            # swap via rename-aside: at no instant is the table absent
+            # without a recoverable copy (rmtree-then-rename had a window
+            # where a crash lost everything)
+            if os.path.exists(retired):
+                shutil.rmtree(retired)
+            os.rename(path, retired)
             os.rename(staging, path)
+            shutil.rmtree(retired)
         else:
             batch.write.mode("overwrite").parquet(path)
 
@@ -327,20 +340,38 @@ def stream_rollup_refresh(
     and rewrites only the day partitions the batch touches, so sink cost
     tracks the batch, not history.
 
-    Exactly-once: ``refresh_rollup`` ADDS counts, so a replayed batch
+    Effectively-once: ``refresh_rollup`` ADDS counts, so a replayed batch
     (foreachBatch is at-least-once after a crash) must not re-apply. Each
     applied batch drops a ``path/_applied/batch-<id>`` marker AFTER its
-    refresh; a replay sees the marker and skips. Marker-write follows the
-    state-write, so a crash between them replays the refresh — markers
-    must therefore be checked, not assumed (same ledger pattern Delta's
-    ``txnAppId`` provides natively).
+    refresh; a replay sees the marker and skips. The one uncovered window
+    is a crash BETWEEN state-write and marker-write (that batch re-folds
+    on replay) — closing it needs a transactional table (Delta's
+    ``txnAppId``); call sites don't change.
+
+    The rollup path is OWNED by one checkpoint lineage: batch ids only
+    identify batches within the checkpoint that produced them, so folding
+    a different checkpoint's stream into existing state would either
+    silently skip (id collision) or double-count (full source replay).
+    The first build records the owner; a mismatch raises instead.
     """
+    import hashlib
     import os
+
+    ckpt_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from tdataframe_spark.ops.rollup import build_rollup, refresh_rollup
 
         marker_dir = os.path.join(path, "_applied")
+        owner_file = os.path.join(marker_dir, "_owner")
+        if os.path.exists(owner_file):
+            owner = open(owner_file).read().strip()
+            if owner != ckpt_id:
+                raise ValueError(
+                    f"rollup at {path} is owned by checkpoint {owner}; "
+                    f"refusing to fold stream {ckpt_id} into it — reuse "
+                    "the original checkpoint or build a fresh rollup path"
+                )
         marker = os.path.join(marker_dir, f"batch-{batch_id}")
         if os.path.exists(marker):
             return  # replayed batch: already folded in
@@ -353,6 +384,9 @@ def stream_rollup_refresh(
         else:
             build_rollup(batch, path, value_col, bucket_us, group_cols)
         os.makedirs(marker_dir, exist_ok=True)
+        if not os.path.exists(owner_file):
+            with open(owner_file, "w") as f:
+                f.write(ckpt_id)
         open(marker, "w").close()
 
     w = (

@@ -36,8 +36,12 @@ def streaming_session_counts(
     batches — the source must deliver a key's events in (approximate)
     event-time order, as a per-key-partitioned log (Kafka) does. For
     unordered sources, add a watermark-delayed buffer in front.
+
+    The output key column carries ``user_col``'s name and type (string
+    keys work; the key is never coerced to long).
     """
     gap_us = gap_seconds * 1_000_000
+    key_type = events.schema[user_col].dataType.simpleString()
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -56,14 +60,14 @@ def streaming_session_counts(
             last_us = t_us
         state.update((last_us, n_sessions))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_sessions": [n_sessions]}
+            {user_col: [key[0]], "n_sessions": [n_sessions]}
         )
 
     return (
         events.groupBy(user_col)
         .applyInPandasWithState(
             update,
-            outputStructType="user_id long, n_sessions long",
+            outputStructType=f"{user_col} {key_type}, n_sessions long",
             stateStructType="last_us long, n_sessions long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -111,9 +115,10 @@ def streaming_running_totals(
         def close(self) -> None:
             pass
 
+    key_type = events.schema[user_col].dataType.simpleString()
     return events.groupBy(user_col).transformWithStateInPandas(
         statefulProcessor=RunningTotals(),
-        outputStructType=f"{user_col} long, n long, total double",
+        outputStructType=f"{user_col} {key_type}, n long, total double",
         outputMode="Update",
         timeMode="None",
     )

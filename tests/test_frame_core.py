@@ -328,3 +328,98 @@ def test_frame_explain_modes(f1):
     text = f1.filter("b1 < 5").explain()
     assert "Physical Plan" in text and "Filter" in text
     assert "Filter" in f1.filter("b1 < 5").explain("simple")
+
+
+def test_flush_failure_errors_siblings_not_silent_none(spark):
+    """If one booked action fails mid-flush, sibling pending results must
+    raise on .get(), never silently return None."""
+    import pytest
+
+    from tdataframe_spark import Frame
+
+    good = Frame(spark.range(10).selectExpr("id as x"))
+    bad = Frame(
+        spark.range(10).selectExpr("id as x"),
+        engine=good.engine,
+    ).filter(lambda x: (_ for _ in ()).throw(RuntimeError("udf boom")), ["x"])
+    r_bad = bad.count()   # booked FIRST: its group runs and fails before
+    r_good = good.count()  # the sibling group ever publishes
+    with pytest.raises(Exception):
+        r_bad.get()
+    # the sibling was voided by the failed flush: it must ERROR, not None
+    with pytest.raises(Exception):
+        r_good.get()
+
+
+def test_array_sum_all_empty_is_null(spark):
+    from tdataframe_spark import Frame
+
+    df = spark.createDataFrame(
+        [([],), ([],)], "arr array<double>"
+    )
+    fr = Frame(df)
+    assert fr.sum("arr").get() is None       # matches min/max/mean semantics
+    assert fr.mean("arr").get() is None
+    df2 = spark.createDataFrame([([1.0, 2.0],), ([],)], "arr array<double>")
+    assert Frame(df2).sum("arr").get() == 3.0
+
+
+def test_profile_numeric_raises_outside_exact_domain(spark):
+    import pytest
+
+    from tdataframe_spark.core.aggregates import profile_numeric
+
+    ok = spark.createDataFrame([(1.0e6,), (2.0e6,)], "x double")
+    assert profile_numeric(ok, ["x"]).count() == 1
+    # past |x| ~ 3e9 the int64 x² split overflows: ANSI mode raises
+    # loudly (ARITHMETIC_OVERFLOW) instead of silently corrupting std
+    too_big = spark.createDataFrame([(1.0e10,), (2.0e10,)], "x double")
+    with pytest.raises(Exception) as ei:
+        profile_numeric(too_big, ["x"]).collect()
+    assert "OVERFLOW" in str(ei.value).upper()
+
+
+def test_with_defaults_preserves_named_filter_report(spark):
+    from tdataframe_spark import Frame
+
+    fr = (
+        Frame(spark.range(100).selectExpr("id as x", "id as y"))
+        .filter("x > 49", name="cut")
+        .with_defaults("y")
+    )
+    assert fr.count().get() == 50
+    assert fr.report() == [("cut", 50)]
+
+
+def test_fixed_histo_keeps_inrange_value_on_rounded_width(spark):
+    """(hi-lo)/nbins rounding down must not drop in-range values whose
+    computed bin lands at nbins."""
+    from tdataframe_spark import Frame
+
+    v = 0.6999999999999999  # < 0.7, but floor(v / (0.7/7)) == 7
+    df = spark.createDataFrame([(v,), (0.05,)], "x double")
+    hist = Frame(df).histo("x", nbins=7, lo=0.0, hi=0.7).get()
+    assert sum(b[3] for b in hist) == 2
+    assert hist[6][3] == 1  # clamped into the last bin
+
+
+def test_udf_arity_accepts_defaults_and_rejects_mismatch(spark):
+    import pytest
+
+    from tdataframe_spark import Frame
+    from tdataframe_spark.core.errors import ArityError
+
+    fr = Frame(spark.range(10).selectExpr("cast(id as double) x"))
+    out = fr.filter(lambda x, scale=5.0: x > scale, ["x"])
+    assert out.count().get() == 4
+    with pytest.raises(ArityError):
+        fr.filter(lambda a, b: a > b, ["x"])  # 2 required, 1 column
+
+
+def test_filter_requires_condition(spark):
+    import pytest
+
+    from tdataframe_spark import Frame
+
+    with pytest.raises(ValueError):
+        Frame(spark.range(3)).filter()

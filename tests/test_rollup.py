@@ -95,9 +95,12 @@ def test_rollup_merge_is_order_independent(spark, tmp_path):
 
 def test_stream_rollup_refresh_matches_batch(spark, tmp_path):
     """Drain a file stream through the rollup sink in several micro-batches;
-    the served aggregate must equal a one-shot batch build, and replaying
-    the whole stream (fresh checkpoint, same batch ids) must be a no-op
-    thanks to the applied-batch markers."""
+    the served aggregate must equal a one-shot batch build. A DIFFERENT
+    checkpoint lineage must be refused loudly: its batch ids would collide
+    with the owner's markers (silent skip) or re-fold the whole source
+    (double count) — both silent corruptions before the ownership check."""
+    import pytest
+
     from tdataframe_spark.streaming import stream_from_files, stream_rollup_refresh
 
     ev = _events(spark)
@@ -115,9 +118,19 @@ def test_stream_rollup_refresh_matches_batch(spark, tmp_path):
     build_rollup(ev, full, group_cols=["event_type"])
     assert _served(spark, state) == _served(spark, full)
 
-    # replay everything with a fresh checkpoint: markers must suppress it
+    # a foreign checkpoint against the owned rollup path must fail loudly
     stream2 = stream_from_files(spark, src, batch_view.schema, max_files_per_trigger=1)
+    with pytest.raises(Exception) as ei:
+        stream_rollup_refresh(
+            stream2, state, str(tmp_path / "ckpt2"), group_cols=["event_type"]
+        )
+    assert "owned by checkpoint" in str(ei.value)
+    # the owned state is untouched by the refused stream
+    assert _served(spark, state) == _served(spark, full)
+
+    # re-running the OWNER checkpoint is a clean no-op (offsets drained)
+    stream3 = stream_from_files(spark, src, batch_view.schema, max_files_per_trigger=1)
     stream_rollup_refresh(
-        stream2, state, str(tmp_path / "ckpt2"), group_cols=["event_type"]
+        stream3, state, str(tmp_path / "ckpt1"), group_cols=["event_type"]
     )
     assert _served(spark, state) == _served(spark, full)

@@ -406,3 +406,64 @@ def test_transform_with_state_running_totals(spark, stream_dir):
             assert last[u][1] == _pytest.approx(total, rel=1e-9)
     finally:
         q.stop()
+
+
+def test_stream_upsert_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the swap's renames leaves the table aside as
+    __old__; the next merge must restore it before merging (the
+    rmtree-then-rename shape lost the whole table in that window)."""
+    import os
+
+    from tdataframe_spark.streaming import stream_upsert_to_parquet
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    schema = "k int, v string, ver int"
+    spark.createDataFrame([(1, "a", 1)], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    stream_upsert_to_parquet(stream, out, str(tmp_path / "ck1"), keys=["k"], order_col="ver")
+
+    # simulate the crash window: table renamed aside, new copy never landed
+    os.rename(out, f"{out}.__old__")
+    spark.createDataFrame([(2, "b", 1)], schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream2 = spark.readStream.schema(schema).parquet(f"{src}/*")
+    stream_upsert_to_parquet(stream2, out, str(tmp_path / "ck1"), keys=["k"], order_col="ver")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "b"}  # k=1 recovered, not lost
+    assert not os.path.exists(f"{out}.__old__")
+
+
+def test_stateful_sessionize_string_keys_and_custom_name(spark, stream_dir, tmp_path):
+    """The state operator must carry the caller's key column name and type
+    (string user ids crashed the long-typed output schema)."""
+    import pandas as pd
+
+    from tdataframe_spark.streaming import run_to_memory_sink
+    from tdataframe_spark.streaming.stateful import streaming_session_counts
+
+    src = str(tmp_path / "sess_in")
+    rows = [("alice", i * 10_000_000) for i in range(3)] + [
+        ("alice", 10_000_000_000_000),
+        ("bob", 0),
+    ]
+    df = spark.createDataFrame(rows, "uid string, ts_us long").withColumn(
+        "ts", (F.col("ts_us") / 1_000_000).cast("timestamp")
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_session_counts(stream, "uid", "ts", gap_seconds=1800)
+    assert out.schema["uid"].dataType.simpleString() == "string"
+    name, q = run_to_memory_sink(out, mode="update")
+    try:
+        got = {
+            r["uid"]: r["n_sessions"]
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        assert got == {"alice": 2, "bob": 1}
+    finally:
+        q.stop()
