@@ -93,7 +93,12 @@ def cms_build(
     pipeline persists per shard/day.
 
     Guarantees (standard CMS): point estimates never undercount; overcount
-    ≤ e·N/width with probability 1-(1/2)^depth per query."""
+    ≤ e·N/width with probability 1-(1/2)^depth per query.
+
+    The (width, depth) parameters ride every sketch row, so
+    ``cms_query``/``cms_merge`` derive them from the sketch itself — a
+    build/query parameter mismatch (which would silently break the
+    never-undercount guarantee) is structurally impossible."""
     pairs = df.select(
         F.explode(
             F.array(*[
@@ -110,25 +115,48 @@ def cms_build(
     return (
         pairs.groupBy(F.col("__rc.r").alias("r"), F.col("__rc.c").alias("c"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "r", "c", "n",
+            F.lit(width).alias("width"), F.lit(depth).alias("depth"),
+        )
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Union counter tables by element-wise sum — sketches built on data
-    slices merge into exactly the sketch of the union (tested law)."""
+    slices merge into exactly the sketch of the union (tested law).
+    Sketches with differing (width, depth) cannot merge meaningfully and
+    are rejected."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("r", "c").agg(F.sum("n").cast("long").alias("n"))
+    params = out.select("width", "depth").distinct().collect()
+    if len(params) > 1:
+        raise ValueError(
+            f"cannot merge CMS sketches with different parameters: "
+            f"{sorted((r['width'], r['depth']) for r in params)}"
+        )
+    return (
+        out.groupBy("r", "c")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.first("width").alias("width"),
+            F.first("depth").alias("depth"),
+        )
+    )
 
 
-def cms_query(
-    sketch: DataFrame, items: DataFrame, col: str, width: int = 2048
-) -> DataFrame:
+def cms_query(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
     """Frequency estimates for ``items``: min over rows of the item's
     counter. The probe side replicates each item ``depth`` ways and joins
-    the (bounded) sketch — broadcast-sized by construction."""
-    depth = sketch.select(F.max("r")).first()[0] + 1
+    the (bounded) sketch — broadcast-sized by construction. Probe width
+    and depth come FROM the sketch (never a caller parameter — see
+    ``cms_build``). A sketch built over zero rows estimates 0 for every
+    item (correct by definition)."""
+    row = sketch.select("width", "depth").first()
+    if row is None:
+        return items.select(col, F.lit(0).cast("long").alias("est"))
+    width, depth = row["width"], row["depth"]
     probes = items.select(
         F.col(col),
         F.explode(

@@ -103,13 +103,21 @@ def redact_pii(
     return out
 
 
+def _marker_hits(text: Column | str, markers: list[str]) -> Column:
+    """Exact marker-word occurrence count: word-split membership test.
+    (A ' (m) ' regex undercounts ADJACENT markers — each match consumes
+    the shared space, so 'the the the' counted 2 of 3.)"""
+    return F.size(
+        F.filter(
+            words(F.lower(_c(text))),
+            lambda w: w.isin([m.lower() for m in markers]),
+        )
+    )
+
+
 def stopword_ratio(text: Column | str, markers: list[str]) -> Column:
-    """(# marker-word occurrences) / (# words); word-boundary matching."""
-    pat = "(^| )(" + "|".join(markers) + ")( |$)"
-    t = _c(text)
-    # non-overlapping boundary matches: count via regexp on padded text
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
-    hits = F.regexp_count(padded, F.lit(" (" + "|".join(markers) + ") "))
+    """(# marker-word occurrences) / (# words); exact word matching."""
+    hits = _marker_hits(text, markers)
     return hits.cast("double") / F.greatest(n_words(text), F.lit(1))
 
 
@@ -136,11 +144,8 @@ def lang_guess(text: Column | str) -> Column:
     """Heuristic language ID: argmax of marker-stopword ratios, 'und' when
     no marker hits. Deterministic CASE cascade (ties broken by fixed
     language order en>es>fr>de)."""
-    t = _c(text)
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     scores = {
-        lang: F.regexp_count(padded, F.lit(" (" + "|".join(m) + ") "))
-        for lang, m in LANG_MARKERS.items()
+        lang: _marker_hits(text, m) for lang, m in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())
     expr = F.lit("und")

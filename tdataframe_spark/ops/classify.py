@@ -93,7 +93,17 @@ def nearest_centroid_confusion(
     """Leave-nothing-out nearest-centroid evaluation: centroids from the
     full table, every vector classified to its max-dot centroid (ties →
     smallest label), returned as a (true label, predicted label, count)
-    confusion matrix."""
+    confusion matrix. Labels must be integer-typed (the partial-aggregable
+    argmax negates them for the tie-break; predictions are returned in the
+    label column's own type, never narrowed)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    ltype = df.schema[label_col].dataType
+    if not isinstance(ltype, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"nearest_centroid_confusion needs an integer label column; "
+            f"{label_col!r} is {ltype.simpleString()} — map labels to ids first"
+        )
     cents = class_centroids(df, label_col, vec_col, scale).select(
         F.col("label").alias("__class"), "centroid"
     )
@@ -115,6 +125,8 @@ def nearest_centroid_confusion(
                          (-F.col("__class")).alias("nc")))["nc"]).alias("pred")
     )
     return (
-        pred.groupBy("label", F.col("pred").cast("int").alias("pred"))
+        pred.groupBy(
+            "label", F.col("pred").cast(ltype.simpleString()).alias("pred")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

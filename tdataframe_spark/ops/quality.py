@@ -47,8 +47,10 @@ def expect_fk(
 ) -> DataFrame:
     """Referential integrity: fact rows whose ``col`` has no match in the
     (broadcast) dimension ``key`` — an anti join, so the fact side never
-    shuffles when the dimension broadcasts."""
-    missing = df.join(
+    shuffles when the dimension broadcasts. NULL keys vacuously satisfy
+    the constraint (SQL FK semantics); pair with ``expect_not_null`` when
+    the column is also mandatory."""
+    missing = df.where(F.col(col).isNotNull()).join(
         F.broadcast(dim.select(F.col(key).alias(col)).distinct()),
         col,
         "left_anti",
@@ -77,7 +79,18 @@ def snapshot_diff(
     assert non_key == sorted(c for c in old.columns if c not in keys)
 
     def hashed(df: DataFrame, out: str) -> DataFrame:
-        h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in non_key]))
+        # concat_ws SKIPS nulls, which would make (a, NULL) and (NULL, a)
+        # hash identically — encode NULL as an explicit sentinel so every
+        # column occupies its slot
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in non_key
+                ],
+            )
+        )
         return df.select(*keys, h.alias(out))
 
     j = hashed(old, "__h_old").join(hashed(new, "__h_new"), keys, "full_outer")

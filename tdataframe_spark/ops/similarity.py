@@ -255,6 +255,41 @@ def _probe_and_score(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def _sign_bucket(vec, planes):
+    """Pack sign(vec·plane_b) bits into one bucket int. The vector length
+    must equal the plane dimension — enforced with a raising assert (a
+    mismatch makes every zip_with product NULL, every sum NULL, every bit
+    0, and the WHOLE corpus lands in bucket 0: results stay correct via
+    exact verification, but the job silently degenerates to all-pairs)."""
+    dim = len(planes[0])
+    # NULL (zero-norm) vectors pass: their bucket is NULL and they drop
+    # out of the bucket join, same as before the check existed
+    chk = F.coalesce(
+        F.assert_true(
+            vec.isNull() | (F.size(vec) == dim),
+            F.concat(
+                F.lit(f"LSH planes are dim={dim} but vector has "),
+                F.size(vec).cast("string"),
+                F.lit(" components — pass dim=<vector length>"),
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bits = []
+    for b, plane in enumerate(planes):
+        prods = F.zip_with(
+            vec,
+            F.array(*[F.lit(x) for x in plane]),
+            lambda x, y: x.cast("double") * y,
+        )
+        s_ = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(s_ >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0] + chk
+    for t in bits[1:]:
+        out = out + t
+    return out
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -281,21 +316,6 @@ def lsh_cosine_pairs(
     rng = random.Random(seed)
     u = _normalized(df, id_col, vec_col, "__id")
 
-    def table_bucket(vec, planes):
-        bits = []
-        for b, plane in enumerate(planes):
-            prods = F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, y: x.cast("double") * y,
-            )
-            s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-            bits.append(F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        out = bits[0]
-        for t in bits[1:]:
-            out = out + t
-        return out
-
     # one struct-array explode for ALL tables — a single pass over the
     # vectors, not n_tables scans
     tables = []
@@ -306,7 +326,7 @@ def lsh_cosine_pairs(
         tables.append(
             F.struct(
                 F.lit(ti).alias("__t"),
-                table_bucket(F.col("__vn"), planes).alias("__b"),
+                _sign_bucket(F.col("__vn"), planes).alias("__b"),
             )
         )
     bucketed = u.select(
@@ -444,30 +464,15 @@ def lsh_bucket_topk(
         [rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_bits)
     ]
 
-    def bucket_expr(vec):
-        bits = []
-        for b, plane in enumerate(planes):
-            prods = F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, y: x.cast("double") * y,
-            )
-            s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-            bits.append(F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        out = bits[0]
-        for t in bits[1:]:
-            out = out + t
-        return out
-
     q = _normalized(queries, id_col, vec_col, "query_id").select(
         "query_id",
         F.col("__vn").alias("__qn"),
-        bucket_expr(F.col("__vn")).alias("__bucket"),
+        _sign_bucket(F.col("__vn"), planes).alias("__bucket"),
     )
     c = _normalized(corpus, id_col, vec_col, "neighbor_id").select(
         "neighbor_id",
         F.col("__vn").alias("__cn"),
-        bucket_expr(F.col("__vn")).alias("__bucket"),
+        _sign_bucket(F.col("__vn"), planes).alias("__bucket"),
     )
     scored = (
         q.join(c, "__bucket")

@@ -215,8 +215,10 @@ def mix_domains(
     )
     d = df.filter(F.col(domain_col).isin(list(weights)))
     counts = d.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
-    t = counts.select(
-        F.min(F.expr(f"__n div {_weight_case(domain_col, weights)}")).alias("__t")
+    # weight lookup via the SAME literal map as the filter below — never
+    # by interpolating domain VALUES into SQL text (quotes would break it)
+    t = counts.withColumn("__w", wmap[F.col(domain_col)]).select(
+        F.min(F.expr("__n div __w")).alias("__t")
     )
     h = portable_hash64(F.col(id_col).cast("string"))
     w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
@@ -226,13 +228,6 @@ def mix_domains(
         .filter(F.col("__rn") <= wmap[F.col(domain_col)] * F.col("__t"))
         .select(F.col(id_col), F.col(domain_col))
     )
-
-
-def _weight_case(domain_col: str, weights: dict[str, int]) -> str:
-    arms = " ".join(
-        f"WHEN '{k}' THEN {v}" for k, v in weights.items()
-    )
-    return f"(CASE {domain_col} {arms} END)"
 
 
 def stratified_sample(

@@ -951,8 +951,12 @@ def q_doc_profile(spark, sf):
 def _doc_profile_oracle_sql() -> str:
     from tdataframe_spark.functions.text import LANG_MARKERS
 
+    def in_list(m):
+        return ", ".join(f"'{w}'" for w in m)
+
     score_cols = ", ".join(
-        f"len(regexp_extract_all(' ' || lower(text) || ' ', ' ({'|'.join(m)}) ')) AS s_{lang}"
+        f"len(list_filter(string_split(lower(text), ' '),"
+        f" w -> w IN ({in_list(m)}))) AS s_{lang}"
         for lang, m in LANG_MARKERS.items()
     )
     langs = list(LANG_MARKERS)
@@ -3248,16 +3252,20 @@ old AS (
 ),
 ho AS (
   SELECT o_orderkey,
-         md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
-                       CAST(o_orderdate AS VARCHAR), o_orderpriority,
-                       o_orderstatus, CAST(o_totalprice AS VARCHAR))) AS h
+         md5(concat_ws(chr(31), COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+                       COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)),
+                       COALESCE(o_orderpriority, chr(0)),
+                       COALESCE(o_orderstatus, chr(0)),
+                       COALESCE(CAST(o_totalprice AS VARCHAR), chr(0)))) AS h
   FROM old
 ),
 hn AS (
   SELECT o_orderkey,
-         md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
-                       CAST(o_orderdate AS VARCHAR), o_orderpriority,
-                       o_orderstatus, CAST(o_totalprice AS VARCHAR))) AS h
+         md5(concat_ws(chr(31), COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+                       COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)),
+                       COALESCE(o_orderpriority, chr(0)),
+                       COALESCE(o_orderstatus, chr(0)),
+                       COALESCE(CAST(o_totalprice AS VARCHAR), chr(0)))) AS h
   FROM newt
 )
 SELECT COALESCE(ho.o_orderkey, hn.o_orderkey) AS o_orderkey,

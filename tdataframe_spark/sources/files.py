@@ -76,6 +76,37 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def _robust_split(
+    schema: StructType | str, corrupt_col: str, load
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PERMISSIVE-quarantine plumbing for the robust readers:
+    augment the schema with the corrupt-record column (on a COPY — never
+    mutating the caller's StructType), parse via ``load``, and split into
+    (good, bad).
+
+    The parsed relation is cached: Spark disallows referencing ONLY the
+    corrupt column of a lazy json/csv scan (SPARK-21610). The cache lives
+    until session LRU eviction — per-batch callers should unpersist via
+    ``spark.catalog.clearCache()`` (or persist `good`/`bad` themselves)
+    between ingests.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    df = load(full).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad
+
+
 def read_json_robust(
     spark: SparkSession,
     *paths: str,
@@ -88,34 +119,18 @@ def read_json_robust(
     them (DROPMALFORMED) breaks row accounting and FAILFAST kills the job
     a billion rows in; the quarantine table is what gets re-parsed or
     audited. Schema is required (schema inference is itself a full pass
-    and guesses wrong on dirty data).
+    and guesses wrong on dirty data). Cache note: see ``_robust_split``.
     """
-    from pyspark.sql.types import StringType
-
-    if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
-    # StructType.add mutates in place — never modify the caller's object
-    from pyspark.sql.types import StructField
-
-    full = StructType(
-        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    return _robust_split(
+        schema,
+        corrupt_col,
+        lambda full: (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(list(paths))
+        ),
     )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(list(paths))
-        # Spark disallows filtering on ONLY the corrupt column of a lazy
-        # json relation (SPARK-21610) — materialize the parse first
-        .cache()
-    )
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw")
-    )
-    return good, bad
 
 
 def read_csv_robust(
@@ -128,27 +143,16 @@ def read_csv_robust(
 ) -> tuple[DataFrame, DataFrame]:
     """CSV twin of :func:`read_json_robust`: PERMISSIVE parse with the
     malformed raw line quarantined instead of silently nulled or fatally
-    failed. Returns (good, bad)."""
-    if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
-    from pyspark.sql.types import StringType, StructField
-
-    full = StructType(
-        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    failed. Returns (good, bad). Cache note: see ``_robust_split``."""
+    return _robust_split(
+        schema,
+        corrupt_col,
+        lambda full: (
+            spark.read.schema(full)
+            .option("header", header)
+            .option("sep", delimiter)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .csv(list(paths))
+        ),
     )
-    df = (
-        spark.read.schema(full)
-        .option("header", header)
-        .option("sep", delimiter)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .csv(list(paths))
-        .cache()
-    )
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw")
-    )
-    return good, bad

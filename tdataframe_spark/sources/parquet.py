@@ -108,12 +108,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every testdata table present under ``sf_dir``."""
+    """Load every testdata table present under ``sf_dir`` — through
+    ``read_table`` so the events dtype adaptation (and any future
+    re-encode handling) applies on EVERY entry point, not just `_t`."""
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
-        p = table_path(sf_dir, name)
-        if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = read_table(spark, sf_dir, name)
     return out
 
 

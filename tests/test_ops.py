@@ -1131,3 +1131,45 @@ def test_probe_metadata_real_headers(spark):
     assert (out[3]["width"], out[3]["height"]) == (44, 33)
     assert out[4]["sample_rate"] == 22050
     assert out[5]["width"] is not None  # fallback still populates schema
+
+
+def test_lsh_rejects_dim_mismatch(spark):
+    """A dim parameter that disagrees with the vectors must raise, not
+    silently collapse the whole corpus into one bucket (all-pairs)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.similarity import lsh_bucket_topk
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * 16) for i in range(6)]
+    )
+    with pytest.raises(Exception) as ei:
+        lsh_bucket_topk(emb, emb, k=2, n_bits=4, dim=64).collect()
+    assert "LSH planes" in str(ei.value)
+    ok = lsh_bucket_topk(emb, emb, k=2, n_bits=4, dim=16).collect()
+    assert ok
+
+
+def test_nearest_centroid_rejects_string_labels_and_keeps_long(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.classify import nearest_centroid_confusion
+
+    bad = spark.createDataFrame(
+        [Row(vec_id=1, label="x", embedding=[1.0, 0.0])]
+    )
+    with pytest.raises(ValueError):
+        nearest_centroid_confusion(bad)
+    big = spark.createDataFrame(
+        [
+            Row(vec_id=i, label=3_000_000_000 + (i % 2), embedding=[float(i % 2), 1.0 - i % 2])
+            for i in range(8)
+        ],
+        "vec_id long, label long, embedding array<double>",
+    )
+    out = nearest_centroid_confusion(big)
+    assert out.schema["pred"].dataType.simpleString() == "bigint"
+    preds = {r["pred"] for r in out.collect()}
+    assert preds <= {3_000_000_000, 3_000_000_001}  # no int wrap

@@ -129,3 +129,25 @@ def test_winsorize_preserves_nulls(spark):
     out = {r["id"]: r["x_w"] for r in winsorize(df, ["x"], 0.0, 1.0).collect()}
     assert out[2] is None
     assert out[1] == 1.0 and out[3] == 100.0
+
+
+def test_snapshot_diff_detects_null_position_swap(spark):
+    """concat_ws skips NULLs — without sentinel encoding, (v, NULL) and
+    (NULL, v) hashed identically and a real change was missed."""
+    from tdataframe_spark.ops.quality import snapshot_diff
+
+    old = spark.createDataFrame([(1, "v", None)], "k int, a string, b string")
+    new = spark.createDataFrame([(1, None, "v")], "k int, a string, b string")
+    out = snapshot_diff(old, new, ["k"]).collect()
+    assert [(r["k"], r["op"]) for r in out] == [(1, "changed")]
+
+
+def test_expect_fk_null_keys_vacuously_pass(spark):
+    from tdataframe_spark.ops.quality import expect_fk
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id int, ref int"
+    )
+    dim = spark.createDataFrame([(10,)], "key int")
+    out = expect_fk(fact, "fk", "ref", dim, "key").collect()[0]
+    assert out["violations"] == 1  # only ref=99; NULL is not a violation

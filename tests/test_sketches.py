@@ -104,3 +104,23 @@ def test_cms_merge_law_and_bounds(spark):
     for v, n in exact.items():
         assert est[v] >= n  # CMS never undercounts
         assert est[v] <= n + (2 * n_total) // 2048 + 1  # generous e·N/w bound
+
+
+def test_cms_parameters_ride_the_sketch(spark):
+    """Query/merge derive width+depth FROM the sketch — no undercount via
+    parameter mismatch is possible; mixed-parameter merges are refused;
+    an empty sketch estimates 0."""
+    import pytest
+
+    from tdataframe_spark.functions.sketches import cms_build, cms_merge, cms_query
+
+    df = spark.createDataFrame([("a",)] * 50, "v string")
+    items = spark.createDataFrame([("a",), ("zz",)], "v string")
+    sk = cms_build(df, "v", width=4096)  # non-default width
+    est = {r["v"]: r["est"] for r in cms_query(sk, items, "v").collect()}
+    assert est["a"] >= 50  # never undercounts, regardless of build width
+    with pytest.raises(ValueError):
+        cms_merge(sk, cms_build(df, "v", width=1024))
+    empty = cms_build(df.filter("v = 'nope'"), "v")
+    est0 = {r["v"]: r["est"] for r in cms_query(empty, items, "v").collect()}
+    assert est0 == {"a": 0, "zz": 0}

@@ -531,3 +531,27 @@ def test_collocations_finds_planted_pair(spark):
     assert out[0]["pmi"] > 0
     rare = collocations(docs, min_count=100, top_k=5).collect()
     assert all(r["n_pair"] >= 100 for r in rare)
+
+
+def test_stopword_ratio_counts_adjacent_markers(spark):
+    """'the the the cat' has 3 marker occurrences; the old non-overlapping
+    regex counted 2."""
+    import pyspark.sql.functions as F
+
+    from tdataframe_spark.functions.text import stopword_ratio
+
+    df = spark.createDataFrame([("the the the cat",)], "t string")
+    r = df.select(stopword_ratio("t", ["the"]).alias("r")).first()["r"]
+    assert r == 0.75
+
+
+def test_mix_domains_handles_quoted_domain_names(spark):
+    from tdataframe_spark.ops.textstats import mix_domains
+
+    rows = [(i, "men's wear") for i in range(20)] + [
+        (100 + i, "plain") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_domains(df, "source", {"men's wear": 2, "plain": 1}, "doc_id")
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert got == {"men's wear": 20, "plain": 10}
