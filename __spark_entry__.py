@@ -26,27 +26,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tdataframe_spark import Frame  # noqa: E402
-from tdataframe_spark.functions.numeric import dmean, dsum  # noqa: E402
-from tdataframe_spark.functions.text import TOKEN_PATTERN, fingerprint64, n_tokens, n_words  # noqa: E402
-from tdataframe_spark.operators.asof import asof_join  # noqa: E402
-from tdataframe_spark.operators.windows import sessionize, top_per_group  # noqa: E402
-from tdataframe_spark.ops.dedup import (  # noqa: E402
-    DEFAULT_MAX_SHINGLE_FREQ,
-    MERSENNE61,
-    MINHASH_PERMS,
-    exact_dedup_groups,
-    minhash_lsh_pairs,
-    ngram_jaccard_pairs,
-    simhash64,
-)
-from tdataframe_spark.ops.multimodal import attach_payload, extract_features  # noqa: E402
-from tdataframe_spark.ops.similarity import (  # noqa: E402
-    cosine_pairs,
-    cosine_topk,
-    ivf_topk,
-    lsh_bucket_topk,
-)
-from tdataframe_spark.sources.parquet import read_table  # noqa: E402
+# every q_*/SQL_* plus the shared helpers come from the queries module —
+# ONE contract surface, no duplicate import list to keep in sync
 from tdataframe_spark.queries import *  # noqa: E402,F401,F403
 from tdataframe_spark.queries import (  # noqa: E402,F401
     _corpus_curation_oracle_sql,
@@ -331,5 +312,6 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "phrase_search": SQL_PHRASE_SEARCH,
         "collocations": SQL_COLLOCATIONS,
-        # multimodal_features / lsh_ann intentionally omitted → rows-only
+        # rows-only by design (no SQL-expressible oracle): multimodal_features,
+        # lsh_ann, ivf_ann, pq_ann (approximate ANN), bpe_tokens (iterative)
     }

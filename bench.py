@@ -4,9 +4,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized with a noop write (computes every output column,
-no driver collect) except tiny aggregates which are collected directly.
-Session startup is excluded; a warmup query primes the JVM/codegen.
+Every query is materialized with a noop write (computes every output
+column executor-side, no driver collect). Session startup is excluded; a
+warmup query primes the JVM/codegen.
 """
 
 from __future__ import annotations
@@ -65,45 +65,32 @@ def main() -> None:
     # warmup: prime codegen/JVM on a small representative query
     materialize(queries["count_chain"](spark, sf_dir))
 
-    # min of two runs per query: this host shows intermittent background
-    # load that can inflate a single cold run 1.5-2.5x; the min is the
-    # reproducible number (plans are identical across runs — the second
-    # run re-executes, it does not cache results)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def time_query(name: str) -> float:
+        """Min of two runs; a third only when the two disagree >1.5× (this
+        host shows intermittent background load that can inflate any
+        single run — a wild disagreement means one was polluted). Plans
+        re-execute fully each run; the cache is cleared so queries that
+        persist intermediates (ngram_jaccard, minhash_lsh) pay exactly
+        their own persist cost and nothing else's. ONE protocol for
+        headline and extended alike — the numbers stay comparable."""
         runs: list[float] = []
-        # min of two runs; a third only when the two disagree >1.5x (this
-        # host shows intermittent background load that can inflate any
-        # single run — a wild disagreement means one of them was polluted)
         while len(runs) < 2 or (
             len(runs) == 2 and max(runs) > 1.5 * min(runs)
         ):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-            # queries that persist intermediates (ngram_jaccard, minhash_lsh)
-            # would otherwise leak cache across runs/queries — each timed run
-            # must pay its own persist cost and nothing else's
             spark.catalog.clearCache()
             if len(runs) >= 3:
                 break
-        timings[name] = round(min(runs), 3)
+        return round(min(runs), 3)
 
+    timings = {name: time_query(name) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
 
-    # round-3 showcase operators, timed the same way but kept OUT of the
-    # headline total so the cross-round metric stays comparable
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        runs = []
-        while len(runs) < 2 or (len(runs) == 2 and max(runs) > 1.5 * min(runs)):
-            t0 = time.perf_counter()
-            materialize(queries[name](spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
-            if len(runs) >= 3:
-                break
-        extended[name] = round(min(runs), 3)
+    # showcase operators, timed identically but kept OUT of the headline
+    # total so the cross-round metric stays comparable
+    extended = {name: time_query(name) for name in EXTENDED}
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -92,8 +92,12 @@ def main() -> None:
     tiers.groupBy("lang", "bucket").count().orderBy("lang", "bucket").show(
         9, truncate=False
     )
+    # quality recomputed directly on the (small, checkpointed) kept set —
+    # joining back to `prof` would re-execute the full-corpus profile
+    from tdataframe_spark.functions.text import quality_score
+
     sampled = weighted_sample(
-        kept_docs.join(prof.select("doc_id", "quality"), "doc_id"),
+        kept_docs.withColumn("quality", quality_score(F.col("text"))),
         "quality", rate=0.8, id_col="doc_id",
     )
     split = group_split(sampled, "source", eval_fraction=0.1)

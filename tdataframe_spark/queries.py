@@ -3094,6 +3094,7 @@ def q_rollup_incremental(spark, sf):
     oracle is the plain one-shot aggregate over ALL events, so a match
     proves the incremental path is bit-identical to full recompute
     (mergeable decimal partials)."""
+    import os
     import tempfile
 
     from tdataframe_spark.ops.rollup import (
@@ -3103,7 +3104,12 @@ def q_rollup_incremental(spark, sf):
     )
 
     ev = _events(spark, sf).select("ts_us", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="rollup_state_")
+    # one FIXED per-process state dir, rebuilt (mode=overwrite) each call:
+    # a fresh mkdtemp per invocation leaked a parquet tree every time the
+    # bench/gate re-ran this query
+    path = os.path.join(
+        tempfile.gettempdir(), f"rollup_state_{os.getpid()}"
+    )
     build_rollup(ev.where(F.col("ts_us") % 2 == 0), path, group_cols=["event_type"])
     refresh_rollup(ev.where(F.col("ts_us") % 2 != 0), path, group_cols=["event_type"])
     return serve_rollup(spark, path, ["event_type"])

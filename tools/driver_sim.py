@@ -37,6 +37,12 @@ def canon(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(norm)
+    # normalize unsigned integer columns to int64: ok_dtype treats i/u as
+    # equivalent, and DataFrame.equals would otherwise report a spurious
+    # value mismatch for dtype alone
+    for c in df.columns:
+        if df[c].dtype.kind == "u":
+            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
@@ -46,6 +52,10 @@ def main():
     n = em.entry(spark).count()
     print(f"entry(): {n} rows", flush=True)
     Q, O = em.queries(), em.oracle_sql()
+    # the connection and views are query-invariant: create them once
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     bad = []
     for name, fn in Q.items():
         try:
@@ -57,11 +67,7 @@ def main():
         if name not in O:
             print(f"{name}: rows-only ({len(s)} rows)", flush=True)
             continue
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
         d = con.sql(O[name]).df()
-        con.close()
         ok_cols = sorted(s.columns) == sorted(d.columns)
         ok_rows = len(s) == len(d)
         ok_dtype = ok_cols and all(

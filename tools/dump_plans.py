@@ -41,7 +41,7 @@ def main() -> None:
     # headline bench queries plus the round-3 showcase operators whose plan
     # shape is the point (broadcast centroid argmax, bloom map-side filter,
     # inverted-index fuzzy join)
-    for name in HEADLINE + [
+    showcase = [
         "nearest_centroid",
         "decontamination_bloom",
         "fuzzy_join",
@@ -49,7 +49,8 @@ def main() -> None:
         "ccnet_buckets",
         "dedup_keep_best",
         "pq_ann",
-    ]:
+    ]
+    for name in HEADLINE + showcase:
         df = queries[name](spark, SF)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
@@ -57,7 +58,7 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{plan.rstrip()}\n```\n")
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE) + 4} plans)")
+    print(f"wrote PLANS.md ({len(HEADLINE) + len(showcase)} plans)")
     spark.stop()
 
 
