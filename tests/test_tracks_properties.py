@@ -234,3 +234,32 @@ def test_chunk_documents_coverage_property(spark, texts, chunk_size, overlap):
             rebuilt.extend(cw[overlap:])
         assert rebuilt == words
         assert all(len(c.split(" ")) <= chunk_size for _, c in chunks)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.sampled_from(["ab", "abc", "abd", "bcd", "xy", "xyz", "q"]),
+        min_size=3,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_bpe_matches_reference_on_random_corpora(spark, corpus_words, n_merges):
+    """Distributed BPE == pure-Python Sennrich reference on arbitrary
+    word mixes: same ordered merge list, same final segmentations."""
+    from collections import Counter
+
+    from tdataframe_spark.ops.bpe import bpe_segment_table, train_bpe
+    from tests.test_textpipe import _reference_bpe
+
+    text = " ".join(corpus_words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = train_bpe(docs, n_merges=n_merges)
+    want_merges, want_segs = _reference_bpe(Counter(corpus_words), n_merges)
+    assert got == want_merges
+    segs = {
+        r["word"]: list(r["syms"])
+        for r in bpe_segment_table(docs, got).collect()
+    }
+    assert segs == {w: want_segs[w] for w in segs}
