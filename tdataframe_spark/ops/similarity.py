@@ -679,6 +679,7 @@ def _adc_search(
     rerank: int,
     rerank_vecs: DataFrame | None,
     per_query_codes: bool = False,
+    offsets: DataFrame | None = None,
 ) -> DataFrame:
     """Shared PQ query path: broadcast the per-query (subspace, codeword) →
     partial-dot ADC table, score the compressed code rows map-side, top-k
@@ -705,6 +706,12 @@ def _adc_search(
         .groupBy("query_id", "__cid")
         .agg(F.sum("__p").alias("cos_sim"))
     )
+    if offsets is not None:
+        # residual encoding: ADC scored q·r; add the per-candidate q·centroid
+        # term so cos_sim approximates q·(centroid + r) = q·x
+        scored = scored.join(offsets, ["query_id", "__cid"]).withColumn(
+            "cos_sim", F.col("cos_sim") + F.col("__off")
+        ).drop("__off")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("__cid").asc()
     )
@@ -844,6 +851,7 @@ def ivfpq_build(
     m: int = 16,
     n_codes: int = 16,
     lloyd_iterations: int = 3,
+    residual: bool = False,
 ) -> None:
     """Build the combined index: IVF coarse cells bound WHICH vectors a
     query touches (partition pruning), PQ codes bound HOW MUCH each touch
@@ -862,7 +870,28 @@ def ivfpq_build(
         coarse = _assign(u, "__vn", "__cid", centroids).withColumnRenamed(
             "__cell", "__coarse"
         )
-        sv = _subvec_table(u, "__cid", m).persist()
+        if residual:
+            # encode x − centroid(cell): residuals are small, so the same
+            # codeword budget quantizes them far more finely than raw
+            # vectors (the FAISS IVF-PQ recipe); the query side adds the
+            # q·centroid term back per candidate
+            cent = _centroid_df(spark, centroids).select(
+                F.col("__cell").alias("__coarse"),
+                F.col("__cvec").alias("__ccvec"),
+            )
+            enc_in = (
+                u.join(coarse, "__cid")
+                .join(F.broadcast(cent), "__coarse")
+                .select(
+                    "__cid",
+                    F.zip_with(
+                        "__vn", "__ccvec", lambda x, y: x - y
+                    ).alias("__vn"),
+                )
+            )
+        else:
+            enc_in = u
+        sv = _subvec_table(enc_in, "__cid", m).persist()
         try:
             codebook = _pq_fit(sv, n_codes, lloyd_iterations)
             codes = _codes_to_array(_pq_code_rows(sv, codebook))
@@ -886,6 +915,9 @@ def ivfpq_build(
         _pq_codebook_df(spark, codebook).write.mode("overwrite").parquet(
             f"{index_path}/codebook"
         )
+        spark.createDataFrame(
+            [(residual,)], "residual boolean"
+        ).write.mode("overwrite").parquet(f"{index_path}/meta")
     finally:
         u.unpersist()
 
@@ -913,6 +945,7 @@ def ivfpq_query(
     ]
     cb = spark.read.parquet(f"{index_path}/codebook")
     m = cb.agg(F.max("__sub")).collect()[0][0] + 1
+    residual = spark.read.parquet(f"{index_path}/meta").first()["residual"]
 
     qn = _normalized(queries, id_col, vec_col, "query_id").filter(
         F.col("__vn").isNotNull()
@@ -930,22 +963,31 @@ def ivfpq_query(
     q_probed = (
         q_scored.withColumn("__r", F.row_number().over(wp))
         .filter(F.col("__r") <= n_probe)
-        .select("query_id", F.col("__cell").alias("__coarse"))
+        .select(
+            "query_id", F.col("__cell").alias("__coarse"),
+            F.col("__sim").alias("__coff"),
+        )
     )
     probed_cells = [
         r["__coarse"] for r in q_probed.select("__coarse").distinct().collect()
     ]
 
-    code_rows = (
-        spark.read.parquet(f"{index_path}/codes")
-        .filter(F.col("__coarse").isin(probed_cells))
-        .join(F.broadcast(q_probed), "__coarse")
-        .select(
-            "query_id",
-            "__cid",
-            F.posexplode("codes").alias("__sub", "__cell"),
-        )
+    codes_src = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("__coarse").isin(probed_cells)
     )
+    code_rows = codes_src.join(
+        F.broadcast(q_probed.select("query_id", "__coarse")), "__coarse"
+    ).select(
+        "query_id",
+        "__cid",
+        F.posexplode("codes").alias("__sub", "__cell"),
+    )
+    offsets = None
+    if residual:
+        # per-candidate q·centroid: the ADC sum scores only q·residual
+        offsets = codes_src.select("__cid", "__coarse").join(
+            F.broadcast(q_probed), "__coarse"
+        ).select("query_id", "__cid", F.col("__coff").alias("__off"))
     rerank_vecs = (
         spark.read.parquet(f"{index_path}/vectors")
         .filter(F.col("__coarse").isin(probed_cells))
@@ -955,5 +997,5 @@ def ivfpq_query(
     )
     return _adc_search(
         queries, id_col, vec_col, m, cb, code_rows, k, rerank, rerank_vecs,
-        per_query_codes=True,
+        per_query_codes=True, offsets=offsets,
     )

@@ -1173,3 +1173,34 @@ def test_nearest_centroid_rejects_string_labels_and_keeps_long(spark):
     assert out.schema["pred"].dataType.simpleString() == "bigint"
     preds = {r["pred"] for r in out.collect()}
     assert preds <= {3_000_000_000, 3_000_000_001}  # no int wrap
+
+
+def test_ivfpq_residual_full_probe_full_rerank_is_exact(spark, tmp_path):
+    """Residual encoding: with every cell probed and every candidate
+    reranked, the result must equal the exact cosine top-k — pins the
+    q·centroid + q·residual bookkeeping end-to-end."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import (
+        cosine_topk,
+        ivfpq_build,
+        ivfpq_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F2.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "residx")
+    ivfpq_build(emb, path, n_cells=4, m=16, n_codes=8, lloyd_iterations=2, residual=True)
+    # rerank >= corpus size: every probed candidate is exactly re-scored
+    got = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ivfpq_query(spark, path, q, k=5, n_probe=4, rerank=600).collect()
+    }
+    want = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    assert got == want
+    # ADC-only (no rerank) still returns a full result set per query
+    adc = ivfpq_query(spark, path, q, k=5, n_probe=4)
+    assert adc.groupBy("query_id").count().agg(F2.min("count")).first()[0] == 5
