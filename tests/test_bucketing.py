@@ -36,6 +36,7 @@ def bucketed_tables(spark, tmp_path_factory):
 def test_bucketed_join_eliminates_shuffle(spark, bucketed_tables):
     orders_b, li_b = bucketed_tables
     # disable broadcast so the join strategy decision is about shuffles
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = li_b.join(orders_b, li_b.l_orderkey == orders_b.o_orderkey)
@@ -44,9 +45,9 @@ def test_bucketed_join_eliminates_shuffle(spark, bucketed_tables):
         assert "SortMergeJoin" in plan
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        # restore the PRE-TEST value (the session is shared suite-wide;
+        # re-hardcoding the session default here would drift if it changes)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
 def test_bucketed_join_correct(spark, bucketed_tables):

@@ -117,6 +117,9 @@ def test_read_pruned_empty_range(spark, lineitem, tmp_path):
     out = str(tmp_path / "sorted2")
     Frame(lineitem).snapshot(out, sort_by=["l_quantity"], n_files=4)
     pruned = read_pruned(spark, out, "l_quantity", 1e12, 2e12)
+    # the load-bearing property is FILE skipping, not just zero rows (a
+    # plain row filter would also count 0)
+    assert len(pruned.inputFiles()) == 0, pruned.inputFiles()
     assert pruned.count() == 0
 
 

@@ -186,8 +186,10 @@ def test_lsh_ann_self_recall(spark):
     rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(8)]) for i in range(8)]
     emb = spark.createDataFrame(rows)
     out = lsh_bucket_topk(emb, emb, k=3, n_bits=4, dim=8)
+    rows = out.collect()
+    assert rows  # a bucketing regression must not pass vacuously
     # every query only pairs within its bucket; results are valid cosine sims
-    for r in out.collect():
+    for r in rows:
         assert r["query_id"] != r["neighbor_id"]
         assert -1.0001 <= r["cos_sim"] <= 1.0001
 
@@ -918,10 +920,13 @@ def test_pq_build_query_matches_topk(spark, tmp_path):
         q, emb, k=5, m=16, n_codes=8, lloyd_iterations=2, rerank=20
     ).collect()
     via_index = pq_query(spark, path, q, k=5, rerank=20).collect()
-    key = lambda r: (r["query_id"], r["rnk"])
+
+    def key(r):
+        return (r["query_id"], r["rnk"])
+
     assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, via_index), key=lambda t: (t[0], t[3])
-    )
+    ) and len(direct) == len({key(r) for r in direct})
 
 
 def test_ivfpq_full_probe_matches_pq_and_prunes_partitions(spark, tmp_path):
@@ -960,9 +965,7 @@ def test_ivfpq_full_probe_matches_pq_and_prunes_partitions(spark, tmp_path):
 def test_pq_rejects_indivisible_dim(spark):
     """PQ must raise (not silently truncate) when dim % m != 0."""
     import pytest
-    from py4j.protocol import Py4JJavaError
     from pyspark.sql import Row
-    from pyspark.sql.utils import AnalysisException
 
     from tdataframe_spark.ops.similarity import pq_train
 

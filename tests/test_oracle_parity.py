@@ -56,11 +56,20 @@ ORACLE = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
 
+@pytest.fixture(scope="module")
+def duck():
+    """One shared read-only connection + view set for the whole
+    parametrized suite (recreating 10 views per query was pure setup
+    waste)."""
+    con = _duck(SF)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
-def test_query_matches_oracle(spark, name):
+def test_query_matches_oracle(spark, name, duck):
     spark_df = QUERIES[name](spark, SF).toPandas()
-    with _duck(SF) as con:
-        duck_df = con.sql(ORACLE[name]).df()
+    duck_df = duck.sql(ORACLE[name]).df()
 
     assert sorted(spark_df.columns) == sorted(duck_df.columns), (
         f"{name}: column mismatch spark={sorted(spark_df.columns)} "

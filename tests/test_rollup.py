@@ -63,7 +63,13 @@ def test_refresh_rewrites_only_touched_days(spark, tmp_path):
         return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
 
     before_untouched, before_touched = files_of(untouched), files_of(touched)
-    batch = ev.where(F.expr(f"ts_us div {DAY_US}") == touched).limit(50)
+    # materialize the batch: limit() on an unordered frame is evaluated
+    # nondeterministically, and this batch is consumed TWICE (refresh +
+    # the full-recompute comparison below)
+    batch_rows = (
+        ev.where(F.expr(f"ts_us div {DAY_US}") == touched).limit(50).collect()
+    )
+    batch = spark.createDataFrame(batch_rows, ev.schema)
     assert refresh_rollup(batch, path, group_cols=["event_type"]) == [touched]
     assert files_of(untouched) == before_untouched  # pruned: never rewritten
     assert files_of(touched) != before_touched

@@ -327,6 +327,7 @@ def test_bpe_matches_reference_implementation(spark):
         r["word"]: list(r["syms"])
         for r in bpe_segment_table(docs, got_merges).collect()
     }
+    assert set(segs) == set(want_segs)  # completeness, not just agreement
     for w, syms in segs.items():
         assert syms == want_segs[w], (w, syms, want_segs[w])
 

@@ -262,4 +262,5 @@ def test_bpe_matches_reference_on_random_corpora(spark, corpus_words, n_merges):
         r["word"]: list(r["syms"])
         for r in bpe_segment_table(docs, got).collect()
     }
-    assert segs == {w: want_segs[w] for w in segs}
+    assert set(segs) == set(want_segs)  # no word silently dropped
+    assert segs == want_segs
