@@ -792,6 +792,90 @@ def simhash64(
     return per_doc.select(F.col(id_col), packed.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 8,
+    n: int = 1,
+    n_bits: int = 60,
+) -> DataFrame:
+    """All document pairs whose SimHash Hamming distance is <= max_distance,
+    found by pigeonhole banding — never an all-pairs cross product.
+
+    Pigeonhole: split the ``n_bits``-bit signature into ``max_distance + 1``
+    contiguous bands. If two signatures differ in at most ``max_distance``
+    bits, those differing bits can touch at most ``max_distance`` bands, so
+    AT LEAST ONE band is bit-identical in both — an equi-join on
+    (band_idx, band_value) therefore has guaranteed recall at that radius.
+    Candidates are then verified with the exact ``bit_count`` distance, so
+    the result is identical to the quadratic formulation.
+
+    100 TB shape: one explode to (d+1) rows per doc, one shuffle join on
+    the band key, one distinct on the (id_a, id_b) candidate set, map-side
+    verify. Cost tracks the true near-dup density (plus band-collision
+    noise that narrower bands admit), not n².
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    bands = max_distance + 1
+    if bands > n_bits:
+        raise ValueError("max_distance + 1 bands need at least that many bits")
+    base, extra = divmod(n_bits, bands)
+    # band i covers [offset, offset + width) of the signature; the first
+    # `extra` bands get one extra bit so all n_bits are covered
+    widths = [base + (1 if i < extra else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+
+    h = simhash64(df, id_col, text_col, n=n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long"))
+                .alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = h.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash").alias("__h"),
+        F.explode(band_structs).alias("__b"),
+    ).select("__id", "__h", "__b.band_idx", "__b.band_val")
+
+    a = banded.select(
+        F.col("__id").alias("id_a"),
+        F.col("__h").alias("h_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"),
+        F.col("__h").alias("h_b"),
+        "band_idx",
+        "band_val",
+    )
+    candidates = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a close pair can collide in several bands — dedupe before verify
+        # (h_a/h_b are functionally dependent on the ids, so distinct on
+        # all four columns is a distinct on the pair)
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(h_a ^ h_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def build_cluster_index(
     df: DataFrame,
     id_col: str,

@@ -66,6 +66,13 @@ _LINT_RULES = [
         "Exchange SinglePartition",
         "all data funneled through one task (global window/sort?)",
     ),
+    (
+        "bnlj",
+        "BroadcastNestedLoopJoin",
+        "nested-loop join — all-pairs unless the build side is a "
+        "deliberate constant attach (1-row agg / centroid table / bloom "
+        "bits / bounded query set)",
+    ),
 ]
 
 

@@ -26,6 +26,7 @@ from tdataframe_spark.ops.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_hamming_pairs,
 )
 from tdataframe_spark.ops.multimodal import attach_payload, extract_features  # noqa: E402
 from tdataframe_spark.ops.similarity import (  # noqa: E402
@@ -987,19 +988,11 @@ FROM scored
 
 
 def q_simhash_hamming(spark, sf):
-    """Near-duplicate candidates by SimHash Hamming distance."""
-    h = simhash64(_t(spark, sf, "documents"), "doc_id", "text", n=1)
-    a = h.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = h.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("bit_count(h_a ^ h_b)").cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 8)
+    """Near-duplicate candidates by SimHash Hamming distance, via
+    pigeonhole banding (9 bands over the 60-bit signature guarantee recall
+    at distance <= 8) — an equi-join candidate plan, never all-pairs."""
+    return simhash_hamming_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_distance=8, n=1
     )
 
 

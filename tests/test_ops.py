@@ -56,6 +56,32 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(2 not in p for p in pairs)
 
 
+def test_simhash_hamming_banded_equals_bruteforce(spark):
+    """Pigeonhole banding is exact: the banded equi-join plan returns the
+    SAME pair set as the quadratic formulation (guaranteed recall at
+    radius d with d+1 bands), on real corpus data."""
+    from tdataframe_spark.ops.dedup import simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = 8
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(
+            docs, "doc_id", "text", max_distance=d
+        ).collect()
+    }
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    ids = sorted(h)
+    brute = {
+        (a, b, bin(h[a] ^ h[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(h[a] ^ h[b]).count("1") <= d
+    }
+    assert banded, "no near-dup pairs at sf0.001 — test is vacuous"
+    assert banded == brute
+
+
 def test_simhash_similarity(docs):
     h = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
     ham01 = bin(h[0] ^ h[1]).count("1")

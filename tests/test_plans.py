@@ -333,7 +333,25 @@ def test_dedup_keep_best_single_window_over_cluster(spark):
 # "single-partition-exchange" is informational only — every global .agg()
 # legitimately funnels its PARTIAL rows (#partitions of them) through one
 # task, and string matching can't tell that apart from a full-data sort
-_LINT_ENFORCED = {"cartesian", "python-row-udf"}
+_LINT_ENFORCED = {"cartesian", "python-row-udf", "bnlj"}
+
+# BroadcastNestedLoopJoin is allowed ONLY at these enumerated
+# constant-attach sites (PLANS.md "deliberate 1-row constant attaches"):
+# the build side is a single-row aggregate, a bounded query/constant set,
+# or similar O(1)-size data — never a data-proportional table. Everything
+# else in the registry must candidate-generate via equi-joins.
+_BNLJ_ALLOWED = {
+    "cosine_topk",         # bounded query-set broadcast (by contract)
+    "q22_idle_customers",  # 1-row scalar avg(acctbal) subquery attach
+    "decayed_engagement",  # 1-row corpus max-timestamp attach
+    "histo_equidepth",     # 1-row quantile-edges array attach
+    "ccnet_buckets",       # per-language cutpoint rows (bounded by #langs)
+    "retrieval_metrics",   # bounded labeled query-set attach
+    "winsorize",           # 1-row clip-bounds attach
+    "collocations",        # 1-row total-bigram-count attach
+    "domain_mix",          # 1-row corpus-total attach for mix ratios
+    "bm25_topk",           # 1-row corpus stats (N, avgdl) attach
+}
 
 
 def test_registry_wide_plan_lint(spark):
@@ -359,7 +377,10 @@ def test_registry_wide_plan_lint(spark):
             failures.append(f"{name}: construction error {e}")
             continue
         for hit in lint_plan(df):
-            if hit.split(":")[0] not in _LINT_ENFORCED:
+            rule = hit.split(":")[0]
+            if rule not in _LINT_ENFORCED:
+                continue
+            if rule == "bnlj" and name in _BNLJ_ALLOWED:
                 continue
             failures.append(f"{name}: {hit}")
     assert not failures, "\n".join(failures)
