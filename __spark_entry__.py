@@ -81,66 +81,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation is documented per-round in STATUS.md.
     """
     return {
-        # --- driver window (first 50): must-verify this round ---
-        # reference operators (SURVEY.md §2.1)
-        "count_chain": q_count_chain,
-        "define_filter_agg": q_define_filter_agg,
-        "explode_agg": q_explode_agg,
+        # --- driver window (first 50): must-verify this round (r4) ---
+        # changed/new this round
+        "simhash_hamming": q_simhash_hamming,  # now pigeonhole-banded
+        "histo_flow": q_histo_flow,            # new: TH1F flow bins
+        "line_dedup": q_line_dedup,            # new: C4-style line dedup
+        "ivfpq_ann": q_ivfpq_ann,              # new registry entry (rows-only)
+        "histo_equidepth_approx": q_histo_equidepth_approx,  # new (rows-only)
+        # histogram shared code (_bin_table) changed this round → re-verify
         "histo_fixed": q_histo_fixed,
         "histo_auto": q_histo_auto,
-        "histo_edges": q_histo_edges,
-        "take_col": q_take_col,
-        # events/time ops (root-cause fixed this round: ts dtype adaptation)
-        "map_props": q_map_props,
-        "asof_click_purchase": q_asof_click_purchase,
-        "sessionize": q_sessionize,
-        "json_events": q_json_events,
-        "time_bucket_agg": q_time_bucket_agg,
-        # fixed this round: HUGEINT→BIGINT oracle cast
-        "pack_sequences": q_pack_sequences,
-        # dedup/similarity oracle family (unverified-r2: past the window)
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "simhash_hamming": q_simhash_hamming,
-        "cosine_pairs": q_cosine_pairs,
-        "cosine_topk": q_cosine_topk,
-        "dedup_components": q_dedup_components,
-        "semantic_dedup": q_semantic_dedup,
-        "decontamination": q_decontamination,
-        "doc_profile": q_doc_profile,
-        "text_stats": q_text_stats,
-        # TPC-H shapes
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_topk_revenue": q_q3_topk_revenue,
-        "q5_region_revenue": q_q5_region_revenue,
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q18_large_orders": q_q18_large_orders,
-        "q19_disjunctive": q_q19_disjunctive,
-        "q4_priority_exists": q_q4_priority_exists,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q16_supplier_counts": q_q16_supplier_counts,
-        "q17_small_qty": q_q17_small_qty,
-        "q22_idle_customers": q_q22_idle_customers,
-        "q6_revenue_delta": q_q6_revenue_delta,
-        # unverified-r2 relational block (r1-green, re-verify now)
-        "above_customer_avg": q_above_customer_avg,
-        "grouped_udaf": q_grouped_udaf,
-        "min_per_group": q_min_per_group,
-        "quantiles": q_quantiles,
-        "join_outer": q_join_outer,
-        "regex_extract": q_regex_extract,
-        "range_join": q_range_join,
-        "ntile_ranks": q_ntile_ranks,
-        "sql_grouping_sets": q_sql_grouping_sets,
-        "pivot_status": q_pivot_status,
-        "array_agg_sorted": q_array_agg_sorted,
-        "posexplode_tokens": q_posexplode_tokens,
-        "window_top_orders": q_window_top_orders,
-        # --- rotated out this round (position 51+): every entry below is
-        # r1/r2 driver-green and stays green in the local sf0.01 gate ---
-        # new in r3 (locally oracle-verified; rotate into the window next round)
+        # the r3 additions, rotated into the window as planned in STATUS.md
         "q8_market_share": q_q8_market_share,
         "q9_profit": q_q9_profit,
         "q10_returned_items": q_q10_returned_items,
@@ -173,15 +124,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "phrase_search": q_phrase_search,
         "collocations": q_collocations,
+        "pq_ann": q_pq_ann,        # rows-only, r3 addition
+        "bpe_tokens": q_bpe_tokens,  # rows-only, r3 addition
+        # least-often driver-verified survivors fill the window
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
         "setops_multiset": q_setops_multiset,
         "running_window": q_running_window,
         "exists_subquery": q_exists_subquery,
+        "merge_upsert": q_merge_upsert,
+        "lag_lead_gaps": q_lag_lead_gaps,
+        "topk_orders": q_topk_orders,
+        # --- rotated out this round (position 51+): every entry below is
+        # driver-green in r1/r2/r3 (most recently the FULL r3 window) and
+        # stays green in the local full-registry sf0.01 gate ---
+        "count_chain": q_count_chain,
+        "define_filter_agg": q_define_filter_agg,
+        "explode_agg": q_explode_agg,
+        "histo_edges": q_histo_edges,
+        "take_col": q_take_col,
+        "map_props": q_map_props,
+        "asof_click_purchase": q_asof_click_purchase,
+        "sessionize": q_sessionize,
+        "json_events": q_json_events,
+        "time_bucket_agg": q_time_bucket_agg,
+        "pack_sequences": q_pack_sequences,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_pairs": q_cosine_pairs,
+        "cosine_topk": q_cosine_topk,
+        "dedup_components": q_dedup_components,
+        "semantic_dedup": q_semantic_dedup,
+        "decontamination": q_decontamination,
+        "doc_profile": q_doc_profile,
+        "text_stats": q_text_stats,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_topk_revenue": q_q3_topk_revenue,
+        "q5_region_revenue": q_q5_region_revenue,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive": q_q19_disjunctive,
+        "q4_priority_exists": q_q4_priority_exists,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q16_supplier_counts": q_q16_supplier_counts,
+        "q17_small_qty": q_q17_small_qty,
+        "q22_idle_customers": q_q22_idle_customers,
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "above_customer_avg": q_above_customer_avg,
+        "grouped_udaf": q_grouped_udaf,
+        "min_per_group": q_min_per_group,
+        "quantiles": q_quantiles,
+        "join_outer": q_join_outer,
+        "regex_extract": q_regex_extract,
+        "range_join": q_range_join,
+        "ntile_ranks": q_ntile_ranks,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "pivot_status": q_pivot_status,
+        "array_agg_sorted": q_array_agg_sorted,
+        "posexplode_tokens": q_posexplode_tokens,
+        "window_top_orders": q_window_top_orders,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
-        "merge_upsert": q_merge_upsert,
         "top_ngrams": q_top_ngrams,
         "repetition_signals": q_repetition_signals,
         "pii_redact": q_pii_redact,
@@ -189,10 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pagerank": q_pagerank,
         "profile_numeric": q_profile_numeric,
-        "lag_lead_gaps": q_lag_lead_gaps,
         "rollup_returnflag": q_rollup_returnflag,
         "distinct_supp_per_flag": q_distinct_supp_per_flag,
-        "topk_orders": q_topk_orders,
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
         "case_when_agg": q_case_when_agg,
@@ -200,13 +204,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        "pq_ann": q_pq_ann,
-        "bpe_tokens": q_bpe_tokens,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "histo_flow": SQL_HISTO_FLOW,
+        "line_dedup": SQL_LINE_DEDUP,
         "count_chain": SQL_COUNT_CHAIN,
         "define_filter_agg": SQL_DEFINE_FILTER_AGG,
         "explode_agg": SQL_EXPLODE_AGG,
@@ -313,5 +317,6 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": SQL_PHRASE_SEARCH,
         "collocations": SQL_COLLOCATIONS,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
-        # lsh_ann, ivf_ann, pq_ann (approximate ANN), bpe_tokens (iterative)
+        # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
+        # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative)
     }

@@ -287,10 +287,14 @@ class Frame:
         lo: float = 0.0,
         hi: float = 0.0,
         edges: list[float] | None = None,
+        flow: bool = False,
     ) -> Result:
         """Lazy 1-D histogram; resolves to a list of (bin, lo, hi, cnt).
         ``edges`` selects variable-bin mode (reference ``Histo(col, model)``
-        with non-uniform TH1F edges) and overrides nbins/lo/hi."""
+        with non-uniform TH1F edges) and overrides nbins/lo/hi. ``flow=True``
+        (fixed range only) adds TH1F under/overflow rows as bin -1/nbins
+        (/root/reference/TDataFrame.hxx:483-517 fills a TH1F whose Fill
+        routes out-of-range values to the flow bins)."""
         from tdataframe_spark.core.histogram import (
             bin_rows,
             histo_edges_frame,
@@ -298,6 +302,12 @@ class Frame:
         )
 
         c = self._one_default(col)
+
+        if flow and (edges is not None or not (hi > lo)):
+            raise ValueError(
+                "flow=True needs a fixed uniform range (auto-range covers "
+                "every value; variable edges carry their own bounds)"
+            )
 
         if edges is not None:
             def run_edges(df: DataFrame) -> list[tuple[int, float, float, int]]:
@@ -310,7 +320,7 @@ class Frame:
 
         if hi > lo:  # fixed range: the bucketize pass is the only pass
             def run(df: DataFrame) -> list[tuple[int, float, float, int]]:
-                return bin_rows(df, c, nbins, lo, hi, clamp_max=False)
+                return bin_rows(df, c, nbins, lo, hi, clamp_max=False, flow=flow)
 
             # a histogram consumes every frame row → it can carry piggybacked
             # observe() metrics for scalar actions booked on the same frame
@@ -340,6 +350,7 @@ class Frame:
         lo: float = 0.0,
         hi: float = 0.0,
         edges: list[float] | None = None,
+        flow: bool = False,
     ) -> DataFrame:
         """Eager-planned histogram bin table as a DataFrame (for pipelines /
         oracle queries)."""
@@ -347,7 +358,9 @@ class Frame:
             from tdataframe_spark.core.histogram import histo_edges_frame
 
             return histo_edges_frame(self._df, self._one_default(col), edges)
-        return histo_frame(self._df, self._one_default(col), nbins, lo, hi)
+        return histo_frame(
+            self._df, self._one_default(col), nbins, lo, hi, flow=flow
+        )
 
     # -- take (A6) --------------------------------------------------------
     def take(self, col: str | None = None, limit: int | None = None) -> Result:

@@ -18,8 +18,12 @@ Result shape: a zero-filled, bin-ordered table (bin, bin_lo, bin_hi, cnt) —
 deterministic and order-insensitively hashable for oracle comparison.
 
 Semantics notes (documented divergences / choices):
-- fixed-range mode DROPS out-of-range values (the reference routes them to
-  TH1F under/overflow bins which are not part of the visible bin table).
+- fixed-range mode by default DROPS out-of-range values; with
+  ``flow=True`` it instead matches TH1F under/overflow accounting
+  (/root/reference/TDataFrame.hxx:483-517 fills a TH1F, whose Fill routes
+  x < lo to bin 0 and x >= hi to bin nbins+1; exercised by
+  tests/tdf001_introduction.cxx) by emitting two extra visible rows:
+  bin -1 covering (-inf, lo) and bin nbins covering [hi, +inf).
 - auto-range mode includes every value; x == max lands in the last bin
   (TH1F-compatible clamp).
 """
@@ -44,7 +48,12 @@ def _values(df: DataFrame, col: str) -> DataFrame:
 
 
 def _bin_table(
-    vals: DataFrame, nbins: int, lo: float, hi: float, clamp_max: bool
+    vals: DataFrame,
+    nbins: int,
+    lo: float,
+    hi: float,
+    clamp_max: bool,
+    flow: bool = False,
 ) -> DataFrame:
     width = (hi - lo) / nbins
     v = F.col("__v")
@@ -52,6 +61,17 @@ def _bin_table(
     if clamp_max:
         binned = vals.filter(v.isNotNull()).select(
             F.least(b, F.lit(nbins - 1)).alias("bin")
+        )
+    elif flow:
+        # TH1F flow accounting: out-of-range values are COUNTED, in the
+        # visible rows bin -1 (underflow) and bin nbins (overflow) — still
+        # the same single bucketize + tiny hash aggregate
+        binned = vals.filter(v.isNotNull()).select(
+            F.when(v < lo, F.lit(-1))
+            .when(v >= hi, F.lit(nbins))
+            .otherwise(F.least(b, F.lit(nbins - 1)))
+            .cast("int")
+            .alias("bin")
         )
     else:
         # clamp here too: when (hi-lo)/nbins rounds DOWN, a value just
@@ -61,15 +81,28 @@ def _bin_table(
             F.least(b, F.lit(nbins - 1)).alias("bin")
         )
     counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
-    bins = vals.sparkSession.range(nbins).select(F.col("id").cast("int").alias("bin"))
+    spine_lo, spine_n = (-1, nbins + 2) if flow else (0, nbins)
+    bins = vals.sparkSession.range(spine_lo, spine_lo + spine_n).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    bin_lo = F.lit(lo) + F.col("bin").cast("double") * F.lit(width)
+    bin_hi = F.lit(lo) + (F.col("bin") + 1).cast("double") * F.lit(width)
+    if flow:
+        inf = float("inf")
+        bin_lo = F.when(F.col("bin") == -1, F.lit(-inf)).otherwise(bin_lo)
+        bin_hi = F.when(F.col("bin") == nbins, F.lit(inf)).otherwise(
+            # the last real bin's upper edge is exactly hi, not lo+n*width
+            # (those differ by float rounding); flow mode makes the edge
+            # semantically load-bearing so pin it
+            F.when(F.col("bin") == nbins - 1, F.lit(hi)).otherwise(bin_hi)
+        )
+        bin_lo = F.when(F.col("bin") == nbins, F.lit(hi)).otherwise(bin_lo)
     return (
         bins.join(F.broadcast(counts), "bin", "left")
         .select(
             "bin",
-            (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias("bin_lo"),
-            (F.lit(lo) + (F.col("bin") + 1).cast("double") * F.lit(width)).alias(
-                "bin_hi"
-            ),
+            bin_lo.alias("bin_lo"),
+            bin_hi.alias("bin_hi"),
             F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
         )
         .orderBy("bin")
@@ -88,14 +121,22 @@ def resolve_auto_range(mn, mx) -> tuple[float, float]:
 
 
 def bin_rows(
-    df: DataFrame, col: str, nbins: int, lo: float, hi: float, clamp_max: bool
+    df: DataFrame,
+    col: str,
+    nbins: int,
+    lo: float,
+    hi: float,
+    clamp_max: bool,
+    flow: bool = False,
 ) -> list[tuple[int, float, float, int]]:
     """Materialized bin table for an already-resolved range — the bucketize
     pass alone, so callers that obtained min/max elsewhere (e.g. fused into
     a shared scalar-agg pass) don't pay a second prepass here."""
     return [
         (r["bin"], r["bin_lo"], r["bin_hi"], r["cnt"])
-        for r in _bin_table(_values(df, col), nbins, lo, hi, clamp_max).collect()
+        for r in _bin_table(
+            _values(df, col), nbins, lo, hi, clamp_max, flow=flow
+        ).collect()
     ]
 
 
@@ -105,16 +146,23 @@ def histo_frame(
     nbins: int = 128,
     lo: float = 0.0,
     hi: float = 0.0,
+    flow: bool = False,
 ) -> DataFrame:
     """Histogram as a DataFrame bin table. ``hi <= lo`` selects auto-range
     (reference convention: min==max==0 means "derive the range from data",
-    /root/reference/TDataFrame.hxx:930-932)."""
+    /root/reference/TDataFrame.hxx:930-932). ``flow=True`` (fixed range
+    only) adds TH1F-style under/overflow rows as bin -1 / bin nbins."""
     vals = _values(df, col)
     auto = not (hi > lo)
     if auto:
+        if flow:
+            raise ValueError(
+                "flow=True needs a fixed range: auto-range covers every "
+                "value, so its flow bins are zero by construction"
+            )
         row = vals.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
         lo, hi = resolve_auto_range(row["lo"], row["hi"])
-    return _bin_table(vals, nbins, lo, hi, clamp_max=auto)
+    return _bin_table(vals, nbins, lo, hi, clamp_max=auto, flow=flow)
 
 
 def histo_edges_frame(

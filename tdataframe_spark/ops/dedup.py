@@ -876,6 +876,83 @@ def simhash_hamming_pairs(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_line: int = 3,
+) -> DataFrame:
+    """C4-style line-level deduplication: drop every repeated line from all
+    but its first occurrence, then reassemble documents.
+
+    The corpus tables carry no newline structure, so "lines" are
+    synthesized deterministically as fixed ``words_per_line``-word chunks
+    of the whitespace-split text (the splitter both engines can mirror
+    exactly). A line's first occurrence is the lexicographically smallest
+    (doc id, line index); every other occurrence corpus-wide is dropped —
+    the C4 paper's "discard all but one of any three-sentence span
+    occurring more than once" policy at line granularity.
+
+    100 TB shape: explode to one row per line, ONE hash aggregate on
+    line text whose min(struct) IS the kept set (no join back against the
+    full line table), then a per-doc aggregate to reassemble. Shuffled
+    bytes track the line table, never pairs; hot boilerplate lines cost
+    one combine-side min each.
+
+    Returns (id, text_clean, n_lines, n_kept, n_dropped); a document whose
+    every line was dropped keeps an empty text_clean.
+    """
+    if words_per_line < 1:
+        raise ValueError("words_per_line must be >= 1")
+    w = words_per_line
+    ws = F.split(F.col(text_col), " ")
+    # ceil(size/w) chunk starts; slice() past the end returns the short tail
+    n_chunks = F.ceil(F.size(ws) / F.lit(w)).cast("int")
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(ws, i * w + 1, w)),
+            )
+        ).alias("line_idx", "line_text"),
+    )
+    # first occurrence per distinct line — the aggregate's value IS the
+    # kept (doc, idx, text) row, so no second pass over the line table
+    kept = (
+        lines.groupBy("line_text")
+        .agg(F.min(F.struct("__id", "line_idx")).alias("__w"))
+        .select(
+            F.col("__w.__id").alias("__id"),
+            F.col("__w.line_idx").alias("line_idx"),
+            "line_text",
+        )
+    )
+    clean = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line_text"))),
+                lambda s: s["line_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(clean, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def build_cluster_index(
     df: DataFrame,
     id_col: str,

@@ -22,6 +22,7 @@ from tdataframe_spark.ops.dedup import (  # noqa: E402
     DEFAULT_MAX_SHINGLE_FREQ,
     MERSENNE61,
     MINHASH_PERMS,
+    dedup_lines,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -168,6 +169,49 @@ g AS (SELECT CAST(s AS INT) AS bin FROM generate_series(0, {HF_NBINS - 1}) t(s))
 SELECT g.bin,
        {HF_LO} + CAST(g.bin AS DOUBLE) * {(HF_HI - HF_LO) / HF_NBINS!r} AS bin_lo,
        {HF_LO} + CAST(g.bin + 1 AS DOUBLE) * {(HF_HI - HF_LO) / HF_NBINS!r} AS bin_hi,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM g LEFT JOIN c ON g.bin = c.bin
+"""
+
+
+# flow histogram: a fixed range that EXCLUDES part of the data, so the
+# TH1F-style under/overflow rows (bin -1 / bin nbins) are non-trivially
+# populated (l_quantity spans [1, 50])
+HFL_NBINS, HFL_LO, HFL_HI = 40, 5.5, 45.5
+
+
+def q_histo_flow(spark, sf):
+    """Fixed-range histogram WITH under/overflow accounting — the TH1F
+    flow-bin semantics of the reference's Histo fill
+    (/root/reference/TDataFrame.hxx:483-517): out-of-range values are
+    counted in visible bin -1 (underflow) and bin nbins (overflow) instead
+    of being dropped."""
+    return Frame(_t(spark, sf, "lineitem")).histo_frame(
+        "l_quantity", nbins=HFL_NBINS, lo=HFL_LO, hi=HFL_HI, flow=True
+    )
+
+
+SQL_HISTO_FLOW = f"""
+WITH v AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+  WHERE l_quantity IS NOT NULL
+),
+c AS (
+  SELECT CASE WHEN x < {HFL_LO} THEN -1
+              WHEN x >= {HFL_HI} THEN {HFL_NBINS}
+              ELSE LEAST(CAST(FLOOR((x - {HFL_LO}) / {(HFL_HI - HFL_LO) / HFL_NBINS!r}) AS INT),
+                         {HFL_NBINS - 1}) END AS bin,
+         COUNT(*) AS n
+  FROM v GROUP BY 1
+),
+g AS (SELECT CAST(s AS INT) AS bin FROM generate_series(-1, {HFL_NBINS}) t(s))
+SELECT g.bin,
+       CASE WHEN g.bin = -1 THEN CAST('-infinity' AS DOUBLE)
+            WHEN g.bin = {HFL_NBINS} THEN {HFL_HI}
+            ELSE {HFL_LO} + CAST(g.bin AS DOUBLE) * {(HFL_HI - HFL_LO) / HFL_NBINS!r} END AS bin_lo,
+       CASE WHEN g.bin = {HFL_NBINS} THEN CAST('infinity' AS DOUBLE)
+            WHEN g.bin = {HFL_NBINS - 1} THEN {HFL_HI}
+            ELSE {HFL_LO} + CAST(g.bin + 1 AS DOUBLE) * {(HFL_HI - HFL_LO) / HFL_NBINS!r} END AS bin_hi,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
 FROM g LEFT JOIN c ON g.bin = c.bin
 """
@@ -635,6 +679,47 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
        MIN(doc_id) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY 1
+"""
+
+
+LINE_DEDUP_W = 3  # synthesized line width (words); see dedup_lines docstring
+
+
+def q_line_dedup(spark, sf):
+    """C4-style line-level dedup: drop repeated 3-word lines corpus-wide
+    (first occurrence wins), reassemble documents."""
+    return dedup_lines(
+        _t(spark, sf, "documents"), "doc_id", "text", words_per_line=LINE_DEDUP_W
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+lines AS (
+  SELECT doc_id, CAST(g.i AS INT) AS line_idx,
+         array_to_string(
+           ws[(CAST(g.i AS INT) * {LINE_DEDUP_W} + 1):(CAST(g.i AS INT) * {LINE_DEDUP_W} + {LINE_DEDUP_W})],
+           ' ') AS line_text
+  FROM words CROSS JOIN generate_series(0, 100000) g(i)
+  WHERE g.i * {LINE_DEDUP_W} < len(ws)
+),
+first AS (
+  SELECT line_text, min(struct_pack(d := doc_id, i := line_idx)) AS w
+  FROM lines GROUP BY 1
+),
+kept AS (SELECT (w).d AS doc_id, (w).i AS line_idx, line_text FROM first),
+clean AS (
+  SELECT doc_id, string_agg(line_text, ' ' ORDER BY line_idx) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(c.text_clean, '') AS text_clean,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_lines - COALESCE(c.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN clean c ON t.doc_id = c.doc_id
 """
 
 
@@ -2557,6 +2642,32 @@ def q_pq_ann(spark, sf):
     return pq_topk(queries, emb, "vec_id", "embedding", k=5, rerank=50)
 
 
+def q_ivfpq_ann(spark, sf):
+    """IVF-PQ ANN — the flagship composition: coarse cells prune WHICH
+    partitions a probe reads (cell list arrives as partition filters on a
+    cell-partitioned codes table), PQ codes shrink HOW MUCH each touched
+    row costs (~16x), exact rerank reads raw vectors only inside probed
+    cells. Approximate by design → rows-only check; recall floor + the
+    full-probe == flat-PQ equivalence are pinned in pytest."""
+    import os
+    import tempfile
+
+    from tdataframe_spark.ops.similarity import ivfpq_build, ivfpq_query
+
+    emb = _t(spark, sf, "embeddings")
+    # fixed per-process dir, overwritten per call (same leak-avoidance
+    # convention as the rollup state dir)
+    path = os.path.join(tempfile.gettempdir(), f"ivfpq_index_{os.getpid()}")
+    ivfpq_build(
+        emb, path, "vec_id", "embedding", n_cells=8, m=16, n_codes=16,
+        residual=True,
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_query(
+        spark, path, queries, "vec_id", "embedding", k=5, n_probe=3, rerank=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-3 TPC-H widening: the remaining dashboard shapes expressible on this
 # testdata schema (no partsupp table, no commit/receipt dates, so Q2/Q11/Q12/
@@ -3327,6 +3438,38 @@ b AS (
 SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
 FROM b GROUP BY bin
 """
+
+
+def q_histo_equidepth_approx(spark, sf):
+    """Sketch-path equi-depth histogram — the 100 TB twin of
+    `histo_equidepth`: interior edges come from Spark's mergeable
+    Greenwald-Khanna `percentile_approx` (one partial+final aggregate, NO
+    full sort anywhere), then the same broadcast-edges bin pass.
+    Approximate by contract (edge placement carries 1/accuracy relative
+    rank error) → rows-only check; the depth-balance error bound is pinned
+    in pytest."""
+    from tdataframe_spark.functions.sketches import approx_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    probs = [i / HED_K for i in range(1, HED_K)]
+    edges = approx_quantiles(li, "l_extendedprice", probs, accuracy=10000)
+    edges = edges.select(F.col("quantiles").alias("__edges"))
+    v = F.col("l_extendedprice")
+    bin_id = F.aggregate(
+        F.col("__edges"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(v >= e, 1).otherwise(0),
+    ).cast("int")
+    return (
+        li.join(F.broadcast(edges))
+        .select(bin_id.alias("bin"), v.alias("__v"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )
 
 
 FUZZY_T = 0.4

@@ -403,6 +403,32 @@ def test_fixed_histo_keeps_inrange_value_on_rounded_width(spark):
     assert hist[6][3] == 1  # clamped into the last bin
 
 
+def test_fixed_histo_flow_bins_count_out_of_range(spark):
+    """flow=True matches TH1F accounting: under/overflow values land in
+    visible bins -1 and nbins instead of being dropped
+    (/root/reference/TDataFrame.hxx:483-517)."""
+    df = spark.createDataFrame(
+        [(-5.0,), (-0.1,), (0.0,), (1.5,), (3.9,), (4.0,), (99.0,)], "x double"
+    )
+    hist = Frame(df).histo("x", nbins=4, lo=0.0, hi=4.0, flow=True).get()
+    assert [b[0] for b in hist] == [-1, 0, 1, 2, 3, 4]
+    by_bin = {b[0]: b[3] for b in hist}
+    assert by_bin[-1] == 2       # -5.0, -0.1
+    assert by_bin[0] == 1        # 0.0
+    assert by_bin[1] == 1        # 1.5
+    assert by_bin[3] == 1        # 3.9
+    assert by_bin[4] == 2        # 4.0 (x == hi is overflow), 99.0
+    assert sum(by_bin.values()) == 7  # nothing dropped
+    under, over = hist[0], hist[-1]
+    assert under[1] == float("-inf") and under[2] == 0.0
+    assert over[1] == 4.0 and over[2] == float("inf")
+    # flow demands a fixed range
+    with pytest.raises(ValueError):
+        Frame(df).histo("x", nbins=4, flow=True)
+    with pytest.raises(ValueError):
+        Frame(df).histo("x", edges=[0.0, 1.0, 2.0], flow=True)
+
+
 def test_udf_arity_accepts_defaults_and_rejects_mismatch(spark):
     import pytest
 

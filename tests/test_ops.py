@@ -56,6 +56,34 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(2 not in p for p in pairs)
 
 
+def test_dedup_lines_drops_planted_boilerplate(spark):
+    """C4-style line dedup: a boilerplate chunk duplicated across docs
+    survives only at its first (doc, idx) occurrence; docs reassemble in
+    original line order; a fully-boilerplate doc ends up empty."""
+    from tdataframe_spark.ops.dedup import dedup_lines
+
+    boiler = "subscribe to our newsletter"  # 4 words = one w=4 line
+    rows = [
+        Row(doc_id=1, text=f"{boiler} unique alpha body text"),
+        Row(doc_id=2, text=f"fresh beta content here {boiler}"),
+        Row(doc_id=3, text=boiler),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            spark.createDataFrame(rows), "doc_id", "text", words_per_line=4
+        ).collect()
+    }
+    assert out[1]["text_clean"] == f"{boiler} unique alpha body text"
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_dropped"]) == (2, 2, 0)
+    # doc 2's copy of the boilerplate is dropped, its own line kept
+    assert out[2]["text_clean"] == "fresh beta content here"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    # doc 3 was nothing but boilerplate
+    assert out[3]["text_clean"] == ""
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+
+
 def test_simhash_hamming_banded_equals_bruteforce(spark):
     """Pigeonhole banding is exact: the banded equi-join plan returns the
     SAME pair set as the quadratic formulation (guaranteed recall at
@@ -953,6 +981,35 @@ def test_pq_build_query_matches_topk(spark, tmp_path):
     assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, via_index), key=lambda t: (t[0], t[3])
     ) and len(direct) == len({key(r) for r in direct})
+
+
+def test_ivfpq_partial_probe_recall_floor(spark, tmp_path):
+    """The registered ivfpq_ann shape (partial probe + residual codes +
+    rerank) recovers most of the exact top-k — the recall contract the
+    rows-only registry entry leans on."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import ivfpq_build, ivfpq_query
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F2.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivfpq_recall")
+    # the registered q_ivfpq_ann parameters
+    ivfpq_build(
+        emb, path, n_cells=8, m=16, n_codes=16, residual=True,
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_query(
+            spark, path, q, k=5, n_probe=3, rerank=50
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # deterministic: measured 0.76 on this data
 
 
 def test_ivfpq_full_probe_matches_pq_and_prunes_partitions(spark, tmp_path):

@@ -362,7 +362,7 @@ def test_registry_wide_plan_lint(spark):
     heavy_builders = {
         # these train/materialize during DataFrame CONSTRUCTION; their
         # plan properties are pinned by dedicated tests instead
-        "pq_ann", "ivf_ann", "lsh_ann", "bpe_tokens", "dedup_components",
+        "pq_ann", "ivf_ann", "ivfpq_ann", "lsh_ann", "bpe_tokens", "dedup_components",
         "dedup_keep_best", "rollup_incremental", "snapshot_diff",
         "merge_upsert", "global_rank", "decontamination_bloom",
         "nearest_centroid", "lm_score",

@@ -76,6 +76,31 @@ def test_approx_quantiles_close_to_exact(spark, orders):
         assert abs(g - e) / e < 0.01
 
 
+def test_histo_equidepth_approx_depth_balance(spark):
+    """The sketch-path equi-depth histogram (registered rows-only as
+    `histo_equidepth_approx`) honors the Greenwald-Khanna bound: with
+    relative rank error 1/accuracy, every bin's population stays within
+    K * (2N/accuracy + max tie multiplicity) of the ideal N/K depth."""
+    from tdataframe_spark.queries import HED_K, q_histo_equidepth_approx
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n = li.count()
+    max_tie = (
+        li.groupBy("l_extendedprice").count().agg(F.max("count")).first()[0]
+    )
+    bins = q_histo_equidepth_approx(spark, sf).collect()
+    assert len(bins) == HED_K
+    assert sum(r["n"] for r in bins) == n  # accounting: every row binned
+    tol = 2 * n / 10000 + max_tie  # accuracy=10000 in the registered query
+    for r in bins:
+        assert abs(r["n"] - n / HED_K) <= tol, (r["bin"], r["n"], n / HED_K)
+    # bins tile the value range in order
+    ordered = sorted(bins, key=lambda r: r["bin"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi"] <= b["lo"]
+
+
 def test_cms_merge_law_and_bounds(spark):
     """Sketch of parts, merged == sketch of the whole (EXACT counter
     equality), and point estimates never undercount."""
