@@ -468,6 +468,12 @@ def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         if p[pos] != 0xFF:
                             pos += 1
                             continue
+                        # 0xFF fill/padding bytes may precede a marker;
+                        # treating one as the marker itself would read two
+                        # junk bytes as a segment length and jump past the
+                        # real SOF
+                        while pos + 9 < len(p) and p[pos + 1] == 0xFF:
+                            pos += 1
                         marker = p[pos + 1]
                         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                             pos += 2

@@ -121,9 +121,12 @@ def winsorize(
     """
     from pyspark.sql import functions as F
 
+    # typed API, not f-string SQL: interpolated identifiers misparse for
+    # column names needing backticks (the string-injection class this repo
+    # bans — see mix_domains)
     bounds = df.agg(
         *[
-            F.expr(f"percentile({c}, {q})").alias(f"__{c}_{tag}")
+            F.percentile(F.col(c).cast("double"), F.lit(q)).alias(f"__{c}_{tag}")
             for c in cols
             for q, tag in ((lower, "lo"), (upper, "hi"))
         ]

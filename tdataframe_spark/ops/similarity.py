@@ -691,11 +691,30 @@ def _adc_search(
         F.col("__vn").isNotNull()
     )
     qsv = _subvec_table(qn, "query_id", m)
+    # a query whose dim differs from the corpus but still divides by m
+    # passes _subvec_table's check, then zip_with over mismatched lengths
+    # yields NULL partial dots and the ranking silently degenerates —
+    # raise instead. The assert must be the when/otherwise GATE of the
+    # value, not an addend: `NULL + assert` short-circuits on the NULL
+    # left operand and never evaluates the assert — exactly in the
+    # failure case it guards.
+    dims_ok = F.size("__sv") == F.size("__cvec")
+    partial = F.when(dims_ok, dot(F.col("__sv"), F.col("__cvec"))).otherwise(
+        F.assert_true(
+            dims_ok,
+            F.concat(
+                F.lit("PQ query subvector dim "),
+                F.size("__sv").cast("string"),
+                F.lit(" != codebook codeword dim "),
+                F.size("__cvec").cast("string"),
+            ),
+        ).cast("double")
+    )
     adc = qsv.join(F.broadcast(cb), "__sub").select(
         "query_id",
         "__sub",
         "__cell",
-        dot(F.col("__sv"), F.col("__cvec")).alias("__p"),
+        partial.alias("__p"),
     )
     join_keys = (
         ["query_id", "__sub", "__cell"] if per_query_codes else ["__sub", "__cell"]
@@ -765,18 +784,26 @@ def pq_topk(
     """
     spark = corpus.sparkSession
     # one normalized pass + one subvector table feed training, encoding,
-    # AND reranking (persisted, like ivf_topk — the session LRU evicts)
+    # AND reranking; the top-k result (|queries|·k rows, tiny by
+    # construction) is materialized eagerly so both caches can be released
+    # before returning — repeated calls must not accumulate cached corpus
+    # copies (the builders' try/finally discipline)
     u = _normalized(corpus, id_col, vec_col, "__cid").filter(
         F.col("__vn").isNotNull()
     ).persist()
     sv = _subvec_table(u, "__cid", m).persist()
-    codebook = _pq_fit(sv, n_codes, lloyd_iterations)
-    cb = _pq_codebook_df(spark, codebook)
-    code_rows = _pq_code_rows(sv, codebook)
-    return _adc_search(
-        queries, id_col, vec_col, m, cb, code_rows, k, rerank,
-        u if rerank else None,
-    )
+    try:
+        codebook = _pq_fit(sv, n_codes, lloyd_iterations)
+        cb = _pq_codebook_df(spark, codebook)
+        code_rows = _pq_code_rows(sv, codebook)
+        result = _adc_search(
+            queries, id_col, vec_col, m, cb, code_rows, k, rerank,
+            u if rerank else None,
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        sv.unpersist()
+        u.unpersist()
 
 
 def pq_build(

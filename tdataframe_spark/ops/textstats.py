@@ -503,15 +503,23 @@ def group_split(
     is a pure function of the key, so it is stable across runs, engines,
     and data arrivals — new rows of a known group inherit its side,
     which is what makes the split safe to apply incrementally/on streams.
-    ``eval_fraction`` resolves to floor(buckets·fraction) hash buckets.
+    ``eval_fraction`` resolves to round(buckets·fraction) hash buckets —
+    round, not int(): float representation error truncates some exact
+    fractions a bucket low (0.29 · 1000 → 289.99999999999994 → 289).
     """
     from tdataframe_spark.functions.numeric import portable_hash64
 
-    cut = int(buckets * eval_fraction)
+    cut = _eval_bucket_cut(buckets, eval_fraction)
     b = F.pmod(portable_hash64(F.col(group_col).cast("string")), F.lit(buckets))
     return df.withColumn(
         "split", F.when(b < cut, F.lit("eval")).otherwise(F.lit("train"))
     )
+
+
+def _eval_bucket_cut(buckets: int, eval_fraction: float) -> int:
+    """Hash buckets assigned to the eval side (see group_split's round-vs-
+    int note; separated so the arithmetic is directly testable)."""
+    return round(buckets * eval_fraction)
 
 
 def weighted_sample(

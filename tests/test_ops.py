@@ -1060,6 +1060,27 @@ def test_pq_rejects_indivisible_dim(spark):
     assert "divisible" in str(ei.value)
 
 
+def test_pq_query_rejects_dim_mismatched_queries(spark):
+    """A query dim that differs from the corpus but still divides by m
+    passes the divisibility check; the ADC join must raise on the
+    subvector/codeword length mismatch rather than degenerate to NULL
+    similarities."""
+    import pytest
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.similarity import pq_topk
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i + d) for d in range(8)]) for i in range(20)]
+    )
+    bad_q = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[1.0, 2.0, 3.0, 4.0])]  # dim 4, m=2 divides
+    )
+    with pytest.raises(Exception) as ei:
+        pq_topk(bad_q, corpus, k=3, m=2, n_codes=4, lloyd_iterations=1).collect()
+    assert "dim" in str(ei.value)
+
+
 def test_pq_index_incremental_append(spark, tmp_path):
     """New vectors encode with the SAME persisted codebook and append to
     the codes/vectors tables; queries then retrieve them — the no-retrain
@@ -1201,6 +1222,15 @@ def test_probe_metadata_real_headers(spark):
         b"RIFF" + struct.pack("<I", 36) + b"WAVE"
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 22050, 44100, 2, 16)
     )
+    # JPEG with 0xFF fill bytes before the SOF marker (legal padding):
+    # treating a fill byte as the marker reads junk as a segment length
+    # and skips the real SOF
+    jpeg_padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 21, 55) + b"\x01\x11\x00\x00"
+        + b"\xff\xd9"
+    )
     media = spark.createDataFrame(
         [
             (1, "image/png", bytearray(png)),
@@ -1208,6 +1238,7 @@ def test_probe_metadata_real_headers(spark):
             (3, "image/jpeg", bytearray(jpeg)),
             (4, "audio/wav", bytearray(wav)),
             (5, "image/webp", bytearray(b"RIFF....WEBP")),
+            (6, "image/jpeg", bytearray(jpeg_padded)),
         ],
         "media_id long, kind string, payload binary",
     )
@@ -1217,6 +1248,7 @@ def test_probe_metadata_real_headers(spark):
     assert (out[3]["width"], out[3]["height"]) == (44, 33)
     assert out[4]["sample_rate"] == 22050
     assert out[5]["width"] is not None  # fallback still populates schema
+    assert (out[6]["width"], out[6]["height"]) == (55, 21)
 
 
 def test_lsh_rejects_dim_mismatch(spark):

@@ -120,6 +120,19 @@ def test_winsorize_clips_to_exact_percentiles(spark):
     assert (mid["x_w"] == mid["x"]).all()  # interior untouched
 
 
+def test_winsorize_handles_nonidentifier_column_names(spark):
+    """Bounds go through the typed percentile API, so a column name that
+    would need backticks in SQL text must work unchanged."""
+    from tdataframe_spark.ops.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "x val-1"]
+    )
+    out = winsorize(df, ["x val-1"], lower=0.10, upper=0.90).toPandas()
+    assert abs(out["x val-1_w"].min() - 10.9) < 1e-9
+    assert abs(out["x val-1_w"].max() - 90.1) < 1e-9
+
+
 def test_winsorize_preserves_nulls(spark):
     from tdataframe_spark.ops.quality import winsorize
 

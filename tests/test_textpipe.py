@@ -369,6 +369,18 @@ def test_group_split_is_leakage_free_and_stable(spark):
     assert all(full_map[g] == s for g, s in zip(sub["grp"], sub["split"]))
 
 
+def test_group_split_bucket_cut_rounds_exact_fractions():
+    """0.29 of 1000 buckets means 290 eval buckets — int() truncation on
+    289.99999999999994 gave 289 (a 28.9% share for a requested 29%)."""
+    from tdataframe_spark.ops.textstats import _eval_bucket_cut
+
+    assert _eval_bucket_cut(1000, 0.29) == 290
+    assert _eval_bucket_cut(1000, 0.2) == 200
+    assert _eval_bucket_cut(1000, 0.0) == 0
+    assert _eval_bucket_cut(1000, 1.0) == 1000
+    assert _eval_bucket_cut(10, 0.29) == 3
+
+
 def test_retrieval_metrics_hand_computed(spark):
     """recall/MRR/nDCG against hand-computed values, including a query
     with zero hits and one with a partial hit set."""
