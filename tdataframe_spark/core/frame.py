@@ -482,6 +482,7 @@ class Frame:
         partition_by: Sequence[str] | None = None,
         sort_by: Sequence[str] | None = None,
         zorder_by: Sequence[str] | None = None,
+        hilbert_by: Sequence[str] | None = None,
         n_files: int = 16,
     ) -> "Frame":
         """Write the (post-filter/define) frame to Parquet and return a new
@@ -491,9 +492,13 @@ class Frame:
         why they matter at scale): ``sort_by`` range-partitions + sorts so
         per-file min/max are near-disjoint on the sort column (row-group
         skipping); ``zorder_by`` interleaves quantile-bucket bits of
-        several columns so filters on ANY of them skip."""
-        if sort_by and zorder_by:
-            raise ValueError("sort_by and zorder_by are mutually exclusive")
+        several columns so filters on ANY of them skip; ``hilbert_by``
+        does the same through the Hilbert curve (tighter average per-file
+        bounding boxes — no Morton seams)."""
+        if sum(map(bool, (sort_by, zorder_by, hilbert_by))) > 1:
+            raise ValueError(
+                "sort_by, zorder_by and hilbert_by are mutually exclusive"
+            )
         d = self._df.select(*cols) if cols else self._df
         if sort_by:
             from tdataframe_spark.sources.layout import write_sorted
@@ -503,6 +508,10 @@ class Frame:
             from tdataframe_spark.sources.layout import write_zordered
 
             write_zordered(d, path, list(zorder_by), n_files, mode=mode)
+        elif hilbert_by:
+            from tdataframe_spark.sources.layout import write_hilbert
+
+            write_hilbert(d, path, list(hilbert_by), n_files, mode=mode)
         else:
             w = d.write.mode(mode)
             if partition_by:

@@ -767,6 +767,7 @@ def pq_topk(
     n_codes: int = 16,
     lloyd_iterations: int = 3,
     rerank: int = 0,
+    materialize: bool = True,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation (ADC):
     train + encode the corpus, build each query's (subspace, codeword) →
@@ -800,10 +801,15 @@ def pq_topk(
             queries, id_col, vec_col, m, cb, code_rows, k, rerank,
             u if rerank else None,
         )
+        if not materialize:
+            # lazy plan for inspection/tests; caches stay alive for the
+            # caller to execute against (session LRU reclaims them)
+            return result
         return result.localCheckpoint(eager=True)
     finally:
-        sv.unpersist()
-        u.unpersist()
+        if materialize:
+            sv.unpersist()
+            u.unpersist()
 
 
 def pq_build(

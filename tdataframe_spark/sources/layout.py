@@ -30,14 +30,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
         raise ValueError("zorder_by requires at least one column")
     if bits * len(cols) > 62:
         raise ValueError(f"bits*len(cols) must fit a bigint: {bits}*{len(cols)}")
-    n_b = 1 << bits
-    probs = [i / n_b for i in range(1, n_b)]
-    buckets: list[Column] = []
-    for c in cols:
-        qs = df.stat.approxQuantile(c, probs, 0.01)
-        arr = F.array(*[F.lit(float(q)) for q in qs])
-        v = F.col(c).cast("double")
-        buckets.append(F.size(F.filter(arr, lambda e: e <= v)).cast("long"))
+    buckets = _quantile_buckets(df, cols, bits)
     z = F.lit(0).cast("long")
     k = len(cols)
     for bit in range(bits):
@@ -46,6 +39,102 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + j
             ).cast("long")
     return z
+
+
+def _quantile_buckets(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
+    """Per-column equi-depth bucket index in [0, 2^bits) — shared by the
+    z-order and Hilbert keys (approxQuantile pulls 2^bits boundaries per
+    column to the driver; constant-size state)."""
+    n_b = 1 << bits
+    probs = [i / n_b for i in range(1, n_b)]
+    buckets: list[Column] = []
+    for c in cols:
+        qs = df.stat.approxQuantile(c, probs, 0.01)
+        arr = F.array(*[F.lit(float(q)) for q in qs])
+        v = F.col(c).cast("double")
+        buckets.append(F.size(F.filter(arr, lambda e: e <= v)).cast("long"))
+    return buckets
+
+
+def hilbert_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Hilbert-curve key over ``cols``: same equi-depth bucketing as
+    ``zorder_key``, but the bucket coordinates are mapped through the
+    n-dimensional Hilbert curve instead of Morton bit-interleaving.
+
+    Why offer both: consecutive Hilbert keys are ALWAYS adjacent cells
+    (the curve has no Morton "seams" — z-order jumps across the space at
+    power-of-two boundaries), so contiguous key ranges map to tighter
+    bounding boxes and per-file column ranges are narrower on average —
+    the same reason lakehouse OPTIMIZE implementations added Hilbert
+    alongside z-order.
+
+    Implementation: Skilling's axes→transpose transform ("Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004 — public-domain algorithm).
+    The per-bit-level loop runs as an F.aggregate fold over the Q values,
+    so the expression stays ONE step's size and is iterated at runtime —
+    unrolling it would nest exponentially. All JVM-side; no UDFs.
+    """
+    if not cols:
+        raise ValueError("hilbert_by requires at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits*len(cols) must fit a bigint: {bits}*{len(cols)}")
+    return hilbert_index(_quantile_buckets(df, cols, bits), bits)
+
+
+def hilbert_index(coords: list[Column], bits: int) -> Column:
+    """Hilbert curve position of integer ``coords`` (each in [0, 2^bits))
+    as a bigint — the pure curve math behind :func:`hilbert_key`, split
+    out so tests can pin it against a reference implementation on literal
+    grids."""
+    n = len(coords)
+    X = F.array(*[c.cast("long") for c in coords])
+    # Q = M .. 2 descending (the "inverse undo" sweep); empty at bits == 1,
+    # where the transform is just the gray encode below
+    q_vals = [1 << e for e in range(bits - 1, 0, -1)]
+    qs = F.array(*[F.lit(q).cast("long") for q in q_vals])
+
+    def undo_step(acc: Column, Qc: Column) -> Column:
+        P = Qc - F.lit(1).cast("long")
+        xs = [F.element_at(acc, i + 1) for i in range(n)]
+        for i in range(n):
+            x0, xi = xs[0], xs[i]
+            cond = xi.bitwiseAND(Qc) != 0
+            if i == 0:
+                # exchange branch is a no-op for i == 0 (t == 0)
+                xs[0] = F.when(cond, x0.bitwiseXOR(P)).otherwise(x0)
+            else:
+                t = x0.bitwiseXOR(xi).bitwiseAND(P)
+                xs[0] = F.when(cond, x0.bitwiseXOR(P)).otherwise(x0.bitwiseXOR(t))
+                xs[i] = F.when(cond, xi).otherwise(xi.bitwiseXOR(t))
+        return F.array(*xs)
+
+    tx = F.aggregate(qs, X, undo_step) if q_vals else X
+    # Gray encode: X[i] ^= X[i-1] (prefix XOR), then the t-correction
+    gray = [F.element_at(tx, 1)]
+    for i in range(1, n):
+        gray.append(gray[i - 1].bitwiseXOR(F.element_at(tx, i + 1)))
+    t_corr = (
+        F.aggregate(
+            qs,
+            F.lit(0).cast("long"),
+            lambda t, Qc: F.when(
+                gray[n - 1].bitwiseAND(Qc) != 0,
+                t.bitwiseXOR(Qc - F.lit(1).cast("long")),
+            ).otherwise(t),
+        )
+        if q_vals
+        else F.lit(0).cast("long")
+    )
+    final = [g.bitwiseXOR(t_corr) for g in gray]
+    # interleave the transposed bits MSB-first: bit j of X[i] lands at
+    # key bit j*n + (n-1-i)
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i in range(n):
+            key = key + F.shiftleft(
+                F.shiftright(final[i], j).bitwiseAND(F.lit(1)), j * n + (n - 1 - i)
+            ).cast("long")
+    return key
 
 
 def write_sorted(
@@ -85,6 +174,29 @@ def write_zordered(
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    hilbert_by: list[str],
+    n_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-ordered write: like ``write_zordered`` (bounded per-file
+    ranges on EVERY listed column) with tighter average bounding boxes —
+    consecutive curve positions are always spatially adjacent, so a file's
+    contiguous key range never straddles a Morton seam."""
+    h = hilbert_key(df, hilbert_by, bits)
+    (
+        df.withColumn("__h", h)
+        .repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
         .write.mode(mode)
         .parquet(path)
     )

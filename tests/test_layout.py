@@ -63,6 +63,93 @@ def test_zorder_snapshot_bounds_both_columns(spark, lineitem, tmp_path):
     assert back.count() == lineitem.count()
 
 
+def _hilbert_ref(coords, b):
+    """Pure-Python Skilling axes→transpose→index (the published reference
+    the Column implementation must reproduce bit-for-bit)."""
+    X = list(coords)
+    n = len(X)
+    Q = 1 << (b - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t, Q = 0, 1 << (b - 1)
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    X = [x ^ t for x in X]
+    key = 0
+    for j in range(b):
+        for i in range(n):
+            key |= ((X[i] >> j) & 1) << (j * n + (n - 1 - i))
+    return key
+
+
+def test_hilbert_index_is_a_true_hilbert_curve(spark):
+    """Over full grids the JVM-expression curve must (a) match the
+    published Skilling reference exactly, (b) be a bijection onto
+    [0, 2^(n·b)), and (c) have the defining Hilbert property: consecutive
+    positions are ADJACENT cells (step distance exactly 1 — the property
+    Morton/z-order lacks at seam crossings)."""
+    import itertools
+
+    from tdataframe_spark.sources.layout import hilbert_index
+
+    for n, b in [(2, 3), (3, 2)]:
+        side = 1 << b
+        cells = list(itertools.product(range(side), repeat=n))
+        df = spark.createDataFrame(
+            cells, ", ".join(f"c{i} int" for i in range(n))
+        )
+        got = {
+            tuple(r[f"c{i}"] for i in range(n)): r["h"]
+            for r in df.select(
+                *[f"c{i}" for i in range(n)],
+                hilbert_index([F.col(f"c{i}") for i in range(n)], b).alias("h"),
+            ).collect()
+        }
+        assert got == {c: _hilbert_ref(c, b) for c in cells}
+        assert sorted(got.values()) == list(range(side**n))
+        walk = sorted(got.items(), key=lambda kv: kv[1])
+        assert all(
+            sum(abs(a - c) for a, c in zip(walk[k][0], walk[k + 1][0])) == 1
+            for k in range(len(walk) - 1)
+        )
+
+
+def test_hilbert_snapshot_bounds_both_columns(spark, lineitem, tmp_path):
+    """Hilbert layout gives every listed column bounded per-file ranges
+    (same contract as z-order), and file-level pruning works on the
+    second column."""
+    out = str(tmp_path / "hilbert")
+    Frame(lineitem).snapshot(
+        out, hilbert_by=["l_extendedprice", "l_quantity"], n_files=16
+    )
+    for col in ["l_extendedprice", "l_quantity"]:
+        ranges = parquet_column_ranges(out, col)
+        assert len(ranges) == 16
+        full = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+        widths = [hi - lo for lo, hi in ranges]
+        assert sum(widths) / len(widths) < 0.6 * full, col
+    pruned = read_pruned(spark, out, "l_quantity", 1.0, 5.0)
+    assert len(pruned.inputFiles()) < 16
+    back = spark.read.parquet(out)
+    assert back.count() == lineitem.count()
+    with pytest.raises(ValueError):
+        Frame(lineitem).snapshot(
+            out, zorder_by=["l_quantity"], hilbert_by=["l_quantity"]
+        )
+
+
 def test_read_pruned_skips_files_same_answer(spark, lineitem, tmp_path):
     """File-level skipping on a sorted layout: a narrow range on the sort
     column opens a strict subset of files (df.inputFiles() proves Spark

@@ -293,10 +293,20 @@ def test_global_rank_never_single_partitions(spark):
 def test_pq_adc_scan_broadcasts_and_no_cartesian(spark):
     """PQ search must score the compressed codes via a BROADCAST ADC-table
     join (map-side, no shuffle of the corpus for candidate generation) and
-    never fall back to a cartesian/nested-loop pair plan."""
+    never fall back to a cartesian/nested-loop pair plan. Inspect the lazy
+    plan (materialize=False): pq_topk's default path eagerly checkpoints
+    the top-k so it can release its corpus caches, which collapses the
+    executed plan to a checkpoint scan."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import pq_topk
     from tdataframe_spark.plans.inspect import explain_str
 
-    df = em.q_pq_ann(spark, SF)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = pq_topk(
+        emb.filter(F2.col("vec_id") % 100 == 0), emb, k=5, rerank=50,
+        materialize=False,
+    )
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -345,6 +355,7 @@ _BNLJ_ALLOWED = {
     "q22_idle_customers",  # 1-row scalar avg(acctbal) subquery attach
     "decayed_engagement",  # 1-row corpus max-timestamp attach
     "histo_equidepth",     # 1-row quantile-edges array attach
+    "histo_equidepth_approx",  # same attach, sketch-placed edges
     "ccnet_buckets",       # per-language cutpoint rows (bounded by #langs)
     "retrieval_metrics",   # bounded labeled query-set attach
     "winsorize",           # 1-row clip-bounds attach
