@@ -354,6 +354,13 @@ class Frame:
     ) -> DataFrame:
         """Eager-planned histogram bin table as a DataFrame (for pipelines /
         oracle queries)."""
+        if flow and edges is not None:
+            # keep the two public histogram entry points in agreement:
+            # Frame.histo raises for this combination too
+            raise ValueError(
+                "flow=True needs a fixed uniform range (variable edges "
+                "carry their own bounds)"
+            )
         if edges is not None:
             from tdataframe_spark.core.histogram import histo_edges_frame
 

@@ -799,28 +799,42 @@ def simhash_hamming_pairs(
     max_distance: int = 8,
     n: int = 1,
     n_bits: int = 60,
+    expand: int = 1,
 ) -> DataFrame:
-    """All document pairs whose SimHash Hamming distance is <= max_distance,
-    found by pigeonhole banding — never an all-pairs cross product.
+    """All document pairs whose SimHash Hamming distance is <= max_distance
+    (d), found by pigeonhole banding — never an all-pairs cross product,
+    and exact: banded candidates + bit_count verify return the identical
+    pair set to the quadratic formulation.
 
-    Pigeonhole: split the ``n_bits``-bit signature into ``max_distance + 1``
-    contiguous bands. If two signatures differ in at most ``max_distance``
-    bits, those differing bits can touch at most ``max_distance`` bands, so
-    AT LEAST ONE band is bit-identical in both — an equi-join on
-    (band_idx, band_value) therefore has guaranteed recall at that radius.
-    Candidates are then verified with the exact ``bit_count`` distance, so
-    the result is identical to the quadratic formulation.
+    Pigeonhole with variant expansion (``expand`` = e): split the signature
+    into b = floor(d / (e+1)) + 1 contiguous bands; for any pair within
+    distance d, SOME band carries at most floor(d/b) <= e of the differing
+    bits. One side of the join therefore emits, per band, every value
+    within Hamming distance e of its band value (e=1: the value plus one
+    row per flipped bit); the other side emits the exact value. The
+    equi-join on (band_idx, band_value) then has guaranteed recall at
+    radius d — the HmSearch-style trade of join-key fan-out for band width.
 
-    100 TB shape: one explode to (d+1) rows per doc, one shuffle join on
-    the band key, one distinct on the (id_a, id_b) candidate set, map-side
-    verify. Cost tracks the true near-dup density (plus band-collision
-    noise that narrower bands admit), not n².
+    Honest cost floor (why e matters): two UNRELATED signatures collide in
+    a w-bit band with probability ~(variants)/2^w, so the candidate set has
+    an irreducible ~b·sum_{i<=e} C(w,i)/2^w · n²/2 term for uniform
+    signatures. At d=8 over 60 bits: e=0 → 9 bands of ~6.7 bits ≈ 9% of
+    all pairs; e=1 → 5 bands of 12 bits ≈ 1.6%. Larger e widens bands
+    further (e=2 → 3 bands of 20 bits, ~2e-4) at C(w,2) fan-out. And on
+    any corpus, output size is a lower bound — a tight threshold on
+    clustered data is quadratic because the ANSWER is.
+
+    100 TB shape: one explode per doc (b·variants rows on the expanded
+    side, b on the exact side), one shuffle join on the band key, one
+    distinct on the candidate pairs, map-side verify.
     """
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
-    bands = max_distance + 1
+    if expand not in (0, 1):
+        raise ValueError("expand must be 0 (exact bands) or 1 (1-flip variants)")
+    bands = max_distance // (expand + 1) + 1
     if bands > n_bits:
-        raise ValueError("max_distance + 1 bands need at least that many bits")
+        raise ValueError(f"{bands} bands need at least that many signature bits")
     base, extra = divmod(n_bits, bands)
     # band i covers [offset, offset + width) of the signature; the first
     # `extra` bands get one extra bit so all n_bits are covered
@@ -828,35 +842,45 @@ def simhash_hamming_pairs(
     offsets = [sum(widths[:i]) for i in range(bands)]
 
     h = simhash64(df, id_col, text_col, n=n)
-    band_structs = F.array(
+
+    def band_val(i: int):
+        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
+
+    exact_structs = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.shiftrightunsigned(F.col("simhash"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long"))
-                .alias("band_val"),
-            )
+            F.struct(F.lit(i).alias("band_idx"), band_val(i).alias("band_val"))
             for i in range(bands)
         ]
     )
-    banded = h.select(
-        F.col(id_col).alias("__id"),
-        F.col("simhash").alias("__h"),
-        F.explode(band_structs).alias("__b"),
-    ).select("__id", "__h", "__b.band_idx", "__b.band_val")
+    if expand == 0:
+        expanded_structs = exact_structs
+    else:
+        expanded_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    v.alias("band_val"),
+                )
+                for i in range(bands)
+                for v in [band_val(i)]
+                + [
+                    band_val(i).bitwiseXOR(F.lit(1 << j).cast("long"))
+                    for j in range(widths[i])
+                ]
+            ]
+        )
 
-    a = banded.select(
-        F.col("__id").alias("id_a"),
-        F.col("__h").alias("h_a"),
-        "band_idx",
-        "band_val",
-    )
-    b = banded.select(
-        F.col("__id").alias("id_b"),
-        F.col("__h").alias("h_b"),
-        "band_idx",
-        "band_val",
-    )
+    def explode_side(structs, id_alias: str, h_alias: str) -> DataFrame:
+        return h.select(
+            F.col(id_col).alias(id_alias),
+            F.col("simhash").alias(h_alias),
+            F.explode(structs).alias("__b"),
+        ).select(id_alias, h_alias, "__b.band_idx", "__b.band_val")
+
+    a = explode_side(expanded_structs, "id_a", "h_a")
+    b = explode_side(exact_structs, "id_b", "h_b")
     candidates = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -899,8 +923,11 @@ def dedup_lines(
     bytes track the line table, never pairs; hot boilerplate lines cost
     one combine-side min each.
 
-    Returns (id, text_clean, n_lines, n_kept, n_dropped); a document whose
-    every line was dropped keeps an empty text_clean.
+    Returns (id, text_clean, n_lines, n_kept, n_dropped) — one row per
+    input document, always: a document whose every line was dropped keeps
+    an empty text_clean, and a NULL-text document keeps a row with zero
+    counts (anchoring totals on the line table instead would silently
+    delete it from the output).
     """
     if words_per_line < 1:
         raise ValueError("words_per_line must be >= 1")
@@ -938,15 +965,23 @@ def dedup_lines(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    line_counts = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    # anchor on the INPUT docs, not the line table: a NULL-text document
+    # produces no line rows and must still appear in the output
+    totals = df.select(F.col(id_col).alias("__id")).join(
+        line_counts, "__id", "left"
+    )
     return (
         totals.join(clean, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
             .cast("long")
             .alias("n_dropped"),
         )

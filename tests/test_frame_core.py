@@ -427,6 +427,8 @@ def test_fixed_histo_flow_bins_count_out_of_range(spark):
         Frame(df).histo("x", nbins=4, flow=True)
     with pytest.raises(ValueError):
         Frame(df).histo("x", edges=[0.0, 1.0, 2.0], flow=True)
+    with pytest.raises(ValueError):  # eager entry point must agree
+        Frame(df).histo_frame("x", edges=[0.0, 1.0, 2.0], flow=True)
 
 
 def test_udf_arity_accepts_defaults_and_rejects_mismatch(spark):

@@ -67,13 +67,20 @@ def test_dedup_lines_drops_planted_boilerplate(spark):
         Row(doc_id=1, text=f"{boiler} unique alpha body text"),
         Row(doc_id=2, text=f"fresh beta content here {boiler}"),
         Row(doc_id=3, text=boiler),
+        Row(doc_id=4, text=None),  # NULL text must not vanish from output
     ]
     out = {
         r["doc_id"]: r
         for r in dedup_lines(
-            spark.createDataFrame(rows), "doc_id", "text", words_per_line=4
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            words_per_line=4,
         ).collect()
     }
+    assert set(out) == {1, 2, 3, 4}  # one row per INPUT document, always
+    assert (out[4]["n_lines"], out[4]["n_kept"], out[4]["n_dropped"]) == (0, 0, 0)
+    assert out[4]["text_clean"] == ""
     assert out[1]["text_clean"] == f"{boiler} unique alpha body text"
     assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_dropped"]) == (2, 2, 0)
     # doc 2's copy of the boilerplate is dropped, its own line kept
@@ -92,12 +99,6 @@ def test_simhash_hamming_banded_equals_bruteforce(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     d = 8
-    banded = {
-        (r["id_a"], r["id_b"], r["hamming"])
-        for r in simhash_hamming_pairs(
-            docs, "doc_id", "text", max_distance=d
-        ).collect()
-    }
     h = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
     ids = sorted(h)
     brute = {
@@ -106,8 +107,15 @@ def test_simhash_hamming_banded_equals_bruteforce(spark):
         for b in ids[i + 1 :]
         if bin(h[a] ^ h[b]).count("1") <= d
     }
-    assert banded, "no near-dup pairs at sf0.001 — test is vacuous"
-    assert banded == brute
+    assert brute, "no near-dup pairs at sf0.001 — test is vacuous"
+    for expand in (0, 1):  # exact d+1 bands AND 1-flip variant bands
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_hamming_pairs(
+                docs, "doc_id", "text", max_distance=d, expand=expand
+            ).collect()
+        }
+        assert banded == brute, expand
 
 
 def test_simhash_similarity(docs):
