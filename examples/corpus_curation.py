@@ -51,6 +51,17 @@ def main() -> None:
     # 1. profile every document (pure JVM expressions)
     prof = doc_stats(docs, "doc_id", "text")
 
+    # 1b. C4-style line-level dedup: strip repeated boilerplate lines
+    #     corpus-wide (first occurrence wins) BEFORE document-level dedup,
+    #     so shared footers/headers can't glue unrelated docs together
+    from tdataframe_spark.ops.dedup import dedup_lines
+
+    line_stats = dedup_lines(docs, "doc_id", "text").agg(
+        F.sum("n_lines").alias("lines"),
+        F.sum("n_dropped").alias("boilerplate_dropped"),
+    )
+    line_stats.show(truncate=False)
+
     # 2. exact dedup: keep the minimum id per identical (normalized) content
     keep_exact = exact_dedup_groups(docs, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
