@@ -32,6 +32,7 @@ from tdataframe_spark.queries import *  # noqa: E402,F401,F403
 from tdataframe_spark.queries import (  # noqa: E402,F401
     _corpus_curation_oracle_sql,
     _bm25_oracle_sql,
+    _hybrid_oracle_sql,
     _doc_profile_oracle_sql,
     _domain_mix_oracle_sql,
     _histo_edges_oracle_sql,
@@ -200,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
         "case_when_agg": q_case_when_agg,
+        # r4 additions past the window (rotate in next round)
+        "hybrid_search": q_hybrid_search,
         # rows-only (no SQL equivalent)
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
@@ -316,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "phrase_search": SQL_PHRASE_SEARCH,
         "collocations": SQL_COLLOCATIONS,
+        "hybrid_search": _hybrid_oracle_sql(),
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative)

@@ -20,7 +20,7 @@ by the `bm25_topk` driver query rather than assumed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tdataframe_spark.core.partitioning import ensure_min_partitions
@@ -114,6 +114,79 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id,
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rrf_c: int = RRF_C,
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval fused with Reciprocal Rank Fusion:
+    BM25 ranks documents for ``query_terms``, exact cosine ranks them
+    against the embedding of ``query_vec_id`` (docs and vectors share ids),
+    and each document's fused score is
+
+        rrf = 1/(c + lex_rank) + 1/(c + dense_rank)
+
+    summed over the lists it appears in (the standard RRF of Cormack,
+    Clarke & Buettcher 2009 — rank-only fusion needs no score calibration
+    between BM25's unbounded scale and cosine's [-1, 1]).
+
+    Scale shape: each leg is its own top-``n_candidates`` retrieval (BM25 =
+    postings-only scoring; dense = broadcast-query scan), so the fusion
+    join touches at most 2·n_candidates rows — the single-partition rank
+    windows here run AFTER each leg's top-k reduction, never on corpus-
+    sized data. Determinism: ranks are integers, 1/(c+rank) is the same
+    IEEE division on every engine, and the two-term sum has a fixed
+    operand order; ties in the fused score break by ascending id.
+
+    Returns (id, rrf_score, lex_rank, dense_rank) — ranks NULL for a
+    document only one leg retrieved.
+    """
+    from tdataframe_spark.ops.similarity import cosine_topk
+
+    lex = bm25_topk(
+        docs, query_terms, k=n_candidates, id_col=id_col, text_col=text_col
+    )
+    # bm25_topk returns the ordered top-n slice; rank it explicitly (the
+    # window sees only n_candidates rows — bounded by contract)
+    wl = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    lex_ranked = lex.select(
+        "id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    dense = cosine_topk(
+        embeddings.filter(F.col(vec_id_col) == F.lit(query_vec_id)),
+        embeddings,
+        vec_id_col,
+        vec_col,
+        k=n_candidates,
+    ).select(
+        F.col("neighbor_id").alias("id"),
+        F.col("rnk").cast("long").alias("dense_rank"),
+    )
+    c = F.lit(float(rrf_c))
+    fused = lex_ranked.join(dense, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (c + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (c + F.col("dense_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(k)
 
 
 def retrieval_metrics(

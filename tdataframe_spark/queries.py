@@ -2220,6 +2220,95 @@ ORDER BY agg.score DESC, id ASC LIMIT {BM25_K}
 """
 
 
+HYBRID_VEC_ID = 100  # dense-leg query: this row's embedding (doc_id == vec_id)
+HYBRID_K = 15
+HYBRID_CANDS = 50
+
+
+def q_hybrid_search(spark, sf):
+    """Hybrid retrieval: BM25 (lexical) + exact cosine (dense) candidate
+    lists fused with Reciprocal Rank Fusion. Each leg is its own bounded
+    top-n retrieval; the fusion join touches ≤ 2·n_candidates rows. Rank
+    math is integer + one fixed-order IEEE sum, so the fused ordering is
+    engine-independent."""
+    from tdataframe_spark.ops.search import hybrid_topk
+
+    return hybrid_topk(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        BM25_TERMS,
+        HYBRID_VEC_ID,
+        k=HYBRID_K,
+        n_candidates=HYBRID_CANDS,
+    )
+
+
+def _hybrid_oracle_sql() -> str:
+    from tdataframe_spark.ops.search import BM25_B, BM25_K1, RRF_C
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1 = f"CAST({BM25_K1} AS DOUBLE)"
+    b = f"CAST({BM25_B} AS DOUBLE)"
+    return f"""
+WITH w AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
+lens AS (SELECT id, CAST(len(ws) AS BIGINT) AS len FROM w),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avglen
+      FROM lens),
+tf AS (SELECT id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w, UNNEST(ws) AS u(t) WHERE t IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT id, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf / (tf + {k1} * (1.0 - {b} + {b} * len / avglen)) AS wgt
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (id), g
+),
+bm AS (
+  SELECT id, list_reduce(list(wgt ORDER BY term), (a, x) -> a + x) AS score
+  FROM sc GROUP BY id
+),
+bm_top AS (SELECT id, score FROM bm ORDER BY score DESC, id ASC LIMIT {HYBRID_CANDS}),
+lex AS (
+  SELECT id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS lex_rank
+  FROM bm_top
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]),
+                          (p, s) -> p + s)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS vn
+  FROM n
+),
+q AS (SELECT vn AS qn FROM u WHERE vec_id = {HYBRID_VEC_ID}),
+dv AS (
+  SELECT u.vec_id AS id,
+         list_reduce(list_transform(list_zip(qn, vn), x -> x[1] * x[2]),
+                     (p, s) -> p + s) AS cos_sim
+  FROM u, q WHERE u.vec_id != {HYBRID_VEC_ID}
+),
+dv_top AS (SELECT id, cos_sim FROM dv ORDER BY cos_sim DESC, id ASC LIMIT {HYBRID_CANDS}),
+dense AS (
+  SELECT id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id ASC) AS BIGINT) AS dense_rank
+  FROM dv_top
+)
+SELECT COALESCE(l.id, d.id) AS id,
+       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_C} + lex_rank), 0.0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_C} + dense_rank), 0.0), 9)
+         AS rrf_score,
+       lex_rank, dense_rank
+FROM lex l FULL OUTER JOIN dense d ON l.id = d.id
+ORDER BY rrf_score DESC, id ASC LIMIT {HYBRID_K}
+"""
+
+
 Q17_BRAND = "Brand#23"
 
 

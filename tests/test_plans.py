@@ -362,6 +362,8 @@ _BNLJ_ALLOWED = {
     "collocations",        # 1-row total-bigram-count attach
     "domain_mix",          # 1-row corpus-total attach for mix ratios
     "bm25_topk",           # 1-row corpus stats (N, avgdl) attach
+    "hybrid_search",       # 1-vector dense query broadcast (cosine leg) +
+                           # bm25's 1-row corpus-stats attach
 }
 
 

@@ -568,3 +568,44 @@ def test_mix_domains_handles_quoted_domain_names(spark):
     out = mix_domains(df, "source", {"men's wear": 2, "plain": 1}, "doc_id")
     got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
     assert got == {"men's wear": 20, "plain": 10}
+
+
+def test_hybrid_topk_rrf_fusion_hand_computed(spark):
+    """RRF = 1/(c+lex_rank) + 1/(c+dense_rank) over the union of both legs,
+    NULL rank contributing 0 — pinned on a corpus where the lexical and
+    dense orderings disagree and each leg retrieves a doc the other misses."""
+    from tdataframe_spark.ops.search import hybrid_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "rare common common filler filler filler"),
+            (2, "common filler filler filler filler filler"),
+            (3, "filler only document nothing relevant here"),
+            (4, "common common filler filler"),
+        ],
+    )
+    # embeddings chosen so cosine vs doc 1's vector ranks 3 > 4 > 2 —
+    # doc 3 (no query terms, lexical miss) is the dense leg's best hit
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]),
+            (4, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_topk(
+        docs, emb, ["rare", "common"], 1, k=4, n_candidates=3, rrf_c=60
+    ).collect()
+    got = {r["id"]: (r["lex_rank"], r["dense_rank"], r["rrf_score"]) for r in out}
+    # lexical: 1 > 4 > 2 (bm25 test above); dense vs v1: 3 > 4 > 2
+    assert got[1][:2] == (1, None)
+    assert got[3][:2] == (None, 1)
+    assert got[4][:2] == (2, 2)
+    assert got[2][:2] == (3, 3)
+    assert got[4][2] == round(2 * (1.0 / 62), 9)
+    assert got[1][2] == round(1.0 / 61, 9)
+    # fused order: doc 4 (both legs) beats either single-leg rank-1 doc
+    assert [r["id"] for r in out][0] == 4
