@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 additions past the window (rotate in next round)
         "hybrid_search": q_hybrid_search,
         # rows-only (no SQL equivalent)
+        "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,

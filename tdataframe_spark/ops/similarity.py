@@ -1032,3 +1032,107 @@ def ivfpq_query(
         queries, id_col, vec_col, m, cb, code_rows, k, rerank, rerank_vecs,
         per_query_codes=True, offsets=offsets,
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    n_clusters: int = 16,
+    lloyd_iterations: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): k-means-cluster the embedding space, generate candidate
+    pairs ONLY within each cluster, connect the eps-similar pairs, and keep
+    the minimum id of every duplicate group.
+
+    Returns one row per input vector: (id, cluster, keep) — ``keep`` false
+    exactly for the non-representative members of a within-cluster
+    duplicate group; zero-norm vectors (cosine undefined) come back with
+    NULL cluster and keep=true.
+
+    Scale shape: this is the LINEAR-ish path to embedding dedup — the
+    quadratic pair generation runs per cluster, so total scored pairs are
+    sum_c n_c² instead of n². Size ``n_clusters`` ~ n / target_cluster_size
+    (the paper uses ~100k clusters at web scale); a skewed hot cluster
+    degrades toward all-pairs, so raise ``n_clusters`` rather than let
+    clusters grow with the corpus. Training is the shared distributed
+    Lloyd loop (n_clusters rows to the driver per iteration); assignment is
+    a broadcast-centroid argmax; the within-cluster self-join is a plain
+    shuffled equi-join on the cluster id; components use the persisted
+    label-propagation loop. Unlike the paper's "drop everything within eps
+    of anything" greedy pass, representatives are the connected-component
+    minimum — deterministic under any partitioning and independent of
+    visit order.
+
+    Exactness contract: within-cluster pairs are EXACT cosine; recall loss
+    vs global ``cosine_pairs`` + components happens only when a true pair
+    straddles a cluster boundary (the trade the paper makes). Use
+    ``semantic_dedup``'s global pair path when exactness matters more than
+    linearity.
+    """
+    from tdataframe_spark.ops.dedup import connected_components
+
+    u_all = _normalized(df, id_col, vec_col, "__cid")
+    zero = u_all.filter(F.col("__vn").isNull()).select(
+        F.col("__cid").alias(id_col),
+        F.lit(None).cast("int").alias("cluster"),
+        F.lit(True).alias("keep"),
+    )
+    u = u_all.filter(F.col("__vn").isNotNull()).persist()
+    try:
+        cents = _train_ivf(u, n_clusters, lloyd_iterations)
+        uv = (
+            _assign(u, "__vn", "__cid", cents)
+            .join(u, "__cid")
+            .persist()
+        )
+        try:
+            left = uv.select(
+                "__cell",
+                F.col("__cid").alias("id_a"),
+                F.col("__vn").alias("__va"),
+            )
+            right = uv.select(
+                "__cell",
+                F.col("__cid").alias("id_b"),
+                F.col("__vn").alias("__vb"),
+            )
+            pairs = (
+                left.join(right, "__cell")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    dot(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+                )
+                .filter(F.col("cos_sim") > eps)
+            )
+            comp = connected_components(pairs)
+            labeled = (
+                uv.select(F.col("__cid").alias(id_col), F.col("__cell").alias("cluster"))
+                .join(
+                    comp.select(
+                        F.col("id").alias(id_col),
+                        F.col("component").alias("__comp"),
+                    ),
+                    id_col,
+                    "left",
+                )
+                .select(
+                    id_col,
+                    "cluster",
+                    (
+                        F.col("__comp").isNull()
+                        | (F.col("__comp") == F.col(id_col))
+                    ).alias("keep"),
+                )
+            )
+            # materialize before releasing the caches the plan reads
+            out = labeled.unionByName(zero).localCheckpoint(eager=True)
+        finally:
+            uv.unpersist()
+    finally:
+        u.unpersist()
+    return out

@@ -2437,6 +2437,22 @@ FROM lab GROUP BY component
 """
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup-style clustered semantic dedup: the LINEAR-ish scale twin
+    of `semantic_dedup` (whose global exact-pair path is the oracle-checked
+    shape) — k-means clusters bound pair generation to sum_c n_c². The
+    k-means training loop is not SQL-expressible → rows-only here;
+    soundness (drops always eps-justified), single-cluster equivalence to
+    the global path, and partitioning invariance are pinned in
+    tests/test_ops.py."""
+    from tdataframe_spark.ops.similarity import semdedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semdedup(
+        emb, "vec_id", "embedding", eps=SEMDEDUP_T, n_clusters=8
+    )
+
+
 # non-SQL-expressible ops (rows-only checks): multimodal stub, LSH ANN
 
 

@@ -1330,3 +1330,99 @@ def test_ivfpq_residual_full_probe_full_rerank_is_exact(spark, tmp_path):
     # ADC-only (no rerank) still returns a full result set per query
     adc = ivfpq_query(spark, path, q, k=5, n_probe=4)
     assert adc.groupBy("query_id").count().agg(F2.min("count")).first()[0] == 5
+
+
+def test_semdedup_sound_and_complete_within_clusters(spark):
+    """SemDeDup keep/drop decisions on a corpus with planted near-dup
+    groups: (a) every dropped vector has a kept eps-neighbor in its own
+    cluster (soundness — drops are never unjustified); (b) each planted
+    duplicate group loses all but one member (identical/near-identical
+    vectors always share a cluster under the deterministic argmax);
+    (c) the output covers every input id exactly once and is stable under
+    repartitioning."""
+    import random
+
+    from tdataframe_spark.functions.vectors import cosine_similarity
+    from tdataframe_spark.ops.similarity import semdedup
+
+    rng = random.Random(7)
+    dim = 8
+    rows = []
+    for g in range(12):  # 12 well-separated base directions
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for j in range(3):  # 3 near-identical members per group
+            rows.append(
+                Row(
+                    vec_id=10 * g + j,
+                    embedding=[x + rng.gauss(0, 1e-4) for x in base],
+                )
+            )
+    rows.append(Row(vec_id=999, embedding=[0.0] * dim))  # zero-norm row
+    emb = spark.createDataFrame(rows)
+    out = semdedup(emb, "vec_id", "embedding", eps=0.999, n_clusters=4).collect()
+
+    assert sorted(r["vec_id"] for r in out) == sorted(r["vec_id"] for r in rows)
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[999]["keep"] is True and by_id[999]["cluster"] is None
+    # (b) exactly one kept member per planted group
+    for g in range(12):
+        kept = [j for j in range(3) if by_id[10 * g + j]["keep"]]
+        assert len(kept) == 1, f"group {g}: kept {kept}"
+    # (a) soundness: every dropped id has a kept eps-neighbor in-cluster
+    dropped = [r for r in out if not r["keep"]]
+    kept_rows = [r for r in out if r["keep"] and r["cluster"] is not None]
+    vec = {r["vec_id"]: r["embedding"] for r in rows}
+    pairs = [
+        (d["vec_id"], k["vec_id"])
+        for d in dropped
+        for k in kept_rows
+        if d["cluster"] == k["cluster"]
+    ]
+    pdf = spark.createDataFrame(
+        [(a, b, vec[a], vec[b]) for a, b in pairs],
+        "a long, b long, va array<double>, vb array<double>",
+    ).select("a", cosine_similarity("va", "vb").alias("cs"))
+    best = {r["a"]: 0.0 for r in pdf.collect()}
+    for r in pdf.collect():
+        best[r["a"]] = max(best[r["a"]], r["cs"])
+    for d in dropped:
+        assert best.get(d["vec_id"], 0.0) > 0.999, d
+    # (c) partitioning invariance
+    again = semdedup(
+        emb.repartition(7), "vec_id", "embedding", eps=0.999, n_clusters=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_semdedup_single_cluster_equals_global_dedup(spark):
+    """With n_clusters=1 no pair can straddle a boundary, so the kept set
+    must equal the global path (exact cosine_pairs + connected components,
+    min-id representative)."""
+    import random
+
+    from tdataframe_spark.ops.dedup import connected_components
+    from tdataframe_spark.ops.similarity import cosine_pairs, semdedup
+
+    rng = random.Random(3)
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(6)])
+        for i in range(60)
+    ]
+    for i in range(15):  # plant dups
+        rows.append(
+            Row(
+                vec_id=500 + i,
+                embedding=[x + rng.gauss(0, 0.01) for x in rows[i]["embedding"]],
+            )
+        )
+    emb = spark.createDataFrame(rows)
+    out = semdedup(emb, "vec_id", "embedding", eps=0.98, n_clusters=1)
+    kept = {r["vec_id"] for r in out.collect() if r["keep"]}
+
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.98)
+    comp = connected_components(pairs)
+    dropped_global = {
+        r["id"] for r in comp.collect() if r["id"] != r["component"]
+    }
+    expect = {r["vec_id"] for r in rows} - dropped_global
+    assert kept == expect
