@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         # rows-only (no SQL equivalent)
         "semdedup": q_semdedup,
+        "pca_embeddings": q_pca_embeddings,
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,

@@ -2453,6 +2453,28 @@ def q_semdedup(spark, sf):
     )
 
 
+def q_pca_embeddings(spark, sf):
+    """Distributed PCA train + project: one Arrow map-side moment pass
+    (constant-size partials), exact DECIMAL reduce, driver-side eigh of the
+    d×d covariance, JVM-side projection against a broadcast component
+    table. Eigh is not SQL-expressible → rows-only; exact numpy parity and
+    partitioning invariance are pinned in tests/test_pca.py. Projected
+    arrays serialize to fixed-precision CSV at the query boundary (the
+    canonicalizer convention)."""
+    from tdataframe_spark.ops.pca import pca_project, pca_train
+
+    emb = _t(spark, sf, "embeddings")
+    model = pca_train(emb, "vec_id", "embedding", n_components=8)
+    out = pca_project(emb, model, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("pca"), lambda x: F.format_string("%.9f", x)),
+            ",",
+        ).alias("pca"),
+    )
+
+
 # non-SQL-expressible ops (rows-only checks): multimodal stub, LSH ANN
 
 

@@ -378,7 +378,7 @@ def test_registry_wide_plan_lint(spark):
         "pq_ann", "ivf_ann", "ivfpq_ann", "lsh_ann", "bpe_tokens", "dedup_components",
         "dedup_keep_best", "rollup_incremental", "snapshot_diff",
         "merge_upsert", "global_rank", "decontamination_bloom",
-        "nearest_centroid", "lm_score", "semdedup",
+        "nearest_centroid", "lm_score", "semdedup", "pca_embeddings",
     }
     failures = []
     for name, fn in em.queries().items():
