@@ -19,6 +19,81 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bucket_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Join every pair of OVERLAPPING closed intervals —
+    ``a_lo <= b_hi AND b_lo <= a_hi`` — optionally restricted to rows that
+    also match on the ``on`` equi-keys (e.g. per-user concurrency
+    analysis). The interval×interval sibling of ``range_join``.
+
+    Both sides expand to every grid bucket they touch and meet in an
+    EQUI-join on (keys…, bucket). A pair sharing several buckets would
+    duplicate, so the join condition additionally pins each pair to its
+    FIRST shared bucket (the max of the two start buckets — by
+    construction a bucket both intervals touch): exactly-once emission
+    with no post-hoc distinct. Inner join only: both sides are replicated,
+    so outer variants would null-extend once per replica.
+
+    Scale: shuffle is keyed by (keys…, bucket) — partitionable and
+    AQE-skew-splittable; per-task work is the true overlap density, never
+    |a|×|b|. Pick ``bucket_width`` on the order of the typical interval
+    length (same guidance as ``range_join``).
+    """
+    dup = {a_lo, a_hi} & {b_lo, b_hi}
+    if dup:
+        raise ValueError(
+            f"interval_join: bound columns {sorted(dup)} appear on both "
+            "sides — rename one side first (the residual predicate needs "
+            "unambiguous references)"
+        )
+    w = F.lit(bucket_width)
+    A = a.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_lo) / w).cast("long"),
+                F.floor(F.col(a_hi) / w).cast("long"),
+            )
+        ),
+    )
+    B = b.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_lo) / w).cast("long"),
+                F.floor(F.col(b_hi) / w).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (A["__bucket"] == B["__bucket"])
+        & (A[a_lo] <= B[b_hi])
+        & (B[b_lo] <= A[a_hi])
+        # first-shared-bucket pin: emit each overlapping pair exactly once
+        & (
+            A["__bucket"]
+            == F.greatest(
+                F.floor(A[a_lo] / w).cast("long"),
+                F.floor(B[b_lo] / w).cast("long"),
+            )
+        )
+    )
+    for k in on or []:
+        cond = cond & (A[k] == B[k])
+    joined = A.join(B, cond, "inner").drop(A["__bucket"]).drop(B["__bucket"])
+    for k in on or []:
+        joined = joined.drop(B[k])
+    return joined
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

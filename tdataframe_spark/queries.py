@@ -2437,6 +2437,75 @@ FROM lab GROUP BY component
 """
 
 
+IVJ_CLICK_US = 5 * 60 * 1_000_000  # click attention window: 5 min
+IVJ_BUCKET_US = 3600.0 * 1e6       # 1-hour grid (~typical view window)
+
+
+def q_interval_join(spark, sf):
+    """Interval-overlap join (per-user concurrency): each view event spawns
+    a [ts, ts + value minutes] watch window, each click a 5-minute window;
+    report every same-user overlapping (view, click) pair with the overlap
+    length. Grid-bucketed equi-join keyed on (user, bucket) with a
+    first-shared-bucket pin — exactly-once, no cartesian, skew-splittable.
+    The oracle states the overlap predicate directly."""
+    from tdataframe_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"),
+        "user_id",
+        F.col("ts_us").alias("v_lo"),
+        (
+            F.col("ts_us")
+            + F.round(F.col("value") * 60 * 1_000_000).cast("long")
+        ).alias("v_hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event"),
+        F.col("user_id").alias("__cu"),
+        F.col("ts_us").alias("c_lo"),
+        (F.col("ts_us") + F.lit(IVJ_CLICK_US)).alias("c_hi"),
+    )
+    out = interval_join(
+        views,
+        clicks.withColumnRenamed("__cu", "user_id"),
+        "v_lo",
+        "v_hi",
+        "c_lo",
+        "c_hi",
+        bucket_width=IVJ_BUCKET_US,
+        on=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "view_event",
+        "click_event",
+        (
+            F.least("v_hi", "c_hi") - F.greatest("v_lo", "c_lo")
+        ).alias("overlap_us"),
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH v AS (
+  SELECT event_id AS view_event, user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS v_lo,
+         CAST(epoch_us(ts) AS BIGINT)
+           + CAST(ROUND(value * 60 * 1000000) AS BIGINT) AS v_hi
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_event, user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS c_lo,
+         CAST(epoch_us(ts) AS BIGINT) + {IVJ_CLICK_US} AS c_hi
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, view_event, click_event,
+       LEAST(v_hi, c_hi) - GREATEST(v_lo, c_lo) AS overlap_us
+FROM v JOIN c ON v.user_id = c.user_id AND v_lo <= c_hi AND c_lo <= v_hi
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup-style clustered semantic dedup: the LINEAR-ish scale twin
     of `semantic_dedup` (whose global exact-pair path is the oracle-checked

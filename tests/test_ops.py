@@ -1426,3 +1426,47 @@ def test_semdedup_single_cluster_equals_global_dedup(spark):
     }
     expect = {r["vec_id"] for r in rows} - dropped_global
     assert kept == expect
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Grid-bucketed interval-overlap join == brute-force nested loop on
+    random intervals (spans from sub-bucket to many-bucket, shared-key
+    restriction, exactly-once per overlapping pair)."""
+    import random
+
+    from tdataframe_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(13)
+    a_rows, b_rows = [], []
+    for i in range(120):
+        lo = rng.uniform(0, 100)
+        a_rows.append((i, rng.randint(0, 2), lo, lo + rng.uniform(0, 25)))
+    for j in range(150):
+        lo = rng.uniform(0, 100)
+        b_rows.append((j, rng.randint(0, 2), lo, lo + rng.uniform(0, 4)))
+    a = spark.createDataFrame(a_rows, "aid long, k int, alo double, ahi double")
+    b = spark.createDataFrame(b_rows, "bid long, k int, blo double, bhi double")
+
+    got = {
+        (r["aid"], r["bid"])
+        for r in interval_join(
+            a, b, "alo", "ahi", "blo", "bhi", bucket_width=5.0, on=["k"]
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for (i, ka, alo, ahi) in a_rows
+        for (j, kb, blo, bhi) in b_rows
+        if ka == kb and alo <= bhi and blo <= ahi
+    }
+    assert got == expect and len(expect) > 50
+    # exactly-once: collect() as a list must have no duplicate pairs
+    rows = interval_join(
+        a, b, "alo", "ahi", "blo", "bhi", bucket_width=5.0, on=["k"]
+    ).collect()
+    assert len(rows) == len(expect)
+    # ambiguous bound names are refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="both"):
+        interval_join(a, a, "alo", "ahi", "alo", "ahi", bucket_width=5.0)
