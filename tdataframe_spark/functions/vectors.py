@@ -34,3 +34,34 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def int8_scale(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization scale: max|x| / 127 (0.0 for
+    a zero vector). Max is order-independent, so the scale — and every
+    code derived from it — is partitioning-stable."""
+    a = F.col(a) if isinstance(a, str) else a
+    absmax = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(_d(x)))
+    )
+    return absmax / F.lit(127.0)
+
+
+def int8_codes(a: Column | str, scale: Column) -> Column:
+    """Quantize to ``array<tinyint>``: round(x/scale), in [-127, 127] by
+    construction of ``int8_scale`` (ANSI cast raises rather than wraps if
+    a foreign scale is too small). A 0 scale (zero vector) codes to zeros.
+    4× smaller than float32 / 8× smaller than float64 at rest — the
+    storage/scan shape for 100 TB embedding tables; pair with
+    ``int8_dequantize`` (or rerank against raw vectors) at query time."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.when(
+        scale > 0,
+        F.transform(a, lambda x: F.round(_d(x) / scale).cast("tinyint")),
+    ).otherwise(F.transform(a, lambda x: F.lit(0).cast("tinyint")))
+
+
+def int8_dequantize(codes: Column | str, scale: Column) -> Column:
+    """Reconstruct doubles: code · scale (max abs error scale/2)."""
+    codes = F.col(codes) if isinstance(codes, str) else codes
+    return F.transform(codes, lambda c: _d(c) * scale)

@@ -2506,6 +2506,74 @@ FROM v JOIN c ON v.user_id = c.user_id AND v_lo <= c_hi AND c_lo <= v_hi
 """
 
 
+def q_quantize_embeddings(spark, sf):
+    """Symmetric per-vector int8 quantization (4× smaller at rest than
+    float32): per vector the scale, the worst reconstruction error, and
+    the original↔reconstructed cosine. All arithmetic is order-independent
+    (max folds) or fixed-order IEEE (dot folds), so both engines produce
+    identical doubles; cos is rounded 9 dp at the boundary per the
+    transcendental convention (sqrt)."""
+    from tdataframe_spark.functions.vectors import (
+        cosine_similarity,
+        int8_codes,
+        int8_dequantize,
+        int8_scale,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
+    )
+    emb = emb.withColumn("__scale", int8_scale(F.col("__v")))
+    emb = emb.withColumn(
+        "__recon",
+        int8_dequantize(int8_codes(F.col("__v"), F.col("__scale")), F.col("__scale")),
+    )
+    max_err = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__recon"), lambda x, r: F.abs(x - r)),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return emb.select(
+        "vec_id",
+        F.col("__scale").alias("scale"),
+        max_err.alias("max_err"),
+        F.round(
+            cosine_similarity(F.col("__v"), F.col("__recon")), 9
+        ).alias("cos_recon"),
+    )
+
+
+SQL_QUANTIZE_EMB = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_reduce(list_transform(v, x -> abs(x)),
+                     (a, x) -> greatest(a, x)) / 127.0 AS scale
+  FROM e
+),
+r AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> round(x / scale) * scale)
+              ELSE list_transform(v, x -> 0.0) END AS recon
+  FROM s
+)
+SELECT vec_id, scale,
+       list_reduce(list_transform(list_zip(v, recon), p -> abs(p[1] - p[2])),
+                   (a, x) -> greatest(a, x)) AS max_err,
+       ROUND(
+         CASE WHEN scale > 0 THEN
+           list_reduce(list_transform(list_zip(v, recon), p -> p[1] * p[2]),
+                       (a, x) -> a + x)
+           / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x))
+              * sqrt(list_reduce(list_transform(recon, x -> x * x),
+                                 (a, x) -> a + x)))
+         END, 9) AS cos_recon
+FROM r
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup-style clustered semantic dedup: the LINEAR-ish scale twin
     of `semantic_dedup` (whose global exact-pair path is the oracle-checked

@@ -1470,3 +1470,37 @@ def test_interval_join_matches_bruteforce(spark):
 
     with _pt.raises(ValueError, match="both"):
         interval_join(a, a, "alo", "ahi", "alo", "ahi", bucket_width=5.0)
+
+
+def test_int8_quantization_pinned_and_bounded(spark):
+    """Known codes for a hand vector (half-up at ±x.5), roundtrip error
+    bounded by scale/2 everywhere, zero vector codes to zeros with scale
+    0."""
+    from tdataframe_spark.functions.vectors import (
+        int8_codes,
+        int8_dequantize,
+        int8_scale,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-2.0, 1.99, 0.003, -0.003]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    out = (
+        df.withColumn("scale", int8_scale("v"))
+        .withColumn("codes", int8_codes(F.col("v"), F.col("scale")))
+        .withColumn("recon", int8_dequantize(F.col("codes"), F.col("scale")))
+        .collect()
+    )
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[1]["scale"] == 1.0 / 127
+    # -0.5/(1/127) = -63.5 -> HALF_UP away from zero -> -64
+    assert by_id[1]["codes"] == [127, -64, 32, 0]
+    assert by_id[2]["scale"] == 0.0 and by_id[2]["codes"] == [0, 0, 0, 0]
+    for r in out:
+        for x, rec in zip(r["v"], r["recon"]):
+            assert abs(x - rec) <= r["scale"] / 2 + 1e-12
