@@ -328,5 +328,6 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": SQL_QUANTIZE_EMB,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
-        # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative)
+        # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),
+        # semdedup (k-means clustering), pca_embeddings (eigendecomposition)
     }

@@ -47,6 +47,12 @@ def interval_join(
     |a|×|b|. Pick ``bucket_width`` on the order of the typical interval
     length (same guidance as ``range_join``).
     """
+    if not bucket_width > 0:
+        raise ValueError(
+            f"interval_join: bucket_width must be > 0, got {bucket_width!r} "
+            "(a negative width inverts the bucket order and silently drops "
+            "pairs; zero divides)"
+        )
     dup = {a_lo, a_hi} & {b_lo, b_hi}
     if dup:
         raise ValueError(

@@ -53,9 +53,12 @@ def _quantized(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def _partial_moments(df_q: DataFrame) -> DataFrame:
+def _partial_moments(df_q: DataFrame, d: int) -> DataFrame:
     """One row per Arrow batch: (cnt, sum vector, row-major Gram matrix),
-    all in quantized integer units."""
+    all in quantized integer units. NULL or non-``d``-dim rows raise from
+    inside the fold (a silent skip would bias the moments) — validation
+    rides the single moments pass instead of costing its own corpus scan.
+    """
 
     def fold(batches: Iterator) -> Iterator:
         import numpy as np
@@ -64,7 +67,13 @@ def _partial_moments(df_q: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+            vals = pdf["__q"].to_numpy()
+            bad = sum(1 for v in vals if v is None or len(v) != d)
+            if bad:
+                raise ValueError(
+                    f"pca_train: {bad} rows with NULL or non-{d}-dim vectors"
+                )
+            a = np.stack(vals).astype(np.int64)
             n, _d = a.shape
             maxq = int(np.abs(a).max()) if a.size else 0
             # worst-case single Gram entry: n * maxq^2 must fit in int64
@@ -88,7 +97,6 @@ def _partial_moments(df_q: DataFrame) -> DataFrame:
 
 def pca_train(
     df: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_components: int = 8,
 ) -> dict:
@@ -98,7 +106,8 @@ def pca_train(
     eigenvectors, descending eigenvalue, sign-canonicalized).
 
     Rows whose vector is NULL or of deviating length are rejected loudly
-    (a silent skip would bias the moments).
+    from inside the single moments pass (a silent skip would bias the
+    moments; a dedicated validation scan would double the corpus I/O).
     """
     import numpy as np
 
@@ -108,17 +117,10 @@ def pca_train(
     if first is None:
         raise ValueError("pca_train: empty input")
     d = first["__d"]
-    bad = df.filter(
-        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != d)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"pca_train: {bad} rows with NULL or non-{d}-dim vectors"
-        )
     if not (0 < n_components <= d):
         raise ValueError(f"n_components must be in [1, {d}]")
 
-    parts = _partial_moments(_quantized(df, vec_col)).persist()
+    parts = _partial_moments(_quantized(df, vec_col), d).persist()
     try:
         n = parts.agg(F.sum("cnt").cast("long").alias("n")).first()["n"]
         srows = (
@@ -170,21 +172,29 @@ def pca_project(
     out_col: str = "pca",
 ) -> DataFrame:
     """Project every vector onto the model's components:
-    ``out[j] = (x - mean) · component_j`` — (id, ``out_col`` array<double>
-    of length n_components). Pure JVM fold math; the model rides as a
-    broadcast 1-row table (mean + components), never as plan literals.
+    ``out[j] = x · component_j − mean · component_j`` — (id, ``out_col``
+    array<double> of length n_components). The mean offsets are k driver
+    constants (computed with the same left-fold order as the JVM dot), so
+    each row does exactly one d-element fold per component over the RAW
+    vector attribute — centering inside the lambda would re-materialize a
+    d-element centered array per component (HOFs re-evaluate their body's
+    subexpressions per call; there is no CSE across lambda invocations).
+    The model rides as a broadcast 1-row table, never as plan literals.
     """
     if any(len(c) != model["dim"] for c in model["components"]):
         raise ValueError("model components do not match model dim")
+
+    def _fold_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    offsets = [_fold_dot(model["mean"], c) for c in model["components"]]
     spark = df.sparkSession
     mrow = spark.createDataFrame(
-        [(model["mean"], model["components"])],
-        "__mean array<double>, __comps array<array<double>>",
-    )
-    centered = F.zip_with(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")),
-        F.col("__mean"),
-        lambda x, m: x - m,
+        [(model["components"], offsets)],
+        "__comps array<array<double>>, __offs array<double>",
     )
     probe = F.assert_true(
         F.size(F.col(vec_col)) == model["dim"],
@@ -197,8 +207,12 @@ def pca_project(
             id_col,
             F.when(
                 F.size(F.col(vec_col)) == model["dim"],
-                F.transform(
-                    F.col("__comps"), lambda c: dot(centered, c)
+                F.zip_with(
+                    F.transform(
+                        F.col("__comps"), lambda c: dot(F.col(vec_col), c)
+                    ),
+                    F.col("__offs"),
+                    lambda p, o: p - o,
                 ),
             )
             .otherwise(F.transform(F.col("__comps"), lambda c: probe.cast("double")))

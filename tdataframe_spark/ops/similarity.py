@@ -193,10 +193,19 @@ def _train_ivf(u: DataFrame, n_cells: int, lloyd_iterations: int) -> list:
             assigned.join(u, "__cid")
             .select("__cell", F.posexplode(F.col("__vn")).alias("__d", "__x"))
             .groupBy("__cell", "__d")
-            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            # decimal accumulation: partial sums merge in shuffle-fetch
+            # order, and double addition does not commute bitwise — the
+            # decimal sum makes centroids (hence assignments, hence every
+            # consumer's output) partitioning-invariant, the repo-wide
+            # dsum convention. Components are unit-normalized (|x| <= 1),
+            # so (38,18) holds exact sums past 1e19 rows per cell.
+            .agg(
+                F.sum(F.col("__x").cast("decimal(38,18)")).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
         )
         comp = {
-            (r["__cell"], r["__d"]): (r["__s"], r["__n"])
+            (r["__cell"], r["__d"]): (float(r["__s"]), r["__n"])
             for r in sums.collect()
         }
         new_centroids = []
@@ -586,13 +595,19 @@ def _pq_fit(sv: DataFrame, k: int, lloyd_iterations: int) -> dict:
                 F.posexplode("__sv").alias("__d", "__x"),
             )
             .groupBy("__sub", "__cell", "__d")
-            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            # decimal accumulation for partitioning-invariant codebooks
+            # (same rationale as _train_ivf; subvectors ride normalized
+            # parents so |x| <= 1)
+            .agg(
+                F.sum(F.col("__x").cast("decimal(38,18)")).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
             .collect()
         )
         comp = {}
         for r in sums:
             comp.setdefault((r["__sub"], r["__cell"]), {})[r["__d"]] = (
-                r["__s"] / r["__n"]
+                float(r["__s"]) / r["__n"]
             )
         new_codebook = dict(codebook)
         for key, dims in comp.items():

@@ -2601,7 +2601,7 @@ def q_pca_embeddings(spark, sf):
     from tdataframe_spark.ops.pca import pca_project, pca_train
 
     emb = _t(spark, sf, "embeddings")
-    model = pca_train(emb, "vec_id", "embedding", n_components=8)
+    model = pca_train(emb, "embedding", n_components=8)
     out = pca_project(emb, model, "vec_id", "embedding")
     return out.select(
         "vec_id",

@@ -33,7 +33,7 @@ def test_pca_train_matches_numpy_reference(spark):
     approximate: identical int sums give identical covariance bits, and
     eigh on identical bits is identical."""
     df, rows = _emb(spark)
-    model = pca_train(df, "vec_id", "embedding", n_components=4)
+    model = pca_train(df, "embedding", n_components=4)
 
     a = _half_up(np.array([r.embedding for r in rows], dtype=np.float64)).astype(
         np.int64
@@ -67,8 +67,8 @@ def test_pca_partitioning_invariance(spark):
     """Integer-quantized partials commute exactly: the model must be
     bit-identical whatever the partitioning (the determinism contract)."""
     df, _ = _emb(spark, n=120, dim=5, seed=11)
-    m1 = pca_train(df.repartition(3), "vec_id", "embedding", n_components=3)
-    m2 = pca_train(df.repartition(11), "vec_id", "embedding", n_components=3)
+    m1 = pca_train(df.repartition(3), "embedding", n_components=3)
+    m2 = pca_train(df.repartition(11), "embedding", n_components=3)
     assert m1 == m2
 
 
@@ -77,7 +77,7 @@ def test_pca_project_full_rank_isometry(spark):
     basis of the centered data: pairwise distances are preserved and the
     per-component projection variance equals the eigenvalue."""
     df, rows = _emb(spark, n=60, dim=4, seed=2)
-    model = pca_train(df, "vec_id", "embedding", n_components=4)
+    model = pca_train(df, "embedding", n_components=4)
     out = {
         r["vec_id"]: np.array(r["pca"])
         for r in pca_project(df, model, "vec_id", "embedding").collect()
@@ -103,11 +103,13 @@ def test_pca_rejects_bad_vectors(spark):
             [Row(vec_id=999, embedding=[1.0, 2.0])]
         )
     )
-    with pytest.raises(ValueError, match="non-3-dim"):
-        pca_train(bad, "vec_id", "embedding", n_components=2)
-    model = pca_train(df, "vec_id", "embedding", n_components=2)
+    # the ragged-row check rides the moments pass → surfaces wrapped from
+    # the Arrow worker, not as a driver-side ValueError
+    with pytest.raises(Exception, match="non-3-dim"):
+        pca_train(bad, "embedding", n_components=2)
+    model = pca_train(df, "embedding", n_components=2)
     with pytest.raises(Exception, match="pca_project"):
         pca_project(bad, model, "vec_id", "embedding").collect()
     # a too-greedy component count is refused
     with pytest.raises(ValueError, match="n_components"):
-        pca_train(df, "vec_id", "embedding", n_components=7)
+        pca_train(df, "embedding", n_components=7)
