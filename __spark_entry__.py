@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "interval_join": q_interval_join,
         "quantize_embeddings": q_quantize_embeddings,
+        "heavy_hitters": q_heavy_hitters,
         # rows-only (no SQL equivalent)
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _hybrid_oracle_sql(),
         "interval_join": SQL_INTERVAL_JOIN,
         "quantize_embeddings": SQL_QUANTIZE_EMB,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

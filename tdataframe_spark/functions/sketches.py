@@ -176,3 +176,61 @@ def cms_query(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
         .groupBy(col)
         .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    depth: int = 5,
+    width: int = 8192,
+) -> DataFrame:
+    """EXACT heavy hitters — every value of ``col`` occurring at least
+    ``min_count`` times, with its exact count — without ever shuffling the
+    light tail.
+
+    Two passes: (1) ``cms_build`` folds the corpus into a bounded
+    depth×width counter table; the densified counters ride back over the
+    corpus as a broadcast 1-row DATA attach (the bloom-bitset lesson:
+    large constants never go in the expression tree) and each row is
+    filtered MAP-SIDE by its count-min estimate. (2) Only surviving
+    candidate rows — the true heavy values plus the bounded CMS
+    false-positive overcount (≤ e·N/width each, so size width against the
+    expected tail) — enter the exact hash-aggregate and HAVING filter.
+
+    Exactness: CMS never undercounts, so a value with true count ≥
+    min_count always survives pass 1 (no false negatives); pass 2's exact
+    count discards the false positives. Output is therefore identical to
+    ``GROUP BY col HAVING COUNT(*) >= min_count`` — the sketch only prunes
+    shuffle volume. NULL is a countable value like any other (both passes
+    hash/group it consistently).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    spark = df.sparkSession
+    sk = cms_build(df, col, depth=depth, width=width).collect()  # bounded
+    out_fields = df.select(col).schema
+    if not sk:
+        return spark.createDataFrame(
+            [], out_fields.add("count", "long")
+        )
+    w, d = sk[0]["width"], sk[0]["depth"]
+    dense = [[0] * w for _ in range(d)]
+    for r in sk:
+        dense[r["r"]][r["c"]] = r["n"]
+    srow = spark.createDataFrame([(dense,)], "__cms array<array<long>>")
+    probes = [
+        F.element_at(
+            F.element_at(F.col("__cms"), r + 1),
+            F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(w)).cast("int") + 1,
+        )
+        for r in range(d)
+    ]
+    est = probes[0] if d == 1 else F.least(*probes)
+    return (
+        df.crossJoin(F.broadcast(srow))
+        .filter(est >= min_count)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )

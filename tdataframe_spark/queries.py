@@ -2506,6 +2506,30 @@ FROM v JOIN c ON v.user_id = c.user_id AND v_lo <= c_hi AND c_lo <= v_hi
 """
 
 
+HH_MIN_COUNT = 15
+
+
+def q_heavy_hitters(spark, sf):
+    """Exact heavy hitters (customers with >= 15 orders) via the count-min
+    prefilter: the CMS rides back over the fact table as a broadcast DATA
+    row, the light tail (~92% of customers here) is dropped MAP-SIDE by
+    the never-undercounting estimate, and only candidates reach the exact
+    hash-aggregate. Output is provably identical to the oracle's plain
+    GROUP BY/HAVING — the sketch only prunes shuffle volume."""
+    from tdataframe_spark.functions.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf, "orders"), "o_custkey", min_count=HH_MIN_COUNT,
+        depth=5, width=4096,
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS count
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= {HH_MIN_COUNT}
+"""
+
+
 def q_quantize_embeddings(spark, sf):
     """Symmetric per-vector int8 quantization (4× smaller at rest than
     float32): per vector the scale, the worst reconstruction error, and

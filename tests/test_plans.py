@@ -364,6 +364,8 @@ _BNLJ_ALLOWED = {
     "bm25_topk",           # 1-row corpus stats (N, avgdl) attach
     "hybrid_search",       # 1-vector dense query broadcast (cosine leg) +
                            # bm25's 1-row corpus-stats attach
+    "heavy_hitters",       # 1-row dense CMS counter attach (bounded
+                           # depth×width longs, ridden as data)
 }
 
 

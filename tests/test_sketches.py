@@ -149,3 +149,46 @@ def test_cms_parameters_ride_the_sketch(spark):
     empty = cms_build(df.filter("v = 'nope'"), "v")
     est0 = {r["v"]: r["est"] for r in cms_query(empty, items, "v").collect()}
     assert est0 == {"a": 0, "zz": 0}
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """CMS-prefiltered heavy hitters must equal plain GROUP BY/HAVING on
+    a skewed corpus with a long light tail, NULLs included — the sketch
+    may only prune, never change the answer."""
+    import random
+
+    from tdataframe_spark.functions.sketches import heavy_hitters
+
+    rng = random.Random(17)
+    rows = (
+        [(f"hot{i % 5}",) for i in range(400)]
+        + [(f"warm{i % 40}",) for i in range(400)]
+        + [(f"cold{i}",) for i in range(500)]
+        + [(None,)] * 30
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string")
+    for mc in (10, 30, 81):
+        got = {
+            (r["k"], r["count"])
+            for r in heavy_hitters(df, "k", min_count=mc, depth=3, width=128).collect()
+        }
+        expect = {
+            (r["k"], r["count"])
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("count"))
+            .filter(F.col("count") >= mc)
+            .collect()
+        }
+        assert got == expect and (mc > 80 or len(expect) > 0)
+
+
+def test_heavy_hitters_empty_and_bad_args(spark):
+    import pytest
+
+    from tdataframe_spark.functions.sketches import heavy_hitters
+
+    empty = spark.createDataFrame([], "k string")
+    assert heavy_hitters(empty, "k", min_count=1).count() == 0
+    with pytest.raises(ValueError, match="min_count"):
+        heavy_hitters(empty, "k", min_count=0)
