@@ -317,9 +317,13 @@ def test_entry_range_ordered_and_scan(f1):
         r["b1"] for r in f1.entry_range(2, 5, order_by=["b1"]).df.collect()
     )
     assert got == [2.0, 3.0, 4.0]
-    # scan mode: right cardinality, rows drawn from the frame
+    # scan mode: right cardinality, DISTINCT rows genuinely drawn from
+    # the frame (any 4 rows would otherwise pass)
     rows = f1.entry_range(3, 7).df.collect()
     assert len(rows) == 4
+    vals = [r["b1"] for r in rows]
+    assert len(set(vals)) == 4
+    assert set(vals) <= {float(i) for i in range(10)}
     with pytest.raises(ValueError):
         f1.entry_range(5, 2)
 

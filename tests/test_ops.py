@@ -196,8 +196,11 @@ def test_cosine_topk_exact(spark):
     ]
     emb = spark.createDataFrame(rows)
     out = cosine_topk(emb.filter("vec_id = 0"), emb, k=2).collect()
-    assert [r["neighbor_id"] for r in out] == [1, 2]
-    assert out[0]["cos_sim"] > 0.99
+    # collect() row order is not contractual after a window filter —
+    # rank by the rnk column the operator itself guarantees
+    by_rank = {r["rnk"]: r for r in out}
+    assert [by_rank[i]["neighbor_id"] for i in (1, 2)] == [1, 2]
+    assert by_rank[1]["cos_sim"] > 0.99
 
 
 def test_ivf_recall_floor(spark):
@@ -245,15 +248,34 @@ def test_asof_matches_bruteforce(spark):
 
 
 def test_lsh_ann_self_recall(spark):
-    rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(8)]) for i in range(8)]
+    """Identical vectors land in the same bucket BY CONSTRUCTION, so a
+    planted duplicate of each query is guaranteed-recall: it must come
+    back as that query's rank-1 neighbor at cos ~1. That pins bucketing +
+    in-bucket exact scoring; the earlier version only asserted
+    non-emptiness and cosine range, which a bucket-ignoring regression
+    would satisfy."""
+    rows = [
+        Row(vec_id=i, embedding=[float(i == j) for j in range(8)])
+        for i in range(8)
+    ] + [
+        Row(vec_id=100 + i, embedding=[float(i == j) for j in range(8)])
+        for i in range(4)  # exact duplicates of queries 0-3
+    ]
     emb = spark.createDataFrame(rows)
     out = lsh_bucket_topk(emb, emb, k=3, n_bits=4, dim=8)
-    rows = out.collect()
-    assert rows  # a bucketing regression must not pass vacuously
-    # every query only pairs within its bucket; results are valid cosine sims
-    for r in rows:
+    got = out.collect()
+    assert got  # a bucketing regression must not pass vacuously
+    by_query = {}
+    for r in got:
         assert r["query_id"] != r["neighbor_id"]
         assert -1.0001 <= r["cos_sim"] <= 1.0001
+        by_query.setdefault(r["query_id"], {})[r["rnk"]] = r
+    for i in range(4):
+        top = by_query[i][1]  # guaranteed same-bucket duplicate
+        assert top["neighbor_id"] == 100 + i
+        assert top["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+        # and symmetrically the duplicate finds its original
+        assert by_query[100 + i][1]["neighbor_id"] == i
 
 
 def test_udtf_char_ngrams(spark, docs):

@@ -79,17 +79,21 @@ def test_minhash_lsh_50k_docs(spark):
     ).select(
         (F.col("doc_id") + F.col("k") * 100_000).alias("doc_id"), "text"
     )
-    pairs = minhash_lsh_pairs(
-        replicated, "doc_id", "text", n=3, k=16, bands=4, threshold=0.9,
-        persist=True,
-    )
-    # replicas of doc 0: pairs among {0, 100000, ..., 900000} with jaccard 1
-    hits = pairs.filter(
-        (F.col("id_a") % 100_000 == 0) & (F.col("id_b") % 100_000 == 0)
-        & (F.col("jaccard") == 1.0)
-    ).count()
-    assert hits >= 45  # C(10,2) pairs for doc 0 alone
-    spark.catalog.clearCache()
+    try:
+        pairs = minhash_lsh_pairs(
+            replicated, "doc_id", "text", n=3, k=16, bands=4, threshold=0.9,
+            persist=True,
+        )
+        # replicas of doc 0: pairs among {0, 100000, ...} with jaccard 1
+        hits = pairs.filter(
+            (F.col("id_a") % 100_000 == 0) & (F.col("id_b") % 100_000 == 0)
+            & (F.col("jaccard") == 1.0)
+        ).count()
+        assert hits >= 45  # C(10,2) pairs for doc 0 alone
+    finally:
+        # a failing assert must not leak the persisted 500k-doc corpus
+        # into the session-scoped SparkSession
+        spark.catalog.clearCache()
 
 
 def test_nearest_centroid_500k_vectors(spark):

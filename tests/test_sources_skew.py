@@ -208,19 +208,23 @@ def test_register_views_full_sql_interface(spark):
     from tdataframe_spark.sources.parquet import register_views
 
     names = register_views(spark, "/root/testdata/sf0.001")
-    assert "lineitem" in names and "events" in names
-    n = spark.sql("select count(*) as n from lineitem").first()["n"]
-    assert n > 0
-    joined = spark.sql(
-        "select count(*) as n from orders o join customer c "
-        "on o.o_custkey = c.c_custkey"
-    ).first()["n"]
-    assert joined > 0
-    # events arrives normalized: ts_us bigint, no raw ts column
-    cols = dict(spark.table("events").dtypes)
-    assert cols.get("ts_us") == "bigint" and "ts" not in cols
-    for v in names:
-        spark.catalog.dropTempView(v)
+    try:
+        assert "lineitem" in names and "events" in names
+        n = spark.sql("select count(*) as n from lineitem").first()["n"]
+        assert n > 0
+        joined = spark.sql(
+            "select count(*) as n from orders o join customer c "
+            "on o.o_custkey = c.c_custkey"
+        ).first()["n"]
+        assert joined > 0
+        # events arrives normalized: ts_us bigint, no raw ts column
+        cols = dict(spark.table("events").dtypes)
+        assert cols.get("ts_us") == "bigint" and "ts" not in cols
+    finally:
+        # generically-named views ('lineitem', 'events', …) must not
+        # outlive a failed assert in the shared session
+        for v in names:
+            spark.catalog.dropTempView(v)
 
 
 def test_read_json_robust_quarantines_bad_lines(spark, tmp_path):

@@ -174,9 +174,23 @@ def test_stream_filter_define_parity(spark, stream_dir):
     )
     name, q = run_to_memory_sink(out, mode="complete")
     try:
-        got = spark.sql(f"select sum(n) as n from {name}").first()["n"]
-        expect = batch.filter("event_type = 'purchase'").count()
-        assert got == expect
+        # pin the DEFINE output (s = Σ value·2) and the per-user grouping,
+        # not just the filtered row count — count parity alone would pass
+        # with a broken withColumn
+        got = {
+            r["user_id"]: (r["n"], round(r["s"], 6))
+            for r in spark.sql(f"select user_id, n, s from {name}").collect()
+        }
+        expect = {
+            r["user_id"]: (r["n"], round(r["s"], 6))
+            for r in batch.filter("event_type = 'purchase'")
+            .withColumn("v2", F.col("value") * 2)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v2").alias("s"))
+            .collect()
+        }
+        # 6-dp rounding absorbs stream-vs-batch double accumulation order
+        assert got == expect and sum(n for n, _ in got.values()) > 0
     finally:
         q.stop()
 
@@ -262,10 +276,17 @@ def test_kafka_mock_parse_and_dedup(spark, stream_dir, tmp_path):
     try:
         rows = spark.sql(f"select * from {name}").collect()
         assert len(rows) == batch.count()  # duplicates collapsed
-        assert {r["event_id"] for r in rows} == {
-            r["event_id"] for r in batch.collect()
+        # pin the full decoded payload per event, not just id presence —
+        # a schema/field mixup would otherwise pass
+        got = {
+            r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+            for r in rows
         }
-        assert all(r["user_id"] is not None for r in rows)  # JSON decoded
+        expect = {
+            r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+            for r in batch.collect()
+        }
+        assert got == expect
     finally:
         q.stop()
 
@@ -386,11 +407,15 @@ def test_transform_with_state_running_totals(spark, stream_dir):
     result = streaming_running_totals(stream)
     name, q = run_to_memory_sink(result, mode="update")
     try:
-        # memory sink in update mode appends; last row per user wins
+        # memory sink in update mode appends one row per user per batch,
+        # with NO scan-order contract — select each user's final state by
+        # its monotone running count (n strictly grows per update), never
+        # by collect() iteration order
         rows = spark.sql(f"select * from {name}").collect()
         last = {}
         for r in rows:
-            last[r["user_id"]] = (r["n"], r["total"])
+            if r["user_id"] not in last or r["n"] > last[r["user_id"]][0]:
+                last[r["user_id"]] = (r["n"], r["total"])
         expect = {
             r["user_id"]: (r["n"], r["total"])
             for r in batch.groupBy("user_id")
