@@ -1122,3 +1122,121 @@ def dedup_keep_best(
         "keep",
         (F.row_number().over(w) == 1).cast("int"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    persist: bool = False,
+) -> DataFrame:
+    """All document pairs with TF-IDF-weighted cosine similarity >=
+    ``threshold`` — the WEIGHTED near-dup signal: where Jaccard/MinHash
+    treat every shingle equally, tf-idf cosine discounts ubiquitous terms
+    (idf) and rewards repeated rare ones (tf), the classic
+    boilerplate-tolerant duplicate detector.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos rounded to 9 dp.
+
+    Plan shape (the ngram_jaccard postings discipline): one explode +
+    hash-agg builds the (doc, term, tf) postings; document frequencies are
+    a term-keyed aggregate of it; ``max_df`` (df-cut, default ON) drops
+    terms in more than that many docs — a free filter on the posting list
+    that bounds per-term pair fan-out to C(max_df, 2), exactly the
+    stopword-blowup cap. Pair dot products flow through one term-keyed
+    self-join; norms use the SAME post-cut weighted table, so the measure
+    is a true cosine in the truncated term space (cos(a,a) = 1).
+
+    Determinism: tf/df are integers; idf = ln(1 + N/df) is rounded to
+    9 dp (the ln-parity convention); per-doc and per-pair double sums are
+    ORDERED folds over term-sorted lists, bit-stable on any partitioning
+    and reproducible by the DuckDB oracle.
+    """
+    from tdataframe_spark.functions.text import words
+
+    post = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(words(F.lower(F.col(text_col)))).alias("__t"),
+        )
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    if persist:
+        post = post.persist()
+    n_docs = post.select("__id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs")
+    )
+    dfreq = post.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    weighted = (
+        post.join(dfreq, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "__t",
+            (
+                F.col("__tf")
+                * F.round(F.log(F.lit(1.0) + F.col("__n_docs") / F.col("__df")), 9)
+            ).alias("__w"),
+        )
+    )
+    if persist:
+        weighted = weighted.persist()
+
+    def _fold_sum(lst):
+        return F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + x)
+
+    norms = (
+        weighted.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__t", "__w"))).alias("__l"))
+        .select(
+            "__id",
+            F.sqrt(
+                _fold_sum(F.transform(F.col("__l"), lambda x: x["__w"] * x["__w"]))
+            ).alias("__norm"),
+        )
+    )
+    a = weighted.select(
+        "__t", F.col("__id").alias("id_a"), F.col("__w").alias("__wa")
+    )
+    b = weighted.select(
+        "__t", F.col("__id").alias("id_b"), F.col("__w").alias("__wb")
+    )
+    dots = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("__t", (F.col("__wa") * F.col("__wb")).alias("__p"))
+                )
+            ).alias("__l")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            _fold_sum(F.transform(F.col("__l"), lambda x: x["__p"])).alias("__dot"),
+        )
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__norm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 9).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

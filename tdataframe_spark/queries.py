@@ -2506,6 +2506,59 @@ FROM v JOIN c ON v.user_id = c.user_id AND v_lo <= c_hi AND c_lo <= v_hi
 """
 
 
+TFIDF_SRC = "src0"  # per-source restriction: the honest demo scope (the
+# synthetic corpus shares one vocabulary, so cross-source cosine is noise)
+TFIDF_T = 0.75
+
+
+def q_tfidf_pairs(spark, sf):
+    """TF-IDF-weighted cosine near-dup pairs within one source: postings
+    plan (one shuffle of the term table), df-cut fan-out cap, ordered
+    per-doc/per-pair folds, 9-dp ln convention."""
+    from tdataframe_spark.ops.dedup import tfidf_cosine_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("source") == TFIDF_SRC)
+    return tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=TFIDF_T, persist=True
+    )
+
+
+SQL_TFIDF_PAIRS = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE source = '{TFIDF_SRC}'),
+post AS (
+  SELECT doc_id AS id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM d),
+       UNNEST(ws) AS u(t)
+  GROUP BY 1, 2
+),
+nd AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n FROM post),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS dfx
+  FROM post GROUP BY 1 HAVING COUNT(*) <= 1000
+),
+w AS (
+  SELECT id, term, tf * ROUND(ln(1.0 + CAST(n AS DOUBLE) / dfx), 9) AS wgt
+  FROM post JOIN dfreq USING (term), nd
+),
+norms AS (
+  SELECT id, sqrt(list_reduce(list(wgt * wgt ORDER BY term),
+                              (a, x) -> a + x)) AS nrm
+  FROM w GROUP BY id
+),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_reduce(list(a.wgt * b.wgt ORDER BY a.term), (p, s) -> p + s) AS dt
+  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dt / (na.nrm * nb.nrm), 9) AS cos_sim
+FROM dots
+JOIN norms na ON na.id = id_a
+JOIN norms nb ON nb.id = id_b
+WHERE ROUND(dt / (na.nrm * nb.nrm), 9) >= {TFIDF_T}
+"""
+
+
 HH_MIN_COUNT = 15
 
 

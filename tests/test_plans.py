@@ -366,6 +366,7 @@ _BNLJ_ALLOWED = {
                            # bm25's 1-row corpus-stats attach
     "heavy_hitters",       # 1-row dense CMS counter attach (bounded
                            # depth×width longs, ridden as data)
+    "tfidf_pairs",         # 1-row corpus-size (n_docs) attach for idf
 }
 
 

@@ -611,3 +611,81 @@ def test_hybrid_topk_rrf_fusion_hand_computed(spark):
     assert got[1][2] == round(1.0 / 61, 9)
     # fused order: doc 4 (both legs) beats either single-leg rank-1 doc
     assert [r["id"] for r in out][0] == 4
+
+
+def test_tfidf_cosine_pairs_matches_reference(spark):
+    """TF-IDF cosine against a from-scratch python reference implementing
+    the same conventions (9-dp ln, term-ordered folds) — exact equality;
+    plus the df-cut drops a ubiquitous term and partitioning invariance
+    holds."""
+    import math
+
+    from tdataframe_spark.ops.dedup import tfidf_cosine_pairs
+
+    corpus = {
+        1: "aa bb aa cc",
+        2: "aa bb bb dd",
+        3: "cc dd cc aa",
+        4: "ee ff ee gg",
+    }
+    docs = _docs(spark, list(corpus.items()))
+
+    def reference(max_df=None):
+        tf = {
+            (i, t): txt.split().count(t)
+            for i, txt in corpus.items()
+            for t in set(txt.split())
+        }
+        n = len(corpus)
+        df_ = {}
+        for (_, t) in tf:
+            df_[t] = df_.get(t, 0) + 1
+        terms = {t for t in df_ if max_df is None or df_[t] <= max_df}
+        w = {
+            (i, t): c * round(math.log(1.0 + n / df_[t]), 9)
+            for (i, t), c in tf.items()
+            if t in terms
+        }
+        def norm(i):
+            acc = 0.0
+            for t in sorted(t for (j, t) in w if j == i):
+                acc = acc + w[(i, t)] * w[(i, t)]
+            return math.sqrt(acc)
+        out = {}
+        ids = sorted(corpus)
+        for x in ids:
+            for y in ids:
+                if x >= y:
+                    continue
+                shared = sorted(
+                    t for (j, t) in w if j == x and (y, t) in w
+                )
+                if not shared:
+                    continue
+                acc = 0.0
+                for t in shared:
+                    acc = acc + w[(x, t)] * w[(y, t)]
+                out[(x, y)] = round(acc / (norm(x) * norm(y)), 9)
+        return out
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert got == reference()
+    # df-cut: 'aa' appears in 3 docs; max_df=2 must remove its contribution
+    cut = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", threshold=0.0, max_df=2
+        ).collect()
+    }
+    assert cut == reference(max_df=2) and cut != got
+    # partitioning invariance (ordered folds)
+    again = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(
+            docs.repartition(7), "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    assert again == got
