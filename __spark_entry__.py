@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent)
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
+        "logreg_score": q_logreg_score,
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -333,5 +334,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),
-        # semdedup (k-means clustering), pca_embeddings (eigendecomposition)
+        # semdedup (k-means clustering), pca_embeddings (eigendecomposition),
+        # logreg_score (iterative driver-updated gradient descent)
     }

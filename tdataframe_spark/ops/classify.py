@@ -130,3 +130,166 @@ def nearest_centroid_confusion(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+GRAD_QUANT = 10**9  # gradient-contribution quantization: each row's
+# e·x_j term is HALF_UP-rounded to 1e-9 before summation so gradient
+# accumulation is exact integer math — partitioning/batching-invariant
+# (the PCA moment-pass discipline applied to a transcendental-valued
+# per-row quantity that cannot be quantized input-side)
+
+
+def logreg_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    positive=0,
+    n_iter: int = 30,
+    learning_rate: float = 1.0,
+    l2: float = 0.0,
+) -> dict:
+    """Binary (one-vs-rest) logistic regression over an embedding column:
+    returns ``{dim, n, weights, bias, positive}`` for ``logreg_score`` —
+    the TRAINABLE quality-classifier stage of a curation pipeline
+    (fastText-style routing: label a small seed set, score the corpus).
+
+    Full-batch gradient descent: each iteration is ONE Arrow map pass
+    folding every record batch to a (d+1)-int partial gradient (numpy
+    sigmoid per batch, contributions quantized to ``1/GRAD_QUANT`` then
+    summed as int64 with an overflow guard), one exact DECIMAL(38,0)
+    reduce, and a driver-side update of d+1 doubles. Shuffle volume per
+    iteration is #batches tiny rows; nothing data-proportional ever
+    reaches the driver. At 100 TB you would subsample to a training split
+    first (``group_split``/``weighted_sample``) — the full corpus is for
+    SCORING, which is a single map-side pass.
+
+    Determinism: quantized integer gradients commute exactly, so the
+    trained model is bit-identical under any partitioning or Arrow batch
+    boundary (tested); per-iteration float updates on the driver are
+    plain IEEE on identical inputs.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    first = df.select(F.size(F.col(vec_col)).alias("__d")).filter(
+        F.col("__d") >= 0
+    ).first()
+    if first is None:
+        raise ValueError("logreg_train: empty input")
+    d = first["__d"]
+
+    src = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        (F.col(label_col) == F.lit(positive)).cast("double").alias("__y"),
+    )
+
+    w = np.zeros(d)
+    b = 0.0
+    n_total = None
+    for _ in range(n_iter):
+        w_c, b_c = w.copy(), b  # bind per-iteration constants
+
+        def fold(batches: Iterator, w_c=w_c, b_c=b_c) -> Iterator:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vals = pdf["__v"].to_numpy()
+                bad = sum(1 for v in vals if v is None or len(v) != d)
+                if bad:
+                    raise ValueError(
+                        f"logreg_train: {bad} rows with NULL or non-{d}-dim "
+                        "vectors"
+                    )
+                a = np.stack(vals).astype(np.float64)
+                y = pdf["__y"].to_numpy().astype(np.float64)
+                z = a @ w_c + b_c
+                p = 1.0 / (1.0 + np.exp(-z))
+                e = p - y  # in (-1, 1)
+                contrib = e[:, None] * a  # n×d
+                q = np.sign(contrib) * np.floor(
+                    np.abs(contrib) * GRAD_QUANT + 0.5
+                )
+                qb = np.sign(e) * np.floor(np.abs(e) * GRAD_QUANT + 0.5)
+                maxq = float(np.abs(q).max()) if q.size else 0.0
+                if maxq and len(a) * maxq >= 2**63:
+                    raise ValueError(
+                        "logreg_train: batch gradient exceeds int64 headroom;"
+                        " lower arrow batch size or rescale features"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "cnt": [len(a)],
+                        "g": [q.astype(np.int64).sum(axis=0).tolist()],
+                        "gb": [int(qb.astype(np.int64).sum())],
+                    }
+                )
+
+        parts = src.mapInPandas(
+            fold, schema="cnt long, g array<long>, gb long"
+        ).persist()
+        try:
+            n = parts.agg(F.sum("cnt").cast("long").alias("n")).first()["n"]
+            grows = (
+                parts.select(F.posexplode("g").alias("__i", "__v"))
+                .groupBy("__i")
+                .agg(F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"))
+                .collect()
+            )
+            gb = parts.agg(
+                F.sum(F.col("gb").cast("decimal(38,0)")).alias("__s")
+            ).first()["__s"]
+        finally:
+            parts.unpersist()
+        if not n:
+            raise ValueError("logreg_train: empty input")
+        n_total = n
+        g = np.zeros(d)
+        for r in grows:
+            g[r["__i"]] = float(int(r["__s"]))
+        g /= GRAD_QUANT * n
+        gbf = float(int(gb)) / (GRAD_QUANT * n)
+        w = w - learning_rate * (g + l2 * w)
+        b = b - learning_rate * gbf
+    return {
+        "dim": int(d),
+        "n": int(n_total),
+        "weights": w.tolist(),
+        "bias": float(b),
+        "positive": positive,
+    }
+
+
+def logreg_score(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "prob",
+) -> DataFrame:
+    """Score every row with the trained model: (id, ``out_col`` =
+    sigmoid(x·w + b)) — a pure map-side JVM fold against a broadcast
+    1-row weight table; the single corpus pass that gates/routes 100 TB.
+    """
+    from tdataframe_spark.core.partitioning import ensure_min_partitions
+    from tdataframe_spark.functions.vectors import dot
+
+    if len(model["weights"]) != model["dim"]:
+        raise ValueError("model weights do not match model dim")
+    spark = df.sparkSession
+    mrow = spark.createDataFrame(
+        [(model["weights"], float(model["bias"]))],
+        "__w array<double>, __b double",
+    )
+    z = dot(F.col(vec_col), F.col("__w")) + F.col("__b")
+    return (
+        ensure_min_partitions(df)
+        .crossJoin(F.broadcast(mrow))
+        .select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+        )
+    )

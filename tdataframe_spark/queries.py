@@ -2689,6 +2689,25 @@ def q_pca_embeddings(spark, sf):
     )
 
 
+def q_logreg_score(spark, sf):
+    """Trainable quality classifier: one-vs-rest logistic regression
+    (positive = label 0) trained by full-batch GD — each iteration one
+    Arrow map pass to integer-quantized (d+1)-value gradient partials +
+    an exact DECIMAL reduce — then a map-side scoring pass. Iterative
+    driver-updated training is not SQL-expressible → rows-only;
+    separability accuracy and bit-exact partitioning invariance of the
+    trained model are pinned in tests."""
+    from tdataframe_spark.ops.classify import logreg_score, logreg_train
+
+    emb = _t(spark, sf, "embeddings")
+    model = logreg_train(
+        emb, "embedding", "label", positive=0, n_iter=15
+    )
+    return logreg_score(emb, model, "vec_id", "embedding").select(
+        "vec_id", F.round("prob", 9).alias("prob")
+    )
+
+
 # non-SQL-expressible ops (rows-only checks): multimodal stub, LSH ANN
 
 

@@ -1526,3 +1526,60 @@ def test_int8_quantization_pinned_and_bounded(spark):
     for r in out:
         for x, rec in zip(r["v"], r["recon"]):
             assert abs(x - rec) <= r["scale"] / 2 + 1e-12
+
+
+def test_logreg_separable_and_partitioning_invariant(spark):
+    """Full-batch GD on two separable gaussian blobs: the trained model
+    must classify both blobs correctly AND be bit-identical under any
+    partitioning (integer-quantized gradient accumulation)."""
+    import random
+
+    from tdataframe_spark.ops.classify import logreg_score, logreg_train
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(120):
+        pos = i % 2 == 0
+        center = 1.5 if pos else -1.5
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[rng.gauss(center, 0.4) for _ in range(4)],
+                label=0 if pos else 1,
+            )
+        )
+    df = spark.createDataFrame(rows)
+    model = logreg_train(df, "embedding", "label", positive=0, n_iter=40)
+    assert model["dim"] == 4 and model["n"] == 120
+    scored = {
+        r["vec_id"]: r["prob"]
+        for r in logreg_score(df, model, "vec_id", "embedding").collect()
+    }
+    correct = sum(
+        1
+        for r in rows
+        if (scored[r.vec_id] >= 0.5) == (r.label == 0)
+    )
+    assert correct >= 114  # >= 95% on a separable problem
+    # exact model stability across partitionings
+    m2 = logreg_train(
+        df.repartition(7), "embedding", "label", positive=0, n_iter=40
+    )
+    assert m2 == model
+
+
+def test_logreg_rejects_bad_input(spark):
+    import pytest as _pt
+
+    from tdataframe_spark.ops.classify import logreg_score, logreg_train
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 2.0], label=0),
+         Row(vec_id=2, embedding=[1.0], label=1)]
+    )
+    with _pt.raises(Exception, match="non-2-dim"):
+        logreg_train(df, "embedding", "label", n_iter=1)
+    good = df.filter("vec_id = 1")
+    model = logreg_train(good, "embedding", "label", n_iter=1)
+    with _pt.raises(ValueError, match="weights"):
+        logreg_score(good, {**model, "weights": [1.0]}, "vec_id", "embedding")

@@ -382,6 +382,7 @@ def test_registry_wide_plan_lint(spark):
         "dedup_keep_best", "rollup_incremental", "snapshot_diff",
         "merge_upsert", "global_rank", "decontamination_bloom",
         "nearest_centroid", "lm_score", "semdedup", "pca_embeddings",
+        "logreg_score",
     }
     failures = []
     for name, fn in em.queries().items():
