@@ -48,6 +48,13 @@ EXTENDED = [
     "ccnet_buckets",
     "dedup_keep_best",
     "pq_ann",
+    # round-4 additions
+    "hybrid_search",
+    "semdedup",
+    "tfidf_pairs",
+    "heavy_hitters",
+    "pca_embeddings",
+    "interval_join",
 ]
 
 

@@ -700,11 +700,22 @@ def connected_components(
     """Connected components over a pair graph (duplicate-cluster assembly):
     every node gets the MINIMUM id reachable from it as its component label.
 
-    Iterative label propagation — each round joins current labels across
-    edges and keeps the per-node minimum, converging in O(graph diameter)
-    rounds; the loop is driver-side control flow but all data stays
-    distributed (the standard large-graph CC shape; GraphFrames does the
-    same under the hood). Deterministic output: (id, component).
+    Iterative label propagation with POINTER JUMPING: each round (1) every
+    node takes the minimum label across its edges, then (2) every node
+    replaces its label with its label-node's label (path halving). Step 2
+    turns the O(diameter) convergence of plain propagation into
+    O(log diameter) — low-threshold similarity graphs form chain-like
+    components whose diameter tracks component size, and plain propagation
+    was observed needing >20 rounds on a 1.4k-node chain-y graph (166 s of
+    round overhead) where the jumped loop needs ~5. The loop is
+    driver-side control flow but all data stays distributed.
+    Deterministic output: (id, component).
+
+    Raises RuntimeError if ``max_iterations`` rounds pass without
+    convergence — returning unconverged labels would be silently WRONG
+    cluster assignments downstream (keep-best canonicalization would keep
+    several "representatives" of one true cluster). With jumping, 20
+    rounds cover diameters past 10^6.
 
     Persistence discipline (the part that makes the loop viable at depth):
     ``edges`` and each round's labels are persisted, the previous round is
@@ -715,7 +726,12 @@ def connected_components(
     executor churn, prefer a reliable ``checkpoint()`` directory over
     localCheckpoint.
     """
-    checkpoint_every = 5
+    # lineage MUST truncate every round: the pointer-jump step self-joins
+    # the round's labels, so an unmaterialized plan DOUBLES per round
+    # (observed: driver OOM in explainString by round ~5 at checkpoint
+    # cadence 5). The labels table is node-sized and the convergence count
+    # materializes it anyway, so per-round truncation is ~free.
+    checkpoint_every = 1
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .union(pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst")))
@@ -728,6 +744,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    converged = False
     for i in range(max_iterations):
         # labels flowing across edges: each node may learn a smaller label
         # from any neighbour
@@ -737,11 +754,29 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = (
+        propagated = (
             labels.select("id", "component")
             .union(candidate)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping (path halving): component <- component's
+        # component. A node's label is always a reachable node's id, and
+        # that node's label is reachable transitively — so the jump stays
+        # within the component while halving label-chain length, giving
+        # O(log diameter) total rounds.
+        mapping = propagated.select(
+            F.col("id").alias("component"), F.col("component").alias("__cc")
+        )
+        new_labels = (
+            propagated.join(mapping, "component", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__cc"), F.col("component")),
+                ).alias("component"),
+            )
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
@@ -758,8 +793,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iterations} "
+            "rounds — refusing to return partial labels (wrong clusters "
+            "downstream); raise max_iterations"
+        )
     return labels.select("id", "component")
 
 

@@ -320,17 +320,19 @@ def test_multimodal_features_shape(docs):
 
 
 def test_connected_components_chain(spark):
-    """A 50-node path graph (worst-case diameter for label propagation):
-    everything must collapse to component 0, and the persist/checkpoint
-    discipline must keep the loop viable at that depth."""
+    """A 500-node path graph — worst-case diameter for plain label
+    propagation (which would need ~500 rounds): pointer jumping must
+    collapse it to component 0 within the DEFAULT 20-round cap
+    (O(log diameter)), under the per-round lineage-truncation discipline.
+    An unconverged run raises rather than returning partial labels."""
     from tdataframe_spark.ops.dedup import connected_components
 
     pairs = spark.createDataFrame(
-        [Row(id_a=i, id_b=i + 1) for i in range(49)]
+        [Row(id_a=i, id_b=i + 1) for i in range(499)]
     )
-    out = connected_components(pairs, max_iterations=60)
+    out = connected_components(pairs)
     rows = out.collect()
-    assert len(rows) == 50
+    assert len(rows) == 500
     assert all(r["component"] == 0 for r in rows)
 
 
