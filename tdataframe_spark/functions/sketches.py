@@ -83,6 +83,18 @@ def approx_quantiles(
     return df.agg(agg)
 
 
+def _cms_counter(col: str, r: int, width) -> "Column":
+    """THE counter-index expression: row ``r``'s counter for item ``col``
+    is ``pmod(xxhash64(col, r), width)``. Build, probe, and the
+    heavy-hitters map-side filter must all agree bit-for-bit — any drift
+    silently breaks the never-undercount guarantee — so every site calls
+    this one helper.
+    """
+    return (
+        F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(width)).cast("int")
+    )
+
+
 def cms_build(
     df: DataFrame, col: str, depth: int = 5, width: int = 2048
 ) -> DataFrame:
@@ -104,9 +116,7 @@ def cms_build(
             F.array(*[
                 F.struct(
                     F.lit(r).alias("r"),
-                    F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(width))
-                    .cast("int")
-                    .alias("c"),
+                    _cms_counter(col, r, width).alias("c"),
                 )
                 for r in range(depth)
             ])
@@ -163,9 +173,7 @@ def cms_query(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(r).alias("r"),
-                    F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(width))
-                    .cast("int")
-                    .alias("c"),
+                    _cms_counter(col, r, width).alias("c"),
                 )
                 for r in range(depth)
             ])
@@ -222,7 +230,7 @@ def heavy_hitters(
     probes = [
         F.element_at(
             F.element_at(F.col("__cms"), r + 1),
-            F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(w)).cast("int") + 1,
+            _cms_counter(col, r, w) + 1,
         )
         for r in range(d)
     ]

@@ -172,6 +172,8 @@ def logreg_train(
 
     import numpy as np
 
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     first = df.select(F.size(F.col(vec_col)).alias("__d")).filter(
         F.col("__d") >= 0
     ).first()
@@ -183,10 +185,10 @@ def logreg_train(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         (F.col(label_col) == F.lit(positive)).cast("double").alias("__y"),
     )
+    n_total = src.count()  # constant across iterations — computed once
 
     w = np.zeros(d)
     b = 0.0
-    n_total = None
     for _ in range(n_iter):
         w_c, b_c = w.copy(), b  # bind per-iteration constants
 
@@ -206,14 +208,23 @@ def logreg_train(
                     )
                 a = np.stack(vals).astype(np.float64)
                 y = pdf["__y"].to_numpy().astype(np.float64)
+                # NaN/NULL features or labels would corrupt silently:
+                # NaN fails every comparison (bypassing the overflow
+                # guard) and astype(int64) turns it into INT64_MIN
+                if not np.isfinite(a).all() or not np.isfinite(y).all():
+                    raise ValueError(
+                        "logreg_train: non-finite feature or NULL/NaN label "
+                        "in batch — clean or filter the training rows first"
+                    )
                 z = a @ w_c + b_c
                 p = 1.0 / (1.0 + np.exp(-z))
                 e = p - y  # in (-1, 1)
-                contrib = e[:, None] * a  # n×d
+                # d feature contributions + the bias term as column d:
+                # ONE partial array, one downstream aggregation job
+                contrib = np.concatenate([e[:, None] * a, e[:, None]], axis=1)
                 q = np.sign(contrib) * np.floor(
                     np.abs(contrib) * GRAD_QUANT + 0.5
                 )
-                qb = np.sign(e) * np.floor(np.abs(e) * GRAD_QUANT + 0.5)
                 maxq = float(np.abs(q).max()) if q.size else 0.0
                 if maxq and len(a) * maxq >= 2**63:
                     raise ValueError(
@@ -221,39 +232,24 @@ def logreg_train(
                         " lower arrow batch size or rescale features"
                     )
                 yield pd.DataFrame(
-                    {
-                        "cnt": [len(a)],
-                        "g": [q.astype(np.int64).sum(axis=0).tolist()],
-                        "gb": [int(qb.astype(np.int64).sum())],
-                    }
+                    {"g": [q.astype(np.int64).sum(axis=0).tolist()]}
                 )
 
-        parts = src.mapInPandas(
-            fold, schema="cnt long, g array<long>, gb long"
-        ).persist()
-        try:
-            n = parts.agg(F.sum("cnt").cast("long").alias("n")).first()["n"]
-            grows = (
-                parts.select(F.posexplode("g").alias("__i", "__v"))
-                .groupBy("__i")
-                .agg(F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"))
-                .collect()
-            )
-            gb = parts.agg(
-                F.sum(F.col("gb").cast("decimal(38,0)")).alias("__s")
-            ).first()["__s"]
-        finally:
-            parts.unpersist()
-        if not n:
+        grows = (
+            src.mapInPandas(fold, schema="g array<long>")
+            .select(F.posexplode("g").alias("__i", "__v"))
+            .groupBy("__i")
+            .agg(F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"))
+            .collect()
+        )
+        if not grows:
             raise ValueError("logreg_train: empty input")
-        n_total = n
-        g = np.zeros(d)
+        g = np.zeros(d + 1)
         for r in grows:
             g[r["__i"]] = float(int(r["__s"]))
-        g /= GRAD_QUANT * n
-        gbf = float(int(gb)) / (GRAD_QUANT * n)
-        w = w - learning_rate * (g + l2 * w)
-        b = b - learning_rate * gbf
+        g /= GRAD_QUANT * n_total
+        w = w - learning_rate * (g[:d] + l2 * w)
+        b = b - learning_rate * g[d]
     return {
         "dim": int(d),
         "n": int(n_total),
@@ -285,11 +281,24 @@ def logreg_score(
         "__w array<double>, __b double",
     )
     z = dot(F.col(vec_col), F.col("__w")) + F.col("__b")
+    # a shorter/longer vector would zip_with-pad to NULL → silent NULL
+    # prob a downstream `prob >= t` gate drops invisibly — raise instead
+    # (the pca_project dim-guard pattern: the assert rides the otherwise
+    # branch so the NULL short-circuit can't skip it)
+    probe = F.assert_true(
+        F.size(F.col(vec_col)) == model["dim"],
+        F.lit(f"logreg_score: vector dim != model dim {model['dim']}"),
+    )
     return (
         ensure_min_partitions(df)
         .crossJoin(F.broadcast(mrow))
         .select(
             id_col,
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+            F.when(
+                F.size(F.col(vec_col)) == model["dim"],
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-z)),
+            )
+            .otherwise(probe.cast("double"))
+            .alias(out_col),
         )
     )

@@ -2534,7 +2534,7 @@ post AS (
 nd AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n FROM post),
 dfreq AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS dfx
-  FROM post GROUP BY 1 HAVING COUNT(*) <= 1000
+  FROM post GROUP BY 1 HAVING COUNT(*) <= {DEFAULT_MAX_SHINGLE_FREQ}
 ),
 w AS (
   SELECT id, term, tf * ROUND(ln(1.0 + CAST(n AS DOUBLE) / dfx), 9) AS wgt

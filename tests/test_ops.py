@@ -1585,3 +1585,22 @@ def test_logreg_rejects_bad_input(spark):
     model = logreg_train(good, "embedding", "label", n_iter=1)
     with _pt.raises(ValueError, match="weights"):
         logreg_score(good, {**model, "weights": [1.0]}, "vec_id", "embedding")
+    with _pt.raises(ValueError, match="n_iter"):
+        logreg_train(good, "embedding", "label", n_iter=0)
+    # NULL label / NaN feature would quantize to INT64_MIN garbage — raise
+    nullable = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 2.0], label=0),
+         Row(vec_id=2, embedding=[1.0, 2.0], label=None)]
+    )
+    with _pt.raises(Exception, match="NULL/NaN label"):
+        logreg_train(nullable, "embedding", "label", n_iter=1)
+    nan = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, float("nan")], label=0)]
+    )
+    with _pt.raises(Exception, match="non-finite"):
+        logreg_train(nan, "embedding", "label", n_iter=1)
+    # scoring a wrong-dim vector raises instead of emitting NULL prob
+    with _pt.raises(Exception, match="logreg_score"):
+        logreg_score(
+            df.filter("vec_id = 2"), model, "vec_id", "embedding"
+        ).collect()
