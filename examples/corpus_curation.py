@@ -123,9 +123,37 @@ def main() -> None:
         F.sum("n_tokens").alias("total_subword_tokens"),
     ).show(truncate=False)
 
+    # 3d. semantic near-dup pass over the EMBEDDING space (SemDeDup):
+    #     k-means clusters bound pair generation; the whole-space exact
+    #     path stays available as cosine_pairs + components
+    from tdataframe_spark.ops.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sd = semdedup(emb, "vec_id", "embedding", eps=0.35, n_clusters=8)
+    sd.groupBy("keep").count().show(truncate=False)
+
+    # 3e. trainable quality gate: logistic regression on the labeled seed
+    #     set, then a single map-side scoring pass over the corpus
+    from tdataframe_spark.ops.classify import logreg_score, logreg_train
+
+    model = logreg_train(emb, "embedding", "label", positive=0, n_iter=10)
+    scored = logreg_score(emb, model, "vec_id", "embedding")
+    scored.agg(
+        F.round(F.min("prob"), 4).alias("min_prob"),
+        F.round(F.max("prob"), 4).alias("max_prob"),
+    ).show(truncate=False)
+
+    # 3f. hybrid retrieval for corpus inspection: BM25 + dense cosine
+    #     candidate lists fused by reciprocal rank
+    from tdataframe_spark.ops.search import hybrid_topk
+
+    print("hybrid (BM25 + dense RRF) top docs:")
+    hybrid_topk(
+        docs, emb, ["merge", "hash"], query_vec_id=0, k=5, n_candidates=20
+    ).show(truncate=False)
+
     # 4. similarity index: IVF-PQ — coarse cells prune WHICH vectors a
     #    query touches, PQ codes shrink HOW MUCH each touch costs
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with tempfile.TemporaryDirectory() as d:
         idx = os.path.join(d, "ivfpq")
         ivfpq_build(emb, idx, n_cells=8, m=16, n_codes=8)
