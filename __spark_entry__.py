@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "heavy_hitters": q_heavy_hitters,
         "tfidf_pairs": q_tfidf_pairs,
+        "window_stats": q_window_stats,
         # rows-only (no SQL equivalent)
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
@@ -331,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": SQL_QUANTIZE_EMB,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "tfidf_pairs": SQL_TFIDF_PAIRS,
+        "window_stats": SQL_WINDOW_STATS,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

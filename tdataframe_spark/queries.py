@@ -1180,6 +1180,42 @@ def q_ntile_ranks(spark, sf):
     )
 
 
+def q_window_stats(spark, sf):
+    """Distribution + navigation window functions not exercised by
+    ntile_ranks: cume_dist (exact integer ratio), first/last/nth value
+    over an explicit unbounded frame. All outputs are raw column values
+    or integer-ratio doubles under a TOTAL order (price, key) — no
+    accumulation, so cross-engine parity is structural."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_totalprice").over(wf).alias("cheapest"),
+        F.last("o_totalprice").over(wf).alias("dearest"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_cheapest"),
+    )
+
+
+SQL_WINDOW_STATS = """
+SELECT o_orderkey, o_orderpriority,
+       cume_dist() OVER w AS cdist,
+       first_value(o_totalprice) OVER wf AS cheapest,
+       last_value(o_totalprice) OVER wf AS dearest,
+       nth_value(o_totalprice, 2) OVER wf AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 SQL_NTILE = """
 SELECT o_orderkey, o_orderpriority,
        CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -156,3 +156,39 @@ def read_csv_robust(
             .csv(list(paths))
         ),
     )
+
+
+def read_media_files(
+    spark,
+    path: str,
+    kind: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest raw media files as typed payload rows via Spark's built-in
+    ``binaryFile`` source — the real-pipeline entry point to the
+    multimodal ops (``attach_payload`` is the in-memory demo twin).
+    Returns (media_id, kind, payload, n_bytes, path, mod_time) ready for
+    ``decode_images`` / ``decode_audio`` / ``probe_metadata`` /
+    ``extract_features``.
+
+    Scale shape: listing and reading are ordinary distributed file-scan
+    work (split by ``spark.sql.files.maxPartitionBytes``); payload bytes
+    go executor→executor only, never through the driver. ``glob`` becomes
+    ``pathGlobFilter`` so extension pruning happens during listing, before
+    any byte is read. ``media_id`` is the xxhash64 of the file path —
+    deterministic and join-stable across runs over the same layout.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    r = r.option("recursiveFileLookup", "true" if recursive else "false")
+    df = r.load(path)
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("long").alias("n_bytes"),
+        "path",
+        F.col("modificationTime").alias("mod_time"),
+    )

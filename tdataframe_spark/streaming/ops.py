@@ -400,3 +400,88 @@ def stream_rollup_refresh(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def stream_cms_refresh(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    col: str,
+    depth: int = 5,
+    width: int = 2048,
+    available_now: bool = True,
+):
+    """Streaming frequency-sketch maintenance: each micro-batch builds a
+    bounded count-min counter table over ``col`` and element-wise-MERGES
+    it into the sketch persisted at ``path/sketch`` — by the CMS merge law
+    the result is EXACTLY the sketch a one-shot batch build over all
+    streamed data would produce (tested). State is ≤ depth×width rows
+    whatever the stream length; ``cms_query``/``heavy_hitters``-style
+    probes read the sketch table directly. This is the streaming feed of
+    the frequency surfaces: hot-key discovery, df-cut inputs, skew
+    monitors.
+
+    Effectively-once + ownership: same applied-batch ledger and
+    checkpoint-owner check as ``stream_rollup_refresh`` (a replayed batch
+    must not double-count; a foreign checkpoint's stream must not fold
+    in), and the same rename-aside swap as the CDC upsert sink (no crash
+    instant leaves the sketch absent without a recoverable copy).
+    """
+    import hashlib
+    import os
+    import shutil
+
+    ckpt_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    data = os.path.join(path, "sketch")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from tdataframe_spark.functions.sketches import cms_build, cms_merge
+
+        spark = batch.sparkSession
+        marker_dir = os.path.join(path, "_applied")
+        owner_file = os.path.join(marker_dir, "_owner")
+        if os.path.exists(owner_file):
+            owner = open(owner_file).read().strip()
+            if owner != ckpt_id:
+                raise ValueError(
+                    f"cms sketch at {path} is owned by checkpoint {owner}; "
+                    f"refusing to fold stream {ckpt_id} into it"
+                )
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: already folded in
+        delta = cms_build(batch, col, depth=depth, width=width)
+        staging = data + ".__staging__"
+        retired = data + ".__old__"
+        # crash recovery: a prior swap may have died between renames
+        if not os.path.exists(data) and os.path.exists(retired):
+            os.rename(retired, data)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        if os.path.exists(data):
+            merged = cms_merge(spark.read.parquet(data), delta)
+            merged.write.mode("overwrite").parquet(staging)
+            if os.path.exists(retired):
+                shutil.rmtree(retired)
+            os.rename(data, retired)
+            os.rename(staging, data)
+            shutil.rmtree(retired)
+        else:
+            delta.write.mode("overwrite").parquet(data)
+        os.makedirs(marker_dir, exist_ok=True)
+        if not os.path.exists(owner_file):
+            with open(owner_file, "w") as f:
+                f.write(ckpt_id)
+        open(marker, "w").close()
+
+    w = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -273,3 +273,35 @@ def test_read_csv_robust_quarantines_bad_lines(spark, tmp_path):
     assert {r["id"] for r in good.collect()} == {1, 3}
     b = [r["raw"] for r in bad.collect()]
     assert len(b) == 1 and "too-few-cols" in b[0]
+
+
+def test_read_media_files_binary_source_to_real_decode(spark, tmp_path):
+    """binaryFile ingestion feeds the REAL decode path end-to-end: PPM
+    files written to disk come back with exact dimensions through
+    read_media_files -> decode_images; the glob prunes non-matching
+    files at listing time; media_id is path-stable across reads."""
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import decode_images
+    from tdataframe_spark.sources.files import read_media_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    for i, (w, h) in enumerate([(4, 2), (3, 5)]):
+        rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+        (d / f"img{i}.ppm").write_bytes(
+            b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+        )
+    (d / "notes.txt").write_text("not an image")
+
+    media = read_media_files(spark, str(d), kind="image/ppm", glob="*.ppm")
+    rows = media.collect()
+    assert len(rows) == 2  # the glob excluded notes.txt during listing
+    assert all(r["n_bytes"] == len(r["payload"]) for r in rows)
+    decoded = {
+        r["width"]: (r["height"], r["ok"]) for r in decode_images(media).collect()
+    }
+    assert decoded == {4: (2, True), 3: (5, True)}
+    again = {r["path"]: r["media_id"] for r in media.collect()}
+    first = {r["path"]: r["media_id"] for r in rows}
+    assert again == first  # deterministic path-derived ids

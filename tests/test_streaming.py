@@ -492,3 +492,66 @@ def test_stateful_sessionize_string_keys_and_custom_name(spark, stream_dir, tmp_
         assert got == {"alice": 2, "bob": 1}
     finally:
         q.stop()
+
+
+def test_stream_cms_refresh_matches_batch_sketch(spark, stream_dir, tmp_path):
+    """The streamed sketch must equal a one-shot batch build over the
+    same data EXACTLY (CMS merge law), and a fresh-checkpoint restart
+    over the same input must replay as no-ops (applied-batch ledger) —
+    the estimates stay identical instead of doubling."""
+    from tdataframe_spark.functions.sketches import cms_build, cms_query
+    from tdataframe_spark.streaming import stream_cms_refresh, stream_from_files
+
+    batch = spark.read.parquet(stream_dir)
+    path = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+    stream = stream_from_files(
+        spark, stream_dir, batch.schema, max_files_per_trigger=2
+    )
+    stream_cms_refresh(
+        stream.select("event_type"), path, ckpt, "event_type",
+        depth=3, width=64,
+    )
+
+    items = batch.select("event_type").distinct()
+    streamed = {
+        r["event_type"]: r["est"]
+        for r in cms_query(
+            spark.read.parquet(f"{path}/sketch"), items, "event_type"
+        ).collect()
+    }
+    oneshot = {
+        r["event_type"]: r["est"]
+        for r in cms_query(
+            cms_build(batch.select("event_type"), "event_type", depth=3, width=64),
+            items,
+            "event_type",
+        ).collect()
+    }
+    assert streamed == oneshot and sum(streamed.values()) > 0
+    # replay from the SAME checkpoint: availableNow reprocesses nothing new
+    stream2 = stream_from_files(
+        spark, stream_dir, batch.schema, max_files_per_trigger=2
+    )
+    stream_cms_refresh(
+        stream2.select("event_type"), path, ckpt, "event_type",
+        depth=3, width=64,
+    )
+    after = {
+        r["event_type"]: r["est"]
+        for r in cms_query(
+            spark.read.parquet(f"{path}/sketch"), items, "event_type"
+        ).collect()
+    }
+    assert after == streamed
+    # a DIFFERENT checkpoint refuses to fold into owned state
+    import pytest as _pt
+
+    stream3 = stream_from_files(
+        spark, stream_dir, batch.schema, max_files_per_trigger=2
+    )
+    with _pt.raises(Exception, match="owned by checkpoint"):
+        stream_cms_refresh(
+            stream3.select("event_type"), path, str(tmp_path / "other_ckpt"),
+            "event_type", depth=3, width=64,
+        )
