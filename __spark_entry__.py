@@ -208,6 +208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "tfidf_pairs": q_tfidf_pairs,
         "window_stats": q_window_stats,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_parts": q_q11_important_parts,
+        "q12_shipmode_priority": q_q12_shipmode_priority,
+        "q20_part_promotion": q_q20_part_promotion,
+        "q21_suppliers_waiting": q_q21_suppliers_waiting,
         # rows-only (no SQL equivalent)
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
@@ -333,6 +338,11 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "tfidf_pairs": SQL_TFIDF_PAIRS,
         "window_stats": SQL_WINDOW_STATS,
+        "q2_min_cost_supplier": SQL_Q2,
+        "q11_important_parts": SQL_Q11,
+        "q12_shipmode_priority": SQL_Q12,
+        "q20_part_promotion": SQL_Q20,
+        "q21_suppliers_waiting": SQL_Q21,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

@@ -367,6 +367,7 @@ _BNLJ_ALLOWED = {
     "heavy_hitters",       # 1-row dense CMS counter attach (bounded
                            # depth×width longs, ridden as data)
     "tfidf_pairs",         # 1-row corpus-size (n_docs) attach for idf
+    "q11_important_parts",  # 1-row scalar threshold (avg part value) attach
 }
 
 
