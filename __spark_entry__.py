@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode_priority": q_q12_shipmode_priority,
         "q20_part_promotion": q_q20_part_promotion,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
+        "dup_spans": q_dup_spans,
         # rows-only (no SQL equivalent)
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_shipmode_priority": SQL_Q12,
         "q20_part_promotion": SQL_Q20,
         "q21_suppliers_waiting": SQL_Q21,
+        "dup_spans": SQL_DUP_SPANS,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

@@ -22,7 +22,7 @@ hash functions in semantically meaningful places.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tdataframe_spark.core.partitioning import ensure_min_partitions
@@ -1282,4 +1282,149 @@ def tfidf_cosine_pairs(
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring (span-level) dedup — Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (arXiv 2107.06499). Reference
+# parity note: the reference engine has no curation surface; this is part
+# of the task sheet's LLM-pipeline extension, between line-level
+# (dedup_lines) and document-level (exact_dedup_groups) granularity.
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Find every maximal duplicated token span: positions covered by a
+    ``k``-word window whose text occurs more than once corpus-wide, with
+    the single first occurrence (lexicographically smallest (doc id, pos)
+    per distinct window) left unmarked — the ExactSubstr policy of
+    arXiv 2107.06499 expressed on sliding word shingles instead of a
+    suffix array.
+
+    100 TB shape: the shingle table is ~one row per corpus token —
+    inherent to the algorithm (every occurrence must be markable) — and
+    is shuffled twice on the 60-bit shingle hash (once to find duplicated
+    windows + their kept occurrence, once to join the verdict back); no
+    suffix array, no driver state, no pairs. Hot boilerplate windows cost
+    one aggregate row plus their own occurrence rows, never a cross
+    product. Span assembly is a per-document sort-window (gaps-and-
+    islands), so its shuffle is the marked-occurrence table only.
+
+    Returns one row per maximal span: (id, span_start, span_end, n_dup_tokens)
+    with token positions 0-based and ``span_end`` exclusive.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_sh = (F.size(F.col("__ws")) - F.lit(k) + 1).cast("int")
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__ws")
+        )
+        .filter(n_sh > 0)
+        .select(
+            "__id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_sh - 1),
+                    lambda i: portable_hash64(
+                        F.concat_ws(" ", F.slice(F.col("__ws"), i + 1, k))
+                    ),
+                )
+            ).alias("pos", "__h"),
+        )
+    )
+    dup = (
+        sh.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("__id", "pos")).alias("__keep"),
+        )
+        .filter(F.col("__n") > 1)
+        .select("__h", "__keep")
+    )
+    marked = sh.join(dup, "__h").filter(
+        (F.col("__id") != F.col("__keep.__id")) | (F.col("pos") != F.col("__keep.pos"))
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.select(
+        "__id",
+        "pos",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("__island"),
+    )
+    return (
+        islands.groupBy("__id", "__island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k).cast("int").alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).cast("long").alias("n_dup_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Remove every duplicated span found by ``duplicate_spans`` from the
+    corpus, keeping each window's first occurrence — the destructive half
+    of ExactSubstr dedup. Returns one row per INPUT document:
+    (id, text_clean, n_tokens, n_dup_tokens) — a document with no
+    duplicated spans (or NULL text) keeps its full text.
+
+    The per-document span list is bounded by n_tokens/k after island
+    merging, so the strip is a broadcast-free left join plus one
+    JVM-side filter over token positions (the lambda touches only plain
+    attributes; the span array is a grouped attribute, not a
+    recomputed expression).
+    """
+    spans = duplicate_spans(df, id_col, text_col, k=k).groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans"),
+        F.sum("n_dup_tokens").alias("__dup"),
+    )
+    ws = F.split(F.col(text_col), " ")
+    joined = df.join(spans, id_col, "left")
+    covered = lambda t: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (s["span_start"] <= t) & (t < s["span_end"]),
+    )
+    kept_words = F.filter(
+        F.transform(ws, lambda x, i: F.struct(x.alias("w"), i.alias("i"))),
+        lambda s: ~covered(s["i"]),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .when(
+            F.col("__spans").isNull(), F.col(text_col)
+        )
+        .otherwise(
+            F.array_join(F.transform(kept_words, lambda s: s["w"]), " ")
+        )
+        .alias("text_clean"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(ws))
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
     )

@@ -4548,6 +4548,56 @@ LIMIT {Q21_K}
 """
 
 
+SPAN_K = 8
+
+
+def q_dup_spans(spark, sf):
+    """ExactSubstr-style repeated-substring detection (arXiv 2107.06499):
+    maximal token spans covered by an 8-word window occurring more than
+    once corpus-wide, first occurrence unmarked. Two shuffles on the
+    shingle hash + one per-doc island window — no suffix array, no pairs."""
+    from tdataframe_spark.ops.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf, "documents"), "doc_id", "text", k=SPAN_K)
+
+
+SQL_DUP_SPANS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, t.s - 1 AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(ws[t.s:t.s+{SPAN_K - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM w, UNNEST(generate_series(1, len(ws) - {SPAN_K - 1})) AS t(s)
+  WHERE len(ws) >= {SPAN_K}
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n
+  FROM sh
+),
+marked AS (SELECT doc_id, pos FROM occ WHERE n > 1 AND rn > 1),
+gaps AS (
+  SELECT doc_id, pos,
+         MAX(pos + {SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM marked
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM gaps
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {SPAN_K} AS INT) AS span_end,
+       CAST(MAX(pos) + {SPAN_K} - MIN(pos) AS BIGINT) AS n_dup_tokens
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

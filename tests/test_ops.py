@@ -1604,3 +1604,134 @@ def test_logreg_rejects_bad_input(spark):
         logreg_score(
             df.filter("vec_id = 2"), model, "vec_id", "embedding"
         ).collect()
+
+
+def _ref_exactsubstr(docs, k):
+    """Pure-Python ExactSubstr reference: sliding k-word windows, mark all
+    but the lexicographically-first (doc, pos) occurrence of each repeated
+    window, merge marked [pos, pos+k) intervals, strip covered tokens."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for did in sorted(docs):
+        words = docs[did].split(" ") if docs[did] is not None else []
+        for p in range(len(words) - k + 1):
+            occ[" ".join(words[p : p + k])].append((did, p))
+    marked = defaultdict(list)
+    for g, lst in occ.items():
+        if len(lst) > 1:
+            for did, p in sorted(lst)[1:]:
+                marked[did].append(p)
+    spans, stripped = {}, {}
+    for did in docs:
+        ps = sorted(marked.get(did, []))
+        merged = []
+        for p in ps:
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + k)
+            else:
+                merged.append([p, p + k])
+        spans[did] = [tuple(m) for m in merged]
+        words = docs[did].split(" ") if docs[did] is not None else None
+        if words is None:
+            stripped[did] = None
+        else:
+            covered = set()
+            for a, b in merged:
+                covered.update(range(a, b))
+            stripped[did] = " ".join(
+                w for i, w in enumerate(words) if i not in covered
+            )
+    return spans, stripped
+
+
+def test_duplicate_spans_matches_reference(spark):
+    """duplicate_spans + strip_duplicate_spans equal the pure-Python
+    ExactSubstr reference exactly on a corpus with planted cross-doc
+    boilerplate, intra-doc repetition, overlap-merging spans, a short doc
+    and a NULL doc."""
+    from tdataframe_spark.ops.dedup import duplicate_spans, strip_duplicate_spans
+
+    boiler = "all rights reserved contact us for more info"  # 8 words
+    docs = {
+        "a": f"alpha beta gamma {boiler} delta epsilon",
+        "b": f"{boiler} something else entirely here now",
+        # intra-doc repeat: the same 8 words twice in ONE doc
+        "c": "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8",
+        # overlapping windows merging into one longer span
+        "d": f"prefix words here {boiler} and tail",
+        "e": f"noise {boiler} and tail stuff",  # shares 10-gram with d
+        "f": "too short",
+        "g": None,
+    }
+    k = 8
+    ref_spans, ref_strip = _ref_exactsubstr(docs, k)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()],
+        "doc_id string, text string",
+    )
+    got_spans = {}
+    for r in duplicate_spans(df, "doc_id", "text", k=k).collect():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+        assert r["n_dup_tokens"] == r["span_end"] - r["span_start"]
+    assert got_spans == {
+        i: sorted(s) for i, s in ref_spans.items() if s
+    }, "span sets diverge from the reference"
+    assert any(got_spans.values()), "vacuous: no spans found"
+    got_strip = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_dup_tokens"])
+        for r in strip_duplicate_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert set(got_strip) == set(docs)  # one row per INPUT doc, always
+    for did, text in docs.items():
+        want_tokens = 0 if text is None else len(text.split(" "))
+        want_dup = sum(b - a for a, b in ref_spans[did])
+        assert got_strip[did] == (ref_strip[did], want_tokens, want_dup), did
+    # sanity on the semantics themselves, not just reference agreement:
+    # the first occurrence (doc a, lexicographically) keeps the boilerplate
+    assert boiler in got_strip["a"][0] and boiler not in got_strip["b"][0]
+    assert got_strip["c"][0] == "x1 x2 x3 x4 x5 x6 x7 x8"  # intra-doc dedup
+    assert got_strip["f"][0] == "too short"  # shorter than k: untouched
+
+
+def test_duplicate_spans_property_vs_reference(spark):
+    """Randomized corpora (small alphabet → heavy accidental repetition):
+    span sets and stripped text equal the reference for several k."""
+    import random
+
+    from tdataframe_spark.ops.dedup import duplicate_spans, strip_duplicate_spans
+
+    rng = random.Random(42)
+    for k in (2, 3):
+        docs = {
+            f"d{i:02d}": " ".join(
+                rng.choice("aa bb cc dd".split()) for _ in range(rng.randint(1, 30))
+            )
+            for i in range(25)
+        }
+        ref_spans, ref_strip = _ref_exactsubstr(docs, k)
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in docs.items()],
+            "doc_id string, text string",
+        )
+        got = {}
+        for r in duplicate_spans(df, "doc_id", "text", k=k).collect():
+            got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+        assert got == {
+            i: sorted(s) for i, s in ref_spans.items() if s
+        }, f"k={k} spans diverge"
+        strip = {
+            r["doc_id"]: r["text_clean"]
+            for r in strip_duplicate_spans(df, "doc_id", "text", k=k).collect()
+        }
+        assert strip == ref_strip, f"k={k} stripped text diverges"
+
+
+def test_duplicate_spans_rejects_bad_k(spark):
+    from tdataframe_spark.ops.dedup import duplicate_spans
+
+    df = spark.createDataFrame([Row(doc_id="a", text="x y z")])
+    with pytest.raises(ValueError, match="k must be"):
+        duplicate_spans(df, "doc_id", "text", k=0)
