@@ -601,3 +601,118 @@ def collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_k)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting — Xie et al., "Data Selection for
+# Language Models via Importance Resampling" (arXiv 2302.03169): hashed
+# n-gram bag-of-words distributions for a target and a raw corpus, and a
+# per-document log importance weight log p_target(doc) − log p_raw(doc).
+
+
+def _hashed_grams(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
+    """One row per unigram AND bigram occurrence, hashed into
+    ``n_buckets`` feature buckets with the portable 60-bit hash (so the
+    bucketing is reproducible in any engine). Documents with NULL text or
+    fewer than one word contribute nothing."""
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(F.col("__ws"))
+    uni = F.col("__ws")
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.slice(F.col("__ws"), 1, n - 1),
+            lambda w, i: F.concat_ws(" ", w, F.element_at(F.col("__ws"), i + 2)),
+        ),
+    ).otherwise(F.array())
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), ws.alias("__ws"))
+        .select("__id", F.explode(F.concat(uni, bi)).alias("__g"))
+        .select(
+            "__id",
+            F.pmod(portable_hash64(F.col("__g")), F.lit(n_buckets)).alias("__b"),
+        )
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR log importance weight over hashed unigram+bigram
+    features: ``log_weight = Σ_g [ln p_target(bucket(g)) − ln p_raw(bucket(g))]``
+    with Laplace smoothing ``alpha`` — the arXiv 2302.03169 estimator with
+    bag-of-hashed-ngrams distributions. Downstream selection keeps the
+    top-weighted (or Gumbel-resamples); this op emits the weights.
+
+    100 TB shape: one explode pass per corpus; both distributions are
+    ≤ ``n_buckets`` aggregate rows BROADCAST back into a map-side join
+    (never a shuffle of the corpus on bucket); the per-doc reduce is one
+    hash aggregate on doc id. Log-ratios are rounded to 9 dp at the
+    bucket level and the per-doc sum runs in decimal, so weights are
+    partitioning-invariant and engine-reproducible.
+
+    Returns one row per RAW input document (NULL-text docs ride with zero
+    grams and weight 0.0): (id, n_grams, log_weight).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (Laplace smoothing)")
+    from tdataframe_spark.functions.numeric import dsum
+
+    tg = _hashed_grams(target, id_col, text_col, n_buckets)
+    rg = _hashed_grams(raw, id_col, text_col, n_buckets)
+    t_counts = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    r_counts = rg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    t_tot = tg.agg(F.count(F.lit(1)).alias("__tt"))
+    r_tot = rg.agg(F.count(F.lit(1)).alias("__tr"))
+    # dense bucket table: missing buckets still carry the smoothed mass
+    lr = (
+        raw.sparkSession.range(n_buckets)
+        .select(F.col("id").cast("long").alias("__b"))
+        .join(t_counts, "__b", "left")
+        .join(r_counts, "__b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__tt") + F.lit(alpha) * F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__tr") + F.lit(alpha) * F.lit(n_buckets))
+                ),
+                9,
+            ).alias("__lr"),
+        )
+    )
+    per_doc = (
+        rg.groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(F.broadcast(lr), "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum("__n").cast("long").alias("n_grams"),
+            dsum(F.col("__n") * F.col("__lr")).alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )

@@ -4598,6 +4598,73 @@ GROUP BY doc_id, island
 """
 
 
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (arXiv 2302.03169): hashed unigram+bigram
+    bag distributions for the English subset (target) vs the whole corpus
+    (raw); per-doc log weight = Σ ln p_t(bucket) − ln p_r(bucket). Both
+    distributions are ≤4096 broadcast rows; one explode pass per corpus."""
+    from tdataframe_spark.ops.textstats import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    return dsir_weights(
+        docs,
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG),
+        "doc_id",
+        "text",
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    B = DSIR_BUCKETS
+    grams = """
+  SELECT doc_id, unnest(string_split(text, ' ')) AS g
+  FROM {src} WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, ws[t.s] || ' ' || ws[t.s+1] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM {src} WHERE text IS NOT NULL) w,
+       UNNEST(generate_series(1, len(ws) - 1)) AS t(s)
+"""
+    bucket = "CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % {B}"
+    return f"""
+WITH tgt AS (SELECT doc_id, text FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
+tg AS (SELECT doc_id, {bucket.format(B=B)} AS b FROM ({grams.format(src='tgt')})),
+rg AS (SELECT doc_id, {bucket.format(B=B)} AS b FROM ({grams.format(src='documents')})),
+tc AS (SELECT b, COUNT(*) AS ct FROM tg GROUP BY b),
+rc AS (SELECT b, COUNT(*) AS cr FROM rg GROUP BY b),
+tt AS (SELECT COUNT(*) AS n FROM tg),
+rt AS (SELECT COUNT(*) AS n FROM rg),
+lr AS (
+  SELECT s.b,
+         ROUND(LN((COALESCE(ct, 0) + 1.0) / (tt.n + 1.0 * {B}))
+               - LN((COALESCE(cr, 0) + 1.0) / (rt.n + 1.0 * {B})), 9) AS lr
+  FROM (SELECT unnest(generate_series(0, {B - 1})) AS b) s
+  LEFT JOIN tc ON tc.b = s.b
+  LEFT JOIN rc ON rc.b = s.b
+  CROSS JOIN tt CROSS JOIN rt
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+         {_dsum_sql('n * lr')} AS log_weight
+  FROM (SELECT doc_id, b, COUNT(*) AS n FROM rg GROUP BY 1, 2) db
+  JOIN lr USING (b)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per_doc.n_grams, 0) AS n_grams,
+       COALESCE(per_doc.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
+SQL_DSIR_WEIGHTS = _dsir_oracle_sql()
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -689,3 +689,56 @@ def test_tfidf_cosine_pairs_matches_reference(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    """Docs sharing the target corpus's vocabulary must get strictly
+    larger log weights than docs from a disjoint vocabulary; NULL text
+    rides with zero grams and weight 0; repartitioning never changes a
+    bit of the output."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.textstats import dsir_weights
+
+    target = spark.createDataFrame(
+        [Row(doc_id=f"t{i}", text="the quick brown fox jumps over the lazy dog")
+         for i in range(5)],
+        "doc_id string, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            Row(doc_id="likes", text="the quick brown fox naps"),
+            Row(doc_id="hates", text="zzz qqq www eee rrr"),
+            Row(doc_id="nil", text=None),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(raw, target, "doc_id", "text", n_buckets=512).collect()
+    }
+    assert set(out) == {"likes", "hates", "nil"}
+    assert out["likes"]["log_weight"] > out["hates"]["log_weight"]
+    assert out["nil"]["n_grams"] == 0 and out["nil"]["log_weight"] == 0.0
+    # 5 unigrams + 4 bigrams
+    assert out["likes"]["n_grams"] == 9
+    again = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(
+            raw.repartition(7), target.repartition(3), "doc_id", "text", n_buckets=512
+        ).collect()
+    }
+    assert again == {i: r["log_weight"] for i, r in out.items()}
+
+
+def test_dsir_weights_rejects_bad_args(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.textstats import dsir_weights
+
+    df = spark.createDataFrame([Row(doc_id="a", text="x")])
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(df, df, "doc_id", "text", n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_weights(df, df, "doc_id", "text", alpha=0.0)
