@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "dup_spans": q_dup_spans,
         "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         # rows-only (no SQL equivalent)
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
@@ -347,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_suppliers_waiting": SQL_Q21,
         "dup_spans": SQL_DUP_SPANS,
         "dsir_weights": SQL_DSIR_WEIGHTS,
+        "dsir_sample": SQL_DSIR_SAMPLE,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

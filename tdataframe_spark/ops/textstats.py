@@ -716,3 +716,43 @@ def dsir_weights(
             F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    id_col: str,
+    n: int,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """Importance resampling without replacement via the Gumbel top-k
+    trick (the selection step of arXiv 2302.03169): each doc gets key =
+    log_weight / temperature + Gumbel noise, and the global top ``n``
+    keys ARE a without-replacement sample ∝ softmax(log_weight / T).
+
+    The noise is derived, not drawn: u = (h + 1) / (2^60 + 1) with
+    h = portable_hash64(id ‖ seed), g = −ln(−ln u) rounded to 9 dp — so
+    the "sample" is a pure function of (corpus, seed) that any engine
+    reproduces bit-for-bit, re-runs are stable, and no RNG state rides
+    the cluster. Selection is one TakeOrdered pass (no global sort
+    materialization); ties break on id.
+
+    Returns (id, log_weight, sample_key) — the ``n`` selected docs.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    u = (portable_hash64(F.concat(F.col(id_col).cast("string"), F.lit(seed))) + 1) / F.lit(
+        float(2**60 + 1)
+    )
+    g = F.round(-F.log(-F.log(u)), 9)
+    key = F.round(F.col(weight_col) / F.lit(float(temperature)) + g, 9)
+    return (
+        weights.select(F.col(id_col), F.col(weight_col), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -4664,6 +4664,37 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 
 SQL_DSIR_WEIGHTS = _dsir_oracle_sql()
 
+DSIR_SAMPLE_N = 100
+DSIR_SEED = "dsir"
+
+
+def q_dsir_sample(spark, sf):
+    """Gumbel top-k importance resampling over the DSIR weights: noise is
+    derived from the portable hash of (doc_id, seed), so the
+    without-replacement sample ∝ softmax(log_weight) is a pure function
+    of the corpus — engine-reproducible, no RNG state. One TakeOrdered."""
+    from tdataframe_spark.ops.textstats import dsir_sample
+
+    return dsir_sample(
+        q_dsir_weights(spark, sf).drop("n_grams"),
+        "doc_id",
+        n=DSIR_SAMPLE_N,
+        seed=DSIR_SEED,
+    )
+
+
+SQL_DSIR_SAMPLE = f"""
+WITH weights AS ({SQL_DSIR_WEIGHTS})
+SELECT doc_id, log_weight,
+       ROUND(log_weight / 1.0
+             + ROUND(-LN(-LN(
+                 (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '{DSIR_SEED}'), 1, 15)) AS BIGINT) + 1)
+                 / 1152921504606846977.0)), 9), 9) AS sample_key
+FROM weights
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {DSIR_SAMPLE_N}
+"""
+
 
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are

@@ -742,3 +742,33 @@ def test_dsir_weights_rejects_bad_args(spark):
         dsir_weights(df, df, "doc_id", "text", n_buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         dsir_weights(df, df, "doc_id", "text", alpha=0.0)
+
+
+def test_dsir_sample_gumbel_topk_properties(spark):
+    """Gumbel top-k selection: n rows come back, keys are a pure function
+    of (id, seed) — same seed = identical sample, different seed =
+    different noise — and a strongly up-weighted doc family dominates the
+    sample; the plan is a TakeOrdered, not a global sort."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.textstats import dsir_sample
+
+    rows = [Row(doc_id=f"good{i:03d}", log_weight=10.0) for i in range(50)]
+    rows += [Row(doc_id=f"bad{i:03d}", log_weight=-10.0) for i in range(50)]
+    w = spark.createDataFrame(rows, "doc_id string, log_weight double")
+    got = dsir_sample(w, "doc_id", n=20, seed="s1")
+    sel = [r["doc_id"] for r in got.collect()]
+    assert len(sel) == 20
+    # Δ log-weight of 20 dwarfs Gumbel noise: the good family must win
+    assert all(d.startswith("good") for d in sel)
+    assert sel == [r["doc_id"] for r in dsir_sample(w, "doc_id", n=20, seed="s1").collect()]
+    other = [r["doc_id"] for r in dsir_sample(w, "doc_id", n=20, seed="s2").collect()]
+    assert set(sel) != set(other)  # 50-choose-20 collision ~ impossible
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_sample(w, "doc_id", n=5, temperature=0.0)
+    with pytest.raises(ValueError, match="n must be"):
+        dsir_sample(w, "doc_id", n=0)
