@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         # rows-only (no SQL equivalent)
+        "pack_bins": q_pack_bins,
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
         "logreg_score": q_logreg_score,

@@ -756,3 +756,74 @@ def dsir_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """No-straddle sequence packing: first-fit-decreasing bin packing of
+    whole documents into ``budget``-token bins — the layout used when
+    examples must stay contiguous (SFT, preference pairs) and
+    concat-and-chunk (``pack_sequences``) would split them.
+
+    FFD is inherently sequential, so documents are hash-sharded and
+    packed per shard with one Arrow ``applyInPandas`` pass over METADATA
+    ROWS ONLY (id + token count — document text never enters the
+    packer). Each task's state is its shard's open-bin table; bins are
+    (shard, bin) pairs, globally unique without coordination. Ordering
+    inside a shard is (tokens desc, id asc), so the packing is a pure
+    function of the corpus — repartitioning cannot change a bin
+    assignment. A document longer than ``budget`` gets a dedicated bin
+    flagged ``overflow`` (the caller decides whether to chunk it first).
+
+    Returns (id, tokens, shard, bin, overflow).
+    """
+    import pandas as pd
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("long").alias("shard"),
+    )
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", "id"], ascending=[False, True], ignore_index=True
+        )
+        bins: list[int] = []  # remaining capacity per open bin
+        out_bin, out_over = [], []
+        for t in pdf["tokens"]:
+            t = int(t)
+            if t > budget:
+                bins.append(-1)  # dedicated, never reused
+                out_bin.append(len(bins) - 1)
+                out_over.append(True)
+                continue
+            # first OPEN bin with room, in creation order (first-fit)
+            for i, rem in enumerate(bins):
+                if rem >= t:
+                    bins[i] = rem - t
+                    out_bin.append(i)
+                    break
+            else:
+                bins.append(budget - t)
+                out_bin.append(len(bins) - 1)
+            out_over.append(False)
+        pdf["bin"] = pd.Series(out_bin, dtype="int64")
+        pdf["overflow"] = pd.Series(out_over, dtype="bool")
+        return pdf
+
+    # schema mirrors the input id dtype (string ids pack the same way)
+    id_type = d.schema["id"].dataType.simpleString()
+    return d.groupBy("shard").applyInPandas(
+        _ffd, f"id {id_type}, tokens long, shard long, bin long, overflow boolean"
+    )

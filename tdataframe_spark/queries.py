@@ -4696,6 +4696,25 @@ LIMIT {DSIR_SAMPLE_N}
 """
 
 
+PACK_BINS_BUDGET = 128
+PACK_BINS_SHARDS = 8
+
+
+def q_pack_bins(spark, sf):
+    """No-straddle FFD bin packing of whole documents into 128-token bins
+    (8 hash shards, metadata-only Arrow pass). Rows-only: FFD's
+    bin-assignment loop is algorithmic, not SQL-expressible; invariants
+    (capacity, exactly-once, determinism) are pinned by unit tests."""
+    from tdataframe_spark.ops.textstats import pack_bins
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    return pack_bins(
+        docs, "doc_id", "n_tok", budget=PACK_BINS_BUDGET, n_shards=PACK_BINS_SHARDS
+    )
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

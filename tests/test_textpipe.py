@@ -772,3 +772,47 @@ def test_dsir_sample_gumbel_topk_properties(spark):
         dsir_sample(w, "doc_id", n=5, temperature=0.0)
     with pytest.raises(ValueError, match="n must be"):
         dsir_sample(w, "doc_id", n=0)
+
+
+def test_pack_bins_ffd_invariants(spark):
+    """FFD bin packing: every doc lands in exactly one bin, no bin
+    exceeds the budget (except flagged single-doc overflows), bin usage
+    is within the FFD guarantee of optimal per shard, string ids pack
+    too, and repartitioning never changes an assignment."""
+    import math
+
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.textstats import pack_bins
+
+    rows = [Row(doc_id=f"d{i:03d}", n_tok=(i * 37) % 90 + 10) for i in range(200)]
+    rows.append(Row(doc_id="huge", n_tok=500))  # > budget -> overflow bin
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long")
+    out = pack_bins(df, "doc_id", "n_tok", budget=128, n_shards=4).collect()
+    assert len(out) == 201 and len({r["id"] for r in out}) == 201
+    assert {r["id"] for r in out if r["overflow"]} == {"huge"}
+    fill = {}
+    for r in out:
+        if not r["overflow"]:
+            fill[(r["shard"], r["bin"])] = fill.get((r["shard"], r["bin"]), 0) + r["tokens"]
+    assert fill and all(v <= 128 for v in fill.values())
+    # FFD uses at most (11/9)·OPT + 1 bins; OPT >= ceil(total/budget)
+    by_shard = {}
+    for r in out:
+        if not r["overflow"]:
+            by_shard.setdefault(r["shard"], []).append(r["tokens"])
+    for shard, toks in by_shard.items():
+        used = len({k for k in fill if k[0] == shard})
+        opt_floor = math.ceil(sum(toks) / 128)
+        assert used <= math.ceil(11 * opt_floor / 9) + 1, (shard, used, opt_floor)
+    again = {
+        (r["id"], r["shard"], r["bin"])
+        for r in pack_bins(
+            df.repartition(13), "doc_id", "n_tok", budget=128, n_shards=4
+        ).collect()
+    }
+    assert again == {(r["id"], r["shard"], r["bin"]) for r in out}
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_bins(df, "doc_id", "n_tok", budget=0)
