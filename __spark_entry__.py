@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "source_divergence": q_source_divergence,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "semdedup": q_semdedup,
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": SQL_DUP_SPANS,
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "dsir_sample": SQL_DSIR_SAMPLE,
+        "source_divergence": SQL_SOURCE_DIVERGENCE,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

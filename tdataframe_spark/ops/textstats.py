@@ -827,3 +827,81 @@ def pack_bins(
     return d.groupBy("shard").applyInPandas(
         _ffd, f"id {id_type}, tokens long, shard long, bin long, overflow boolean"
     )
+
+
+def corpus_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-group distribution drift: Jensen–Shannon divergence between
+    each group's hashed-unigram distribution and the whole corpus's —
+    the standard monitor for "which source/day/shard stopped looking
+    like the corpus" in curation pipelines. JS is symmetric and bounded
+    by ln 2, so groups are directly comparable.
+
+    100 TB shape: one explode pass; per-(group, bucket) and per-bucket
+    counts are two hash aggregates bounded by groups × ``n_buckets``
+    rows; the divergence itself folds ≤ ``n_buckets`` terms per group in
+    bucket order (deterministic ordered fold — cross-engine identical,
+    per the repo's transcendental conventions: ln rounded to 9 dp).
+
+    Returns (group, n_tokens, js_div) with js_div rounded to 9 dp.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    g = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+        )
+        .select("__g", F.pmod(portable_hash64(F.col("__w")), F.lit(n_buckets)).alias("__b"))
+    )
+    gb = g.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    gt = g.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    cb = g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
+    ct = g.agg(F.count(F.lit(1)).alias("__ctot"))
+    # grid: every group × every OCCUPIED bucket (q > 0 everywhere on it;
+    # buckets empty corpus-wide contribute 0 to every group's JS)
+    grid = (
+        gt.crossJoin(F.broadcast(cb))
+        .join(gb, ["__g", "__b"], "left")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "__g",
+            "__b",
+            "__n",
+            (F.coalesce(F.col("__c"), F.lit(0)) / F.col("__n")).alias("__p"),
+            (F.col("__cb") / F.col("__ctot")).alias("__q"),
+        )
+    )
+    m = (F.col("__p") + F.col("__q")) / 2
+    term = (
+        F.when(
+            F.col("__p") > 0, F.col("__p") * F.round(F.log(F.col("__p") / m), 9)
+        ).otherwise(F.lit(0.0))
+        + F.col("__q") * F.round(F.log(F.col("__q") / m), 9)
+    ) / 2
+    per_bucket = grid.select("__g", "__n", "__b", term.alias("__t"))
+    folded = (
+        per_bucket.groupBy("__g", "__n")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__b", "__t"))),
+                    lambda s: s["__t"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__js")
+        )
+    )
+    return folded.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.round(F.col("__js"), 9).alias("js_div"),
+    )

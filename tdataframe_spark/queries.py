@@ -4715,6 +4715,53 @@ def q_pack_bins(spark, sf):
     )
 
 
+DIVERGENCE_BUCKETS = 4096
+
+
+def q_source_divergence(spark, sf):
+    """Per-source distribution drift: Jensen–Shannon divergence between
+    each source's hashed-unigram distribution and the corpus-wide one.
+    Two bounded hash aggregates + a groups×buckets grid; deterministic
+    bucket-ordered fold (9-dp ln convention)."""
+    from tdataframe_spark.ops.textstats import corpus_divergence
+
+    return corpus_divergence(
+        _t(spark, sf, "documents"), "source", "text", n_buckets=DIVERGENCE_BUCKETS
+    )
+
+
+SQL_SOURCE_DIVERGENCE = f"""
+WITH g AS (
+  SELECT source AS grp,
+         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % {DIVERGENCE_BUCKETS} AS b
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL)
+),
+gb AS (SELECT grp, b, COUNT(*) AS c FROM g GROUP BY 1, 2),
+gt AS (SELECT grp, COUNT(*) AS n FROM g GROUP BY 1),
+cb AS (SELECT b, COUNT(*) AS cb FROM g GROUP BY 1),
+ct AS (SELECT COUNT(*) AS nn FROM g),
+grid AS (
+  SELECT gt.grp, cb.b, gt.n,
+         COALESCE(gb.c, 0) / gt.n AS p,
+         cb.cb / ct.nn AS q
+  FROM gt CROSS JOIN cb
+  LEFT JOIN gb ON gb.grp = gt.grp AND gb.b = cb.b
+  CROSS JOIN ct
+),
+terms AS (
+  SELECT grp, n, b,
+         (CASE WHEN p > 0 THEN p * ROUND(LN(p / ((p + q) / 2)), 9) ELSE 0.0 END
+          + q * ROUND(LN(q / ((p + q) / 2)), 9)) / 2 AS t
+  FROM grid
+),
+l AS (SELECT grp, n, list(t ORDER BY b) AS lts FROM terms GROUP BY 1, 2)
+SELECT grp AS source, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(list_reduce(list_prepend(0.0, lts), (a, x) -> a + x), 9) AS js_div
+FROM l
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

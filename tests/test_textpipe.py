@@ -816,3 +816,32 @@ def test_pack_bins_ffd_invariants(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_bins(df, "doc_id", "n_tok", budget=0)
+
+
+def test_corpus_divergence_ranks_drifted_group(spark):
+    """A group with alien vocabulary must score a larger JS divergence
+    than groups drawn from the shared vocabulary; all values live in
+    [0, ln 2]; NULL-text rows are ignored."""
+    import math
+
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.textstats import corpus_divergence
+
+    rows = [Row(src="a", text="the cat sat on the mat again today")] * 10
+    rows += [Row(src="b", text="the dog sat on the rug again today")] * 10
+    rows += [Row(src="weird", text="zzz qqq www eee rrr ttt yyy uuu")] * 10
+    rows += [Row(src="a", text=None)]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {
+        r["src"]: (r["n_tokens"], r["js_div"])
+        for r in corpus_divergence(df, "src", "text", n_buckets=512).collect()
+    }
+    assert set(got) == {"a", "b", "weird"}
+    assert got["a"][0] == 80  # the NULL row contributed no tokens
+    assert all(0.0 <= js <= math.log(2) + 1e-9 for _, js in got.values())
+    assert got["weird"][1] > got["a"][1] and got["weird"][1] > got["b"][1]
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        corpus_divergence(df, "src", "text", n_buckets=0)
