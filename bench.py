@@ -55,6 +55,12 @@ EXTENDED = [
     "heavy_hitters",
     "pca_embeddings",
     "interval_join",
+    # round-4 session-3 additions
+    "dup_spans",
+    "dsir_weights",
+    "source_divergence",
+    "q21_suppliers_waiting",
+    "pack_bins",
 ]
 
 

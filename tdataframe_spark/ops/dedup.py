@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from tdataframe_spark.core.partitioning import ensure_min_partitions
 from tdataframe_spark.functions.numeric import portable_hash64
-from tdataframe_spark.functions.text import word_shingles
+from tdataframe_spark.functions.text import word_shingles, words
 
 # Per-permutation XOR masks for the k min-hashes: m_i = min over shingles
 # of (h56(shingle) XOR MINHASH_XOR[i]).
@@ -1322,8 +1322,8 @@ def duplicate_spans(
         raise ValueError("k must be >= 1")
     n_sh = (F.size(F.col("__ws")) - F.lit(k) + 1).cast("int")
     sh = (
-        df.select(
-            F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__ws")
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("__id"), words(text_col).alias("__ws")
         )
         .filter(n_sh > 0)
         .select(
@@ -1402,7 +1402,7 @@ def strip_duplicate_spans(
         ).alias("__spans"),
         F.sum("n_dup_tokens").alias("__dup"),
     )
-    ws = F.split(F.col(text_col), " ")
+    ws = words(text_col)
     joined = df.join(spans, id_col, "left")
     covered = lambda t: F.exists(  # noqa: E731
         F.col("__spans"),

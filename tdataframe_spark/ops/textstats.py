@@ -14,6 +14,7 @@ from tdataframe_spark.functions.text import (
     n_tokens,
     n_words,
     quality_score,
+    words,
 )
 
 
@@ -617,7 +618,7 @@ def _hashed_grams(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
     fewer than one word contribute nothing."""
     from tdataframe_spark.functions.numeric import portable_hash64
 
-    ws = F.split(F.col(text_col), " ")
+    ws = words(text_col)
     n = F.size(F.col("__ws"))
     uni = F.col("__ws")
     bi = F.when(
@@ -628,7 +629,7 @@ def _hashed_grams(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
         ),
     ).otherwise(F.array())
     return (
-        df.filter(F.col(text_col).isNotNull())
+        ensure_min_partitions(df.filter(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("__id"), ws.alias("__ws"))
         .select("__id", F.explode(F.concat(uni, bi)).alias("__g"))
         .select(
@@ -789,9 +790,11 @@ def pack_bins(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
 
+    # NULL token counts (NULL-text docs) pack as zero-width rows instead
+    # of reaching the packer as NaN (int(NaN) kills the Python worker)
     d = df.select(
         F.col(id_col).alias("id"),
-        F.col(tokens_col).cast("long").alias("tokens"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("tokens"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("long").alias("shard"),
     )
 
@@ -854,10 +857,10 @@ def corpus_divergence(
     from tdataframe_spark.functions.numeric import portable_hash64
 
     g = (
-        df.filter(F.col(text_col).isNotNull())
+        ensure_min_partitions(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(group_col).alias("__g"),
-            F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+            F.explode(words(text_col)).alias("__w"),
         )
         .select("__g", F.pmod(portable_hash64(F.col("__w")), F.lit(n_buckets)).alias("__b"))
     )

@@ -4318,12 +4318,18 @@ def q_q2_min_cost_supplier(spark, sf):
         .filter(F.col("supply_cost") == F.col("__best"))
         .join(F.broadcast(pt), F.col("ps_partkey") == pt.p_partkey)
         .join(F.broadcast(sn), F.col("ps_suppkey") == sn.s_suppkey)
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .select(
+            "s_acctbal", "s_name", "s_suppkey", "n_name", "p_partkey", "p_name",
+            "supply_cost",
+        )
+        # the row key (p_partkey, s_suppkey) is IN the sort: the LIMIT
+        # boundary is a total order, never partitioning-dependent
         .orderBy(
             F.col("s_acctbal").desc(),
             F.col("n_name").asc(),
             F.col("s_name").asc(),
             F.col("p_partkey").asc(),
+            F.col("s_suppkey").asc(),
         )
         .limit(Q2_K)
     )
@@ -4340,7 +4346,7 @@ WITH ps AS (
   WHERE r_name = '{Q2_REGION}'
   GROUP BY 1, 2
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+SELECT s_acctbal, s_name, s_suppkey, n_name, p_partkey, p_name, supply_cost
 FROM part
 JOIN ps       ON p_partkey = ps_partkey
 JOIN supplier ON ps_suppkey = s_suppkey
@@ -4348,7 +4354,7 @@ JOIN nation   ON s_nationkey = n_nationkey
 WHERE p_type = '{Q2_TYPE}' AND p_size < {Q2_SIZE_MAX}
   AND supply_cost = (SELECT MIN(supply_cost) FROM ps b
                      WHERE b.ps_partkey = p_partkey)
-ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC, s_suppkey ASC
 LIMIT {Q2_K}
 """
 
@@ -4708,7 +4714,7 @@ def q_pack_bins(spark, sf):
     from tdataframe_spark.ops.textstats import pack_bins
 
     docs = _t(spark, sf, "documents").select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+        "doc_id", n_words(F.col("text")).cast("long").alias("n_tok")
     )
     return pack_bins(
         docs, "doc_id", "n_tok", budget=PACK_BINS_BUDGET, n_shards=PACK_BINS_SHARDS

@@ -234,6 +234,96 @@ def stream_to_parquet(
     return q
 
 
+def _once_ledger(path: str, checkpoint: str, what: str):
+    """Shared effectively-once machinery for foreachBatch sinks that FOLD
+    state (a replayed batch must not re-apply): an applied-batch ledger at
+    ``path/_applied`` plus a checkpoint-owner check (batch ids only
+    identify batches within the checkpoint lineage that produced them, so
+    folding a foreign checkpoint's stream into existing state would
+    silently skip or double-count — the first build records the owner and
+    a mismatch raises). Returns ``(already_applied, record)``:
+    ``already_applied(batch_id)`` performs the owner check and answers
+    whether the batch was folded before; ``record(batch_id)`` stamps the
+    owner (first time) and the batch marker AFTER a successful fold. The
+    one uncovered window is a crash BETWEEN state-write and marker-write
+    (that batch re-folds on replay) — closing it needs a transactional
+    table; call sites don't change.
+    """
+    import hashlib
+    import os
+
+    ckpt_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    marker_dir = os.path.join(path, "_applied")
+    owner_file = os.path.join(marker_dir, "_owner")
+
+    def already_applied(batch_id: int) -> bool:
+        if os.path.exists(owner_file):
+            owner = open(owner_file).read().strip()
+            if owner != ckpt_id:
+                raise ValueError(
+                    f"{what} at {path} is owned by checkpoint {owner}; "
+                    f"refusing to fold stream {ckpt_id} into it — reuse "
+                    "the original checkpoint or build a fresh state path"
+                )
+        return os.path.exists(os.path.join(marker_dir, f"batch-{batch_id}"))
+
+    def record(batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        if not os.path.exists(owner_file):
+            with open(owner_file, "w") as f:
+                f.write(ckpt_id)
+        open(os.path.join(marker_dir, f"batch-{batch_id}"), "w").close()
+
+    return already_applied, record
+
+
+def _staged_swap(data: str, build_merged, write_initial) -> None:
+    """Shared rename-aside overwrite for non-transactional parquet state:
+    recover a half-finished prior swap (retired copy is the last good
+    table), clear dead staging, then either write the initial table
+    (``write_initial()``) or materialize ``build_merged()`` to staging and
+    swap — at no instant is ``data`` absent without a recoverable copy
+    (rmtree-then-rename had a window where a crash lost everything). On a
+    transactional table (Delta/Iceberg) this whole dance becomes MERGE
+    INTO; call sites don't change.
+    """
+    import os
+    import shutil
+
+    staging = data + ".__staging__"
+    retired = data + ".__old__"
+    if not os.path.exists(data) and os.path.exists(retired):
+        os.rename(retired, data)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(data):
+        build_merged().write.mode("overwrite").parquet(staging)
+        if os.path.exists(retired):
+            shutil.rmtree(retired)
+        os.rename(data, retired)
+        os.rename(staging, data)
+        shutil.rmtree(retired)
+    else:
+        write_initial()
+
+
+def _run_foreach_batch(result: DataFrame, fn, checkpoint: str, available_now: bool):
+    """Shared writeStream plumbing for the foreachBatch sinks: update-mode
+    stream with a checkpoint; availableNow drains the backlog and blocks
+    until done."""
+    w = (
+        result.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def stream_upsert_to_parquet(
     result: DataFrame,
     path: str,
@@ -258,8 +348,6 @@ def stream_upsert_to_parquet(
     from pyspark.sql import Window
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        import shutil
-
         spark = batch.sparkSession
         if order_col is not None:
             w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
@@ -268,45 +356,19 @@ def stream_upsert_to_parquet(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        import os
 
-        staging = f"{path}.__staging__"
-        retired = f"{path}.__old__"
-        # crash recovery: a previous swap may have died between renames —
-        # the retired copy is the last good table, restore it first
-        if not os.path.exists(path) and os.path.exists(retired):
-            os.rename(retired, path)
-        if os.path.exists(staging):
-            shutil.rmtree(staging)  # dead staging from an aborted write
-        if os.path.exists(path):
+        def merged():
             current = spark.read.parquet(path)
             survivors = current.join(
                 batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
             )
-            merged = survivors.unionByName(batch)
-            merged.write.mode("overwrite").parquet(staging)
-            # swap via rename-aside: at no instant is the table absent
-            # without a recoverable copy (rmtree-then-rename had a window
-            # where a crash lost everything)
-            if os.path.exists(retired):
-                shutil.rmtree(retired)
-            os.rename(path, retired)
-            os.rename(staging, path)
-            shutil.rmtree(retired)
-        else:
-            batch.write.mode("overwrite").parquet(path)
+            return survivors.unionByName(batch)
 
-    w = (
-        result.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")  # changed-rows semantics; append-equivalent for stateless streams
-    )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    q = w.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+        _staged_swap(
+            path, merged, lambda: batch.write.mode("overwrite").parquet(path)
+        )
+
+    return _run_foreach_batch(result, _merge, checkpoint, available_now)
 
 
 def run_to_memory_sink(
@@ -354,26 +416,14 @@ def stream_rollup_refresh(
     silently skip (id collision) or double-count (full source replay).
     The first build records the owner; a mismatch raises instead.
     """
-    import hashlib
     import os
 
-    ckpt_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    already_applied, record = _once_ledger(path, checkpoint, "rollup")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from tdataframe_spark.ops.rollup import build_rollup, refresh_rollup
 
-        marker_dir = os.path.join(path, "_applied")
-        owner_file = os.path.join(marker_dir, "_owner")
-        if os.path.exists(owner_file):
-            owner = open(owner_file).read().strip()
-            if owner != ckpt_id:
-                raise ValueError(
-                    f"rollup at {path} is owned by checkpoint {owner}; "
-                    f"refusing to fold stream {ckpt_id} into it — reuse "
-                    "the original checkpoint or build a fresh rollup path"
-                )
-        marker = os.path.join(marker_dir, f"batch-{batch_id}")
-        if os.path.exists(marker):
+        if already_applied(batch_id):
             return  # replayed batch: already folded in
         if os.path.exists(os.path.join(path, "_SUCCESS")) or any(
             n.startswith("day=") for n in (
@@ -383,23 +433,9 @@ def stream_rollup_refresh(
             refresh_rollup(batch, path, value_col, bucket_us, group_cols)
         else:
             build_rollup(batch, path, value_col, bucket_us, group_cols)
-        os.makedirs(marker_dir, exist_ok=True)
-        if not os.path.exists(owner_file):
-            with open(owner_file, "w") as f:
-                f.write(ckpt_id)
-        open(marker, "w").close()
+        record(batch_id)
 
-    w = (
-        events.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-    )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    q = w.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+    return _run_foreach_batch(events, _apply, checkpoint, available_now)
 
 
 def stream_cms_refresh(
@@ -427,61 +463,23 @@ def stream_cms_refresh(
     in), and the same rename-aside swap as the CDC upsert sink (no crash
     instant leaves the sketch absent without a recoverable copy).
     """
-    import hashlib
     import os
-    import shutil
 
-    ckpt_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
     data = os.path.join(path, "sketch")
+    already_applied, record = _once_ledger(path, checkpoint, "cms sketch")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from tdataframe_spark.functions.sketches import cms_build, cms_merge
 
         spark = batch.sparkSession
-        marker_dir = os.path.join(path, "_applied")
-        owner_file = os.path.join(marker_dir, "_owner")
-        if os.path.exists(owner_file):
-            owner = open(owner_file).read().strip()
-            if owner != ckpt_id:
-                raise ValueError(
-                    f"cms sketch at {path} is owned by checkpoint {owner}; "
-                    f"refusing to fold stream {ckpt_id} into it"
-                )
-        marker = os.path.join(marker_dir, f"batch-{batch_id}")
-        if os.path.exists(marker):
+        if already_applied(batch_id):
             return  # replayed batch: already folded in
         delta = cms_build(batch, col, depth=depth, width=width)
-        staging = data + ".__staging__"
-        retired = data + ".__old__"
-        # crash recovery: a prior swap may have died between renames
-        if not os.path.exists(data) and os.path.exists(retired):
-            os.rename(retired, data)
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-        if os.path.exists(data):
-            merged = cms_merge(spark.read.parquet(data), delta)
-            merged.write.mode("overwrite").parquet(staging)
-            if os.path.exists(retired):
-                shutil.rmtree(retired)
-            os.rename(data, retired)
-            os.rename(staging, data)
-            shutil.rmtree(retired)
-        else:
-            delta.write.mode("overwrite").parquet(data)
-        os.makedirs(marker_dir, exist_ok=True)
-        if not os.path.exists(owner_file):
-            with open(owner_file, "w") as f:
-                f.write(ckpt_id)
-        open(marker, "w").close()
+        _staged_swap(
+            data,
+            lambda: cms_merge(spark.read.parquet(data), delta),
+            lambda: delta.write.mode("overwrite").parquet(data),
+        )
+        record(batch_id)
 
-    w = (
-        events.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-    )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    q = w.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+    return _run_foreach_batch(events, _apply, checkpoint, available_now)

@@ -368,6 +368,12 @@ _BNLJ_ALLOWED = {
                            # depth×width longs, ridden as data)
     "tfidf_pairs",         # 1-row corpus-size (n_docs) attach for idf
     "q11_important_parts",  # 1-row scalar threshold (avg part value) attach
+    "dsir_weights",        # 1-row corpus-total attaches (target + raw gram
+                           # counts) feeding the bounded bucket table
+    "dsir_sample",         # inherits dsir_weights' total attaches; the
+                           # selection itself is a TakeOrdered
+    "source_divergence",   # 1-row corpus-token-total attach + the bounded
+                           # occupied-bucket table (≤ n_buckets rows)
 }
 
 

@@ -845,3 +845,19 @@ def test_corpus_divergence_ranks_drifted_group(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         corpus_divergence(df, "src", "text", n_buckets=0)
+
+
+def test_pack_bins_null_tokens_pack_as_zero(spark):
+    """NULL token counts (NULL-text docs) must pack as zero-width rows
+    instead of crashing the Arrow worker on int(NaN)."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.textstats import pack_bins
+
+    df = spark.createDataFrame(
+        [Row(doc_id="a", n_tok=50), Row(doc_id="b", n_tok=None)],
+        "doc_id string, n_tok long",
+    )
+    out = {r["id"]: r for r in pack_bins(df, "doc_id", "n_tok", budget=64).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"]["tokens"] == 0 and not out["b"]["overflow"]
