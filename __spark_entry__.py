@@ -217,8 +217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "source_divergence": q_source_divergence,
+        "token_entropy": q_token_entropy,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
+        "group_quantiles_approx": q_group_quantiles_approx,
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
         "logreg_score": q_logreg_score,
@@ -352,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "dsir_sample": SQL_DSIR_SAMPLE,
         "source_divergence": SQL_SOURCE_DIVERGENCE,
+        "token_entropy": SQL_TOKEN_ENTROPY,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

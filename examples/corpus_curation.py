@@ -2,14 +2,15 @@
 """End-to-end training-data curation example: the pipeline shape a 100 TB
 corpus job runs, on the synthetic `documents` + `embeddings` tables.
 
-Stages: profile (tokens / quality / language) → exact dedup → near-dup
-removal (MinHash-LSH pair graph → connected components, keep the BEST
-cluster member by quality) → quality floor → CCNet perplexity buckets →
-quality-weighted downsampling → leakage-free train/eval split →
-per-language stats; plus BPE subword tokenization and an embedding ANN
-index (IVF-PQ: cell-partitioned compressed codes) build + query. Every
-stage is a DataFrame plan — one driver, no row-at-a-time Python in the
-hot path.
+Stages: profile (tokens / quality / language) → line + span (ExactSubstr)
+boilerplate stripping → exact dedup → near-dup removal (MinHash-LSH pair
+graph → connected components, keep the BEST cluster member by quality) →
+quality floor → CCNet perplexity buckets → DSIR importance selection +
+drift monitoring → quality-weighted downsampling → leakage-free
+train/eval split → per-language stats; plus BPE subword tokenization and
+an embedding ANN index (IVF-PQ: cell-partitioned compressed codes) build
++ query. Every stage is a DataFrame plan — one driver, no row-at-a-time
+Python in the hot path.
 
 Run: python examples/corpus_curation.py [sf_dir]
 """
@@ -62,6 +63,17 @@ def main() -> None:
     )
     line_stats.show(truncate=False)
 
+    # 1c. ExactSubstr span dedup (Lee et al.): strip any 8-word window
+    #     occurring more than once corpus-wide (first occurrence kept) —
+    #     catches partial overlaps line- and doc-level dedup both miss
+    from tdataframe_spark.ops.dedup import strip_duplicate_spans
+
+    span_stats = strip_duplicate_spans(docs, "doc_id", "text").agg(
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_dup_tokens").alias("dup_span_tokens"),
+    )
+    span_stats.show(truncate=False)
+
     # 2. exact dedup: keep the minimum id per identical (normalized) content
     keep_exact = exact_dedup_groups(docs, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
@@ -113,6 +125,21 @@ def main() -> None:
     )
     split = group_split(sampled, "source", eval_fraction=0.1)
     split.groupBy("split").count().show(truncate=False)
+
+    # 3b'. DSIR data selection: importance weights toward the English
+    #      subset as target, then a deterministic Gumbel top-k resample —
+    #      the "make the web corpus look like the target" selection step
+    from tdataframe_spark.ops.textstats import corpus_divergence, dsir_sample, dsir_weights
+
+    wts = dsir_weights(
+        kept_docs, kept_docs.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+    picked = dsir_sample(wts, "doc_id", n=max(10, n0 // 10))
+    print(f"DSIR-selected {picked.count()} docs toward the en target")
+    print("per-source drift vs corpus (JS divergence, top 5):")
+    corpus_divergence(kept_docs, "source", "text").orderBy(
+        F.col("js_div").desc()
+    ).show(5, truncate=False)
 
     # 3c. learned subword tokenization (BPE trained on the kept corpus)
     merges = train_bpe(kept_docs, n_merges=12)

@@ -4768,6 +4768,83 @@ FROM l
 """
 
 
+def q_token_entropy(spark, sf):
+    """Per-document lexical-diversity quality features: Shannon entropy of
+    the word distribution (via H = log2 n − Σ c·log2 c / n — the integer
+    counts keep every product ≥ 0 and magnitude ~1, so the decimal sum
+    convention applies cleanly) and type-token ratio. One explode + two
+    hash aggregates keyed by doc; log2 rounded to 9 dp (libm ulp
+    convention)."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("__w")
+    )
+    cw = w.groupBy("doc_id", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = cw.groupBy("doc_id").agg(
+        F.sum("__c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        dsum(F.col("__c") * F.round(F.log2("__c"), 9)).alias("__clogc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        # no outer round: the inputs are already 9-dp-rounded/decimal-summed,
+        # so the subtraction/division below is bit-identical cross-engine —
+        # while ROUND itself lands on half-boundaries the engines break
+        # differently (observed at sf0.1)
+        (F.round(F.log2("n_words"), 9) - F.col("__clogc") / F.col("n_words")).alias(
+            "entropy_bits"
+        ),
+        (F.col("n_distinct") / F.col("n_words")).alias("type_token_ratio"),
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS ww
+  FROM documents WHERE text IS NOT NULL
+),
+cw AS (SELECT doc_id, ww, COUNT(*) AS c FROM w GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         {_dsum_sql('c * ROUND(log2(c), 9)')} AS clogc
+  FROM cw GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct,
+       ROUND(log2(n_words), 9) - clogc / n_words AS entropy_bits,
+       n_distinct / n_words AS type_token_ratio
+FROM per_doc
+"""
+
+
+def q_group_quantiles_approx(spark, sf):
+    """Per-group sketch quantiles: Greenwald-Khanna percentile_approx as a
+    grouped MERGEABLE aggregate (one partial+final pass, no per-group
+    sort) — the 100 TB path for grouped percentiles; the exact-sort twin
+    is the `quantiles` query. Rows-only: sketch-placed values are
+    engine-specific by design; the rank-error bound is pinned by
+    `test_group_quantiles_approx_rank_bound`."""
+    from tdataframe_spark.functions.sketches import approx_quantiles
+
+    out = approx_quantiles(
+        _t(spark, sf, "orders"),
+        "o_totalprice",
+        [0.25, 0.5, 0.75],
+        accuracy=10000,
+        keys=["o_orderpriority"],
+    )
+    # array → CSV at the query boundary (driver canonicalizer contract)
+    return out.select(
+        "o_orderpriority",
+        F.array_join(
+            F.transform(F.col("quantiles"), lambda q: F.format_number(q, 6)), ","
+        ).alias("q25_50_75"),
+    )
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -192,3 +192,37 @@ def test_heavy_hitters_empty_and_bad_args(spark):
     assert heavy_hitters(empty, "k", min_count=1).count() == 0
     with pytest.raises(ValueError, match="min_count"):
         heavy_hitters(empty, "k", min_count=0)
+
+
+def test_group_quantiles_approx_rank_bound(spark):
+    """Each sketch-placed grouped quantile must sit within the GK rank
+    guarantee of the exact order statistic: |rank(est) - p*n| <= eps*n
+    with eps = 1/accuracy (slack 2x for interpolation at group edges)."""
+    from tdataframe_spark.functions.sketches import approx_quantiles
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    acc = 1000
+    got = {
+        r["o_orderpriority"]: list(r["quantiles"])
+        for r in approx_quantiles(
+            orders, "o_totalprice", [0.25, 0.5, 0.75], accuracy=acc,
+            keys=["o_orderpriority"],
+        ).collect()
+    }
+    rows = orders.select("o_orderpriority", "o_totalprice").collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    assert set(got) == set(by_g) and len(got) == 5
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for p, est in zip([0.25, 0.5, 0.75], got[g]):
+            import bisect
+
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            target = p * n
+            # the estimate's rank interval must cover p*n within eps*n
+            eps_n = 2.0 * n / acc + 1
+            assert lo - eps_n <= target <= hi + eps_n, (g, p, est, lo, hi, n)
