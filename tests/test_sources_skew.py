@@ -305,3 +305,52 @@ def test_read_media_files_binary_source_to_real_decode(spark, tmp_path):
     again = {r["path"]: r["media_id"] for r in media.collect()}
     first = {r["path"]: r["media_id"] for r in rows}
     assert again == first  # deterministic path-derived ids
+
+
+def test_synthetic_datasource_deterministic_and_pushdown(spark):
+    """The Python DataSource generates rows as a pure function of the
+    global index (re-reads identical, partition-count independent), and
+    ts_us range predicates are PUSHED into the reader as index cuts —
+    the filtered scan generates exactly the in-range rows."""
+    from tdataframe_spark.sources.synthetic import (
+        SyntheticEventsReader,
+        register_synthetic,
+    )
+
+    register_synthetic(spark)
+    opts = {"rows": "1000", "partitions": "7", "seed": "5", "step_us": "1000"}
+    r = (
+        spark.read.format("synthetic_events")
+        .options(**opts)
+        .load()
+    )
+    rows = r.collect()
+    assert len(rows) == 1000
+    assert len({x["event_id"] for x in rows}) == 1000
+    # deterministic across re-reads AND across partition counts
+    again = spark.read.format("synthetic_events").options(**dict(opts, partitions="3")).load()
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    # time-range filter: results correct...
+    start = 1_700_000_000_000_000
+    lo, hi = start + 200_000, start + 300_000
+    got = (
+        spark.read.format("synthetic_events").options(**opts).load()
+        .filter((F.col("ts_us") >= lo) & (F.col("ts_us") < hi))
+        .collect()
+    )
+    want = [x for x in rows if lo <= x["ts_us"] < hi]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) == 100
+    # ...and actually pushed: the reader's index window is cut to [200,300)
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    probe = SyntheticEventsReader(dict(opts))
+    rest = probe.pushFilters(
+        [GreaterThanOrEqual(("ts_us",), lo), LessThan(("ts_us",), hi)]
+    )
+    assert list(rest) == [] and (probe.lo, probe.hi) == (200, 300)
+    # unsupported filters come back and do not affect the window
+    from pyspark.sql.datasource import EqualTo
+
+    probe2 = SyntheticEventsReader(dict(opts))
+    back = probe2.pushFilters([EqualTo(("event_type",), "click")])
+    assert len(list(back)) == 1 and (probe2.lo, probe2.hi) == (0, 1000)
