@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "source_divergence": q_source_divergence,
         "token_entropy": q_token_entropy,
+        "gap_fill_interp": q_gap_fill_interp,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": SQL_DSIR_SAMPLE,
         "source_divergence": SQL_SOURCE_DIVERGENCE,
         "token_entropy": SQL_TOKEN_ENTROPY,
+        "gap_fill_interp": SQL_GAP_FILL,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

@@ -162,13 +162,18 @@ def resample_time_series(
     """Regularize a sparse per-key time series: emit one row for EVERY
     integer bucket between each key's min and max, filling gaps with
     ``fill`` = "zero" (missing → 0 / null-as-0 semantics), "ffill"
-    (forward-fill the last observed value), or "null".
+    (forward-fill the last observed value), "interp" (linear
+    interpolation between the surrounding observations on the integer
+    bucket axis — boundaries are observed by construction since the
+    spine spans min..max of the OBSERVED buckets), or "null".
 
     Shape: the dense bucket axis is generated per key with
     ``sequence`` + ``explode`` (work ∝ output rows, no cross join against
     a global calendar), left-joined to the observations on (key, bucket);
-    forward-fill is ``last(ignorenulls)`` over one per-key window — the
-    same single-shuffle discipline as every other window op here.
+    forward-fill / interpolation are ignorenulls last/first over per-key
+    windows — the same single-shuffle discipline as every other window op
+    here. Interpolation arithmetic is pure IEEE on already-deterministic
+    inputs, so it is oracle-reproducible with the mirrored expression.
     """
     bounds = df.groupBy(key_col).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
@@ -189,6 +194,29 @@ def resample_time_series(
         )
         for c in value_cols:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif fill == "interp":
+        wp = (
+            Window.partitionBy(key_col)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wn = (
+            Window.partitionBy(key_col)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        t = F.col(bucket_col).cast("double")
+        for c in value_cols:
+            v = F.col(c)
+            obs_t = F.when(v.isNotNull(), F.col(bucket_col))
+            pv = F.last(v, ignorenulls=True).over(wp)
+            pt = F.last(obs_t, ignorenulls=True).over(wp).cast("double")
+            nv = F.first(v, ignorenulls=True).over(wn)
+            nt = F.first(obs_t, ignorenulls=True).over(wn).cast("double")
+            interp = pv + (nv - pv) * ((t - pt) / (nt - pt))
+            out = out.withColumn(
+                c, F.when(v.isNotNull(), v).otherwise(interp)
+            )
     elif fill != "null":
         raise ValueError(f"unknown fill mode {fill!r}")
     return out

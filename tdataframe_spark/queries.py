@@ -4845,6 +4845,60 @@ def q_group_quantiles_approx(spark, sf):
     )
 
 
+DAY_US = 86_400_000_000
+
+
+def q_gap_fill_interp(spark, sf):
+    """Time-series regularization with linear interpolation: per-user
+    daily purchase totals are sparse; the resampler emits EVERY day
+    between each user's first and last purchase, interpolating gaps
+    between surrounding observations (ignorenulls last/first windows —
+    one per-key shuffle, spine ∝ output rows). The arithmetic is pure
+    IEEE over deterministic inputs, mirrored exactly in the oracle."""
+    from tdataframe_spark.operators.windows import resample_time_series
+
+    ev = _events(spark, sf).filter(F.col("event_type") == "purchase")
+    obs = (
+        ev.select("user_id", F.expr(f"ts_us div {DAY_US}").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(dsum("value").alias("total"))
+    )
+    return resample_time_series(obs, "user_id", "day", ["total"], fill="interp")
+
+
+SQL_GAP_FILL = f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // {DAY_US} AS day,
+         {_dsum_sql('value')} AS total
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM bounds),
+j AS (SELECT s.user_id, s.day, o.total
+      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day),
+w AS (
+  SELECT user_id, day, total,
+         last_value(total IGNORE NULLS) OVER wp AS pv,
+         CAST(last_value(CASE WHEN total IS NOT NULL THEN day END IGNORE NULLS)
+              OVER wp AS DOUBLE) AS pt,
+         first_value(total IGNORE NULLS) OVER wn AS nv,
+         CAST(first_value(CASE WHEN total IS NOT NULL THEN day END IGNORE NULLS)
+              OVER wn AS DOUBLE) AS nt
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE WHEN total IS NOT NULL THEN total
+            ELSE pv + (nv - pv) * ((CAST(day AS DOUBLE) - pt) / (nt - pt))
+       END AS total
+FROM w
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -1735,3 +1735,28 @@ def test_duplicate_spans_rejects_bad_k(spark):
     df = spark.createDataFrame([Row(doc_id="a", text="x y z")])
     with pytest.raises(ValueError, match="k must be"):
         duplicate_spans(df, "doc_id", "text", k=0)
+
+
+def test_resample_interp_linear_values(spark):
+    """fill="interp": gaps take the exact linear blend of the surrounding
+    observations; observed rows pass through untouched; single-obs keys
+    produce just their own row."""
+    from tdataframe_spark.operators.windows import resample_time_series
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10.0),
+            ("a", 4, 18.0),   # gap of 3: days 1,2,3 -> 12,14,16
+            ("a", 5, 100.0),
+            ("b", 7, 5.0),    # single observation
+        ],
+        "k string, day long, v double",
+    )
+    out = {
+        (r["k"], r["day"]): r["v"]
+        for r in resample_time_series(df, "k", "day", ["v"], fill="interp").collect()
+    }
+    assert out[("a", 0)] == 10.0 and out[("a", 4)] == 18.0 and out[("a", 5)] == 100.0
+    assert out[("a", 1)] == 12.0 and out[("a", 2)] == 14.0 and out[("a", 3)] == 16.0
+    assert out[("b", 7)] == 5.0
+    assert len(out) == 7
