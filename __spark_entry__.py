@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "token_entropy": q_token_entropy,
         "gap_fill_interp": q_gap_fill_interp,
+        "variant_props": q_variant_props,
+        "outliers_robust": q_outliers_robust,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -357,6 +359,8 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": SQL_SOURCE_DIVERGENCE,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "gap_fill_interp": SQL_GAP_FILL,
+        "variant_props": SQL_VARIANT_PROPS,
+        "outliers_robust": SQL_OUTLIERS_ROBUST,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

@@ -146,3 +146,61 @@ def winsorize(
             ),
         )
     return out.drop(*[f"__{c}_{t}" for c in cols for t in ("lo", "hi")])
+
+
+def robust_outliers(
+    df,
+    value_col: str,
+    keys: list[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust outlier detection: flag rows whose modified
+    z-score |x − median| / (1.4826 · MAD) exceeds ``threshold`` — unlike
+    the mean/σ z-score (`outliers`), a few extreme values cannot drag the
+    center and mask themselves (breakdown point 50% vs 0%).
+
+    Shape: two grouped exact-percentile aggregates (median of x, then
+    median of |x − median|) joined back on the keys — two shuffles of the
+    GROUP STATS, the data itself shuffles once per join by key. With no
+    keys the two 1-row aggregates attach as broadcasts. Exact percentile
+    is sort-based per group; at 100 TB swap `percentile_approx` in for
+    both medians (same shape). A zero-MAD group (>50% identical values)
+    flags only values different from the median, never divides by zero.
+
+    Returns the input plus (center, mad, robust_z, is_outlier).
+    """
+    from pyspark.sql import functions as F
+
+    x = F.col(value_col).cast("double")
+    med_agg = F.percentile(x, F.lit(0.5)).alias("__center")
+    if keys:
+        med = df.groupBy(*keys).agg(med_agg)
+        j = df.join(med, keys)
+    else:
+        j = df.crossJoin(F.broadcast(df.agg(med_agg)))
+    dev = F.abs(x - F.col("__center"))
+    mad_agg = F.percentile(dev, F.lit(0.5)).alias("__mad")
+    if keys:
+        mad = j.groupBy(*keys).agg(mad_agg)
+        j = j.join(mad, keys)
+    else:
+        j = j.crossJoin(F.broadcast(j.agg(mad_agg)))
+    scale = F.lit(1.4826) * F.col("__mad")
+    z = F.when(
+        F.col("__mad") > 0, F.abs(x - F.col("__center")) / scale
+    ).otherwise(
+        # degenerate spread: anything off-center is infinitely surprising
+        F.when(F.abs(x - F.col("__center")) > 0, F.lit(float("inf"))).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return (
+        j.withColumn("center", F.col("__center"))
+        .withColumn("mad", F.col("__mad"))
+        .withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier",
+            F.when(x.isNotNull(), F.col("robust_z") > threshold).otherwise(False),
+        )
+        .drop("__center", "__mad")
+    )

@@ -4899,6 +4899,82 @@ FROM w
 """
 
 
+def q_variant_props(spark, sf):
+    """Semi-structured handling via Spark 4's VARIANT type: events.props
+    parsed once into the binary variant encoding (the open-format path
+    for schema-on-read JSON at scale — parse cost paid once, typed
+    extraction afterwards is JVM-side), then typed `$.k` extraction and a
+    per-type aggregate. Oracle mirrors with DuckDB JSON extraction."""
+    ev = _events(spark, sf)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            dsum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_large"),
+        )
+    )
+
+
+SQL_VARIANT_PROPS = f"""
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       {_dsum_sql('k')} AS sum_k,
+       MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+FROM x
+GROUP BY event_type
+"""
+
+
+ROBUST_Z_THRESHOLD = 3.5
+
+
+def q_outliers_robust(spark, sf):
+    """Median/MAD robust outlier flags per order priority — the
+    breakdown-resistant twin of the mean/σ `outliers` query. Two grouped
+    exact-percentile aggregates joined back; z arithmetic is IEEE-exact
+    on identical medians (percentile ≡ DuckDB quantile_cont, pinned by
+    `quantiles`)."""
+    from tdataframe_spark.ops.quality import robust_outliers
+
+    out = robust_outliers(
+        _events(spark, sf).select("event_id", "event_type", "value"),
+        "value",
+        keys=["event_type"],
+        threshold=ROBUST_Z_THRESHOLD,
+    )
+    return out.filter(F.col("is_outlier")).select(
+        "event_id", "event_type", "value", "center", "mad", "robust_z"
+    )
+
+
+SQL_OUTLIERS_ROBUST = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS center
+  FROM events GROUP BY 1
+),
+j AS (SELECT event_id, e.event_type, value, center
+      FROM events e JOIN med ON e.event_type = med.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - center), 0.5) AS mad
+  FROM j GROUP BY 1
+)
+SELECT event_id, j.event_type, value, center, mad,
+       abs(value - center) / (1.4826 * mad) AS robust_z
+FROM j JOIN mad ON j.event_type = mad.event_type
+WHERE abs(value - center) / (1.4826 * mad) > {ROBUST_Z_THRESHOLD}
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -164,3 +164,26 @@ def test_expect_fk_null_keys_vacuously_pass(spark):
     dim = spark.createDataFrame([(10,)], "key int")
     out = expect_fk(fact, "fk", "ref", dim, "key").collect()[0]
     assert out["violations"] == 1  # only ref=99; NULL is not a violation
+
+
+def test_robust_outliers_masks_nothing_and_handles_degenerate_mad(spark):
+    """The MAD center ignores extreme values (a cluster of outliers can't
+    mask itself like it does for the mean/sigma score), NULLs never flag,
+    and a zero-MAD group flags exactly the off-median values."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.quality import robust_outliers
+
+    rows = [Row(g="a", x=float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11]]
+    rows += [Row(g="a", x=1000.0), Row(g="a", x=1001.0), Row(g="a", x=None)]
+    rows += [Row(g="b", x=5.0)] * 6 + [Row(g="b", x=9.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = robust_outliers(df, "x", keys=["g"]).collect()
+    a = [r for r in out if r["g"] == "a"]
+    assert {r["x"] for r in a if r["is_outlier"]} == {1000.0, 1001.0}
+    assert all(not r["is_outlier"] for r in a if r["x"] is None)
+    assert all(10.0 <= r["center"] <= 12.0 for r in a)  # center uncontaminated
+    b = [r for r in out if r["g"] == "b"]
+    # >50% identical values -> MAD 0: only the off-median value flags
+    assert {r["x"] for r in b if r["is_outlier"]} == {9.0}
+    assert all(r["robust_z"] == 0.0 for r in b if r["x"] == 5.0)
