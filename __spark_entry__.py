@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_interp": q_gap_fill_interp,
         "variant_props": q_variant_props,
         "outliers_robust": q_outliers_robust,
+        "bm25_indexed": q_bm25_indexed,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -361,6 +362,9 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_interp": SQL_GAP_FILL,
         "variant_props": SQL_VARIANT_PROPS,
         "outliers_robust": SQL_OUTLIERS_ROBUST,
+        # the indexed path must score EXACTLY like the one-shot scorer:
+        # same oracle
+        "bm25_indexed": _bm25_oracle_sql(),
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

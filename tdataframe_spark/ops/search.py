@@ -306,3 +306,98 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.min("__pos").cast("long").alias("first_pos"),
     ).select(F.col("__id").alias(id_col), "n_occurrences", "first_pos")
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 16,
+) -> None:
+    """Persist the lexical index once so queries never touch the corpus
+    again — the BM25 twin of ``ivf_build``/``ivf_query``. Writes:
+
+    - ``path/postings``: (term, id, tf), TERM-SORTED via range
+      partitioning so per-file min/max footers prune a query's term
+      lookups to the matching files (the layout machinery the snapshot
+      sinks use);
+    - ``path/lens``: (id, len) document lengths;
+    - ``path/meta``: the 1-row corpus stats (n_docs, exact-decimal
+      avglen) every query broadcasts.
+
+    At 100 TB the postings table is the inverted index ANY search system
+    carries; building it is one explode + hash aggregate over the corpus,
+    and queries read only the term-pruned slice of it.
+    """
+    from tdataframe_spark.sources.layout import write_sorted
+
+    idx = term_index(df, id_col, text_col)
+    write_sorted(idx, f"{path}/postings", ["term"], n_files=n_files)
+    lens = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.size(words(F.col(text_col))).cast("long").alias("len"),
+    )
+    lens.write.mode("overwrite").parquet(f"{path}/lens")
+    lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("len").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avglen"),
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def query_text_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-``k`` against a ``build_text_index`` artifact — identical
+    scores to the one-shot ``bm25_topk`` on the indexed corpus (tested),
+    but the corpus itself is never re-read: the postings scan carries an
+    ``isin`` term filter that parquet pushes into the term-sorted files
+    (file/row-group skipping), document lengths join by id, and the 1-row
+    meta broadcasts."""
+    terms = [t.lower() for t in query_terms]
+    hits = spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms))
+    lens = spark.read.parquet(f"{path}/lens")
+    g = spark.read.parquet(f"{path}/meta")
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("len") / F.col("avglen"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("term", "w"))).alias("__tw"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    score = F.aggregate(
+        F.col("__tw"), F.lit(0.0), lambda acc, x: acc + x["w"]
+    )
+    return (
+        per_doc.select("id", score.alias("score"), "n_terms_hit")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -4975,6 +4975,23 @@ WHERE abs(value - center) / (1.4826 * mad) > {ROBUST_Z_THRESHOLD}
 """
 
 
+def q_bm25_indexed(spark, sf):
+    """BM25 against a PERSISTED lexical index (build_text_index →
+    query_text_index): identical scores to the one-shot `bm25_topk` —
+    same oracle SQL — but the corpus is read only at build time; the
+    query touches the term-pruned postings slice (PushedFilters
+    plan-asserted in tests). The artifact is rebuilt per run here;
+    production builds once and queries many."""
+    import tempfile
+
+    from tdataframe_spark.ops.search import build_text_index, query_text_index
+
+    d = tempfile.mkdtemp(prefix="lexidx_")
+    build_text_index(_t(spark, sf, "documents"), d)
+    out = query_text_index(spark, d, BM25_TERMS, k=BM25_K)
+    return out.select("id", F.round("score", 9).alias("score"), "n_terms_hit")
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -861,3 +861,28 @@ def test_pack_bins_null_tokens_pack_as_zero(spark):
     out = {r["id"]: r for r in pack_bins(df, "doc_id", "n_tok", budget=64).collect()}
     assert set(out) == {"a", "b"}
     assert out["b"]["tokens"] == 0 and not out["b"]["overflow"]
+
+
+def test_text_index_roundtrip_equals_oneshot(spark, tmp_path):
+    """query_text_index over a persisted index must reproduce the one-shot
+    bm25_topk EXACTLY (same ordered fold, same stats), and the postings
+    scan must carry the term filter into the parquet source."""
+    from tdataframe_spark.ops.search import (
+        bm25_topk,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "lexidx")
+    build_text_index(docs, idx)
+    terms = ["merge", "hash", "data"]
+    want = [
+        (r["id"], r["score"], r["n_terms_hit"])
+        for r in bm25_topk(docs, terms, k=10).collect()
+    ]
+    q = query_text_index(spark, idx, terms, k=10)
+    got = [(r["id"], r["score"], r["n_terms_hit"]) for r in q.collect()]
+    assert got == want and len(got) == 10
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan.replace("\n", " ")
