@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props": q_variant_props,
         "outliers_robust": q_outliers_robust,
         "bm25_indexed": q_bm25_indexed,
+        "triangle_count": q_triangle_count,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         # the indexed path must score EXACTLY like the one-shot scorer:
         # same oracle
         "bm25_indexed": _bm25_oracle_sql(),
+        "triangle_count": SQL_TRIANGLE_COUNT,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

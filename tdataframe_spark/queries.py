@@ -4992,6 +4992,47 @@ def q_bm25_indexed(spark, sf):
     return out.select("id", F.round("score", 9).alias("score"), "n_terms_hit")
 
 
+def q_triangle_count(spark, sf):
+    """Graph analytics: exact triangles in the co-purchase graph (parts
+    linked when they share an order) via degree orientation — out-degree
+    capped at O(√m) so wedge fan-out stays bounded on power-law graphs."""
+    from tdataframe_spark.ops.graph import triangle_count
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") != F.col("dst"))
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT n, COUNT(*) AS d
+        FROM (SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+        GROUP BY 1),
+oriented AS (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN v ELSE u END AS b
+  FROM pairs JOIN deg d1 ON u = d1.n JOIN deg d2 ON v = d2.n
+),
+wedges AS (SELECT o1.a, o1.b AS x, o2.b AS y
+           FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a
+           WHERE o1.b < o2.b),
+closing AS (SELECT least(a, b) AS x, greatest(a, b) AS y FROM oriented)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM wedges w
+             WHERE EXISTS (SELECT 1 FROM closing c
+                           WHERE c.x = w.x AND c.y = w.y)) AS BIGINT)
+         AS n_triangles
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -68,3 +68,35 @@ def test_profile_numeric_is_one_pass(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 4  # partial+final (x2 for AQE shells)
     assert {r["column"] for r in out.collect()} == {"a", "b"}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented counting equals the itertools brute force on random
+    graphs (each triangle counted exactly once), tolerates duplicate /
+    reversed / self-loop input edges, and a planted clique contributes
+    exactly C(k,3)."""
+    import itertools
+    import random
+
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.15}
+    edges |= set(itertools.combinations([40, 41, 42, 43, 44], 2))  # K5: 10 triangles
+    adj = {n: set() for n in nodes + [40, 41, 42, 43, 44]}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    want = sum(
+        1 for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    # feed the op messy input: both orientations, dups, a self-loop
+    rows = [Row(src=a, dst=b) for a, b in edges]
+    rows += [Row(src=b, dst=a) for a, b in list(edges)[:10]]
+    rows += [Row(src=1, dst=1)]
+    got = triangle_count(spark.createDataFrame(rows)).first()
+    assert got["n_triangles"] == want and want >= 10
+    assert got["n_edges"] == len(edges)
