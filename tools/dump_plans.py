@@ -49,6 +49,13 @@ def main() -> None:
         "ccnet_buckets",
         "dedup_keep_best",
         "pq_ann",
+        # round-4 showcase: span dedup's island windows, DSIR's bounded
+        # bucket broadcasts, the triangle wedge/closing joins, Q21's
+        # semi+anti composition
+        "dup_spans",
+        "dsir_weights",
+        "triangle_count",
+        "q21_suppliers_waiting",
     ]
     for name in HEADLINE + showcase:
         df = queries[name](spark, SF)
