@@ -169,8 +169,6 @@ def robust_outliers(
 
     Returns the input plus (center, mad, robust_z, is_outlier).
     """
-    from pyspark.sql import functions as F
-
     x = F.col(value_col).cast("double")
     med_agg = F.percentile(x, F.lit(0.5)).alias("__center")
     if keys:

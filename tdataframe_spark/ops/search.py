@@ -46,6 +46,50 @@ def term_index(
     )
 
 
+def _bm25_score_topk(hits, lens, g, k1: float, b: float, k: int):
+    """Shared BM25 scoring tail for the one-shot and indexed paths: the
+    Robertson-Sparck Jones idf, the tf saturation with length
+    normalization, the term-ORDERED per-doc fold (canonical double
+    addition on any partitioning / any engine), and the tie-broken
+    TakeOrdered. Both entry points MUST score through here so the
+    indexed artifact can never drift from the one-shot scorer."""
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("len") / F.col("avglen"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("term", "w"))).alias("__tw"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    score = F.aggregate(
+        F.col("__tw"), F.lit(0.0), lambda acc, x: acc + x["w"]
+    )
+    return (
+        per_doc.select("id", score.alias("score"), "n_terms_hit")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -77,43 +121,7 @@ def bm25_topk(
         ).alias("avglen"),
     )
     hits = idx.filter(F.col("term").isin([t.lower() for t in query_terms]))
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .join(lens, "id")
-        .crossJoin(F.broadcast(g))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("len") / F.col("avglen"))
-            ),
-        )
-    )
-    # per-doc score: ordered fold over (term, w) so the double additions
-    # happen in one canonical order on any partitioning / any engine
-    per_doc = scored.groupBy("id").agg(
-        F.array_sort(F.collect_list(F.struct("term", "w"))).alias("__tw"),
-        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-    )
-    score = F.aggregate(
-        F.col("__tw"), F.lit(0.0), lambda acc, x: acc + x["w"]
-    )
-    return (
-        per_doc.select("id", score.alias("score"), "n_terms_hit")
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
-    )
+    return _bm25_score_topk(hits, lens, g, k1, b, k)
 
 
 RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
@@ -366,38 +374,4 @@ def query_text_index(
     hits = spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms))
     lens = spark.read.parquet(f"{path}/lens")
     g = spark.read.parquet(f"{path}/meta")
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .join(lens, "id")
-        .crossJoin(F.broadcast(g))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("len") / F.col("avglen"))
-            ),
-        )
-    )
-    per_doc = scored.groupBy("id").agg(
-        F.array_sort(F.collect_list(F.struct("term", "w"))).alias("__tw"),
-        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-    )
-    score = F.aggregate(
-        F.col("__tw"), F.lit(0.0), lambda acc, x: acc + x["w"]
-    )
-    return (
-        per_doc.select("id", score.alias("score"), "n_terms_hit")
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
-    )
+    return _bm25_score_topk(hits, lens, g, k1, b, k)

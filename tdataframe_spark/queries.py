@@ -4775,10 +4775,10 @@ def q_token_entropy(spark, sf):
     convention applies cleanly) and type-token ratio. One explode + two
     hash aggregates keyed by doc; log2 rounded to 9 dp (libm ulp
     convention)."""
+    from tdataframe_spark.functions.text import words
+
     d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
-    w = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("__w")
-    )
+    w = d.select("doc_id", F.explode(words("text")).alias("__w"))
     cw = w.groupBy("doc_id", "__w").agg(F.count(F.lit(1)).alias("__c"))
     per_doc = cw.groupBy("doc_id").agg(
         F.sum("__c").cast("long").alias("n_words"),
@@ -4840,7 +4840,10 @@ def q_group_quantiles_approx(spark, sf):
     return out.select(
         "o_orderpriority",
         F.array_join(
-            F.transform(F.col("quantiles"), lambda q: F.format_number(q, 6)), ","
+            F.transform(
+                F.col("quantiles"), lambda q: F.format_string("%.6f", q)
+            ),
+            ",",
         ).alias("q25_50_75"),
     )
 
@@ -4969,9 +4972,12 @@ mad AS (
   FROM j GROUP BY 1
 )
 SELECT event_id, j.event_type, value, center, mad,
-       abs(value - center) / (1.4826 * mad) AS robust_z
+       CASE WHEN mad > 0 THEN abs(value - center) / (1.4826 * mad)
+            WHEN abs(value - center) > 0 THEN 'infinity'::DOUBLE
+            ELSE 0.0 END AS robust_z
 FROM j JOIN mad ON j.event_type = mad.event_type
-WHERE abs(value - center) / (1.4826 * mad) > {ROBUST_Z_THRESHOLD}
+WHERE (mad > 0 AND abs(value - center) / (1.4826 * mad) > {ROBUST_Z_THRESHOLD})
+   OR (mad = 0 AND abs(value - center) > 0)
 """
 
 
@@ -4986,7 +4992,10 @@ def q_bm25_indexed(spark, sf):
 
     from tdataframe_spark.ops.search import build_text_index, query_text_index
 
-    d = tempfile.mkdtemp(prefix="lexidx_")
+    # one FIXED per-process dir, rebuilt (mode=overwrite) each call — a
+    # fresh mkdtemp per invocation leaks a parquet tree on every re-run
+    # (the rollup_incremental lesson)
+    d = os.path.join(tempfile.gettempdir(), f"lexidx_{os.getpid()}")
     build_text_index(_t(spark, sf, "documents"), d)
     out = query_text_index(spark, d, BM25_TERMS, k=BM25_K)
     return out.select("id", F.round("score", 9).alias("score"), "n_terms_hit")

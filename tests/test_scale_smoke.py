@@ -161,10 +161,10 @@ def test_synthetic_source_5m_sessionize_and_heavy_hitters(spark):
         .option("users", 1000).option("step_us", 1000)
         .load()
     )
-    # heavy hitters over user_id at a threshold every user clears:
-    # splitmix64 is near-uniform, so each of 1000 users has ~5000 events;
-    # threshold 1 forces candidates == all users and the exact verify
-    # must account for every row
+    # heavy hitters over user_id: splitmix64 is near-uniform, so each of
+    # 1000 users has ~5000 events and min_count=2500 is a bar nearly all
+    # clear; the CMS prefilter may drop unlucky light users, so only
+    # >=990 and sum<=n are sound assertions
     hh = heavy_hitters(ev, "user_id", min_count=2500)
     rows = hh.collect()
     assert len(rows) >= 990  # near-uniform: almost every user qualifies
