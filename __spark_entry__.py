@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_robust": q_outliers_robust,
         "bm25_indexed": q_bm25_indexed,
         "triangle_count": q_triangle_count,
+        "corr_matrix": q_corr_matrix,
+        "ab_test": q_ab_test,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -367,6 +369,8 @@ def oracle_sql() -> dict[str, str]:
         # same oracle
         "bm25_indexed": _bm25_oracle_sql(),
         "triangle_count": SQL_TRIANGLE_COUNT,
+        "corr_matrix": SQL_CORR_MATRIX,
+        "ab_test": SQL_AB_TEST,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

@@ -5042,6 +5042,136 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
 """
 
 
+def q_corr_matrix(spark, sf):
+    """Pairwise Pearson correlations among lineitem's numeric measures in
+    ONE aggregate pass (10 decimal-exact moments), assembled driver-free
+    from the closed form r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)).
+    Every arithmetic step after the decimal sums is IEEE-deterministic
+    (sqrt is correctly rounded by IEEE 754), so no rounding is needed."""
+    li = _t(spark, sf, "lineitem")
+    x, y, z = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"), dsum(y).alias("sy"), dsum(z).alias("sz"),
+        dsum(x * x).alias("sxx"), dsum(y * y).alias("syy"), dsum(z * z).alias("szz"),
+        dsum(x * y).alias("sxy"), dsum(x * z).alias("sxz"), dsum(y * z).alias("syz"),
+    )
+
+    def r(sab, sa, sb, saa, sbb):
+        n = F.col("n")
+        num = n * F.col(sab) - F.col(sa) * F.col(sb)
+        den = F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa))
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+        return num / den
+
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        r("sxy", "sx", "sy", "sxx", "syy").alias("r_qty_price"),
+        r("sxz", "sx", "sz", "sxx", "szz").alias("r_qty_disc"),
+        r("syz", "sy", "sz", "syy", "szz").alias("r_price_disc"),
+    )
+
+
+SQL_CORR_MATRIX = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {_dsum_sql('l_quantity')} AS sx,
+         {_dsum_sql('l_extendedprice')} AS sy,
+         {_dsum_sql('l_discount')} AS sz,
+         {_dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {_dsum_sql('l_extendedprice * l_extendedprice')} AS syy,
+         {_dsum_sql('l_discount * l_discount')} AS szz,
+         {_dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+         {_dsum_sql('l_quantity * l_discount')} AS sxz,
+         {_dsum_sql('l_extendedprice * l_discount')} AS syz
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         AS r_qty_price,
+       (n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz))
+         AS r_qty_disc,
+       (n * syz - sy * sz) / sqrt((n * syy - sy * sy) * (n * szz - sz * sz))
+         AS r_price_disc
+FROM m
+"""
+
+
+AB_GROUP_A, AB_GROUP_B = "click", "purchase"
+
+
+def q_ab_test(spark, sf):
+    """Two-sample Welch's t on event values between two event types, from
+    decimal-exact per-group moments (n, Σx, Σx²): the experimentation
+    primitive. t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) with Welch–Satterthwaite df;
+    all post-aggregate arithmetic is IEEE-deterministic, no rounding."""
+    ev = _events(spark, sf).filter(
+        F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)
+    )
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum("value").alias("s1"),
+            dsum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    a = g.filter(F.col("event_type") == AB_GROUP_A).select(
+        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("saa")
+    )
+    b = g.filter(F.col("event_type") == AB_GROUP_B).select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("sbb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = (F.col("saa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)
+    vb = (F.col("sbb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)
+    se2a, se2b = va / F.col("na"), vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    dof = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (F.col("na") - 1) + se2b * se2b / (F.col("nb") - 1)
+    )
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (ma - mb).alias("mean_diff"),
+        t.alias("t_stat"),
+        dof.alias("welch_df"),
+    )
+
+
+SQL_AB_TEST = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {_dsum_sql('value')} AS s1,
+         {_dsum_sql('value * value')} AS s2
+  FROM events
+  WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+  GROUP BY event_type
+),
+a AS (SELECT n AS na, s1 AS sa, s2 AS saa FROM g WHERE event_type = '{AB_GROUP_A}'),
+b AS (SELECT n AS nb, s1 AS sb, s2 AS sbb FROM g WHERE event_type = '{AB_GROUP_B}')
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       (sa / na - sb / nb) AS mean_diff,
+       (sa / na - sb / nb)
+         / sqrt(((saa - sa * sa / na) / (na - 1)) / na
+                + ((sbb - sb * sb / nb) / (nb - 1)) / nb) AS t_stat,
+       (((saa - sa * sa / na) / (na - 1)) / na
+        + ((sbb - sb * sb / nb) / (nb - 1)) / nb)
+       * (((saa - sa * sa / na) / (na - 1)) / na
+          + ((sbb - sb * sb / nb) / (nb - 1)) / nb)
+       / ((((saa - sa * sa / na) / (na - 1)) / na)
+          * (((saa - sa * sa / na) / (na - 1)) / na) / (na - 1)
+          + (((sbb - sb * sb / nb) / (nb - 1)) / nb)
+            * (((sbb - sb * sb / nb) / (nb - 1)) / nb) / (nb - 1)) AS welch_df
+FROM a CROSS JOIN b
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

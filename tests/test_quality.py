@@ -187,3 +187,58 @@ def test_robust_outliers_masks_nothing_and_handles_degenerate_mad(spark):
     # >50% identical values -> MAD 0: only the off-median value flags
     assert {r["x"] for r in b if r["is_outlier"]} == {9.0}
     assert all(r["robust_z"] == 0.0 for r in b if r["x"] == 5.0)
+
+
+def test_corr_and_welch_match_numpy(spark):
+    """The moment-based Pearson r and Welch t/df must agree with
+    numpy/closed-form references on planted data (correlated + independent
+    columns, unequal-variance groups)."""
+    import math
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from tdataframe_spark.queries import q_ab_test, q_corr_matrix  # noqa: F401
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(10, 2, 400)
+    y = 3 * x + rng.normal(0, 1, 400)        # strongly correlated
+    z = rng.normal(0, 1, 400)                # independent
+    df = spark.createDataFrame(
+        [Row(l_quantity=float(a), l_extendedprice=float(b), l_discount=float(c))
+         for a, b, c in zip(x, y, z)]
+    )
+    import tdataframe_spark.queries as Q
+
+    orig = Q._t
+    try:
+        Q._t = lambda spark_, sf_, name_: df
+        got = Q.q_corr_matrix(spark, "unused").first()
+    finally:
+        Q._t = orig
+    assert got["n"] == 400
+    assert got["r_qty_price"] == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-6)
+    assert abs(got["r_qty_disc"]) < 0.2 and abs(got["r_price_disc"]) < 0.2
+    # Welch: two groups with unequal variance
+    a = rng.normal(5.0, 1.0, 300)
+    b = rng.normal(5.5, 3.0, 200)
+    ev = spark.createDataFrame(
+        [Row(event_type="click", value=float(v)) for v in a]
+        + [Row(event_type="purchase", value=float(v)) for v in b]
+    )
+    orig_ev = Q._events
+    try:
+        Q._events = lambda spark_, sf_: ev
+        w = Q.q_ab_test(spark, "unused").first()
+    finally:
+        Q._events = orig_ev
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / 300 + vb / 200
+    t_ref = (a.mean() - b.mean()) / math.sqrt(se2)
+    df_ref = se2**2 / ((va / 300) ** 2 / 299 + (vb / 200) ** 2 / 199)
+    # dsum stores moments in decimal(25,6): numpy agreement is bounded by
+    # that 6-dp quantization of the sums, not by float error
+    assert w["t_stat"] == pytest.approx(t_ref, rel=1e-5)
+    assert w["welch_df"] == pytest.approx(df_ref, rel=1e-5)
+    assert (w["n_a"], w["n_b"]) == (300, 200)
