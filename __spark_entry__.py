@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
+        "hll_distinct": q_hll_distinct,
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
         "logreg_score": q_logreg_score,

@@ -5172,6 +5172,25 @@ FROM a CROSS JOIN b
 """
 
 
+def q_hll_distinct(spark, sf):
+    """Mergeable distinct-count rollup: per-(returnflag, linestatus) HLL
+    sketches built once, then merged UP to returnflag alone without
+    rereading the data — the two-level pre-aggregate pattern a 100 TB
+    metrics store runs. Rows-only: DataSketches HLL estimates are
+    engine-specific; the ±2σ accuracy floor and the merge law are pinned
+    by `test_hll_rollup_accuracy_and_merge_consistency`."""
+    from tdataframe_spark.functions.sketches import (
+        grouped_distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    fine = grouped_distinct_sketches(
+        li, ["l_returnflag", "l_linestatus"], "l_partkey"
+    )
+    return merge_distinct_sketches(fine, ["l_returnflag"])
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)
