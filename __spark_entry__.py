@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "corr_matrix": q_corr_matrix,
         "ab_test": q_ab_test,
+        "histo2d": q_histo2d,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -372,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": SQL_TRIANGLE_COUNT,
         "corr_matrix": SQL_CORR_MATRIX,
         "ab_test": SQL_AB_TEST,
+        "histo2d": SQL_HISTO2D,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

@@ -213,3 +213,59 @@ def histo_rows(
         (r["bin"], r["bin_lo"], r["bin_hi"], r["cnt"])
         for r in histo_frame(df, col, nbins, lo, hi).collect()
     ]
+
+
+def histo2d_frame(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    nx: int,
+    xlo: float,
+    xhi: float,
+    ny: int,
+    ylo: float,
+    yhi: float,
+) -> DataFrame:
+    """Fixed-range 2-D histogram as a dense (xbin, ybin) grid table — the
+    Histo2D the reference's successor API grew (the shipped header is
+    1-D-only, /root/reference/TDataFrame.hxx:686 kHisto1D); same bucketize
+    + tiny hash aggregate shape as 1-D: the shuffle is ≤ nx·ny keys no
+    matter the input size. Out-of-range / NULL pairs are dropped (1-D
+    fixed-range default); rows with either coordinate NULL never fill.
+
+    Returns (xbin, ybin, x_lo, x_hi, y_lo, y_hi, cnt), zero-filled and
+    grid-ordered.
+    """
+    if nx < 1 or ny < 1:
+        raise ValueError("nx and ny must be >= 1")
+    if not (xhi > xlo and yhi > ylo):
+        raise ValueError("histo2d needs fixed ranges: hi must exceed lo")
+    wx = (xhi - xlo) / nx
+    wy = (yhi - ylo) / ny
+    x = F.col(xcol).cast("double")
+    y = F.col(ycol).cast("double")
+    bx = F.least(F.floor((x - F.lit(xlo)) / F.lit(wx)).cast("int"), F.lit(nx - 1))
+    by = F.least(F.floor((y - F.lit(ylo)) / F.lit(wy)).cast("int"), F.lit(ny - 1))
+    binned = df.filter(
+        x.isNotNull() & y.isNotNull()
+        & (x >= xlo) & (x < xhi) & (y >= ylo) & (y < yhi)
+    ).select(bx.alias("xbin"), by.alias("ybin"))
+    counts = binned.groupBy("xbin", "ybin").agg(F.count(F.lit(1)).alias("cnt"))
+    spark = df.sparkSession
+    grid = (
+        spark.range(nx).select(F.col("id").cast("int").alias("xbin"))
+        .crossJoin(spark.range(ny).select(F.col("id").cast("int").alias("ybin")))
+    )
+    return (
+        grid.join(F.broadcast(counts), ["xbin", "ybin"], "left")
+        .select(
+            "xbin",
+            "ybin",
+            (F.lit(xlo) + F.col("xbin").cast("double") * F.lit(wx)).alias("x_lo"),
+            (F.lit(xlo) + (F.col("xbin") + 1).cast("double") * F.lit(wx)).alias("x_hi"),
+            (F.lit(ylo) + F.col("ybin").cast("double") * F.lit(wy)).alias("y_lo"),
+            (F.lit(ylo) + (F.col("ybin") + 1).cast("double") * F.lit(wy)).alias("y_hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+        .orderBy("xbin", "ybin")
+    )

@@ -5191,6 +5191,49 @@ def q_hll_distinct(spark, sf):
     return merge_distinct_sketches(fine, ["l_returnflag"])
 
 
+H2_NX, H2_XLO, H2_XHI = 10, 0.0, 50.0
+H2_NY, H2_YLO, H2_YHI = 10, 0.0, 0.1
+
+
+def q_histo2d(spark, sf):
+    """Fixed-range 2-D histogram (quantity × discount grid) — the Histo2D
+    extension of the reference's 1-D-only surface; bucketize both axes +
+    one ≤ nx·ny-key hash aggregate, dense zero-filled grid out."""
+    from tdataframe_spark.core.histogram import histo2d_frame
+
+    return histo2d_frame(
+        _t(spark, sf, "lineitem"),
+        "l_quantity", "l_discount",
+        H2_NX, H2_XLO, H2_XHI,
+        H2_NY, H2_YLO, H2_YHI,
+    )
+
+
+SQL_HISTO2D = f"""
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR((l_quantity - {H2_XLO}) / {(H2_XHI - H2_XLO) / H2_NX}) AS INT), {H2_NX - 1}) AS xbin,
+         LEAST(CAST(FLOOR((l_discount - {H2_YLO}) / {(H2_YHI - H2_YLO) / H2_NY}) AS INT), {H2_NY - 1}) AS ybin
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_quantity >= {H2_XLO} AND l_quantity < {H2_XHI}
+    AND l_discount >= {H2_YLO} AND l_discount < {H2_YHI}
+),
+counts AS (SELECT xbin, ybin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
+grid AS (
+  SELECT x.xbin, y.ybin
+  FROM (SELECT unnest(generate_series(0, {H2_NX - 1})) AS xbin) x
+  CROSS JOIN (SELECT unnest(generate_series(0, {H2_NY - 1})) AS ybin) y
+)
+SELECT CAST(g.xbin AS INT) AS xbin, CAST(g.ybin AS INT) AS ybin,
+       {H2_XLO} + CAST(g.xbin AS DOUBLE) * {(H2_XHI - H2_XLO) / H2_NX} AS x_lo,
+       {H2_XLO} + CAST(g.xbin + 1 AS DOUBLE) * {(H2_XHI - H2_XLO) / H2_NX} AS x_hi,
+       {H2_YLO} + CAST(g.ybin AS DOUBLE) * {(H2_YHI - H2_YLO) / H2_NY} AS y_lo,
+       {H2_YLO} + CAST(g.ybin + 1 AS DOUBLE) * {(H2_YHI - H2_YLO) / H2_NY} AS y_hi,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt
+FROM grid g LEFT JOIN counts c ON g.xbin = c.xbin AND g.ybin = c.ybin
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

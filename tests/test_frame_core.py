@@ -455,3 +455,29 @@ def test_filter_requires_condition(spark):
 
     with pytest.raises(ValueError):
         Frame(spark.range(3)).filter()
+
+
+def test_histo2d_grid_and_edges(spark):
+    """2-D histogram: dense zero-filled grid, exact counts per cell,
+    out-of-range and NULL pairs dropped, hi-edge value clamped out,
+    degenerate args rejected."""
+    import pytest
+    from pyspark.sql import Row
+
+    from tdataframe_spark.core.histogram import histo2d_frame
+
+    rows = [Row(x=0.5, y=0.5)] * 3 + [Row(x=1.5, y=0.5)] * 2
+    rows += [Row(x=5.0, y=0.5), Row(x=0.5, y=-1.0), Row(x=None, y=0.5)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r["xbin"], r["ybin"]): r for r in histo2d_frame(
+        df, "x", "y", 2, 0.0, 2.0, 2, 0.0, 1.0
+    ).collect()}
+    assert len(out) == 4  # dense 2x2 grid
+    # y=0.5 with bin width 0.5 lands in ybin 1
+    assert out[(0, 1)]["cnt"] == 3 and out[(1, 1)]["cnt"] == 2
+    assert out[(0, 0)]["cnt"] == 0 and out[(1, 0)]["cnt"] == 0
+    assert out[(1, 0)]["x_lo"] == 1.0 and out[(1, 0)]["x_hi"] == 2.0
+    with pytest.raises(ValueError, match="fixed ranges"):
+        histo2d_frame(df, "x", "y", 2, 1.0, 1.0, 2, 0.0, 1.0)
+    with pytest.raises(ValueError, match="nx and ny"):
+        histo2d_frame(df, "x", "y", 0, 0.0, 1.0, 2, 0.0, 1.0)

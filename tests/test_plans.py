@@ -374,6 +374,13 @@ _BNLJ_ALLOWED = {
                            # selection itself is a TakeOrdered
     "source_divergence",   # 1-row corpus-token-total attach + the bounded
                            # occupied-bucket table (≤ n_buckets rows)
+    "bm25_indexed",        # bm25's 1-row corpus-stats (n_docs, avglen) attach
+    "triangle_count",      # three 1-row count attaches assembling the
+                           # (n_nodes, n_edges, n_triangles) summary row
+    "ab_test",             # 1-row group-B moment attach onto the 1-row
+                           # group-A moments
+    "histo2d",             # nx×ny dense grid spine (bounded constant,
+                           # 100 rows) crossed from two range() axes
 }
 
 
