@@ -35,15 +35,21 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    dangling: bool = False,
 ) -> DataFrame:
-    """Simplified PageRank (no dangling-mass redistribution) over a directed
-    edge list, fixed ``iters`` iterations from a uniform start:
+    """PageRank over a directed edge list, fixed ``iters`` iterations from
+    a uniform start:
 
-        r'(v) = (1 - d)/N + d * sum_{u->v} r(u) / outdeg(u)
+        r'(v) = (1 - d)/N + d * (sum_{u->v} r(u) / outdeg(u) [+ D/N])
 
-    Nodes are everything appearing as a source or destination. Dangling
-    nodes (no out-edges) receive rank but leak their own mass — supply a
-    symmetrized edge list (both directions) when that matters.
+    Nodes are everything appearing as a source or destination. By default
+    dangling nodes (no out-edges) receive rank but leak their own mass
+    (the registered oracle query pins this simplified variant);
+    ``dangling=True`` redistributes their mass D uniformly each iteration
+    — the textbook formulation whose total rank stays 1. D is accumulated
+    in the same 1e-12 fixed point as the edge contributions (one extra
+    1-row aggregate broadcast per iteration), so both modes stay
+    bit-deterministic under any partitioning.
 
     Returns (node, rank). Deterministic: see module docstring.
     """
@@ -65,6 +71,11 @@ def pagerank(
     ed.count()
 
     base = (1.0 - damping) / n_nodes
+    dang = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist() if dangling else None
+    if dang is not None:
+        dang.count()
     ranks = nodes.withColumn("rank", F.lit(1.0) / n_nodes).persist()
     ranks.count()
     for _ in range(iters):
@@ -79,14 +90,31 @@ def pagerank(
             .groupBy("node")
             .agg((F.sum("c") / F.lit(float(PR_SCALE))).alias("__in"))
         )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
+        incoming = F.coalesce(F.col("__in"), F.lit(0.0))
+        if dangling:
+            # dangling mass, fixed-point-exact like the edge contributions;
+            # a 1-row aggregate broadcast onto every node
+            dmass = ranks.join(dang, "node", "left_semi").agg(
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
+                    F.coalesce(
+                        F.sum(
+                            F.floor(F.col("rank") * F.lit(float(PR_SCALE))).cast(
+                                "long"
+                            )
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+                    / F.lit(float(PR_SCALE))
+                ).alias("__dm")
+            )
+            incoming = incoming + F.col("__dm") / F.lit(float(n_nodes))
+        nr = nodes.join(contrib, "node", "left")
+        if dangling:
+            nr = nr.crossJoin(F.broadcast(dmass))
+        new_ranks = (
+            nr.select(
+                "node",
+                (F.lit(base) + F.lit(damping) * incoming).alias("rank"),
             )
             .persist()
         )
@@ -95,6 +123,8 @@ def pagerank(
         ranks = new_ranks
     nodes.unpersist()
     ed.unpersist()
+    if dang is not None:
+        dang.unpersist()
     return ranks
 
 

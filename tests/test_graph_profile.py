@@ -100,3 +100,41 @@ def test_triangle_count_matches_bruteforce(spark):
     got = triangle_count(spark.createDataFrame(rows)).first()
     assert got["n_triangles"] == want and want >= 10
     assert got["n_edges"] == len(edges)
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """dangling=True: total rank stays 1 (within the 1e-12 fixed-point
+    quantization), matches a python reference iteration-for-iteration,
+    and the default mode still leaks dangling mass (documented)."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.graph import pagerank
+
+    # b and d are dangling (no out-edges)
+    edges = [("a", "b"), ("a", "c"), ("c", "d"), ("e", "a")]
+    df = spark.createDataFrame([Row(src=s_, dst=d_) for s_, d_ in edges])
+    iters, d = 4, 0.85
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=iters, dangling=True).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s_, _ in edges:
+        out[s_] = out.get(s_, 0) + 1
+    import math
+
+    Q = 10**12
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s_, t_ in edges:
+            contrib[t_] += math.floor(r[s_] / out[s_] * float(Q))
+        dm = sum(math.floor(r[v] * float(Q)) for v in nodes if v not in out)
+        r = {
+            v: (1 - d) / n + d * (contrib[v] / float(Q) + (dm / float(Q)) / float(n))
+            for v in nodes
+        }
+    assert got == r  # bit-identical to the reference recurrence
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    leaky = {x["node"]: x["rank"] for x in pagerank(df, iters=iters).collect()}
+    assert sum(leaky.values()) < 1.0 - 0.05  # default mode leaks, documented
