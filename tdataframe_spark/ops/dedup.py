@@ -1293,6 +1293,61 @@ def tfidf_cosine_pairs(
 # (dedup_lines) and document-level (exact_dedup_groups) granularity.
 
 
+def _span_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(__id, pos, __h): one row per sliding ``k``-word window, hashed with
+    the portable 60-bit hash. Shared by the one-shot and incremental
+    ExactSubstr paths."""
+    n_sh = (F.size(F.col("__ws")) - F.lit(k) + 1).cast("int")
+    return (
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("__id"), words(text_col).alias("__ws")
+        )
+        .filter(n_sh > 0)
+        .select(
+            "__id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_sh - 1),
+                    lambda i: portable_hash64(
+                        F.concat_ws(" ", F.slice(F.col("__ws"), i + 1, k))
+                    ),
+                )
+            ).alias("pos", "__h"),
+        )
+    )
+
+
+def _merge_marked_spans(marked: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of marked window positions into maximal
+    (id, span_start, span_end, n_dup_tokens) rows."""
+    w = Window.partitionBy("__id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.select(
+        "__id",
+        "pos",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("__island"),
+    )
+    return (
+        islands.groupBy("__id", "__island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k).cast("int").alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).cast("long").alias("n_dup_tokens"),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -1320,24 +1375,7 @@ def duplicate_spans(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    n_sh = (F.size(F.col("__ws")) - F.lit(k) + 1).cast("int")
-    sh = (
-        ensure_min_partitions(df).select(
-            F.col(id_col).alias("__id"), words(text_col).alias("__ws")
-        )
-        .filter(n_sh > 0)
-        .select(
-            "__id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_sh - 1),
-                    lambda i: portable_hash64(
-                        F.concat_ws(" ", F.slice(F.col("__ws"), i + 1, k))
-                    ),
-                )
-            ).alias("pos", "__h"),
-        )
-    )
+    sh = _span_shingles(df, id_col, text_col, k)
     dup = (
         sh.groupBy("__h")
         .agg(
@@ -1350,32 +1388,7 @@ def duplicate_spans(
     marked = sh.join(dup, "__h").filter(
         (F.col("__id") != F.col("__keep.__id")) | (F.col("pos") != F.col("__keep.pos"))
     )
-    w = Window.partitionBy("__id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + k).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = marked.select(
-        "__id",
-        "pos",
-        F.sum(
-            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-        )
-        .over(w)
-        .alias("__island"),
-    )
-    return (
-        islands.groupBy("__id", "__island")
-        .agg(
-            F.min("pos").cast("int").alias("span_start"),
-            (F.max("pos") + k).cast("int").alias("span_end"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).cast("long").alias("n_dup_tokens"),
-        )
-    )
+    return _merge_marked_spans(marked, k, id_col)
 
 
 def strip_duplicate_spans(
@@ -1428,3 +1441,91 @@ def strip_duplicate_spans(
         .alias("n_tokens"),
         F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
     )
+
+
+def build_span_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the ExactSubstr state: one row per DISTINCT ``k``-word
+    window hash in the corpus. Incremental marking only needs MEMBERSHIP
+    (any prior occurrence makes a new window a duplicate), so the index
+    is the distinct-hash set — one bigint per distinct window, the
+    smallest state that preserves the semantics. The incremental
+    counterpart of ``build_exact_index``/``build_minhash_index`` at span
+    granularity.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    _span_shingles(df, id_col, text_col, k).select(
+        F.col("__h").alias("h")
+    ).distinct().write.mode(mode).parquet(path)
+
+
+def mark_spans_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal duplicated spans in NEW documents against (index ∪ the
+    batch itself): a window is a duplicate if its hash exists in the
+    persisted corpus index (EVERY batch occurrence marks — the kept copy
+    lives in the prior corpus) or if it repeats within the batch (first
+    batch occurrence kept, same policy as ``duplicate_spans``). The
+    corpus is never re-read; the only big join is batch-shingles ⋈ index
+    on the hash. Same output schema as ``duplicate_spans``.
+
+    Call ``update_span_index`` afterwards to fold the batch's new hashes
+    into the index for the next increment.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(index_path)
+    sh = _span_shingles(new_docs, id_col, text_col, k)
+    hit = sh.join(idx, sh.__h == idx.h, "left_semi")
+    miss = sh.join(idx, sh.__h == idx.h, "left_anti")
+    dup_in_batch = (
+        miss.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("__id", "pos")).alias("__keep"),
+        )
+        .filter(F.col("__n") > 1)
+        .select("__h", "__keep")
+    )
+    marked_miss = miss.join(dup_in_batch, "__h").filter(
+        (F.col("__id") != F.col("__keep.__id")) | (F.col("pos") != F.col("__keep.pos"))
+    )
+    marked = hit.select("__id", "pos").unionByName(
+        marked_miss.select("__id", "pos")
+    )
+    return _merge_marked_spans(marked, k, id_col)
+
+
+def update_span_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> None:
+    """Fold a processed batch's window hashes into the span index:
+    appends only the hashes the index does not already hold, so the
+    index stays a distinct set by construction (no rewrite of existing
+    state — append-only, safe to run after every increment)."""
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(index_path)
+    fresh = (
+        _span_shingles(new_docs, id_col, text_col, k)
+        .select(F.col("__h").alias("h"))
+        .distinct()
+        .join(idx, "h", "left_anti")
+    )
+    fresh.write.mode("append").parquet(index_path)

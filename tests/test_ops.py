@@ -1760,3 +1760,67 @@ def test_resample_interp_linear_values(spark):
     assert out[("a", 1)] == 12.0 and out[("a", 2)] == 14.0 and out[("a", 3)] == 16.0
     assert out[("b", 7)] == 5.0
     assert len(out) == 7
+
+
+def test_span_index_incremental_matches_full_run(spark, tmp_path):
+    """Incremental span marking against a persisted index must equal the
+    one-shot duplicate_spans over (corpus ∪ batch) restricted to the
+    batch (ids chosen so corpus occurrences are the kept ones), and the
+    index update makes a re-ingest of the same batch fully marked."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.dedup import (
+        build_span_index,
+        duplicate_spans,
+        mark_spans_incremental,
+        update_span_index,
+    )
+
+    k = 4
+    boiler = "one two three four"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id="a01", text=f"{boiler} alpha beta gamma delta"),
+            Row(doc_id="a02", text="some entirely different words here"),
+        ],
+        "doc_id string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # duplicates a corpus window -> every occurrence marks
+            Row(doc_id="b01", text=f"prefix {boiler} suffix tail"),
+            # batch-internal repeat: second occurrence marks
+            Row(doc_id="b02", text="x1 x2 x3 x4 pad x1 x2 x3 x4"),
+            Row(doc_id="b03", text="fresh content nothing shared at all"),
+        ],
+        "doc_id string, text string",
+    )
+    idx = str(tmp_path / "spanidx")
+    build_span_index(corpus, "doc_id", "text", idx, k=k)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in mark_spans_incremental(batch, idx, "doc_id", "text", k=k).collect()
+    }
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(
+            corpus.unionByName(batch), "doc_id", "text", k=k
+        ).collect()
+        if r["doc_id"].startswith("b")
+    }
+    assert got == want and ("b01", 1, 5) in got
+    assert all(not d.startswith("b03") for d, *_ in got)
+    # fold the batch in: re-ingesting the same docs now marks EVERYTHING
+    update_span_index(batch, idx, "doc_id", "text", k=k)
+    again = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in mark_spans_incremental(
+            batch.select(
+                F.concat(F.lit("c_"), F.col("doc_id")).alias("doc_id"), "text"
+            ),
+            idx, "doc_id", "text", k=k,
+        ).collect()
+    }
+    # every window of every re-ingested doc is in the index -> full-doc spans
+    assert again["c_b03"] == (0, 6)  # 6 words, all covered
+    assert again["c_b01"] == (0, 7)  # 7 words
