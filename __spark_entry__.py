@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "ab_test": q_ab_test,
         "histo2d": q_histo2d,
+        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -374,6 +375,8 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": SQL_CORR_MATRIX,
         "ab_test": SQL_AB_TEST,
         "histo2d": SQL_HISTO2D,
+        # identical semantics to ngram_jaccard by construction: same oracle
+        "ngram_jaccard_ppjoin": SQL_NGRAM_JACCARD,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

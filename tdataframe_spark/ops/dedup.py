@@ -1529,3 +1529,104 @@ def update_span_index(
         .join(idx, "h", "left_anti")
     )
     fresh.write.mode("append").parquet(index_path)
+
+
+def ppjoin_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Prefix-filtered Jaccard pair join (the PPJoin candidate scheme,
+    Xiao et al., WWW'08): identical OUTPUT to ``ngram_jaccard_pairs`` —
+    same schema, same values, pinned by test — but candidates are
+    generated only from each document's PREFIX under the global
+    rarest-first shingle order. The prefix-filter lemma guarantees any
+    pair with J ≥ t shares a prefix shingle when each prefix keeps
+    |d| − ⌈t·|d|⌉ + 1 elements, so recall is exact by construction.
+
+    100 TB shape: posting lists shrink from every occurrence to prefix
+    occurrences (≈ (1−t) of them, and the rare-first order makes the
+    surviving lists the SHORT ones), so C(f,2) pair fan-out collapses;
+    verification is pair-restricted — candidate pairs join back to the
+    two full shingle sets and intersect JVM-side, never through a hot
+    posting. The df-cut drops ubiquitous shingles from the sets entirely
+    (exactly the existing operator's semantics, so results match).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = _shingle_table(df, id_col, text_col, n)
+    dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_freq is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_shingle_freq)
+    kept = sh.join(dfreq, "__sh")  # hot shingles leave the sets entirely
+    docs = (
+        kept.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "__sh"))
+            ).alias("__ord"),
+        )
+        .select(
+            "__id",
+            F.transform(F.col("__ord"), lambda s: s["__sh"]).alias("__set"),
+        )
+        .withColumn("__n", F.size("__set"))
+    )
+    # prefix under the rarest-first order: |d| - ceil(t*|d|) + 1 elements
+    plen = (
+        F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
+    )
+    prefix = docs.select(
+        "__id", F.explode(F.slice(F.col("__set"), 1, plen)).alias("__sh")
+    )
+    postings = prefix.groupBy("__sh").agg(
+        F.sort_array(F.collect_list("__id")).alias("__ids")
+    )
+    ids = F.col("__ids")
+    pair_lists = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        postings.select(F.explode(pair_lists).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
+    )
+    a = docs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__set").alias("__sa"),
+        F.col("__n").alias("n_a"),
+    )
+    b = docs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__set").alias("__sb"),
+        F.col("__n").alias("n_b"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a", "id_b", "n_common",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "jaccard",
+        )
+    )

@@ -5234,6 +5234,20 @@ FROM grid g LEFT JOIN counts c ON g.xbin = c.xbin AND g.ybin = c.ybin
 """
 
 
+def q_ngram_jaccard_ppjoin(spark, sf):
+    """PPJoin prefix-filtered variant of `ngram_jaccard` — identical
+    result set (same oracle SQL) from a fraction of the candidate pairs:
+    only each doc's rarest |d|−⌈t·|d|⌉+1 shingles generate candidates,
+    with guaranteed recall at the threshold (prefix-filter lemma);
+    verification is pair-restricted against the full sets."""
+    from tdataframe_spark.ops.dedup import ppjoin_jaccard_pairs
+
+    return ppjoin_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        n=JACCARD_N, threshold=JACCARD_T,
+    )
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -1824,3 +1824,64 @@ def test_span_index_incremental_matches_full_run(spark, tmp_path):
     # every window of every re-ingested doc is in the index -> full-doc spans
     assert again["c_b03"] == (0, 6)  # 6 words, all covered
     assert again["c_b01"] == (0, 7)  # 7 words
+
+
+def test_ppjoin_equals_postings_plan_with_fewer_candidates(spark):
+    """The prefix-filtered join must return EXACTLY the pair set (all
+    columns) of the full postings plan on real corpus data, while
+    generating strictly fewer candidate pairs than shingles-in-common
+    postings do — the point of the prefix filter."""
+    from tdataframe_spark.ops.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.5, 0.8):
+        want = {
+            tuple(r) for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        got = {
+            tuple(r) for r in ppjoin_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        assert got == want and (t > 0.5 or len(want) > 0)
+
+    # the prefix actually prunes: candidate pairs from prefix postings
+    # must be well under the full postings plan's pair fan-out
+    from tdataframe_spark.ops.dedup import _shingle_table
+
+    sh = _shingle_table(docs, "doc_id", "text", 3)
+    full_pairs = (
+        sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") <= 1000)
+        .agg(F.sum(F.col("f") * (F.col("f") - 1) / 2))
+        .first()[0]
+    )
+    t = 0.5
+    dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= 1000
+    )
+    kept = sh.join(dfreq, "__sh")
+    docs_t = (
+        kept.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__sh"))).alias("o"))
+        .select("__id", F.transform(F.col("o"), lambda x: x["__sh"]).alias("st"))
+        .withColumn("n", F.size("st"))
+    )
+    plen = F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
+    prefix_pairs = (
+        docs_t.select("__id", F.explode(F.slice(F.col("st"), 1, plen)).alias("__sh"))
+        .groupBy("__sh").agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * (F.col("f") - 1) / 2))
+        .first()[0]
+    )
+    assert prefix_pairs < full_pairs / 2, (prefix_pairs, full_pairs)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        ppjoin_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
