@@ -1554,6 +1554,12 @@ def ppjoin_jaccard_pairs(
     two full shingle sets and intersect JVM-side, never through a hot
     posting. The df-cut drops ubiquitous shingles from the sets entirely
     (exactly the existing operator's semantics, so results match).
+
+    Trade: this plan shuffles the shingle table three times (df agg,
+    rarest-first reorder, verify join) vs the postings plan's one — on
+    corpora where pair fan-out is modest (like the local test corpus) the
+    one-shuffle plan is faster; prefix filtering wins when near-dup
+    density makes C(f,2) the dominant term. Both ship.
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
