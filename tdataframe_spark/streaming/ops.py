@@ -483,3 +483,57 @@ def stream_cms_refresh(
         record(batch_id)
 
     return _run_foreach_batch(events, _apply, checkpoint, available_now)
+
+
+def stream_hll_refresh(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    col: str,
+    group_cols: list[str] | None = None,
+    lgk: int = 12,
+    available_now: bool = True,
+):
+    """Streaming distinct-count maintenance: each micro-batch's per-group
+    HLL sketches union into the sketch table persisted at
+    ``path/sketches`` — state is one binary sketch row per group forever,
+    whatever the stream length. Probe with
+    ``functions.sketches.hll_estimate`` (or ``merge_distinct_sketches``
+    to roll up to coarser groups) without touching the stream. Same
+    effectively-once ledger + owner check + rename-aside swap as the
+    rollup and CMS sinks (shared helpers).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    groups = list(group_cols or [])
+    data = os.path.join(path, "sketches")
+    already_applied, record = _once_ledger(path, checkpoint, "hll sketches")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from tdataframe_spark.functions.sketches import hll_merge, hll_sketch
+
+        spark = batch.sparkSession
+        if already_applied(batch_id):
+            return  # replayed batch: already folded in
+        if groups:
+            delta = batch.groupBy(*groups).agg(
+                hll_sketch(col, lgk).alias("sketch")
+            )
+        else:
+            delta = batch.agg(hll_sketch(col, lgk).alias("sketch"))
+
+        def merged():
+            prev = spark.read.parquet(data)
+            u = prev.unionByName(delta)
+            if groups:
+                return u.groupBy(*groups).agg(hll_merge("sketch").alias("sketch"))
+            return u.agg(hll_merge("sketch").alias("sketch"))
+
+        _staged_swap(
+            data, merged, lambda: delta.write.mode("overwrite").parquet(data)
+        )
+        record(batch_id)
+
+    return _run_foreach_batch(events, _apply, checkpoint, available_now)

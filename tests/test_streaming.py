@@ -555,3 +555,59 @@ def test_stream_cms_refresh_matches_batch_sketch(spark, stream_dir, tmp_path):
             stream3.select("event_type"), path, str(tmp_path / "other_ckpt"),
             "event_type", depth=3, width=64,
         )
+
+
+def test_stream_hll_refresh_matches_batch_estimates(spark, stream_dir, tmp_path):
+    """The streamed per-group sketch table must estimate exactly like a
+    one-shot grouped build over the same data (identical value sets at
+    this cardinality), replay from the same checkpoint must be a no-op,
+    and a foreign checkpoint must be refused."""
+    import pytest as _pt
+
+    from tdataframe_spark.functions.sketches import hll_estimate
+    from tdataframe_spark.streaming import stream_from_files, stream_hll_refresh
+
+    batch = spark.read.parquet(stream_dir)
+    path = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    def run(ck):
+        stream_hll_refresh(
+            stream_from_files(spark, stream_dir, batch.schema, max_files_per_trigger=2)
+            .select("event_type", "user_id"),
+            path, ck, "user_id", group_cols=["event_type"],
+        )
+
+    run(ckpt)
+
+    def estimates():
+        return {
+            r["event_type"]: r["e"]
+            for r in spark.read.parquet(f"{path}/sketches")
+            .select("event_type", hll_estimate(F.col("sketch")).alias("e"))
+            .collect()
+        }
+
+    got = estimates()
+    from tdataframe_spark.functions.sketches import grouped_distinct_sketches
+
+    want = {
+        r["event_type"]: r["e"]
+        for r in grouped_distinct_sketches(batch, ["event_type"], "user_id")
+        .select("event_type", hll_estimate(F.col("sketch")).alias("e"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:  # both paths within HLL 2-sigma of truth
+        for est in (got[k], want[k]):
+            assert abs(est - exact[k]) / max(exact[k], 1) < 0.06, (k, est, exact[k])
+    run(ckpt)  # same checkpoint: availableNow replays nothing
+    assert estimates() == got
+    with _pt.raises(Exception, match="owned by checkpoint"):
+        run(str(tmp_path / "other_ckpt"))
