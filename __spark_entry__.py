@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "histo2d": q_histo2d,
         "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
+        "encode_categorical": q_encode_categorical,
+        "target_encode": q_target_encode,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -377,6 +379,8 @@ def oracle_sql() -> dict[str, str]:
         "histo2d": SQL_HISTO2D,
         # identical semantics to ngram_jaccard by construction: same oracle
         "ngram_jaccard_ppjoin": SQL_NGRAM_JACCARD,
+        "encode_categorical": SQL_ENCODE_CATEGORICAL,
+        "target_encode": SQL_TARGET_ENCODE,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

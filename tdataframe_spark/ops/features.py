@@ -1,0 +1,119 @@
+"""Tabular feature engineering for training pipelines: deterministic
+categorical index encoding and (leave-one-out) target encoding.
+
+Reference parity note: absent from the reference (its surface is the
+physics chain, SURVEY.md §2.1); these belong to the task sheet's
+training-data-pipeline extension alongside ops/textstats' text features.
+
+Scale shapes: vocabularies and category statistics are per-category
+aggregate rows — bounded by cardinality, broadcast back map-side; the
+corpus is never shuffled on the category key for encoding. Every encoded
+value is integer-derived or decimal-accumulated, so encodings are
+bit-identical across engines and partitionings (the repo's oracle
+conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tdataframe_spark.functions.numeric import dsum
+
+
+def encode_categorical(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """StringIndexer-style dense id per category value, assigned
+    DETERMINISTICALLY: ids 0..V-1 in (frequency desc, value asc) order —
+    no RNG, no partition order dependence, reproducible in any engine.
+    NULL category encodes as NULL id. The vocabulary is a V-row aggregate
+    broadcast back; at 100 TB the only full-data work is one hash
+    aggregate on the category column.
+    """
+    out = out_col or f"{col}_id"
+    vocab = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            col,
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("__n").desc(), F.col(col).asc())
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(out),
+        )
+    )
+    return df.join(F.broadcast(vocab), col, "left")
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    alpha: float = 10.0,
+    leave_one_out: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column:
+
+        enc = (sum_cat [− own y] + α·global_mean) / (n_cat [− 1] + α)
+
+    with the leave-one-out correction on by default (each row's own
+    target is excluded — the standard guard against the target leaking
+    into its own feature). Rows with NULL target contribute nothing and
+    receive the non-LOO encoding; NULL categories encode as the global
+    mean (pure prior).
+
+    Determinism: category sums and the global mean are decimal-
+    accumulated; the per-row arithmetic afterwards is IEEE-exact — the
+    encoding is reproducible bit-for-bit in any engine (oracle-checked).
+    Category stats are bounded aggregate rows broadcast back; one hash
+    aggregate over the corpus, no shuffle of the data on the category.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    out = out_col or f"{cat_col}_te"
+    y = F.col(target_col).cast("double")
+    g = df.agg(
+        dsum(y).alias("__gs"), F.count(y).alias("__gn")
+    ).select((F.col("__gs") / F.col("__gn")).alias("__gm"))
+    stats = (
+        df.filter(F.col(cat_col).isNotNull() & y.isNotNull())
+        .groupBy(cat_col)
+        .agg(dsum(y).alias("__cs"), F.count(F.lit(1)).alias("__cn"))
+    )
+    j = df.join(F.broadcast(stats), cat_col, "left").crossJoin(F.broadcast(g))
+    cs = F.coalesce(F.col("__cs"), F.lit(0.0))
+    cn = F.coalesce(F.col("__cn"), F.lit(0).cast("long"))
+    if leave_one_out:
+        # the LOO correction only applies when the row's own target was
+        # counted in the category stats — i.e. the category EXISTS in
+        # stats (non-NULL category with >=1 non-null target). A NULL or
+        # unseen category must take the plain smoothed prior, not
+        # subtract itself from an empty group.
+        in_stats = F.col("__cn").isNotNull() & y.isNotNull()
+        own = F.when(in_stats, y).otherwise(F.lit(0.0))
+        k = F.when(in_stats, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        # try_divide: ANSI mode otherwise RAISES on the alpha=0 +
+        # singleton-LOO zero denominator; NULL falls through to the prior
+        enc = F.try_divide(
+            cs - own + F.lit(alpha) * F.col("__gm"),
+            (cn - k).cast("double") + F.lit(alpha),
+        )
+    else:
+        enc = F.try_divide(
+            cs + F.lit(alpha) * F.col("__gm"),
+            cn.cast("double") + F.lit(alpha),
+        )
+    # zero denominator (alpha=0 + empty/singleton group) → NULL; fall
+    # back to the global prior rather than emitting NULL features
+    return j.withColumn(
+        out, F.coalesce(enc, F.col("__gm"))
+    ).drop("__cs", "__cn", "__gm")

@@ -5248,6 +5248,79 @@ def q_ngram_jaccard_ppjoin(spark, sf):
     )
 
 
+def q_encode_categorical(spark, sf):
+    """Deterministic StringIndexer: dense ids in (freq desc, value asc)
+    order — vocabulary is a V-row broadcast, one hash aggregate of
+    full-data work."""
+    from tdataframe_spark.ops.features import encode_categorical
+
+    return encode_categorical(
+        _t(spark, sf, "documents").select("doc_id", "source"), "source"
+    )
+
+
+SQL_ENCODE_CATEGORICAL = """
+WITH vocab AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, source ASC) - 1 AS INT)
+           AS source_id
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+)
+SELECT d.doc_id, d.source, v.source_id
+FROM documents d LEFT JOIN vocab v ON d.source = v.source
+"""
+
+
+TE_ALPHA = 10.0
+
+
+def q_target_encode(spark, sf):
+    """Leave-one-out smoothed target encoding of order priority against
+    order value — the tabular-ML feature prep with the target-leakage
+    guard; category stats broadcast, decimal sums, IEEE-exact per-row
+    arithmetic."""
+    from tdataframe_spark.ops.features import target_encode
+
+    return target_encode(
+        _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        "o_orderpriority",
+        "o_totalprice",
+        alpha=TE_ALPHA,
+    )
+
+
+SQL_TARGET_ENCODE = f"""
+WITH g AS (
+  SELECT {_dsum_sql('o_totalprice')} / COUNT(o_totalprice) AS gm FROM orders
+),
+stats AS (
+  SELECT o_orderpriority,
+         {_dsum_sql('o_totalprice')} AS cs,
+         COUNT(*) AS cn
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+       COALESCE(
+         (COALESCE(cs, 0.0)
+          - CASE WHEN cn IS NOT NULL AND o_totalprice IS NOT NULL
+                 THEN o_totalprice ELSE 0.0 END
+          + {TE_ALPHA} * gm)
+         / (CAST(COALESCE(cn, 0)
+                 - CASE WHEN cn IS NOT NULL AND o_totalprice IS NOT NULL
+                        THEN 1 ELSE 0 END
+             AS DOUBLE) + {TE_ALPHA}),
+         gm
+       ) AS o_orderpriority_te
+FROM orders o
+LEFT JOIN stats ON o.o_orderpriority = stats.o_orderpriority
+CROSS JOIN g
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -886,3 +886,52 @@ def test_text_index_roundtrip_equals_oneshot(spark, tmp_path):
     assert got == want and len(got) == 10
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(term" in plan.replace("\n", " ")
+
+
+def test_encode_and_target_encode_semantics(spark):
+    """Categorical ids follow (freq desc, value asc); NULL categories get
+    NULL ids. LOO target encoding: a category's row never sees its own
+    target; NULL targets fall back to the plain smoothed encoding;
+    unseen-category rows get the pure prior; alpha=0 singleton falls
+    back to the global mean instead of NULL."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.features import encode_categorical, target_encode
+
+    df = spark.createDataFrame(
+        [Row(k="b")] * 3 + [Row(k="a")] * 3 + [Row(k="c")] + [Row(k=None)],
+        "k string",
+    )
+    ids = {r["k"]: r["k_id"] for r in encode_categorical(df, "k").collect()}
+    # ties (a,b both 3) break by value asc
+    assert ids == {"a": 0, "b": 1, "c": 2, None: None}
+
+    rows = [
+        Row(i=1, k="x", y=10.0),
+        Row(i=2, k="x", y=20.0),
+        Row(i=3, k="x", y=None),   # NULL target: non-LOO encoding
+        Row(i=4, k=None, y=5.0),   # NULL category: pure prior
+        Row(i=5, k="solo", y=7.0),
+    ]
+    d2 = spark.createDataFrame(rows, "i long, k string, y double")
+    gm = (10 + 20 + 5 + 7) / 4
+    a = 2.0
+    out = {
+        r["i"]: r["k_te"]
+        for r in target_encode(d2, "k", "y", alpha=a).collect()
+    }
+    assert abs(out[1] - (20 + a * gm) / (1 + a)) < 1e-12   # own 10 excluded
+    assert abs(out[2] - (10 + a * gm) / (1 + a)) < 1e-12
+    assert abs(out[3] - (30 + a * gm) / (2 + a)) < 1e-12   # NULL y: no LOO
+    assert abs(out[4] - gm) < 1e-12
+    assert abs(out[5] - (0 + a * gm) / (0 + a)) < 1e-12    # singleton LOO
+    # alpha=0 singleton: 0/0 falls back to the prior, never NULL
+    out0 = {
+        r["i"]: r["k_te"]
+        for r in target_encode(d2, "k", "y", alpha=0.0).collect()
+    }
+    assert abs(out0[5] - gm) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        target_encode(d2, "k", "y", alpha=-1.0)
