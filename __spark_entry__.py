@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
         "hll_distinct": q_hll_distinct,
+        "hash_features": q_hash_features,
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
         "logreg_score": q_logreg_score,

@@ -117,3 +117,68 @@ def target_encode(
     return j.withColumn(
         out, F.coalesce(enc, F.col("__gm"))
     ).drop("__cs", "__cn", "__gm")
+
+
+def hash_features(
+    df: DataFrame,
+    cat_cols: list[str],
+    num_cols: list[str] | None = None,
+    dim: int = 256,
+    out_col: str = "features",
+) -> DataFrame:
+    """The hashing trick: map arbitrary categorical (and numeric) columns
+    into a fixed ``dim``-dimensional dense double vector — the bridge
+    from tabular rows to the vector consumers (``logreg_train``,
+    ``cosine_topk``, PCA) without a fitted vocabulary. Each categorical
+    value contributes 1.0 at bucket ``portable_hash64('col=value') % dim``
+    (collisions sum, the standard trade); each numeric column contributes
+    its value at the fixed bucket of its name. NULLs contribute nothing.
+
+    Stateless and vocabulary-free: unlike ``encode_categorical`` there is
+    nothing to fit, broadcast, or drift — new categories at inference
+    time hash to stable buckets. Pure JVM expressions; embarrassingly
+    parallel; the per-row cost is O(dim + #cols) array assembly.
+    """
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if not cat_cols and not num_cols:
+        raise ValueError("need at least one feature column")
+    entries = []  # (bucket expr, value expr) contributions
+    for c in cat_cols:
+        b = F.pmod(
+            portable_hash64(F.concat(F.lit(c + "="), F.col(c).cast("string"))),
+            F.lit(dim),
+        )
+        entries.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(b.cast("int").alias("b"), F.lit(1.0).alias("v")),
+            )
+        )
+    for c in num_cols or []:
+        b = F.pmod(portable_hash64(F.lit(c)), F.lit(dim))
+        entries.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    b.cast("int").alias("b"),
+                    F.col(c).cast("double").alias("v"),
+                ),
+            )
+        )
+    ent = F.filter(F.array(*entries), lambda e: e.isNotNull())
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.filter(F.col("__ent"), lambda e: e["b"] == i),
+            F.lit(0.0),
+            lambda acc, e: acc + e["v"],
+        ),
+    )
+    return (
+        df.withColumn("__ent", ent)
+        .withColumn(out_col, vec)
+        .drop("__ent")
+    )

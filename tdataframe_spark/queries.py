@@ -5321,6 +5321,29 @@ CROSS JOIN g
 """
 
 
+def q_hash_features(spark, sf):
+    """Hashing-trick feature vectors from tabular columns (categorical
+    source/lang + numeric n_chars) — vocabulary-free, stateless, stable
+    under new categories. Rows-only: the vector boundary serializes per
+    the driver contract and exact values are pinned by the python-
+    reference parity test."""
+    from tdataframe_spark.ops.features import hash_features
+
+    out = hash_features(
+        _t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars"),
+        ["source", "lang"],
+        ["n_chars"],
+        dim=64,
+    )
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("features"), lambda v: F.format_string("%.1f", v)),
+            ",",
+        ).alias("features_csv"),
+    )
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

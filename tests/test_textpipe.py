@@ -935,3 +935,57 @@ def test_encode_and_target_encode_semantics(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         target_encode(d2, "k", "y", alpha=-1.0)
+
+
+def test_hash_features_feeds_logreg(spark):
+    """Hashed features: correct buckets/sums vs a python reference
+    (collisions included), NULLs contribute nothing, and the vectors are
+    good enough to train a separable classifier end-to-end — the
+    tabular → logreg bridge."""
+    import hashlib
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from tdataframe_spark.ops.classify import logreg_score, logreg_train
+    from tdataframe_spark.ops.features import hash_features
+
+    def ph(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    dim = 32
+    rows = [Row(i=1, color="red", size="xl", amount=2.5),
+            Row(i=2, color=None, size="xl", amount=None)]
+    df = spark.createDataFrame(rows, "i long, color string, size string, amount double")
+    got = {r["i"]: list(r["features"]) for r in hash_features(
+        df, ["color", "size"], ["amount"], dim=dim
+    ).collect()}
+    ref = [0.0] * dim
+    ref[ph("color=red") % dim] += 1.0
+    ref[ph("size=xl") % dim] += 1.0
+    ref[ph("amount") % dim] += 2.5
+    assert got[1] == ref
+    ref2 = [0.0] * dim
+    ref2[ph("size=xl") % dim] += 1.0
+    assert got[2] == ref2
+
+    # end-to-end: label perfectly determined by a categorical -> logreg
+    # trained on hashed features separates it
+    data = spark.createDataFrame(
+        [Row(i=i, cat=("pos" if i % 2 else "neg"), label=(i % 2))
+         for i in range(200)],
+        "i long, cat string, label int",
+    )
+    feats = hash_features(data, ["cat"], dim=16, out_col="embedding")
+    model = logreg_train(feats, "embedding", "label", positive=1, n_iter=40)
+    scored = logreg_score(feats, model, "i", "embedding")
+    acc = scored.join(data, "i").filter(
+        ((F.col("prob") > 0.5).cast("int")) == F.col("label")
+    ).count()
+    assert acc == 200
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        hash_features(df, ["color"], dim=0)
+    with pytest.raises(ValueError, match="at least one"):
+        hash_features(df, [], None)
