@@ -302,3 +302,57 @@ def logreg_score(
             .alias(out_col),
         )
     )
+
+
+def roc_auc(
+    df,
+    label_col: str,
+    score_col: str,
+):
+    """Exact ROC AUC with proper tie handling, computed WITHOUT a global
+    row sort: rows collapse to per-distinct-score (n_pos, n_neg) counts
+    first, then one cumulative window over the DISTINCT SCORES (orders of
+    magnitude smaller than the data; the formula credits ties half) —
+
+        AUC = Σ_s n_pos(s) · (cum_neg_below(s) + n_neg(s)/2) / (P·N)
+
+    Rows with NULL label or score are ignored. Integer counts make every
+    term exact; the final division is one IEEE op — engine-reproducible.
+
+    Returns a 1-row DataFrame (n_pos, n_neg, auc); AUC is NULL when
+    either class is empty (undefined).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    g = (
+        df.filter(y.isNotNull() & s.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(y).cast("long").alias("__p"),
+            F.sum(1 - y).cast("long").alias("__n"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = g.select(
+        "__p",
+        "__n",
+        (F.coalesce(F.sum("__n").over(w), F.lit(0)) * F.col("__p")).alias("__full"),
+        (F.col("__p") * F.col("__n")).alias("__half"),
+    )
+    agg = terms.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.sum("__full").cast("long").alias("__f"),
+        F.sum("__half").cast("long").alias("__h"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.try_divide(
+            F.col("__f").cast("double") + F.col("__h").cast("double") / 2,
+            (F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )

@@ -5344,6 +5344,43 @@ def q_hash_features(spark, sf):
     )
 
 
+def q_roc_auc(spark, sf):
+    """Exact tie-aware ROC AUC of event value as a purchase classifier —
+    per-distinct-score counts + one cumulative window over scores (never
+    a global row sort); integer terms, one final IEEE division."""
+    from tdataframe_spark.ops.classify import roc_auc
+
+    ev = _events(spark, sf).select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        "value",
+    )
+    return roc_auc(ev, "label", "value")
+
+
+SQL_ROC_AUC = """
+WITH g AS (
+  SELECT value AS s,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY value
+),
+t AS (
+  SELECT p, n,
+         COALESCE(SUM(n) OVER (ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) * p AS full_c,
+         p * n AS half_c
+  FROM g
+)
+SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(n) AS BIGINT) AS n_neg,
+       (CAST(SUM(full_c) AS DOUBLE) + CAST(SUM(half_c) AS DOUBLE) / 2)
+         / CAST(SUM(p) * SUM(n) AS DOUBLE) AS auc
+FROM t
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

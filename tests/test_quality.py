@@ -242,3 +242,51 @@ def test_corr_and_welch_match_numpy(spark):
     assert w["t_stat"] == pytest.approx(t_ref, rel=1e-5)
     assert w["welch_df"] == pytest.approx(df_ref, rel=1e-5)
     assert (w["n_a"], w["n_b"]) == (300, 200)
+
+
+def test_roc_auc_matches_reference_with_ties(spark):
+    """Grouped-score AUC equals the rank-statistic reference (average
+    ranks for ties) on random scores with heavy ties; perfect and
+    inverted separations hit 1 and 0; single-class data gives NULL."""
+    import random
+
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.classify import roc_auc
+
+    rng = random.Random(11)
+    rows = [
+        Row(y=rng.randint(0, 1), s=float(rng.randint(0, 9)))  # heavy ties
+        for _ in range(500)
+    ] + [Row(y=1, s=None), Row(y=None, s=3.0)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    got = roc_auc(df, "y", "s").first()
+
+    data = [(r["y"], r["s"]) for r in rows if r["y"] is not None and r["s"] is not None]
+    xs = sorted(data, key=lambda t: t[1])
+    # average ranks per tied score group
+    ranks, i = {}, 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j][1] == xs[i][1]:
+            j += 1
+        avg = (i + 1 + j) / 2
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    pos = [k for k, (y, _) in enumerate(xs) if y == 1]
+    P, N = len(pos), len(xs) - len(pos)
+    auc_ref = (sum(ranks[k] for k in pos) - P * (P + 1) / 2) / (P * N)
+    assert got["n_pos"] == P and got["n_neg"] == N
+    assert abs(got["auc"] - auc_ref) < 1e-12
+
+    perfect = spark.createDataFrame(
+        [Row(y=0, s=1.0)] * 5 + [Row(y=1, s=2.0)] * 5, "y int, s double"
+    )
+    assert roc_auc(perfect, "y", "s").first()["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [Row(y=1, s=1.0)] * 5 + [Row(y=0, s=2.0)] * 5, "y int, s double"
+    )
+    assert roc_auc(inv, "y", "s").first()["auc"] == 0.0
+    onecls = spark.createDataFrame([Row(y=1, s=1.0)] * 3, "y int, s double")
+    assert roc_auc(onecls, "y", "s").first()["auc"] is None
