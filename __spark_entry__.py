@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_categorical": q_encode_categorical,
         "target_encode": q_target_encode,
         "roc_auc": q_roc_auc,
+        "confusion_stats": q_confusion_stats,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "encode_categorical": SQL_ENCODE_CATEGORICAL,
         "target_encode": SQL_TARGET_ENCODE,
         "roc_auc": SQL_ROC_AUC,
+        "confusion_stats": SQL_CONFUSION,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

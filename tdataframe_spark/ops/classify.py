@@ -356,3 +356,46 @@ def roc_auc(
             (F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def confusion_stats(
+    df,
+    label_col: str,
+    score_col: str,
+    threshold: float = 0.5,
+):
+    """Thresholded binary-classification report in ONE aggregate pass:
+    (tp, fp, fn, tn, precision, recall, f1, accuracy). Counts are exact
+    integers; the derived ratios are single IEEE divisions (try_divide —
+    an empty denominator yields NULL, not an error). Rows with NULL label
+    or score are ignored."""
+    from pyspark.sql import functions as F
+
+    y = F.col(label_col).cast("int")
+    pred = (F.col(score_col).cast("double") >= F.lit(threshold)).cast("int")
+    d = df.filter(y.isNotNull() & F.col(score_col).isNotNull())
+    c = d.agg(
+        F.sum(y * pred).cast("long").alias("tp"),
+        F.sum((1 - y) * pred).cast("long").alias("fp"),
+        F.sum(y * (1 - pred)).cast("long").alias("fn"),
+        F.sum((1 - y) * (1 - pred)).cast("long").alias("tn"),
+    )
+    prec = F.try_divide(
+        F.col("tp").cast("double"), (F.col("tp") + F.col("fp")).cast("double")
+    )
+    rec = F.try_divide(
+        F.col("tp").cast("double"), (F.col("tp") + F.col("fn")).cast("double")
+    )
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.try_divide(
+            2 * F.col("tp").cast("double"),
+            (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+        (
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast("double")
+        ).alias("accuracy"),
+    )

@@ -5381,6 +5381,44 @@ FROM t
 """
 
 
+CONF_THRESHOLD = 15.0
+
+
+def q_confusion_stats(spark, sf):
+    """Thresholded classification report for "value ≥ 15 predicts
+    purchase": exact integer confusion counts in one pass, NULL-safe
+    ratio derivations."""
+    from tdataframe_spark.ops.classify import confusion_stats
+
+    ev = _events(spark, sf).select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        "value",
+    )
+    return confusion_stats(ev, "label", "value", threshold=CONF_THRESHOLD)
+
+
+SQL_CONFUSION = f"""
+WITH d AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN value >= {CONF_THRESHOLD} THEN 1 ELSE 0 END AS pred
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+c AS (
+  SELECT CAST(SUM(y * pred) AS BIGINT) AS tp,
+         CAST(SUM((1 - y) * pred) AS BIGINT) AS fp,
+         CAST(SUM(y * (1 - pred)) AS BIGINT) AS fn,
+         CAST(SUM((1 - y) * (1 - pred)) AS BIGINT) AS tn
+  FROM d
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+       2 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy
+FROM c
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -290,3 +290,24 @@ def test_roc_auc_matches_reference_with_ties(spark):
     assert roc_auc(inv, "y", "s").first()["auc"] == 0.0
     onecls = spark.createDataFrame([Row(y=1, s=1.0)] * 3, "y int, s double")
     assert roc_auc(onecls, "y", "s").first()["auc"] is None
+
+
+def test_confusion_stats_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.classify import confusion_stats
+
+    rows = [Row(y=1, s=0.9)] * 3 + [Row(y=1, s=0.1)] * 1          # 3 tp, 1 fn
+    rows += [Row(y=0, s=0.8)] * 2 + [Row(y=0, s=0.2)] * 4          # 2 fp, 4 tn
+    rows += [Row(y=None, s=0.9), Row(y=1, s=None)]                 # ignored
+    got = confusion_stats(
+        spark.createDataFrame(rows, "y int, s double"), "y", "s"
+    ).first()
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (3, 2, 1, 4)
+    assert got["precision"] == 3 / 5 and got["recall"] == 3 / 4
+    assert got["f1"] == 6 / 9 and got["accuracy"] == 7 / 10
+    # degenerate: nothing predicted positive -> precision NULL, not error
+    neg = confusion_stats(
+        spark.createDataFrame([Row(y=1, s=0.1)] * 3, "y int, s double"), "y", "s"
+    ).first()
+    assert neg["precision"] is None and neg["recall"] == 0.0
