@@ -336,24 +336,33 @@ def roc_auc(
         )
     )
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    # decimal(38,0) accumulation: cum_neg·n_pos terms (and their sum)
+    # exceed int64 beyond ~6e9 balanced rows — exactly the target scale;
+    # ANSI mode would raise, non-ANSI would wrap to a garbage AUC
+    dec = "decimal(38,0)"
     terms = g.select(
         "__p",
         "__n",
-        (F.coalesce(F.sum("__n").over(w), F.lit(0)) * F.col("__p")).alias("__full"),
-        (F.col("__p") * F.col("__n")).alias("__half"),
+        (
+            F.coalesce(F.sum("__n").over(w), F.lit(0)).cast(dec)
+            * F.col("__p").cast(dec)
+        ).alias("__full"),
+        (F.col("__p").cast(dec) * F.col("__n").cast(dec)).alias("__half"),
     )
     agg = terms.agg(
         F.sum("__p").cast("long").alias("n_pos"),
         F.sum("__n").cast("long").alias("n_neg"),
-        F.sum("__full").cast("long").alias("__f"),
-        F.sum("__half").cast("long").alias("__h"),
+        F.sum("__full").alias("__f"),
+        F.sum("__half").alias("__h"),
     )
+    # 2f+h stays integral in decimal (no /2 rounding); denominators go to
+    # double BEFORE multiplying so P·N cannot overflow either
     return agg.select(
         "n_pos",
         "n_neg",
         F.try_divide(
-            F.col("__f").cast("double") + F.col("__h").cast("double") / 2,
-            (F.col("n_pos") * F.col("n_neg")).cast("double"),
+            (F.lit(2).cast(dec) * F.col("__f") + F.col("__h")).cast("double"),
+            F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
         ).alias("auc"),
     )
 

@@ -320,6 +320,20 @@ def _shingle_table(
     )
 
 
+def _posting_pairs(ids):
+    """C(f,2) (id_a < id_b) pair structs from one sorted posting list —
+    shared by the full-postings and prefix-filtered join plans."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def _jaccard_from_shingles(
     sh: DataFrame,
     threshold: float,
@@ -351,18 +365,8 @@ def _jaccard_from_shingles(
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    ids = F.col("__ids")
-    pair_lists = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     common = (
-        postings.select(F.explode(pair_lists).alias("__p"))
+        postings.select(F.explode(_posting_pairs(F.col("__ids"))).alias("__p"))
         .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
@@ -1463,7 +1467,25 @@ def build_span_index(
         raise ValueError("k must be >= 1")
     _span_shingles(df, id_col, text_col, k).select(
         F.col("__h").alias("h")
-    ).distinct().write.mode(mode).parquet(path)
+    ).distinct().write.mode(mode).parquet(f"{path}/hashes")
+    # k RIDES THE INDEX (the recurring bug class: parameters re-passed at
+    # query time silently produce false negatives on mismatch)
+    df.sparkSession.createDataFrame([(int(k),)], "k int").write.mode(
+        mode
+    ).parquet(f"{path}/meta")
+
+
+def _span_index_k(spark, index_path: str, k: int | None) -> int:
+    """Read the window size the index was built with; a caller-passed k
+    must match (a mismatch would silently report every real duplicate as
+    clean — the false-negative failure mode)."""
+    stored = spark.read.parquet(f"{index_path}/meta").first()["k"]
+    if k is not None and k != stored:
+        raise ValueError(
+            f"span index at {index_path} was built with k={stored}; "
+            f"refusing to query/update it with k={k}"
+        )
+    return int(stored)
 
 
 def mark_spans_incremental(
@@ -1471,7 +1493,7 @@ def mark_spans_incremental(
     index_path: str,
     id_col: str,
     text_col: str,
-    k: int = 8,
+    k: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans in NEW documents against (index ∪ the
     batch itself): a window is a duplicate if its hash exists in the
@@ -1484,29 +1506,41 @@ def mark_spans_incremental(
     Call ``update_span_index`` afterwards to fold the batch's new hashes
     into the index for the next increment.
     """
-    if k < 1:
-        raise ValueError("k must be >= 1")
     spark = new_docs.sparkSession
-    idx = spark.read.parquet(index_path)
-    sh = _span_shingles(new_docs, id_col, text_col, k)
-    hit = sh.join(idx, sh.__h == idx.h, "left_semi")
-    miss = sh.join(idx, sh.__h == idx.h, "left_anti")
-    dup_in_batch = (
-        miss.groupBy("__h")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min(F.struct("__id", "pos")).alias("__keep"),
+    k = _span_index_k(spark, index_path, k)
+    idx = spark.read.parquet(f"{index_path}/hashes")
+    # ONE scan of the batch shingles and ONE scan of the corpus-scale
+    # index: the membership verdict is a flag on a single left join,
+    # cached while the hit/miss branches both consume it
+    j = _span_shingles(new_docs, id_col, text_col, k).join(
+        idx.select(F.col("h").alias("__h"), F.lit(True).alias("__in")),
+        "__h",
+        "left",
+    ).persist()
+    try:
+        hit = j.filter(F.col("__in").isNotNull())
+        miss = j.filter(F.col("__in").isNull())
+        dup_in_batch = (
+            miss.groupBy("__h")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(F.struct("__id", "pos")).alias("__keep"),
+            )
+            .filter(F.col("__n") > 1)
+            .select("__h", "__keep")
         )
-        .filter(F.col("__n") > 1)
-        .select("__h", "__keep")
-    )
-    marked_miss = miss.join(dup_in_batch, "__h").filter(
-        (F.col("__id") != F.col("__keep.__id")) | (F.col("pos") != F.col("__keep.pos"))
-    )
-    marked = hit.select("__id", "pos").unionByName(
-        marked_miss.select("__id", "pos")
-    )
-    return _merge_marked_spans(marked, k, id_col)
+        marked_miss = miss.join(dup_in_batch, "__h").filter(
+            (F.col("__id") != F.col("__keep.__id"))
+            | (F.col("pos") != F.col("__keep.pos"))
+        )
+        marked = hit.select("__id", "pos").unionByName(
+            marked_miss.select("__id", "pos")
+        )
+        # spans are small; materialize them so the cache can be released
+        out = _merge_marked_spans(marked, k, id_col).localCheckpoint(eager=True)
+    finally:
+        j.unpersist()
+    return out
 
 
 def update_span_index(
@@ -1514,21 +1548,24 @@ def update_span_index(
     index_path: str,
     id_col: str,
     text_col: str,
-    k: int = 8,
+    k: int | None = None,
 ) -> None:
     """Fold a processed batch's window hashes into the span index:
     appends only the hashes the index does not already hold, so the
     index stays a distinct set by construction (no rewrite of existing
-    state — append-only, safe to run after every increment)."""
+    state — append-only, safe to run after every increment). The window
+    size is read from the index metadata; an explicit mismatching ``k``
+    raises instead of corrupting the index with mixed-size hashes."""
     spark = new_docs.sparkSession
-    idx = spark.read.parquet(index_path)
+    k = _span_index_k(spark, index_path, k)
+    idx = spark.read.parquet(f"{index_path}/hashes")
     fresh = (
         _span_shingles(new_docs, id_col, text_col, k)
         .select(F.col("__h").alias("h"))
         .distinct()
         .join(idx, "h", "left_anti")
     )
-    fresh.write.mode("append").parquet(index_path)
+    fresh.write.mode("append").parquet(f"{index_path}/hashes")
 
 
 def ppjoin_jaccard_pairs(
@@ -1538,6 +1575,7 @@ def ppjoin_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    persist: bool = False,
 ) -> DataFrame:
     """Prefix-filtered Jaccard pair join (the PPJoin candidate scheme,
     Xiao et al., WWW'08): identical OUTPUT to ``ngram_jaccard_pairs`` —
@@ -1581,6 +1619,12 @@ def ppjoin_jaccard_pairs(
         )
         .withColumn("__n", F.size("__set"))
     )
+    if persist:
+        # docs feeds the prefix explode AND both verification sides —
+        # cache it like ngram_jaccard_pairs caches its postings
+        from pyspark.storagelevel import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     # prefix under the rarest-first order: |d| - ceil(t*|d|) + 1 elements
     plen = (
         F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
@@ -1591,18 +1635,8 @@ def ppjoin_jaccard_pairs(
     postings = prefix.groupBy("__sh").agg(
         F.sort_array(F.collect_list("__id")).alias("__ids")
     )
-    ids = F.col("__ids")
-    pair_lists = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     cand = (
-        postings.select(F.explode(pair_lists).alias("__p"))
+        postings.select(F.explode(_posting_pairs(F.col("__ids"))).alias("__p"))
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )

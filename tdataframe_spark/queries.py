@@ -5110,21 +5110,19 @@ def q_ab_test(spark, sf):
     ev = _events(spark, sf).filter(
         F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)
     )
-    g = (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            dsum("value").alias("s1"),
-            dsum(F.col("value") * F.col("value")).alias("s2"),
-        )
+    # ONE aggregate over one scan: both groups' moments via conditional
+    # sums (splitting a grouped agg into two filtered branches scanned
+    # the events table twice)
+    is_a = F.col("event_type") == AB_GROUP_A
+    v = F.col("value")
+    j = ev.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("na"),
+        dsum(F.when(is_a, v)).alias("sa"),
+        dsum(F.when(is_a, v * v)).alias("saa"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("double").alias("nb"),
+        dsum(F.when(~is_a, v)).alias("sb"),
+        dsum(F.when(~is_a, v * v)).alias("sbb"),
     )
-    a = g.filter(F.col("event_type") == AB_GROUP_A).select(
-        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("saa")
-    )
-    b = g.filter(F.col("event_type") == AB_GROUP_B).select(
-        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("sbb")
-    )
-    j = a.crossJoin(F.broadcast(b))
     ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
     va = (F.col("saa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)
     vb = (F.col("sbb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)
@@ -5244,7 +5242,7 @@ def q_ngram_jaccard_ppjoin(spark, sf):
 
     return ppjoin_jaccard_pairs(
         _t(spark, sf, "documents"), "doc_id", "text",
-        n=JACCARD_N, threshold=JACCARD_T,
+        n=JACCARD_N, threshold=JACCARD_T, persist=True,
     )
 
 
@@ -5367,16 +5365,17 @@ WITH g AS (
 ),
 t AS (
   SELECT p, n,
-         COALESCE(SUM(n) OVER (ORDER BY s
+         CAST(COALESCE(SUM(n) OVER (ORDER BY s
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) * p AS full_c,
-         p * n AS half_c
+                  0) AS HUGEINT) * p AS full_c,
+         CAST(p AS HUGEINT) * n AS half_c
   FROM g
 )
 SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
        CAST(SUM(n) AS BIGINT) AS n_neg,
-       (CAST(SUM(full_c) AS DOUBLE) + CAST(SUM(half_c) AS DOUBLE) / 2)
-         / CAST(SUM(p) * SUM(n) AS DOUBLE) AS auc
+       CAST(2 * SUM(full_c) + SUM(half_c) AS DOUBLE)
+         / NULLIF(2.0 * CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE), 0.0)
+         AS auc
 FROM t
 """
 
@@ -5411,9 +5410,9 @@ c AS (
   FROM d
 )
 SELECT tp, fp, fn, tn,
-       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
-       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
-       2 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+       CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0) AS precision,
+       CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0.0) AS recall,
+       2 * CAST(tp AS DOUBLE) / NULLIF(CAST(2 * tp + fp + fn AS DOUBLE), 0.0) AS f1,
        CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy
 FROM c
 """

@@ -1824,6 +1824,19 @@ def test_span_index_incremental_matches_full_run(spark, tmp_path):
     # every window of every re-ingested doc is in the index -> full-doc spans
     assert again["c_b03"] == (0, 6)  # 6 words, all covered
     assert again["c_b01"] == (0, 7)  # 7 words
+    # k rides the index: a mismatching explicit k refuses instead of
+    # silently reporting everything clean
+    import pytest
+
+    with pytest.raises(ValueError, match="built with k=4"):
+        mark_spans_incremental(batch, idx, "doc_id", "text", k=8)
+    with pytest.raises(ValueError, match="built with k=4"):
+        update_span_index(batch, idx, "doc_id", "text", k=8)
+    # omitted k is read from the metadata
+    assert {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in mark_spans_incremental(batch, idx, "doc_id", "text").collect()
+    }
 
 
 def test_ppjoin_equals_postings_plan_with_fewer_candidates(spark):
