@@ -381,6 +381,7 @@ _BNLJ_ALLOWED = {
                            # group-A moments
     "histo2d",             # nx×ny dense grid spine (bounded constant,
                            # 100 rows) crossed from two range() axes
+    "target_encode",       # 1-row global-mean (prior) attach
 }
 
 
