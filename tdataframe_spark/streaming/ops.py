@@ -537,3 +537,55 @@ def stream_hll_refresh(
         record(batch_id)
 
     return _run_foreach_batch(events, _apply, checkpoint, available_now)
+
+
+def stream_topk_refresh(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    order_col: str,
+    k: int = 10,
+    tie_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming top-k leaderboard: the persisted state at ``path/topk``
+    always holds each group's k largest ``order_col`` rows seen so far —
+    union the batch, re-take top-k, swap. State is ≤ k rows per group
+    forever; a replayed batch cannot perturb it twice (same
+    effectively-once ledger/owner/swap machinery as the other fold
+    sinks). Pass ``tie_cols`` (ascending) to make the cut at rank k
+    deterministic when ``order_col`` has ties — without it, tied rows at
+    the boundary are an arbitrary-but-ledgered choice.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    data = os.path.join(path, "topk")
+    already_applied, record = _once_ledger(path, checkpoint, "topk leaderboard")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from tdataframe_spark.operators.windows import top_per_group
+
+        spark = batch.sparkSession
+        if already_applied(batch_id):
+            return
+
+        order = [F.col(order_col).desc()] + [
+            F.col(c).asc() for c in (tie_cols or [])
+        ]
+
+        def refreshed(src: DataFrame) -> DataFrame:
+            return top_per_group(src, key_cols, order, k=k).drop("rnk")
+
+        _staged_swap(
+            data,
+            lambda: refreshed(
+                spark.read.parquet(data).unionByName(batch)
+            ),
+            lambda: refreshed(batch).write.mode("overwrite").parquet(data),
+        )
+        record(batch_id)
+
+    return _run_foreach_batch(events, _apply, checkpoint, available_now)

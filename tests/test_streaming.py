@@ -611,3 +611,48 @@ def test_stream_hll_refresh_matches_batch_estimates(spark, stream_dir, tmp_path)
     assert estimates() == got
     with _pt.raises(Exception, match="owned by checkpoint"):
         run(str(tmp_path / "other_ckpt"))
+
+
+def test_stream_topk_refresh_matches_batch(spark, stream_dir, tmp_path):
+    """The streamed leaderboard must equal the one-shot batch top-k over
+    all data, survive a same-checkpoint replay untouched, and refuse a
+    foreign checkpoint."""
+    import pytest as _pt
+
+    from tdataframe_spark.operators.windows import top_per_group
+    from tdataframe_spark.streaming import stream_from_files, stream_topk_refresh
+
+    batch = spark.read.parquet(stream_dir)
+    path = str(tmp_path / "lb_state")
+    ckpt = str(tmp_path / "lb_ckpt")
+
+    def run(ck):
+        stream_topk_refresh(
+            stream_from_files(spark, stream_dir, batch.schema, max_files_per_trigger=2)
+            .select("event_type", "event_id", "value"),
+            path, ck, ["event_type"], "value", k=5, tie_cols=["event_id"],
+        )
+
+    run(ckpt)
+
+    def state():
+        return {
+            (r["event_type"], r["event_id"], r["value"])
+            for r in spark.read.parquet(f"{path}/topk").collect()
+        }
+
+    got = state()
+    want = {
+        (r["event_type"], r["event_id"], r["value"])
+        for r in top_per_group(
+            batch.select("event_type", "event_id", "value"),
+            ["event_type"],
+            [F.col("value").desc(), F.col("event_id").asc()],
+            k=5,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    run(ckpt)  # replay: no-op
+    assert state() == got
+    with _pt.raises(Exception, match="owned by checkpoint"):
+        run(str(tmp_path / "other"))
