@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "roc_auc": q_roc_auc,
         "confusion_stats": q_confusion_stats,
+        "bootstrap_ci": q_bootstrap_ci,
         # rows-only (no SQL equivalent)
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": SQL_TARGET_ENCODE,
         "roc_auc": SQL_ROC_AUC,
         "confusion_stats": SQL_CONFUSION,
+        "bootstrap_ci": SQL_BOOTSTRAP_CI,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
         # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),

@@ -202,3 +202,84 @@ def robust_outliers(
         )
         .drop("__center", "__mad")
     )
+
+
+# Poisson(1) CDF cut points for hash-derived bootstrap weights: a uniform
+# u in (0,1) maps to the count k whose cumulative probability first
+# exceeds it. 10 terms cover 1 - 1e-8 of the mass; the tail clamps to 10.
+_POIS1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.9999988747974047,
+    0.9999998826412736,
+)
+
+
+def bootstrap_mean_ci(
+    df,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 64,
+    alpha: float = 0.05,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — the
+    distributed bootstrap (each row joins replicate r with weight ~
+    Poisson(1), so no resampling pass over the data is ever
+    coordinated): the CI is the (α/2, 1−α/2) exact-percentile band of
+    the replicate means.
+
+    The weights are DERIVED, not drawn: u = (h+1)/(2^60+1) with
+    h = portable_hash64(id ‖ '|' ‖ r ‖ seed), mapped through the
+    Poisson(1) CDF — every replicate is a pure function of (corpus,
+    seed), bit-reproducible in any engine, stable across retries/
+    partitionings. One pass: rows explode to ``n_replicates`` weighted
+    copies, map-side combine collapses each partition to ≤ B partial
+    rows, the shuffle is B groups. Replicate sums are decimal-exact.
+
+    Returns 1 row: (mean, ci_lo, ci_hi, n, n_replicates).
+    """
+    from tdataframe_spark.functions.numeric import dmean, dsum, portable_hash64
+
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    x = F.col(value_col).cast("double")
+    d = df.filter(x.isNotNull()).select(
+        F.col(id_col).alias("__id"), x.alias("__x")
+    )
+    r = d.select(
+        "__id",
+        "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__r"),
+    )
+    u = (
+        portable_hash64(
+            F.concat_ws("|", F.col("__id").cast("string"), F.col("__r"), F.lit(seed))
+        )
+        + 1
+    ) / F.lit(float(2**60 + 1))
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        r.withColumn("__w", w.cast("long"))
+        .groupBy("__r")
+        .agg(
+            F.try_divide(
+                dsum(F.col("__w") * F.col("__x")),
+                F.sum("__w").cast("double"),
+            ).alias("__m")
+        )
+        .filter(F.col("__m").isNotNull())  # an all-zero-weight replicate
+    )
+    band = means.agg(
+        F.percentile(F.col("__m"), F.lit(alpha / 2)).alias("ci_lo"),
+        F.percentile(F.col("__m"), F.lit(1 - alpha / 2)).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    stats = d.agg(dmean("__x").alias("mean"), F.count(F.lit(1)).cast("long").alias("n"))
+    return stats.crossJoin(F.broadcast(band)).select(
+        "mean", "ci_lo", "ci_hi", "n", "n_replicates"
+    )

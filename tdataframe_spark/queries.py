@@ -5418,6 +5418,62 @@ FROM c
 """
 
 
+BOOT_B = 64
+
+
+def q_bootstrap_ci(spark, sf):
+    """Poisson-bootstrap 95% CI for the mean purchase value — replicate
+    weights derived from the portable hash (pure function of corpus +
+    seed), replicate sums decimal-exact, CI from exact percentiles of
+    the replicate means."""
+    from tdataframe_spark.ops.quality import bootstrap_mean_ci
+
+    ev = _events(spark, sf).filter(F.col("event_type") == "purchase")
+    return bootstrap_mean_ci(ev, "value", "event_id", n_replicates=BOOT_B)
+
+
+def _bootstrap_oracle_sql() -> str:
+    from tdataframe_spark.ops.quality import _POIS1_CDF
+
+    cdf_case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    ) + f" ELSE {len(_POIS1_CDF)} END"
+    return f"""
+WITH d AS (
+  SELECT event_id, value FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+r AS (
+  SELECT event_id, value, t.r,
+         (CAST(concat('0x', substr(md5(
+             CAST(event_id AS VARCHAR) || '|' || CAST(t.r AS VARCHAR) || '|boot'
+          ), 1, 15)) AS BIGINT) + 1) / 1152921504606846977.0 AS u
+  FROM d, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS r) t
+),
+means AS (
+  SELECT r, {_dsum_sql('w * value')} / CAST(SUM(w) AS DOUBLE) AS m
+  FROM (SELECT r, value, {cdf_case} AS w FROM r)
+  GROUP BY r
+  HAVING SUM(w) > 0
+),
+band AS (
+  SELECT quantile_cont(m, 0.025) AS ci_lo,
+         quantile_cont(m, 0.975) AS ci_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_replicates
+  FROM means
+)
+SELECT {_dmean_sql('value')} AS mean,
+       (SELECT ci_lo FROM band) AS ci_lo,
+       (SELECT ci_hi FROM band) AS ci_hi,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (SELECT n_replicates FROM band) AS n_replicates
+FROM d
+"""
+
+
+SQL_BOOTSTRAP_CI = _bootstrap_oracle_sql()
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

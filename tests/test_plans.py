@@ -382,6 +382,7 @@ _BNLJ_ALLOWED = {
     "histo2d",             # nx×ny dense grid spine (bounded constant,
                            # 100 rows) crossed from two range() axes
     "target_encode",       # 1-row global-mean (prior) attach
+    "bootstrap_ci",        # 1-row percentile-band attach onto 1-row stats
 }
 
 

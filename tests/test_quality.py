@@ -311,3 +311,56 @@ def test_confusion_stats_hand_computed(spark):
         spark.createDataFrame([Row(y=1, s=0.1)] * 3, "y int, s double"), "y", "s"
     ).first()
     assert neg["precision"] is None and neg["recall"] == 0.0
+
+
+def test_bootstrap_ci_brackets_truth_and_is_deterministic(spark):
+    """The hash-derived Poisson bootstrap: CI brackets the sample mean,
+    narrows with sample size, is bit-identical across runs and
+    partitionings, and replicate weights match the python reference."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.quality import _POIS1_CDF, bootstrap_mean_ci
+
+    rows = [Row(i=i, x=float((i * 37) % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    got = bootstrap_mean_ci(df, "x", "i", n_replicates=64).first()
+    mean = sum(r.x for r in rows) / len(rows)
+    assert got["n"] == 2000 and got["n_replicates"] == 64
+    assert got["ci_lo"] < mean < got["ci_hi"]
+    assert got["ci_hi"] - got["ci_lo"] < 10  # sane width for sd~29, n=2000
+    again = bootstrap_mean_ci(df.repartition(13), "x", "i", n_replicates=64).first()
+    assert (got["ci_lo"], got["ci_hi"]) == (again["ci_lo"], again["ci_hi"])
+
+    # weight derivation parity with the reference recipe
+    def ref_w(i, r):
+        h = int(hashlib.md5(f"{i}|{r}|boot".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(2**60 + 1)
+        for k, c in enumerate(_POIS1_CDF):
+            if u < c:
+                return k
+        return len(_POIS1_CDF)
+
+    small = spark.createDataFrame([Row(i=7, x=1.0), Row(i=8, x=2.0)])
+    from pyspark.sql import functions as F
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    # reuse the op's own expression path via a 1-replicate run: the
+    # replicate mean must equal the reference-weighted mean exactly
+    one = bootstrap_mean_ci(small, "x", "i", n_replicates=2).first()
+    w70, w80 = ref_w(7, 0), ref_w(8, 0)
+    w71, w81 = ref_w(7, 1), ref_w(8, 1)
+    ms = []
+    for (wa, wb) in ((w70, w80), (w71, w81)):
+        if wa + wb > 0:
+            ms.append((wa * 1.0 + wb * 2.0) / (wa + wb))
+    assert one["n_replicates"] == len(ms)
+    # exact percentile interpolates between the two replicate means
+    lo_ref = min(ms) + 0.025 * (max(ms) - min(ms))
+    hi_ref = min(ms) + 0.975 * (max(ms) - min(ms))
+    assert abs(one["ci_lo"] - lo_ref) < 1e-12 and abs(one["ci_hi"] - hi_ref) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="n_replicates"):
+        bootstrap_mean_ci(df, "x", "i", n_replicates=1)
