@@ -369,6 +369,32 @@ class Frame:
             self._df, self._one_default(col), nbins, lo, hi, flow=flow
         )
 
+    def histo2d(
+        self,
+        xcol: str,
+        ycol: str,
+        nx: int = 64,
+        xlo: float = 0.0,
+        xhi: float = 1.0,
+        ny: int = 64,
+        ylo: float = 0.0,
+        yhi: float = 1.0,
+    ) -> Result:
+        """Lazy fixed-range 2-D histogram; resolves to a list of
+        (xbin, ybin, x_lo, x_hi, y_lo, y_hi, cnt) rows — the Histo2D the
+        reference's 1-D-only surface grew in its successor API. Same
+        bucketize + ≤nx·ny-key hash-aggregate shape as ``histo``; a
+        full-scan action, so it can carry piggybacked observe() metrics
+        like the 1-D fixed path."""
+        from tdataframe_spark.core.histogram import histo2d_frame
+
+        def run(df: DataFrame) -> list[tuple]:
+            return [tuple(r) for r in histo2d_frame(
+                df, xcol, ycol, nx, xlo, xhi, ny, ylo, yhi
+            ).collect()]
+
+        return self._engine.book_job(self._df, run, full_scan=True)
+
     # -- take (A6) --------------------------------------------------------
     def take(self, col: str | None = None, limit: int | None = None) -> Result:
         """Collect one column's (post-filter) values driver-side. At scale

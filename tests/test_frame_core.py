@@ -481,3 +481,26 @@ def test_histo2d_grid_and_edges(spark):
         histo2d_frame(df, "x", "y", 2, 1.0, 1.0, 2, 0.0, 1.0)
     with pytest.raises(ValueError, match="nx and ny"):
         histo2d_frame(df, "x", "y", 0, 0.0, 1.0, 2, 0.0, 1.0)
+
+
+def test_frame_histo2d_lazy_action(spark):
+    """Frame.histo2d books a lazy 2-D histogram; values match the eager
+    histo2d_frame and other booked scalars resolve in the same flush."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark import Frame
+    from tdataframe_spark.core.histogram import histo2d_frame
+
+    df = spark.createDataFrame(
+        [Row(x=float(i % 4), y=float(i % 2)) for i in range(40)]
+    )
+    fr = Frame(df)
+    h = fr.histo2d("x", "y", nx=4, xlo=0.0, xhi=4.0, ny=2, ylo=0.0, yhi=2.0)
+    c = fr.count()
+    rows = h.get()
+    assert c.ready  # fused flush resolved the scalar too
+    want = [tuple(r) for r in histo2d_frame(
+        df, "x", "y", 4, 0.0, 4.0, 2, 0.0, 2.0
+    ).collect()]
+    assert sorted(rows) == sorted(want)
+    assert sum(r[-1] for r in rows) == 40
