@@ -308,22 +308,36 @@ def roc_auc(
     df,
     label_col: str,
     score_col: str,
+    num_partitions: int | None = None,
 ):
     """Exact ROC AUC with proper tie handling, computed WITHOUT a global
-    row sort: rows collapse to per-distinct-score (n_pos, n_neg) counts
-    first, then one cumulative window over the DISTINCT SCORES (orders of
-    magnitude smaller than the data; the formula credits ties half) —
+    row sort OR a single-task cumulative window: rows collapse to
+    per-distinct-score (n_pos, n_neg) counts first, then the running
+    negative count below each score is built with TWO-LEVEL cumulation —
+
+    1. range-partition the distinct-score table on the score (every
+       partition holds a contiguous score range);
+    2. per-partition running sums via a window PARTITIONED by the range
+       partition id (bounded per-task work on any score distribution —
+       continuous scores with distinct ≈ n rows stay distributed);
+    3. one bounded job collects ≤ num_partitions per-partition negative
+       totals, whose prefix sums re-enter as a broadcast map literal.
+
+    The tie-crediting formula is unchanged:
 
         AUC = Σ_s n_pos(s) · (cum_neg_below(s) + n_neg(s)/2) / (P·N)
 
     Rows with NULL label or score are ignored. Integer counts make every
-    term exact; the final division is one IEEE op — engine-reproducible.
+    term exact (so the result is bit-identical under any partitioning or
+    range-boundary placement); the final division is one IEEE op —
+    engine-reproducible.
 
     Returns a 1-row DataFrame (n_pos, n_neg, auc); AUC is NULL when
     either class is empty (undefined).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     y = F.col(label_col).cast("int")
     s = F.col(score_col).cast("double")
@@ -335,18 +349,50 @@ def roc_auc(
             F.sum(1 - y).cast("long").alias("__n"),
         )
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        g.repartitionByRange(nparts, "__s")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in part.groupBy("__pid")
+        .agg(F.sum("__n").alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(nparts):
+        offsets[pid] = acc
+        acc += int(totals.get(pid) or 0)
+    omap = F.create_map(
+        *[
+            x
+            for pid in range(nparts)
+            for x in (F.lit(pid), F.lit(offsets[pid]).cast("long"))
+        ]
+    )
     # decimal(38,0) accumulation: cum_neg·n_pos terms (and their sum)
     # exceed int64 beyond ~6e9 balanced rows — exactly the target scale;
     # ANSI mode would raise, non-ANSI would wrap to a garbage AUC
     dec = "decimal(38,0)"
-    terms = g.select(
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_below = (
+        F.element_at(omap, F.col("__pid")).cast(dec)
+        + F.coalesce(F.sum("__n").over(w), F.lit(0)).cast(dec)
+    )
+    terms = part.select(
         "__p",
         "__n",
-        (
-            F.coalesce(F.sum("__n").over(w), F.lit(0)).cast(dec)
-            * F.col("__p").cast(dec)
-        ).alias("__full"),
+        (cum_below * F.col("__p").cast(dec)).alias("__full"),
         (F.col("__p").cast(dec) * F.col("__n").cast(dec)).alias("__half"),
     )
     agg = terms.agg(

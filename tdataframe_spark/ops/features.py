@@ -25,6 +25,7 @@ def encode_categorical(
     df: DataFrame,
     col: str,
     out_col: str | None = None,
+    max_vocab: int = 2_000_000,
 ) -> DataFrame:
     """StringIndexer-style dense id per category value, assigned
     DETERMINISTICALLY: ids 0..V-1 in (frequency desc, value asc) order —
@@ -32,23 +33,38 @@ def encode_categorical(
     NULL category encodes as NULL id. The vocabulary is a V-row aggregate
     broadcast back; at 100 TB the only full-data work is one hash
     aggregate on the category column.
+
+    The id assignment is a single-task window over the V vocabulary rows
+    — bounded by the SAME constraint that makes the broadcast-back legal
+    (a vocabulary too big for one task is too big to broadcast). That
+    assumption is enforced, not assumed: ids ≥ ``max_vocab`` RAISE
+    in-plan (the guard rides the id expression — no extra scan, and a
+    high-cardinality column can't silently degrade into a single-task
+    sort of millions of rows; use ``hash_features`` for unbounded-
+    cardinality columns).
     """
     out = out_col or f"{col}_id"
+    rn = (
+        F.row_number().over(
+            Window.orderBy(F.col("__n").desc(), F.col(col).asc())
+        )
+        - 1
+    )
+    guarded = F.when(rn < max_vocab, rn).otherwise(
+        F.assert_true(
+            rn < max_vocab,
+            F.lit(
+                f"encode_categorical: {col!r} has > {max_vocab} distinct "
+                "values — not a broadcastable vocabulary; raise max_vocab "
+                "only if the broadcast still fits, or use hash_features"
+            ),
+        ).cast("int")
+    )
     vocab = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("__n"))
-        .select(
-            col,
-            (
-                F.row_number().over(
-                    Window.orderBy(F.col("__n").desc(), F.col(col).asc())
-                )
-                - 1
-            )
-            .cast("int")
-            .alias(out),
-        )
+        .select(col, guarded.cast("int").alias(out))
     )
     return df.join(F.broadcast(vocab), col, "left")
 
@@ -137,7 +153,12 @@ def hash_features(
     Stateless and vocabulary-free: unlike ``encode_categorical`` there is
     nothing to fit, broadcast, or drift — new categories at inference
     time hash to stable buckets. Pure JVM expressions; embarrassingly
-    parallel; the per-row cost is O(dim + #cols) array assembly.
+    parallel; the per-row cost is O(dim × #cols): the output vector is
+    assembled by scanning the #cols entry structs once per output index
+    (Spark's expression language has no scatter primitive, and every
+    alternative — fold-into-accumulator-array, map-then-element_at —
+    re-walks one side per step, so this shape is as good as it gets
+    JVM-side; at dim≈256 it beats an Arrow round-trip comfortably).
     """
     from tdataframe_spark.functions.numeric import portable_hash64
 

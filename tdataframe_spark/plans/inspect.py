@@ -76,17 +76,57 @@ _LINT_RULES = [
 ]
 
 
+def count_global_windows(plan: str) -> int:
+    """Number of Window operators fed by an ``Exchange SinglePartition``
+    — the single-task cumulative-window trap (ALL rows under the window
+    funnel through one task; a global ``.agg()``'s SinglePartition
+    exchange is fine because only per-partition PARTIALS cross it, which
+    is why plain substring matching can't enforce this).
+
+    Walks the simple-mode plan tree by indentation: for each ``Window``
+    node, the first ``Exchange`` below it (before the tree pops back to
+    the window's depth) is the exchange that satisfies its distribution
+    requirement."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        m = re.match(r"^([\s+:*-]*)Window(Group)? ", line)
+        if not m:
+            continue
+        depth = len(m.group(1))
+        for below in lines[i + 1:]:
+            stripped = re.match(r"^([\s+:*-]*)", below)
+            if below.strip() and len(stripped.group(1)) <= depth:
+                break  # popped out of this window's subtree
+            if "Exchange" in below:
+                if "SinglePartition" in below:
+                    hits += 1
+                break
+    return hits
+
+
 def lint_plan(df: DataFrame) -> list[str]:
     """Scan a physical plan for the known scale-killers and return one
     '<rule>: <why>' line per hit (empty = clean). Rules: cartesian
     products, row-at-a-time Python (BatchEvalPython — Arrow paths like
-    MapInPandas/ArrowEvalPython are fine), and single-partition
-    exchanges. Used by the registry-wide audit in tests/test_plans.py;
-    callers with a deliberate exception (e.g. a global ntile) whitelist
-    by rule name."""
+    MapInPandas/ArrowEvalPython are fine), single-partition exchanges,
+    and windows fed by a single-partition exchange (global cumulative
+    windows — the whole dataset in one task). Used by the registry-wide
+    audit in tests/test_plans.py; callers with a deliberate exception
+    (e.g. a bounded-cardinality vocabulary ranking) whitelist by rule
+    name."""
     plan = explain_str(df, "simple")
-    return [
+    out = [
         f"{name}: {why}"
         for name, needle, why in _LINT_RULES
         if needle in plan
     ]
+    if count_global_windows(plan):
+        out.append(
+            "global-window: Window over an Exchange SinglePartition — "
+            "every row under the window runs through ONE task; "
+            "range-partition + per-partition partials + broadcast prefix "
+            "offsets instead (cf. ops.classify.roc_auc, "
+            "operators.windows.global_row_number)"
+        )
+    return out

@@ -5344,8 +5344,9 @@ def q_hash_features(spark, sf):
 
 def q_roc_auc(spark, sf):
     """Exact tie-aware ROC AUC of event value as a purchase classifier —
-    per-distinct-score counts + one cumulative window over scores (never
-    a global row sort); integer terms, one final IEEE division."""
+    per-distinct-score counts + TWO-LEVEL cumulation (range-partitioned
+    per-partition windows + broadcast prefix offsets; never a global row
+    sort or single-task window); integer terms, one final IEEE division."""
     from tdataframe_spark.ops.classify import roc_auc
 
     ev = _events(spark, sf).select(

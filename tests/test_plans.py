@@ -290,6 +290,38 @@ def test_global_rank_never_single_partitions(spark):
     assert "singlepartition" not in plan, plan
 
 
+def test_roc_auc_never_single_partitions_the_scores(spark):
+    """The AUC cumulation must be two-level (range partition →
+    per-partition window → broadcast prefix offsets): the plan must show
+    a RANGE repartition and NO Window fed by a single-partition exchange
+    — continuous scores (distinct ≈ n rows) would otherwise funnel the
+    whole score table through one task."""
+    from tdataframe_spark.plans.inspect import count_global_windows, explain_str
+
+    df = em.q_roc_auc(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert count_global_windows(plan) == 0, plan
+
+
+def test_global_window_lint_detects_the_trap(spark):
+    """count_global_windows must flag an unpartitioned cumulative window
+    and pass a partitioned one — the lint the registry audit relies on."""
+    from pyspark.sql import Window as W
+
+    from tdataframe_spark.plans.inspect import count_global_windows, explain_str
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    bad = df.withColumn("c", F.sum("id").over(W.orderBy("id")))
+    good = df.withColumn(
+        "c", F.sum("id").over(W.partitionBy("k").orderBy("id"))
+    )
+    assert count_global_windows(explain_str(bad, "simple")) == 1
+    assert count_global_windows(explain_str(good, "simple")) == 0
+
+
 def test_pq_adc_scan_broadcasts_and_no_cartesian(spark):
     """PQ search must score the compressed codes via a BROADCAST ADC-table
     join (map-side, no shuffle of the corpus for candidate generation) and
@@ -339,11 +371,21 @@ def test_dedup_keep_best_single_window_over_cluster(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-# the registry-wide audit enforces the two unconditional scale-killers;
-# "single-partition-exchange" is informational only — every global .agg()
-# legitimately funnels its PARTIAL rows (#partitions of them) through one
-# task, and string matching can't tell that apart from a full-data sort
-_LINT_ENFORCED = {"cartesian", "python-row-udf", "bnlj"}
+# the registry-wide audit enforces the three unconditional scale-killers
+# plus global windows; "single-partition-exchange" is informational only —
+# every global .agg() legitimately funnels its PARTIAL rows (#partitions
+# of them) through one task, and string matching can't tell that apart
+# from a full-data sort. "global-window" CAN tell (it walks the plan tree
+# for a Window fed by an Exchange SinglePartition), so it is enforced.
+_LINT_ENFORCED = {"cartesian", "python-row-udf", "bnlj", "global-window"}
+
+# Window-over-SinglePartition is allowed ONLY at these enumerated
+# bounded-cardinality sites — never over data-proportional rows:
+_GLOBAL_WINDOW_ALLOWED = {
+    "encode_categorical",  # V-row vocabulary ranking; V is bounded by the
+                           # broadcast-back contract AND enforced by the
+                           # in-plan max_vocab guard (raises past 2M)
+}
 
 # BroadcastNestedLoopJoin is allowed ONLY at these enumerated
 # constant-attach sites (PLANS.md "deliberate 1-row constant attaches"):
@@ -414,6 +456,8 @@ def test_registry_wide_plan_lint(spark):
             if rule not in _LINT_ENFORCED:
                 continue
             if rule == "bnlj" and name in _BNLJ_ALLOWED:
+                continue
+            if rule == "global-window" and name in _GLOBAL_WINDOW_ALLOWED:
                 continue
             failures.append(f"{name}: {hit}")
     assert not failures, "\n".join(failures)

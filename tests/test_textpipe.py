@@ -937,6 +937,22 @@ def test_encode_and_target_encode_semantics(spark):
         target_encode(d2, "k", "y", alpha=-1.0)
 
 
+def test_encode_categorical_cardinality_guard_raises(spark):
+    """A column whose distinct count exceeds max_vocab must RAISE (the
+    in-plan guard), not silently single-task-sort an unbounded
+    vocabulary; under the cap the same data encodes fine."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tdataframe_spark.ops.features import encode_categorical
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(Exception, match="encode_categorical|ASSERT"):
+        encode_categorical(df, "k", max_vocab=50).collect()
+    ok = encode_categorical(df, "k", max_vocab=200).collect()
+    assert sorted(r["k_id"] for r in ok) == list(range(100))
+
+
 def test_hash_features_feeds_logreg(spark):
     """Hashed features: correct buckets/sums vs a python reference
     (collisions included), NULLs contribute nothing, and the vectors are
