@@ -82,17 +82,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation is documented per-round in STATUS.md.
     """
     return {
-        # --- driver window (first 50): must-verify this round (r4) ---
-        # changed/new this round
-        "simhash_hamming": q_simhash_hamming,  # now pigeonhole-banded
-        "histo_flow": q_histo_flow,            # new: TH1F flow bins
-        "line_dedup": q_line_dedup,            # new: C4-style line dedup
-        "ivfpq_ann": q_ivfpq_ann,              # new registry entry (rows-only)
-        "histo_equidepth_approx": q_histo_equidepth_approx,  # new (rows-only)
-        # histogram shared code (_bin_table) changed this round → re-verify
+        # --- driver window (first 50): must-verify this round (r5) ---
+        # the 37 r4 additions that have never had an EXTERNAL driver row
+        # (registered past the window last round; judge-sim green), per
+        # r4 VERDICT top-next — complex-oracle entries first
+        "dup_spans": q_dup_spans,
+        "tfidf_pairs": q_tfidf_pairs,
+        "hybrid_search": q_hybrid_search,
+        "triangle_count": q_triangle_count,
+        "corr_matrix": q_corr_matrix,
+        "ab_test": q_ab_test,
+        "roc_auc": q_roc_auc,              # ALSO changed this round
+        "heavy_hitters": q_heavy_hitters,
+        "interval_join": q_interval_join,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_parts": q_q11_important_parts,
+        "q12_shipmode_priority": q_q12_shipmode_priority,
+        "q20_part_promotion": q_q20_part_promotion,
+        "q21_suppliers_waiting": q_q21_suppliers_waiting,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
+        "source_divergence": q_source_divergence,
+        "bm25_indexed": q_bm25_indexed,
+        "target_encode": q_target_encode,
+        "bootstrap_ci": q_bootstrap_ci,
+        "variant_props": q_variant_props,
+        "histo2d": q_histo2d,
+        "gap_fill_interp": q_gap_fill_interp,
+        "token_entropy": q_token_entropy,
+        "outliers_robust": q_outliers_robust,
+        "window_stats": q_window_stats,
+        "encode_categorical": q_encode_categorical,  # ALSO changed (guard)
+        "confusion_stats": q_confusion_stats,
+        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
+        "quantize_embeddings": q_quantize_embeddings,
+        # rows-only members of the never-externally-verified set
+        "pack_bins": q_pack_bins,
+        "group_quantiles_approx": q_group_quantiles_approx,
+        "hll_distinct": q_hll_distinct,
+        "hash_features": q_hash_features,
+        "semdedup": q_semdedup,
+        "pca_embeddings": q_pca_embeddings,
+        "logreg_score": q_logreg_score,
+        # new/changed this round (r5)
+        "winsorize_approx": q_winsorize_approx,  # new: GK-sketch bounds
+        "winsorize": q_winsorize,                # re-verify (shared code)
+        "semdedup_assign": q_semdedup_assign,    # new: build/apply split
+        # oldest external verification left (r1 only)
+        "multimodal_features": q_multimodal_features,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        # backfill: r2-last-verified entries (oldest oracle rows)
+        "corpus_curation": q_corpus_curation,
+        "stratified_sample": q_stratified_sample,
+        "top_ngrams": q_top_ngrams,
+        "repetition_signals": q_repetition_signals,
+        "pii_redact": q_pii_redact,
+        "domain_mix": q_domain_mix,
+        "bm25_topk": q_bm25_topk,
+        # --- position 51+: rotated out — every entry below has an
+        # external driver-green row (most r3/r4) and is re-verified every
+        # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "pagerank": q_pagerank,
+        "profile_numeric": q_profile_numeric,
+        "rollup_returnflag": q_rollup_returnflag,
+        "distinct_supp_per_flag": q_distinct_supp_per_flag,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "case_when_agg": q_case_when_agg,
+        "simhash_hamming": q_simhash_hamming,
+        "histo_flow": q_histo_flow,
+        "line_dedup": q_line_dedup,
+        "ivfpq_ann": q_ivfpq_ann,
+        "histo_equidepth_approx": q_histo_equidepth_approx,
         "histo_fixed": q_histo_fixed,
         "histo_auto": q_histo_auto,
-        # the r3 additions, rotated into the window as planned in STATUS.md
         "q8_market_share": q_q8_market_share,
         "q9_profit": q_q9_profit,
         "q10_returned_items": q_q10_returned_items,
@@ -121,13 +185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "group_split": q_group_split,
         "retrieval_metrics": q_retrieval_metrics,
-        "winsorize": q_winsorize,
         "weighted_sample": q_weighted_sample,
         "phrase_search": q_phrase_search,
         "collocations": q_collocations,
-        "pq_ann": q_pq_ann,        # rows-only, r3 addition
-        "bpe_tokens": q_bpe_tokens,  # rows-only, r3 addition
-        # least-often driver-verified survivors fill the window
+        "pq_ann": q_pq_ann,
+        "bpe_tokens": q_bpe_tokens,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "setops_nations": q_setops_nations,
@@ -137,9 +199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "lag_lead_gaps": q_lag_lead_gaps,
         "topk_orders": q_topk_orders,
-        # --- rotated out this round (position 51+): every entry below is
-        # driver-green in r1/r2/r3 (most recently the FULL r3 window) and
-        # stays green in the local full-registry sf0.01 gate ---
         "count_chain": q_count_chain,
         "define_filter_agg": q_define_filter_agg,
         "explode_agg": q_explode_agg,
@@ -187,62 +246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg_sorted": q_array_agg_sorted,
         "posexplode_tokens": q_posexplode_tokens,
         "window_top_orders": q_window_top_orders,
-        "corpus_curation": q_corpus_curation,
-        "stratified_sample": q_stratified_sample,
-        "top_ngrams": q_top_ngrams,
-        "repetition_signals": q_repetition_signals,
-        "pii_redact": q_pii_redact,
-        "domain_mix": q_domain_mix,
-        "bm25_topk": q_bm25_topk,
-        "pagerank": q_pagerank,
-        "profile_numeric": q_profile_numeric,
-        "rollup_returnflag": q_rollup_returnflag,
-        "distinct_supp_per_flag": q_distinct_supp_per_flag,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
-        "case_when_agg": q_case_when_agg,
-        # r4 additions past the window (rotate in next round)
-        "hybrid_search": q_hybrid_search,
-        "interval_join": q_interval_join,
-        "quantize_embeddings": q_quantize_embeddings,
-        "heavy_hitters": q_heavy_hitters,
-        "tfidf_pairs": q_tfidf_pairs,
-        "window_stats": q_window_stats,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q11_important_parts": q_q11_important_parts,
-        "q12_shipmode_priority": q_q12_shipmode_priority,
-        "q20_part_promotion": q_q20_part_promotion,
-        "q21_suppliers_waiting": q_q21_suppliers_waiting,
-        "dup_spans": q_dup_spans,
-        "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
-        "source_divergence": q_source_divergence,
-        "token_entropy": q_token_entropy,
-        "gap_fill_interp": q_gap_fill_interp,
-        "variant_props": q_variant_props,
-        "outliers_robust": q_outliers_robust,
-        "bm25_indexed": q_bm25_indexed,
-        "triangle_count": q_triangle_count,
-        "corr_matrix": q_corr_matrix,
-        "ab_test": q_ab_test,
-        "histo2d": q_histo2d,
-        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
-        "encode_categorical": q_encode_categorical,
-        "target_encode": q_target_encode,
-        "roc_auc": q_roc_auc,
-        "confusion_stats": q_confusion_stats,
-        "bootstrap_ci": q_bootstrap_ci,
-        # rows-only (no SQL equivalent)
-        "pack_bins": q_pack_bins,
-        "group_quantiles_approx": q_group_quantiles_approx,
-        "hll_distinct": q_hll_distinct,
-        "hash_features": q_hash_features,
-        "semdedup": q_semdedup,
-        "pca_embeddings": q_pca_embeddings,
-        "logreg_score": q_logreg_score,
-        "multimodal_features": q_multimodal_features,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
     }
 
 
@@ -390,7 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": SQL_BOOTSTRAP_CI,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
         # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
-        # histo_equidepth_approx (sketch-placed edges), bpe_tokens (iterative),
-        # semdedup (k-means clustering), pca_embeddings (eigendecomposition),
+        # histo_equidepth_approx / winsorize_approx (sketch-placed bounds),
+        # bpe_tokens (iterative), semdedup / semdedup_assign (k-means
+        # clustering state), pca_embeddings (eigendecomposition),
         # logreg_score (iterative driver-updated gradient descent)
     }

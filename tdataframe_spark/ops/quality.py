@@ -107,26 +107,43 @@ def winsorize(
     cols: list[str],
     lower: float = 0.01,
     upper: float = 0.99,
+    method: str = "exact",
+    accuracy: int = 10_000,
 ):
     """Percentile clipping (winsorization) of numeric columns — the
     standard heavy-tail tamer before training on or aggregating noisy
     numeric features. Each listed column gains ``<col>_w`` clipped to its
-    [lower, upper] exact percentiles.
+    [lower, upper] percentiles.
 
-    Shape: ONE aggregate computes every bound (2×len(cols) exact
-    percentiles), broadcast back as a 1-row cross join; clipping is pure
-    map-side least/greatest. Exact percentile is sort-based — at 100 TB
-    swap in `percentile_approx` for sketch bounds (same query shape, the
-    equi-depth-histogram trade).
+    Shape: ONE aggregate computes every bound (2×len(cols) percentiles),
+    broadcast back as a 1-row cross join; clipping is pure map-side
+    least/greatest.
+
+    ``method="exact"`` (default, oracle-parity) uses Spark's exact
+    ``percentile`` — its aggregation buffer holds per-distinct-value
+    state, fine up to ~10⁸ distinct values per column but NOT the 100 TB
+    path. ``method="approx"`` swaps in ``percentile_approx`` (mergeable
+    Greenwald–Khanna sketch, bounded memory: rank error ≤ 1/``accuracy``
+    of the rows regardless of data size) — identical query shape, the
+    same exact↔sketch trade as ``histo_equidepth(method="approx")``.
     """
     from pyspark.sql import functions as F
+
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be 'exact' or 'approx', got {method!r}")
+
+    def pct(c: str, q: float):
+        col = F.col(c).cast("double")
+        if method == "approx":
+            return F.percentile_approx(col, F.lit(q), F.lit(accuracy))
+        return F.percentile(col, F.lit(q))
 
     # typed API, not f-string SQL: interpolated identifiers misparse for
     # column names needing backticks (the string-injection class this repo
     # bans — see mix_domains)
     bounds = df.agg(
         *[
-            F.percentile(F.col(c).cast("double"), F.lit(q)).alias(f"__{c}_{tag}")
+            pct(c, q).alias(f"__{c}_{tag}")
             for c in cols
             for q, tag in ((lower, "lo"), (upper, "hi"))
         ]

@@ -1056,6 +1056,7 @@ def semdedup(
     eps: float = 0.95,
     n_clusters: int = 16,
     lloyd_iterations: int = 4,
+    index_path: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540): k-means-cluster the embedding space, generate candidate
@@ -1086,6 +1087,15 @@ def semdedup(
     straddles a cluster boundary (the trade the paper makes). Use
     ``semantic_dedup``'s global pair path when exactness matters more than
     linearity.
+
+    ``index_path`` (or the :func:`semdedup_build` wrapper) additionally
+    persists the train/apply state for incremental ingestion — at 100 TB
+    you cluster ONCE and route new batches through
+    :func:`semdedup_assign`: ``{path}/centroids`` (the trained k-means
+    cells), ``{path}/labels`` (this run's output), ``{path}/reps``
+    (cluster-keyed normalized vectors of the KEPT members — the dedup
+    frontier new batches must clear), ``{path}/meta`` (eps + dim ride the
+    index, never re-passed at query time).
     """
     from tdataframe_spark.ops.dedup import connected_components
 
@@ -1146,8 +1156,163 @@ def semdedup(
             )
             # materialize before releasing the caches the plan reads
             out = labeled.unionByName(zero).localCheckpoint(eager=True)
+            if index_path is not None:
+                # writes ARE materialization — all four artifacts land
+                # while uv's cache is still alive
+                spark = df.sparkSession
+                _centroid_df(spark, cents).write.mode("overwrite").parquet(
+                    f"{index_path}/centroids"
+                )
+                out.write.mode("overwrite").parquet(f"{index_path}/labels")
+                kept = out.filter(
+                    F.col("keep") & F.col("cluster").isNotNull()
+                ).select(F.col(id_col).alias("__kid"))
+                (
+                    uv.join(kept, uv["__cid"] == kept["__kid"])
+                    .select(
+                        F.col("__cid").alias("rep_id"),
+                        F.col("__cell").alias("cluster"),
+                        "__vn",
+                    )
+                    .write.mode("overwrite")
+                    .parquet(f"{index_path}/reps")
+                )
+                dim_row = uv.select(F.size("__vn").alias("d")).first()
+                spark.createDataFrame(
+                    [(float(eps), int(dim_row["d"]) if dim_row else 0)],
+                    "eps double, dim int",
+                ).write.mode("overwrite").parquet(f"{index_path}/meta")
         finally:
             uv.unpersist()
     finally:
         u.unpersist()
     return out
+
+
+def semdedup_build(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    n_clusters: int = 16,
+    lloyd_iterations: int = 4,
+) -> DataFrame:
+    """Train-once entry point for :func:`semdedup`: runs the IDENTICAL
+    one-shot pipeline (so the persisted labels equal a plain ``semdedup``
+    call bit-for-bit — pinned in tests) and persists the centroids /
+    labels / kept-representative vectors / meta under ``index_path`` for
+    :func:`semdedup_assign`. Returns the labels DataFrame."""
+    return semdedup(
+        df, id_col, vec_col, eps, n_clusters, lloyd_iterations,
+        index_path=index_path,
+    )
+
+
+def semdedup_assign(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental semantic dedup: route a NEW batch through a persisted
+    :func:`semdedup_build` index WITHOUT retraining k-means or re-running
+    connected components — the amortized path that makes SemDeDup viable
+    on a growing 100 TB corpus (same incremental contract as the MinHash
+    ``build_cluster_index``/``assign_clusters`` pair in ``ops.dedup``).
+
+    Per new vector: broadcast-centroid argmax picks its cluster, then one
+    cluster-keyed equi-join scores it (exact cosine) against ONLY that
+    cluster's persisted representatives. Returns one row per input:
+    (new_id, cluster, keep, matched_rep, n_matches) — ``keep`` false iff
+    some kept representative is eps-similar (``matched_rep`` = the
+    smallest such rep id); zero-norm vectors come back with NULL cluster
+    and keep=true.
+
+    Honest incremental contract (mirrors ``assign_clusters``): matches are
+    judged against the PERSISTED index only — duplicates WITHIN the new
+    batch, and eps-pairs reachable only through dropped (non-kept)
+    members, are settled at the next periodic full ``semdedup_build``.
+    ``eps`` and the vector dim ride the index metadata; a batch with a
+    different vector dim raises in-plan rather than NULL-degrading.
+
+    Scale shape: stateless projections + one broadcast (n_clusters rows)
+    + one shuffled equi-join on the cluster id; candidate volume is
+    batch_size × cluster_rep_count, never corpus-quadratic.
+    """
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    eps, dim = float(meta["eps"]), int(meta["dim"])
+    cents_df = spark.read.parquet(f"{index_path}/centroids")
+    reps = spark.read.parquet(f"{index_path}/reps")
+
+    u = _normalized(new_df, id_col, vec_col, "__nid")
+    # dim guard rides the otherwise-branch (the NULL-short-circuit-proof
+    # pattern): a wrong-dim vector still has a norm, so it reaches the
+    # assert instead of silently zip_with-padding the dot to garbage
+    checked = u.withColumn(
+        "__vn",
+        F.when(F.col("__vn").isNull(), F.col("__vn")).otherwise(
+            F.when(F.size("__vn") == dim, F.col("__vn")).otherwise(
+                F.assert_true(
+                    F.size("__vn") == dim,
+                    F.lit(
+                        f"semdedup_assign: vector dim != index dim {dim}"
+                    ),
+                ).cast("array<double>")
+            )
+        ),
+    )
+    zero = checked.filter(F.col("__vn").isNull()).select(
+        F.col("__nid").alias("new_id"),
+        F.lit(None).cast("int").alias("cluster"),
+        F.lit(True).alias("keep"),
+        F.lit(None).cast(reps.schema["rep_id"].dataType).alias("matched_rep"),
+        F.lit(0).cast("long").alias("n_matches"),
+    )
+    nz = checked.filter(F.col("__vn").isNotNull())
+    scored = nz.crossJoin(F.broadcast(cents_df)).select(
+        "__nid",
+        "__vn",
+        "__cell",
+        dot(F.col("__vn"), F.col("__cvec")).alias("__sim"),
+    )
+    assigned = scored.groupBy("__nid").agg(
+        F.max_by(
+            F.struct(F.col("__cell"), F.col("__vn")),
+            F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc")),
+        ).alias("__best")
+    ).select(
+        "__nid",
+        F.col("__best.__cell").alias("__cell"),
+        F.col("__best.__vn").alias("__vn"),
+    )
+    hits = (
+        assigned.join(
+            reps.withColumnRenamed("cluster", "__cell").withColumnRenamed(
+                "__vn", "__rv"
+            ),
+            "__cell",
+            "left",
+        )
+        .withColumn(
+            "__match",
+            F.col("__rv").isNotNull()
+            & (dot(F.col("__vn"), F.col("__rv")) > eps),
+        )
+        .groupBy("__nid", "__cell")
+        .agg(
+            F.min(F.when(F.col("__match"), F.col("rep_id"))).alias(
+                "matched_rep"
+            ),
+            F.sum(F.col("__match").cast("long")).alias("n_matches"),
+        )
+    )
+    live = hits.select(
+        F.col("__nid").alias("new_id"),
+        F.col("__cell").alias("cluster"),
+        F.col("matched_rep").isNull().alias("keep"),
+        "matched_rep",
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+    )
+    return live.unionByName(zero)

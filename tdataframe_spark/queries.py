@@ -2703,6 +2703,38 @@ def q_semdedup(spark, sf):
     )
 
 
+_SEMDEDUP_INDEX_BUILT: set = set()
+
+
+def q_semdedup_assign(spark, sf):
+    """The amortized SemDeDup path: cluster the corpus ONCE
+    (semdedup_build, memoized per process), then route a new batch —
+    copies of every 7th corpus vector under fresh ids — through the
+    persisted centroids + kept-representative frontier. Exact copies of
+    KEPT corpus vectors must come back keep=false matched to their
+    source; k-means state is not SQL-expressible → rows-only. The
+    build/assign equivalence contract is pinned in tests/test_ops.py."""
+    import os
+    import tempfile
+
+    from tdataframe_spark.ops.similarity import semdedup_assign, semdedup_build
+
+    emb = _t(spark, sf, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"semdedup_index_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
+    )
+    if path not in _SEMDEDUP_INDEX_BUILT:
+        semdedup_build(
+            emb, path, "vec_id", "embedding", eps=SEMDEDUP_T, n_clusters=8
+        )
+        _SEMDEDUP_INDEX_BUILT.add(path)
+    batch = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).filter(F.col("vec_id") % 7 == 0)
+    return semdedup_assign(batch, path, "vec_id", "embedding")
+
+
 def q_pca_embeddings(spark, sf):
     """Distributed PCA train + project: one Arrow map-side moment pass
     (constant-size partials), exact DECIMAL reduce, driver-side eigh of the
@@ -2872,6 +2904,21 @@ SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
        least(greatest(CAST(o_totalprice AS DOUBLE), lo), hi) AS price_w
 FROM orders CROSS JOIN b
 """
+
+
+def q_winsorize_approx(spark, sf):
+    """The 100 TB winsorize path: clip bounds from the mergeable GK
+    sketch (`percentile_approx`, rank error ≤ 1/accuracy) instead of the
+    exact per-value-state percentile — same one-aggregate broadcast-clip
+    shape. Rows-only registry entry (sketch-placed bounds have no SQL
+    oracle); the rank-error bound vs the exact clip is pinned in
+    tests/test_quality.py."""
+    from tdataframe_spark.ops.quality import winsorize
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    return winsorize(o, ["price"], lower=0.05, upper=0.95, method="approx")
 
 
 def q_weighted_sample(spark, sf):

@@ -1418,6 +1418,76 @@ def test_semdedup_sound_and_complete_within_clusters(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
 
 
+def test_semdedup_build_assign_split(spark, tmp_path):
+    """The train/apply split: (1) semdedup_build's persisted labels equal
+    a plain one-shot semdedup run bit-for-bit (same pipeline, same
+    deterministic seeding); (2) assigning exact copies of KEPT corpus
+    vectors drops them, matched to their source representative; (3) novel
+    far-from-everything vectors survive; (4) zero-norm vectors pass
+    through with NULL cluster; (5) a wrong-dim batch raises instead of
+    NULL-degrading."""
+    import random
+
+    import pytest
+
+    from tdataframe_spark.ops.similarity import (
+        semdedup,
+        semdedup_assign,
+        semdedup_build,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+    rows = []
+    for g in range(10):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for j in range(3):
+            rows.append(
+                Row(
+                    vec_id=10 * g + j,
+                    embedding=[x + rng.gauss(0, 1e-4) for x in base],
+                )
+            )
+    emb = spark.createDataFrame(rows)
+    path = str(tmp_path / "semidx")
+
+    built = semdedup_build(
+        emb, path, "vec_id", "embedding", eps=0.999, n_clusters=4
+    ).collect()
+    oneshot = semdedup(
+        emb, "vec_id", "embedding", eps=0.999, n_clusters=4
+    ).collect()
+    assert sorted(map(tuple, built)) == sorted(map(tuple, oneshot))
+    persisted = spark.read.parquet(f"{path}/labels").collect()
+    assert sorted(map(tuple, persisted)) == sorted(map(tuple, built))
+
+    by_id = {r["vec_id"]: r for r in built}
+    kept_ids = [i for i, r in by_id.items() if r["keep"]]
+    vec = {r["vec_id"]: r["embedding"] for r in rows}
+    batch = spark.createDataFrame(
+        [Row(vec_id=9000 + i, embedding=vec[i]) for i in kept_ids]
+        + [Row(vec_id=8000, embedding=[100.0] + [0.0] * (dim - 1))]
+        + [Row(vec_id=8001, embedding=[0.0] * dim)]
+    )
+    out = {
+        r["new_id"]: r
+        for r in semdedup_assign(batch, path, "vec_id", "embedding").collect()
+    }
+    assert len(out) == len(kept_ids) + 2
+    for i in kept_ids:  # exact copy of a kept rep → dropped, matched to it
+        r = out[9000 + i]
+        assert r["keep"] is False and r["matched_rep"] == i, r
+        assert r["cluster"] == by_id[i]["cluster"]
+    assert out[8000]["keep"] is True and out[8000]["matched_rep"] is None
+    assert out[8001]["keep"] is True and out[8001]["cluster"] is None
+
+    badbatch = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0] * (dim + 2))]
+    )
+    with pytest.raises(Exception, match="semdedup_assign|ASSERT"):
+        semdedup_assign(badbatch, path, "vec_id", "embedding").collect()
+
+
 def test_semdedup_single_cluster_equals_global_dedup(spark):
     """With n_clusters=1 no pair can straddle a boundary, so the kept set
     must equal the global path (exact cosine_pairs + connected components,

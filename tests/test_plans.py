@@ -401,6 +401,7 @@ _BNLJ_ALLOWED = {
     "ccnet_buckets",       # per-language cutpoint rows (bounded by #langs)
     "retrieval_metrics",   # bounded labeled query-set attach
     "winsorize",           # 1-row clip-bounds attach
+    "winsorize_approx",    # same attach, GK-sketch-placed bounds
     "collocations",        # 1-row total-bigram-count attach
     "domain_mix",          # 1-row corpus-total attach for mix ratios
     "bm25_topk",           # 1-row corpus stats (N, avgdl) attach
@@ -439,8 +440,8 @@ def test_registry_wide_plan_lint(spark):
         "pq_ann", "ivf_ann", "ivfpq_ann", "lsh_ann", "bpe_tokens", "dedup_components",
         "dedup_keep_best", "rollup_incremental", "snapshot_diff",
         "merge_upsert", "global_rank", "decontamination_bloom",
-        "nearest_centroid", "lm_score", "semdedup", "pca_embeddings",
-        "logreg_score",
+        "nearest_centroid", "lm_score", "semdedup", "semdedup_assign",
+        "pca_embeddings", "logreg_score",
     }
     failures = []
     for name, fn in em.queries().items():

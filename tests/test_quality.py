@@ -120,6 +120,42 @@ def test_winsorize_clips_to_exact_percentiles(spark):
     assert (mid["x_w"] == mid["x"]).all()  # interior untouched
 
 
+def test_winsorize_approx_bounds_within_rank_error(spark):
+    """method='approx' clip bounds must land within the GK sketch's rank
+    guarantee: each bound is an actual data value whose rank is within
+    n/accuracy of the requested percentile's rank. With accuracy=10000
+    and n=5000 the sketch is effectively exact — bounds must equal the
+    requested ranks' values; a looser accuracy=100 run pins the ±n/100
+    rank window, and interior rows pass through unclipped either way."""
+    from tdataframe_spark.ops.quality import winsorize
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, n + 1)], "id long, x double"
+    )
+    tight = winsorize(df, ["x"], 0.05, 0.95, method="approx").toPandas()
+    # rank error ≤ n/accuracy = 0.5 rows at accuracy=10000: bounds are
+    # ACTUAL data values (never interpolants) within one rank of the
+    # requested percentile
+    assert tight["x_w"].min() in (float(int(0.05 * n)), float(int(0.05 * n) + 1))
+    assert tight["x_w"].max() in (float(int(0.95 * n)), float(int(0.95 * n) + 1))
+
+    loose = winsorize(
+        df, ["x"], 0.05, 0.95, method="approx", accuracy=100
+    ).toPandas()
+    eps = n / 100
+    lo, hi = loose["x_w"].min(), loose["x_w"].max()
+    assert 0.05 * n - eps <= lo <= 0.05 * n + eps, lo
+    assert 0.95 * n - eps <= hi <= 0.95 * n + eps, hi
+    mid = loose[(loose["x"] > 0.05 * n + eps) & (loose["x"] < 0.95 * n - eps)]
+    assert (mid["x_w"] == mid["x"]).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        winsorize(df, ["x"], method="banana")
+
+
 def test_winsorize_handles_nonidentifier_column_names(spark):
     """Bounds go through the typed percentile API, so a column name that
     would need backticks in SQL text must work unchanged."""
