@@ -61,24 +61,34 @@ def interval_join(
             "unambiguous references)"
         )
     w = F.lit(bucket_width)
-    A = a.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(a_lo) / w).cast("long"),
-                F.floor(F.col(a_hi) / w).cast("long"),
-            )
-        ),
-    )
-    B = b.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(b_lo) / w).cast("long"),
-                F.floor(F.col(b_hi) / w).cast("long"),
-            )
-        ),
-    )
+
+    def buckets(lo: str, hi: str):
+        # inverted intervals (hi < lo — e.g. a negative duration computed
+        # upstream) RAISE instead of silently expanding a descending
+        # bucket sequence; NULL-bounded rows keep dropping silently
+        # (sequence(NULL, x) semantics). The assert rides the otherwise
+        # branch so the NULL case can't short-circuit past it.
+        ok = F.col(hi) >= F.col(lo)
+        guard = F.assert_true(
+            ok,
+            F.lit(
+                f"interval_join: inverted interval ({hi} < {lo}) — "
+                "fix the bounds upstream (negative durations?)"
+            ),
+        )
+        seq = F.sequence(
+            F.floor(F.col(lo) / w).cast("long"),
+            F.floor(F.col(hi) / w).cast("long"),
+        )
+        return F.explode(
+            F.when(F.col(lo).isNull() | F.col(hi).isNull(),
+                   F.lit(None).cast("array<long>"))
+            .when(ok, seq)
+            .otherwise(guard.cast("array<long>"))
+        )
+
+    A = a.withColumn("__bucket", buckets(a_lo, a_hi))
+    B = b.withColumn("__bucket", buckets(b_lo, b_hi))
     cond = (
         (A["__bucket"] == B["__bucket"])
         & (A[a_lo] <= B[b_hi])

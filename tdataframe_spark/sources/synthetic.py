@@ -139,8 +139,17 @@ class SyntheticEventsSource(DataSource):
 
 def register_synthetic(spark) -> None:
     """Register the source for this session; afterwards
-    ``spark.read.format("synthetic_events")`` works anywhere."""
-    # python-source filter pushdown is opt-in (Spark 4.1); without it a
-    # reader implementing pushFilters refuses to initialize
+    ``spark.read.format("synthetic_events")`` works anywhere.
+
+    SESSION-GLOBAL side effect: unconditionally enables
+    ``spark.sql.python.filterPushdown.enabled`` (python-source filter
+    pushdown is opt-in in Spark 4.1, and a reader implementing
+    ``pushFilters`` refuses to initialize without it) — which also turns
+    pushdown ON for every OTHER Python data source in this session. It
+    cannot be set "only if unset": RuntimeConfig reports the Spark
+    default ("false") for unset keys, indistinguishable from an explicit
+    user false — and with the flag off this source cannot run at all. A
+    caller who needs it off must flip it back after registration and
+    forgo this source."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsSource)

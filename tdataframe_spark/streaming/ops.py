@@ -461,7 +461,10 @@ def stream_cms_refresh(
     checkpoint-owner check as ``stream_rollup_refresh`` (a replayed batch
     must not double-count; a foreign checkpoint's stream must not fold
     in), and the same rename-aside swap as the CDC upsert sink (no crash
-    instant leaves the sketch absent without a recoverable copy).
+    instant leaves the sketch absent without a recoverable copy). The one
+    uncovered window: a crash BETWEEN the state swap and the batch-marker
+    write re-folds that batch on replay (closing it needs a transactional
+    table) — "effectively" once, not exactly once.
     """
     import os
 
@@ -501,7 +504,12 @@ def stream_hll_refresh(
     ``functions.sketches.hll_estimate`` (or ``merge_distinct_sketches``
     to roll up to coarser groups) without touching the stream. Same
     effectively-once ledger + owner check + rename-aside swap as the
-    rollup and CMS sinks (shared helpers).
+    rollup and CMS sinks (shared helpers) — including their one uncovered
+    window: a crash between the state swap and the batch-marker write
+    re-folds that batch on replay (HLL union is idempotent per VALUE but
+    the union of a whole batch is re-applied; for pure HLL state this is
+    actually harmless — max-merge is idempotent — the note is for parity
+    with the counting sinks).
     """
     import os
 
@@ -554,7 +562,9 @@ def stream_topk_refresh(
     union the batch, re-take top-k, swap. State is ≤ k rows per group
     forever; a replayed batch cannot perturb it twice (same
     effectively-once ledger/owner/swap machinery as the other fold
-    sinks). Pass ``tie_cols`` (ascending) to make the cut at rank k
+    sinks, with the same uncovered crash window between swap and marker —
+    harmless here too: re-taking top-k over a re-unioned batch is
+    idempotent). Pass ``tie_cols`` (ascending) to make the cut at rank k
     deterministic when ``order_col`` has ties — without it, tied rows at
     the boundary are an arbitrary-but-ledgered choice.
     """

@@ -1566,6 +1566,28 @@ def test_interval_join_matches_bruteforce(spark):
         interval_join(a, a, "alo", "ahi", "alo", "ahi", bucket_width=5.0)
 
 
+def test_interval_join_rejects_inverted_and_drops_null_bounds(spark):
+    """An inverted interval (hi < lo, e.g. a negative duration computed
+    upstream) must RAISE in-plan rather than expand a descending bucket
+    list with surprising semantics; NULL-bounded rows keep the documented
+    silent-drop (sequence(NULL) semantics)."""
+    import pytest
+
+    from tdataframe_spark.operators.rangejoin import interval_join
+
+    b = spark.createDataFrame([(1, 0.0, 10.0)], "j long, blo double, bhi double")
+    bad = spark.createDataFrame(
+        [(1, 5.0, 2.0)], "i long, alo double, ahi double"
+    )
+    with pytest.raises(Exception, match="inverted interval|ASSERT"):
+        interval_join(bad, b, "alo", "ahi", "blo", "bhi", 5.0).collect()
+    nullb = spark.createDataFrame(
+        [(1, None, 2.0), (2, 1.0, 3.0)], "i long, alo double, ahi double"
+    )
+    got = interval_join(nullb, b, "alo", "ahi", "blo", "bhi", 5.0).collect()
+    assert [r["i"] for r in got] == [2]
+
+
 def test_int8_quantization_pinned_and_bounded(spark):
     """Known codes for a hand vector (half-up at ±x.5), roundtrip error
     bounded by scale/2 everywhere, zero vector codes to zeros with scale
