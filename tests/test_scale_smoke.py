@@ -96,6 +96,48 @@ def test_minhash_lsh_50k_docs(spark):
         spark.catalog.clearCache()
 
 
+def test_minhash_lsh_5m_docs_planted_duplicates(spark):
+    """Near-dup detection at 5M docs — the scale none of the sf runs can
+    probe: in-engine generated corpus with closed-form planted structure
+    (25k exact-duplicate pairs among ids < 50k, one HOT 1000-replica
+    group to force a skewed band bucket, every other doc shingle-disjoint
+    by construction). The banded candidate generation + pair-restricted
+    verify must return EXACTLY the planted pairs (identical texts always
+    collide in every band and verify at jaccard 1; disjoint shingle sets
+    can reach the verifier only through band-hash collisions, which the
+    exact-jaccard filter then rejects) — and survive the C(1000,2) hot
+    bucket without an all-pairs or memory cliff."""
+    from tdataframe_spark.ops.dedup import minhash_lsh_pairs
+
+    n = 5_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 7), j -> format_string("
+            "  'a%db%d', "
+            "  CASE WHEN id < 50000 THEN id - (id % 2) "
+            "       WHEN id >= 4900000 AND id < 4901000 THEN 4900000 "
+            "       ELSE id END, j)))"
+        ).alias("text"),
+    )
+    try:
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.9,
+            persist=True,
+        ).persist()
+        total = pairs.count()
+        hot = pairs.filter(
+            (F.col("id_a") >= 4_900_000) & (F.col("id_b") < 4_901_000)
+        ).count()
+        plain = pairs.filter(F.col("id_a") < 50_000).count()
+        assert hot == 1000 * 999 // 2, hot
+        assert plain == 25_000, plain
+        assert total == hot + plain, (total, hot, plain)
+        assert pairs.filter(F.col("jaccard") != 1.0).count() == 0
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_nearest_centroid_500k_vectors(spark):
     """Classifier scale shape: 500k synthetic 16-dim vectors in 10 exactly
     separable clusters — centroids must land on the cluster structure and
