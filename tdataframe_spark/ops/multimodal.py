@@ -3,12 +3,13 @@
 Media are opaque ``binary`` payloads plus typed metadata (SURVEY.md §2.2
 north star). The Spark-side machinery — schema, Arrow-batched
 ``mapInPandas`` pipelines, partition sizing — is real and tested. Decode:
-``decode_images`` REALLY decodes the netpbm formats (PPM/PGM — header +
-raster parse in pure numpy, no media libs needed); for codecs that do need
-libraries absent from this container (JPEG/PNG/audio/video), the codec step
-is STUBBED (`decode_stub=True` produces deterministic fake features;
-`False` raises NotImplementedError). Swapping a stub for PIL/ffmpeg is a
-one-function change; nothing else moves.
+``decode_images`` REALLY decodes netpbm (PPM/PGM), uncompressed BMP,
+8-bit PNG, and baseline-DCT JPEG (pure numpy/stdlib — header walk,
+canonical Huffman, IDCT; no media libraries needed); ``decode_audio``
+REALLY decodes RIFF/WAV PCM. Progressive JPEG and compressed video are
+the remaining stubs (`decode_stub=True` produces deterministic fake
+features; `False` raises NotImplementedError). Swapping a stub for
+PIL/ffmpeg is a one-function change; nothing else moves.
 
 Scale notes: payloads never pass through the driver; ``mapInPandas``
 streams Arrow batches, and ``spark.sql.files.maxPartitionBytes`` (not row
@@ -97,13 +98,17 @@ DECODED_SCHEMA = (
 
 
 def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
-    """REAL image decode for the netpbm binary formats (PPM ``P6`` /
-    PGM ``P5``) and uncompressed 24/32-bit BI_RGB BMP (bottom-up or
-    top-down, BGR(A)→RGB, 4-byte row padding) — header + raster parse in
-    pure numpy, no media libraries needed. This is the non-stub counterpart of ``extract_features``: for
-    payloads in a format the sandbox can parse, the decode→resize→feature
-    path is fully real; other formats (JPEG/PNG/...) come back ``ok=false``
-    rather than raising, so one pass classifies and decodes a mixed corpus.
+    """REAL image decode, pure numpy/stdlib, no media libraries: netpbm
+    (PPM ``P6`` / PGM ``P5``), uncompressed 24/32-bit BI_RGB BMP
+    (bottom-up or top-down, BGR(A)→RGB, 4-byte row padding), 8-bit
+    non-interlaced PNG (zlib + scanline unfiltering), and baseline-DCT
+    JPEG (marker walk, canonical Huffman, dequant + IDCT, 4:2:0/4:2:2
+    chroma upsample, restart markers, YCbCr→RGB). This is the non-stub
+    counterpart of ``extract_features``: for payloads in a format the
+    sandbox can parse, the decode→resize→feature path is fully real;
+    remaining formats (progressive JPEG, GIF/WebP/...) come back
+    ``ok=false`` rather than raising, so one pass classifies and decodes
+    a mixed corpus.
 
     ``resize_to``: optional square nearest-neighbour downsample applied
     before feature computation (numpy index slicing — the shape of a real
@@ -254,8 +259,257 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
             except Exception:
                 return None
 
+        def parse_jpeg(buf):
+            # real baseline-DCT JPEG decode in pure numpy/stdlib: marker
+            # walk (DQT/SOF0-1/DHT/DRI/SOS), canonical Huffman, restart
+            # segments, dequant + dezigzag + 8x8 IDCT, chroma upsample,
+            # YCbCr→RGB. Progressive (SOF2), arithmetic, 12-bit, and
+            # CMYK payloads return None (→ ok=false) — honest partial
+            # coverage; baseline is the dominant web-corpus case.
+            # Correctness-first (python per-coefficient bit loop):
+            # production swaps in libjpeg via PIL, one function change.
+            try:
+                if buf is None or buf[:2] != b"\xff\xd8":
+                    return None
+                ZZ = [
+                    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+                    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14,
+                    21, 28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23,
+                    30, 37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60,
+                    61, 54, 47, 55, 62, 63,
+                ]
+                qt, huff, comps, sel = {}, {}, None, None
+                w = h = dri = 0
+                scan = None
+                pos = 2
+                while pos + 4 <= len(buf):
+                    if buf[pos] != 0xFF:
+                        pos += 1
+                        continue
+                    while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+                        pos += 1  # fill bytes
+                    marker = buf[pos + 1]
+                    if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                        pos += 2
+                        continue
+                    if marker == 0xD9:  # EOI before SOS: no image
+                        return None
+                    seg_len = int.from_bytes(buf[pos + 2:pos + 4], "big")
+                    data = buf[pos + 4:pos + 2 + seg_len]
+                    if marker == 0xDB:  # DQT (possibly several tables)
+                        i = 0
+                        while i < len(data):
+                            pq, tq = data[i] >> 4, data[i] & 15
+                            i += 1
+                            if pq == 0:
+                                tbl = np.frombuffer(
+                                    data[i:i + 64], np.uint8
+                                ).astype(np.int64)
+                                i += 64
+                            else:
+                                tbl = np.frombuffer(
+                                    data[i:i + 128], ">u2"
+                                ).astype(np.int64)
+                                i += 128
+                            if len(tbl) != 64:
+                                return None
+                            qt[tq] = tbl
+                    elif marker in (0xC0, 0xC1):  # baseline/ext sequential
+                        if data[0] != 8:
+                            return None  # 12-bit precision unsupported
+                        h = int.from_bytes(data[1:3], "big")
+                        w = int.from_bytes(data[3:5], "big")
+                        nc = data[5]
+                        if nc not in (1, 3) or w == 0 or h == 0:
+                            return None
+                        comps = [
+                            {
+                                "id": data[6 + 3 * ci],
+                                "h": data[7 + 3 * ci] >> 4,
+                                "v": data[7 + 3 * ci] & 15,
+                                "tq": data[8 + 3 * ci],
+                            }
+                            for ci in range(nc)
+                        ]
+                        if any(
+                            c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4)
+                            for c in comps
+                        ):
+                            return None
+                    elif marker == 0xC4:  # DHT (possibly several tables)
+                        i = 0
+                        while i + 17 <= len(data):
+                            tc, th = data[i] >> 4, data[i] & 15
+                            counts = list(data[i + 1:i + 17])
+                            i += 17
+                            n = sum(counts)
+                            vals = data[i:i + n]
+                            i += n
+                            code, k, table = 0, 0, {}
+                            for ln in range(1, 17):
+                                for _ in range(counts[ln - 1]):
+                                    table[(ln, code)] = vals[k]
+                                    k += 1
+                                    code += 1
+                                code <<= 1
+                            huff[(tc, th)] = table
+                    elif marker == 0xDD:
+                        dri = int.from_bytes(data[0:2], "big")
+                    elif marker == 0xDA:  # SOS: single-scan baseline only
+                        ns = data[0]
+                        sel = [
+                            (data[1 + 2 * i], data[2 + 2 * i] >> 4,
+                             data[2 + 2 * i] & 15)
+                            for i in range(ns)
+                        ]
+                        scan = buf[pos + 2 + seg_len:]
+                        break
+                    elif 0xC0 <= marker <= 0xCF:  # progressive/arithmetic
+                        return None
+                    pos += 2 + seg_len
+                if scan is None or comps is None or not qt or sel is None:
+                    return None
+                if len(sel) != len(comps):
+                    return None  # multi-scan: not baseline
+                order = []
+                for cs, td, ta in sel:
+                    c = next((c for c in comps if c["id"] == cs), None)
+                    if c is None or c["tq"] not in qt:
+                        return None
+                    if (0, td) not in huff or (1, ta) not in huff:
+                        return None
+                    order.append((c, td, ta))
+                # entropy bytes: unstuff FF00, split at restart markers
+                segments, cur, i = [], bytearray(), 0
+                while i < len(scan):
+                    b = scan[i]
+                    if b == 0xFF:
+                        nb = scan[i + 1] if i + 1 < len(scan) else 0xD9
+                        if nb == 0x00:
+                            cur.append(0xFF)
+                            i += 2
+                            continue
+                        if 0xD0 <= nb <= 0xD7:
+                            segments.append(bytes(cur))
+                            cur = bytearray()
+                            i += 2
+                            continue
+                        break  # EOI / next marker
+                    cur.append(b)
+                    i += 1
+                segments.append(bytes(cur))
+
+                class Rd:
+                    __slots__ = ("d", "p")
+
+                    def __init__(self, d):
+                        self.d, self.p = d, 0
+
+                    def bit(self):
+                        p = self.p
+                        self.p = p + 1
+                        return (self.d[p >> 3] >> (7 - (p & 7))) & 1
+
+                    def bits(self, n):
+                        v = 0
+                        for _ in range(n):
+                            v = (v << 1) | self.bit()
+                        return v
+
+                    def symbol(self, table):
+                        code = 0
+                        for ln in range(1, 17):
+                            code = (code << 1) | self.bit()
+                            s = table.get((ln, code))
+                            if s is not None:
+                                return s
+                        raise ValueError("bad huffman code")
+
+                def extend(v, s):
+                    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                planes = [
+                    np.zeros(
+                        (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64
+                    )
+                    for c in comps
+                ]
+                u8 = np.arange(8)
+                A = np.cos(
+                    (2 * u8[None, :] + 1) * u8[:, None] * np.pi / 16
+                ) * np.where(u8[:, None] == 0, (1 / 8) ** 0.5, 0.5)
+                zz_idx = np.array(ZZ)
+                rd = Rd(segments[0])
+                seg_idx = 0
+                preds = [0] * len(comps)
+                for m in range(mcux * mcuy):
+                    if dri and m and m % dri == 0:
+                        seg_idx += 1
+                        rd = Rd(segments[seg_idx])
+                        preds = [0] * len(comps)
+                    my, mx = divmod(m, mcux)
+                    for ci, (c, td, ta) in enumerate(order):
+                        dctab, actab = huff[(0, td)], huff[(1, ta)]
+                        q = qt[c["tq"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                zz = np.zeros(64, np.int64)
+                                s = rd.symbol(dctab)
+                                diff = extend(rd.bits(s), s) if s else 0
+                                preds[ci] += diff
+                                zz[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = rd.symbol(actab)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r == 15:  # ZRL
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC overrun")
+                                    zz[k] = extend(rd.bits(s), s)
+                                    k += 1
+                                nat = np.zeros(64, np.float64)
+                                nat[zz_idx] = zz * q
+                                pix = (
+                                    A.T @ nat.reshape(8, 8) @ A + 128.0
+                                )
+                                y0 = (my * c["v"] + by) * 8
+                                x0 = (mx * c["h"] + bx) * 8
+                                planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                full = []
+                for ci, c in enumerate(comps):
+                    p = np.repeat(
+                        np.repeat(planes[ci], vmax // c["v"], axis=0),
+                        hmax // c["h"],
+                        axis=1,
+                    )[:h, :w]
+                    full.append(p)
+                if len(full) == 1:
+                    out = full[0][:, :, None]
+                else:
+                    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+                    out = np.stack(
+                        [
+                            y + 1.402 * cr,
+                            y - 0.344136 * cb - 0.714136 * cr,
+                            y + 1.772 * cb,
+                        ],
+                        axis=2,
+                    )
+                return np.clip(np.round(out), 0, 255) / 255.0
+            except Exception:
+                return None
+
         def parse_image(buf):
-            for p in (parse_netpbm, parse_bmp, parse_png):
+            for p in (parse_netpbm, parse_bmp, parse_png, parse_jpeg):
                 arr = p(buf)
                 if arr is not None:
                     return arr

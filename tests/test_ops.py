@@ -1234,6 +1234,75 @@ def test_decode_images_real_png(spark):
     assert not out[3]["ok"]
 
 
+def test_decode_images_real_baseline_jpeg(spark):
+    """Baseline-DCT JPEG payloads REALLY decode (pure numpy Huffman +
+    IDCT): fixtures from the in-repo encoder (tools/jpeg_codec, all-ones
+    quant) roundtrip — flat 8x8-block grayscale exactly (its DCT is
+    DC-only and integral, so quantization is lossless), gradients and
+    RGB within rounding, 4:2:0 subsampled and restart-marker variants
+    decode, non-multiple-of-8 dims crop right — while progressive (SOF2)
+    and truncated payloads classify ok=false instead of raising."""
+    import numpy as np
+
+    from tools.jpeg_codec import encode_baseline_jpeg
+
+    from tdataframe_spark.ops.multimodal import decode_images
+
+    rng = np.random.RandomState(5)
+    flat = np.repeat(
+        np.repeat(rng.randint(0, 256, (2, 3)).astype(np.uint8), 8, 0), 8, 1
+    )
+    grad = (np.add.outer(np.arange(17) * 3, np.arange(19) * 5) % 256).astype(
+        np.uint8
+    )
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:24, 0:20]
+    smooth = np.stack(
+        [(yy * 5 + xx * 3) % 256, (yy * 2 + xx * 7) % 256, (yy * 4 + xx) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    progressive = bytearray(encode_baseline_jpeg(grad))
+    sof = progressive.index(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2  # flip SOF0 -> SOF2
+    media = spark.createDataFrame(
+        [
+            (1, "image/jpeg", bytearray(encode_baseline_jpeg(flat))),
+            (2, "image/jpeg", bytearray(encode_baseline_jpeg(grad))),
+            (3, "image/jpeg", bytearray(encode_baseline_jpeg(rgb))),
+            (4, "image/jpeg",
+             bytearray(encode_baseline_jpeg(smooth, subsample=True))),
+            (5, "image/jpeg",
+             bytearray(encode_baseline_jpeg(grad, restart_interval=2))),
+            (6, "image/jpeg", progressive),
+            (7, "image/jpeg",
+             bytearray(encode_baseline_jpeg(grad)[:40])),  # truncated
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_images(media).collect()}
+    assert out[1]["ok"] and (out[1]["width"], out[1]["height"]) == (24, 16)
+    assert np.allclose(
+        out[1]["mean_channel"], [flat.mean() / 255.0], atol=1e-12
+    )
+    for mid, img in ((2, grad), (5, grad)):
+        assert out[mid]["ok"] and (out[mid]["width"], out[mid]["height"]) == (
+            19, 17,
+        )
+        assert np.allclose(
+            out[mid]["mean_channel"], [img.mean() / 255.0], atol=2e-3
+        )
+    assert out[3]["ok"] and out[3]["channels"] == 3
+    assert np.allclose(
+        out[3]["mean_channel"], rgb.mean(axis=(0, 1)) / 255.0, atol=3e-3
+    )
+    assert out[4]["ok"] and (out[4]["width"], out[4]["height"]) == (20, 24)
+    assert np.allclose(
+        out[4]["mean_channel"], smooth.mean(axis=(0, 1)) / 255.0, atol=5e-3
+    )
+    assert not out[6]["ok"]  # progressive: honest classify, no decode
+    assert not out[7]["ok"]  # truncated entropy data
+
+
 def test_probe_metadata_real_headers(spark):
     """PNG/GIF/JPEG/WAV headers probe to their REAL dimensions/rates;
     unrecognized payloads keep the deterministic fallback schema."""
