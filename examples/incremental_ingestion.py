@@ -8,9 +8,12 @@ Per batch:
 1. gate      — data-quality expectations (reject the batch on violations)
 2. exact     — drop docs whose content hash is already in the exact index
 3. near-dup  — drop docs the persisted MinHash index flags (stream-safe)
-4. decontam  — drop docs sharing n-grams with the eval set (Bloom prefilter)
-5. admit     — append survivors to the corpus + grow both indexes
-6. rollup    — fold batch events into the continuous aggregate
+4. semantic  — drop vectors eps-close to a persisted SemDeDup
+   representative (broadcast-centroid argmax + one cluster-keyed join;
+   k-means trained ONCE, never per batch)
+5. decontam  — drop docs sharing n-grams with the eval set (Bloom prefilter)
+6. admit     — append survivors to the corpus + grow both indexes
+7. rollup    — fold batch events into the continuous aggregate
    (reads/rewrites only touched day partitions)
 
 Run: python examples/incremental_ingestion.py [sf_dir]
@@ -64,13 +67,28 @@ def main(sf_dir: str) -> None:
     report.show(truncate=False)
     assert all(r["violations"] == 0 for r in report.collect()), "batch rejected"
 
-    # 2-4. dedup + decontaminate, all against persisted/broadcast state
+    # 2-5. dedup + decontaminate, all against persisted/broadcast state
+    from tdataframe_spark.ops.similarity import semdedup_assign, semdedup_build
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sem_idx = os.path.join(work, "semdedup_idx")
+    # one-time semantic clustering of the corpus' embeddings; per-batch
+    # work is assign-only (same amortized contract as the text indexes)
+    semdedup_build(
+        emb.join(corpus.select(F.col("doc_id").alias("vec_id")), "vec_id"),
+        sem_idx, "vec_id", "embedding", eps=0.35, n_clusters=8,
+    )
     exact_hits = match_exact_index(batch, exact_idx, "doc_id", "text")
     near_hits = match_minhash_index(batch, nd_idx, "doc_id", "text")
+    sem_hits = semdedup_assign(
+        emb.join(batch.select(F.col("doc_id").alias("vec_id")), "vec_id"),
+        sem_idx, "vec_id", "embedding",
+    ).where(~F.col("keep"))
     contaminated = decontaminate_bloom(batch, eval_set, "doc_id", "text")
     drop = (
         exact_hits.select(F.col("new_id").alias("doc_id"))
         .unionByName(near_hits.select(F.col("new_id").alias("doc_id")))
+        .unionByName(sem_hits.select(F.col("new_id").alias("doc_id")))
         .unionByName(contaminated.select("doc_id"))
         .distinct()
     )
@@ -78,10 +96,10 @@ def main(sf_dir: str) -> None:
     print(
         f"batch={batch.count()} admitted={admitted.count()} "
         f"(exact={exact_hits.count()}, near={near_hits.count()}, "
-        f"contaminated={contaminated.count()})"
+        f"semantic={sem_hits.count()}, contaminated={contaminated.count()})"
     )
 
-    # 5. admit: grow the indexes with only the admitted docs; place every
+    # 6. admit: grow the indexes with only the admitted docs; place every
     # admitted doc into the existing near-dup clusters (bridges flagged
     # for the next periodic full rebuild)
     from tdataframe_spark.ops.dedup import assign_clusters, build_cluster_index
@@ -94,7 +112,7 @@ def main(sf_dir: str) -> None:
     build_exact_index(admitted, "doc_id", "text", exact_idx, mode="append")
     build_minhash_index(admitted, "doc_id", "text", nd_idx, mode="append")
 
-    # 6. continuous aggregate over the event stream, split the same way
+    # 7. continuous aggregate over the event stream, split the same way
     events = read_table(spark, sf_dir, "events")
     build_rollup(events.filter(F.col("event_id") % 2 == 0), rollup,
                  group_cols=["event_type"])

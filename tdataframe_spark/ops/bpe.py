@@ -137,6 +137,57 @@ def bpe_segment_table(
     return vocab
 
 
+def build_bpe_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_merges: int = 50,
+) -> list[tuple[str, str]]:
+    """Train-once BPE: learn the merges, then persist the deployment
+    artifacts — ``path/merges`` (ordered rule table: rank, a, b) and
+    ``path/segments`` (the replayed word→syms segmentation) — so
+    tokenization of new batches (:func:`bpe_tokenize_indexed`) is ONE
+    broadcast join with zero training work, the same amortized contract
+    as ``pq_build``/``semdedup_build``. Merge ORDER is semantics (rules
+    apply in learned sequence), so it rides the index as an explicit
+    rank column rather than file order. Returns the merge list."""
+    merges = train_bpe(df, text_col, n_merges)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).write.mode("overwrite").parquet(f"{path}/merges")
+    bpe_segment_table(df, merges, text_col).write.mode("overwrite").parquet(
+        f"{path}/segments"
+    )
+    return merges
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """The ordered merge list back from a persisted index (rank order —
+    needed to segment genuinely NEW words exactly as training would)."""
+    rows = spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]
+
+
+def bpe_tokenize_indexed(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize against a persisted :func:`build_bpe_index`: the
+    segmentation table loads from parquet and the corpus is never
+    retrained or re-aggregated — the scoring path of a deployed
+    tokenizer. Out-of-vocabulary words fall back to character symbols
+    (same contract as :func:`bpe_tokenize`; replay the persisted merges
+    with ``load_bpe_merges`` + ``bpe_segment_table`` over the new batch
+    first if exact-subword OOV handling matters more than one join)."""
+    spark = docs.sparkSession
+    segments = spark.read.parquet(f"{index_path}/segments")
+    return bpe_tokenize(docs, segments, id_col, text_col)
+
+
 def bpe_tokenize(
     docs: DataFrame,
     segments: DataFrame,

@@ -334,6 +334,47 @@ def test_bpe_matches_reference_implementation(spark):
         assert syms == want_segs[w], (w, syms, want_segs[w])
 
 
+def test_bpe_index_roundtrip_equals_direct(spark, tmp_path):
+    """build_bpe_index → bpe_tokenize_indexed must tokenize EXACTLY like
+    the in-memory train→segment→tokenize pipeline, and the persisted
+    merge table must reload in rank order (merge ORDER is semantics —
+    file order is not a contract)."""
+    from tdataframe_spark.ops.bpe import (
+        bpe_segment_table,
+        bpe_tokenize,
+        bpe_tokenize_indexed,
+        build_bpe_index,
+        load_bpe_merges,
+        train_bpe,
+    )
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame(
+        [(1, text), (2, "lowest newest unseen")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bpeidx")
+    merges = build_bpe_index(docs, path, n_merges=8)
+    assert load_bpe_merges(spark, path) == merges == train_bpe(docs, n_merges=8)
+    direct = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_tokenize(
+            docs, bpe_segment_table(docs, merges)
+        ).collect()
+    }
+    indexed = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_tokenize_indexed(docs, path).collect()
+    }
+    assert indexed == direct
+    # new batch with an OOV word tokenizes through the persisted table
+    batch = spark.createDataFrame([(3, "low zzz")], "doc_id long, text string")
+    out = {r["doc_id"]: list(r["tokens"]) for r in
+           bpe_tokenize_indexed(batch, path).collect()}
+    assert out[3][:1] != [] and "z" in "".join(out[3])
+
+
 def test_bpe_tokenize_oov_falls_back_to_chars(spark):
     """Words absent from the segmentation table tokenize as raw character
     symbols (the subword OOV contract); token order follows word order."""

@@ -56,6 +56,11 @@ def main() -> None:
         "dsir_weights",
         "triangle_count",
         "q21_suppliers_waiting",
+        # round-5 showcase: the two-level AUC cumulation (range partition,
+        # no single-task window) and the amortized semdedup assign path
+        # (broadcast centroid argmax + cluster-keyed rep join, no retrain)
+        "roc_auc",
+        "semdedup_assign",
     ]
     for name in HEADLINE + showcase:
         df = queries[name](spark, SF)
