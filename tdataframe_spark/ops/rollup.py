@@ -94,13 +94,83 @@ def refresh_rollup(
     return sorted(days)
 
 
+def build_rollup_txn(
+    events: DataFrame,
+    path: str,
+    value_col: str = "value",
+    bucket_us: int = HOUR_US,
+    group_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Materialize the rollup state as a transactional manifest table
+    (``sources/txn.py``), day-partitioned. One atomic commit; ``meta``
+    (e.g. the streaming sink's applied-batch id) rides it. Refuses to
+    shadow an existing plain-directory rollup — that state would silently
+    vanish from the manifest view."""
+    import os
+
+    from tdataframe_spark.sources.txn import is_txn_table, txn_write
+
+    if os.path.isdir(path) and not is_txn_table(path) and any(
+        n.startswith("day=") or n.endswith(".parquet") for n in os.listdir(path)
+    ):
+        raise ValueError(
+            f"{path} holds a plain-directory rollup; build the transactional "
+            "state at a fresh path (or keep txn=False for this sink)"
+        )
+    parts = _partials(events, value_col, bucket_us, group_cols or [])
+    return txn_write(
+        parts, path, mode="overwrite", partition_by=["day"], meta=meta
+    )
+
+
+def refresh_rollup_txn(
+    new_events: DataFrame,
+    path: str,
+    value_col: str = "value",
+    bucket_us: int = HOUR_US,
+    group_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> list[int]:
+    """Merge a new batch into a transactional rollup. Reads ONLY the
+    touched days' FILES (manifest-level pruning — no directory listing at
+    all), merges, and commits the multi-day replacement as ONE atomic
+    ``replace_where`` manifest — unlike the dynamic-partition-overwrite
+    path there is no crash instant with some days refreshed and others
+    not, and no localCheckpoint is needed (new files never overwrite the
+    files being read). Returns the refreshed day list."""
+    from tdataframe_spark.sources.txn import txn_read, txn_write
+
+    spark = new_events.sparkSession
+    batch = _partials(new_events, value_col, bucket_us, group_cols or [])
+    days = [r["day"] for r in batch.select("day").distinct().collect()]
+    if not days:
+        return []
+    existing = txn_read(
+        spark, path, partition_filter={"day": days}
+    ).select(*batch.columns)
+    merged = _merge(existing.unionByName(batch))
+    txn_write(
+        merged,
+        path,
+        partition_by=["day"],
+        replace_where={"day": days},
+        meta=meta,
+    )
+    return sorted(days)
+
+
 def serve_rollup(
     spark, path: str, group_cols: list[str] | None = None
 ) -> DataFrame:
     """Finalize the state for consumption: (bucket, dims, n, sum_value,
     avg_value) with the decimal partials converted to double ONCE — the
-    same value a from-scratch ``dsum`` over the raw events produces."""
-    st = spark.read.parquet(path)
+    same value a from-scratch ``dsum`` over the raw events produces.
+    Reads either layout: transactional manifest table or plain
+    day-partitioned directory."""
+    from tdataframe_spark.sources.txn import is_txn_table, txn_read
+
+    st = txn_read(spark, path) if is_txn_table(path) else spark.read.parquet(path)
     keys = ["bucket", *(group_cols or [])]
     agg = _merge(st.select(*keys, "n", "sum_value").withColumn("day", F.lit(0)))
     return agg.select(

@@ -5,6 +5,16 @@ from tdataframe_spark.sources.parquet import (
     read_table,
     read_testdata,
 )
+from tdataframe_spark.sources.txn import (
+    ConcurrentWriteError,
+    is_txn_table,
+    txn_latest,
+    txn_latest_meta,
+    txn_read,
+    txn_snapshots,
+    txn_vacuum,
+    txn_write,
+)
 
 __all__ = [
     "SchemaDriftError",
@@ -12,4 +22,12 @@ __all__ = [
     "read_parquet",
     "read_table",
     "read_testdata",
+    "ConcurrentWriteError",
+    "is_txn_table",
+    "txn_latest",
+    "txn_latest_meta",
+    "txn_read",
+    "txn_snapshots",
+    "txn_vacuum",
+    "txn_write",
 ]

@@ -1,0 +1,285 @@
+"""Minimal transactional parquet table — an Iceberg/Delta-shaped
+manifest/commit-log over plain parquet files.
+
+The directory-swap sinks (``streaming/ops.py``, ``sources/layout.py``)
+are single-writer and had a disclosed crash window between state swap
+and applied-batch marker. This layer replaces both with the standard
+lakehouse commit protocol, scaled down to what the engine needs:
+
+``table_root/
+    data/<commit-id>/[__p_day=5/]part-*.parquet   immutable data files
+    _txn/manifest-000000000042.json               one manifest per commit``
+
+* **Atomic commit** — a manifest is staged to a temp file, fsynced,
+  then ``os.link``-ed to its final ``manifest-N`` name. ``link`` is
+  atomic and fails with EEXIST if another writer published N first, so
+  a commit either fully exists or doesn't; readers can never observe a
+  torn manifest. (Same single-file-commit idea as Delta's ``_delta_log``
+  / Iceberg's metadata pointer swap; on HDFS/S3 the link becomes a
+  rename-if-absent / conditional PUT.)
+* **Snapshot isolation** — a manifest names the COMPLETE live file set;
+  data files are immutable once committed and never rewritten in place,
+  so a reader pinned to version N sees exactly N's bytes regardless of
+  later commits (until ``txn_vacuum`` reclaims retired files).
+* **Optimistic concurrency** — writers race on the next manifest
+  number; the loser recomputes its live set against the new latest and
+  retries. Appends therefore never lose data under concurrent writers.
+  Conflicting ``replace_where`` on the same partition is last-wins by
+  default; pass ``expected_version`` for strict compare-and-swap.
+* **Exactly-once for streaming folds** — commit ``meta`` carries the
+  applied micro-batch id atomically WITH the state change, closing the
+  swap-then-marker window the ``_staged_swap`` sinks disclosed
+  (streaming applies batches in order, so the latest manifest's batch
+  id is a sufficient replay fence).
+
+Partition handling: ``partition_by`` columns are DUPLICATED into hive
+dirs (``__p_day=5``) so the real column stays in the data files —
+reading a manifest's leaf files directly needs no basePath/partition
+inference, while the manifest still records per-file partition values
+(as strings) for file-level pruning and ``replace_where`` replacement.
+
+Scale note: at 100 TB the manifest lists files, not rows — commit cost
+is O(files touched), reads prune on manifest partition values before
+Spark ever lists a directory, and compaction is just another
+``replace_where`` commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_TXN = "_txn"
+_PPREFIX = "__p_"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a commit loses the optimistic-concurrency race more
+    times than ``max_retries``, or when ``expected_version`` no longer
+    matches the table head (strict CAS mode)."""
+
+
+def is_txn_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, _TXN))
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _TXN, f"manifest-{version:012d}.json")
+
+
+def _versions(path: str) -> list[int]:
+    d = os.path.join(path, _TXN)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("manifest-") and n.endswith(".json"):
+            out.append(int(n[len("manifest-"):-len(".json")]))
+    return sorted(out)
+
+def _load(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def txn_latest(path: str) -> tuple[int, dict | None]:
+    """(latest version, manifest) — (0, None) for a fresh/absent table."""
+    vs = _versions(path)
+    if not vs:
+        return 0, None
+    return vs[-1], _load(path, vs[-1])
+
+
+def txn_snapshots(path: str) -> list[tuple[int, dict]]:
+    """All (version, commit meta) pairs, oldest first."""
+    return [(v, _load(path, v).get("meta", {})) for v in _versions(path)]
+
+
+def _publish(path: str, version: int, manifest: dict) -> bool:
+    """Atomically publish ``manifest`` as version ``version``. The JSON
+    is fully written+fsynced to a temp name first; ``os.link`` then
+    makes it visible in one atomic step (EEXIST → another writer won)."""
+    d = os.path.join(path, _TXN)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(path, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _collect_files(commit_dir: str, root: str) -> list[dict]:
+    """Walk a freshly-written commit dir for parquet leaves; parse
+    ``__p_k=v`` path segments into per-file partition values (hive
+    escaping undone; values kept as strings — pruning compares on str)."""
+    out = []
+    for dirpath, _dirs, names in os.walk(commit_dir):
+        rel_dir = os.path.relpath(dirpath, commit_dir)
+        part = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                if seg.startswith(_PPREFIX) and "=" in seg:
+                    k, v = seg[len(_PPREFIX):].split("=", 1)
+                    part[k] = unquote(v)
+        for n in sorted(names):
+            if n.startswith(("_", ".")) or not n.endswith(".parquet"):
+                continue
+            out.append({
+                "path": os.path.relpath(os.path.join(dirpath, n), root),
+                "partition": part,
+            })
+    return out
+
+
+def _part_matches(part: dict, where: dict) -> bool:
+    """True when a file's partition values fall inside ``where``
+    (column -> allowed value list; string-compared)."""
+    return all(
+        str(part.get(k)) in {str(v) for v in vs} for k, vs in where.items()
+    )
+
+
+def txn_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    replace_where: dict[str, list] | None = None,
+    meta: dict | None = None,
+    expected_version: int | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Commit ``df`` to the transactional table at ``path``; returns the
+    committed version.
+
+    ``mode="append"`` adds files; ``mode="overwrite"`` replaces the
+    whole live set; ``replace_where={"day": [5, 6]}`` (implies
+    overwrite-of-matching) replaces only files whose partition values
+    match — the MERGE-shaped refresh primitive. Data files are written
+    ONCE outside the retry loop (the file set is commit-invariant);
+    only the cheap manifest race retries."""
+    if replace_where and mode == "overwrite":
+        raise ValueError("replace_where and mode='overwrite' are exclusive")
+    commit_id = uuid.uuid4().hex[:12]
+    commit_dir = os.path.join(path, "data", commit_id)
+    w = df
+    pcols = []
+    for c in partition_by or []:
+        pc = _PPREFIX + c
+        w = w.withColumn(pc, F.col(c).cast("string"))
+        pcols.append(pc)
+    writer = w.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(commit_dir)
+    new_files = _collect_files(commit_dir, path)
+    schema_json = df.schema.json()
+
+    for _ in range(max_retries):
+        version, latest = txn_latest(path)
+        if expected_version is not None and version != expected_version:
+            raise ConcurrentWriteError(
+                f"table {path} moved to v{version}; expected v{expected_version}"
+            )
+        if mode == "overwrite":
+            live = []
+        elif replace_where:
+            live = [
+                f for f in (latest or {}).get("files", [])
+                if not _part_matches(f["partition"], replace_where)
+            ]
+        else:
+            live = list((latest or {}).get("files", []))
+        manifest = {
+            "version": version + 1,
+            "parent": version,
+            "files": live + new_files,
+            "schema": schema_json,
+            "meta": meta or {},
+        }
+        if _publish(path, version + 1, manifest):
+            return version + 1
+        if expected_version is not None:
+            raise ConcurrentWriteError(
+                f"lost commit race on {path} at v{version + 1}"
+            )
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races on {path}"
+    )
+
+
+def txn_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict[str, list] | None = None,
+) -> DataFrame:
+    """Read a snapshot: exactly the files the manifest lists (latest, or
+    a pinned ``version``). ``partition_filter`` prunes FILES on the
+    manifest's recorded partition values before Spark is involved — the
+    100 TB path where a day-refresh never lists undead directories."""
+    if version is None:
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+    else:
+        manifest = _load(path, version)
+    files = manifest["files"]
+    if partition_filter:
+        files = [f for f in files if _part_matches(f["partition"], partition_filter)]
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, f["path"]) for f in files]
+    # leaf files carry the full schema (partition cols are duplicated,
+    # not hive-stripped) — no basePath / partition inference needed;
+    # drop the __p_* helper columns the writer added
+    out = spark.read.parquet(*paths)
+    return out.drop(*[c for c in out.columns if c.startswith(_PPREFIX)])
+
+
+def txn_latest_meta(path: str) -> dict:
+    """Commit metadata of the table head ({} for a fresh table)."""
+    _, manifest = txn_latest(path)
+    return (manifest or {}).get("meta", {})
+
+
+def txn_vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Reclaim data files referenced by NO manifest in the retained
+    window (the last ``keep_versions`` manifests; older manifests are
+    dropped). Readers pinned to vacuumed versions will fail — run with
+    a retention matching the longest reader. Returns removed paths."""
+    import shutil
+
+    vs = _versions(path)
+    if not vs:
+        return []
+    keep = vs[-keep_versions:]
+    live = set()
+    for v in keep:
+        for f in _load(path, v)["files"]:
+            live.add(os.path.normpath(f["path"]))
+    removed = []
+    data_root = os.path.join(path, "data")
+    for commit_id in os.listdir(data_root) if os.path.isdir(data_root) else []:
+        cdir = os.path.join(data_root, commit_id)
+        rel = os.path.relpath(cdir, path)
+        if not any(p.startswith(rel + os.sep) or p.startswith(rel + "/") for p in live):
+            shutil.rmtree(cdir)
+            removed.append(cdir)
+    for v in vs[:-keep_versions]:
+        os.unlink(_manifest_path(path, v))
+    return removed

@@ -234,27 +234,50 @@ def stream_to_parquet(
     return q
 
 
-def _once_ledger(path: str, checkpoint: str, what: str):
-    """Shared effectively-once machinery for foreachBatch sinks that FOLD
+def _ckpt_id(checkpoint: str) -> str:
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+
+def _once_ledger(path: str, checkpoint: str, what: str, data_dir: str | None = None):
+    """Shared exactly-once machinery for foreachBatch sinks that FOLD
     state (a replayed batch must not re-apply): an applied-batch ledger at
     ``path/_applied`` plus a checkpoint-owner check (batch ids only
     identify batches within the checkpoint lineage that produced them, so
     folding a foreign checkpoint's stream into existing state would
     silently skip or double-count — the first build records the owner and
-    a mismatch raises). Returns ``(already_applied, record)``:
+    a mismatch raises). Returns ``(already_applied, record, stamp_for)``:
     ``already_applied(batch_id)`` performs the owner check and answers
     whether the batch was folded before; ``record(batch_id)`` stamps the
-    owner (first time) and the batch marker AFTER a successful fold. The
-    one uncovered window is a crash BETWEEN state-write and marker-write
-    (that batch re-folds on replay) — closing it needs a transactional
-    table; call sites don't change.
+    owner (first time) and the batch marker AFTER a successful fold;
+    ``stamp_for(batch_id)`` is the owner-qualified stamp the sink passes
+    to ``_staged_swap`` so the applied-batch id lands INSIDE the staged
+    state and becomes visible atomically with the swap rename. That stamp
+    closes the old swap-then-marker crash window: a replay after a crash
+    between swap and ``record`` finds its own stamp at
+    ``data_dir/_applied_batch``, self-heals the marker, and skips — the
+    batch can never re-fold. Structured Streaming applies batches in
+    order (batch N's foreachBatch completes before N is committed and
+    N+1 starts), so at most the LAST batch can be in that window — one
+    stamp suffices.
     """
-    import hashlib
     import os
 
-    ckpt_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    ckpt_id = _ckpt_id(checkpoint)
     marker_dir = os.path.join(path, "_applied")
     owner_file = os.path.join(marker_dir, "_owner")
+
+    def record(batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        if not os.path.exists(owner_file):
+            with open(owner_file, "w") as f:
+                f.write(ckpt_id)
+        open(os.path.join(marker_dir, f"batch-{batch_id}"), "w").close()
+
+    def stamp_for(batch_id: int) -> str:
+        return f"{ckpt_id}:{batch_id}"
 
     def already_applied(batch_id: int) -> bool:
         if os.path.exists(owner_file):
@@ -265,27 +288,64 @@ def _once_ledger(path: str, checkpoint: str, what: str):
                     f"refusing to fold stream {ckpt_id} into it — reuse "
                     "the original checkpoint or build a fresh state path"
                 )
-        return os.path.exists(os.path.join(marker_dir, f"batch-{batch_id}"))
+        if os.path.exists(os.path.join(marker_dir, f"batch-{batch_id}")):
+            return True
+        if data_dir is not None:
+            stamp_file = os.path.join(data_dir, "_applied_batch")
+            if os.path.exists(stamp_file):
+                if open(stamp_file).read().strip() == stamp_for(batch_id):
+                    record(batch_id)  # self-heal the crashed marker write
+                    return True
+        return False
 
-    def record(batch_id: int) -> None:
-        os.makedirs(marker_dir, exist_ok=True)
-        if not os.path.exists(owner_file):
-            with open(owner_file, "w") as f:
-                f.write(ckpt_id)
-        open(os.path.join(marker_dir, f"batch-{batch_id}"), "w").close()
-
-    return already_applied, record
+    return already_applied, record, stamp_for
 
 
-def _staged_swap(data: str, build_merged, write_initial) -> None:
+def _txn_fence(state_path: str, checkpoint: str, what: str):
+    """Replay fence for sinks whose state lives in a transactional table
+    (``sources/txn.py``): owner and applied-batch id ride the commit
+    metadata, so they become visible ATOMICALLY with the state change —
+    exactly-once with no marker files at all. Batch ids are monotonic
+    within a checkpoint and applied in order, so ``batch_id <= head's
+    batch_id`` is the complete replay test."""
+    from tdataframe_spark.sources.txn import txn_latest_meta
+
+    ckpt_id = _ckpt_id(checkpoint)
+
+    def already_applied(batch_id: int) -> bool:
+        meta = txn_latest_meta(state_path)
+        if not meta:
+            return False
+        owner = meta.get("owner")
+        if owner is not None and owner != ckpt_id:
+            raise ValueError(
+                f"{what} at {state_path} is owned by checkpoint {owner}; "
+                f"refusing to fold stream {ckpt_id} into it — reuse "
+                "the original checkpoint or build a fresh state path"
+            )
+        return batch_id <= meta.get("batch_id", -1)
+
+    def meta_for(batch_id: int) -> dict:
+        return {"owner": ckpt_id, "batch_id": batch_id, "sink": what}
+
+    return already_applied, meta_for
+
+
+def _staged_swap(data: str, build_merged, write_initial, stamp: str | None = None) -> None:
     """Shared rename-aside overwrite for non-transactional parquet state:
     recover a half-finished prior swap (retired copy is the last good
     table), clear dead staging, then either write the initial table
-    (``write_initial()``) or materialize ``build_merged()`` to staging and
-    swap — at no instant is ``data`` absent without a recoverable copy
-    (rmtree-then-rename had a window where a crash lost everything). On a
-    transactional table (Delta/Iceberg) this whole dance becomes MERGE
-    INTO; call sites don't change.
+    (``write_initial(dest)`` — into staging, then renamed in) or
+    materialize ``build_merged()`` to staging and swap — at no instant is
+    ``data`` absent without a recoverable copy. ``stamp`` (the sink's
+    owner-qualified batch id) is written to ``staging/_applied_batch``
+    BEFORE the rename, so state and applied-batch marker become visible
+    in the same atomic step — a crash anywhere leaves either the old
+    state (batch re-folds, was never applied) or the new state carrying
+    its stamp (replay skips). Leading-underscore files are invisible to
+    Spark's parquet reader. For keyed MERGE state prefer the
+    transactional table (``sources/txn.py``); this swap remains for
+    whole-table sketch state where rewrite == the state size anyway.
     """
     import os
     import shutil
@@ -296,15 +356,26 @@ def _staged_swap(data: str, build_merged, write_initial) -> None:
         os.rename(retired, data)
     if os.path.exists(staging):
         shutil.rmtree(staging)
+
+    def _stamp(dest: str) -> None:
+        if stamp is not None:
+            with open(os.path.join(dest, "_applied_batch"), "w") as f:
+                f.write(stamp)
+                f.flush()
+                os.fsync(f.fileno())
+
     if os.path.exists(data):
         build_merged().write.mode("overwrite").parquet(staging)
+        _stamp(staging)
         if os.path.exists(retired):
             shutil.rmtree(retired)
         os.rename(data, retired)
         os.rename(staging, data)
         shutil.rmtree(retired)
     else:
-        write_initial()
+        write_initial(staging)
+        _stamp(staging)
+        os.rename(staging, data)
 
 
 def _run_foreach_batch(result: DataFrame, fn, checkpoint: str, available_now: bool):
@@ -331,6 +402,7 @@ def stream_upsert_to_parquet(
     keys: list[str],
     order_col: str | None = None,
     available_now: bool = True,
+    txn: bool = False,
 ):
     """Streaming CDC upsert: each micro-batch is MERGEd into the keyed
     parquet table at ``path`` via ``foreachBatch`` — batch rows replace
@@ -339,13 +411,17 @@ def stream_upsert_to_parquet(
     key-unique.
 
     The merge itself is the batch upsert shape (anti-join survivors ∪ batch)
-    — one shuffle on the keys. Parquet has no transactional MERGE, so the
-    rewrite goes to a staging dir then swaps in (single-writer semantics,
-    fine for a checkpointed stream which is single-writer by construction);
-    on a real deployment the foreachBatch body becomes a Delta/Iceberg
-    MERGE INTO and the swap disappears — callers don't change.
+    — one shuffle on the keys. With ``txn=True`` the state is a
+    transactional manifest table (``sources/txn.py``): each merge is one
+    atomic commit carrying the batch id, giving exactly-once under crash
+    AND snapshot-isolated concurrent readers. The default writes a plain
+    parquet dir via the rename-aside swap (single-writer semantics; safe
+    here because a same-batch replay of this merge is idempotent —
+    anti-join + union of identical rows reproduces the same table).
     """
     from pyspark.sql import Window
+
+    fence = _txn_fence(path, checkpoint, "cdc upsert") if txn else None
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -357,6 +433,27 @@ def stream_upsert_to_parquet(
                 .drop("__rn")
             )
 
+        if txn:
+            from tdataframe_spark.sources.txn import (
+                is_txn_table,
+                txn_read,
+                txn_write,
+            )
+
+            already_applied, meta_for = fence
+            if already_applied(batch_id):
+                return  # replayed batch: commit meta says it is folded in
+            if is_txn_table(path):
+                current = txn_read(spark, path)
+                survivors = current.join(
+                    batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
+                )
+                merged_df = survivors.unionByName(batch)
+            else:
+                merged_df = batch
+            txn_write(merged_df, path, mode="overwrite", meta=meta_for(batch_id))
+            return
+
         def merged():
             current = spark.read.parquet(path)
             survivors = current.join(
@@ -365,7 +462,9 @@ def stream_upsert_to_parquet(
             return survivors.unionByName(batch)
 
         _staged_swap(
-            path, merged, lambda: batch.write.mode("overwrite").parquet(path)
+            path,
+            merged,
+            lambda dest: batch.write.mode("overwrite").parquet(dest),
         )
 
     return _run_foreach_batch(result, _merge, checkpoint, available_now)
@@ -396,19 +495,25 @@ def stream_rollup_refresh(
     bucket_us: int = 3600 * 1_000_000,
     group_cols: list[str] | None = None,
     available_now: bool = True,
+    txn: bool = True,
 ):
     """Streaming continuous aggregate: every micro-batch folds into the
-    persisted time-bucket rollup via ``ops.rollup.refresh_rollup`` — reads
-    and rewrites only the day partitions the batch touches, so sink cost
-    tracks the batch, not history.
+    persisted time-bucket rollup — reads and rewrites only the day
+    partitions the batch touches, so sink cost tracks the batch, not
+    history.
 
-    Effectively-once: ``refresh_rollup`` ADDS counts, so a replayed batch
-    (foreachBatch is at-least-once after a crash) must not re-apply. Each
-    applied batch drops a ``path/_applied/batch-<id>`` marker AFTER its
-    refresh; a replay sees the marker and skips. The one uncovered window
-    is a crash BETWEEN state-write and marker-write (that batch re-folds
-    on replay) — closing it needs a transactional table (Delta's
-    ``txnAppId``); call sites don't change.
+    Exactly-once (default ``txn=True``): the state is a transactional
+    manifest table (``sources/txn.py``) and every refresh — including
+    the multi-day partition replacement — is ONE atomic commit whose
+    metadata carries the applied batch id. A replayed batch (foreachBatch
+    is at-least-once after a crash) compares its id against the table
+    head and skips; because the id becomes visible atomically WITH the
+    state change, there is no crash instant where the fold happened but
+    the fence doesn't know it. The legacy ``txn=False`` path keeps the
+    plain ``day=`` directory layout with the after-the-fact marker
+    ledger — and that scheme's disclosed window (a crash between
+    state-write and marker-write re-folds the batch, and a crash mid
+    dynamic-partition-overwrite can leave PARTIAL day updates).
 
     The rollup path is OWNED by one checkpoint lineage: batch ids only
     identify batches within the checkpoint that produced them, so folding
@@ -418,7 +523,29 @@ def stream_rollup_refresh(
     """
     import os
 
-    already_applied, record = _once_ledger(path, checkpoint, "rollup")
+    if txn:
+        from tdataframe_spark.ops.rollup import build_rollup_txn, refresh_rollup_txn
+        from tdataframe_spark.sources.txn import is_txn_table
+
+        already_applied, meta_for = _txn_fence(path, checkpoint, "rollup")
+
+        def _apply_txn(batch: DataFrame, batch_id: int) -> None:
+            if already_applied(batch_id):
+                return  # replayed batch: the commit meta says it folded in
+            if is_txn_table(path):
+                refresh_rollup_txn(
+                    batch, path, value_col, bucket_us, group_cols,
+                    meta=meta_for(batch_id),
+                )
+            else:
+                build_rollup_txn(
+                    batch, path, value_col, bucket_us, group_cols,
+                    meta=meta_for(batch_id),
+                )
+
+        return _run_foreach_batch(events, _apply_txn, checkpoint, available_now)
+
+    already_applied, record, _ = _once_ledger(path, checkpoint, "rollup")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from tdataframe_spark.ops.rollup import build_rollup, refresh_rollup
@@ -457,19 +584,22 @@ def stream_cms_refresh(
     the frequency surfaces: hot-key discovery, df-cut inputs, skew
     monitors.
 
-    Effectively-once + ownership: same applied-batch ledger and
-    checkpoint-owner check as ``stream_rollup_refresh`` (a replayed batch
+    Exactly-once + ownership: same applied-batch ledger and
+    checkpoint-owner check as the other fold sinks (a replayed batch
     must not double-count; a foreign checkpoint's stream must not fold
-    in), and the same rename-aside swap as the CDC upsert sink (no crash
-    instant leaves the sketch absent without a recoverable copy). The one
-    uncovered window: a crash BETWEEN the state swap and the batch-marker
-    write re-folds that batch on replay (closing it needs a transactional
-    table) — "effectively" once, not exactly once.
+    in), and the rename-aside swap keeps the sketch recoverable at every
+    crash instant. The batch stamp is written INSIDE the staged state, so
+    state and applied-marker become visible in one atomic rename — the
+    old swap-then-marker window (a crash between them re-folded the
+    batch, double-counting the CMS) is closed; a replay finds its stamp,
+    self-heals the marker, and skips.
     """
     import os
 
     data = os.path.join(path, "sketch")
-    already_applied, record = _once_ledger(path, checkpoint, "cms sketch")
+    already_applied, record, stamp_for = _once_ledger(
+        path, checkpoint, "cms sketch", data_dir=data
+    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from tdataframe_spark.functions.sketches import cms_build, cms_merge
@@ -481,7 +611,8 @@ def stream_cms_refresh(
         _staged_swap(
             data,
             lambda: cms_merge(spark.read.parquet(data), delta),
-            lambda: delta.write.mode("overwrite").parquet(data),
+            lambda dest: delta.write.mode("overwrite").parquet(dest),
+            stamp=stamp_for(batch_id),
         )
         record(batch_id)
 
@@ -503,13 +634,11 @@ def stream_hll_refresh(
     whatever the stream length. Probe with
     ``functions.sketches.hll_estimate`` (or ``merge_distinct_sketches``
     to roll up to coarser groups) without touching the stream. Same
-    effectively-once ledger + owner check + rename-aside swap as the
-    rollup and CMS sinks (shared helpers) — including their one uncovered
-    window: a crash between the state swap and the batch-marker write
-    re-folds that batch on replay (HLL union is idempotent per VALUE but
-    the union of a whole batch is re-applied; for pure HLL state this is
-    actually harmless — max-merge is idempotent — the note is for parity
-    with the counting sinks).
+    exactly-once ledger + owner check + stamped rename-aside swap as the
+    CMS sink (shared helpers): the applied-batch stamp rides the staged
+    state through the atomic rename, so a crash-then-replay can never
+    re-fold a batch (HLL max-merge is idempotent anyway — the stamp
+    matters for uniformity with the counting sinks).
     """
     import os
 
@@ -517,7 +646,9 @@ def stream_hll_refresh(
 
     groups = list(group_cols or [])
     data = os.path.join(path, "sketches")
-    already_applied, record = _once_ledger(path, checkpoint, "hll sketches")
+    already_applied, record, stamp_for = _once_ledger(
+        path, checkpoint, "hll sketches", data_dir=data
+    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from tdataframe_spark.functions.sketches import hll_merge, hll_sketch
@@ -540,7 +671,10 @@ def stream_hll_refresh(
             return u.agg(hll_merge("sketch").alias("sketch"))
 
         _staged_swap(
-            data, merged, lambda: delta.write.mode("overwrite").parquet(data)
+            data,
+            merged,
+            lambda dest: delta.write.mode("overwrite").parquet(dest),
+            stamp=stamp_for(batch_id),
         )
         record(batch_id)
 
@@ -560,11 +694,10 @@ def stream_topk_refresh(
     """Streaming top-k leaderboard: the persisted state at ``path/topk``
     always holds each group's k largest ``order_col`` rows seen so far —
     union the batch, re-take top-k, swap. State is ≤ k rows per group
-    forever; a replayed batch cannot perturb it twice (same
-    effectively-once ledger/owner/swap machinery as the other fold
-    sinks, with the same uncovered crash window between swap and marker —
-    harmless here too: re-taking top-k over a re-unioned batch is
-    idempotent). Pass ``tie_cols`` (ascending) to make the cut at rank k
+    forever; a replayed batch cannot perturb it twice (same exactly-once
+    ledger/owner/stamped-swap machinery as the other fold sinks; here
+    even a re-fold would be harmless — re-taking top-k over a re-unioned
+    batch is idempotent). Pass ``tie_cols`` (ascending) to make the cut at rank k
     deterministic when ``order_col`` has ties — without it, tied rows at
     the boundary are an arbitrary-but-ledgered choice.
     """
@@ -573,7 +706,9 @@ def stream_topk_refresh(
     from pyspark.sql import functions as F
 
     data = os.path.join(path, "topk")
-    already_applied, record = _once_ledger(path, checkpoint, "topk leaderboard")
+    already_applied, record, stamp_for = _once_ledger(
+        path, checkpoint, "topk leaderboard", data_dir=data
+    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from tdataframe_spark.operators.windows import top_per_group
@@ -594,7 +729,8 @@ def stream_topk_refresh(
             lambda: refreshed(
                 spark.read.parquet(data).unionByName(batch)
             ),
-            lambda: refreshed(batch).write.mode("overwrite").parquet(data),
+            lambda dest: refreshed(batch).write.mode("overwrite").parquet(dest),
+            stamp=stamp_for(batch_id),
         )
         record(batch_id)
 

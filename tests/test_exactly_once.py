@@ -1,0 +1,171 @@
+"""Kill-injection tests for the streaming fold sinks' exactly-once
+guarantee: simulate a crash AFTER the state change but BEFORE the
+streaming checkpoint committed the batch (the window the round-5 design
+disclosed as double-counting for CMS and rollup), then restart. The
+replayed batch must be skipped — state identical to a one-shot build.
+
+The crash is injected the way it happens in production: the sink's
+state mutation completed, but ``<ckpt>/commits/<N>`` never landed, so
+Structured Streaming re-runs batch N with the same id on restart. For
+the marker-ledger sinks we ALSO delete the after-the-fact marker file
+(that write is exactly what a crash skips); the stamp inside the
+atomically-renamed state must fence the replay alone."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, n=400):
+    return spark.range(n).select(
+        (F.col("id") % 7).cast("string").alias("event_type"),
+        (F.col("id") * 3_600_000_00).alias("ts_us"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+
+
+def _last_commit(ckpt: str) -> str:
+    commits = sorted(
+        (n for n in os.listdir(os.path.join(ckpt, "commits"))
+         if not n.startswith(".")),
+        key=int,
+    )
+    return commits[-1]
+
+
+def _crash_before_checkpoint_commit(ckpt: str) -> int:
+    """Erase the newest checkpoint commit — on restart Structured
+    Streaming replays that batch id against the sink."""
+    last = _last_commit(ckpt)
+    os.unlink(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # Hadoop ChecksumFs sidecar must go with it
+        os.unlink(crc)
+    return int(last)
+
+
+def test_cms_sink_survives_crash_between_swap_and_marker(spark, tmp_path):
+    from tdataframe_spark.functions.sketches import cms_build, cms_query
+    from tdataframe_spark.streaming import stream_cms_refresh, stream_from_files
+
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    batch_view = spark.read.parquet(src)
+    path, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_from_files(
+            spark, src, batch_view.schema, max_files_per_trigger=1
+        )
+        stream_cms_refresh(
+            stream.select("event_type"), path, ckpt, "event_type",
+            depth=3, width=64,
+        )
+
+    run()
+    items = batch_view.select("event_type").distinct()
+
+    def estimates():
+        return {
+            r["event_type"]: r["est"]
+            for r in cms_query(
+                spark.read.parquet(f"{path}/sketch"), items, "event_type"
+            ).collect()
+        }
+
+    oneshot = {
+        r["event_type"]: r["est"]
+        for r in cms_query(
+            cms_build(batch_view.select("event_type"), "event_type",
+                      depth=3, width=64),
+            items, "event_type",
+        ).collect()
+    }
+    assert estimates() == oneshot
+
+    # crash: swap happened (state + stamp live), marker write and the
+    # streaming checkpoint commit both lost
+    replayed = _crash_before_checkpoint_commit(ckpt)
+    marker = os.path.join(path, "_applied", f"batch-{replayed}")
+    os.unlink(marker)
+    stamp = open(os.path.join(path, "sketch", "_applied_batch")).read()
+    assert stamp.endswith(f":{replayed}")
+
+    run()  # restart: batch `replayed` re-runs; the stamp must fence it
+    assert estimates() == oneshot, "replayed batch double-counted the CMS"
+    assert os.path.exists(marker), "stamp hit should self-heal the marker"
+
+
+def test_rollup_txn_sink_survives_crash_before_checkpoint_commit(spark, tmp_path):
+    from tdataframe_spark.ops.rollup import build_rollup, serve_rollup
+    from tdataframe_spark.sources.txn import txn_latest
+    from tdataframe_spark.streaming import stream_from_files, stream_rollup_refresh
+
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    batch_view = spark.read.parquet(src)
+    path, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_from_files(
+            spark, src, batch_view.schema, max_files_per_trigger=1
+        )
+        stream_rollup_refresh(stream, path, ckpt, group_cols=["event_type"])
+
+    run()
+    full = str(tmp_path / "full")
+    build_rollup(ev, full, group_cols=["event_type"])
+
+    def served(p):
+        return sorted(
+            tuple(r) for r in serve_rollup(spark, p, ["event_type"]).collect()
+        )
+
+    assert served(path) == served(full)
+    v_before, m_before = txn_latest(path)
+    replayed = _crash_before_checkpoint_commit(ckpt)
+    assert m_before["meta"]["batch_id"] == replayed  # fence rides the commit
+
+    run()  # restart: the commit-meta fence must skip the replayed batch
+    assert served(path) == served(full), "replayed batch re-folded the rollup"
+    v_after, _ = txn_latest(path)
+    assert v_after == v_before, "replay must not create a new commit"
+
+
+def test_upsert_txn_sink_is_exactly_once_and_snapshot_isolated(spark, tmp_path):
+    from tdataframe_spark.sources.txn import txn_latest, txn_read
+    from tdataframe_spark.streaming import stream_from_files, stream_upsert_to_parquet
+
+    cdc = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (1, "a2", 20), (3, "c", 20), (2, "b2", 30)],
+        "k int, v string, ver int",
+    )
+    src = str(tmp_path / "src")
+    cdc.repartition(3).write.parquet(src)
+    batch_view = spark.read.parquet(src)
+    path, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_from_files(
+            spark, src, batch_view.schema, max_files_per_trigger=1
+        )
+        stream_upsert_to_parquet(
+            stream, path, ckpt, keys=["k"], order_col="ver", txn=True
+        )
+
+    run()
+    final = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert final == {1: "a2", 2: "b2", 3: "c"}  # last version per key wins
+
+    v_before, _ = txn_latest(path)
+    _crash_before_checkpoint_commit(ckpt)
+    run()  # replay fenced by commit meta
+    assert {r["k"]: r["v"] for r in txn_read(spark, path).collect()} == final
+    assert txn_latest(path)[0] == v_before
+
+    # snapshot isolation: version 1 (first micro-batch's merge) is intact
+    assert txn_read(spark, path, version=1).count() > 0
