@@ -74,9 +74,31 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# this host shows background load spikes (load-avg to ~12 with no JVM
+# alive) that have contention-distorted recorded bench numbers in two of
+# five rounds — gate on a quiet machine and RECORD the load either way,
+# so a polluted run is visible in the JSON instead of masquerading as a
+# regression.
+QUIET_LOAD1 = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
+QUIET_WAIT_S = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "180"))
+
+
+def wait_for_quiet() -> tuple[list[float], bool]:
+    """Poll until the 1-min load-avg drops under the threshold (bounded
+    wait), then report (load triple, quiet?). Never refuses outright —
+    the driver expects one JSON line — but flags the run."""
+    deadline = time.monotonic() + QUIET_WAIT_S
+    load = os.getloadavg()
+    while load[0] > QUIET_LOAD1 and time.monotonic() < deadline:
+        time.sleep(10)
+        load = os.getloadavg()
+    return [round(x, 2) for x in load], load[0] <= QUIET_LOAD1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    load_start, quiet = wait_for_quiet()
     spark = get_spark("tdataframe-spark-bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -122,6 +144,13 @@ def main() -> None:
                 "extended": extended,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
+                # contention visibility: load-avg at start (after the
+                # bounded quiet-wait) and end; quiet=false marks a run
+                # whose numbers are suspect — compare against a quiet
+                # re-run before calling anything a regression
+                "load_start": load_start,
+                "load_end": [round(x, 2) for x in os.getloadavg()],
+                "quiet": quiet,
             }
         )
     )

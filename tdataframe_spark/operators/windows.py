@@ -29,6 +29,21 @@ def top_per_group(
     )
 
 
+def _ranged_numbered(df: DataFrame, order_cols: list, n: int) -> DataFrame:
+    """The pre-checkpoint stage of ``global_row_number``: range-partition
+    + sort-within-partitions on the order key, stamp the partition id and
+    the in-partition ordinal. Split out so plan pins can assert the range
+    exchange directly (the checkpoint truncates it from downstream
+    plans)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    return (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list,
@@ -52,22 +67,22 @@ def global_row_number(
 
     ``order_cols`` must be a total order (include a unique tiebreaker) —
     result is then bit-identical on any cluster/partitioning.
-    """
-    from pyspark.storagelevel import StorageLevel
 
+    The partitioned/numbered intermediate is localCheckpoint-ed, not
+    persisted: the range exchange SAMPLES its boundaries, so a recompute
+    (cache eviction, lost executor) could place rows differently and
+    silently invalidate the collected prefix offsets. Checkpointing
+    truncates the lineage — the placement can never be recomputed; loss
+    is a loud error instead of a silently wrong numbering (and there is
+    no cache entry leaked across calls).
+    """
     spark = df.sparkSession
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = int(
         num_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    part = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # the counts job below materializes the lazy checkpoint
+    part = _ranged_numbered(df, order_cols, n).localCheckpoint(eager=False)
     counts = {
         r["__pid"]: r["c"]
         for r in part.groupBy("__pid")

@@ -304,6 +304,40 @@ def logreg_score(
     )
 
 
+def _auc_partitioned_scores(
+    df,
+    label_col: str,
+    score_col: str,
+    num_partitions: int | None = None,
+):
+    """The pre-checkpoint stage of ``roc_auc``: distinct-score (n_pos,
+    n_neg) counts, RANGE-partitioned on the score and stamped with the
+    partition id. Split out so the plan pin can assert the range exchange
+    directly (the checkpoint in ``roc_auc`` truncates it out of the
+    downstream plan). Returns (DataFrame, num_partitions)."""
+    from pyspark.sql import functions as F
+
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    g = (
+        df.filter(y.isNotNull() & s.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(y).cast("long").alias("__p"),
+            F.sum(1 - y).cast("long").alias("__n"),
+        )
+    )
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    staged = g.repartitionByRange(nparts, "__s").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    return staged, nparts
+
+
 def roc_auc(
     df,
     label_col: str,
@@ -332,33 +366,25 @@ def roc_auc(
     range-boundary placement); the final division is one IEEE op —
     engine-reproducible.
 
+    The range-partitioned score table is localCheckpoint-ed, not merely
+    persisted: the range exchange SAMPLES its boundaries, so losing the
+    cached partitions AND their shuffle files would re-place rows on
+    recompute and silently stale the collected per-partition offsets.
+    Checkpointing truncates the lineage — row placement can never be
+    recomputed differently; loss is a loud error, and no cache entry
+    leaks across repeated calls.
+
     Returns a 1-row DataFrame (n_pos, n_neg, auc); AUC is NULL when
     either class is empty (undefined).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
-    from pyspark.storagelevel import StorageLevel
 
-    y = F.col(label_col).cast("int")
-    s = F.col(score_col).cast("double")
-    g = (
-        df.filter(y.isNotNull() & s.isNotNull())
-        .groupBy(s.alias("__s"))
-        .agg(
-            F.sum(y).cast("long").alias("__p"),
-            F.sum(1 - y).cast("long").alias("__n"),
-        )
+    staged, nparts = _auc_partitioned_scores(
+        df, label_col, score_col, num_partitions
     )
-    spark = df.sparkSession
-    nparts = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    part = (
-        g.repartitionByRange(nparts, "__s")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # the totals job below materializes the lazy checkpoint
+    part = staged.localCheckpoint(eager=False)
     totals = {
         r["__pid"]: r["t"]
         for r in part.groupBy("__pid")

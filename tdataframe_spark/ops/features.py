@@ -34,22 +34,27 @@ def encode_categorical(
     broadcast back; at 100 TB the only full-data work is one hash
     aggregate on the category column.
 
-    The id assignment is a single-task window over the V vocabulary rows
-    — bounded by the SAME constraint that makes the broadcast-back legal
-    (a vocabulary too big for one task is too big to broadcast). That
-    assumption is enforced, not assumed: ids ≥ ``max_vocab`` RAISE
-    in-plan (the guard rides the id expression — no extra scan, and a
-    high-cardinality column can't silently degrade into a single-task
-    sort of millions of rows; use ``hash_features`` for unbounded-
-    cardinality columns).
+    The id assignment never funnels the vocabulary through one task: it
+    rides ``operators.windows.global_row_number`` — range-partition the
+    V aggregate rows on (frequency desc, value asc), number inside each
+    partition, add broadcast prefix offsets (one bounded ≤-partitions-row
+    job). Ids ≥ ``max_vocab`` still RAISE in-plan (the guard rides the id
+    expression — a high-cardinality column can't silently produce a
+    vocabulary too big to broadcast back; use ``hash_features`` for
+    unbounded-cardinality columns).
     """
+    from tdataframe_spark.operators.windows import global_row_number
+
     out = out_col or f"{col}_id"
-    rn = (
-        F.row_number().over(
-            Window.orderBy(F.col("__n").desc(), F.col(col).asc())
-        )
-        - 1
+    counted = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
+    numbered = global_row_number(
+        counted, [F.col("__n").desc(), F.col(col).asc()], out_col="__rn"
+    )
+    rn = F.col("__rn") - 1
     guarded = F.when(rn < max_vocab, rn).otherwise(
         F.assert_true(
             rn < max_vocab,
@@ -60,12 +65,7 @@ def encode_categorical(
             ),
         ).cast("int")
     )
-    vocab = (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .select(col, guarded.cast("int").alias(out))
-    )
+    vocab = numbered.select(col, guarded.cast("int").alias(out))
     return df.join(F.broadcast(vocab), col, "left")
 
 

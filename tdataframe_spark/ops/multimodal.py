@@ -428,70 +428,100 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
                 def extend(v, s):
                     return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
 
-                hmax = max(c["h"] for c in comps)
-                vmax = max(c["v"] for c in comps)
-                mcux = -(-w // (8 * hmax))
-                mcuy = -(-h // (8 * vmax))
-                planes = [
-                    np.zeros(
-                        (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64
-                    )
-                    for c in comps
-                ]
                 u8 = np.arange(8)
                 A = np.cos(
                     (2 * u8[None, :] + 1) * u8[:, None] * np.pi / 16
                 ) * np.where(u8[:, None] == 0, (1 / 8) ** 0.5, 0.5)
                 zz_idx = np.array(ZZ)
-                rd = Rd(segments[0])
-                seg_idx = 0
-                preds = [0] * len(comps)
-                for m in range(mcux * mcuy):
-                    if dri and m and m % dri == 0:
-                        seg_idx += 1
-                        rd = Rd(segments[seg_idx])
-                        preds = [0] * len(comps)
-                    my, mx = divmod(m, mcux)
-                    for ci, (c, td, ta) in enumerate(order):
-                        dctab, actab = huff[(0, td)], huff[(1, ta)]
-                        q = qt[c["tq"]]
-                        for by in range(c["v"]):
-                            for bx in range(c["h"]):
-                                zz = np.zeros(64, np.int64)
-                                s = rd.symbol(dctab)
-                                diff = extend(rd.bits(s), s) if s else 0
-                                preds[ci] += diff
-                                zz[0] = preds[ci]
-                                k = 1
-                                while k < 64:
-                                    rs = rd.symbol(actab)
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r == 15:  # ZRL
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC overrun")
-                                    zz[k] = extend(rd.bits(s), s)
-                                    k += 1
-                                nat = np.zeros(64, np.float64)
-                                nat[zz_idx] = zz * q
-                                pix = (
-                                    A.T @ nat.reshape(8, 8) @ A + 128.0
-                                )
-                                y0 = (my * c["v"] + by) * 8
-                                x0 = (mx * c["h"] + bx) * 8
-                                planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
-                full = []
-                for ci, c in enumerate(comps):
-                    p = np.repeat(
-                        np.repeat(planes[ci], vmax // c["v"], axis=0),
-                        hmax // c["h"],
-                        axis=1,
-                    )[:h, :w]
-                    full.append(p)
+
+                def read_block(rd, dctab, actab, q, pred):
+                    """One entropy-coded 8x8 data unit → (pixel block,
+                    new DC predictor)."""
+                    zz = np.zeros(64, np.int64)
+                    s = rd.symbol(dctab)
+                    diff = extend(rd.bits(s), s) if s else 0
+                    pred += diff
+                    zz[0] = pred
+                    k = 1
+                    while k < 64:
+                        rs = rd.symbol(actab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC overrun")
+                        zz[k] = extend(rd.bits(s), s)
+                        k += 1
+                    nat = np.zeros(64, np.float64)
+                    nat[zz_idx] = zz * q
+                    return A.T @ nat.reshape(8, 8) @ A + 128.0, pred
+
+                if len(order) == 1:
+                    # T.81 A.2: a single-component scan is NON-interleaved
+                    # — the MCU is ONE 8x8 data unit and the declared
+                    # sampling factors are ignored (a grayscale file
+                    # declaring 2x2 factors still lays out ceil(w/8) x
+                    # ceil(h/8) blocks; treating it as interleaved would
+                    # desync the bitstream)
+                    c, td, ta = order[0]
+                    dctab, actab = huff[(0, td)], huff[(1, ta)]
+                    q = qt[c["tq"]]
+                    bw, bh = -(-w // 8), -(-h // 8)
+                    plane = np.zeros((bh * 8, bw * 8), np.float64)
+                    rd = Rd(segments[0])
+                    seg_idx, pred = 0, 0
+                    for m in range(bw * bh):
+                        if dri and m and m % dri == 0:
+                            seg_idx += 1
+                            rd = Rd(segments[seg_idx])
+                            pred = 0
+                        my, mx = divmod(m, bw)
+                        pix, pred = read_block(rd, dctab, actab, q, pred)
+                        plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pix
+                    full = [plane[:h, :w]]
+                else:
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    planes = [
+                        np.zeros(
+                            (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64
+                        )
+                        for c in comps
+                    ]
+                    rd = Rd(segments[0])
+                    seg_idx = 0
+                    preds = [0] * len(comps)
+                    for m in range(mcux * mcuy):
+                        if dri and m and m % dri == 0:
+                            seg_idx += 1
+                            rd = Rd(segments[seg_idx])
+                            preds = [0] * len(comps)
+                        my, mx = divmod(m, mcux)
+                        for ci, (c, td, ta) in enumerate(order):
+                            dctab, actab = huff[(0, td)], huff[(1, ta)]
+                            q = qt[c["tq"]]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    pix, preds[ci] = read_block(
+                                        rd, dctab, actab, q, preds[ci]
+                                    )
+                                    y0 = (my * c["v"] + by) * 8
+                                    x0 = (mx * c["h"] + bx) * 8
+                                    planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                    full = []
+                    for ci, c in enumerate(comps):
+                        p = np.repeat(
+                            np.repeat(planes[ci], vmax // c["v"], axis=0),
+                            hmax // c["h"],
+                            axis=1,
+                        )[:h, :w]
+                        full.append(p)
                 if len(full) == 1:
                     out = full[0][:, :, None]
                 else:

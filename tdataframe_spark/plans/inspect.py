@@ -76,6 +76,35 @@ _LINT_RULES = [
 ]
 
 
+def _plan_node(line: str) -> str:
+    """Strip tree art (``+-``, ``:  ``, codegen ``*(4)`` stars) down to
+    the operator text."""
+    s = re.sub(r"^[\s+:*-]*", "", line)
+    return re.sub(r"^\(\d+\)\s*", "", s)
+
+
+# operators that establish (or re-establish) their own output
+# distribution: anything below them belongs to THEM, not to a Window
+# above — walking past one would misattribute a deeper operator's
+# exchange (e.g. a 1-row scalar agg's partial-row SinglePartition
+# funnel under a join) to the window.
+_DISTRIBUTION_STOPPERS = (
+    "Window",
+    "WindowGroupLimit",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Union",
+    "Expand",
+    "Generate",
+)
+
+
 def count_global_windows(plan: str) -> int:
     """Number of Window operators fed by an ``Exchange SinglePartition``
     — the single-task cumulative-window trap (ALL rows under the window
@@ -84,9 +113,13 @@ def count_global_windows(plan: str) -> int:
     is why plain substring matching can't enforce this).
 
     Walks the simple-mode plan tree by indentation: for each ``Window``
-    node, the first ``Exchange`` below it (before the tree pops back to
-    the window's depth) is the exchange that satisfies its distribution
-    requirement."""
+    node, descend its input chain and attribute only an Exchange met
+    BEFORE any other distribution-establishing operator (another window,
+    an aggregate, a join, a global sort). A window whose requirement is
+    already satisfied (stacked windows, pre-partitioned input) has no
+    exchange of its own — a deeper operator's SinglePartition exchange
+    must not be pinned on it. Pass-through operators (Project, Filter,
+    sort-within-partitions, scans) keep the walk going."""
     lines = plan.splitlines()
     hits = 0
     for i, line in enumerate(lines):
@@ -98,10 +131,17 @@ def count_global_windows(plan: str) -> int:
             stripped = re.match(r"^([\s+:*-]*)", below)
             if below.strip() and len(stripped.group(1)) <= depth:
                 break  # popped out of this window's subtree
-            if "Exchange" in below:
-                if "SinglePartition" in below:
+            node = _plan_node(below)
+            if node.startswith(("Exchange", "ReusedExchange")):
+                if "SinglePartition" in node:
                     hits += 1
                 break
+            if node.startswith("BroadcastExchange"):
+                break  # not a shuffle this window could consume
+            if node.startswith("Sort ") and ", true," in node:
+                break  # global sort: its exchange is its own
+            if node.startswith(_DISTRIBUTION_STOPPERS):
+                break  # requirement already satisfied upstream of here
     return hits
 
 

@@ -1276,6 +1276,15 @@ def test_decode_images_real_baseline_jpeg(spark):
             (6, "image/jpeg", progressive),
             (7, "image/jpeg",
              bytearray(encode_baseline_jpeg(grad)[:40])),  # truncated
+            # grayscale DECLARING 2x2 sampling factors: per T.81 A.2 a
+            # single-component scan is non-interleaved (factors ignored);
+            # treating it as interleaved desyncs the bitstream
+            (8, "image/jpeg",
+             bytearray(encode_baseline_jpeg(
+                 grad, gray_declared_factors=(2, 2)))),
+            (9, "image/jpeg",
+             bytearray(encode_baseline_jpeg(
+                 grad, restart_interval=3, gray_declared_factors=(2, 1)))),
         ],
         "media_id long, kind string, payload binary",
     )
@@ -1301,6 +1310,15 @@ def test_decode_images_real_baseline_jpeg(spark):
     )
     assert not out[6]["ok"]  # progressive: honest classify, no decode
     assert not out[7]["ok"]  # truncated entropy data
+    # single-component scans decode non-interleaved whatever the SOF
+    # declares — same pixels as the 1x1-factor encode of the same image
+    for mid in (8, 9):
+        assert out[mid]["ok"] and (
+            out[mid]["width"], out[mid]["height"]
+        ) == (19, 17), out[mid]
+        assert np.allclose(
+            out[mid]["mean_channel"], out[2]["mean_channel"], atol=1e-12
+        )
 
 
 def test_probe_metadata_real_headers(spark):

@@ -281,11 +281,19 @@ def test_global_rank_never_single_partitions(spark):
     """The distributed global numbering must plan a RANGE repartition and
     contain no window operator and no single-partition exchange — the
     failure mode it exists to avoid."""
+    from tdataframe_spark.operators.windows import _ranged_numbered
     from tdataframe_spark.plans.inspect import explain_str
+    from tdataframe_spark.sources.parquet import read_table
 
+    # the range exchange lives in the pre-checkpoint stage (the final
+    # plan starts at the checkpointed RDD) — pin it there
+    orders = read_table(spark, SF, "orders")
+    staged = _ranged_numbered(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 4
+    )
+    assert "rangepartitioning" in explain_str(staged, "simple").lower()
     df = em.q_global_rank(spark, SF)
     plan = explain_str(df, "simple").lower()
-    assert "rangepartitioning" in plan, plan
     assert "window" not in plan, plan
     assert "singlepartition" not in plan, plan
 
@@ -296,12 +304,24 @@ def test_roc_auc_never_single_partitions_the_scores(spark):
     a RANGE repartition and NO Window fed by a single-partition exchange
     — continuous scores (distinct ≈ n rows) would otherwise funnel the
     whole score table through one task."""
+    from tdataframe_spark.ops.classify import _auc_partitioned_scores
     from tdataframe_spark.plans.inspect import count_global_windows, explain_str
+    from tdataframe_spark.sources.parquet import read_table
 
+    # the range exchange lives in the pre-checkpoint stage (the final
+    # plan starts at the checkpointed RDD) — pin it there
+    ev = read_table(spark, SF, "events")
+    staged, _ = _auc_partitioned_scores(
+        ev.select((F.col("value") > 500).cast("int").alias("y"),
+                  F.col("value").alias("s")),
+        "y", "s",
+    )
+    assert "rangepartitioning" in explain_str(staged, "simple").lower()
     df = em.q_roc_auc(spark, SF)
     plan = explain_str(df, "simple")
-    assert "rangepartitioning" in plan.lower(), plan
     assert count_global_windows(plan) == 0, plan
+    # and the cumulation window is genuinely per-range-partition
+    assert "windowspecdefinition(__pid" in plan, plan
 
 
 def test_global_window_lint_detects_the_trap(spark):
@@ -320,6 +340,25 @@ def test_global_window_lint_detects_the_trap(spark):
     )
     assert count_global_windows(explain_str(bad, "simple")) == 1
     assert count_global_windows(explain_str(good, "simple")) == 0
+    # misattribution guard: a window whose distribution is ALREADY
+    # satisfied has no exchange of its own — a deeper operator's
+    # SinglePartition exchange (here: a global agg's partial-row funnel)
+    # must not be pinned on it
+    one = df.groupBy().agg(F.sum("id").alias("t"))
+    over_agg = one.withColumn(
+        "r", F.row_number().over(W.partitionBy("t").orderBy("t"))
+    )
+    assert count_global_windows(explain_str(over_agg, "simple")) == 0
+    # stacked windows: the shared exchange belongs to the INNER window;
+    # the outer one must not double-report (and a partitioned pair is 0)
+    stacked = good.withColumn(
+        "d", F.count("id").over(W.partitionBy("k").orderBy("id"))
+    )
+    assert count_global_windows(explain_str(stacked, "simple")) == 0
+    stacked_bad = bad.withColumn(
+        "d", F.count("id").over(W.orderBy("id"))
+    )
+    assert count_global_windows(explain_str(stacked_bad, "simple")) == 1
 
 
 def test_pq_adc_scan_broadcasts_and_no_cartesian(spark):
@@ -379,13 +418,11 @@ def test_dedup_keep_best_single_window_over_cluster(spark):
 # for a Window fed by an Exchange SinglePartition), so it is enforced.
 _LINT_ENFORCED = {"cartesian", "python-row-udf", "bnlj", "global-window"}
 
-# Window-over-SinglePartition is allowed ONLY at these enumerated
-# bounded-cardinality sites — never over data-proportional rows:
-_GLOBAL_WINDOW_ALLOWED = {
-    "encode_categorical",  # V-row vocabulary ranking; V is bounded by the
-                           # broadcast-back contract AND enforced by the
-                           # in-plan max_vocab guard (raises past 2M)
-}
+# Window-over-SinglePartition is allowed NOWHERE: the last site
+# (encode_categorical's vocabulary ranking) was rebuilt on the two-level
+# global_row_number machinery in round 6 — the allowlist is empty and
+# must stay empty (new global windows are a scale bug, not a policy call).
+_GLOBAL_WINDOW_ALLOWED: set[str] = set()
 
 # BroadcastNestedLoopJoin is allowed ONLY at these enumerated
 # constant-attach sites (PLANS.md "deliberate 1-row constant attaches"):
@@ -426,27 +463,36 @@ _BNLJ_ALLOWED = {
                            # 100 rows) crossed from two range() axes
     "target_encode",       # 1-row global-mean (prior) attach
     "bootstrap_ci",        # 1-row percentile-band attach onto 1-row stats
+    # heavy builders (linted on their FINAL plans): each BNLJ is a
+    # bounded model/constant attach, never a data-proportional side
+    "decontamination_bloom",  # 1-row bloom-bitset attach (map-side probes)
+    "nearest_centroid",    # k-row centroid table attach
+    "semdedup_assign",     # k-row centroid argmax attach (index is bounded)
+    "ivf_ann",             # centroid table + bounded query-vector attach
+    "ivfpq_ann",           # same, plus the bounded ADC codebook attach
+    "lm_score",            # bounded vocabulary/corpus-stats attach
+    "logreg_score",        # (d+1)-row weight-vector attach
+    "pca_embeddings",      # d-row component-matrix attach
 }
 
 
-def test_registry_wide_plan_lint(spark):
-    """EVERY registered query's physical plan must be free of cartesian
-    products and row-at-a-time Python — the structural 100 TB audit."""
+# these train/materialize during DataFrame CONSTRUCTION (cheap plan-only
+# construction is impossible); the fast registry-wide lint below skips
+# them and the dedicated heavy-builder lint runs their FINAL plans once.
+_HEAVY_BUILDERS = {
+    "pq_ann", "ivf_ann", "ivfpq_ann", "lsh_ann", "bpe_tokens", "dedup_components",
+    "dedup_keep_best", "rollup_incremental", "snapshot_diff",
+    "merge_upsert", "global_rank", "decontamination_bloom",
+    "nearest_centroid", "lm_score", "semdedup", "semdedup_assign",
+    "pca_embeddings", "logreg_score",
+}
+
+
+def _lint_failures(spark, names, failures):
     from tdataframe_spark.plans.inspect import lint_plan
 
-    heavy_builders = {
-        # these train/materialize during DataFrame CONSTRUCTION; their
-        # plan properties are pinned by dedicated tests instead
-        "pq_ann", "ivf_ann", "ivfpq_ann", "lsh_ann", "bpe_tokens", "dedup_components",
-        "dedup_keep_best", "rollup_incremental", "snapshot_diff",
-        "merge_upsert", "global_rank", "decontamination_bloom",
-        "nearest_centroid", "lm_score", "semdedup", "semdedup_assign",
-        "pca_embeddings", "logreg_score",
-    }
-    failures = []
-    for name, fn in em.queries().items():
-        if name in heavy_builders:
-            continue
+    for name in names:
+        fn = em.queries()[name]
         try:
             df = fn(spark, SF)
         except Exception as e:  # construction itself must not fail
@@ -461,4 +507,26 @@ def test_registry_wide_plan_lint(spark):
             if rule == "global-window" and name in _GLOBAL_WINDOW_ALLOWED:
                 continue
             failures.append(f"{name}: {hit}")
+
+
+def test_registry_wide_plan_lint(spark):
+    """EVERY registered query's physical plan must be free of cartesian
+    products and row-at-a-time Python — the structural 100 TB audit."""
+    failures = []
+    _lint_failures(
+        spark,
+        [n for n in em.queries() if n not in _HEAVY_BUILDERS],
+        failures,
+    )
+    assert not failures, "\n".join(failures)
+
+
+def test_heavy_builders_final_plans_linted(spark):
+    """The construction-time trainers excluded from the fast lint get the
+    SAME audit on the plans they ultimately return — training runs once
+    at sf0.001, then the final DataFrame is linted. Together with the
+    registry-wide lint, every registry entry's returned plan is checked;
+    no entry escapes because its builder is expensive."""
+    failures = []
+    _lint_failures(spark, sorted(_HEAVY_BUILDERS), failures)
     assert not failures, "\n".join(failures)

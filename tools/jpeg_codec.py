@@ -139,11 +139,19 @@ def encode_baseline_jpeg(
     quant: np.ndarray | None = None,
     subsample: bool = False,
     restart_interval: int = 0,
+    gray_declared_factors: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode a HxW (grayscale) or HxWx3 (RGB) uint8 array as a baseline
     JPEG. ``quant``: 8x8 natural-order quant table (default all-ones —
     near-lossless, flat blocks roundtrip exactly). ``subsample``: 4:2:0
-    (2x2 luma sampling, averaged chroma); RGB only."""
+    (2x2 luma sampling, averaged chroma); RGB only.
+
+    ``gray_declared_factors``: grayscale only — DECLARE these sampling
+    factors in the SOF while still emitting the spec-correct
+    non-interleaved block layout (T.81 A.2: a single-component scan's
+    MCU is one 8x8 data unit; the factors are semantically ignored).
+    Real encoders emit e.g. 2x2 here; the fixture reproduces them so the
+    decoder's non-interleaved path is testable."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -189,9 +197,12 @@ def encode_baseline_jpeg(
     qz = quant_nat.reshape(64)[ZZ]
     head += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz))
     nf = 1 if gray else 3
+    declared = list(samp)
+    if gray and gray_declared_factors is not None:
+        declared = [tuple(gray_declared_factors)]
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
     for ci in range(nf):
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+        sof += bytes([ci + 1, (declared[ci][0] << 4) | declared[ci][1], 0])
     head += _seg(0xC0, sof)
     dht = bytes([0x00]) + bytes(DC_LUM[0]) + bytes(DC_LUM[1])
     dht += bytes([0x10]) + bytes(AC_LUM[0]) + bytes(AC_LUM[1])
