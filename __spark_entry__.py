@@ -82,17 +82,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation is documented per-round in STATUS.md.
     """
     return {
-        # --- driver window (first 50): must-verify this round (r5) ---
-        # the 37 r4 additions that have never had an EXTERNAL driver row
-        # (registered past the window last round; judge-sim green), per
-        # r4 VERDICT top-next — complex-oracle entries first
+        # --- driver window (first 50): must-verify this round (r6) ---
+        # the seven r2-last entries rotated in per r5 VERDICT #2, then
+        # everything CHANGED this round (global_row_number machinery →
+        # global_rank/roc_auc/encode_categorical; JPEG decode →
+        # multimodal_features; serve_rollup txn detection →
+        # rollup_incremental), second-consecutive-row keeps
+        # (winsorize_approx, semdedup_assign), the NEW filtered_ann,
+        # and the oldest-verified (r3-last) backfill, complex-oracle-first
+        "pagerank": q_pagerank,
+        "profile_numeric": q_profile_numeric,
+        "rollup_returnflag": q_rollup_returnflag,
+        "distinct_supp_per_flag": q_distinct_supp_per_flag,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "case_when_agg": q_case_when_agg,
+        "global_rank": q_global_rank,
+        "roc_auc": q_roc_auc,
+        "encode_categorical": q_encode_categorical,
+        "winsorize_approx": q_winsorize_approx,
+        "semdedup_assign": q_semdedup_assign,
+        "multimodal_features": q_multimodal_features,
+        "rollup_incremental": q_rollup_incremental,
+        "filtered_ann": q_filtered_ann,
+        "dedup_components": q_dedup_components,
+        "semantic_dedup": q_semantic_dedup,
+        "decontamination": q_decontamination,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_pairs": q_cosine_pairs,
+        "cosine_topk": q_cosine_topk,
+        "dedup_exact": q_dedup_exact,
+        "doc_profile": q_doc_profile,
+        "text_stats": q_text_stats,
+        "asof_click_purchase": q_asof_click_purchase,
+        "sessionize": q_sessionize,
+        "json_events": q_json_events,
+        "time_bucket_agg": q_time_bucket_agg,
+        "pack_sequences": q_pack_sequences,
+        "map_props": q_map_props,
+        "histo_edges": q_histo_edges,
+        "explode_agg": q_explode_agg,
+        "take_col": q_take_col,
+        "count_chain": q_count_chain,
+        "define_filter_agg": q_define_filter_agg,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_topk_revenue": q_q3_topk_revenue,
+        "q5_region_revenue": q_q5_region_revenue,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive": q_q19_disjunctive,
+        "q4_priority_exists": q_q4_priority_exists,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q16_supplier_counts": q_q16_supplier_counts,
+        "q17_small_qty": q_q17_small_qty,
+        "q22_idle_customers": q_q22_idle_customers,
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "above_customer_avg": q_above_customer_avg,
+        # --- position 51+: rotated out — every entry below has an
+        # external driver-green row (r3-r5) and is re-verified every
+        # round by the local full-registry gate (driver_sim at sf0.01) ---
         "dup_spans": q_dup_spans,
         "tfidf_pairs": q_tfidf_pairs,
         "hybrid_search": q_hybrid_search,
         "triangle_count": q_triangle_count,
         "corr_matrix": q_corr_matrix,
         "ab_test": q_ab_test,
-        "roc_auc": q_roc_auc,              # ALSO changed this round
         "heavy_hitters": q_heavy_hitters,
         "interval_join": q_interval_join,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
@@ -112,11 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "outliers_robust": q_outliers_robust,
         "window_stats": q_window_stats,
-        "encode_categorical": q_encode_categorical,  # ALSO changed (guard)
         "confusion_stats": q_confusion_stats,
         "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
         "quantize_embeddings": q_quantize_embeddings,
-        # rows-only members of the never-externally-verified set
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
         "hll_distinct": q_hll_distinct,
@@ -124,15 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
         "logreg_score": q_logreg_score,
-        # new/changed this round (r5)
-        "winsorize_approx": q_winsorize_approx,  # new: GK-sketch bounds
-        "winsorize": q_winsorize,                # re-verify (shared code)
-        "semdedup_assign": q_semdedup_assign,    # new: build/apply split
-        # oldest external verification left (r1 only)
-        "multimodal_features": q_multimodal_features,
+        "winsorize": q_winsorize,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        # backfill: r2-last-verified entries (oldest oracle rows)
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "top_ngrams": q_top_ngrams,
@@ -140,16 +188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "domain_mix": q_domain_mix,
         "bm25_topk": q_bm25_topk,
-        # --- position 51+: rotated out — every entry below has an
-        # external driver-green row (most r3/r4) and is re-verified every
-        # round by the local full-registry gate (driver_sim at sf0.01) ---
-        "pagerank": q_pagerank,
-        "profile_numeric": q_profile_numeric,
-        "rollup_returnflag": q_rollup_returnflag,
-        "distinct_supp_per_flag": q_distinct_supp_per_flag,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
-        "case_when_agg": q_case_when_agg,
         "simhash_hamming": q_simhash_hamming,
         "histo_flow": q_histo_flow,
         "line_dedup": q_line_dedup,
@@ -170,7 +208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": q_rolling_window,
         "outliers": q_outliers,
         "nearest_centroid": q_nearest_centroid,
-        "rollup_incremental": q_rollup_incremental,
         "dq_report": q_dq_report,
         "snapshot_diff": q_snapshot_diff,
         "histo_equidepth": q_histo_equidepth,
@@ -178,7 +215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": q_hopping_window,
         "activity_streaks": q_activity_streaks,
         "event_transitions": q_event_transitions,
-        "global_rank": q_global_rank,
         "resample_daily": q_resample_daily,
         "lm_score": q_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
@@ -199,41 +235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "lag_lead_gaps": q_lag_lead_gaps,
         "topk_orders": q_topk_orders,
-        "count_chain": q_count_chain,
-        "define_filter_agg": q_define_filter_agg,
-        "explode_agg": q_explode_agg,
-        "histo_edges": q_histo_edges,
-        "take_col": q_take_col,
-        "map_props": q_map_props,
-        "asof_click_purchase": q_asof_click_purchase,
-        "sessionize": q_sessionize,
-        "json_events": q_json_events,
-        "time_bucket_agg": q_time_bucket_agg,
-        "pack_sequences": q_pack_sequences,
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "cosine_pairs": q_cosine_pairs,
-        "cosine_topk": q_cosine_topk,
-        "dedup_components": q_dedup_components,
-        "semantic_dedup": q_semantic_dedup,
-        "decontamination": q_decontamination,
-        "doc_profile": q_doc_profile,
-        "text_stats": q_text_stats,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_topk_revenue": q_q3_topk_revenue,
-        "q5_region_revenue": q_q5_region_revenue,
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q18_large_orders": q_q18_large_orders,
-        "q19_disjunctive": q_q19_disjunctive,
-        "q4_priority_exists": q_q4_priority_exists,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q16_supplier_counts": q_q16_supplier_counts,
-        "q17_small_qty": q_q17_small_qty,
-        "q22_idle_customers": q_q22_idle_customers,
-        "q6_revenue_delta": q_q6_revenue_delta,
-        "above_customer_avg": q_above_customer_avg,
         "grouped_udaf": q_grouped_udaf,
         "min_per_group": q_min_per_group,
         "quantiles": q_quantiles,
@@ -392,7 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "confusion_stats": SQL_CONFUSION,
         "bootstrap_ci": SQL_BOOTSTRAP_CI,
         # rows-only by design (no SQL-expressible oracle): multimodal_features,
-        # lsh_ann, ivf_ann, pq_ann, ivfpq_ann (approximate ANN),
+        # lsh_ann, ivf_ann, pq_ann, ivfpq_ann, filtered_ann (approximate ANN;
+        # filtered_ann's predicate/recall invariants are pinned in pytest),
         # histo_equidepth_approx / winsorize_approx (sketch-placed bounds),
         # bpe_tokens (iterative), semdedup / semdedup_assign (k-means
         # clustering state), pca_embeddings (eigendecomposition),

@@ -368,6 +368,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     lloyd_iterations: int = 3,
+    where=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbours: k-means-partition
     the corpus into ``n_cells`` cells, then search each query only in its
@@ -382,6 +383,14 @@ def ivf_topk(
     For repeated query batches over the same corpus, build the index once
     with ``ivf_build`` and search with ``ivf_query``.
 
+    ``where`` (optional Column/SQL-string predicate over the CORPUS
+    columns) is pushed into candidate generation: the index is trained on
+    the full corpus (one index serves every filter), but scoring and the
+    top-k run over qualifying vectors only — filtered ANN, not a
+    post-filter of an unfiltered top-k (which returns < k and loses
+    recall under selective filters). With a selective filter, raise
+    ``n_probe``: the qualifying top-k may live in more cells.
+
     Returns (query_id, neighbor_id, cos_sim, rnk). The persisted corpus
     cache lives until the session evicts it (LRU) — call
     ``spark.catalog.clearCache()`` between unrelated index builds if memory
@@ -394,6 +403,10 @@ def ivf_topk(
     corpus_cells = (
         _assign(u, "__vn", "__cid", centroids).join(u, "__cid").persist()
     )
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        keep = corpus.filter(pred).select(F.col(id_col).alias("__cid"))
+        corpus_cells = corpus_cells.join(keep, "__cid", "left_semi")
     return _probe_and_score(
         queries, id_col, vec_col, centroids, corpus_cells, k, n_probe
     )
@@ -406,16 +419,27 @@ def ivf_build(
     vec_col: str = "embedding",
     n_cells: int = 16,
     lloyd_iterations: int = 3,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Materialize an IVF index on disk so repeated query batches skip
     training entirely: ``index_path/cells`` holds (id, normalized vector,
     cell) parquet PARTITIONED BY cell — a probe that needs n_probe cells
     reads only those directories — and ``index_path/centroids`` the
-    n_cells centroid vectors."""
+    n_cells centroid vectors.
+
+    ``meta_cols`` bakes filterable metadata (language, source, label …)
+    into the cells table so ``ivf_query(where=...)`` predicates reach the
+    parquet scan as pushed filters — candidates are generated
+    pre-filtered with zero extra joins (the vector-store filtered-ANN
+    shape)."""
     spark = corpus.sparkSession
     u = _normalized(corpus, id_col, vec_col, "__cid").persist()
     centroids = _train_ivf(u, n_cells, lloyd_iterations)
     cells = _assign(u, "__vn", "__cid", centroids).join(u, "__cid")
+    if meta_cols:
+        cells = cells.join(
+            corpus.select(F.col(id_col).alias("__cid"), *meta_cols), "__cid"
+        )
     (
         cells.write.mode("overwrite")
         .partitionBy("__cell")
@@ -435,11 +459,18 @@ def ivf_query(
     vec_col: str = "embedding",
     k: int = 10,
     n_probe: int = 4,
+    where: str | None = None,
 ) -> DataFrame:
     """Search a prebuilt ``ivf_build`` index: loads the (tiny) centroid
     table driver-side, probes, and scores against only the probed cells'
     partitions. Identical results to ``ivf_topk`` with the same build
-    parameters — minus the training cost per batch."""
+    parameters — minus the training cost per batch.
+
+    ``where`` (SQL predicate over the ``meta_cols`` baked in at build
+    time) filters candidates AT THE SCAN — it lands in the parquet
+    PushedFilters alongside the cell pruning, so the top-k is computed
+    over qualifying vectors only instead of post-filtering an unfiltered
+    top-k. Selective filters want a higher ``n_probe``."""
     centroids = [
         (r["__cell"], list(r["__cvec"]))
         for r in spark.read.parquet(f"{index_path}/centroids")
@@ -447,6 +478,8 @@ def ivf_query(
         .collect()
     ]
     corpus_cells = spark.read.parquet(f"{index_path}/cells")
+    if where is not None:
+        corpus_cells = corpus_cells.filter(F.expr(where))
     return _probe_and_score(
         queries, id_col, vec_col, centroids, corpus_cells, k, n_probe
     )
@@ -900,6 +933,7 @@ def ivfpq_build(
     n_codes: int = 16,
     lloyd_iterations: int = 3,
     residual: bool = False,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Build the combined index: IVF coarse cells bound WHICH vectors a
     query touches (partition pruning), PQ codes bound HOW MUCH each touch
@@ -908,7 +942,11 @@ def ivfpq_build(
     those directories of a table already ~16× smaller than the raw
     embeddings — the two multiplicative savings that make trillion-vector
     corpora searchable. ``/centroids``, ``/codebook``, ``/vectors``
-    (rerank side, also cell-partitioned) complete the index."""
+    (rerank side, also cell-partitioned) complete the index.
+
+    ``meta_cols`` rides filterable metadata on the CODES table, so
+    ``ivfpq_query(where=...)`` filters candidates in the compressed
+    domain — before ADC scoring, not after the rerank."""
     spark = corpus.sparkSession
     u = _normalized(corpus, id_col, vec_col, "__cid").filter(
         F.col("__vn").isNotNull()
@@ -945,9 +983,14 @@ def ivfpq_build(
             codes = _codes_to_array(_pq_code_rows(sv, codebook))
         finally:
             sv.unpersist()
+        codes_out = codes.join(coarse, "__cid")
+        if meta_cols:
+            codes_out = codes_out.join(
+                corpus.select(F.col(id_col).alias("__cid"), *meta_cols),
+                "__cid",
+            )
         (
-            codes.join(coarse, "__cid")
-            .write.mode("overwrite")
+            codes_out.write.mode("overwrite")
             .partitionBy("__coarse")
             .parquet(f"{index_path}/codes")
         )
@@ -979,12 +1022,18 @@ def ivfpq_query(
     k: int = 10,
     n_probe: int = 4,
     rerank: int = 0,
+    where: str | None = None,
 ) -> DataFrame:
     """Search an ``ivfpq_build`` index: probe each query's ``n_probe``
     closest coarse cells, ADC-score only those cells' code rows, exact
     rerank against only those cells' stored vectors. The union of probed
     cells reaches the scan as a pushed IN-filter on the partition column —
-    partition pruning keeps unprobed directories unread."""
+    partition pruning keeps unprobed directories unread.
+
+    ``where`` (SQL predicate over the build's ``meta_cols``) filters the
+    code rows AT THE SCAN, so both the ADC top-`rerank` and the final
+    top-k are computed over qualifying vectors only — filtered ANN in the
+    compressed domain, never a lossy post-filter of unfiltered results."""
     centroids = [
         (r["__cell"], list(r["__cvec"]))
         for r in spark.read.parquet(f"{index_path}/centroids")
@@ -1023,6 +1072,8 @@ def ivfpq_query(
     codes_src = spark.read.parquet(f"{index_path}/codes").filter(
         F.col("__coarse").isin(probed_cells)
     )
+    if where is not None:
+        codes_src = codes_src.filter(F.expr(where))
     code_rows = codes_src.join(
         F.broadcast(q_probed.select("query_id", "__coarse")), "__coarse"
     ).select(

@@ -2813,6 +2813,36 @@ def q_ivf_ann(spark, sf):
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
 
 
+def q_filtered_ann(spark, sf):
+    """Filtered ANN — the vector-store shape: top-k nearest neighbours
+    AMONG vectors satisfying a metadata predicate (here ``label < 5``,
+    ~50% selectivity). The predicate is baked into the persisted IVF
+    index's cells table at build time and applied AT THE SCAN during the
+    probe (pushed filter next to the cell partition pruning), so
+    candidate generation itself respects the filter — never a lossy
+    post-filter of an unfiltered top-k. Approximate by design →
+    rows-only check; the recall floor under this 50%-selectivity filter
+    and the all-results-satisfy-the-predicate invariant are pinned in
+    pytest (tests/test_ops.py)."""
+    import os
+    import tempfile
+
+    from tdataframe_spark.ops.similarity import ivf_build, ivf_query
+
+    emb = _t(spark, sf, "embeddings")
+    # fixed per-process dir, overwritten per call (same leak-avoidance
+    # convention as the other persisted indexes)
+    path = os.path.join(tempfile.gettempdir(), f"ivf_filt_index_{os.getpid()}")
+    ivf_build(
+        emb, path, "vec_id", "embedding", n_cells=8, meta_cols=["label"]
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_query(
+        spark, path, queries, "vec_id", "embedding", k=5, n_probe=4,
+        where="label < 5",
+    )
+
+
 def q_collocations(spark, sf):
     """Top word pairs by pointwise mutual information (multiword-expression
     mining) with a min-count noise floor."""

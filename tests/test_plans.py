@@ -469,6 +469,8 @@ _BNLJ_ALLOWED = {
     "nearest_centroid",    # k-row centroid table attach
     "semdedup_assign",     # k-row centroid argmax attach (index is bounded)
     "ivf_ann",             # centroid table + bounded query-vector attach
+    "filtered_ann",        # same centroid-probe attach; the metadata
+                           # predicate itself is a pushed scan filter
     "ivfpq_ann",           # same, plus the bounded ADC codebook attach
     "lm_score",            # bounded vocabulary/corpus-stats attach
     "logreg_score",        # (d+1)-row weight-vector attach
@@ -480,7 +482,8 @@ _BNLJ_ALLOWED = {
 # construction is impossible); the fast registry-wide lint below skips
 # them and the dedicated heavy-builder lint runs their FINAL plans once.
 _HEAVY_BUILDERS = {
-    "pq_ann", "ivf_ann", "ivfpq_ann", "lsh_ann", "bpe_tokens", "dedup_components",
+    "pq_ann", "ivf_ann", "ivfpq_ann", "lsh_ann", "filtered_ann",
+    "bpe_tokens", "dedup_components",
     "dedup_keep_best", "rollup_incremental", "snapshot_diff",
     "merge_upsert", "global_rank", "decontamination_bloom",
     "nearest_centroid", "lm_score", "semdedup", "semdedup_assign",
