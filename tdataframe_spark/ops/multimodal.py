@@ -101,14 +101,15 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
     """REAL image decode, pure numpy/stdlib, no media libraries: netpbm
     (PPM ``P6`` / PGM ``P5``), uncompressed 24/32-bit BI_RGB BMP
     (bottom-up or top-down, BGR(A)→RGB, 4-byte row padding), 8-bit
-    non-interlaced PNG (zlib + scanline unfiltering), and baseline-DCT
-    JPEG (marker walk, canonical Huffman, dequant + IDCT, 4:2:0/4:2:2
-    chroma upsample, restart markers, YCbCr→RGB). This is the non-stub
-    counterpart of ``extract_features``: for payloads in a format the
-    sandbox can parse, the decode→resize→feature path is fully real;
-    remaining formats (progressive JPEG, GIF/WebP/...) come back
-    ``ok=false`` rather than raising, so one pass classifies and decodes
-    a mixed corpus.
+    non-interlaced PNG (zlib + scanline unfiltering), and both baseline
+    AND progressive DCT JPEG (marker walk, canonical Huffman, spectral
+    selection + successive approximation with EOB runs, dequant + IDCT,
+    4:2:0/4:2:2 chroma upsample, restart markers, YCbCr→RGB). This is
+    the non-stub counterpart of ``extract_features``: for payloads in a
+    format the sandbox can parse, the decode→resize→feature path is
+    fully real; remaining formats (arithmetic/12-bit/hierarchical JPEG,
+    GIF/WebP/...) come back ``ok=false`` rather than raising, so one
+    pass classifies and decodes a mixed corpus.
 
     ``resize_to``: optional square nearest-neighbour downsample applied
     before feature computation (numpy index slicing — the shape of a real
@@ -260,12 +261,15 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
                 return None
 
         def parse_jpeg(buf):
-            # real baseline-DCT JPEG decode in pure numpy/stdlib: marker
-            # walk (DQT/SOF0-1/DHT/DRI/SOS), canonical Huffman, restart
-            # segments, dequant + dezigzag + 8x8 IDCT, chroma upsample,
-            # YCbCr→RGB. Progressive (SOF2), arithmetic, 12-bit, and
-            # CMYK payloads return None (→ ok=false) — honest partial
-            # coverage; baseline is the dominant web-corpus case.
+            # real baseline-DCT AND progressive-DCT JPEG decode in pure
+            # numpy/stdlib: marker walk (DQT/SOF0-2/DHT/DRI/SOS),
+            # canonical Huffman, restart segments, progressive spectral
+            # selection + successive approximation (DC/AC first + refine
+            # scans with EOB runs, T.81 G.1.2 / the libjpeg jdphuff
+            # algorithms), dequant + dezigzag + 8x8 IDCT, chroma
+            # upsample, YCbCr→RGB. Arithmetic-coded, 12-bit, hierarchical
+            # and CMYK payloads return None (→ ok=false) — honest partial
+            # coverage; baseline + progressive cover the web corpus.
             # Correctness-first (python per-coefficient bit loop):
             # production swaps in libjpeg via PIL, one function change.
             try:
@@ -278,8 +282,35 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
                     30, 37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60,
                     61, 54, 47, 55, 62, 63,
                 ]
+
+                def split_entropy(start):
+                    """Unstuff FF00 and split at restart markers from
+                    ``start``; returns (segments, position of the next
+                    marker)."""
+                    segments, cur, i = [], bytearray(), start
+                    while i < len(buf):
+                        b = buf[i]
+                        if b == 0xFF:
+                            nb = buf[i + 1] if i + 1 < len(buf) else 0xD9
+                            if nb == 0x00:
+                                cur.append(0xFF)
+                                i += 2
+                                continue
+                            if 0xD0 <= nb <= 0xD7:
+                                segments.append(bytes(cur))
+                                cur = bytearray()
+                                i += 2
+                                continue
+                            break  # EOI / next marker
+                        cur.append(b)
+                        i += 1
+                    segments.append(bytes(cur))
+                    return segments, i
+
                 qt, huff, comps, sel = {}, {}, None, None
                 w = h = dri = 0
+                progressive = False
+                prog_scans = []
                 scan = None
                 pos = 2
                 while pos + 4 <= len(buf):
@@ -292,8 +323,8 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
                     if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
                         pos += 2
                         continue
-                    if marker == 0xD9:  # EOI before SOS: no image
-                        return None
+                    if marker == 0xD9:  # EOI
+                        break
                     seg_len = int.from_bytes(buf[pos + 2:pos + 4], "big")
                     data = buf[pos + 4:pos + 2 + seg_len]
                     if marker == 0xDB:  # DQT (possibly several tables)
@@ -314,6 +345,29 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
                             if len(tbl) != 64:
                                 return None
                             qt[tq] = tbl
+                    elif marker == 0xC2:  # progressive DCT
+                        progressive = True
+                        if data[0] != 8:
+                            return None  # 12-bit precision unsupported
+                        h = int.from_bytes(data[1:3], "big")
+                        w = int.from_bytes(data[3:5], "big")
+                        nc = data[5]
+                        if nc not in (1, 3) or w == 0 or h == 0:
+                            return None
+                        comps = [
+                            {
+                                "id": data[6 + 3 * ci],
+                                "h": data[7 + 3 * ci] >> 4,
+                                "v": data[7 + 3 * ci] & 15,
+                                "tq": data[8 + 3 * ci],
+                            }
+                            for ci in range(nc)
+                        ]
+                        if any(
+                            c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4)
+                            for c in comps
+                        ):
+                            return None
                     elif marker in (0xC0, 0xC1):  # baseline/ext sequential
                         if data[0] != 8:
                             return None  # 12-bit precision unsupported
@@ -355,50 +409,30 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
                             huff[(tc, th)] = table
                     elif marker == 0xDD:
                         dri = int.from_bytes(data[0:2], "big")
-                    elif marker == 0xDA:  # SOS: single-scan baseline only
+                    elif marker == 0xDA:  # SOS
                         ns = data[0]
                         sel = [
                             (data[1 + 2 * i], data[2 + 2 * i] >> 4,
                              data[2 + 2 * i] & 15)
                             for i in range(ns)
                         ]
-                        scan = buf[pos + 2 + seg_len:]
+                        if progressive:
+                            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+                            ahal = data[3 + 2 * ns]
+                            segments, nxt = split_entropy(pos + 2 + seg_len)
+                            # Huffman tables and DRI may be redefined
+                            # between scans — snapshot them per scan
+                            prog_scans.append(
+                                (sel, ss, se, ahal >> 4, ahal & 15,
+                                 segments, dict(huff), dri)
+                            )
+                            pos = nxt
+                            continue
+                        scan, _ = split_entropy(pos + 2 + seg_len)
                         break
-                    elif 0xC0 <= marker <= 0xCF:  # progressive/arithmetic
+                    elif 0xC0 <= marker <= 0xCF:  # arithmetic/hierarchical
                         return None
                     pos += 2 + seg_len
-                if scan is None or comps is None or not qt or sel is None:
-                    return None
-                if len(sel) != len(comps):
-                    return None  # multi-scan: not baseline
-                order = []
-                for cs, td, ta in sel:
-                    c = next((c for c in comps if c["id"] == cs), None)
-                    if c is None or c["tq"] not in qt:
-                        return None
-                    if (0, td) not in huff or (1, ta) not in huff:
-                        return None
-                    order.append((c, td, ta))
-                # entropy bytes: unstuff FF00, split at restart markers
-                segments, cur, i = [], bytearray(), 0
-                while i < len(scan):
-                    b = scan[i]
-                    if b == 0xFF:
-                        nb = scan[i + 1] if i + 1 < len(scan) else 0xD9
-                        if nb == 0x00:
-                            cur.append(0xFF)
-                            i += 2
-                            continue
-                        if 0xD0 <= nb <= 0xD7:
-                            segments.append(bytes(cur))
-                            cur = bytearray()
-                            i += 2
-                            continue
-                        break  # EOI / next marker
-                    cur.append(b)
-                    i += 1
-                segments.append(bytes(cur))
-
                 class Rd:
                     __slots__ = ("d", "p")
 
@@ -459,6 +493,218 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
                     nat = np.zeros(64, np.float64)
                     nat[zz_idx] = zz * q
                     return A.T @ nat.reshape(8, 8) @ A + 128.0, pred
+
+                def finish(full):
+                    if len(full) == 1:
+                        out = full[0][:, :, None]
+                    else:
+                        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+                        out = np.stack(
+                            [
+                                y + 1.402 * cr,
+                                y - 0.344136 * cb - 0.714136 * cr,
+                                y + 1.772 * cb,
+                            ],
+                            axis=2,
+                        )
+                    return np.clip(np.round(out), 0, 255) / 255.0
+
+                def decode_progressive():
+                    # T.81 G.1.2 / libjpeg jdphuff: coefficients accumulate
+                    # across scans (spectral selection Ss..Se, successive
+                    # approximation Ah/Al with EOB runs), then one final
+                    # dequant + IDCT pass per component
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    coef = [
+                        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                        for c in comps
+                    ]
+                    rd = None
+                    preds = [0] * len(comps)
+                    eobrun = 0
+
+                    def decode_unit(blk, ci, td, ta, dc_scan, ss, se, ah, al, htab):
+                        nonlocal eobrun
+                        p1 = 1 << al
+                        if dc_scan:
+                            if ah == 0:  # DC first
+                                s = rd.symbol(htab[(0, td)])
+                                diff = extend(rd.bits(s), s) if s else 0
+                                preds[ci] += diff
+                                blk[0] = preds[ci] << al
+                            elif rd.bit():  # DC refine: append one bit
+                                blk[0] = int(blk[0]) | p1
+                            return
+                        actab = htab[(1, ta)]
+                        if ah == 0:  # AC first
+                            if eobrun > 0:
+                                eobrun -= 1
+                                return
+                            k = ss
+                            while k <= se:
+                                rs = rd.symbol(actab)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += rd.bits(r)
+                                    return
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC overrun")
+                                blk[k] = extend(rd.bits(s), s) * p1
+                                k += 1
+                            return
+                        # AC refine: new ±1-at-this-precision coefficients
+                        # interleave with correction bits for coefficients
+                        # that are already nonzero (the jdphuff loop)
+                        m1 = -p1
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = rd.symbol(actab)
+                                r, s = rs >> 4, rs & 15
+                                val = 0
+                                if s == 0:
+                                    if r < 15:  # EOBn — note: unlike the
+                                        # first-scan case there is no -1
+                                        # here; the current block's tail
+                                        # still consumes one decrement
+                                        # below (jdphuff semantics)
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += rd.bits(r)
+                                        break
+                                    # r == 15: skip 16 zero-history coefs
+                                else:
+                                    if s != 1:
+                                        raise ValueError("bad refine symbol")
+                                    val = p1 if rd.bit() else m1
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        if rd.bit() and (int(blk[k]) & p1) == 0:
+                                            blk[k] += p1 if blk[k] >= 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    blk[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            # EOB region: correction bits only
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if rd.bit() and (int(blk[k]) & p1) == 0:
+                                        blk[k] += p1 if blk[k] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+
+                    for sel_s, ss, se, ah, al, segs, htab, dri_s in prog_scans:
+                        order_s = []
+                        for cs, td, ta in sel_s:
+                            ci = next(
+                                (i for i, c in enumerate(comps)
+                                 if c["id"] == cs),
+                                None,
+                            )
+                            if ci is None:
+                                raise ValueError("unknown scan component")
+                            order_s.append((ci, td, ta))
+                        dc_scan = ss == 0
+                        if dc_scan and se != 0:
+                            raise ValueError("DC scan must have Se=0")
+                        if not dc_scan and len(order_s) != 1:
+                            raise ValueError("AC scans are single-component")
+                        rd = Rd(segs[0])
+                        seg_idx = 0
+                        preds = [0] * len(comps)
+                        eobrun = 0
+
+                        def restart(m):
+                            nonlocal rd, seg_idx, preds, eobrun
+                            if dri_s and m and m % dri_s == 0:
+                                seg_idx += 1
+                                rd = Rd(segs[seg_idx])
+                                preds = [0] * len(comps)
+                                eobrun = 0
+
+                        if len(order_s) > 1:  # interleaved (DC scans only)
+                            for m in range(mcux * mcuy):
+                                restart(m)
+                                my, mx = divmod(m, mcux)
+                                for ci, td, ta in order_s:
+                                    c = comps[ci]
+                                    for by in range(c["v"]):
+                                        for bx in range(c["h"]):
+                                            decode_unit(
+                                                coef[ci][my * c["v"] + by,
+                                                         mx * c["h"] + bx],
+                                                ci, td, ta, dc_scan,
+                                                ss, se, ah, al, htab,
+                                            )
+                        else:
+                            # non-interleaved: the component's TRUE block
+                            # grid (ceil(comp_dim/8)), not the MCU-padded
+                            # one — padding blocks are never coded
+                            ci, td, ta = order_s[0]
+                            c = comps[ci]
+                            cw = -(-(w * c["h"]) // hmax)
+                            ch_ = -(-(h * c["v"]) // vmax)
+                            bw_, bh_ = -(-cw // 8), -(-ch_ // 8)
+                            for m in range(bw_ * bh_):
+                                restart(m)
+                                by, bx = divmod(m, bw_)
+                                decode_unit(
+                                    coef[ci][by, bx], ci, td, ta, dc_scan,
+                                    ss, se, ah, al, htab,
+                                )
+
+                    full = []
+                    for ci, c in enumerate(comps):
+                        bh_p, bw_p = coef[ci].shape[:2]
+                        nat = np.zeros((bh_p, bw_p, 64), np.float64)
+                        nat[:, :, zz_idx] = coef[ci] * qt[c["tq"]]
+                        blocks = nat.reshape(bh_p, bw_p, 8, 8)
+                        pix = np.einsum(
+                            "ij,abjk,kl->abil", A.T, blocks, A
+                        ) + 128.0
+                        plane = pix.transpose(0, 2, 1, 3).reshape(
+                            bh_p * 8, bw_p * 8
+                        )
+                        full.append(
+                            np.repeat(
+                                np.repeat(plane, vmax // c["v"], axis=0),
+                                hmax // c["h"],
+                                axis=1,
+                            )[:h, :w]
+                        )
+                    return finish(full)
+
+                if progressive:
+                    if comps is None or not qt or not prog_scans:
+                        return None
+                    return decode_progressive()
+                if scan is None or comps is None or not qt or sel is None:
+                    return None
+                if len(sel) != len(comps):
+                    return None  # multi-scan: not baseline
+                order = []
+                for cs, td, ta in sel:
+                    c = next((c for c in comps if c["id"] == cs), None)
+                    if c is None or c["tq"] not in qt:
+                        return None
+                    if (0, td) not in huff or (1, ta) not in huff:
+                        return None
+                    order.append((c, td, ta))
+                segments = scan  # already unstuffed + restart-split
 
                 if len(order) == 1:
                     # T.81 A.2: a single-component scan is NON-interleaved
@@ -522,19 +768,7 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
                             axis=1,
                         )[:h, :w]
                         full.append(p)
-                if len(full) == 1:
-                    out = full[0][:, :, None]
-                else:
-                    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-                    out = np.stack(
-                        [
-                            y + 1.402 * cr,
-                            y - 0.344136 * cb - 0.714136 * cr,
-                            y + 1.772 * cb,
-                        ],
-                        axis=2,
-                    )
-                return np.clip(np.round(out), 0, 255) / 255.0
+                return finish(full)
             except Exception:
                 return None
 

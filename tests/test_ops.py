@@ -1368,6 +1368,73 @@ def test_decode_images_real_baseline_jpeg(spark):
         )
 
 
+def test_decode_images_progressive_jpeg_matches_baseline(spark):
+    """Progressive (SOF2) JPEGs REALLY decode: spectral selection,
+    successive approximation (DC+AC first/refine), EOB runs. The
+    cross-format pin: both encoders quantize identically, so the
+    progressive decode must equal the BASELINE decode of the same image
+    EXACTLY (same coefficients → same IDCT) — two independent encode
+    paths and two independent decode paths agreeing bit-for-bit rules
+    out complementary bugs. Truncated progressive payloads classify
+    ok=false."""
+    import numpy as np
+
+    from tools.jpeg_codec import encode_baseline_jpeg, encode_progressive_jpeg
+
+    from tdataframe_spark.ops.multimodal import decode_images
+
+    rng = np.random.RandomState(11)
+    grad = (np.add.outer(np.arange(17) * 3, np.arange(19) * 5) % 256).astype(
+        np.uint8
+    )
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:24, 0:20]
+    smooth = np.stack(
+        [(yy * 5 + xx * 3) % 256, (yy * 2 + xx * 7) % 256, (yy * 4 + xx) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    q2 = np.full((8, 8), 2, np.int64)  # non-trivial quant: every refine
+    # scan carries real correction bits
+    cases = [
+        (1, grad, dict()), (2, rgb, dict()), (3, smooth, dict(subsample=True)),
+        (4, grad, dict(quant=q2)),
+    ]
+    rows = []
+    for mid, img, kw in cases:
+        rows.append((mid, "image/jpeg", bytearray(encode_baseline_jpeg(img, **kw))))
+        rows.append(
+            (100 + mid, "image/jpeg", bytearray(encode_progressive_jpeg(img, **kw)))
+        )
+    rows.append(
+        (99, "image/jpeg", bytearray(encode_progressive_jpeg(grad)[:60]))
+    )
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    # resize_to exercises identical crops; mean_channel compares content
+    out = {r["media_id"]: r for r in decode_images(media).collect()}
+    for mid, img, _ in cases:
+        b, p = out[mid], out[100 + mid]
+        assert p["ok"], (mid, p)
+        assert (p["width"], p["height"]) == (b["width"], b["height"])
+        assert p["channels"] == b["channels"]
+        assert np.allclose(
+            np.array(p["mean_channel"]), np.array(b["mean_channel"]), atol=0
+        ), (mid, p["mean_channel"], b["mean_channel"])
+    assert not out[99]["ok"]  # truncated: honest classify, no raise
+    # sampled-pixel check: resize_to=5 averages 25 SPECIFIC pixels, so
+    # exact equality here pins individual pixel values, not just the mean
+    sampled = {
+        r["media_id"]: r for r in decode_images(media, resize_to=5).collect()
+    }
+    for mid, _, _ in cases:
+        assert np.allclose(
+            np.array(sampled[100 + mid]["mean_channel"]),
+            np.array(sampled[mid]["mean_channel"]),
+            atol=0,
+        ), mid
+
+
 def test_probe_metadata_real_headers(spark):
     """PNG/GIF/JPEG/WAV headers probe to their REAL dimensions/rates;
     unrecognized payloads keep the deterministic fallback schema."""

@@ -237,3 +237,279 @@ def encode_baseline_jpeg(
                     )
     bw.pad()
     return bytes(head) + bytes(bw.out) + b"\xff\xd9"
+
+
+# a "universal" canonical Huffman table carrying EVERY possible symbol
+# (0..254 at 9 bits, 255 at 10): progressive scans emit EOBn symbols
+# (0x10..0xE0) that the Annex-K tables do not contain, and building
+# frequency-optimal tables is encoder tuning the fixtures don't need —
+# the decoder reads whatever canonical table the stream declares.
+UNIV = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(255)) + [255],
+)
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: bool = False,
+) -> bytes:
+    """Encode a HxW (grayscale) or HxWx3 (RGB) uint8 array as a
+    PROGRESSIVE (SOF2) JPEG with a libjpeg-like scan script:
+
+    1. DC first  (Al=1)         — interleaved when nf>1
+    2. AC first  Ss=1..5,  Al=2 — per component (spec: AC scans are
+    3. AC first  Ss=6..63, Al=2   single-component / non-interleaved)
+    4. AC refine Ah=2, Al=1     — per component
+    5. AC refine Ah=1, Al=0     — per component
+    6. DC refine Ah=1, Al=0     — interleaved when nf>1
+
+    exercising spectral selection, successive approximation (DC and AC
+    first+refine), and EOB-run coding. Same coefficient pipeline as the
+    baseline encoder, so the progressive decode of an image must equal
+    the baseline decode of the same image EXACTLY — the cross-format
+    fixture equivalence the tests pin. Follows the jcphuff.c emission
+    algorithms (EOBRUN accumulation, buffered correction bits, ZRL
+    folding)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    quant_nat = (
+        np.ones((8, 8), np.int64) if quant is None else np.asarray(quant, np.int64)
+    )
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            he, we = (h + 1) & ~1, (w + 1) & ~1
+
+            def pad_even(p):
+                return np.pad(p, ((0, he - h), (0, we - w)), mode="edge")
+
+            cb = pad_even(cb).reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = pad_even(cr).reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1)] * 3
+        planes = [y, cb, cr]
+    nf = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # quantized zigzag coefficients over each component's MCU-padded grid
+    qz = quant_nat.reshape(64)[ZZ]
+    coefs = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        bh_, bw_ = ph // 8, pw // 8
+        grid = np.zeros((bh_, bw_, 64), np.int64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = _A @ (block - 128.0) @ _A.T
+                grid[by, bx] = np.round(coef / quant_nat).astype(np.int64).reshape(64)[ZZ]
+        coefs.append(grid)
+
+    codes = _codes(*UNIV)
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
+    for ci in range(nf):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    head += _seg(0xC2, sof)
+    dht = bytes([0x00]) + bytes(UNIV[0]) + bytes(UNIV[1])
+    dht += bytes([0x10]) + bytes(UNIV[0]) + bytes(UNIV[1])
+    head += _seg(0xC4, dht)
+    out = bytearray(head)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, sos)
+
+    def put_val(bw_, v, s):
+        bw_.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def comp_true_blocks(ci):
+        cw = -(-(w * samp[ci][0]) // hmax)
+        ch_ = -(-(h * samp[ci][1]) // vmax)
+        return -(-ch_ // 8), -(-cw // 8)
+
+    def dc_first_scan(al):
+        bw_ = _BitWriter()
+        preds = [0] * nf
+        if nf > 1:  # interleaved MCU order
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in range(nf):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = _category(diff)
+                            c, ln = codes[s]
+                            bw_.put(c, ln)
+                            if s:
+                                put_val(bw_, diff, s)
+        else:
+            bh_, bw_b = comp_true_blocks(0)
+            for m in range(bh_ * bw_b):
+                by, bx = divmod(m, bw_b)
+                v = int(coefs[0][by, bx, 0]) >> al
+                diff = v - preds[0]
+                preds[0] = v
+                s = _category(diff)
+                c, ln = codes[s]
+                bw_.put(c, ln)
+                if s:
+                    put_val(bw_, diff, s)
+        bw_.pad()
+        return sos_header(list(range(1, nf + 1)), 0, 0, 0, al) + bytes(bw_.out)
+
+    def dc_refine_scan(ah, al):
+        bw_ = _BitWriter()
+        if nf > 1:
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in range(nf):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                            bw_.put((v >> al) & 1, 1)
+        else:
+            bh_, bw_b = comp_true_blocks(0)
+            for m in range(bh_ * bw_b):
+                by, bx = divmod(m, bw_b)
+                bw_.put((int(coefs[0][by, bx, 0]) >> al) & 1, 1)
+        bw_.pad()
+        return sos_header(list(range(1, nf + 1)), 0, 0, ah, al) + bytes(bw_.out)
+
+    def ac_first_scan(ci, ss, se, al):
+        bw_ = _BitWriter()
+        eobrun = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                c, ln = codes[nbits << 4]
+                bw_.put(c, ln)
+                if nbits:
+                    bw_.put(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        bh_, bw_b = comp_true_blocks(ci)
+        for m in range(bh_ * bw_b):
+            by, bx = divmod(m, bw_b)
+            zz_ = coefs[ci][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz_[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    c, ln = codes[0xF0]
+                    bw_.put(c, ln)
+                    r -= 16
+                s = t.bit_length()
+                c, ln = codes[(r << 4) | s]
+                bw_.put(c, ln)
+                put_val(bw_, t if v >= 0 else -t, s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        bw_.pad()
+        return sos_header([ci + 1], ss, se, 0, al) + bytes(bw_.out)
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        bw_ = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits riding the next EOBRUN flush
+
+        def emit_eobrun():
+            nonlocal eobrun, pend
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                c, ln = codes[nbits << 4]
+                bw_.put(c, ln)
+                if nbits:
+                    bw_.put(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+            for b in pend:
+                bw_.put(b, 1)
+            pend = []
+
+        bh_, bw_b = comp_true_blocks(ci)
+        for m in range(bh_ * bw_b):
+            by, bx = divmod(m, bw_b)
+            zz_ = coefs[ci][by, bx]
+            absv = [abs(int(zz_[k])) >> al for k in range(ss, se + 1)]
+            eob = 0  # band index AFTER which only zeros/corrections remain
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            br: list[int] = []  # this block's buffered correction bits
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    emit_eobrun()
+                    c, ln = codes[0xF0]
+                    bw_.put(c, ln)
+                    r -= 16
+                    for b in br:
+                        bw_.put(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                emit_eobrun()
+                c, ln = codes[(r << 4) | 1]
+                bw_.put(c, ln)
+                bw_.put(1 if int(zz_[ss + i]) >= 0 else 0, 1)
+                for b in br:
+                    bw_.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pend.extend(br)
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        bw_.pad()
+        return sos_header([ci + 1], ss, se, ah, al) + bytes(bw_.out)
+
+    out += dc_first_scan(1)
+    for ci in range(nf):
+        out += ac_first_scan(ci, 1, 5, 2)
+        out += ac_first_scan(ci, 6, 63, 2)
+    for ci in range(nf):
+        out += ac_refine_scan(ci, 1, 63, 2, 1)
+        out += ac_refine_scan(ci, 1, 63, 1, 0)
+    out += dc_refine_scan(1, 0)
+    return bytes(out) + b"\xff\xd9"
