@@ -67,6 +67,9 @@ EXTENDED = [
     # winsorize
     "semdedup_assign",
     "winsorize_approx",
+    # round-6 addition: filtered ANN — the per-process memoized index
+    # build keeps timed runs probe-only (the semdedup_assign convention)
+    "filtered_ann",
 ]
 
 

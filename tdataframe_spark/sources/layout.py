@@ -301,6 +301,48 @@ def compact(
     return n_files
 
 
+def compact_txn(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Compaction for a transactional table (``sources/txn.py``): rewrite
+    the current snapshot into right-sized files and publish ONE atomic
+    manifest commit. Strictly safer than :func:`compact`'s
+    rmtree-then-rename (which has a crash instant with the live copy
+    gone, and breaks concurrent readers mid-scan): here old files stay on
+    disk until ``txn_vacuum``, so snapshot-pinned readers keep working
+    through the compaction — the lakehouse OPTIMIZE shape. Returns the
+    new file count."""
+    import math
+    import os
+
+    from tdataframe_spark.sources.txn import txn_latest, txn_read, txn_write
+
+    version, manifest = txn_latest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    files = [os.path.join(path, f["path"]) for f in manifest["files"]]
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = txn_read(spark, path)
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.repartition(n_files)
+    txn_write(
+        df,
+        path,
+        mode="overwrite",
+        meta={**(meta or {}), "compaction": True, "source_version": version},
+    )
+    return n_files
+
+
 def parquet_column_ranges(
     path: str, column: str
 ) -> list[tuple[float, float]]:

@@ -140,12 +140,29 @@ def test_upsert_txn_sink_is_exactly_once_and_snapshot_isolated(spark, tmp_path):
     from tdataframe_spark.sources.txn import txn_latest, txn_read
     from tdataframe_spark.streaming import stream_from_files, stream_upsert_to_parquet
 
-    cdc = spark.createDataFrame(
-        [(1, "a", 10), (2, "b", 10), (1, "a2", 20), (3, "c", 20), (2, "b2", 30)],
-        "k int, v string, ver int",
-    )
+    # one file per CDC wave with strictly increasing mtimes: upsert's
+    # last-wins is within-batch only, so the test must pin which wave
+    # lands in which micro-batch (repartition() would scatter versions
+    # across files in listing-order-dependent ways — a real flake)
+    import glob
+    import shutil
+
+    waves = [
+        [(1, "a", 10), (2, "b", 10)],
+        [(1, "a2", 20), (3, "c", 20)],
+        [(2, "b2", 30)],
+    ]
     src = str(tmp_path / "src")
-    cdc.repartition(3).write.parquet(src)
+    os.makedirs(src)
+    for i, rows_ in enumerate(waves):
+        d = str(tmp_path / f"wave{i}")
+        spark.createDataFrame(rows_, "k int, v string, ver int").coalesce(
+            1
+        ).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"wave-{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
     batch_view = spark.read.parquet(src)
     path, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
 

@@ -147,6 +147,39 @@ def test_vacuum_reclaims_unreferenced_commits(spark, tmp_path):
         json.load(open(os.path.join(path, "_txn", "manifest-000000000001.json")))
 
 
+def test_compact_txn_preserves_pinned_readers(spark, tmp_path):
+    """Lakehouse OPTIMIZE: many small commits compact into one atomic
+    overwrite commit; a reader pinned to the pre-compaction version keeps
+    reading its exact snapshot (old files survive until vacuum), the new
+    head has fewer files and identical content."""
+    from tdataframe_spark.sources.layout import compact_txn
+
+    path = str(tmp_path / "t")
+    for i in range(5):  # five tiny commits = five file sets
+        txn_write(
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{i}") for j in range(4)], "k int, s string"
+            ),
+            path,
+        )
+    v_before, m_before = txn_latest(path)
+    pinned = txn_read(spark, path, version=3)
+    pinned_rows = _rows(pinned)
+    before = _rows(txn_read(spark, path))
+
+    n = compact_txn(spark, path)
+    v_after, m_after = txn_latest(path)
+    assert v_after == v_before + 1 and m_after["meta"]["compaction"]
+    assert m_after["meta"]["source_version"] == v_before
+    assert len(m_after["files"]) == n < len(m_before["files"])
+    assert _rows(txn_read(spark, path)) == before
+    # the pinned snapshot still reads its exact pre-compaction bytes
+    assert _rows(txn_read(spark, path, version=3)) == pinned_rows
+    # vacuum then reclaims the superseded commit dirs; head still reads
+    removed = txn_vacuum(path, keep_versions=1)
+    assert removed and _rows(txn_read(spark, path)) == before
+
+
 def test_torn_manifest_is_impossible_by_construction(spark, tmp_path):
     """A crash mid-publish leaves only a .tmp- file; readers never see a
     partial manifest because visibility is the atomic link, not the
