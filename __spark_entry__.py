@@ -88,7 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # global_rank/roc_auc/encode_categorical; JPEG decode →
         # multimodal_features; serve_rollup txn detection →
         # rollup_incremental), second-consecutive-row keeps
-        # (winsorize_approx, semdedup_assign), the NEW filtered_ann,
+        # (winsorize_approx, semdedup_assign), the NEW filtered_ann +
+        # merge_upsert_txn,
         # and the oldest-verified (r3-last) backfill, complex-oracle-first
         "pagerank": q_pagerank,
         "profile_numeric": q_profile_numeric,
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "rollup_incremental": q_rollup_incremental,
         "filtered_ann": q_filtered_ann,
+        "merge_upsert_txn": q_merge_upsert_txn,
         "dedup_components": q_dedup_components,
         "semantic_dedup": q_semantic_dedup,
         "decontamination": q_decontamination,
@@ -139,10 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty": q_q17_small_qty,
         "q22_idle_customers": q_q22_idle_customers,
         "q6_revenue_delta": q_q6_revenue_delta,
-        "above_customer_avg": q_above_customer_avg,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r3-r5) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "above_customer_avg": q_above_customer_avg,
         "dup_spans": q_dup_spans,
         "tfidf_pairs": q_tfidf_pairs,
         "hybrid_search": q_hybrid_search,
@@ -276,6 +278,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "merge_upsert": SQL_MERGE_UPSERT,
+        # identical MERGE semantics through the transactional table: same oracle
+        "merge_upsert_txn": SQL_MERGE_UPSERT,
         "q7_volume_shipping": SQL_Q7,
         "q18_large_orders": SQL_Q18,
         "q19_disjunctive": SQL_Q19,

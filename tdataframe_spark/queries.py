@@ -1455,6 +1455,35 @@ FROM orders WHERE o_orderkey % 10 = 0
 """
 
 
+def q_merge_upsert_txn(spark, sf):
+    """The same MERGE through the transactional table (sources/txn.py):
+    seed the table with the original orders (one commit), txn_upsert the
+    re-priced batch (ONE atomic overwrite commit — readers see pre- or
+    post-merge, never between), read the head snapshot. MERGE semantics
+    are identical to the plain anti-join+union upsert, so it shares
+    SQL_MERGE_UPSERT's oracle — the commit protocol must not change a
+    single value."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read, txn_upsert, txn_write
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    # fresh table per call: upsert is not idempotent across repeated
+    # seeds, so the per-process reuse convention does not apply here
+    path = os.path.join(
+        tempfile.gettempdir(), f"merge_txn_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(o, path, mode="overwrite")
+    txn_upsert(upd, path, keys=["o_orderkey"])
+    return txn_read(spark, path)
+
+
 def q_pivot_status(spark, sf):
     """Pivot: returnflag columns per linestatus (wide conditional agg)."""
     li = _t(spark, sf, "lineitem")

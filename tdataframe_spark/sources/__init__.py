@@ -8,10 +8,12 @@ from tdataframe_spark.sources.parquet import (
 from tdataframe_spark.sources.txn import (
     ConcurrentWriteError,
     is_txn_table,
+    txn_changes,
     txn_latest,
     txn_latest_meta,
     txn_read,
     txn_snapshots,
+    txn_upsert,
     txn_vacuum,
     txn_write,
 )
@@ -24,10 +26,12 @@ __all__ = [
     "read_testdata",
     "ConcurrentWriteError",
     "is_txn_table",
+    "txn_changes",
     "txn_latest",
     "txn_latest_meta",
     "txn_read",
     "txn_snapshots",
+    "txn_upsert",
     "txn_vacuum",
     "txn_write",
 ]

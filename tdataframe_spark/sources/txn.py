@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from urllib.parse import unquote
 
@@ -206,6 +207,7 @@ def txn_write(
         manifest = {
             "version": version + 1,
             "parent": version,
+            "ts": time.time(),  # commit wall-clock: time-travel anchor
             "files": live + new_files,
             "schema": schema_json,
             "meta": meta or {},
@@ -225,12 +227,26 @@ def txn_read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
+    as_of: float | None = None,
     partition_filter: dict[str, list] | None = None,
 ) -> DataFrame:
-    """Read a snapshot: exactly the files the manifest lists (latest, or
-    a pinned ``version``). ``partition_filter`` prunes FILES on the
+    """Read a snapshot: exactly the files the manifest lists (latest, a
+    pinned ``version``, or — time travel — the newest commit at or before
+    unix-seconds ``as_of``). ``partition_filter`` prunes FILES on the
     manifest's recorded partition values before Spark is involved — the
     100 TB path where a day-refresh never lists undead directories."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    if as_of is not None:
+        eligible = [
+            v for v in _versions(path)
+            if _load(path, v).get("ts", float("inf")) <= as_of
+        ]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no commit at or before ts={as_of} in {path}"
+            )
+        version = eligible[-1]
     if version is None:
         version, manifest = txn_latest(path)
         if manifest is None:
@@ -255,6 +271,83 @@ def txn_latest_meta(path: str) -> dict:
     """Commit metadata of the table head ({} for a fresh table)."""
     _, manifest = txn_latest(path)
     return (manifest or {}).get("meta", {})
+
+
+def txn_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots, computed from the
+    manifests' FILE diff: only files added or removed between the
+    versions are read (files are immutable, so unchanged files cannot
+    contribute changes), then the exact row-level delta is
+    ``added EXCEPT ALL removed`` (inserts / new versions, multiset
+    semantics) unioned with ``removed EXCEPT ALL added`` (deletes / old
+    versions). Returns the table columns plus ``_change_type``
+    ('insert' | 'delete'); an update appears as its delete+insert pair —
+    the standard CDF shape consumers fold by key."""
+    if to_version is None:
+        to_version, _ = txn_latest(path)
+    before = {f["path"] for f in _load(path, from_version)["files"]} if from_version else set()
+    after_manifest = _load(path, to_version)
+    after = {f["path"] for f in after_manifest["files"]}
+    schema = StructType.fromJson(json.loads(after_manifest["schema"]))
+
+    def read_set(rel_paths):
+        files = [os.path.join(path, p) for p in sorted(rel_paths)]
+        if not files:
+            return spark.createDataFrame([], schema)
+        df = spark.read.parquet(*files)
+        return df.drop(*[c for c in df.columns if c.startswith(_PPREFIX)])
+
+    added_rows = read_set(after - before)
+    removed_rows = read_set(before - after)
+    cols = [f.name for f in schema.fields if not f.name.startswith(_PPREFIX)]
+    added_rows, removed_rows = added_rows.select(*cols), removed_rows.select(*cols)
+    inserts = added_rows.exceptAll(removed_rows).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = removed_rows.exceptAll(added_rows).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
+
+
+def txn_upsert(
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Batch MERGE INTO: batch rows replace same-key rows, new keys
+    append — one keyed shuffle, ONE atomic overwrite commit (readers see
+    pre- or post-merge, never between; pinned snapshots unaffected).
+    Within the batch, ``order_col`` picks the winning version per key
+    (last-wins); without it the batch must be key-unique. The batch
+    counterpart of ``streaming.ops.stream_upsert_to_parquet(txn=True)``.
+    Returns the committed version."""
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    if order_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if is_txn_table(path):
+        current = txn_read(spark, path)
+        survivors = current.join(
+            batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        )
+        merged = survivors.unionByName(batch)
+    else:
+        merged = batch
+    return txn_write(merged, path, mode="overwrite", meta=meta)
 
 
 def txn_vacuum(path: str, keep_versions: int = 1) -> list[str]:

@@ -1091,6 +1091,36 @@ def test_ivfpq_partial_probe_recall_floor(spark, tmp_path):
     assert recall >= 0.5, recall  # deterministic: measured 0.76 on this data
 
 
+def test_ivfpq_filtered_query_respects_predicate(spark, tmp_path):
+    """Filtered ANN in the compressed domain: the metadata predicate
+    baked into the codes table filters candidates BEFORE ADC scoring.
+    Every result satisfies the predicate; at full probe + full rerank the
+    filtered IVF-PQ answer equals the exact filtered brute force."""
+    from pyspark.sql import functions as F2
+
+    from tdataframe_spark.ops.similarity import ivfpq_build, ivfpq_query
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_corpus = emb.count()
+    q = emb.filter(F2.col("vec_id") % 100 == 0)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    path = str(tmp_path / "ivfpq_filt")
+    ivfpq_build(
+        emb, path, n_cells=4, m=16, n_codes=8, lloyd_iterations=2,
+        meta_cols=["label"],
+    )
+    res = ivfpq_query(
+        spark, path, q, k=5, n_probe=4, rerank=n_corpus, where="label < 5"
+    ).collect()
+    assert res and all(labels[r["neighbor_id"]] < 5 for r in res)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb.filter("label < 5"), k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in res}
+    assert got == exact  # full probe + full rerank == exact filtered
+
+
 def test_ivfpq_full_probe_matches_pq_and_prunes_partitions(spark, tmp_path):
     """With n_probe = n_cells the IVF-PQ index must reproduce the plain PQ
     index's results exactly (same codebook training, candidate set

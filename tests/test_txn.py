@@ -147,6 +147,77 @@ def test_vacuum_reclaims_unreferenced_commits(spark, tmp_path):
         json.load(open(os.path.join(path, "_txn", "manifest-000000000001.json")))
 
 
+def test_time_travel_reads_the_commit_at_or_before_ts(spark, tmp_path):
+    from tdataframe_spark.sources.txn import _load
+
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "a")], "k int, s string")
+    b = spark.createDataFrame([(2, "b")], "k int, s string")
+    txn_write(a, path)
+    txn_write(b, path)
+    ts1 = _load(path, 1)["ts"]
+    ts2 = _load(path, 2)["ts"]
+    assert ts2 >= ts1
+    assert _rows(txn_read(spark, path, as_of=ts1)) == _rows(a)
+    assert _rows(txn_read(spark, path, as_of=ts2 + 1)) == _rows(a.unionByName(b))
+    with pytest.raises(FileNotFoundError, match="no commit at or before"):
+        txn_read(spark, path, as_of=ts1 - 10)
+    with pytest.raises(ValueError, match="version OR as_of"):
+        txn_read(spark, path, version=1, as_of=ts1)
+
+
+def test_txn_changes_row_level_feed(spark, tmp_path):
+    """Change feed between snapshots from the manifests' file diff:
+    appends surface as inserts, a replace_where refresh surfaces exactly
+    the changed rows as delete+insert pairs (unchanged rows in untouched
+    FILES never appear), an upsert update is its delete+insert pair."""
+    from tdataframe_spark.sources.txn import txn_changes, txn_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(d, i, 1.0) for d in (1, 2) for i in range(3)], "day int, k int, v double"
+    )
+    txn_write(base, path, partition_by=["day"], mode="overwrite")  # v1
+    txn_write(
+        spark.createDataFrame([(3, 0, 9.0)], "day int, k int, v double"),
+        path,
+        partition_by=["day"],
+    )  # v2: pure append
+    ch = txn_changes(spark, path, 1, 2).collect()
+    assert {(r["day"], r["k"], r["_change_type"]) for r in ch} == {(3, 0, "insert")}
+
+    # v3: refresh day=2 — one row's value changes, two rows are rewritten
+    # unchanged within the replaced files; the unchanged rewrites cancel
+    # in the multiset diff, so only the truly changed row may appear
+    refreshed = spark.createDataFrame(
+        [(2, 0, 1.0), (2, 1, 5.0), (2, 2, 1.0)], "day int, k int, v double"
+    )
+    txn_write(refreshed, path, partition_by=["day"], replace_where={"day": [2]})
+    ch = {
+        (r["day"], r["k"], r["v"], r["_change_type"])
+        for r in txn_changes(spark, path, 2, 3).collect()
+    }
+    assert ch == {(2, 1, 1.0, "delete"), (2, 1, 5.0, "insert")}
+
+    # v4: batch MERGE — an update is its delete+insert pair, a new key an insert
+    txn_upsert(
+        spark.createDataFrame([(1, 0, 7.0), (9, 9, 2.0)], "day int, k int, v double"),
+        path,
+        keys=["day", "k"],
+    )
+    ch = {
+        (r["day"], r["k"], r["v"], r["_change_type"])
+        for r in txn_changes(spark, path, 3).collect()
+    }
+    assert ch == {
+        (1, 0, 1.0, "delete"), (1, 0, 7.0, "insert"), (9, 9, 2.0, "insert"),
+    }
+    # and the merged head equals the expected table
+    want = {(1, 0, 7.0), (1, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 1, 5.0),
+            (2, 2, 1.0), (3, 0, 9.0), (9, 9, 2.0)}
+    assert {tuple(r) for r in txn_read(spark, path).collect()} == want
+
+
 def test_compact_txn_preserves_pinned_readers(spark, tmp_path):
     """Lakehouse OPTIMIZE: many small commits compact into one atomic
     overwrite commit; a reader pinned to the pre-compaction version keeps
