@@ -327,18 +327,34 @@ def compact_txn(
     files = [os.path.join(path, f["path"]) for f in manifest["files"]]
     total = sum(os.path.getsize(f) for f in files)
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = txn_read(spark, path)
+    # a partitioned table must stay partitioned: the rewrite re-records
+    # each file's partition values in the new manifest, or partition-
+    # filtered reads and replace_where refreshes would silently miss
+    # every compacted row
+    partition_by = sorted(
+        {k for f in manifest["files"] for k in f["partition"]}
+    )
+    df = txn_read(spark, path, version=version)
     if sort_by:
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
             *sort_by
         )
+    elif partition_by:
+        # hash on the partition columns: each partition value's rows
+        # coalesce into one task → one compacted file per value
+        df = df.repartition(n_files, *partition_by)
     else:
         df = df.repartition(n_files)
+    # expected_version pins the read-modify-write: a concurrent append
+    # landing mid-compaction raises instead of silently vanishing from
+    # the compacted head
     txn_write(
         df,
         path,
         mode="overwrite",
+        partition_by=partition_by or None,
         meta={**(meta or {}), "compaction": True, "source_version": version},
+        expected_version=version,
     )
     return n_files
 

@@ -172,6 +172,10 @@ def txn_write(
     match — the MERGE-shaped refresh primitive. Data files are written
     ONCE outside the retry loop (the file set is commit-invariant);
     only the cheap manifest race retries."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(
+            f"mode must be 'append' or 'overwrite', got {mode!r}"
+        )
     if replace_where and mode == "overwrite":
         raise ValueError("replace_where and mode='overwrite' are exclusive")
     commit_id = uuid.uuid4().hex[:12]
@@ -328,7 +332,17 @@ def txn_upsert(
     Within the batch, ``order_col`` picks the winning version per key
     (last-wins); without it the batch must be key-unique. The batch
     counterpart of ``streaming.ops.stream_upsert_to_parquet(txn=True)``.
-    Returns the committed version."""
+    Returns the committed version.
+
+    The overwrite is a read-modify-write pinned with
+    ``expected_version``: a concurrent commit landing between the
+    snapshot read and the merge commit raises ``ConcurrentWriteError``
+    instead of silently dropping that writer's rows — re-run the merge
+    against the new head. Refuses a path holding a plain (non-txn)
+    parquet table: shadowing it would silently drop every existing key
+    from the transactional view."""
+    import glob
+
     from pyspark.sql import Window
 
     spark = batch.sparkSession
@@ -340,21 +354,37 @@ def txn_upsert(
             .drop("__rn")
         )
     if is_txn_table(path):
-        current = txn_read(spark, path)
+        version, _ = txn_latest(path)
+        current = txn_read(spark, path, version=version)
         survivors = current.join(
             batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
         )
         merged = survivors.unionByName(batch)
     else:
+        if os.path.isdir(path) and glob.glob(os.path.join(path, "*.parquet")):
+            raise ValueError(
+                f"{path} holds a plain parquet table; txn_upsert would "
+                "silently drop its rows — migrate it with "
+                "txn_write(spark.read.parquet(path), fresh_path) first"
+            )
+        version = 0
         merged = batch
-    return txn_write(merged, path, mode="overwrite", meta=meta)
+    return txn_write(
+        merged, path, mode="overwrite", meta=meta, expected_version=version
+    )
 
 
-def txn_vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def txn_vacuum(
+    path: str, keep_versions: int = 1, min_age_s: float = 3600.0
+) -> list[str]:
     """Reclaim data files referenced by NO manifest in the retained
     window (the last ``keep_versions`` manifests; older manifests are
     dropped). Readers pinned to vacuumed versions will fail — run with
-    a retention matching the longest reader. Returns removed paths."""
+    a retention matching the longest reader. ``min_age_s`` protects
+    IN-FLIGHT commits: a writer stages its data files BEFORE winning the
+    manifest race, so an unreferenced-but-young commit dir may be about
+    to be published — dirs younger than the threshold are left alone
+    (the Delta retention-period rule). Returns removed paths."""
     import shutil
 
     vs = _versions(path)
@@ -366,13 +396,21 @@ def txn_vacuum(path: str, keep_versions: int = 1) -> list[str]:
         for f in _load(path, v)["files"]:
             live.add(os.path.normpath(f["path"]))
     removed = []
+    now = time.time()
     data_root = os.path.join(path, "data")
     for commit_id in os.listdir(data_root) if os.path.isdir(data_root) else []:
         cdir = os.path.join(data_root, commit_id)
         rel = os.path.relpath(cdir, path)
-        if not any(p.startswith(rel + os.sep) or p.startswith(rel + "/") for p in live):
-            shutil.rmtree(cdir)
-            removed.append(cdir)
+        if any(p.startswith(rel + os.sep) or p.startswith(rel + "/") for p in live):
+            continue
+        try:
+            age = now - os.path.getmtime(cdir)
+        except OSError:
+            continue  # racing a concurrent removal
+        if age < min_age_s:
+            continue  # possibly a commit mid-publish — leave it
+        shutil.rmtree(cdir)
+        removed.append(cdir)
     for v in vs[:-keep_versions]:
         os.unlink(_manifest_path(path, v))
     return removed

@@ -306,15 +306,29 @@ def _txn_fence(state_path: str, checkpoint: str, what: str):
     (``sources/txn.py``): owner and applied-batch id ride the commit
     metadata, so they become visible ATOMICALLY with the state change —
     exactly-once with no marker files at all. Batch ids are monotonic
-    within a checkpoint and applied in order, so ``batch_id <= head's
-    batch_id`` is the complete replay test."""
-    from tdataframe_spark.sources.txn import txn_latest_meta
+    within a checkpoint and applied in order, so ``batch_id <= the last
+    SINK commit's batch_id`` is the complete replay test.
+
+    The fence scans manifests newest→oldest for the most recent commit
+    carrying a ``batch_id`` — NOT just the table head: a non-sink commit
+    in between (``compact_txn``'s OPTIMIZE, a manual ``txn_write``)
+    must neither erase the replay fence (re-folding a crashed batch)
+    nor bypass the ownership check. The scan stops at the first sink
+    commit, which is almost always the head or one behind it."""
+    from tdataframe_spark.sources import txn as _txn
 
     ckpt_id = _ckpt_id(checkpoint)
 
+    def _last_sink_meta() -> dict | None:
+        for v in reversed(_txn._versions(state_path)):
+            meta = _txn._load(state_path, v).get("meta", {})
+            if "batch_id" in meta:
+                return meta
+        return None
+
     def already_applied(batch_id: int) -> bool:
-        meta = txn_latest_meta(state_path)
-        if not meta:
+        meta = _last_sink_meta()
+        if meta is None:
             return False
         owner = meta.get("owner")
         if owner is not None and owner != ckpt_id:
@@ -434,24 +448,14 @@ def stream_upsert_to_parquet(
             )
 
         if txn:
-            from tdataframe_spark.sources.txn import (
-                is_txn_table,
-                txn_read,
-                txn_write,
-            )
+            from tdataframe_spark.sources.txn import txn_upsert
 
             already_applied, meta_for = fence
             if already_applied(batch_id):
                 return  # replayed batch: commit meta says it is folded in
-            if is_txn_table(path):
-                current = txn_read(spark, path)
-                survivors = current.join(
-                    batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
-                )
-                merged_df = survivors.unionByName(batch)
-            else:
-                merged_df = batch
-            txn_write(merged_df, path, mode="overwrite", meta=meta_for(batch_id))
+            # one MERGE implementation (sources.txn.txn_upsert): the
+            # batch is already order_col-deduplicated above
+            txn_upsert(batch, path, keys, meta=meta_for(batch_id))
             return
 
         def merged():
@@ -522,6 +526,15 @@ def stream_rollup_refresh(
     The first build records the owner; a mismatch raises instead.
     """
     import os
+
+    # legacy-layout auto-detect: a pre-existing plain day= directory keeps
+    # the marker-ledger path even under the txn default — a restarted
+    # deployment must keep running, not die in its first micro-batch
+    # (build_rollup_txn refuses to shadow plain state, correctly)
+    if txn and os.path.isdir(path) and any(
+        n.startswith("day=") for n in os.listdir(path)
+    ):
+        txn = False
 
     if txn:
         from tdataframe_spark.ops.rollup import build_rollup_txn, refresh_rollup_txn

@@ -140,7 +140,7 @@ def test_vacuum_reclaims_unreferenced_commits(spark, tmp_path):
     txn_write(spark.range(3, 6).select(F.col("id")), path, mode="overwrite")
     data_root = os.path.join(path, "data")
     assert len(os.listdir(data_root)) == 2
-    removed = txn_vacuum(path, keep_versions=1)
+    removed = txn_vacuum(path, keep_versions=1, min_age_s=0)
     assert len(removed) == 1 and len(os.listdir(data_root)) == 1
     assert {r["id"] for r in txn_read(spark, path).collect()} == {3, 4, 5}
     with pytest.raises(FileNotFoundError):
@@ -247,8 +247,99 @@ def test_compact_txn_preserves_pinned_readers(spark, tmp_path):
     # the pinned snapshot still reads its exact pre-compaction bytes
     assert _rows(txn_read(spark, path, version=3)) == pinned_rows
     # vacuum then reclaims the superseded commit dirs; head still reads
-    removed = txn_vacuum(path, keep_versions=1)
+    removed = txn_vacuum(path, keep_versions=1, min_age_s=0)
     assert removed and _rows(txn_read(spark, path)) == before
+
+
+def test_compact_txn_preserves_partitioning_and_fails_on_race(spark, tmp_path):
+    """Review regressions: (1) compacting a day-partitioned table must
+    re-record per-file partition values — partition-filtered reads and
+    replace_where refreshes after an OPTIMIZE would otherwise silently
+    miss every compacted row; (2) the read-modify-write is pinned with
+    expected_version, so a commit landing mid-compaction raises instead
+    of silently vanishing from the compacted head."""
+    from tdataframe_spark.sources.layout import compact_txn
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(d, i, 1.0) for d in (1, 2) for i in range(3)], "day int, k int, v double"
+    )
+    txn_write(base, path, partition_by=["day"], mode="overwrite")
+    txn_write(
+        spark.createDataFrame([(2, 9, 2.0)], "day int, k int, v double"),
+        path, partition_by=["day"],
+    )
+    compact_txn(spark, path)
+    _, m = txn_latest(path)
+    assert all(f["partition"].get("day") in ("1", "2") for f in m["files"]), m
+    # partition-filtered read still sees the compacted rows
+    assert len(txn_read(spark, path, partition_filter={"day": [2]}).collect()) == 4
+    # replace_where after compaction replaces, not duplicates
+    txn_write(
+        spark.createDataFrame([(2, 0, 7.0)], "day int, k int, v double"),
+        path, partition_by=["day"], replace_where={"day": [2]},
+    )
+    got = _rows(txn_read(spark, path))
+    assert got == _rows(
+        base.filter("day = 1").unionByName(
+            spark.createDataFrame([(2, 0, 7.0)], "day int, k int, v double")
+        )
+    )
+    # upsert CAS: another commit between read and merge must raise loudly
+    # (simulated by bumping the head after txn_upsert captured it — here
+    # we just assert txn_write's CAS plumbing is what txn_upsert uses)
+    v, _ = txn_latest(path)
+    with pytest.raises(ConcurrentWriteError):
+        txn_write(base, path, mode="overwrite", expected_version=v - 1)
+
+
+def test_txn_fence_survives_interleaved_non_sink_commits(spark, tmp_path):
+    """Review regression: the streaming replay fence must find the last
+    SINK commit, not just the table head — an OPTIMIZE or manual append
+    between sink commits must neither erase the applied-batch fence
+    (double-fold) nor bypass the ownership check."""
+    from tdataframe_spark.sources.layout import compact_txn
+    from tdataframe_spark.streaming.ops import _txn_fence
+
+    path = str(tmp_path / "t")
+    already_applied, meta_for = _txn_fence(path, str(tmp_path / "ck"), "rollup")
+    txn_write(spark.range(3), path, meta=meta_for(0))
+    txn_write(spark.range(3, 6), path, meta=meta_for(1))
+    assert already_applied(1) and already_applied(0)
+    compact_txn(spark, path)  # non-sink commit now at head
+    assert already_applied(1), "compaction erased the replay fence"
+    assert not already_applied(2)
+    # ownership survives too: a foreign checkpoint still gets refused
+    foreign, _ = _txn_fence(path, str(tmp_path / "other"), "rollup")
+    with pytest.raises(ValueError, match="owned by checkpoint"):
+        foreign(1)
+
+
+def test_vacuum_spares_young_unreferenced_commits(spark, tmp_path):
+    """Review regression: an unreferenced-but-young data dir may be a
+    commit mid-publish (files are staged BEFORE the manifest race) —
+    vacuum must leave it alone under the retention window."""
+    path = str(tmp_path / "t")
+    txn_write(spark.range(3), path)
+    staged = os.path.join(path, "data", "deadbeef0000")
+    os.makedirs(staged)
+    open(os.path.join(staged, "part-0.parquet"), "wb").write(b"x")
+    assert txn_vacuum(path, min_age_s=3600) == []
+    assert os.path.isdir(staged)
+    removed = txn_vacuum(path, min_age_s=0)
+    assert removed == [staged]
+
+
+def test_txn_write_rejects_unknown_mode_and_upsert_rejects_plain_dir(spark, tmp_path):
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    with pytest.raises(ValueError, match="mode must be"):
+        txn_write(spark.range(1), str(tmp_path / "t"), mode="Overwrite")
+    plain = str(tmp_path / "plain")
+    spark.range(5).write.parquet(plain)
+    with pytest.raises(ValueError, match="plain parquet table"):
+        txn_upsert(spark.range(2).selectExpr("id", "id as v"), plain, keys=["id"])
 
 
 def test_torn_manifest_is_impossible_by_construction(spark, tmp_path):
