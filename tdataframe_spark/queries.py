@@ -1484,6 +1484,39 @@ def q_merge_upsert_txn(spark, sf):
     return txn_read(spark, path)
 
 
+def q_cdc_changes(spark, sf):
+    """Row-level change feed between two table snapshots (txn_changes):
+    seed the orders table (v1), MERGE the re-priced 10% batch (v2), ask
+    for the delta — every updated key surfaces as its delete+insert
+    pair, unchanged rows multiset-cancel in the file diff's exceptAll.
+    The oracle states the expected CDF directly from the source table."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_changes, txn_upsert, txn_write
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    path = os.path.join(tempfile.gettempdir(), f"cdc_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(o, path, mode="overwrite")
+    txn_upsert(upd, path, keys=["o_orderkey"])
+    return txn_changes(spark, path, 1, 2)
+
+
+SQL_CDC_CHANGES = """
+SELECT o_orderkey, o_custkey, o_totalprice, 'delete' AS _change_type
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+       'insert' AS _change_type
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
 def q_pivot_status(spark, sf):
     """Pivot: returnflag columns per linestatus (wide conditional agg)."""
     li = _t(spark, sf, "lineitem")

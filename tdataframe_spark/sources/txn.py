@@ -153,6 +153,33 @@ def _part_matches(part: dict, where: dict) -> bool:
     )
 
 
+def _merge_schemas(old_json: str | None, new_json: str) -> str:
+    """Additive schema evolution: the committed schema is the old fields
+    (in order) plus any NEW fields the incoming frame introduces (made
+    nullable — older files lack them and read back as NULL). A same-name
+    field with a different type raises: silent coercion across files is
+    how lakehouse tables rot."""
+    if old_json is None:
+        return new_json
+    old = StructType.fromJson(json.loads(old_json))
+    new = StructType.fromJson(json.loads(new_json))
+    by_name = {f.name: f for f in old.fields}
+    merged = list(old.fields)
+    for f in new.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            f.nullable = True
+            merged.append(f)
+        elif prev.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution type conflict on {f.name!r}: table has "
+                f"{prev.dataType.simpleString()}, incoming frame has "
+                f"{f.dataType.simpleString()} — cast explicitly before "
+                "committing"
+            )
+    return StructType(merged).json()
+
+
 def txn_write(
     df: DataFrame,
     path: str,
@@ -201,19 +228,26 @@ def txn_write(
             )
         if mode == "overwrite":
             live = []
+            committed_schema = schema_json  # full replace: schema resets
         elif replace_where:
             live = [
                 f for f in (latest or {}).get("files", [])
                 if not _part_matches(f["partition"], replace_where)
             ]
+            committed_schema = _merge_schemas(
+                (latest or {}).get("schema"), schema_json
+            )
         else:
             live = list((latest or {}).get("files", []))
+            committed_schema = _merge_schemas(
+                (latest or {}).get("schema"), schema_json
+            )
         manifest = {
             "version": version + 1,
             "parent": version,
             "ts": time.time(),  # commit wall-clock: time-travel anchor
             "files": live + new_files,
-            "schema": schema_json,
+            "schema": committed_schema,
             "meta": meta or {},
         }
         if _publish(path, version + 1, manifest):
@@ -264,11 +298,11 @@ def txn_read(
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f["path"]) for f in files]
-    # leaf files carry the full schema (partition cols are duplicated,
-    # not hive-stripped) — no basePath / partition inference needed;
-    # drop the __p_* helper columns the writer added
-    out = spark.read.parquet(*paths)
-    return out.drop(*[c for c in out.columns if c.startswith(_PPREFIX)])
+    # read with the MANIFEST schema: leaf files carry their own columns
+    # (partition cols are duplicated, not hive-stripped — no basePath /
+    # partition inference needed), the explicit schema ignores the __p_*
+    # helper columns and NULL-backfills evolved columns in older files
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def txn_latest_meta(path: str) -> dict:
@@ -303,13 +337,12 @@ def txn_changes(
         files = [os.path.join(path, p) for p in sorted(rel_paths)]
         if not files:
             return spark.createDataFrame([], schema)
-        df = spark.read.parquet(*files)
-        return df.drop(*[c for c in df.columns if c.startswith(_PPREFIX)])
+        # both sides read under the TO snapshot's schema so an evolved
+        # column diffs as NULL→value, not as a schema mismatch
+        return spark.read.schema(schema).parquet(*files)
 
     added_rows = read_set(after - before)
     removed_rows = read_set(before - after)
-    cols = [f.name for f in schema.fields if not f.name.startswith(_PPREFIX)]
-    added_rows, removed_rows = added_rows.select(*cols), removed_rows.select(*cols)
     inserts = added_rows.exceptAll(removed_rows).withColumn(
         "_change_type", F.lit("insert")
     )

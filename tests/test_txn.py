@@ -342,6 +342,34 @@ def test_txn_write_rejects_unknown_mode_and_upsert_rejects_plain_dir(spark, tmp_
         txn_upsert(spark.range(2).selectExpr("id", "id as v"), plain, keys=["id"])
 
 
+def test_schema_evolution_additive_columns_null_backfill(spark, tmp_path):
+    """Additive schema evolution: appending a frame with a NEW column
+    widens the table schema; rows in older files read back NULL for it,
+    a frame MISSING a column appends fine (NULL-backfilled), and a
+    same-name type conflict raises instead of silently coercing."""
+    path = str(tmp_path / "t")
+    txn_write(spark.createDataFrame([(1, "a")], "k int, s string"), path)
+    txn_write(
+        spark.createDataFrame([(2, "b", 9.5)], "k int, s string, score double"),
+        path,
+    )
+    got = {r["k"]: (r["s"], r["score"]) for r in txn_read(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    assert txn_read(spark, path).columns == ["k", "s", "score"]
+    # a frame missing an evolved column still appends; NULL backfill
+    txn_write(spark.createDataFrame([(3, "c")], "k int, s string"), path)
+    got = {r["k"]: r["score"] for r in txn_read(spark, path).collect()}
+    assert got == {1: None, 2: 9.5, 3: None}
+    # same-name different-type: loud refusal
+    with pytest.raises(ValueError, match="type conflict on 'score'"):
+        txn_write(
+            spark.createDataFrame([(4, "d", "oops")], "k int, s string, score string"),
+            path,
+        )
+    # time travel reads the OLD schema at the old version
+    assert txn_read(spark, path, version=1).columns == ["k", "s"]
+
+
 def test_torn_manifest_is_impossible_by_construction(spark, tmp_path):
     """A crash mid-publish leaves only a .tmp- file; readers never see a
     partial manifest because visibility is the atomic link, not the
