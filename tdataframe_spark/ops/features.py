@@ -135,12 +135,58 @@ def target_encode(
     ).drop("__cs", "__cn", "__gm")
 
 
+def _hash_features_arrow(
+    df: DataFrame, cat_cols: list[str], num_cols: list[str], dim: int,
+    out_col: str,
+) -> DataFrame:
+    """Arrow scatter path of :func:`hash_features`: one ``mapInPandas``
+    pass, O(#cols) per row. Buckets are the SAME md5-derived hashes as
+    the JVM path (first 15 hex digits of md5 → bigint, mod dim), computed
+    with stdlib hashlib — bit-identical outputs, pinned in tests."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    cats, nums = list(cat_cols), list(num_cols)
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+
+        def bucket(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dim
+
+        num_buckets = [bucket(c) for c in nums]
+        for pdf in batches:
+            n = len(pdf)
+            out = np.zeros((n, dim), np.float64)
+            for c in cats:
+                vals = pdf[c]
+                for i, v in enumerate(vals):
+                    if v is None or (isinstance(v, float) and pd.isna(v)):
+                        continue
+                    out[i, bucket(f"{c}={v}")] += 1.0
+            for c, b in zip(nums, num_buckets):
+                v = pd.to_numeric(pdf[c], errors="coerce").to_numpy(np.float64)
+                mask = ~np.isnan(v)
+                out[mask, b] += v[mask]
+            pdf = pdf.copy()
+            pdf[out_col] = [row.tolist() for row in out]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def hash_features(
     df: DataFrame,
     cat_cols: list[str],
     num_cols: list[str] | None = None,
     dim: int = 256,
     out_col: str = "features",
+    method: str = "auto",
 ) -> DataFrame:
     """The hashing trick: map arbitrary categorical (and numeric) columns
     into a fixed ``dim``-dimensional dense double vector — the bridge
@@ -152,13 +198,23 @@ def hash_features(
 
     Stateless and vocabulary-free: unlike ``encode_categorical`` there is
     nothing to fit, broadcast, or drift — new categories at inference
-    time hash to stable buckets. Pure JVM expressions; embarrassingly
-    parallel; the per-row cost is O(dim × #cols): the output vector is
-    assembled by scanning the #cols entry structs once per output index
-    (Spark's expression language has no scatter primitive, and every
-    alternative — fold-into-accumulator-array, map-then-element_at —
-    re-walks one side per step, so this shape is as good as it gets
-    JVM-side; at dim≈256 it beats an Arrow round-trip comfortably).
+    time hash to stable buckets.
+
+    Two physical strategies, identical outputs (pinned equal in tests):
+
+    * ``method="jvm"`` — pure JVM expressions; embarrassingly parallel;
+      per-row cost O(dim × #cols): the output vector is assembled by
+      scanning the #cols entry structs once per output index (Spark's
+      expression language has no scatter primitive, and every
+      alternative — fold-into-accumulator-array, map-then-element_at —
+      re-walks one side per step, so this shape is as good as it gets
+      JVM-side; at dim≈256 it beats an Arrow round-trip comfortably).
+    * ``method="arrow"`` — one Arrow ``mapInPandas`` pass doing the true
+      O(#cols) numpy scatter per row (same md5-derived buckets, computed
+      in Python, bit-identical): removes the JVM shape's dim ceiling for
+      wide vectors.
+    * ``method="auto"`` (default) — JVM up to ``dim <= 512``, Arrow past
+      it.
     """
     from tdataframe_spark.functions.numeric import portable_hash64
 
@@ -166,6 +222,10 @@ def hash_features(
         raise ValueError("dim must be >= 1")
     if not cat_cols and not num_cols:
         raise ValueError("need at least one feature column")
+    if method not in ("auto", "jvm", "arrow"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "arrow" or (method == "auto" and dim > 512):
+        return _hash_features_arrow(df, cat_cols, num_cols or [], dim, out_col)
     entries = []  # (bucket expr, value expr) contributions
     for c in cat_cols:
         b = F.pmod(

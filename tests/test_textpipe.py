@@ -1046,3 +1046,38 @@ def test_hash_features_feeds_logreg(spark):
         hash_features(df, ["color"], dim=0)
     with pytest.raises(ValueError, match="at least one"):
         hash_features(df, [], None)
+    with pytest.raises(ValueError, match="unknown method"):
+        hash_features(df, ["color"], method="Arrow")
+
+
+def test_hash_features_arrow_path_is_bit_identical(spark):
+    """The Arrow scatter path (O(#cols) per row — the large-dim strategy)
+    must produce BIT-identical vectors to the JVM expression path on
+    mixed cat/num data with NULLs and int-typed categoricals, and
+    method='auto' must route wide dims to Arrow (plan shows the Python
+    map stage)."""
+    from pyspark.sql import Row
+
+    from tdataframe_spark.ops.features import hash_features
+    from tdataframe_spark.plans.inspect import explain_str
+
+    rows = [
+        Row(i=1, color="red", code=7, amount=2.5),
+        Row(i=2, color=None, code=None, amount=-1.25),
+        Row(i=3, color="blue", code=7, amount=None),
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, color string, code int, amount double"
+    )
+    for dim in (16, 700):
+        jvm = {r["i"]: list(r["features"]) for r in hash_features(
+            df, ["color", "code"], ["amount"], dim=dim, method="jvm"
+        ).collect()}
+        arrow = {r["i"]: list(r["features"]) for r in hash_features(
+            df, ["color", "code"], ["amount"], dim=dim, method="arrow"
+        ).collect()}
+        assert jvm == arrow, dim
+    auto_wide = hash_features(df, ["color"], dim=700)
+    assert "MapInPandas" in explain_str(auto_wide, "simple")
+    auto_narrow = hash_features(df, ["color"], dim=64)
+    assert "MapInPandas" not in explain_str(auto_narrow, "simple")
