@@ -142,14 +142,27 @@ def _hash_features_arrow(
     """Arrow scatter path of :func:`hash_features`: one ``mapInPandas``
     pass, O(#cols) per row. Buckets are the SAME md5-derived hashes as
     the JVM path (first 15 hex digits of md5 → bigint, mod dim), computed
-    with stdlib hashlib — bit-identical outputs, pinned in tests."""
+    with stdlib hashlib — bit-identical outputs, pinned in tests.
+
+    Categorical values are stringified JVM-SIDE (``CAST(col AS STRING)``
+    on helper columns) before they reach Python: stringifying in Python
+    is partition-DEPENDENT — pandas promotes an int column to float64
+    whenever a NULL shares its Arrow batch, so the same value would hash
+    as ``'7.0'`` in one partition and ``'7'`` in another (and booleans as
+    ``'True'`` vs Spark's ``'true'``). The helper columns also make the
+    hot loop dtype-stable."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
+    cats, nums = list(cat_cols), list(num_cols)
+    helpers = {c: f"__hs_{i}" for i, c in enumerate(cats)}
+    prep = df
+    for c, hc in helpers.items():
+        prep = prep.withColumn(hc, F.col(c).cast("string"))
     schema = StructType(
         df.schema.fields + [StructField(out_col, ArrayType(DoubleType()))]
     )
-    cats, nums = list(cat_cols), list(num_cols)
+    out_cols = [f.name for f in schema.fields]
 
     def run(batches):
         import hashlib
@@ -164,7 +177,7 @@ def _hash_features_arrow(
             n = len(pdf)
             out = np.zeros((n, dim), np.float64)
             for c in cats:
-                vals = pdf[c]
+                vals = pdf[helpers[c]]  # Spark-cast strings (or None)
                 for i, v in enumerate(vals):
                     if v is None or (isinstance(v, float) and pd.isna(v)):
                         continue
@@ -175,9 +188,9 @@ def _hash_features_arrow(
                 out[mask, b] += v[mask]
             pdf = pdf.copy()
             pdf[out_col] = [row.tolist() for row in out]
-            yield pdf
+            yield pdf[out_cols]
 
-    return df.mapInPandas(run, schema)
+    return prep.mapInPandas(run, schema)
 
 
 def hash_features(

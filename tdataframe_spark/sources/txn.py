@@ -276,10 +276,16 @@ def txn_read(
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
     if as_of is not None:
-        eligible = [
-            v for v in _versions(path)
-            if _load(path, v).get("ts", float("inf")) <= as_of
-        ]
+        def _commit_ts(v: int) -> float:
+            ts = _load(path, v).get("ts")
+            if ts is not None:
+                return ts
+            # pre-timestamp manifests: the manifest file's mtime is the
+            # publish instant (the link created it) — never +inf, or old
+            # tables would be unreachable by any as_of
+            return os.path.getmtime(_manifest_path(path, v))
+
+        eligible = [v for v in _versions(path) if _commit_ts(v) <= as_of]
         if not eligible:
             raise FileNotFoundError(
                 f"no commit at or before ts={as_of} in {path}"
@@ -386,15 +392,29 @@ def txn_upsert(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    partition_by = None
     if is_txn_table(path):
-        version, _ = txn_latest(path)
+        version, manifest = txn_latest(path)
+        # a partitioned table stays partitioned through the merge — an
+        # unpartitioned overwrite would empty the per-file partition
+        # metadata, silently breaking partition_filter reads and making
+        # later replace_where refreshes DUPLICATE instead of replace
+        partition_by = sorted(
+            {k for f in manifest["files"] for k in f["partition"]}
+        ) or None
         current = txn_read(spark, path, version=version)
         survivors = current.join(
             batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
         )
-        merged = survivors.unionByName(batch)
+        # allowMissingColumns: the batch may introduce a new column or
+        # omit an evolved one — either side NULL-backfills, matching the
+        # additive schema-evolution semantics of plain appends
+        merged = survivors.unionByName(batch, allowMissingColumns=True)
     else:
-        if os.path.isdir(path) and glob.glob(os.path.join(path, "*.parquet")):
+        if os.path.isdir(path) and (
+            glob.glob(os.path.join(path, "*.parquet"))
+            or glob.glob(os.path.join(path, "*", "*.parquet"))
+        ):
             raise ValueError(
                 f"{path} holds a plain parquet table; txn_upsert would "
                 "silently drop its rows — migrate it with "
@@ -403,7 +423,12 @@ def txn_upsert(
         version = 0
         merged = batch
     return txn_write(
-        merged, path, mode="overwrite", meta=meta, expected_version=version
+        merged,
+        path,
+        mode="overwrite",
+        partition_by=partition_by,
+        meta=meta,
+        expected_version=version,
     )
 
 
@@ -444,6 +469,18 @@ def txn_vacuum(
             continue  # possibly a commit mid-publish — leave it
         shutil.rmtree(cdir)
         removed.append(cdir)
+    # keep the newest manifest carrying a streaming sink's batch_id even
+    # when it falls outside the retained window: it is the replay fence
+    # AND the ownership record — deleting it after a non-sink commit
+    # (OPTIMIZE) took the head would let a crashed batch re-fold and a
+    # foreign checkpoint fold in (its data files may still be reclaimed;
+    # the fence only reads meta)
+    fence = next(
+        (v for v in reversed(vs) if "batch_id" in _load(path, v).get("meta", {})),
+        None,
+    )
     for v in vs[:-keep_versions]:
+        if v == fence:
+            continue
         os.unlink(_manifest_path(path, v))
     return removed

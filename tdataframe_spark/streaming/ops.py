@@ -439,6 +439,20 @@ def stream_upsert_to_parquet(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if txn:
+            from tdataframe_spark.sources.txn import txn_upsert
+
+            already_applied, meta_for = fence
+            if already_applied(batch_id):
+                return  # replayed batch: commit meta says it is folded in
+            # ONE MERGE implementation — txn_upsert owns the order_col
+            # last-wins dedup too
+            txn_upsert(
+                batch, path, keys, order_col=order_col,
+                meta=meta_for(batch_id),
+            )
+            return
+
         if order_col is not None:
             w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
             batch = (
@@ -446,17 +460,6 @@ def stream_upsert_to_parquet(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-
-        if txn:
-            from tdataframe_spark.sources.txn import txn_upsert
-
-            already_applied, meta_for = fence
-            if already_applied(batch_id):
-                return  # replayed batch: commit meta says it is folded in
-            # one MERGE implementation (sources.txn.txn_upsert): the
-            # batch is already order_col-deduplicated above
-            txn_upsert(batch, path, keys, meta=meta_for(batch_id))
-            return
 
         def merged():
             current = spark.read.parquet(path)

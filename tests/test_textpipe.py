@@ -1066,9 +1066,13 @@ def test_hash_features_arrow_path_is_bit_identical(spark):
         Row(i=2, color=None, code=None, amount=-1.25),
         Row(i=3, color="blue", code=7, amount=None),
     ]
+    # coalesce(1): the NULL must share an Arrow batch with the int values
+    # — pandas then promotes the column to float64, and a Python-side
+    # str() would hash 'code=7.0' instead of Spark's 'code=7' (the
+    # partition-dependent bug the JVM-side CAST fixed)
     df = spark.createDataFrame(
         rows, "i long, color string, code int, amount double"
-    )
+    ).coalesce(1)
     for dim in (16, 700):
         jvm = {r["i"]: list(r["features"]) for r in hash_features(
             df, ["color", "code"], ["amount"], dim=dim, method="jvm"

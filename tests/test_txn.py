@@ -342,6 +342,120 @@ def test_txn_write_rejects_unknown_mode_and_upsert_rejects_plain_dir(spark, tmp_
         txn_upsert(spark.range(2).selectExpr("id", "id as v"), plain, keys=["id"])
 
 
+def test_txn_upsert_preserves_partitioning_and_races_loudly(spark, tmp_path, monkeypatch):
+    """Second-review regressions: (1) upserting a partitioned table must
+    re-record per-file partition values (or partition_filter reads go
+    empty and later replace_where DUPLICATES — the compact_txn bug class);
+    (2) a commit landing between txn_upsert's snapshot read and its merge
+    commit must raise through txn_upsert itself, not just txn_write; (3)
+    a batch with an extra/missing column merges under additive schema
+    evolution; (4) the plain-table guard also catches hive-partitioned
+    plain layouts."""
+    from tdataframe_spark.sources import txn as txn_mod
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(d, i, 1.0) for d in (1, 2) for i in range(3)], "day int, k int, v double"
+    )
+    txn_write(base, path, partition_by=["day"], mode="overwrite")
+    txn_upsert(
+        spark.createDataFrame([(2, 0, 9.0)], "day int, k int, v double"),
+        path, keys=["day", "k"],
+    )
+    _, m = txn_latest(path)
+    assert all(f["partition"].get("day") in ("1", "2") for f in m["files"]), m
+    assert len(txn_read(spark, path, partition_filter={"day": [2]}).collect()) == 3
+    txn_write(
+        spark.createDataFrame([(2, 5, 4.0)], "day int, k int, v double"),
+        path, partition_by=["day"], replace_where={"day": [2]},
+    )
+    got = _rows(txn_read(spark, path))
+    assert got == _rows(
+        base.filter("day = 1").unionByName(
+            spark.createDataFrame([(2, 5, 4.0)], "day int, k int, v double")
+        )
+    ), "replace_where after upsert duplicated rows"
+
+    # (3) schema evolution through the merge: extra column NULL-backfills
+    txn_upsert(
+        spark.createDataFrame(
+            [(1, 0, 2.0, "x")], "day int, k int, v double, tag string"
+        ),
+        path, keys=["day", "k"],
+    )
+    head = txn_read(spark, path)
+    assert "tag" in head.columns
+    assert {r["tag"] for r in head.collect()} == {None, "x"}
+
+    # (2) inject a commit between txn_upsert's read and its commit
+    real_read = txn_mod.txn_read
+    bumped = {"done": False}
+
+    def racing_read(spark_, p, **kw):
+        out = real_read(spark_, p, **kw)
+        if not bumped["done"]:
+            bumped["done"] = True
+            txn_write(
+                spark.createDataFrame([(9, 9, 9.0, None)],
+                                      "day int, k int, v double, tag string"),
+                p, partition_by=["day"],
+            )
+        return out
+
+    monkeypatch.setattr(txn_mod, "txn_read", racing_read)
+    with pytest.raises(ConcurrentWriteError):
+        txn_upsert(
+            spark.createDataFrame(
+                [(1, 1, 3.0, None)], "day int, k int, v double, tag string"
+            ),
+            path, keys=["day", "k"],
+        )
+    monkeypatch.undo()
+
+    # (4) hive-partitioned plain table: guard must refuse
+    plain = str(tmp_path / "plain")
+    base.write.partitionBy("day").parquet(plain)
+    with pytest.raises(ValueError, match="plain parquet table"):
+        txn_upsert(base, plain, keys=["day", "k"])
+
+
+def test_vacuum_keeps_the_fence_manifest_and_asof_falls_back_to_mtime(
+    spark, tmp_path
+):
+    """Second-review regressions: vacuum must not unlink the newest
+    manifest carrying a streaming batch_id (it is the replay fence and
+    ownership record), and as_of on a manifest without 'ts' falls back
+    to the file mtime instead of being unreachable."""
+    import time as _time
+
+    from tdataframe_spark.sources.txn import _load, _manifest_path
+    from tdataframe_spark.streaming.ops import _txn_fence
+
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    already_applied, meta_for = _txn_fence(path, ck, "rollup")
+    txn_write(spark.range(3), path, meta=meta_for(0))
+    txn_write(spark.range(3, 6), path, mode="overwrite")  # non-sink head
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    # the sink manifest survived the vacuum → fence + ownership intact
+    assert already_applied(0)
+    foreign, _ = _txn_fence(path, str(tmp_path / "other"), "rollup")
+    with pytest.raises(ValueError, match="owned by checkpoint"):
+        foreign(0)
+
+    # as_of fallback: strip 'ts' from the head manifest (pre-timestamp era)
+    v, m = txn_latest(path)
+    m.pop("ts")
+    mp = _manifest_path(path, v)
+    os.unlink(mp)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert "ts" not in _load(path, v)
+    got = txn_read(spark, path, as_of=_time.time() + 1)
+    assert {r["id"] for r in got.collect()} == {3, 4, 5}
+
+
 def test_schema_evolution_additive_columns_null_backfill(spark, tmp_path):
     """Additive schema evolution: appending a frame with a NEW column
     widens the table schema; rows in older files read back NULL for it,
