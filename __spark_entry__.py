@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ann": q_filtered_ann,
         "merge_upsert_txn": q_merge_upsert_txn,
         "cdc_changes": q_cdc_changes,
+        "time_travel": q_time_travel,
         "dedup_components": q_dedup_components,
         "semantic_dedup": q_semantic_dedup,
         "decontamination": q_decontamination,
@@ -140,10 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q16_supplier_counts": q_q16_supplier_counts,
         "q17_small_qty": q_q17_small_qty,
-        "q22_idle_customers": q_q22_idle_customers,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r3-r5) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "q22_idle_customers": q_q22_idle_customers,
         "q6_revenue_delta": q_q6_revenue_delta,
         "above_customer_avg": q_above_customer_avg,
         "dup_spans": q_dup_spans,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         # identical MERGE semantics through the transactional table: same oracle
         "merge_upsert_txn": SQL_MERGE_UPSERT,
         "cdc_changes": SQL_CDC_CHANGES,
+        "time_travel": SQL_TIME_TRAVEL,
         "q7_volume_shipping": SQL_Q7,
         "q18_large_orders": SQL_Q18,
         "q19_disjunctive": SQL_Q19,

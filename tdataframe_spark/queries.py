@@ -1517,6 +1517,40 @@ FROM orders WHERE o_orderkey % 10 = 0
 """
 
 
+def q_time_travel(spark, sf):
+    """Snapshot time travel: seed the table (v1), MERGE the re-priced
+    batch (v2), then read AS OF v1's commit timestamp — the pre-merge
+    snapshot must come back byte-identical to the source table even
+    though the head has moved (files are immutable until vacuum). The
+    oracle is simply the unmodified source."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        txn_latest,
+        txn_read,
+        txn_upsert,
+        txn_write,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    path = os.path.join(tempfile.gettempdir(), f"tt_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(o, path, mode="overwrite")
+    _, m1 = txn_latest(path)
+    txn_upsert(upd, path, keys=["o_orderkey"])
+    return txn_read(spark, path, as_of=m1["ts"])
+
+
+SQL_TIME_TRAVEL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
 def q_pivot_status(spark, sf):
     """Pivot: returnflag columns per linestatus (wide conditional agg)."""
     li = _t(spark, sf, "lineitem")

@@ -487,7 +487,7 @@ _HEAVY_BUILDERS = {
     "dedup_keep_best", "rollup_incremental", "snapshot_diff",
     "merge_upsert", "global_rank", "decontamination_bloom",
     "nearest_centroid", "lm_score", "semdedup", "semdedup_assign",
-    "pca_embeddings", "logreg_score", "merge_upsert_txn", "cdc_changes",
+    "pca_embeddings", "logreg_score", "merge_upsert_txn", "cdc_changes", "time_travel",
 }
 
 
