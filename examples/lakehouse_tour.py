@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Transactional-table tour: the lakehouse workflow end to end on the
+synthetic orders table — the operational layer a 100 TB deployment runs
+under every pipeline in this repo.
+
+Stages: seed (atomic commit) → CDC MERGE (txn_upsert, CAS-pinned) →
+snapshot time travel (read the pre-merge table AS OF its commit ts) →
+row-level change feed (txn_changes: updates as delete+insert pairs) →
+incremental consumer (txn_changes_since cursor loop) → schema evolution
+(append a new column; old rows NULL-backfill) → OPTIMIZE (compact_txn:
+one atomic manifest commit, snapshot-pinned readers unaffected) →
+VACUUM (reclaim unreferenced files under a retention window).
+
+Run: python examples/lakehouse_tour.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tdataframe_spark import get_spark
+from tdataframe_spark.sources.layout import compact_txn
+from tdataframe_spark.sources.parquet import read_table
+from tdataframe_spark.sources.txn import (
+    txn_changes,
+    txn_changes_since,
+    txn_latest,
+    txn_read,
+    txn_snapshots,
+    txn_upsert,
+    txn_vacuum,
+    txn_write,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("lakehouse-tour", cpus=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = os.path.join(tempfile.mkdtemp(), "orders_txn")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    # 1. seed — one atomic commit
+    txn_write(orders, path, mode="overwrite")
+    v1, m1 = txn_latest(path)
+    print(f"v{v1}: seeded {txn_read(spark, path).count()} rows")
+
+    # 2. CDC MERGE — re-price 10% of orders, one CAS-pinned commit
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    v2 = txn_upsert(upd, path, keys=["o_orderkey"])
+    print(f"v{v2}: merged {upd.count()} re-priced orders")
+
+    # 3. time travel — the pre-merge snapshot, byte-identical
+    asof = txn_read(spark, path, as_of=m1["ts"])
+    print(f"as-of v1: {asof.count()} rows (pre-merge snapshot intact)")
+
+    # 4. row-level change feed — updates as delete+insert pairs
+    ch = txn_changes(spark, path, v1, v2)
+    ch.groupBy("_change_type").count().orderBy("_change_type").show()
+
+    # 5. incremental consumer — cursor loop over new commits
+    df, cursor = txn_changes_since(spark, path, v1)
+    print(f"consumer advanced v{v1} -> v{cursor}: {df.count()} change rows")
+
+    # 6. schema evolution — append a column; old rows NULL-backfill
+    txn_write(
+        upd.limit(5).withColumn("priority", F.lit("rush")), path
+    )
+    head = txn_read(spark, path)
+    n_null = head.filter(F.col("priority").isNull()).count()
+    print(f"schema evolved: +priority, {n_null} pre-existing rows NULL-backfilled")
+
+    # 7. OPTIMIZE — compact small files in one atomic commit
+    n_files_before = len(txn_latest(path)[1]["files"])
+    compact_txn(spark, path)
+    n_files_after = len(txn_latest(path)[1]["files"])
+    print(f"OPTIMIZE: {n_files_before} files -> {n_files_after}; "
+          f"as-of v1 still reads {txn_read(spark, path, version=1).count()} rows")
+
+    # 8. VACUUM — reclaim unreferenced commits past the retention window
+    removed = txn_vacuum(path, keep_versions=1, min_age_s=0)
+    print(f"VACUUM removed {len(removed)} retired commit dirs; "
+          f"head still reads {txn_read(spark, path).count()} rows")
+    print("snapshots retained:", [v for v, _ in txn_snapshots(path)])
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,7 @@ from tdataframe_spark.sources.txn import (
     ConcurrentWriteError,
     is_txn_table,
     txn_changes,
+    txn_changes_since,
     txn_latest,
     txn_latest_meta,
     txn_read,
@@ -27,6 +28,7 @@ __all__ = [
     "ConcurrentWriteError",
     "is_txn_table",
     "txn_changes",
+    "txn_changes_since",
     "txn_latest",
     "txn_latest_meta",
     "txn_read",

@@ -358,6 +358,28 @@ def txn_changes(
     return inserts.unionByName(deletes)
 
 
+def txn_changes_since(
+    spark: SparkSession, path: str, last_version: int
+) -> tuple[DataFrame, int]:
+    """Pull-based incremental consumption of the change feed: the rows
+    changed since ``last_version`` (as :func:`txn_changes`) plus the new
+    cursor to persist. A consumer loop is
+
+        df, cur = txn_changes_since(spark, path, cur)
+
+    applied per poll — downstream incremental jobs (rollup refreshes,
+    index maintenance, replication) process each commit's delta exactly
+    once as long as they persist the cursor transactionally with their
+    own output (e.g. in their commit ``meta``)."""
+    head, _ = txn_latest(path)
+    if head <= last_version:
+        # no new commits: empty frame under the current schema
+        return txn_read(spark, path, version=last_version).limit(0).withColumn(
+            "_change_type", F.lit("insert")
+        ).limit(0), last_version
+    return txn_changes(spark, path, last_version, head), head
+
+
 def txn_upsert(
     batch: DataFrame,
     path: str,

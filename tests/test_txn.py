@@ -218,6 +218,29 @@ def test_txn_changes_row_level_feed(spark, tmp_path):
     assert {tuple(r) for r in txn_read(spark, path).collect()} == want
 
 
+def test_txn_changes_since_cursor_loop(spark, tmp_path):
+    """Pull-based incremental consumption: each poll returns exactly the
+    delta since the persisted cursor plus the new cursor; a poll with no
+    new commits returns an empty frame and the unchanged cursor."""
+    from tdataframe_spark.sources.txn import txn_changes_since
+
+    path = str(tmp_path / "t")
+    txn_write(spark.createDataFrame([(1, "a")], "k int, s string"), path)
+    df, cur = txn_changes_since(spark, path, 0)
+    assert cur == 1
+    assert {(r["k"], r["_change_type"]) for r in df.collect()} == {(1, "insert")}
+    # idle poll: no new commits
+    df, cur2 = txn_changes_since(spark, path, cur)
+    assert cur2 == cur and df.count() == 0
+    assert df.columns == ["k", "s", "_change_type"]
+    # two more commits consumed in one poll
+    txn_write(spark.createDataFrame([(2, "b")], "k int, s string"), path)
+    txn_write(spark.createDataFrame([(3, "c")], "k int, s string"), path)
+    df, cur3 = txn_changes_since(spark, path, cur2)
+    assert cur3 == 3
+    assert {r["k"] for r in df.collect()} == {2, 3}
+
+
 def test_compact_txn_preserves_pinned_readers(spark, tmp_path):
     """Lakehouse OPTIMIZE: many small commits compact into one atomic
     overwrite commit; a reader pinned to the pre-compaction version keeps
