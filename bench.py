@@ -70,6 +70,10 @@ EXTENDED = [
     # round-6 addition: filtered ANN — the per-process memoized index
     # build keeps timed runs probe-only (the semdedup_assign convention)
     "filtered_ann",
+    # round-6 addition: transactional MERGE — seeds a fresh txn table
+    # and commits the keyed merge per run, so the number includes the
+    # full commit-protocol overhead (write + manifest race) at sf scale
+    "merge_upsert_txn",
 ]
 
 

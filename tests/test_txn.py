@@ -507,6 +507,29 @@ def test_schema_evolution_additive_columns_null_backfill(spark, tmp_path):
     assert txn_read(spark, path, version=1).columns == ["k", "s"]
 
 
+def test_txn_many_commits_smoke(spark, tmp_path):
+    """A long commit history stays correct and serviceable: 30 appends →
+    head reads every row, a cursor catch-up from 0 replays the full feed,
+    time travel hits mid-history, and vacuum(keep=1) collapses the
+    manifest count without touching live data."""
+    path = str(tmp_path / "t")
+    for i in range(30):
+        txn_write(
+            spark.createDataFrame([(i, i * 10)], "k int, v int"), path
+        )
+    head = txn_read(spark, path)
+    assert head.count() == 30
+    from tdataframe_spark.sources.txn import txn_changes_since
+
+    df, cur = txn_changes_since(spark, path, 0)
+    assert cur == 30 and df.count() == 30
+    assert {r["_change_type"] for r in df.collect()} == {"insert"}
+    mid = txn_read(spark, path, version=15)
+    assert mid.count() == 15
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    assert txn_read(spark, path).count() == 30
+
+
 def test_torn_manifest_is_impossible_by_construction(spark, tmp_path):
     """A crash mid-publish leaves only a .tmp- file; readers never see a
     partial manifest because visibility is the atomic link, not the
