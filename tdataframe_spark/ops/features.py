@@ -207,7 +207,8 @@ def hash_features(
     ``cosine_topk``, PCA) without a fitted vocabulary. Each categorical
     value contributes 1.0 at bucket ``portable_hash64('col=value') % dim``
     (collisions sum, the standard trade); each numeric column contributes
-    its value at the fixed bucket of its name. NULLs contribute nothing.
+    its value at the fixed bucket of its name. NULL and NaN values
+    contribute nothing (identically in both physical paths).
 
     Stateless and vocabulary-free: unlike ``encode_categorical`` there is
     nothing to fit, broadcast, or drift — new categories at inference
@@ -253,9 +254,12 @@ def hash_features(
         )
     for c in num_cols or []:
         b = F.pmod(portable_hash64(F.lit(c)), F.lit(dim))
+        # NaN contributes nothing, same as NULL — the Arrow path masks
+        # NaN out (~isnan), and without this guard the JVM path would
+        # add it and poison the whole bucket sum to NaN
         entries.append(
             F.when(
-                F.col(c).isNotNull(),
+                F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double")),
                 F.struct(
                     b.cast("int").alias("b"),
                     F.col(c).cast("double").alias("v"),

@@ -205,6 +205,19 @@ def txn_write(
         )
     if replace_where and mode == "overwrite":
         raise ValueError("replace_where and mode='overwrite' are exclusive")
+    if replace_where:
+        # the predicate can only be validated against partition values,
+        # so its keys must be partition columns of THIS write — a typo'd
+        # or non-partition key would otherwise match nothing and the new
+        # rows would silently coexist with the retained copies
+        unknown = set(replace_where) - set(partition_by or [])
+        if unknown:
+            raise ValueError(
+                f"replace_where keys {sorted(unknown)} are not in "
+                f"partition_by={sorted(partition_by or [])}; replacement "
+                "is partition-level, so the predicate keys must be "
+                "partition columns of the write"
+            )
     commit_id = uuid.uuid4().hex[:12]
     commit_dir = os.path.join(path, "data", commit_id)
     w = df
@@ -218,6 +231,21 @@ def txn_write(
         writer = writer.partitionBy(*pcols)
     writer.parquet(commit_dir)
     new_files = _collect_files(commit_dir, path)
+    if replace_where:
+        # Delta's replaceWhere rule: every written row must satisfy the
+        # predicate, or rows outside it land in the commit alongside the
+        # retained files' copies of those partitions — silent duplication
+        for f in new_files:
+            if not _part_matches(f["partition"], replace_where):
+                import shutil
+
+                shutil.rmtree(commit_dir, ignore_errors=True)  # never committed
+                raise ValueError(
+                    f"replace_where violation: written file {f['path']} "
+                    f"has partition values {f['partition']} outside "
+                    f"{replace_where}; filter the frame to the predicate "
+                    "before committing"
+                )
     schema_json = df.schema.json()
 
     for _ in range(max_retries):
@@ -230,8 +258,19 @@ def txn_write(
             live = []
             committed_schema = schema_json  # full replace: schema resets
         elif replace_where:
+            old_files = (latest or {}).get("files", [])
+            existing_cols = {k for f in old_files for k in f["partition"]}
+            missing = set(replace_where) - existing_cols
+            if old_files and missing:
+                raise ValueError(
+                    f"replace_where keys {sorted(missing)} are not "
+                    "partition columns of the existing table "
+                    f"(has {sorted(existing_cols) or 'none — unpartitioned'}); "
+                    "the predicate would retain every file and the new rows "
+                    "would duplicate instead of replace"
+                )
             live = [
-                f for f in (latest or {}).get("files", [])
+                f for f in old_files
                 if not _part_matches(f["partition"], replace_where)
             ]
             committed_schema = _merge_schemas(
@@ -285,7 +324,12 @@ def txn_read(
             # tables would be unreachable by any as_of
             return os.path.getmtime(_manifest_path(path, v))
 
-        eligible = [v for v in _versions(path) if _commit_ts(v) <= as_of]
+        eligible = [
+            v for v in _versions(path)
+            # vacuumed manifests keep their meta (replay fence) but their
+            # data files are gone — time travel must not resolve to them
+            if not _load(path, v).get("vacuumed") and _commit_ts(v) <= as_of
+        ]
         if not eligible:
             raise FileNotFoundError(
                 f"no commit at or before ts={as_of} in {path}"
@@ -297,8 +341,25 @@ def txn_read(
             raise FileNotFoundError(f"no transactional table at {path}")
     else:
         manifest = _load(path, version)
+    if manifest.get("vacuumed"):
+        raise FileNotFoundError(
+            f"version {version} of {path} was vacuumed — its data files "
+            "are reclaimed (the manifest survives only as a streaming "
+            "replay fence); re-run vacuum with a longer retention if "
+            "readers need this snapshot"
+        )
     files = manifest["files"]
     if partition_filter:
+        # pruning compares against recorded partition values, so a key
+        # that is not a partition column of ANY live file would silently
+        # match nothing — an empty result for a typo is worse than an error
+        pcols = {k for f in files for k in f["partition"]}
+        unknown = set(partition_filter) - pcols
+        if files and unknown:
+            raise ValueError(
+                f"partition_filter keys {sorted(unknown)} are not partition "
+                f"columns of {path} (has {sorted(pcols) or 'none — unpartitioned'})"
+            )
         files = [f for f in files if _part_matches(f["partition"], partition_filter)]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not files:
@@ -334,8 +395,16 @@ def txn_changes(
     the standard CDF shape consumers fold by key."""
     if to_version is None:
         to_version, _ = txn_latest(path)
-    before = {f["path"] for f in _load(path, from_version)["files"]} if from_version else set()
+    from_manifest = _load(path, from_version) if from_version else None
     after_manifest = _load(path, to_version)
+    for v, m in ((from_version, from_manifest), (to_version, after_manifest)):
+        if m is not None and m.get("vacuumed"):
+            raise ValueError(
+                f"version {v} of {path} was vacuumed — its file list is "
+                "gone, so the change feed from it would report every live "
+                "row as an insert; restart the consumer from a full snapshot"
+            )
+    before = {f["path"] for f in from_manifest["files"]} if from_manifest else set()
     after = {f["path"] for f in after_manifest["files"]}
     schema = StructType.fromJson(json.loads(after_manifest["schema"]))
 
@@ -372,6 +441,14 @@ def txn_changes_since(
     once as long as they persist the cursor transactionally with their
     own output (e.g. in their commit ``meta``)."""
     head, _ = txn_latest(path)
+    if head == 0:
+        # table has no commits yet (a consumer may start polling before
+        # the producer's first commit): an explicitly-empty feed whose
+        # real columns appear once the table exists — not a crash
+        return (
+            spark.createDataFrame([], "_change_type string"),
+            last_version,
+        )
     if head <= last_version:
         # no new commits: empty frame under the current schema
         return txn_read(spark, path, version=last_version).limit(0).withColumn(
@@ -503,6 +580,22 @@ def txn_vacuum(
     )
     for v in vs[:-keep_versions]:
         if v == fence:
+            # the fence only needs its meta; when its data files are no
+            # longer referenced by any retained manifest they are
+            # reclaimed above, so mark it files-invalid — as_of/version
+            # reads skip or error clearly instead of failing on missing
+            # files (files all still live → snapshot stays readable)
+            m = _load(path, v)
+            fence_files = {os.path.normpath(f["path"]) for f in m["files"]}
+            if not m.get("vacuumed") and not fence_files <= live:
+                m["vacuumed"] = True
+                m["files"] = []
+                tmp = os.path.join(path, _TXN, f".tmp-{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    json.dump(m, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, _manifest_path(path, v))
             continue
         os.unlink(_manifest_path(path, v))
     return removed

@@ -1065,6 +1065,9 @@ def test_hash_features_arrow_path_is_bit_identical(spark):
         Row(i=1, color="red", code=7, amount=2.5),
         Row(i=2, color=None, code=None, amount=-1.25),
         Row(i=3, color="blue", code=7, amount=None),
+        # NaN numeric: both paths must treat it as missing — the JVM path
+        # once added it, poisoning the bucket sum to NaN while Arrow masked
+        Row(i=4, color="red", code=3, amount=float("nan")),
     ]
     # coalesce(1): the NULL must share an Arrow batch with the int values
     # — pandas then promotes the column to float64, and a Python-side
@@ -1081,6 +1084,7 @@ def test_hash_features_arrow_path_is_bit_identical(spark):
             df, ["color", "code"], ["amount"], dim=dim, method="arrow"
         ).collect()}
         assert jvm == arrow, dim
+        assert all(v == v for vec in jvm.values() for v in vec), "NaN leaked"
     auto_wide = hash_features(df, ["color"], dim=700)
     assert "MapInPandas" in explain_str(auto_wide, "simple")
     auto_narrow = hash_features(df, ["color"], dim=64)

@@ -542,3 +542,137 @@ def test_torn_manifest_is_impossible_by_construction(spark, tmp_path):
     v, m = txn_latest(path)
     assert v == 1 and len(m["files"]) >= 1
     assert txn_read(spark, path).count() == 2
+
+
+def test_unknown_partition_keys_raise_instead_of_matching_nothing(
+    spark, tmp_path
+):
+    """r6-ADVICE: _part_matches string-compares against recorded partition
+    values, so a typo'd (or non-partition) key used to silently match
+    nothing — an empty read, or a replace_where that retains every file
+    and DUPLICATES the new rows. All four doors now validate keys."""
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "day int, v int"
+    )
+    path = str(tmp_path / "t")
+    txn_write(df, path, partition_by=["day"])
+
+    with pytest.raises(ValueError, match="not partition columns"):
+        txn_read(spark, path, partition_filter={"dya": [1]})
+    # replace_where keys must be partition columns of the WRITE ...
+    with pytest.raises(ValueError, match="not in partition_by"):
+        txn_write(
+            df.filter("day = 1"), path, replace_where={"dya": [1]}
+        )
+    # ... and of the existing table (else every file is retained)
+    with pytest.raises(ValueError, match="existing table"):
+        txn_write(
+            df.filter("day = 1").withColumnRenamed("day", "dya"),
+            path,
+            partition_by=["dya"],
+            replace_where={"dya": [1]},
+        )
+
+    # unpartitioned table: both filters error clearly
+    flat = str(tmp_path / "flat")
+    txn_write(df, flat)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        txn_read(spark, flat, partition_filter={"day": [1]})
+
+    # the valid forms still work
+    assert txn_read(spark, path, partition_filter={"day": [1]}).count() == 2
+
+
+def test_replace_where_rejects_rows_outside_the_predicate(spark, tmp_path):
+    """r6-ADVICE: Delta's replaceWhere validation — rows outside the
+    predicate must not ride the commit (they would coexist with the
+    retained files' copies of those partitions, silently duplicating)."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "day int, v int"
+    )
+    path = str(tmp_path / "t")
+    txn_write(df, path, partition_by=["day"])
+    with pytest.raises(ValueError, match="replace_where violation"):
+        txn_write(  # frame spans day 1 AND 2, predicate names only day 1
+            df, path, partition_by=["day"], replace_where={"day": [1]}
+        )
+    # nothing was committed, and the staged files were cleaned up
+    assert txn_latest(path)[0] == 1
+    data_root = os.path.join(path, "data")
+    assert len(os.listdir(data_root)) == 1
+    # the filtered frame commits fine
+    txn_write(
+        df.filter("day = 1").withColumn("v", F.lit(99)),
+        path,
+        partition_by=["day"],
+        replace_where={"day": [1]},
+    )
+    assert _rows(txn_read(spark, path)) == [(1, 99), (2, 20)]
+
+
+def test_changes_since_on_a_table_with_no_commits_is_empty_not_a_crash(
+    spark, tmp_path
+):
+    """r6-ADVICE: a pull consumer started before the producer's first
+    commit must get an empty feed and keep its cursor, not die in _load
+    on a manifest that doesn't exist yet."""
+    from tdataframe_spark.sources.txn import txn_changes_since
+
+    path = str(tmp_path / "not_yet")
+    df, cur = txn_changes_since(spark, path, 0)
+    assert df.count() == 0 and cur == 0
+    # producer appears → the same loop picks up the first commit
+    txn_write(spark.range(3), path)
+    df, cur = txn_changes_since(spark, path, cur)
+    assert df.count() == 3 and cur == 1
+
+
+def test_vacuumed_fence_manifest_is_files_invalid_but_keeps_the_fence(
+    spark, tmp_path
+):
+    """r6-ADVICE: vacuum retains the newest batch_id manifest as the
+    replay fence but reclaims its data files — the manifest is now marked
+    vacuumed (files stripped), so as_of never resolves to it, a pinned
+    read errors clearly instead of failing on missing files, and the
+    change feed refuses it; the fence itself still works."""
+    from tdataframe_spark.sources.txn import _load, txn_changes
+    from tdataframe_spark.streaming.ops import _txn_fence
+
+    path = str(tmp_path / "t")
+    already_applied, meta_for = _txn_fence(path, str(tmp_path / "ck"), "rollup")
+    txn_write(spark.range(3), path, meta=meta_for(0))          # v1 = fence
+    fence_ts = txn_latest(path)[1]["ts"]
+    txn_write(spark.range(3, 6), path, mode="overwrite")        # v2 head
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+
+    m = _load(path, 1)
+    assert m.get("vacuumed") is True and m["files"] == []
+    assert already_applied(0)  # fence meta survived
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txn_read(spark, path, version=1)
+    # as_of inside [fence, head) used to resolve to the fence and then
+    # fail on missing files — now it reports no readable commit
+    with pytest.raises(FileNotFoundError, match="no commit at or before"):
+        txn_read(spark, path, as_of=fence_ts)
+    with pytest.raises(ValueError, match="vacuumed"):
+        txn_changes(spark, path, 1)
+    # head unaffected
+    assert txn_read(spark, path).count() == 3
+
+
+def test_vacuum_leaves_fence_readable_when_its_files_are_still_live(
+    spark, tmp_path
+):
+    """Append-only history: the out-of-window fence's files are all still
+    referenced by the retained head, so nothing is reclaimed and the
+    fence snapshot must STAY readable (no premature vacuumed flag)."""
+    from tdataframe_spark.sources.txn import _load
+    from tdataframe_spark.streaming.ops import _txn_fence
+
+    path = str(tmp_path / "t")
+    _, meta_for = _txn_fence(path, str(tmp_path / "ck"), "rollup")
+    txn_write(spark.range(3), path, meta=meta_for(0))   # v1 = fence
+    txn_write(spark.range(3, 6), path)                  # v2 append (head)
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    assert not _load(path, 1).get("vacuumed")
+    assert txn_read(spark, path, version=1).count() == 3
