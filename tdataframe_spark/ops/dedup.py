@@ -695,14 +695,59 @@ def match_minhash_index(
     return out.dropDuplicates(["new_id", "corpus_id"]) if dedupe else out
 
 
+def _cc_driver_finish_pdf(pdf, spark, id_type) -> DataFrame:
+    """Small-graph exit of :func:`connected_components`: the collected
+    (already symmetric, deduped) edge list finishes with a path-compressed
+    union-find on the driver — identical labels (min reachable id:
+    union-by-min keeps the component minimum at the root). The standard
+    two-phase CC shape (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond": iterate distributed only while the graph is
+    big, finish in memory once it fits): one in-memory pass replaces
+    O(log diameter) distributed rounds of join+groupBy+checkpoint whose
+    per-round fixed cost dominates on all but huge edge sets."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # union by min: the root IS the component min
+    nodes = list(parent)
+    out = pd.DataFrame({"id": nodes, "component": [find(n) for n in nodes]})
+    schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a pair graph (duplicate-cluster assembly):
     every node gets the MINIMUM id reachable from it as its component label.
+
+    Hybrid execution: an edge set at or under ``driver_edge_threshold``
+    (counted after symmetrization+dedup) finishes in one driver-side
+    union-find pass — bit-identical labels, none of the distributed
+    loop's per-round job overhead (see :func:`_cc_driver_finish_pdf`).
+    Larger graphs run the loop below.
 
     Iterative label propagation with POINTER JUMPING: each round (1) every
     node takes the minimum label across its edges, then (2) every node
@@ -742,6 +787,20 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # size gate fused with the collect: pull at most threshold+1 edges —
+    # if they all fit, that IS the complete edge set and one in-memory
+    # union-find replaces the loop's per-round job overhead (a dup graph
+    # is banded/eps-restricted, not the corpus, so this is the common
+    # case even at corpus scale); one extra row means the graph is big →
+    # distributed loop (the bounded probe cost is the price of one job)
+    if driver_edge_threshold > 0:
+        probe = edges.limit(driver_edge_threshold + 1).toPandas()
+        if len(probe) <= driver_edge_threshold:
+            out = _cc_driver_finish_pdf(
+                probe, edges.sparkSession, edges.schema["src"].dataType
+            )
+            edges.unpersist()
+            return out
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

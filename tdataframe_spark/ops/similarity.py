@@ -171,6 +171,29 @@ def _assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFra
     )
 
 
+def _assign_with_vec(
+    vectors: DataFrame, vec_field: str, id_field: str, cents
+) -> DataFrame:
+    """:func:`_assign` with the vector carried THROUGH the argmax
+    aggregate (``first`` over the n_cells replicas of the row, which are
+    identical — deterministic): one shuffle yields (id, cell, vec),
+    replacing the argmax-then-join-back-to-the-corpus shape that paid a
+    second shuffle per use (per Lloyd iteration, in the hot case)."""
+    spark = vectors.sparkSession
+    scored = vectors.crossJoin(F.broadcast(_centroid_df(spark, cents))).select(
+        id_field,
+        "__cell",
+        vec_field,
+        dot(F.col(vec_field), F.col("__cvec")).alias("__sim"),
+    )
+    return scored.groupBy(id_field).agg(
+        F.max_by(
+            "__cell", F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc"))
+        ).alias("__cell"),
+        F.first(vec_field).alias(vec_field),
+    )
+
+
 def _train_ivf(u: DataFrame, n_cells: int, lloyd_iterations: int) -> list:
     """Distributed deterministic IVF training over a normalized corpus
     ``u`` (__cid, __vn). Seeding hash-buckets ids into n_cells groups and
@@ -188,9 +211,9 @@ def _train_ivf(u: DataFrame, n_cells: int, lloyd_iterations: int) -> list:
     centroids = [(ci, list(r["__vn"])) for ci, r in enumerate(seed_rows)]
 
     for _ in range(lloyd_iterations):
-        assigned = _assign(u, "__vn", "__cid", centroids)
+        assigned = _assign_with_vec(u, "__vn", "__cid", centroids)
         sums = (
-            assigned.join(u, "__cid")
+            assigned
             .select("__cell", F.posexplode(F.col("__vn")).alias("__d", "__x"))
             .groupBy("__cell", "__d")
             # decimal accumulation: partial sums merge in shuffle-fetch
@@ -400,9 +423,7 @@ def ivf_topk(
     centroids = _train_ivf(u, n_cells, lloyd_iterations)
     # persisted: the driver typically runs count + collect on the result,
     # and re-running assignment would rescan the corpus each time
-    corpus_cells = (
-        _assign(u, "__vn", "__cid", centroids).join(u, "__cid").persist()
-    )
+    corpus_cells = _assign_with_vec(u, "__vn", "__cid", centroids).persist()
     if where is not None:
         pred = F.expr(where) if isinstance(where, str) else where
         keep = corpus.filter(pred).select(F.col(id_col).alias("__cid"))
@@ -435,7 +456,7 @@ def ivf_build(
     spark = corpus.sparkSession
     u = _normalized(corpus, id_col, vec_col, "__cid").persist()
     centroids = _train_ivf(u, n_cells, lloyd_iterations)
-    cells = _assign(u, "__vn", "__cid", centroids).join(u, "__cid")
+    cells = _assign_with_vec(u, "__vn", "__cid", centroids)
     if meta_cols:
         cells = cells.join(
             corpus.select(F.col(id_col).alias("__cid"), *meta_cols), "__cid"
@@ -1108,6 +1129,7 @@ def semdedup(
     n_clusters: int = 16,
     lloyd_iterations: int = 4,
     index_path: str | None = None,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540): k-means-cluster the embedding space, generate candidate
@@ -1124,7 +1146,12 @@ def semdedup(
     sum_c n_c² instead of n². Size ``n_clusters`` ~ n / target_cluster_size
     (the paper uses ~100k clusters at web scale); a skewed hot cluster
     degrades toward all-pairs, so raise ``n_clusters`` rather than let
-    clusters grow with the corpus. Training is the shared distributed
+    clusters grow with the corpus. Pass ``target_cluster_size`` to do that
+    automatically: ``n_clusters`` is then derived as
+    ``max(8, ceil(n / target_cluster_size))`` from one cheap count of the
+    (persisted) corpus, so cluster count grows WITH the corpus and mean
+    cluster size — hence per-cluster pair volume — stays constant at any
+    scale. Training is the shared distributed
     Lloyd loop (n_clusters rows to the driver per iteration); assignment is
     a broadcast-centroid argmax; the within-cluster self-join is a plain
     shuffled equi-join on the cluster id; components use the persisted
@@ -1158,12 +1185,14 @@ def semdedup(
     )
     u = u_all.filter(F.col("__vn").isNotNull()).persist()
     try:
+        if target_cluster_size is not None:
+            # size from the RAW input: a column-pruned count (metadata-cheap
+            # on parquet) instead of materializing the normalized cache
+            # early; the few zero-norm rows inflate the estimate harmlessly
+            n = df.count()
+            n_clusters = max(8, -(-n // target_cluster_size))
         cents = _train_ivf(u, n_clusters, lloyd_iterations)
-        uv = (
-            _assign(u, "__vn", "__cid", cents)
-            .join(u, "__cid")
-            .persist()
-        )
+        uv = _assign_with_vec(u, "__vn", "__cid", cents).persist()
         try:
             left = uv.select(
                 "__cell",
@@ -1248,6 +1277,7 @@ def semdedup_build(
     eps: float = 0.95,
     n_clusters: int = 16,
     lloyd_iterations: int = 4,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """Train-once entry point for :func:`semdedup`: runs the IDENTICAL
     one-shot pipeline (so the persisted labels equal a plain ``semdedup``
@@ -1256,7 +1286,7 @@ def semdedup_build(
     :func:`semdedup_assign`. Returns the labels DataFrame."""
     return semdedup(
         df, id_col, vec_col, eps, n_clusters, lloyd_iterations,
-        index_path=index_path,
+        index_path=index_path, target_cluster_size=target_cluster_size,
     )
 
 

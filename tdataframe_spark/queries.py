@@ -1802,6 +1802,9 @@ FROM lineitem GROUP BY l_returnflag
 Q7_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
 Q18_MIN_QTY = 300.0
 SEMDEDUP_T = 0.35
+# semdedup sizing dial: clusters = max(8, n / this) — keeps mean cluster
+# size (and so per-cluster pair volume) constant as the corpus grows
+SEMDEDUP_TARGET_CLUSTER = 250
 
 
 def q_q7_volume_shipping(spark, sf):
@@ -2787,15 +2790,24 @@ def q_semdedup(spark, sf):
     """SemDeDup-style clustered semantic dedup: the LINEAR-ish scale twin
     of `semantic_dedup` (whose global exact-pair path is the oracle-checked
     shape) — k-means clusters bound pair generation to sum_c n_c². The
-    k-means training loop is not SQL-expressible → rows-only here;
-    soundness (drops always eps-justified), single-cluster equivalence to
-    the global path, and partitioning invariance are pinned in
+    cluster count is DERIVED from the corpus (n / target_cluster_size,
+    floor 8) so mean cluster size — hence per-cluster pair volume — stays
+    constant at any scale; a fixed count would let clusters grow linearly
+    with the corpus and degrade toward all-pairs. The k-means training
+    loop is not SQL-expressible → rows-only here; soundness (drops always
+    eps-justified), single-cluster equivalence to the global path,
+    partitioning invariance, and the derived-sizing bound are pinned in
     tests/test_ops.py."""
     from tdataframe_spark.ops.similarity import semdedup
 
     emb = _t(spark, sf, "embeddings")
     return semdedup(
-        emb, "vec_id", "embedding", eps=SEMDEDUP_T, n_clusters=8
+        emb, "vec_id", "embedding", eps=SEMDEDUP_T,
+        target_cluster_size=SEMDEDUP_TARGET_CLUSTER,
+        # 2 Lloyd rounds: clusters only GATE candidate-pair generation
+        # (soundness is eps-checked per pair, iteration-independent);
+        # extra rounds buy marginal boundary recall at ~1 job each
+        lloyd_iterations=2,
     )
 
 
@@ -2822,7 +2834,9 @@ def q_semdedup_assign(spark, sf):
     )
     if path not in _SEMDEDUP_INDEX_BUILT:
         semdedup_build(
-            emb, path, "vec_id", "embedding", eps=SEMDEDUP_T, n_clusters=8
+            emb, path, "vec_id", "embedding", eps=SEMDEDUP_T,
+            target_cluster_size=SEMDEDUP_TARGET_CLUSTER,
+            lloyd_iterations=2,
         )
         _SEMDEDUP_INDEX_BUILT.add(path)
     batch = emb.select(

@@ -190,11 +190,20 @@ def test_connected_components_matches_union_find(spark, edges):
     expect = {n: find(n) for n in parent}
 
     pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    # both physical paths: the driver union-find exit (default threshold)
+    # and the distributed pointer-jumped loop (threshold 0)
     got = {
         r["id"]: r["component"]
         for r in connected_components(pairs, max_iterations=40).collect()
     }
     assert got == expect
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, max_iterations=40, driver_edge_threshold=0
+        ).collect()
+    }
+    assert dist == expect
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
