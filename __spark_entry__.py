@@ -82,15 +82,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation is documented per-round in STATUS.md.
     """
     return {
-        # --- driver window (first 50): must-verify this round (r6) ---
-        # the seven r2-last entries rotated in per r5 VERDICT #2, then
-        # everything CHANGED this round (global_row_number machinery →
-        # global_rank/roc_auc/encode_categorical; JPEG decode →
-        # multimodal_features; serve_rollup txn detection →
-        # rollup_incremental), second-consecutive-row keeps
-        # (winsorize_approx, semdedup_assign), the NEW filtered_ann +
-        # merge_upsert_txn,
-        # and the oldest-verified (r3-last) backfill, complex-oracle-first
+        # --- driver window (first 50): must-verify this round (r7) ---
+        # the 15 oldest externally-verified entries (r3-last, the
+        # remaining rotation debt), then everything NEW or CHANGED this
+        # round (txn predicate validation + vacuum fence; the hybrid
+        # connected-components path and its consumers; the
+        # _assign_with_vec k-means shape behind every ANN/semdedup build;
+        # hash_features now oracle-checked), then the oldest remaining
+        # (r4-last) backfill, complex-oracle-first
+        "grouped_udaf": q_grouped_udaf,
+        "min_per_group": q_min_per_group,
+        "quantiles": q_quantiles,
+        "join_outer": q_join_outer,
+        "regex_extract": q_regex_extract,
+        "range_join": q_range_join,
+        "ntile_ranks": q_ntile_ranks,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "pivot_status": q_pivot_status,
+        "array_agg_sorted": q_array_agg_sorted,
+        "posexplode_tokens": q_posexplode_tokens,
+        "window_top_orders": q_window_top_orders,
+        "q22_idle_customers": q_q22_idle_customers,
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "above_customer_avg": q_above_customer_avg,
+        "merge_delete_txn": q_merge_delete_txn,
+        "lang_id": q_lang_id,
+        "ivf_append": q_ivf_append,
+        "pq_query": q_pq_query,
+        "hash_features": q_hash_features,
+        "merge_upsert_txn": q_merge_upsert_txn,
+        "cdc_changes": q_cdc_changes,
+        "time_travel": q_time_travel,
+        "rollup_incremental": q_rollup_incremental,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_components": q_dedup_components,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
+        "minhash_lsh": q_minhash_lsh,
+        "line_dedup": q_line_dedup,
+        "semdedup": q_semdedup,
+        "semdedup_assign": q_semdedup_assign,
+        "filtered_ann": q_filtered_ann,
+        "ivf_ann": q_ivf_ann,
+        "ivfpq_ann": q_ivfpq_ann,
+        "pq_ann": q_pq_ann,
+        "lsh_ann": q_lsh_ann,
+        "simhash_hamming": q_simhash_hamming,
+        "histo_flow": q_histo_flow,
+        "histo_equidepth_approx": q_histo_equidepth_approx,
+        "histo_fixed": q_histo_fixed,
+        "histo_auto": q_histo_auto,
+        "q8_market_share": q_q8_market_share,
+        "q9_profit": q_q9_profit,
+        "q10_returned_items": q_q10_returned_items,
+        "q13_order_distribution": q_q13_order_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "chunk_docs": q_chunk_docs,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        # --- position 51+: rotated out — every entry below has an
+        # external driver-green row (r4-r6) and is re-verified every
+        # round by the local full-registry gate (driver_sim at sf0.01) ---
         "pagerank": q_pagerank,
         "profile_numeric": q_profile_numeric,
         "rollup_returnflag": q_rollup_returnflag,
@@ -102,17 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": q_roc_auc,
         "encode_categorical": q_encode_categorical,
         "winsorize_approx": q_winsorize_approx,
-        "semdedup_assign": q_semdedup_assign,
         "multimodal_features": q_multimodal_features,
-        "rollup_incremental": q_rollup_incremental,
-        "filtered_ann": q_filtered_ann,
-        "merge_upsert_txn": q_merge_upsert_txn,
-        "cdc_changes": q_cdc_changes,
-        "time_travel": q_time_travel,
-        "dedup_components": q_dedup_components,
-        "semantic_dedup": q_semantic_dedup,
         "decontamination": q_decontamination,
-        "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "cosine_pairs": q_cosine_pairs,
@@ -141,12 +184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q16_supplier_counts": q_q16_supplier_counts,
         "q17_small_qty": q_q17_small_qty,
-        # --- position 51+: rotated out — every entry below has an
-        # external driver-green row (r3-r5) and is re-verified every
-        # round by the local full-registry gate (driver_sim at sf0.01) ---
-        "q22_idle_customers": q_q22_idle_customers,
-        "q6_revenue_delta": q_q6_revenue_delta,
-        "above_customer_avg": q_above_customer_avg,
         "dup_spans": q_dup_spans,
         "tfidf_pairs": q_tfidf_pairs,
         "hybrid_search": q_hybrid_search,
@@ -178,13 +215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
         "hll_distinct": q_hll_distinct,
-        "hash_features": q_hash_features,
-        "semdedup": q_semdedup,
         "pca_embeddings": q_pca_embeddings,
         "logreg_score": q_logreg_score,
         "winsorize": q_winsorize,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "top_ngrams": q_top_ngrams,
@@ -192,28 +225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "domain_mix": q_domain_mix,
         "bm25_topk": q_bm25_topk,
-        "simhash_hamming": q_simhash_hamming,
-        "histo_flow": q_histo_flow,
-        "line_dedup": q_line_dedup,
-        "ivfpq_ann": q_ivfpq_ann,
-        "histo_equidepth_approx": q_histo_equidepth_approx,
-        "histo_fixed": q_histo_fixed,
-        "histo_auto": q_histo_auto,
-        "q8_market_share": q_q8_market_share,
-        "q9_profit": q_q9_profit,
-        "q10_returned_items": q_q10_returned_items,
-        "q13_order_distribution": q_q13_order_distribution,
-        "q15_top_supplier": q_q15_top_supplier,
-        "chunk_docs": q_chunk_docs,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
         "decayed_engagement": q_decayed_engagement,
         "decontamination_bloom": q_decontamination_bloom,
         "rolling_window": q_rolling_window,
         "outliers": q_outliers,
         "nearest_centroid": q_nearest_centroid,
         "dq_report": q_dq_report,
-        "snapshot_diff": q_snapshot_diff,
         "histo_equidepth": q_histo_equidepth,
         "fuzzy_join": q_fuzzy_join,
         "hopping_window": q_hopping_window,
@@ -222,13 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_daily": q_resample_daily,
         "lm_score": q_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
-        "dedup_keep_best": q_dedup_keep_best,
         "group_split": q_group_split,
         "retrieval_metrics": q_retrieval_metrics,
         "weighted_sample": q_weighted_sample,
         "phrase_search": q_phrase_search,
         "collocations": q_collocations,
-        "pq_ann": q_pq_ann,
         "bpe_tokens": q_bpe_tokens,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
@@ -239,18 +254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "lag_lead_gaps": q_lag_lead_gaps,
         "topk_orders": q_topk_orders,
-        "grouped_udaf": q_grouped_udaf,
-        "min_per_group": q_min_per_group,
-        "quantiles": q_quantiles,
-        "join_outer": q_join_outer,
-        "regex_extract": q_regex_extract,
-        "range_join": q_range_join,
-        "ntile_ranks": q_ntile_ranks,
-        "sql_grouping_sets": q_sql_grouping_sets,
-        "pivot_status": q_pivot_status,
-        "array_agg_sorted": q_array_agg_sorted,
-        "posexplode_tokens": q_posexplode_tokens,
-        "window_top_orders": q_window_top_orders,
     }
 
 
@@ -282,6 +285,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": SQL_MERGE_UPSERT,
         # identical MERGE semantics through the transactional table: same oracle
         "merge_upsert_txn": SQL_MERGE_UPSERT,
+        "hash_features": SQL_HASH_FEATURES,
+        # delete arm: same relational statement, minus the erased keys
+        "merge_delete_txn": SQL_MERGE_DELETE,
         "cdc_changes": SQL_CDC_CHANGES,
         "time_travel": SQL_TIME_TRAVEL,
         "q7_volume_shipping": SQL_Q7,

@@ -74,6 +74,14 @@ EXTENDED = [
     # and commits the keyed merge per run, so the number includes the
     # full commit-protocol overhead (write + manifest race) at sf scale
     "merge_upsert_txn",
+    # round-7 additions: amortized probes (memoized builds — steady-state
+    # vector-store numbers: pq_query vs the retrain-per-run pq_ann;
+    # ivf_append's build+append are likewise memoized, so its number is
+    # the probe over the APPENDED index, not ingestion cost) and the
+    # MERGE delete arm (full commit-protocol overhead per run)
+    "pq_query",
+    "ivf_append",
+    "merge_delete_txn",
 ]
 
 

@@ -1,0 +1,238 @@
+"""Language identification — the front door of the text-quality family
+(ccnet-style pipelines run lang-id BEFORE lm_score/quality bucketing).
+
+Method: Cavnar & Trenkle 1994 ("N-Gram-Based Text Categorization", the
+classic textcat algorithm — what fastText-era pipelines used before
+learned embeddings): each language's profile is its ``top_k`` most
+frequent char n-grams RANKED; a document is labeled by the profile with
+the smallest total rank displacement over the document's own top n-grams
+(out-of-profile grams pay the maximum penalty ``top_k``). Rank-order
+statistics make it robust to tiny training corpora — a smoothed
+Naive-Bayes or centroid dot over the same grams is dominated by
+universally-common grams / unseen-mass defaults at this data size (both
+were tried and mislabeled most text).
+
+Shape: no per-row vector ever materializes — n-grams explode to
+(doc, gram, count) rows, per-doc ranks come from a doc-partitioned
+window (never a global sort), scoring is one broadcast join against the
+n_langs×top_k profile table plus a bounded doc×lang grid (n_langs-row
+broadcast). Per-row cost is O(#grams + top_k·n_langs); driver state is
+the profile table only — corpus-size-independent, the 100 TB path.
+
+Determinism: integer counts, integer ranks (count-desc, gram-asc
+tie-break), integer displacements — NO floating point anywhere, so the
+output is bit-identical under any partitioning; distance ties go to the
+lexicographically smallest language.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _gram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    ns: tuple[int, ...],
+) -> DataFrame:
+    """(id_cols..., __g, __cnt): char-n-gram counts. Text is lowercased;
+    runs of whitespace collapse to one space so formatting never shifts
+    the profile. Each requested n tags its grams (``2:th``) so orders
+    never collide."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+    def _ngrams(n: int):
+        # guard: sequence(1, len-n+1) DESCENDS when len < n (Spark's
+        # default step is -1 backwards) — short/NULL text must yield an
+        # empty gram list, not positions [1, 0].
+        # NB: the lambda must take exactly ONE arg — a second parameter
+        # (even a defaulted `n=n` capture) makes transform() treat it as
+        # the (element, index) form and bind the INDEX column over it
+        prefix = f"{n}:"
+
+        def gram(i):
+            return F.concat(F.lit(prefix), t.substr(i, F.lit(n)))
+
+        return F.when(
+            F.length(t) >= n,
+            F.transform(F.sequence(F.lit(1), F.length(t) - n + 1), gram),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.flatten(F.array(*[_ngrams(n) for n in ns]))
+    return (
+        df.select(*id_cols, F.explode(grams).alias("__g"))
+        .groupBy(*id_cols, "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def _ranked(counts: DataFrame, part_cols: list[str], top_k: int) -> DataFrame:
+    """rank 1..top_k per partition key by (count desc, gram asc) — the
+    deterministic Cavnar-Trenkle profile order. Window is partitioned by
+    the key (doc or language), never global."""
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.col("__cnt").desc(), F.col("__g").asc()
+    )
+    return (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top_k)
+    )
+
+
+def langid_train(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    ns: tuple[int, ...] = (1, 2, 3),
+    top_k: int = 300,
+) -> dict:
+    """Build per-language ranked n-gram profiles from a labeled corpus.
+    Returns a model dict; ns/top_k MUST ride the model — re-passing them
+    at classify time is the parameter-drift bug class. Driver state is
+    n_langs × top_k (gram, rank) pairs, corpus-size-independent."""
+    rows = _ranked(
+        _gram_counts(labeled, text_col, [label_col], ns), [label_col], top_k
+    ).collect()
+    profiles: dict[str, dict[str, int]] = {}
+    for r in rows:
+        profiles.setdefault(r[label_col], {})[r["__g"]] = r["__r"]
+    return {"ns": list(ns), "top_k": top_k, "profiles": profiles}
+
+
+def langid_classify(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Label every row with the language whose ranked profile is nearest
+    (smallest total rank displacement over the document's own top
+    ``top_k`` grams; a gram absent from a language's profile pays the
+    maximum displacement ``top_k``). Returns (id_col, out_col, distance);
+    rows whose text yields no n-grams (empty/NULL) come back with NULL
+    language and NULL distance. All-integer arithmetic — bit-identical
+    under any partitioning."""
+    spark = df.sparkSession
+    ns, top_k = tuple(model["ns"]), model["top_k"]
+    prof = spark.createDataFrame(
+        [
+            (lang, g, r)
+            for lang, grams in sorted(model["profiles"].items())
+            for g, r in sorted(grams.items())
+        ],
+        "__lang string, __g string, __lr int",
+    )
+    langs = spark.createDataFrame(
+        [(lang,) for lang in sorted(model["profiles"])], "__lang string"
+    )
+    docprof = _ranked(
+        _gram_counts(df, text_col, [id_col], ns), [id_col], top_k
+    ).select(id_col, "__g", F.col("__r").alias("__dr"))
+    matched = (
+        docprof.join(F.broadcast(prof), "__g")
+        .groupBy(id_col, "__lang")
+        .agg(
+            F.sum(F.abs(F.col("__dr") - F.col("__lr"))).alias("__md"),
+            F.count(F.lit(1)).alias("__mc"),
+        )
+    )
+    # bounded doc × language grid (n_langs-row broadcast) so a language
+    # matching NONE of the doc's grams still scores all-out-of-place
+    totals = docprof.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        totals.crossJoin(F.broadcast(langs))
+        .join(matched, [id_col, "__lang"], "left")
+        .select(
+            id_col,
+            "__lang",
+            (
+                F.coalesce("__md", F.lit(0))
+                + (F.col("__n") - F.coalesce("__mc", F.lit(0)))
+                * F.lit(top_k)
+            ).alias("__d"),
+        )
+    )
+    # deterministic argmin, ties to the lexicographically SMALLEST lang
+    best = scored.groupBy(id_col).agg(F.min("__d").alias("__bd"))
+    tied = (
+        scored.join(best, id_col)
+        .filter(F.col("__d") == F.col("__bd"))
+        .groupBy(id_col)
+        .agg(
+            F.min("__lang").alias(out_col),
+            F.min("__d").alias("distance"),
+        )
+    )
+    return df.select(id_col).distinct().join(tied, id_col, "left").select(
+        id_col, out_col, "distance"
+    )
+
+
+# Tiny built-in training corpus (ordinary sentences, composed for this
+# engine) — enough signal for char-n-gram profiles of five languages.
+# Real deployments pass their own labeled sample to langid_train.
+SEED_SENTENCES: dict[str, list[str]] = {
+    "en": [
+        "the weather was cold and the children stayed home from school",
+        "she opened the window and looked out over the quiet street",
+        "we are going to the market to buy bread and cheese for dinner",
+        "the old library on the corner closes early on sunday afternoons",
+        "he wrote a long letter to his brother about the journey north",
+        "the river runs slowly through the valley past the small farms",
+        "they planted trees along the road during the first week of spring",
+        "a light rain fell while the train waited at the empty station",
+        "many people believe the castle on the hill is the oldest building",
+        "please bring your umbrella because the sky looks very dark today",
+    ],
+    "de": [
+        "das wetter war kalt und die kinder blieben zu hause",
+        "sie öffnete das fenster und schaute auf die ruhige straße hinaus",
+        "wir gehen zum markt um brot und käse für das abendessen zu kaufen",
+        "die alte bibliothek an der ecke schließt sonntags sehr früh",
+        "er schrieb seinem bruder einen langen brief über die reise",
+        "der fluss fließt langsam durch das tal an den kleinen höfen vorbei",
+        "sie pflanzten bäume entlang der straße in der ersten frühlingswoche",
+        "ein leichter regen fiel während der zug am leeren bahnhof wartete",
+        "viele leute glauben dass das schloss auf dem hügel sehr alt ist",
+        "bitte bring deinen schirm mit denn der himmel sieht heute dunkel aus",
+    ],
+    "fr": [
+        "le temps était froid et les enfants sont restés à la maison",
+        "elle a ouvert la fenêtre et regardé la rue tranquille",
+        "nous allons au marché pour acheter du pain et du fromage",
+        "la vieille bibliothèque du coin ferme tôt le dimanche",
+        "il a écrit une longue lettre à son frère au sujet du voyage",
+        "la rivière coule lentement dans la vallée devant les petites fermes",
+        "ils ont planté des arbres le long de la route au début du printemps",
+        "une pluie légère tombait pendant que le train attendait en gare",
+        "beaucoup de gens pensent que le château sur la colline est ancien",
+        "prends ton parapluie car le ciel est très sombre aujourd'hui",
+    ],
+    "es": [
+        "el tiempo era frío y los niños se quedaron en casa",
+        "ella abrió la ventana y miró hacia la calle tranquila",
+        "vamos al mercado a comprar pan y queso para la cena",
+        "la vieja biblioteca de la esquina cierra temprano los domingos",
+        "escribió una larga carta a su hermano sobre el viaje al norte",
+        "el río corre despacio por el valle junto a las pequeñas granjas",
+        "plantaron árboles a lo largo del camino en la primera semana",
+        "una lluvia ligera caía mientras el tren esperaba en la estación",
+        "mucha gente cree que el castillo de la colina es muy antiguo",
+        "trae tu paraguas porque el cielo está muy oscuro hoy",
+    ],
+    "zh": [
+        "今天天气很冷孩子们都待在家里没有去上学",
+        "她打开窗户看着外面安静的街道",
+        "我们去市场买面包和奶酪准备晚饭",
+        "街角的老图书馆星期天很早就关门了",
+        "他给哥哥写了一封关于北方旅行的长信",
+        "河水缓缓地流过山谷经过那些小农场",
+        "春天的第一个星期他们沿着道路种了许多树",
+        "火车在空荡荡的车站等候时下起了小雨",
+        "很多人相信山上的城堡是这里最古老的建筑",
+        "请带上你的雨伞因为今天天空看起来很暗",
+    ],
+}

@@ -472,6 +472,41 @@ def ivf_build(
     u.unpersist()
 
 
+
+def _dim_guard(u: DataFrame, dim: int, what: str) -> DataFrame:
+    """In-plan dimension check against a persisted index's vector dim
+    (the params-ride-the-data rule): a wrong-dim vector still has a norm,
+    so it reaches the raising assert instead of silently zip_with-padding
+    dots to garbage. NULL (zero-norm) rows pass through untouched."""
+    return u.withColumn(
+        "__vn",
+        F.when(F.col("__vn").isNull(), F.col("__vn")).otherwise(
+            F.when(F.size("__vn") == dim, F.col("__vn")).otherwise(
+                F.assert_true(
+                    F.size("__vn") == dim,
+                    F.lit(f"{what}: vector dim != index dim {dim}"),
+                ).cast("array<double>")
+            )
+        ),
+    )
+
+
+def _load_centroids(spark, index_path: str) -> list:
+    return [
+        (r["__cell"], list(r["__cvec"]))
+        for r in spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("__cell")
+        .collect()
+    ]
+
+
+def _load_codebook(spark, index_path: str) -> dict:
+    return {
+        (r["__sub"], r["__cell"]): list(r["__cvec"])
+        for r in spark.read.parquet(f"{index_path}/codebook").collect()
+    }
+
+
 def ivf_query(
     spark,
     index_path: str,
@@ -492,17 +527,59 @@ def ivf_query(
     PushedFilters alongside the cell pruning, so the top-k is computed
     over qualifying vectors only instead of post-filtering an unfiltered
     top-k. Selective filters want a higher ``n_probe``."""
-    centroids = [
-        (r["__cell"], list(r["__cvec"]))
-        for r in spark.read.parquet(f"{index_path}/centroids")
-        .orderBy("__cell")
-        .collect()
-    ]
+    centroids = _load_centroids(spark, index_path)
     corpus_cells = spark.read.parquet(f"{index_path}/cells")
     if where is not None:
         corpus_cells = corpus_cells.filter(F.expr(where))
     return _probe_and_score(
         queries, id_col, vec_col, centroids, corpus_cells, k, n_probe
+    )
+
+
+
+
+def ivf_append(
+    new_corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingestion into an :func:`ivf_build` index WITHOUT
+    retraining: route each new vector to its nearest EXISTING centroid
+    (the same deterministic argmax the build used) and append the rows to
+    the cell-partitioned cells table — the ``semdedup_assign`` pattern
+    applied to the vector store. A 100 TB deployment clusters once and
+    streams batches through this; probes see appended vectors immediately
+    (same partition layout, same scan).
+
+    Everything rides the index, nothing is re-passed: the centroids (and
+    their dim, enforced in-plan per row) come from ``{path}/centroids``,
+    and ``meta_cols`` baked in at build time are re-derived from the
+    cells schema — a batch missing one of them fails loudly in the
+    select. Centroids DRIFT as the corpus grows away from the training
+    sample; periodic ``ivf_build`` re-trains (the same periodic-rebuild
+    contract as ``assign_clusters``/``semdedup_assign``)."""
+    spark = new_corpus.sparkSession
+    centroids = _load_centroids(spark, index_path)
+    dim = len(centroids[0][1])
+    existing_cols = spark.read.parquet(f"{index_path}/cells").columns
+    meta_cols = [
+        c for c in existing_cols if c not in ("__cid", "__cell", "__vn")
+    ]
+    u = _dim_guard(
+        _normalized(new_corpus, id_col, vec_col, "__cid"), dim, "ivf_append"
+    )
+    cells = _assign_with_vec(u, "__vn", "__cid", centroids)
+    if meta_cols:
+        cells = cells.join(
+            new_corpus.select(F.col(id_col).alias("__cid"), *meta_cols),
+            "__cid",
+        )
+    (
+        cells.select(*existing_cols)
+        .write.mode("append")
+        .partitionBy("__cell")
+        .parquet(f"{index_path}/cells")
     )
 
 
@@ -1034,6 +1111,111 @@ def ivfpq_build(
         u.unpersist()
 
 
+def pq_append(
+    new_corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingestion into a :func:`pq_build` index: encode the new
+    batch against the PERSISTED codebook (no retraining — codes are
+    bit-identical to what :func:`pq_encode` with that codebook yields) and
+    append to ``codes`` + ``vectors``. Dim is derived from the codebook
+    (m × subvector length) and enforced in-plan per row. Codebook drift
+    under distribution shift is settled by a periodic ``pq_build``."""
+    spark = new_corpus.sparkSession
+    codebook = _load_codebook(spark, index_path)
+    m = max(s for s, _ in codebook) + 1
+    dim = m * len(codebook[(0, 0)])
+    u = _dim_guard(
+        _normalized(new_corpus, id_col, vec_col, "__cid"), dim, "pq_append"
+    ).filter(F.col("__vn").isNotNull()).persist()
+    try:
+        codes = _codes_to_array(
+            _pq_code_rows(_subvec_table(u, "__cid", m), codebook)
+        )
+        codes.select(F.col("__cid").alias(id_col), "codes").write.mode(
+            "append"
+        ).parquet(f"{index_path}/codes")
+        u.select(F.col("__cid").alias(id_col), "__vn").write.mode(
+            "append"
+        ).parquet(f"{index_path}/vectors")
+    finally:
+        u.unpersist()
+
+
+def ivfpq_append(
+    new_corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingestion into an :func:`ivfpq_build` index: coarse-
+    assign each new vector to its nearest existing centroid, PQ-encode
+    (the residual when the index was built residual-mode — the flag rides
+    ``{path}/meta``, never re-passed) against the persisted codebook, and
+    append to the cell-partitioned ``codes`` and ``vectors`` tables.
+    ``meta_cols`` baked at build time are re-derived from the codes
+    schema. The streaming half of the flagship 100 TB index: cluster +
+    train once, ingest forever, rebuild on drift."""
+    spark = new_corpus.sparkSession
+    centroids = _load_centroids(spark, index_path)
+    codebook = _load_codebook(spark, index_path)
+    residual = spark.read.parquet(f"{index_path}/meta").first()["residual"]
+    m = max(s for s, _ in codebook) + 1
+    dim = len(centroids[0][1])
+    codes_cols = spark.read.parquet(f"{index_path}/codes").columns
+    meta_cols = [
+        c for c in codes_cols if c not in ("__cid", "codes", "__coarse")
+    ]
+    u = _dim_guard(
+        _normalized(new_corpus, id_col, vec_col, "__cid"), dim, "ivfpq_append"
+    ).filter(F.col("__vn").isNotNull()).persist()
+    try:
+        coarse = _assign(u, "__vn", "__cid", centroids).withColumnRenamed(
+            "__cell", "__coarse"
+        )
+        if residual:
+            cent = _centroid_df(spark, centroids).select(
+                F.col("__cell").alias("__coarse"),
+                F.col("__cvec").alias("__ccvec"),
+            )
+            enc_in = (
+                u.join(coarse, "__cid")
+                .join(F.broadcast(cent), "__coarse")
+                .select(
+                    "__cid",
+                    F.zip_with("__vn", "__ccvec", lambda x, y: x - y).alias(
+                        "__vn"
+                    ),
+                )
+            )
+        else:
+            enc_in = u
+        codes = _codes_to_array(
+            _pq_code_rows(_subvec_table(enc_in, "__cid", m), codebook)
+        ).join(coarse, "__cid")
+        if meta_cols:
+            codes = codes.join(
+                new_corpus.select(F.col(id_col).alias("__cid"), *meta_cols),
+                "__cid",
+            )
+        (
+            codes.select(*codes_cols)
+            .write.mode("append")
+            .partitionBy("__coarse")
+            .parquet(f"{index_path}/codes")
+        )
+        (
+            u.join(coarse, "__cid")
+            .write.mode("append")
+            .partitionBy("__coarse")
+            .parquet(f"{index_path}/vectors")
+        )
+    finally:
+        u.unpersist()
+
+
 def ivfpq_query(
     spark,
     index_path: str,
@@ -1055,12 +1237,7 @@ def ivfpq_query(
     code rows AT THE SCAN, so both the ADC top-`rerank` and the final
     top-k are computed over qualifying vectors only — filtered ANN in the
     compressed domain, never a lossy post-filter of unfiltered results."""
-    centroids = [
-        (r["__cell"], list(r["__cvec"]))
-        for r in spark.read.parquet(f"{index_path}/centroids")
-        .orderBy("__cell")
-        .collect()
-    ]
+    centroids = _load_centroids(spark, index_path)
     cb = spark.read.parquet(f"{index_path}/codebook")
     m = cb.agg(F.max("__sub")).collect()[0][0] + 1
     residual = spark.read.parquet(f"{index_path}/meta").first()["residual"]

@@ -1484,6 +1484,42 @@ def q_merge_upsert_txn(spark, sf):
     return txn_read(spark, path)
 
 
+def q_merge_delete_txn(spark, sf):
+    """MERGE with a WHEN MATCHED DELETE arm (txn_upsert delete_when —
+    Delta's whenMatchedDelete shape): one batch carries re-priced updates
+    (keys %10==0) AND tombstones (keys %7==0, the retention/GDPR-erase
+    case; tombstones win on overlap), applied as ONE atomic overwrite
+    commit. The oracle states the surviving table relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read, txn_upsert, txn_write
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    batch = o.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    path = os.path.join(
+        tempfile.gettempdir(), f"merge_del_txn_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(o, path, mode="overwrite")
+    txn_upsert(
+        batch, path, keys=["o_orderkey"], delete_when="o_orderkey % 7 = 0"
+    )
+    return txn_read(spark, path)
+
+
+SQL_MERGE_DELETE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 10 != 0 AND o_orderkey % 7 != 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 != 0
+"""
+
+
 def q_cdc_changes(spark, sf):
     """Row-level change feed between two table snapshots (txn_changes):
     seed the orders table (v1), MERGE the re-priced 10% batch (v2), ask
@@ -2960,6 +2996,95 @@ def q_filtered_ann(spark, sf):
         spark, path, queries, "vec_id", "embedding", k=5, n_probe=4,
         where="label < 5",
     )
+
+
+_IVF_APPEND_INDEX_BUILT: set = set()
+
+
+def q_ivf_append(spark, sf):
+    """Incremental ANN ingestion (ivf_append): build the IVF index ONCE
+    per process, append a batch — copies of every 7th corpus vector under
+    fresh ids — through the PERSISTED centroids (no retrain; the
+    semdedup_assign pattern applied to the vector store), then probe the
+    appended vectors. Each appended exact copy must come back top-1
+    matched to its source (sim-1.0 tie broken to the lower id).
+    Approximate by design → rows-only; routing==direct-assignment,
+    append==rebuild recall, and the wrong-dim guard are pinned in
+    tests/test_ops.py."""
+    import os
+    import tempfile
+
+    from tdataframe_spark.ops.similarity import ivf_append, ivf_build, ivf_query
+
+    emb = _t(spark, sf, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_append_index_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
+    )
+    batch = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    if path not in _IVF_APPEND_INDEX_BUILT:
+        ivf_build(emb, path, "vec_id", "embedding", n_cells=8)
+        ivf_append(batch, path)
+        _IVF_APPEND_INDEX_BUILT.add(path)
+    return ivf_query(spark, path, batch, "vec_id", "embedding", k=3, n_probe=4)
+
+
+_PQ_QUERY_INDEX_BUILT: set = set()
+
+
+def q_pq_query(spark, sf):
+    """The amortized PQ path (vs q_pq_ann, which re-trains per call):
+    pq_build ONCE per process, then ADC-probe + exact rerank against the
+    persisted codes/vectors — what a steady-state vector store serves.
+    Approximate by design → rows-only; pq_query == pq_topk equivalence
+    and recall floors are pinned in tests/test_ops.py."""
+    import os
+    import tempfile
+
+    from tdataframe_spark.ops.similarity import pq_build, pq_query
+
+    emb = _t(spark, sf, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pq_query_index_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
+    )
+    if path not in _PQ_QUERY_INDEX_BUILT:
+        pq_build(emb, path, "vec_id", "embedding", m=16, n_codes=16)
+        _PQ_QUERY_INDEX_BUILT.add(path)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_query(spark, path, queries, "vec_id", "embedding", k=5, rerank=50)
+
+
+_LANGID_MODEL_CACHE: dict = {}
+
+
+def q_lang_id(spark, sf):
+    """Language identification — the ccnet front door the text-quality
+    family (lm_score, ccnet_buckets) gates on: hashed char-n-gram centroid
+    family (lm_score, ccnet_buckets) gates on — Cavnar-Trenkle ranked
+    char-n-gram profiles trained in-engine on the built-in 5-language
+    seed corpus (ops/langid.py), applied to every document. All-integer
+    rank displacements (bit-deterministic); no per-row vector ever
+    materializes. The ranked-profile windows are not SQL-expressible
+    cheaply → rows-only; the
+    ≥95% accuracy pin on held-out mixed-language text, the empty-text NULL
+    contract, and partitioning invariance live in tests/test_langid.py."""
+    from tdataframe_spark.ops.langid import (
+        SEED_SENTENCES,
+        langid_classify,
+        langid_train,
+    )
+
+    if "model" not in _LANGID_MODEL_CACHE:
+        seed = spark.createDataFrame(
+            [(lang, t) for lang, ts in SEED_SENTENCES.items() for t in ts],
+            "lang string, text string",
+        )
+        _LANGID_MODEL_CACHE["model"] = langid_train(seed)
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return langid_classify(docs, _LANGID_MODEL_CACHE["model"])
 
 
 def q_collocations(spark, sf):
@@ -5518,9 +5643,10 @@ CROSS JOIN g
 def q_hash_features(spark, sf):
     """Hashing-trick feature vectors from tabular columns (categorical
     source/lang + numeric n_chars) — vocabulary-free, stateless, stable
-    under new categories. Rows-only: the vector boundary serializes per
-    the driver contract and exact values are pinned by the python-
-    reference parity test."""
+    under new categories. ORACLE-checked: buckets are portable md5-derived
+    hashes (first 15 hex digits → bigint, the engine-wide convention), the
+    sums are whole numbers (category counts + integer n_chars), and the
+    vector serializes to %.1f CSV — all exactly restatable in DuckDB."""
     from tdataframe_spark.ops.features import hash_features
 
     out = hash_features(
@@ -5536,6 +5662,42 @@ def q_hash_features(spark, sf):
             ",",
         ).alias("features_csv"),
     )
+
+
+SQL_HASH_FEATURES = """
+WITH docs AS (
+  SELECT doc_id, source, lang, n_chars FROM documents
+),
+contrib AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('source=' || CAST(source AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
+         1.0 AS v
+  FROM docs WHERE source IS NOT NULL
+  UNION ALL
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('lang=' || CAST(lang AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
+         1.0 AS v
+  FROM docs WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('n_chars'), 1, 15)) AS BIGINT) % 64 AS b,
+         CAST(n_chars AS DOUBLE) AS v
+  FROM docs
+  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+),
+grid AS (
+  SELECT d.doc_id, gs.i AS b
+  FROM docs d, (SELECT unnest(generate_series(0, 63)) AS i) gs
+),
+summed AS (
+  SELECT g.doc_id, g.b, COALESCE(SUM(c.v), 0.0) AS s
+  FROM grid g LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.b = g.b
+  GROUP BY g.doc_id, g.b
+)
+SELECT doc_id,
+       string_agg(printf('%.1f', s), ',' ORDER BY b) AS features_csv
+FROM summed GROUP BY doc_id
+"""
 
 
 def q_roc_auc(spark, sf):

@@ -463,6 +463,7 @@ def txn_upsert(
     keys: list[str],
     order_col: str | None = None,
     meta: dict | None = None,
+    delete_when: str | None = None,
 ) -> int:
     """Batch MERGE INTO: batch rows replace same-key rows, new keys
     append — one keyed shuffle, ONE atomic overwrite commit (readers see
@@ -471,6 +472,16 @@ def txn_upsert(
     (last-wins); without it the batch must be key-unique. The batch
     counterpart of ``streaming.ops.stream_upsert_to_parquet(txn=True)``.
     Returns the committed version.
+
+    ``delete_when`` (SQL predicate over the batch columns, or a Column)
+    adds the WHEN MATCHED DELETE arm (Delta's ``whenMatchedDelete``):
+    batch rows satisfying it are TOMBSTONES — their keys are removed
+    from the table and the rows are NOT inserted (an unmatched tombstone
+    is a no-op, per MERGE). The retention/GDPR-erase shape: one batch
+    carries updates, inserts, and deletes, applied in one atomic commit.
+    Evaluated after the ``order_col`` winner selection, so a key whose
+    LATEST batch version is a tombstone deletes even if older versions
+    were updates. A NULL predicate value means not-a-tombstone.
 
     The overwrite is a read-modify-write pinned with
     ``expected_version``: a concurrent commit landing between the
@@ -491,6 +502,13 @@ def txn_upsert(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    tombstones = None
+    if delete_when is not None:
+        cond = (
+            F.expr(delete_when) if isinstance(delete_when, str) else delete_when
+        )
+        tombstones = batch.filter(cond).select(*keys)
+        batch = batch.filter(~F.coalesce(cond, F.lit(False)))
     partition_by = None
     if is_txn_table(path):
         version, manifest = txn_latest(path)
@@ -502,8 +520,11 @@ def txn_upsert(
             {k for f in manifest["files"] for k in f["partition"]}
         ) or None
         current = txn_read(spark, path, version=version)
+        drop_keys = batch.select(*keys)
+        if tombstones is not None:
+            drop_keys = drop_keys.unionByName(tombstones)
         survivors = current.join(
-            batch.select(*keys).dropDuplicates(keys), keys, "left_anti"
+            drop_keys.dropDuplicates(keys), keys, "left_anti"
         )
         # allowMissingColumns: the batch may introduce a new column or
         # omit an evolved one — either side NULL-backfills, matching the

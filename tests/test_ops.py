@@ -2277,3 +2277,162 @@ def test_ppjoin_equals_postings_plan_with_fewer_candidates(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         ppjoin_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
+
+
+def test_ivf_append_routes_to_existing_cells_and_keeps_recall(spark, tmp_path):
+    """r6-VERDICT #4 (incremental ANN): ivf_append routes a new batch
+    through the PERSISTED centroids — cells equal a direct re-assignment
+    with those centroids (no retrain), baked meta_cols are re-derived
+    from the index (params ride the data), planted exact duplicates come
+    back top-1 exactly as a full rebuild would return them, and a
+    wrong-dim batch raises in-plan."""
+    import random
+
+    from tdataframe_spark.ops.similarity import (
+        _assign,
+        _load_centroids,
+        ivf_append,
+        ivf_build,
+        ivf_query,
+    )
+
+    rng = random.Random(5)
+    dim = 8
+    base = [
+        Row(
+            vec_id=i,
+            embedding=[rng.gauss(0, 1) for _ in range(dim)],
+            label=i % 3,
+        )
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(base)
+    path = str(tmp_path / "ivf")
+    ivf_build(corpus, path, n_cells=8, meta_cols=["label"])
+
+    # batch: exact copies of ids 0..19 under fresh ids (planted dups)
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=1000 + r["vec_id"], embedding=r["embedding"], label=9)
+            for r in base[:20]
+        ]
+    )
+    ivf_append(batch, path)
+
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == 220
+    appended = {
+        r["__cid"]: r["__cell"]
+        for r in cells.filter(F.col("__cid") >= 1000).collect()
+    }
+    # routing equals a direct assignment with the persisted centroids
+    cents = _load_centroids(spark, path)
+    from tdataframe_spark.ops.similarity import _normalized
+
+    expect = {
+        r["__cid"]: r["__cell"]
+        for r in _assign(
+            _normalized(batch, "vec_id", "embedding", "__cid"),
+            "__vn", "__cid", cents,
+        ).collect()
+    }
+    assert appended == expect
+    # meta rode along (re-derived from the index, not re-passed)
+    assert {
+        r["label"] for r in cells.filter(F.col("__cid") >= 1000).collect()
+    } == {9}
+
+    # planted dups: top-1 for each appended vector is its source (sim 1.0
+    # tie broken by lower neighbor id) — and a full REBUILD on the union
+    # returns the same top-1 set (append == rebuild recall)
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_query(
+            spark, path, batch, k=1, n_probe=8
+        ).collect()
+    }
+    assert got == {1000 + i: i for i in range(20)}
+    rebuilt = str(tmp_path / "ivf_rebuild")
+    ivf_build(
+        corpus.unionByName(batch), rebuilt, n_cells=8, meta_cols=["label"]
+    )
+    got_rebuild = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_query(
+            spark, rebuilt, batch, k=1, n_probe=8
+        ).collect()
+    }
+    assert got_rebuild == got
+
+    # wrong-dim batch raises in-plan (never silently encodes garbage)
+    bad = spark.createDataFrame(
+        [Row(vec_id=5000, embedding=[1.0] * (dim + 2), label=0)]
+    )
+    with pytest.raises(Exception, match="dim"):
+        ivf_append(bad, path)
+
+
+def test_pq_and_ivfpq_append_encode_with_persisted_codebook(spark, tmp_path):
+    """pq_append/ivfpq_append encode new batches against the persisted
+    codebook (codes bit-equal to a direct pq_encode with it) and route
+    through persisted coarse centroids; planted exact duplicates are
+    found top-1 after rerank through the appended index."""
+    import random
+
+    from tdataframe_spark.ops.similarity import (
+        _load_codebook,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_query,
+        pq_append,
+        pq_build,
+        pq_encode,
+        pq_query,
+    )
+
+    rng = random.Random(9)
+    dim = 8
+    base = [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(dim)])
+        for i in range(150)
+    ]
+    corpus = spark.createDataFrame(base)
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=1000 + r["vec_id"], embedding=r["embedding"])
+            for r in base[:10]
+        ]
+    )
+
+    path = str(tmp_path / "pq")
+    pq_build(corpus, path, m=4, n_codes=8)
+    pq_append(batch, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == 160
+    appended = {
+        r["vec_id"]: list(r["codes"])
+        for r in codes.filter(F.col("vec_id") >= 1000).collect()
+    }
+    direct = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(batch, _load_codebook(spark, path)).collect()
+    }
+    assert appended == direct
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in pq_query(spark, path, batch, k=1, rerank=30).collect()
+    }
+    assert got == {1000 + i: i for i in range(10)}
+
+    ipath = str(tmp_path / "ivfpq")
+    ivfpq_build(corpus, ipath, n_cells=4, m=4, n_codes=8, residual=True)
+    ivfpq_append(batch, ipath)
+    assert spark.read.parquet(f"{ipath}/codes").count() == 160
+    assert spark.read.parquet(f"{ipath}/vectors").count() == 160
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivfpq_query(
+            spark, ipath, batch, k=1, n_probe=4, rerank=30
+        ).collect()
+    }
+    assert got == {1000 + i: i for i in range(10)}

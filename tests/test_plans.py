@@ -471,6 +471,10 @@ _BNLJ_ALLOWED = {
     "ivf_ann",             # centroid table + bounded query-vector attach
     "filtered_ann",        # same centroid-probe attach; the metadata
                            # predicate itself is a pushed scan filter
+    "ivf_append",          # k-row persisted-centroid argmax attach + the
+                           # bounded appended-batch query broadcast
+    "lang_id",             # n_langs-row grid attach (bounded by the
+                           # language set) for the all-out-of-place leg
     "ivfpq_ann",           # same, plus the bounded ADC codebook attach
     "lm_score",            # bounded vocabulary/corpus-stats attach
     "logreg_score",        # (d+1)-row weight-vector attach
@@ -488,6 +492,9 @@ _HEAVY_BUILDERS = {
     "merge_upsert", "global_rank", "decontamination_bloom",
     "nearest_centroid", "lm_score", "semdedup", "semdedup_assign",
     "pca_embeddings", "logreg_score", "merge_upsert_txn", "cdc_changes", "time_travel",
+    # round-7: txn MERGE-with-delete commit, memoized index build+append,
+    # memoized pq build, in-engine langid profile training
+    "merge_delete_txn", "ivf_append", "pq_query", "lang_id",
 }
 
 

@@ -676,3 +676,60 @@ def test_vacuum_leaves_fence_readable_when_its_files_are_still_live(
     txn_vacuum(path, keep_versions=1, min_age_s=0)
     assert not _load(path, 1).get("vacuumed")
     assert txn_read(spark, path, version=1).count() == 3
+
+
+def test_txn_upsert_delete_arm(spark, tmp_path, monkeypatch):
+    """WHEN MATCHED DELETE (delete_when): tombstone rows erase their keys
+    and are not inserted; unmatched tombstones are no-ops; the predicate
+    is judged on the order_col WINNER (a key whose latest version is a
+    tombstone deletes even when older versions were updates); NULL
+    predicate values mean not-a-tombstone; and the delete-merge is
+    CAS-pinned — a commit racing it raises instead of vanishing."""
+    from tdataframe_spark.sources import txn as txn_mod
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], "k int, v double"
+    )
+    txn_write(base, path, mode="overwrite")
+    batch = spark.createDataFrame(
+        # update k=1, delete k=2, unmatched tombstone k=9 (no-op),
+        # NULL flag on k=3 (kept as an update)
+        [(1, 10.0, False), (2, 0.0, True), (9, 0.0, True), (3, 30.0, None)],
+        "k int, v double, gone boolean",
+    )
+    txn_upsert(batch, path, keys=["k"], delete_when="gone")
+    got = {r["k"]: (r["v"], r["gone"]) for r in txn_read(spark, path).collect()}
+    assert set(got) == {1, 3, 4}
+    assert got[1][0] == 10.0 and got[3][0] == 30.0 and got[4][0] == 4.0
+
+    # order_col: k=1's latest version is a tombstone, older was an update
+    txn_write(base, path, mode="overwrite")
+    versioned = spark.createDataFrame(
+        [(1, 99.0, False, 1), (1, 0.0, True, 2), (2, 20.0, False, 5)],
+        "k int, v double, gone boolean, ts int",
+    )
+    txn_upsert(versioned, path, keys=["k"], order_col="ts", delete_when="gone")
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert set(got) == {2, 3, 4} and got[2] == 20.0
+
+    # race: a commit between the snapshot read and the merge commit raises
+    real_read = txn_mod.txn_read
+    bumped = {"done": False}
+
+    def racing_read(spark_, p, **kw):
+        out = real_read(spark_, p, **kw)
+        if not bumped["done"]:
+            bumped["done"] = True
+            txn_write(
+                spark.createDataFrame([(8, 8.0, None, 0)],
+                                      "k int, v double, gone boolean, ts int"),
+                p,
+            )
+        return out
+
+    monkeypatch.setattr(txn_mod, "txn_read", racing_read)
+    with pytest.raises(ConcurrentWriteError):
+        txn_upsert(versioned, path, keys=["k"], order_col="ts",
+                   delete_when="gone")
