@@ -583,6 +583,35 @@ def ivf_append(
     )
 
 
+def ivf_stats(spark, index_path: str) -> DataFrame:
+    """Occupancy report for a persisted IVF or IVF-PQ index — the
+    rebuild-on-drift signal for the append-forever lifecycle: per coarse
+    cell, the row count and corpus fraction. Healthy trained indexes sit
+    near 1/n_cells per cell; appended batches concentrating into few
+    cells mean the frozen centroids no longer describe the corpus and a
+    periodic ``ivf_build``/``ivfpq_build`` retrain is due. Reads ONLY
+    parquet footers' worth of work (a count per cell partition) — never
+    the vectors."""
+    import os
+
+    table = "cells" if os.path.isdir(f"{index_path}/cells") else "codes"
+    cell_col = "__cell" if table == "cells" else "__coarse"
+    rows = spark.read.parquet(f"{index_path}/{table}")
+    counts = rows.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 9).alias("frac"),
+        )
+        .orderBy("cell")
+    )
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1520,6 +1520,36 @@ FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 != 0
 """
 
 
+def q_restore_table(spark, sf):
+    """Delta-style RESTORE (txn_restore): seed the orders table (v1),
+    clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed
+    prices), then roll back. The restore is a MANIFEST-ONLY commit (v3
+    points at v1's immutable files — zero data bytes copied; the bad
+    commit stays in history for audit), so the head must read back
+    exactly the original table — which is the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read, txn_restore, txn_write
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    path = os.path.join(tempfile.gettempdir(), f"restore_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(o, path, mode="overwrite")
+    bad = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    txn_write(bad, path, mode="overwrite")
+    txn_restore(path, 1)
+    return txn_read(spark, path)
+
+
+SQL_RESTORE_TABLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
 def q_cdc_changes(spark, sf):
     """Row-level change feed between two table snapshots (txn_changes):
     seed the orders table (v1), MERGE the re-priced 10% batch (v2), ask

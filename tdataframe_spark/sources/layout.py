@@ -306,6 +306,7 @@ def compact_txn(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     meta: dict | None = None,
 ) -> int:
     """Compaction for a transactional table (``sources/txn.py``): rewrite
@@ -315,7 +316,14 @@ def compact_txn(
     gone, and breaks concurrent readers mid-scan): here old files stay on
     disk until ``txn_vacuum``, so snapshot-pinned readers keep working
     through the compaction — the lakehouse OPTIMIZE shape. Returns the
-    new file count."""
+    new file count.
+
+    ``sort_by`` range-clusters on one key prefix (tight per-file min/max
+    on those columns → row-group pruning); ``zorder_by`` is Delta's
+    OPTIMIZE ZORDER BY — the snapshot is rewritten in Morton-key order
+    over SEVERAL columns, so per-file ranges stay bounded on every
+    z-ordered column at once and multi-dimensional predicates prune
+    files the way a single-column sort never can."""
     import math
     import os
 
@@ -334,8 +342,17 @@ def compact_txn(
     partition_by = sorted(
         {k for f in manifest["files"] for k in f["partition"]}
     )
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are exclusive")
     df = txn_read(spark, path, version=version)
-    if sort_by:
+    if zorder_by:
+        df = (
+            df.withColumn("__zk", zorder_key(df, zorder_by))
+            .repartitionByRange(n_files, "__zk")
+            .sortWithinPartitions("__zk")
+            .drop("__zk")
+        )
+    elif sort_by:
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
             *sort_by
         )

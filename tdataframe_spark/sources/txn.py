@@ -552,6 +552,48 @@ def txn_upsert(
     )
 
 
+def txn_restore(
+    path: str,
+    version: int,
+    meta: dict | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Delta-style RESTORE: re-publish snapshot ``version``'s file list
+    and schema as a NEW head commit — manifest-only, zero data bytes
+    copied or rewritten (the files are immutable and still on disk until
+    vacuum). The bad commits stay in history for audit and stay readable
+    by pinned/as_of readers; the restored files become referenced by the
+    head again, so a later ``txn_vacuum`` keeps them. The emergency
+    rollback primitive after a bad MERGE/overwrite.
+
+    Raises ``FileNotFoundError`` for a version that never existed or was
+    vacuumed (its files are gone — nothing to restore), and retries the
+    manifest race like any commit (the target snapshot is absolute, so
+    a retry cannot change what is being restored)."""
+    src = _load(path, version)  # FileNotFoundError if it never existed
+    if src.get("vacuumed"):
+        raise FileNotFoundError(
+            f"version {version} of {path} was vacuumed — its data files "
+            "are reclaimed; restore is only possible within the vacuum "
+            "retention window"
+        )
+    for _ in range(max_retries):
+        head, _latest = txn_latest(path)
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "ts": time.time(),
+            "files": src["files"],
+            "schema": src["schema"],
+            "meta": {**(meta or {}), "restore_of": version},
+        }
+        if _publish(path, head + 1, manifest):
+            return head + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races restoring {path}"
+    )
+
+
 def txn_vacuum(
     path: str, keep_versions: int = 1, min_age_s: float = 3600.0
 ) -> list[str]:

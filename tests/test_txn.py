@@ -733,3 +733,111 @@ def test_txn_upsert_delete_arm(spark, tmp_path, monkeypatch):
     with pytest.raises(ConcurrentWriteError):
         txn_upsert(versioned, path, keys=["k"], order_col="ts",
                    delete_when="gone")
+
+
+def test_txn_restore_is_manifest_only_rollback(spark, tmp_path):
+    """Delta-style RESTORE: the rollback commit points at the restored
+    snapshot's existing files (zero data copied — the data/ dir gains no
+    new commit dir), the head reads the original content, the bad commit
+    stays pinned-readable for audit, vacuum afterwards keeps the restored
+    (re-referenced) files while reclaiming the bad commit's, and
+    restoring a vacuumed version raises."""
+    from tdataframe_spark.sources.txn import txn_restore
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, float(i)) for i in range(10)], "k int, v double")
+    txn_write(base, path, mode="overwrite")                     # v1
+    txn_write(base.filter("k < 3"), path, mode="overwrite")     # v2 (bad)
+    n_commit_dirs = len(os.listdir(os.path.join(path, "data")))
+
+    v = txn_restore(path, 1, meta={"reason": "bad overwrite"})
+    assert v == 3
+    # manifest-only: no new data files were written
+    assert len(os.listdir(os.path.join(path, "data"))) == n_commit_dirs
+    assert _rows(txn_read(spark, path)) == _rows(base)
+    assert txn_latest(path)[1]["meta"]["restore_of"] == 1
+    # the bad snapshot stays readable (audit) until vacuum
+    assert txn_read(spark, path, version=2).count() == 3
+
+    # vacuum: v1's files are re-referenced by the head (v3) → kept;
+    # v2's files are unreferenced → reclaimed
+    removed = txn_vacuum(path, keep_versions=1, min_age_s=0)
+    assert len(removed) == 1
+    assert _rows(txn_read(spark, path)) == _rows(base)
+
+    # restoring a version whose files were vacuumed raises clearly
+    with pytest.raises(FileNotFoundError):
+        txn_restore(path, 2)
+
+
+def test_compact_txn_zorder_bounds_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on the transactional table: after a z-ordered
+    compaction every file's min/max range is bounded on BOTH clustered
+    columns (multi-dimensional pruning a single-column sort cannot give),
+    content and partitioning metadata are unchanged, and sort_by+zorder_by
+    together raise."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from tdataframe_spark.sources.layout import compact_txn
+
+    def file_width(f, column):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == column and c.statistics is not None:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        return max(maxs) - min(mins)
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "i int, x int, y int").repartition(8)
+    path = str(tmp_path / "t")
+    txn_write(df, path, mode="overwrite")
+    with pytest.raises(ValueError, match="exclusive"):
+        compact_txn(spark, path, sort_by=["x"], zorder_by=["x", "y"])
+    compact_txn(spark, path, target_file_bytes=4096, zorder_by=["x", "y"])
+    got = txn_read(spark, path)
+    assert _rows(got.select("i", "x", "y")) == sorted(rows)
+    _, m = txn_latest(path)
+    files = [os.path.join(path, f["path"]) for f in m["files"]]
+    assert len(files) > 4  # actually split into several files
+    for col in ("x", "y"):
+        # each file covers a bounded slice of the domain on BOTH columns:
+        # average per-file width well under the full 0..999 span
+        widths = [file_width(f, col) for f in files]
+        avg = sum(widths) / len(widths)
+        assert avg < 700, (col, sorted(widths))
+
+
+def test_ivf_stats_reports_occupancy(spark, tmp_path):
+    """ivf_stats: per-cell counts + fractions for IVF and IVF-PQ indexes
+    (fractions sum to 1; cells match the persisted table) — the
+    rebuild-on-drift signal for the append-forever lifecycle."""
+    import random
+
+    from tdataframe_spark.ops.similarity import (
+        ivf_build,
+        ivf_stats,
+        ivfpq_build,
+    )
+
+    rng = random.Random(1)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)],
+        "vec_id int, embedding array<double>",
+    )
+    for builder, sub in ((ivf_build, "ivf"), (ivfpq_build, "ivfpq")):
+        path = str(tmp_path / sub)
+        if sub == "ivf":
+            builder(emb, path, n_cells=4)
+        else:
+            builder(emb, path, n_cells=4, m=4, n_codes=8)
+        stats = ivf_stats(spark, path).collect()
+        assert sum(r["n"] for r in stats) == 120
+        assert abs(sum(r["frac"] for r in stats) - 1.0) < 1e-6
+        assert len(stats) <= 4
