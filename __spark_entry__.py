@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_customer_avg": q_above_customer_avg,
         "merge_delete_txn": q_merge_delete_txn,
         "restore_table": q_restore_table,
+        "data_skipping": q_data_skipping,
         "lang_id": q_lang_id,
         "ivf_append": q_ivf_append,
         "pq_query": q_pq_query,
@@ -139,10 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_distribution": q_q13_order_distribution,
         "q15_top_supplier": q_q15_top_supplier,
         "chunk_docs": q_chunk_docs,
-        "funnel_steps": q_funnel_steps,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r4-r6) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
         "profile_numeric": q_profile_numeric,
@@ -291,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_delete_txn": SQL_MERGE_DELETE,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
+        "data_skipping": SQL_DATA_SKIPPING,
         "cdc_changes": SQL_CDC_CHANGES,
         "time_travel": SQL_TIME_TRAVEL,
         "q7_volume_shipping": SQL_Q7,

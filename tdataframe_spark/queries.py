@@ -1550,6 +1550,48 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 """
 
 
+_DATA_SKIP_BUILT: set = set()
+
+
+def q_data_skipping(spark, sf):
+    """Iceberg/Delta-style data skipping on the transactional table:
+    the orders table is committed range-clustered on o_totalprice with
+    per-file min/max recorded in the manifest (txn_write stats_cols);
+    the read prunes FILES against the price range before Spark lists
+    anything, and the residual row filter (which Spark also pushes into
+    the scan) restores exactness — so the result equals a plain WHERE,
+    which is the oracle. File-count pruning is pinned in
+    tests/test_txn.py."""
+    import os
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read, txn_write
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dataskip_txn_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
+    )
+    if path not in _DATA_SKIP_BUILT:
+        txn_write(
+            o.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
+                "o_totalprice"
+            ),
+            path, mode="overwrite", stats_cols=["o_totalprice"],
+        )
+        _DATA_SKIP_BUILT.add(path)
+    pruned = txn_read(
+        spark, path, range_filter={"o_totalprice": (50000.0, 150000.0)}
+    )
+    return pruned.filter(F.col("o_totalprice").between(50000.0, 150000.0))
+
+
+SQL_DATA_SKIPPING = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
+"""
+
+
 def q_cdc_changes(spark, sf):
     """Row-level change feed between two table snapshots (txn_changes):
     seed the orders table (v1), MERGE the re-priced 10% batch (v2), ask

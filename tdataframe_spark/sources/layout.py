@@ -344,6 +344,11 @@ def compact_txn(
     )
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are exclusive")
+    # data-skipping stats survive the rewrite: recompute min/max for every
+    # column any live file recorded them for (footer-only, driver-side)
+    stats_cols = sorted(
+        {c for f in manifest["files"] for c in f.get("stats", {})}
+    )
     df = txn_read(spark, path, version=version)
     if zorder_by:
         df = (
@@ -372,6 +377,7 @@ def compact_txn(
         partition_by=partition_by or None,
         meta={**(meta or {}), "compaction": True, "source_version": version},
         expected_version=version,
+        stats_cols=stats_cols or None,
     )
     return n_files
 

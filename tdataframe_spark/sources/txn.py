@@ -89,12 +89,53 @@ def _load(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _hint_path(path: str) -> str:
+    return os.path.join(path, _TXN, "_last")
+
+
 def txn_latest(path: str) -> tuple[int, dict | None]:
-    """(latest version, manifest) — (0, None) for a fresh/absent table."""
+    """(latest version, manifest) — (0, None) for a fresh/absent table.
+
+    Head resolution is O(1), not O(#commits): writers drop a best-effort
+    version HINT after publishing (the Iceberg version-hint idea), and
+    the reader probes forward from it until the first missing manifest —
+    a stale hint (crashed writer, lost race) costs a few extra stat
+    calls, never a wrong answer, and a missing/corrupt hint falls back
+    to the directory listing. On S3 this is the difference between one
+    GET and a LIST over thousands of commit files per read."""
+    hint = None
+    try:
+        with open(_hint_path(path)) as f:
+            hint = int(f.read().strip())
+    except (FileNotFoundError, ValueError, NotADirectoryError):
+        pass
+    if hint is not None and os.path.exists(_manifest_path(path, hint)):
+        v = hint
+        while os.path.exists(_manifest_path(path, v + 1)):
+            v += 1
+        return v, _load(path, v)
     vs = _versions(path)
     if not vs:
         return 0, None
     return vs[-1], _load(path, vs[-1])
+
+
+def _write_hint(path: str, version: int) -> None:
+    """Best-effort, crash-safe hint update (atomic replace; monotonic —
+    never moves the hint backwards under racing writers)."""
+    try:
+        try:
+            with open(_hint_path(path)) as f:
+                if int(f.read().strip()) >= version:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        tmp = os.path.join(path, _TXN, f".hint-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, _hint_path(path))
+    except OSError:
+        pass  # the hint is an optimization, never required
 
 
 def txn_snapshots(path: str) -> list[tuple[int, dict]]:
@@ -115,6 +156,7 @@ def _publish(path: str, version: int, manifest: dict) -> bool:
         os.fsync(f.fileno())
     try:
         os.link(tmp, _manifest_path(path, version))
+        _write_hint(path, version)
         return True
     except FileExistsError:
         return False
@@ -143,6 +185,53 @@ def _collect_files(commit_dir: str, root: str) -> list[dict]:
                 "partition": part,
             })
     return out
+
+
+def _file_stats(abs_path: str, cols: set[str]) -> dict:
+    """Per-file min/max of ``cols`` from the parquet footer (driver-side,
+    metadata only — no data pages read). Values are kept JSON-portable
+    (int/float/str); columns without usable statistics are omitted, which
+    downstream pruning treats as 'keep the file' (safe)."""
+    import pyarrow.parquet as pq
+
+    agg: dict[str, list] = {}
+    md = pq.ParquetFile(abs_path).metadata
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            c = md.row_group(rg).column(ci)
+            if c.path_in_schema not in cols:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue  # binary column: no portable ordering
+            if not isinstance(mn, (int, float, str)):
+                continue  # timestamps etc.: not JSON-portable, skip
+            cur = agg.get(c.path_in_schema)
+            if cur is None:
+                agg[c.path_in_schema] = [mn, mx]
+            else:
+                cur[0], cur[1] = min(cur[0], mn), max(cur[1], mx)
+    return agg
+
+
+def _stats_match(stats: dict, range_filter: dict) -> bool:
+    """True when a file may contain rows in every requested range —
+    missing stats for a column keep the file (pruning must never drop a
+    row it cannot prove absent)."""
+    for col, (lo, hi) in range_filter.items():
+        st = stats.get(col)
+        if st is None:
+            continue
+        mn, mx = st
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
 
 
 def _part_matches(part: dict, where: dict) -> bool:
@@ -189,6 +278,7 @@ def txn_write(
     meta: dict | None = None,
     expected_version: int | None = None,
     max_retries: int = 50,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the transactional table at ``path``; returns the
     committed version.
@@ -198,7 +288,15 @@ def txn_write(
     overwrite-of-matching) replaces only files whose partition values
     match — the MERGE-shaped refresh primitive. Data files are written
     ONCE outside the retry loop (the file set is commit-invariant);
-    only the cheap manifest race retries."""
+    only the cheap manifest race retries.
+
+    ``stats_cols`` records per-file min/max of those columns in the
+    manifest (read from the fresh parquet footers — metadata-only, one
+    driver-side pass over files just written): Iceberg/Delta-style DATA
+    SKIPPING. ``txn_read(range_filter=...)`` then prunes files before
+    Spark ever lists them — combined with a ``compact_txn(sort_by=
+    ...)``/``zorder_by`` layout this is the open-table fast path for
+    selective range scans at 100 TB."""
     if mode not in ("append", "overwrite"):
         raise ValueError(
             f"mode must be 'append' or 'overwrite', got {mode!r}"
@@ -231,6 +329,11 @@ def txn_write(
         writer = writer.partitionBy(*pcols)
     writer.parquet(commit_dir)
     new_files = _collect_files(commit_dir, path)
+    if stats_cols:
+        for f in new_files:
+            f["stats"] = _file_stats(
+                os.path.join(path, f["path"]), set(stats_cols)
+            )
     if replace_where:
         # Delta's replaceWhere rule: every written row must satisfy the
         # predicate, or rows outside it land in the commit alongside the
@@ -306,12 +409,22 @@ def txn_read(
     version: int | None = None,
     as_of: float | None = None,
     partition_filter: dict[str, list] | None = None,
+    range_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a snapshot: exactly the files the manifest lists (latest, a
     pinned ``version``, or — time travel — the newest commit at or before
     unix-seconds ``as_of``). ``partition_filter`` prunes FILES on the
     manifest's recorded partition values before Spark is involved — the
-    100 TB path where a day-refresh never lists undead directories."""
+    100 TB path where a day-refresh never lists undead directories.
+
+    ``range_filter`` ({column: (lo, hi)}, either bound None for
+    open-ended) prunes files on the per-file min/max recorded by
+    ``txn_write(stats_cols=...)`` — DATA SKIPPING. File-level only: the
+    surviving files still contain out-of-range rows, so callers keep
+    their row filter (which Spark then also pushes into the scan); files
+    without stats for a column are conservatively kept, and a column for
+    which NO live file records stats raises (a typo would silently skip
+    nothing)."""
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
     if as_of is not None:
@@ -361,6 +474,17 @@ def txn_read(
                 f"columns of {path} (has {sorted(pcols) or 'none — unpartitioned'})"
             )
         files = [f for f in files if _part_matches(f["partition"], partition_filter)]
+    if range_filter:
+        for col in range_filter:
+            if files and not any(col in f.get("stats", {}) for f in files):
+                raise ValueError(
+                    f"range_filter column {col!r} has no recorded stats in "
+                    f"any live file of {path} — commit with "
+                    "txn_write(stats_cols=[...]) (or fix the column name)"
+                )
+        files = [
+            f for f in files if _stats_match(f.get("stats", {}), range_filter)
+        ]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not files:
         return spark.createDataFrame([], schema)

@@ -841,3 +841,79 @@ def test_ivf_stats_reports_occupancy(spark, tmp_path):
         assert sum(r["n"] for r in stats) == 120
         assert abs(sum(r["frac"] for r in stats) - 1.0) < 1e-6
         assert len(stats) <= 4
+
+
+def test_version_hint_fast_head_with_stale_and_corrupt_fallbacks(spark, tmp_path):
+    """O(1) head resolution: publishing drops a version hint; txn_latest
+    probes forward from it (stale hints cost a few stats, never a wrong
+    answer) and falls back to the directory listing when the hint is
+    corrupt or missing. The hint never moves backwards."""
+    from tdataframe_spark.sources.txn import _hint_path, _write_hint
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        txn_write(spark.range(i, i + 1), path)
+    hp = _hint_path(path)
+    assert open(hp).read().strip() == "3"
+    assert txn_latest(path)[0] == 3
+
+    with open(hp, "w") as f:  # stale hint: probe forward
+        f.write("1")
+    assert txn_latest(path)[0] == 3
+    with open(hp, "w") as f:  # corrupt hint: listing fallback
+        f.write("not-a-number")
+    assert txn_latest(path)[0] == 3
+    os.unlink(hp)  # missing hint: listing fallback
+    assert txn_latest(path)[0] == 3
+    _write_hint(path, 2)
+    _write_hint(path, 1)  # must not regress below 2
+    assert open(hp).read().strip() == "2"
+    assert txn_latest(path)[0] == 3
+
+
+def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    """Iceberg/Delta-style data skipping: txn_write(stats_cols=...)
+    records per-file min/max in the manifest; txn_read(range_filter=...)
+    prunes FILES before Spark lists anything. Pinned: fewer files read
+    under a selective range, results (with the caller's row filter) equal
+    the unpruned filter exactly, files without stats are conservatively
+    kept, a stats-less column raises, and compaction PRESERVES the
+    recorded stats columns."""
+    from tdataframe_spark.sources.layout import compact_txn
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(4000)], "k int, v double"
+    )
+    txn_write(
+        df.repartitionByRange(8, "v").sortWithinPartitions("v"),
+        path, mode="overwrite", stats_cols=["v"],
+    )
+    full = txn_read(spark, path)
+    pruned = txn_read(spark, path, range_filter={"v": (1000.0, 1499.0)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    want = _rows(full.filter("v between 1000 and 1499"))
+    assert _rows(pruned.filter("v between 1000 and 1499")) == want
+    # open-ended bound
+    lo = txn_read(spark, path, range_filter={"v": (None, 99.0)})
+    assert len(lo.inputFiles()) < len(full.inputFiles())
+    assert lo.filter("v < 100").count() == 100
+    with pytest.raises(ValueError, match="no recorded stats"):
+        txn_read(spark, path, range_filter={"w": (0, 1)})
+
+    # a stats-less commit is conservatively kept by every range read
+    txn_write(
+        spark.createDataFrame([(99999, 1250.0)], "k int, v double"), path
+    )
+    again = txn_read(spark, path, range_filter={"v": (1000.0, 1499.0)})
+    assert (99999, 1250.0) in _rows(again.select("k", "v"))
+
+    # compaction recomputes stats for the rewritten files
+    compact_txn(spark, path, target_file_bytes=8192, sort_by=["v"])
+    _, m = txn_latest(path)
+    assert all("v" in f.get("stats", {}) for f in m["files"])
+    post = txn_read(spark, path, range_filter={"v": (1000.0, 1499.0)})
+    assert len(post.inputFiles()) < len(txn_read(spark, path).inputFiles())
+    assert _rows(post.filter("v between 1000 and 1499").select("k", "v")) == sorted(
+        set(want) | {(99999, 1250.0)}
+    )
