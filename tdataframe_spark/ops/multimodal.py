@@ -101,15 +101,17 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
     """REAL image decode, pure numpy/stdlib, no media libraries: netpbm
     (PPM ``P6`` / PGM ``P5``), uncompressed 24/32-bit BI_RGB BMP
     (bottom-up or top-down, BGR(A)→RGB, 4-byte row padding), 8-bit
-    non-interlaced PNG (zlib + scanline unfiltering), and both baseline
+    non-interlaced PNG (zlib + scanline unfiltering), both baseline
     AND progressive DCT JPEG (marker walk, canonical Huffman, spectral
     selection + successive approximation with EOB runs, dequant + IDCT,
-    4:2:0/4:2:2 chroma upsample, restart markers, YCbCr→RGB). This is
-    the non-stub counterpart of ``extract_features``: for payloads in a
-    format the sandbox can parse, the decode→resize→feature path is
+    4:2:0/4:2:2 chroma upsample, restart markers, YCbCr→RGB), and
+    GIF87a/89a (LZW, interlace, transparency — first composited frame;
+    ``ops/gif.py``, also the real path of :func:`sample_frames`). This
+    is the non-stub counterpart of ``extract_features``: for payloads in
+    a format the sandbox can parse, the decode→resize→feature path is
     fully real; remaining formats (arithmetic/12-bit/hierarchical JPEG,
-    GIF/WebP/...) come back ``ok=false`` rather than raising, so one
-    pass classifies and decodes a mixed corpus.
+    WebP/...) come back ``ok=false`` rather than raising, so one pass
+    classifies and decodes a mixed corpus.
 
     ``resize_to``: optional square nearest-neighbour downsample applied
     before feature computation (numpy index slicing — the shape of a real
@@ -772,8 +774,18 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
             except Exception:
                 return None
 
+        def parse_gif(buf):
+            # shared with sample_frames' real path; imported inside the
+            # closure so the pickled closure itself stays self-contained
+            from tdataframe_spark.ops.gif import gif_first_frame
+
+            try:
+                return gif_first_frame(bytes(buf))
+            except Exception:
+                return None  # corrupt GIF: classify ok=false, don't raise
+
         def parse_image(buf):
-            for p in (parse_netpbm, parse_bmp, parse_png, parse_jpeg):
+            for p in (parse_netpbm, parse_bmp, parse_png, parse_jpeg, parse_gif):
                 arr = p(buf)
                 if arr is not None:
                     return arr
@@ -1026,6 +1038,41 @@ def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 return None
             return None
 
+        def gif_frame_count(p):
+            """REAL frame count for GIF payloads: one quick block walk
+            counting image descriptors (no LZW decode) — keeps
+            probe_metadata consistent with sample_frames' real GIF
+            fan-out. None for non-GIF/corrupt payloads."""
+            if p[:6] not in (b"GIF87a", b"GIF89a"):
+                return None
+            try:
+                pos, flags = 13, p[10]
+                if flags & 0x80:
+                    pos += 3 * (2 << (flags & 0x07))
+                n = 0
+                while pos < len(p):
+                    block = p[pos]
+                    pos += 1
+                    if block == 0x3B:
+                        break
+                    if block == 0x21:
+                        pos += 1
+                    elif block == 0x2C:
+                        iflags = p[pos + 8]
+                        pos += 9
+                        if iflags & 0x80:
+                            pos += 3 * (2 << (iflags & 0x07))
+                        pos += 1  # LZW min code size
+                        n += 1
+                    else:
+                        return None
+                    while p[pos]:  # sub-block chain
+                        pos += 1 + p[pos]
+                    pos += 1
+                return n or None
+            except IndexError:
+                return None
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
@@ -1037,6 +1084,7 @@ def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 is_aud = kind.startswith("audio")
                 dims = image_dims(p) if (is_img or is_vid) else None
                 rate = wav_rate(p) if is_aud else None
+                gif_frames = gif_frame_count(p) if is_vid else None
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -1049,7 +1097,9 @@ def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         "height": dims[1] if dims else (
                             64 + h[1] % 192 if (is_img or is_vid) else None
                         ),
-                        "n_frames": 1 + h[2] % 64 if is_vid else None,
+                        "n_frames": gif_frames if gif_frames else (
+                            1 + h[2] % 64 if is_vid else None
+                        ),
                         "sample_rate": rate if rate else (
                             8000 * (1 + h[3] % 6) if is_aud else None
                         ),
@@ -1065,26 +1115,59 @@ def sample_frames(
 ) -> DataFrame:
     """Explode video payloads into sampled frames: one output row per kept
     frame (media_id, frame_idx, frame_payload) — the fan-out stage of a
-    video featurization pipeline. STUBBED decode: frames are deterministic
-    payload slices (a real impl seeks keyframes via ffmpeg); the 1→N Arrow
-    ``mapInPandas`` fan-out, frame indexing, and partition behavior are the
-    real contract. Non-video rows pass through with a single frame 0.
+    video featurization pipeline.
+
+    REAL decode for animated GIF payloads (the one multi-frame container
+    the sandbox can parse — ``ops/gif.py``: LZW decompress, per-frame
+    compositing with disposal/transparency): every ``every_n``-th
+    composited frame is re-encoded as a netpbm P6 payload, which
+    :func:`decode_images` parses directly — the sample→decode→featurize
+    chain is real end to end. Other video codecs (H.264/VP9/...) need
+    ffmpeg-class libraries the sandbox lacks: with ``decode_stub=True``
+    they fall back to deterministic payload slices (the 1→N Arrow
+    fan-out, frame indexing, and partition behavior stay the real
+    contract); with ``decode_stub=False`` a non-GIF video payload raises
+    instead. Non-video rows pass through with a single frame 0.
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real frame extraction requires ffmpeg-like libraries not "
-            "present in this environment; use decode_stub=True"
-        )
 
     schema = "media_id bigint, kind string, frame_idx int, frame_payload binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tdataframe_spark.ops.gif import decode_gif
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 p = r["payload"] or b"\x00"
                 kind = r["kind"]
                 if kind.startswith("video"):
+                    frames = None
+                    if bytes(p[:6]) in (b"GIF87a", b"GIF89a"):
+                        try:
+                            frames = decode_gif(bytes(p))
+                        except Exception:
+                            frames = None  # corrupt GIF → stub/raise below
+                    if frames is not None:
+                        for idx in range(0, len(frames), every_n):
+                            arr = frames[idx][1]
+                            header = (
+                                f"P6\n{arr.shape[1]} {arr.shape[0]}\n255\n"
+                            ).encode()
+                            rows.append(
+                                {
+                                    "media_id": r["media_id"],
+                                    "kind": kind,
+                                    "frame_idx": idx,
+                                    "frame_payload": header + arr.tobytes(),
+                                }
+                            )
+                        continue
+                    if not decode_stub:
+                        raise NotImplementedError(
+                            "real frame extraction beyond GIF requires "
+                            "ffmpeg-like libraries not present in this "
+                            "environment; use decode_stub=True"
+                        )
                     h = hashlib.sha256(p).digest()
                     n_frames = 1 + h[2] % 64  # matches probe_metadata's stub
                     for idx in range(0, n_frames, every_n):
