@@ -31,6 +31,7 @@ from tdataframe_spark.ops.similarity import (
     ivf_append,
     ivf_build,
     ivf_query,
+    ivf_stats,
     pq_append,
     pq_build,
     pq_query,
@@ -89,20 +90,13 @@ def main() -> None:
         pq_hits = pq_query(spark, pq_path, queries, k=3, rerank=30)
         print(f"pq probe (ADC + rerank): {pq_hits.count()} results")
 
-        # 7. occupancy report — the rebuild-on-drift signal: appended mass
-        # concentrating in few cells means the trained centroids no longer
-        # describe the corpus
-        occ = (
-            spark.read.parquet(f"{ivf_path}/cells")
-            .groupBy("__cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("__cell")
-        )
-        rows = occ.collect()
-        total = sum(r["n"] for r in rows)
-        worst = max(r["n"] for r in rows)
-        print("cell occupancy:", {r["__cell"]: r["n"] for r in rows})
-        print(f"max cell holds {100 * worst / total:.1f}% of the corpus "
+        # 7. occupancy report (ivf_stats) — the rebuild-on-drift signal:
+        # appended mass concentrating in few cells means the trained
+        # centroids no longer describe the corpus
+        rows = ivf_stats(spark, ivf_path).collect()
+        print("cell occupancy:", {r["cell"]: r["n"] for r in rows})
+        worst = max(r["frac"] for r in rows)
+        print(f"max cell holds {100 * worst:.1f}% of the corpus "
               "(rebuild when this drifts far from 1/n_cells)")
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -100,16 +100,35 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_gif(buf: bytes) -> list[tuple[int, np.ndarray]]:
-    """Decode every frame of a GIF payload. Returns
+def decode_gif(
+    buf: bytes, max_frames: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Decode the frames of a GIF payload (all, or the first
+    ``max_frames`` — compositing only ever needs EARLIER frames, so the
+    early exit skips the remaining LZW work entirely). Returns
     ``[(delay_centiseconds, canvas_HxWx3_uint8), ...]`` — each array is
     the FULL logical canvas after compositing that frame (what a viewer
     shows), so consumers get ready-to-use RGB frames regardless of
     per-frame sub-rectangles, transparency, or disposal methods.
-    Raises ``ValueError`` on a non-GIF or structurally corrupt payload.
+    Raises ``ValueError`` on a non-GIF or structurally corrupt payload
+    (truncations and undefined LZW codes are normalized to ValueError —
+    callers need one except clause, per the docstring contract).
     """
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_checked(buf, max_frames)
+    except ValueError:
+        raise
+    except (IndexError, KeyError) as e:
+        # truncated headers / descriptors / undefined first codes all
+        # surface as index/lookup errors from the byte walk — normalize
+        raise ValueError(f"corrupt GIF payload: {e!r}") from e
+
+
+def _decode_gif_checked(
+    buf: bytes, max_frames: int | None
+) -> list[tuple[int, np.ndarray]]:
     w = int.from_bytes(buf[6:8], "little")
     h = int.from_bytes(buf[8:10], "little")
     flags = buf[10]
@@ -177,6 +196,8 @@ def decode_gif(buf: bytes) -> list[tuple[int, np.ndarray]]:
         else:
             region[...] = rgb
         frames.append((delay, canvas.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
         if disposal == 2:  # restore background color in the frame region
             canvas[top:top + fh, left:left + fw] = bg
         elif disposal == 3 and saved is not None:  # restore previous
@@ -192,4 +213,4 @@ def gif_first_frame(buf: bytes) -> np.ndarray | None:
     ``decode_images`` parser contract), or None for non-GIF payloads."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         return None
-    return decode_gif(buf)[0][1].astype(np.float64) / 255.0
+    return decode_gif(buf, max_frames=1)[0][1].astype(np.float64) / 255.0

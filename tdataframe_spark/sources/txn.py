@@ -102,7 +102,16 @@ def txn_latest(path: str) -> tuple[int, dict | None]:
     a stale hint (crashed writer, lost race) costs a few extra stat
     calls, never a wrong answer, and a missing/corrupt hint falls back
     to the directory listing. On S3 this is the difference between one
-    GET and a LIST over thousands of commit files per read."""
+    GET and a LIST over thousands of commit files per read.
+
+    The forward probe assumes manifests are CONTIGUOUS above the hint.
+    ``txn_vacuum`` breaks contiguity when it retains an out-of-window
+    streaming-fence manifest while deleting its neighbours — a stale
+    hint landing on the fence would probe fence→(deleted)→"head". Two
+    guards close that: vacuum stamps every retained out-of-window
+    manifest ``retained_fence`` (and refreshes the hint to the true
+    head), and a probe that LANDS on a stamped-or-vacuumed manifest
+    distrusts the hint and falls back to the listing."""
     hint = None
     try:
         with open(_hint_path(path)) as f:
@@ -113,7 +122,11 @@ def txn_latest(path: str) -> tuple[int, dict | None]:
         v = hint
         while os.path.exists(_manifest_path(path, v + 1)):
             v += 1
-        return v, _load(path, v)
+        m = _load(path, v)
+        if not (m.get("vacuumed") or m.get("retained_fence")):
+            return v, m
+        # probe landed on a vacuum survivor below a manifest gap: the
+        # real head is above the gap — only the listing can find it
     vs = _versions(path)
     if not vs:
         return 0, None
@@ -303,6 +316,16 @@ def txn_write(
         )
     if replace_where and mode == "overwrite":
         raise ValueError("replace_where and mode='overwrite' are exclusive")
+    if stats_cols:
+        # same typo-proofing as replace_where/partition_filter: a
+        # misspelled stats column would silently record empty stats and
+        # data skipping would be silently ineffective forever
+        unknown = set(stats_cols) - set(df.columns)
+        if unknown:
+            raise ValueError(
+                f"stats_cols {sorted(unknown)} are not columns of the "
+                f"frame (has {df.columns})"
+            )
     if replace_where:
         # the predicate can only be validated against partition values,
         # so its keys must be partition columns of THIS write — a typo'd
@@ -462,6 +485,17 @@ def txn_read(
             "readers need this snapshot"
         )
     files = manifest["files"]
+    if range_filter:
+        # validate against the FULL snapshot, not a partition-pruned
+        # subset: a partition whose files happen to lack stats must keep
+        # its files (conservative), not error on a correct column name
+        for col in range_filter:
+            if files and not any(col in f.get("stats", {}) for f in files):
+                raise ValueError(
+                    f"range_filter column {col!r} has no recorded stats in "
+                    f"any live file of {path} — commit with "
+                    "txn_write(stats_cols=[...]) (or fix the column name)"
+                )
     if partition_filter:
         # pruning compares against recorded partition values, so a key
         # that is not a partition column of ANY live file would silently
@@ -475,13 +509,6 @@ def txn_read(
             )
         files = [f for f in files if _part_matches(f["partition"], partition_filter)]
     if range_filter:
-        for col in range_filter:
-            if files and not any(col in f.get("stats", {}) for f in files):
-                raise ValueError(
-                    f"range_filter column {col!r} has no recorded stats in "
-                    f"any live file of {path} — commit with "
-                    "txn_write(stats_cols=[...]) (or fix the column name)"
-                )
         files = [
             f for f in files if _stats_match(f.get("stats", {}), range_filter)
         ]
@@ -771,12 +798,22 @@ def txn_vacuum(
             # longer referenced by any retained manifest they are
             # reclaimed above, so mark it files-invalid — as_of/version
             # reads skip or error clearly instead of failing on missing
-            # files (files all still live → snapshot stays readable)
+            # files (files all still live → snapshot stays readable).
+            # EVERY retained out-of-window manifest is also stamped
+            # retained_fence: it sits below a manifest gap, so a stale
+            # version hint landing on it must not forward-probe to a
+            # false head (see txn_latest)
             m = _load(path, v)
             fence_files = {os.path.normpath(f["path"]) for f in m["files"]}
+            changed = False
             if not m.get("vacuumed") and not fence_files <= live:
                 m["vacuumed"] = True
                 m["files"] = []
+                changed = True
+            if not m.get("retained_fence"):
+                m["retained_fence"] = True
+                changed = True
+            if changed:
                 tmp = os.path.join(path, _TXN, f".tmp-{uuid.uuid4().hex}")
                 with open(tmp, "w") as f:
                     json.dump(m, f)
@@ -785,4 +822,8 @@ def txn_vacuum(
                 os.replace(tmp, _manifest_path(path, v))
             continue
         os.unlink(_manifest_path(path, v))
+    # refresh the hint to the true head: vacuum may have deleted the
+    # manifest a stale hint pointed at, and the retained fence must not
+    # become anyone's probe start
+    _write_hint(path, vs[-1])
     return removed

@@ -917,3 +917,81 @@ def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
     assert _rows(post.filter("v between 1000 and 1499").select("k", "v")) == sorted(
         set(want) | {(99999, 1250.0)}
     )
+
+
+def test_stale_hint_on_vacuum_survivor_never_yields_a_false_head(
+    spark, tmp_path
+):
+    """Review-confirmed r7 bug: vacuum deletes manifests AROUND a retained
+    out-of-window fence, so a stale hint landing on the fence used to
+    forward-probe fence→(gap)→"head" — returning the fence as the table
+    head (reads error on a healthy table; a concurrent write would CAS
+    against the false head and publish into the gap, invisible to
+    listing-based readers). Now: vacuum stamps retained out-of-window
+    manifests and refreshes the hint, and a probe landing on a stamped or
+    vacuumed manifest falls back to the listing. Covers BOTH fence
+    flavors: files-reclaimed (vacuumed) and files-still-live
+    (append-only, retained_fence only)."""
+    from tdataframe_spark.sources.txn import _hint_path, _load
+    from tdataframe_spark.streaming.ops import _txn_fence
+
+    # flavor 1: overwrite history → fence files reclaimed
+    path = str(tmp_path / "a")
+    _, meta_for = _txn_fence(path, str(tmp_path / "cka"), "rollup")
+    txn_write(spark.range(2), path)                       # v1
+    txn_write(spark.range(2), path, meta=meta_for(0))     # v2 = fence
+    txn_write(spark.range(3), path, mode="overwrite")     # v3
+    txn_write(spark.range(4), path, mode="overwrite")     # v4 head
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    # simulate the crashed-writer stale hint pointing at the fence
+    with open(_hint_path(path), "w") as f:
+        f.write("2")
+    v, m = txn_latest(path)
+    assert v == 4 and not m.get("vacuumed"), (v, m)
+    assert txn_read(spark, path).count() == 4
+    # and a write after the stale hint lands at the TRUE next version
+    assert txn_write(spark.range(1), path) == 5
+
+    # flavor 2: append-only history → fence files all still live, the
+    # manifest is NOT vacuumed — the retained_fence stamp alone must
+    # defeat the forward probe
+    path = str(tmp_path / "b")
+    _, meta_for = _txn_fence(path, str(tmp_path / "ckb"), "rollup")
+    txn_write(spark.range(2), path, meta=meta_for(0))     # v1 = fence
+    txn_write(spark.range(2, 4), path)                    # v2
+    txn_write(spark.range(4, 6), path)                    # v3 head
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    m1 = _load(path, 1)
+    assert m1.get("retained_fence") and not m1.get("vacuumed")
+    with open(_hint_path(path), "w") as f:
+        f.write("1")
+    v, _m = txn_latest(path)
+    assert v == 3
+    assert txn_read(spark, path).count() == 6
+    # the fence snapshot itself stays readable (files all live)
+    assert txn_read(spark, path, version=1).count() == 2
+
+
+def test_range_filter_validates_against_full_snapshot_and_stats_cols_typo(
+    spark, tmp_path
+):
+    """Review pins: (a) range_filter validation runs against the FULL
+    snapshot — a partition whose files lack stats keeps its files
+    (conservative) instead of erroring on a correct column name; (b) a
+    typo'd stats_cols raises at write time instead of silently recording
+    empty stats forever."""
+    path = str(tmp_path / "t")
+    d1 = spark.createDataFrame([(1, i, float(i)) for i in range(10)],
+                               "day int, k int, v double")
+    d2 = spark.createDataFrame([(2, i, float(i)) for i in range(10)],
+                               "day int, k int, v double")
+    txn_write(d1, path, partition_by=["day"], stats_cols=["v"])
+    txn_write(d2, path, partition_by=["day"])  # no stats on day=2
+    out = txn_read(
+        spark, path,
+        partition_filter={"day": [2]},
+        range_filter={"v": (100.0, 200.0)},  # day-2 files kept: no stats
+    )
+    assert out.count() == 10
+    with pytest.raises(ValueError, match="not columns of the frame"):
+        txn_write(d1, path, partition_by=["day"], stats_cols=["vv"])
