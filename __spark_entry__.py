@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restore_table": q_restore_table,
         "data_skipping": q_data_skipping,
         "lang_id": q_lang_id,
+        "gif_frames": q_gif_frames,
         "ivf_append": q_ivf_append,
         "pq_query": q_pq_query,
         "hash_features": q_hash_features,
@@ -139,10 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q13_order_distribution": q_q13_order_distribution,
         "q15_top_supplier": q_q15_top_supplier,
-        "chunk_docs": q_chunk_docs,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r4-r6) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "chunk_docs": q_chunk_docs,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,

@@ -82,6 +82,11 @@ EXTENDED = [
     "pq_query",
     "ivf_append",
     "merge_delete_txn",
+    # round-7 late additions: lang-id over the full documents table and
+    # the data-skipping range read (memoized table build; the number is
+    # the pruned scan + residual filter)
+    "lang_id",
+    "data_skipping",
 ]
 
 

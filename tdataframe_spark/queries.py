@@ -3132,6 +3132,61 @@ def q_pq_query(spark, sf):
 _LANGID_MODEL_CACHE: dict = {}
 
 
+def q_gif_frames(spark, sf):
+    """Real multi-frame video decode through the engine: deterministic
+    animated GIFs (one per documents-row id < 8, frames parameterized by
+    the id — built with the in-repo fixture encoder) fan out through
+    sample_frames' REAL GIF path (LZW decompress + disposal compositing,
+    ops/gif.py), and every emitted frame payload is re-decoded by
+    decode_images — the sample→decode→featurize chain with no stub in
+    the loop. Binary payload construction is not SQL-expressible →
+    rows-only; pixel-exact codec roundtrips and compositing semantics
+    are pinned in tests/test_gif.py."""
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import decode_images, sample_frames
+    from tools.gif_codec import encode_gif  # in-repo fixture encoder
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [200, 100, 50]],
+        np.uint8,
+    )
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for did in sorted(ids):
+        frames = [
+            pal[(did * 7 + f * 3 + np.arange(64).reshape(8, 8)) % 5]
+            for f in range(5)
+        ]
+        rows.append((int(did), "video/gif", bytearray(encode_gif(frames))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    frames_df = sample_frames(media, every_n=2)
+    decoded = decode_images(
+        frames_df.select(
+            # (media_id, frame_idx) packed into one id for the decoder
+            (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+            F.lit("image/ppm").alias("kind"),
+            F.col("frame_payload").alias("payload"),
+        )
+    )
+    return decoded.select(
+        (F.col("media_id") / 100).cast("long").alias("media_id"),
+        F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("frame_idx"),
+        "ok",
+        "width",
+        "height",
+        F.round(F.element_at("mean_channel", 1), 9).alias("mean_r"),
+    )
+
+
 def q_lang_id(spark, sf):
     """Language identification — the ccnet front door the text-quality
     family (lm_score, ccnet_buckets) gates on: hashed char-n-gram centroid

@@ -495,7 +495,7 @@ _HEAVY_BUILDERS = {
     # round-7: txn MERGE-with-delete commit, memoized index build+append,
     # memoized pq build, in-engine langid profile training
     "merge_delete_txn", "ivf_append", "pq_query", "lang_id",
-    "restore_table", "data_skipping",
+    "restore_table", "data_skipping", "gif_frames",
 }
 
 
