@@ -36,36 +36,55 @@ def _gram_counts(
     text_col: str,
     id_cols: list[str],
     ns: tuple[int, ...],
+    max_chars: int = 4096,
 ) -> DataFrame:
     """(id_cols..., __g, __cnt): char-n-gram counts. Text is lowercased;
     runs of whitespace collapse to one space so formatting never shifts
-    the profile. Each requested n tags its grams (``2:th``) so orders
-    never collide."""
-    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    the profile; ``max_chars`` caps the profiled prefix (language is
+    decided in the first kilobytes — an unbounded explode over book-size
+    documents is pure cost). Each requested n tags its grams (``2:th``)
+    so orders never collide.
 
-    def _ngrams(n: int):
-        # guard: sequence(1, len-n+1) DESCENDS when len < n (Spark's
-        # default step is -1 backwards) — short/NULL text must yield an
-        # empty gram list, not positions [1, 0].
-        # NB: the lambda must take exactly ONE arg — a second parameter
-        # (even a defaulted `n=n` capture) makes transform() treat it as
-        # the (element, index) form and bind the INDEX column over it
-        prefix = f"{n}:"
-
-        def gram(i):
-            return F.concat(F.lit(prefix), t.substr(i, F.lit(n)))
-
-        return F.when(
-            F.length(t) >= n,
-            F.transform(F.sequence(F.lit(1), F.length(t) - n + 1), gram),
-        ).otherwise(F.array().cast("array<string>"))
-
-    grams = F.flatten(F.array(*[_ngrams(n) for n in ns]))
-    return (
-        df.select(*id_cols, F.explode(grams).alias("__g"))
-        .groupBy(*id_cols, "__g")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    Plan shape matters here: the normalization (regex + lower) must run
+    ONCE per row. Putting it inside a per-position HOF lambda re-runs it
+    per GRAM (no CSE across lambda invocations, and CollapseProject
+    inlines a projected column straight back into an adjacent Project's
+    lambda — the repo-wide HOF pitfall; observed 46 s → ~2 s at sf0.1).
+    The explode/Generate node between the normalizing Project and the
+    substring Project is the barrier that makes the once-per-row
+    evaluation stick."""
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        1,
+        max_chars,
     )
+    with_text = df.select(*id_cols, norm.alias("__t"))
+    # one row per character position (Generate = the collapse barrier);
+    # sequence(1, len) is ASCENDING for len >= 1, and NULL/empty text
+    # yields no positions at all
+    positions = with_text.filter(F.length("__t") >= 1).select(
+        *id_cols,
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"),
+    )
+    grams = positions.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.when(
+                        F.col("__i") <= F.length("__t") - n + 1,
+                        F.concat(
+                            F.lit(f"{n}:"),
+                            F.col("__t").substr(F.col("__i"), F.lit(n)),
+                        ),
+                    )
+                    for n in ns
+                ]
+            )
+        ).alias("__g"),
+    ).filter(F.col("__g").isNotNull())
+    return grams.groupBy(*id_cols, "__g").agg(F.count(F.lit(1)).alias("__cnt"))
 
 
 def _ranked(counts: DataFrame, part_cols: list[str], top_k: int) -> DataFrame:
