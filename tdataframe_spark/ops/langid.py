@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tdataframe_spark.core.partitioning import ensure_min_partitions
+
 
 def _gram_counts(
     df: DataFrame,
@@ -58,7 +60,9 @@ def _gram_counts(
         1,
         max_chars,
     )
-    with_text = df.select(*id_cols, norm.alias("__t"))
+    # a small-file corpus arrives as ONE scan partition — without this
+    # the whole explode pipeline (the op's entire cost) runs single-task
+    with_text = ensure_min_partitions(df).select(*id_cols, norm.alias("__t"))
     # one row per character position (Generate = the collapse barrier);
     # sequence(1, len) is ASCENDING for len >= 1, and NULL/empty text
     # yields no positions at all
@@ -106,13 +110,16 @@ def langid_train(
     label_col: str = "lang",
     ns: tuple[int, ...] = (1, 2, 3),
     top_k: int = 300,
+    max_chars: int = 4096,
 ) -> dict:
     """Build per-language ranked n-gram profiles from a labeled corpus.
     Returns a model dict; ns/top_k MUST ride the model — re-passing them
     at classify time is the parameter-drift bug class. Driver state is
     n_langs × top_k (gram, rank) pairs, corpus-size-independent."""
     rows = _ranked(
-        _gram_counts(labeled, text_col, [label_col], ns), [label_col], top_k
+        _gram_counts(labeled, text_col, [label_col], ns, max_chars),
+        [label_col],
+        top_k,
     ).collect()
     profiles: dict[str, dict[str, int]] = {}
     for r in rows:
@@ -126,6 +133,7 @@ def langid_classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "lang_pred",
+    max_chars: int = 4096,
 ) -> DataFrame:
     """Label every row with the language whose ranked profile is nearest
     (smallest total rank displacement over the document's own top
@@ -147,9 +155,24 @@ def langid_classify(
     langs = spark.createDataFrame(
         [(lang,) for lang in sorted(model["profiles"])], "__lang string"
     )
-    docprof = _ranked(
-        _gram_counts(df, text_col, [id_col], ns), [id_col], top_k
-    ).select(id_col, "__g", F.col("__r").alias("__dr"))
+    # max_chars is a read-cost knob, not model geometry: grams from a
+    # capped prefix still join the same profiles, so any cap is
+    # model-compatible — classification cost must not scale with
+    # document length when the answer is decided in the first KBs.
+    # localCheckpoint: docprof feeds matched AND totals, and scored feeds
+    # best AND tied — without truncation the whole explode+rank pipeline
+    # re-executes once per consumer branch (observed 4x)
+    docprof = (
+        _ranked(
+            _gram_counts(df, text_col, [id_col], ns, max_chars),
+            [id_col],
+            top_k,
+        )
+        .select(id_col, "__g", F.col("__r").alias("__dr"))
+        # EAGER: an eager=False checkpoint only dedupes across actions,
+        # so one final action would still recompute per branch
+        .localCheckpoint(eager=True)
+    )
     matched = (
         docprof.join(F.broadcast(prof), "__g")
         .groupBy(id_col, "__lang")
@@ -173,6 +196,7 @@ def langid_classify(
                 * F.lit(top_k)
             ).alias("__d"),
         )
+        .localCheckpoint(eager=True)  # n_docs × n_langs rows; 2 consumers
     )
     # deterministic argmin, ties to the lexicographically SMALLEST lang
     best = scored.groupBy(id_col).agg(F.min("__d").alias("__bd"))

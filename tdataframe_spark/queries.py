@@ -3211,7 +3211,9 @@ def q_lang_id(spark, sf):
         )
         _LANGID_MODEL_CACHE["model"] = langid_train(seed)
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    return langid_classify(docs, _LANGID_MODEL_CACHE["model"])
+    # 300-char prefix: plenty for language id, and profile cost stays
+    # independent of document length (the 100 TB knob)
+    return langid_classify(docs, _LANGID_MODEL_CACHE["model"], max_chars=300)
 
 
 def q_collocations(spark, sf):
