@@ -1150,12 +1150,24 @@ def pq_append(
     batch against the PERSISTED codebook (no retraining — codes are
     bit-identical to what :func:`pq_encode` with that codebook yields) and
     append to ``codes`` + ``vectors``. Dim is derived from the codebook
-    (m × subvector length) and enforced in-plan per row. Codebook drift
-    under distribution shift is settled by a periodic ``pq_build``."""
+    (m × subvector length) and enforced in-plan per row; the persisted id
+    column NAME is re-derived from the codes schema (params-on-data, like
+    ivf_append) so a caller passing a different ``id_col`` than the build
+    cannot append files whose id column silently mismatches. Codebook
+    drift under distribution shift is settled by a periodic
+    ``pq_build``."""
     spark = new_corpus.sparkSession
     codebook = _load_codebook(spark, index_path)
     m = max(s for s, _ in codebook) + 1
     dim = m * len(codebook[(0, 0)])
+    # the name baked at build time, NOT the caller's id_col: appended
+    # parquet files with a different id column name would NULL-out or
+    # drop on later unified reads
+    built_id = next(
+        c
+        for c in spark.read.parquet(f"{index_path}/codes").columns
+        if c != "codes"
+    )
     u = _dim_guard(
         _normalized(new_corpus, id_col, vec_col, "__cid"), dim, "pq_append"
     ).filter(F.col("__vn").isNotNull()).persist()
@@ -1163,10 +1175,10 @@ def pq_append(
         codes = _codes_to_array(
             _pq_code_rows(_subvec_table(u, "__cid", m), codebook)
         )
-        codes.select(F.col("__cid").alias(id_col), "codes").write.mode(
+        codes.select(F.col("__cid").alias(built_id), "codes").write.mode(
             "append"
         ).parquet(f"{index_path}/codes")
-        u.select(F.col("__cid").alias(id_col), "__vn").write.mode(
+        u.select(F.col("__cid").alias(built_id), "__vn").write.mode(
             "append"
         ).parquet(f"{index_path}/vectors")
     finally:

@@ -3189,7 +3189,6 @@ def q_gif_frames(spark, sf):
 
 def q_lang_id(spark, sf):
     """Language identification — the ccnet front door the text-quality
-    family (lm_score, ccnet_buckets) gates on: hashed char-n-gram centroid
     family (lm_score, ccnet_buckets) gates on — Cavnar-Trenkle ranked
     char-n-gram profiles trained in-engine on the built-in 5-language
     seed corpus (ops/langid.py), applied to every document. All-integer

@@ -388,6 +388,12 @@ def txn_write(
             existing_cols = {k for f in old_files for k in f["partition"]}
             missing = set(replace_where) - existing_cols
             if old_files and missing:
+                import shutil
+
+                # same cleanup as the written-file partition-violation
+                # path above: the staged data dir was already written
+                # and would otherwise linger until a vacuum ages it out
+                shutil.rmtree(commit_dir, ignore_errors=True)
                 raise ValueError(
                     f"replace_where keys {sorted(missing)} are not "
                     "partition columns of the existing table "
@@ -661,6 +667,7 @@ def txn_upsert(
         tombstones = batch.filter(cond).select(*keys)
         batch = batch.filter(~F.coalesce(cond, F.lit(False)))
     partition_by = None
+    stats_cols = None
     if is_txn_table(path):
         version, manifest = txn_latest(path)
         # a partitioned table stays partitioned through the merge — an
@@ -669,6 +676,13 @@ def txn_upsert(
         # later replace_where refreshes DUPLICATE instead of replace
         partition_by = sorted(
             {k for f in manifest["files"] for k in f["partition"]}
+        ) or None
+        # likewise data skipping survives the merge: inherit the stats
+        # column set from the previous manifest — a recommit without
+        # stats_cols would drop every per-file min/max and break all
+        # existing txn_read(range_filter=...) readers
+        stats_cols = sorted(
+            {k for f in manifest["files"] for k in f.get("stats", {})}
         ) or None
         current = txn_read(spark, path, version=version)
         drop_keys = batch.select(*keys)
@@ -700,6 +714,7 @@ def txn_upsert(
         partition_by=partition_by,
         meta=meta,
         expected_version=version,
+        stats_cols=stats_cols,
     )
 
 

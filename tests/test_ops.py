@@ -2424,6 +2424,21 @@ def test_pq_and_ivfpq_append_encode_with_persisted_codebook(spark, tmp_path):
     }
     assert got == {1000 + i: i for i in range(10)}
 
+    # ADVICE r7: a caller appending under a DIFFERENT id_col than the
+    # build must not produce files with a mismatched id column name —
+    # the persisted name wins (params-on-data, like ivf_append)
+    batch2 = spark.createDataFrame(
+        [Row(other_id=2000 + r["vec_id"], embedding=r["embedding"])
+         for r in base[:3]]
+    )
+    pq_append(batch2, path, id_col="other_id")
+    codes2 = spark.read.parquet(f"{path}/codes")
+    assert set(codes2.columns) == {"vec_id", "codes"}
+    assert codes2.filter("vec_id >= 2000").count() == 3
+    vecs2 = spark.read.parquet(f"{path}/vectors")
+    assert set(vecs2.columns) == {"vec_id", "__vn"}
+    assert vecs2.filter("vec_id is null").count() == 0
+
     ipath = str(tmp_path / "ivfpq")
     ivfpq_build(corpus, ipath, n_cells=4, m=4, n_codes=8, residual=True)
     ivfpq_append(batch, ipath)

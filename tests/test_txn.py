@@ -995,3 +995,75 @@ def test_range_filter_validates_against_full_snapshot_and_stats_cols_typo(
     assert out.count() == 10
     with pytest.raises(ValueError, match="not columns of the frame"):
         txn_write(d1, path, partition_by=["day"], stats_cols=["vv"])
+
+
+def test_txn_upsert_inherits_stats_cols(spark, tmp_path):
+    """ADVICE r7: txn_upsert used to recommit via txn_write without
+    stats_cols, so the FIRST merge on a table built with stats_cols
+    dropped every per-file min/max — all existing
+    txn_read(range_filter=...) readers then raised 'no recorded stats'.
+    Pinned: after an upsert (including one with a delete arm) the head
+    manifest still records stats for the inherited columns and a range
+    read still prunes and matches the exact filter."""
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(4000)], "k int, v double"
+    )
+    txn_write(
+        df.repartitionByRange(8, "v").sortWithinPartitions("v"),
+        path, mode="overwrite", stats_cols=["v"],
+    )
+    txn_upsert(
+        spark.createDataFrame(
+            [(1200, -1.0), (99999, 1250.0)], "k int, v double"
+        ),
+        path, keys=["k"],
+    )
+    _, m = txn_latest(path)
+    assert all("v" in f.get("stats", {}) for f in m["files"]), m
+    pruned = txn_read(spark, path, range_filter={"v": (1000.0, 1499.0)})
+    full = txn_read(spark, path)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _rows(pruned.filter("v between 1000 and 1499")) == _rows(
+        full.filter("v between 1000 and 1499")
+    )
+    # a second merge with a delete arm keeps stats alive too
+    txn_upsert(
+        spark.createDataFrame([(99999, 0.0)], "k int, v double"),
+        path, keys=["k"], delete_when="v = 0.0",
+    )
+    _, m2 = txn_latest(path)
+    assert all("v" in f.get("stats", {}) for f in m2["files"]), m2
+    # a stats-less table stays stats-less (no spurious stats_cols)
+    p2 = str(tmp_path / "plain")
+    txn_write(df.limit(10), p2, mode="overwrite")
+    txn_upsert(
+        spark.createDataFrame([(3, 9.0)], "k int, v double"), p2, keys=["k"]
+    )
+    _, mp = txn_latest(p2)
+    assert all("stats" not in f for f in mp["files"]), mp
+
+
+def test_replace_where_on_unpartitioned_table_cleans_staged_dir(
+    spark, tmp_path
+):
+    """ADVICE r7: the in-retry-loop replace_where validation (predicate
+    keys not partition columns of the EXISTING table) raises after the
+    commit's data files were already staged; it must rmtree the staged
+    dir like the pre-loop per-file violation path does, not leave an
+    orphan until vacuum."""
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(1, 1.0)], "k int, v double"),
+        path, mode="overwrite",  # unpartitioned table
+    )
+    data_dir = os.path.join(path, "data")
+    before = set(os.listdir(data_dir))
+    with pytest.raises(ValueError, match="not.*partition columns"):
+        txn_write(
+            spark.createDataFrame([(5, 2, 2.0)], "day int, k int, v double"),
+            path, partition_by=["day"], replace_where={"day": [5]},
+        )
+    assert set(os.listdir(data_dir)) == before  # staged dir cleaned up
