@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_skipping": q_data_skipping,
         "lang_id": q_lang_id,
         "gif_frames": q_gif_frames,
+        "video_frames": q_video_frames,
         "ivf_append": q_ivf_append,
         "pq_query": q_pq_query,
         "hash_features": q_hash_features,

@@ -939,7 +939,8 @@ def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     the ffprobe step of a real pipeline. REAL header parsing for the
     formats whose containers are pure byte layouts (PNG IHDR, JPEG SOFn
     marker scan, GIF logical screen descriptor, BMP info header, netpbm,
-    RIFF/WAV fmt chunk); payloads in any other format fall back to
+    RIFF/WAV fmt chunk, RIFF/AVI header tree — width/height/n_frames
+    from ``avih``); payloads in any other format fall back to
     deterministic digest-derived fake values (kept so mixed corpora still
     produce the full typed schema; real probing of compressed video needs
     libraries not in this container).
@@ -960,6 +961,8 @@ def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tdataframe_spark.ops.avi import is_avi, parse_avi
+
         def image_dims(p):
             """(w, h) from real headers, or None."""
             try:
@@ -1085,6 +1088,11 @@ def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 dims = image_dims(p) if (is_img or is_vid) else None
                 rate = wav_rate(p) if is_aud else None
                 gif_frames = gif_frame_count(p) if is_vid else None
+                if is_vid and gif_frames is None and is_avi(p):
+                    info = parse_avi(p)
+                    if info is not None:
+                        dims = (info.width, info.height)
+                        gif_frames = info.n_frames
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -1117,23 +1125,36 @@ def sample_frames(
     frame (media_id, frame_idx, frame_payload) — the fan-out stage of a
     video featurization pipeline.
 
-    REAL decode for animated GIF payloads (the one multi-frame container
-    the sandbox can parse — ``ops/gif.py``: LZW decompress, per-frame
-    compositing with disposal/transparency): every ``every_n``-th
-    composited frame is re-encoded as a netpbm P6 payload, which
-    :func:`decode_images` parses directly — the sample→decode→featurize
-    chain is real end to end. Other video codecs (H.264/VP9/...) need
+    REAL decode for the multi-frame containers the sandbox can parse:
+
+    - animated GIF (``ops/gif.py``: LZW decompress, per-frame
+      compositing with disposal/transparency) — every ``every_n``-th
+      composited frame is re-encoded as a netpbm P6 payload, which
+      :func:`decode_images` parses directly;
+    - AVI (``ops/avi.py``: real RIFF chunk walk) — MJPG frame chunks
+      are emitted AS the standalone baseline JPEGs they are (the
+      pure-numpy JPEG decoder downstream handles them), and
+      uncompressed BI_RGB ("DIB ") chunks are converted to P6.
+
+    So the sample→decode→featurize chain is real end to end for
+    GIF/MJPEG-AVI/raw-AVI. Other video codecs (H.264/VP9/...) need
     ffmpeg-class libraries the sandbox lacks: with ``decode_stub=True``
     they fall back to deterministic payload slices (the 1→N Arrow
     fan-out, frame indexing, and partition behavior stay the real
-    contract); with ``decode_stub=False`` a non-GIF video payload raises
+    contract); with ``decode_stub=False`` such a payload raises
     instead. Non-video rows pass through with a single frame 0.
     """
 
     schema = "media_id bigint, kind string, frame_idx int, frame_payload binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tdataframe_spark.ops.avi import dib_to_rgb, is_avi, parse_avi
         from tdataframe_spark.ops.gif import decode_gif
+
+        def p6(arr):
+            return (
+                f"P6\n{arr.shape[1]} {arr.shape[0]}\n255\n"
+            ).encode() + arr.tobytes()
 
         for pdf in batches:
             rows = []
@@ -1149,24 +1170,43 @@ def sample_frames(
                             frames = None  # corrupt GIF → stub/raise below
                     if frames is not None:
                         for idx in range(0, len(frames), every_n):
-                            arr = frames[idx][1]
-                            header = (
-                                f"P6\n{arr.shape[1]} {arr.shape[0]}\n255\n"
-                            ).encode()
                             rows.append(
                                 {
                                     "media_id": r["media_id"],
                                     "kind": kind,
                                     "frame_idx": idx,
-                                    "frame_payload": header + arr.tobytes(),
+                                    "frame_payload": p6(frames[idx][1]),
+                                }
+                            )
+                        continue
+                    info = parse_avi(bytes(p)) if is_avi(bytes(p)) else None
+                    if info is not None and info.fourcc in ("MJPG", "DIB "):
+                        for idx in range(0, len(info.frames), every_n):
+                            chunk = info.frames[idx]
+                            if info.fourcc == "MJPG":
+                                payload = chunk  # a standalone JPEG
+                            else:
+                                arr = dib_to_rgb(
+                                    chunk, info.width, info.height
+                                )
+                                if arr is None:
+                                    continue  # corrupt frame: skip, loud
+                                payload = p6(arr)
+                            rows.append(
+                                {
+                                    "media_id": r["media_id"],
+                                    "kind": kind,
+                                    "frame_idx": idx,
+                                    "frame_payload": payload,
                                 }
                             )
                         continue
                     if not decode_stub:
                         raise NotImplementedError(
-                            "real frame extraction beyond GIF requires "
-                            "ffmpeg-like libraries not present in this "
-                            "environment; use decode_stub=True"
+                            "real frame extraction beyond GIF/MJPEG-AVI/"
+                            "raw-AVI requires ffmpeg-like libraries not "
+                            "present in this environment; use "
+                            "decode_stub=True"
                         )
                     h = hashlib.sha256(p).digest()
                     n_frames = 1 + h[2] % 64  # matches probe_metadata's stub
