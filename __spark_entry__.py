@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "gif_frames": q_gif_frames,
         "video_frames": q_video_frames,
+        "audio_features": q_audio_features,
         "ivf_append": q_ivf_append,
         "pq_query": q_pq_query,
         "hash_features": q_hash_features,

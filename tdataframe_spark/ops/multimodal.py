@@ -836,6 +836,57 @@ AUDIO_SCHEMA = (
 )
 
 
+def _parse_wav(buf):
+    """RIFF/WAV PCM chunk walk + sample parse, pure numpy. Returns
+    ``(rate, n_channels, n_frames, interleaved_float64_in_[-1,1])`` or
+    ``None`` for non-WAV/non-PCM/corrupt payloads. Shared by
+    :func:`decode_audio` and :func:`audio_features`."""
+    import numpy as np
+
+    try:
+        if buf is None or len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        n_ch = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if n_ch < 1 or rate < 1:
+            return None
+        if audio_format == 1:  # integer PCM
+            dt = {8: np.uint8, 16: "<i2", 32: "<i4"}.get(bits)
+            scale = {8: 128.0, 16: 32768.0, 32: 2147483648.0}.get(bits)
+        elif audio_format == 3:  # float PCM
+            dt = {32: "<f4", 64: "<f8"}.get(bits)
+            scale = 1.0
+        else:
+            return None
+        if dt is None:
+            return None
+        width = bits // 8
+        n = len(data) // (width * n_ch)
+        if n == 0:
+            return None
+        x = np.frombuffer(data[: n * width * n_ch], dtype=dt).astype(np.float64)
+        if audio_format == 1 and bits == 8:
+            x = x - 128.0  # 8-bit WAV is unsigned
+        x = x / scale
+        return rate, n_ch, n, x
+    except Exception:
+        return None
+
+
 def decode_audio(media: DataFrame) -> DataFrame:
     """REAL audio decode for WAV (RIFF) PCM payloads — chunk walk + sample
     parse in pure numpy, no audio libraries needed. The audio counterpart
@@ -843,57 +894,14 @@ def decode_audio(media: DataFrame) -> DataFrame:
     come back with format fields and amplitude statistics (normalized to
     [-1, 1]); any other payload classifies ``ok=false`` in the same pass.
 
-    Arrow-batched ``mapInPandas``; self-contained closure (numpy/pandas
-    only).
+    Arrow-batched ``mapInPandas``.
     """
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
-        def parse_wav(buf):
-            try:
-                if buf is None or len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-                    return None
-                pos, fmt, data = 12, None, None
-                while pos + 8 <= len(buf):
-                    cid = buf[pos : pos + 4]
-                    size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
-                    body = buf[pos + 8 : pos + 8 + size]
-                    if cid == b"fmt ":
-                        fmt = body
-                    elif cid == b"data":
-                        data = body
-                    pos += 8 + size + (size & 1)  # chunks are word-aligned
-                if fmt is None or data is None or len(fmt) < 16:
-                    return None
-                audio_format = int.from_bytes(fmt[0:2], "little")
-                n_ch = int.from_bytes(fmt[2:4], "little")
-                rate = int.from_bytes(fmt[4:8], "little")
-                bits = int.from_bytes(fmt[14:16], "little")
-                if n_ch < 1 or rate < 1:
-                    return None
-                if audio_format == 1:  # integer PCM
-                    dt = {8: np.uint8, 16: "<i2", 32: "<i4"}.get(bits)
-                    scale = {8: 128.0, 16: 32768.0, 32: 2147483648.0}.get(bits)
-                elif audio_format == 3:  # float PCM
-                    dt = {32: "<f4", 64: "<f8"}.get(bits)
-                    scale = 1.0
-                else:
-                    return None
-                if dt is None:
-                    return None
-                width = bits // 8
-                n = len(data) // (width * n_ch)
-                if n == 0:
-                    return None
-                x = np.frombuffer(data[: n * width * n_ch], dtype=dt).astype(np.float64)
-                if audio_format == 1 and bits == 8:
-                    x = x - 128.0  # 8-bit WAV is unsigned
-                x = x / scale
-                return rate, n_ch, n, x
-            except Exception:
-                return None
+        parse_wav = _parse_wav
 
         for pdf in batches:
             rows = []
@@ -931,6 +939,129 @@ def decode_audio(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def audio_features(
+    media: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+    max_seconds: float = 30.0,
+) -> DataFrame:
+    """REAL spectral feature extraction for WAV PCM payloads — STFT in
+    pure numpy (Hann window, rfft magnitude), the featurize stage a
+    training pipeline runs after :func:`decode_audio`'s probe. Per
+    payload:
+
+    - ``rms`` / ``zcr`` — time-domain level and zero-crossing rate;
+    - ``dominant_hz`` — frequency of the strongest non-DC bin of the
+      frame-averaged power spectrum;
+    - ``centroid_hz`` — spectral centroid (power-weighted mean bin
+      frequency);
+    - ``band_db`` — ``n_bands`` equal-width log-power bands over the
+      rfft bins (a coarse log-spectrogram signature, 9-dp rounded).
+
+    Analysis is capped at ``max_seconds`` of (channel-averaged mono)
+    audio so cost never scales with payload duration — the 100 TB knob,
+    same contract as lang_id's prefix cap. Features are per-row pure
+    functions of the payload bytes → bit-deterministic under any
+    partitioning. Non-WAV/corrupt payloads come back ``ok=false`` in
+    the same pass. Arrow-batched ``mapInPandas``.
+    """
+    if n_fft < 8 or hop < 1 or n_bands < 1 or n_bands > n_fft // 2:
+        raise ValueError(
+            f"need n_fft>=8, hop>=1, 1<=n_bands<=n_fft//2; got "
+            f"n_fft={n_fft}, hop={hop}, n_bands={n_bands}"
+        )
+
+    schema = (
+        "media_id bigint, kind string, ok boolean, sample_rate int, "
+        "n_frames int, rms double, zcr double, dominant_hz double, "
+        "centroid_hz double, band_db array<double>"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        win = np.hanning(n_fft)
+        n_bins = n_fft // 2 + 1
+        # n_bands equal-width groups over the non-DC bins
+        edges = np.linspace(1, n_bins, n_bands + 1).astype(int)
+
+        def feats(buf):
+            parsed = _parse_wav(buf)
+            if parsed is None:
+                return None
+            rate, n_ch, n, x = parsed
+            mono = x.reshape(n, n_ch).mean(axis=1)
+            mono = mono[: max(n_fft, int(max_seconds * rate))]
+            if len(mono) < n_fft:
+                mono = np.pad(mono, (0, n_fft - len(mono)))
+            n_frames = 1 + (len(mono) - n_fft) // hop
+            idx = (
+                np.arange(n_fft)[None, :]
+                + hop * np.arange(n_frames)[:, None]
+            )
+            spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1)) ** 2
+            power = spec.mean(axis=0)  # frame-averaged power spectrum
+            freqs = np.arange(n_bins) * (rate / n_fft)
+            nz = power[1:]  # skip DC for the dominant bin
+            dominant = freqs[1 + int(np.argmax(nz))] if nz.any() else 0.0
+            tot = power.sum()
+            centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+            bands = [
+                round(
+                    10.0 * np.log10(power[a:b].mean() + 1e-12), 9
+                )
+                for a, b in zip(edges[:-1], edges[1:])
+            ]
+            rms = float(np.sqrt((mono**2).mean()))
+            zcr = (
+                float((mono[:-1] * mono[1:] < 0).sum() / (len(mono) - 1))
+                if len(mono) > 1
+                else 0.0
+            )
+            return rate, n_frames, rms, zcr, float(dominant), centroid, bands
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                f = feats(r["payload"])
+                if f is None:
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "kind": r["kind"],
+                            "ok": False,
+                            "sample_rate": None,
+                            "n_frames": None,
+                            "rms": None,
+                            "zcr": None,
+                            "dominant_hz": None,
+                            "centroid_hz": None,
+                            "band_db": None,
+                        }
+                    )
+                    continue
+                rate, n_frames, rms, zcr, dom, cen, bands = f
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "ok": True,
+                        "sample_rate": rate,
+                        "n_frames": n_frames,
+                        "rms": round(rms, 9),
+                        "zcr": round(zcr, 9),
+                        "dominant_hz": round(dom, 9),
+                        "centroid_hz": round(cen, 9),
+                        "band_db": bands,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema)
 
 
 def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:

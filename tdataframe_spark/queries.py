@@ -3245,6 +3245,71 @@ def q_video_frames(spark, sf):
     )
 
 
+def q_audio_features(spark, sf):
+    """Real audio featurization through the engine: deterministic 16-bit
+    PCM WAVs (a two-tone mix per documents-row id < 16, tone bins
+    parameterized by the id), STFT'd by audio_features (pure-numpy Hann
+    + rfft over Arrow mapInPandas) into rms/zcr/dominant-frequency/
+    spectral-centroid/log-band features — the decode→featurize audio
+    column pipeline with no stub in the loop. Binary payload
+    construction and FFTs are not SQL-expressible → rows-only; the
+    spectral math (exact-bin dominant frequency, rms=A/sqrt(2), band
+    ordering) and partitioning invariance are pinned in
+    tests/test_avi.py."""
+    import struct
+
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import audio_features
+
+    rate, n_fft = 8000, 256
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 16)
+        .select("doc_id")
+        .collect()
+    ]
+    t = np.arange(rate, dtype=np.float64)  # 1 s per clip
+    rows = []
+    for did in sorted(ids):
+        b1, b2 = 6 + did % 40, 50 + (did * 3) % 60  # exact rfft bins
+        x = 18000 * np.sin(2 * np.pi * b1 * t / n_fft) + 9000 * np.sin(
+            2 * np.pi * b2 * t / n_fft
+        )
+        pcm = x.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        wav = (
+            b"RIFF"
+            + struct.pack("<I", 28 + len(pcm))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        rows.append((int(did), "audio/wav", bytearray(wav)))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = audio_features(media, n_fft=n_fft, hop=128, n_bands=8)
+    return out.select(
+        "media_id",
+        "ok",
+        "sample_rate",
+        "n_frames",
+        "rms",
+        "zcr",
+        "dominant_hz",
+        "centroid_hz",
+        # arrays never cross the query boundary raw (driver canonicalizer)
+        F.concat_ws(
+            ",",
+            F.transform(
+                "band_db", lambda x: x.cast("decimal(20,9)").cast("string")
+            ),
+        ).alias("band_db_csv"),
+    )
+
+
 def q_lang_id(spark, sf):
     """Language identification — the ccnet front door the text-quality
     family (lm_score, ccnet_buckets) gates on — Cavnar-Trenkle ranked

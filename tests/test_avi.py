@@ -132,3 +132,97 @@ def test_probe_metadata_real_avi_header(spark):
     )
     r = probe_metadata(media).collect()[0]
     assert (r["width"], r["height"], r["n_frames"]) == (24, 16, 7)
+
+
+def _wav_bytes(samples, rate, n_ch=1, bits=16, fmt_code=1):
+    import struct
+
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_ch, rate, rate * n_ch * bits // 8,
+        n_ch * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_audio_features_real_stft(spark):
+    """audio_features: a pure sine placed EXACTLY on an rfft bin comes
+    back with dominant_hz equal to that bin's frequency, rms == A/sqrt(2),
+    zcr == 2f/rate, centroid near the tone; the band holding the tone is
+    the loudest; junk payloads classify ok=false; outputs are invariant
+    under repartitioning (per-row pure function)."""
+    from tdataframe_spark.ops.multimodal import audio_features
+
+    rate, n_fft = 8000, 256
+    f0 = 14 * rate / n_fft  # 437.5 Hz: exactly bin 14
+    t = np.arange(rate, dtype=np.float64)
+    amp = 30000 / 32768.0
+    sine = (np.sin(2 * np.pi * f0 * t / rate) * 30000).astype("<i2")
+    media = spark.createDataFrame(
+        [
+            (0, "audio/wav", bytearray(_wav_bytes(sine, rate))),
+            (1, "audio/mp3", bytearray(b"ID3 not a wav")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in audio_features(media, n_fft=n_fft).collect()}
+    r = out[0]
+    assert r["ok"] and r["sample_rate"] == rate
+    assert r["dominant_hz"] == pytest.approx(f0, abs=1e-9)
+    assert r["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    # zcr from the actual samples: the tone hits exact zeros every 64
+    # samples (sin(k*pi) quantizes to 0), which are not sign CHANGES
+    xs = sine.astype(np.float64) / 32768.0
+    exp_zcr = float((xs[:-1] * xs[1:] < 0).sum() / (len(xs) - 1))
+    assert r["zcr"] == pytest.approx(exp_zcr, abs=1e-9)
+    assert exp_zcr == pytest.approx(2 * f0 / rate, rel=0.2)  # sanity
+    assert r["centroid_hz"] == pytest.approx(f0, rel=0.05)
+    bands = list(r["band_db"])
+    n_bins = n_fft // 2 + 1
+    edges = np.linspace(1, n_bins, 8 + 1).astype(int)
+    tone_band = int(np.searchsorted(edges, 14, side="right") - 1)
+    assert bands.index(max(bands)) == tone_band
+    assert not out[1]["ok"]
+
+    many = spark.createDataFrame(
+        [(i, "audio/wav", bytearray(_wav_bytes(
+            (np.sin(2 * np.pi * (200 + 50 * i) * t / rate) * 20000
+             ).astype("<i2"), rate)))
+         for i in range(12)],
+        "media_id long, kind string, payload binary",
+    )
+    a = sorted(map(tuple, audio_features(many).collect()))
+    b = sorted(map(tuple, audio_features(many.repartition(7)).collect()))
+    assert a == b
+
+    with pytest.raises(ValueError, match="n_bands"):
+        audio_features(media, n_fft=64, n_bands=64)
+
+
+def test_audio_features_caps_analysis_window(spark):
+    """max_seconds caps the analyzed span: a long payload's features
+    equal the features of its truncated prefix (cost must not scale
+    with duration), and a shorter-than-n_fft payload zero-pads."""
+    from tdataframe_spark.ops.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(4 * rate, dtype=np.float64)
+    x = (np.sin(2 * np.pi * 500 * t / rate) * 25000).astype("<i2")
+    media = spark.createDataFrame(
+        [
+            (0, "audio/wav", bytearray(_wav_bytes(x, rate))),
+            (1, "audio/wav", bytearray(_wav_bytes(x[: rate], rate))),
+            (2, "audio/wav", bytearray(_wav_bytes(x[:100], rate))),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in audio_features(media, max_seconds=1.0).collect()
+    }
+    full, pref = out[0], out[1]
+    assert full["n_frames"] == pref["n_frames"]
+    assert full["rms"] == pref["rms"] and full["band_db"] == pref["band_db"]
+    assert out[2]["ok"] and out[2]["n_frames"] == 1

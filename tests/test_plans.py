@@ -496,8 +496,8 @@ _HEAVY_BUILDERS = {
     # memoized pq build, in-engine langid profile training
     "merge_delete_txn", "ivf_append", "pq_query", "lang_id",
     "restore_table", "data_skipping", "gif_frames",
-    # round-8: fixture AVI payload construction (collects ≤6 ids)
-    "video_frames",
+    # round-8: fixture AVI/WAV payload construction (collects ≤16 ids)
+    "video_frames", "audio_features",
 }
 
 
