@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_delta": q_q6_revenue_delta,
         "above_customer_avg": q_above_customer_avg,
         "merge_delete_txn": q_merge_delete_txn,
+        "delete_vectors": q_delete_vectors,
         "restore_table": q_restore_table,
         "data_skipping": q_data_skipping,
         "lang_id": q_lang_id,
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_features": SQL_HASH_FEATURES,
         # delete arm: same relational statement, minus the erased keys
         "merge_delete_txn": SQL_MERGE_DELETE,
+        "delete_vectors": SQL_DELETE_VECTORS,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

@@ -1520,6 +1520,43 @@ FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 != 0
 """
 
 
+def q_delete_vectors(spark, sf):
+    """Row-level DELETE via DELETION VECTORS (txn_delete — Delta 3.x DV
+    semantics re-expressed relationally): two successive deletes (a
+    GDPR-style key erase, then a retention sweep) against a partitioned
+    orders table. NO data file is rewritten — each commit only appends a
+    small (file, row-position) parquet that every read anti-joins — so
+    at 100 TB an erase of a few thousand rows is a kilobyte-scale commit
+    instead of a multi-TB rewrite. The oracle states the surviving rows
+    relationally; DV composition/pruning/CDC/vacuum semantics are pinned
+    in tests/test_txn.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_delete, txn_read, txn_write
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"dv_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        o, path, mode="overwrite", partition_by=["o_orderstatus"],
+        stats_cols=["o_totalprice"],
+    )
+    txn_delete(spark, path, "o_orderkey % 13 = 0")
+    txn_delete(spark, path, "o_totalprice < 5000.0")
+    return txn_read(spark, path)
+
+
+SQL_DELETE_VECTORS = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % 13 != 0 AND NOT (o_totalprice < 5000.0)
+"""
+
+
 def q_restore_table(spark, sf):
     """Delta-style RESTORE (txn_restore): seed the orders table (v1),
     clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed

@@ -200,6 +200,41 @@ def _collect_files(commit_dir: str, root: str) -> list[dict]:
     return out
 
 
+_DV_FILE, _DV_POS = "__dv_file", "__dv_pos"
+_DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
+
+
+def _with_row_refs(df: DataFrame) -> DataFrame:
+    """Attach the deletion-vector row key: (manifest-relative data file
+    path, in-file row position). The file key is everything after the
+    table's internal ``/data/`` segment — the same format manifests
+    record — NOT the bare part-file name (a partitioned write reuses
+    one task's part name across every partition directory) and NOT the
+    full ``_metadata.file_path`` URI (which would break on table
+    relocation and vary with the filesystem's URI rendering). Taking
+    the LAST ``/data/`` occurrence is safe: commit ids are hex and
+    partition path segments hive-escape ``/``, so the internal marker
+    cannot be shadowed deeper in the path."""
+    return df.select(
+        "*",
+        F.concat(
+            F.lit("data/"),
+            F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
+        ).alias(_DV_FILE),
+        F.col("_metadata.row_index").alias(_DV_POS),
+    )
+
+
+def _read_dv(spark: SparkSession, path: str, manifest: dict | None):
+    """The manifest's deletion-vector table, or None when it has none."""
+    rels = (manifest or {}).get("dv") or []
+    if not rels:
+        return None
+    return spark.read.schema(_DV_SCHEMA).parquet(
+        *[os.path.join(path, p) for p in rels]
+    )
+
+
 def _file_stats(abs_path: str, cols: set[str]) -> dict:
     """Per-file min/max of ``cols`` from the parquet footer (driver-side,
     metadata only — no data pages read). Values are kept JSON-portable
@@ -380,8 +415,14 @@ def txn_write(
             raise ConcurrentWriteError(
                 f"table {path} moved to v{version}; expected v{expected_version}"
             )
+        # deletion vectors ride the live file set: an overwrite replaces
+        # every file, so its DVs go too; append/replace_where retain the
+        # old files and must retain their DVs (entries pointing at files
+        # replace_where dropped are inert — part-file names are unique)
+        dv = list((latest or {}).get("dv", []))
         if mode == "overwrite":
             live = []
+            dv = []
             committed_schema = schema_json  # full replace: schema resets
         elif replace_where:
             old_files = (latest or {}).get("files", [])
@@ -419,6 +460,7 @@ def txn_write(
             "ts": time.time(),  # commit wall-clock: time-travel anchor
             "files": live + new_files,
             "schema": committed_schema,
+            "dv": dv,
             "meta": meta or {},
         }
         if _publish(path, version + 1, manifest):
@@ -526,7 +568,19 @@ def txn_read(
     # (partition cols are duplicated, not hive-stripped — no basePath /
     # partition inference needed), the explicit schema ignores the __p_*
     # helper columns and NULL-backfills evolved columns in older files
-    return spark.read.schema(schema).parquet(*paths)
+    base = spark.read.schema(schema).parquet(*paths)
+    dv = _read_dv(spark, path, manifest)
+    if dv is None:
+        return base
+    # deletion vectors: anti-join on (part-file name, row position) —
+    # Spark broadcasts the DV side when small (the common case), and the
+    # equi anti-join scales when it is not; stats/partition pruning above
+    # stays valid (a DV never widens a file's min/max, only hides rows)
+    return (
+        _with_row_refs(base)
+        .join(dv, [_DV_FILE, _DV_POS], "left_anti")
+        .drop(_DV_FILE, _DV_POS)
+    )
 
 
 def txn_latest_meta(path: str) -> dict:
@@ -564,22 +618,60 @@ def txn_changes(
     before = {f["path"] for f in from_manifest["files"]} if from_manifest else set()
     after = {f["path"] for f in after_manifest["files"]}
     schema = StructType.fromJson(json.loads(after_manifest["schema"]))
+    dv_from = _read_dv(spark, path, from_manifest)
+    dv_to = _read_dv(spark, path, after_manifest)
 
-    def read_set(rel_paths):
+    def read_set(rel_paths, dv):
         files = [os.path.join(path, p) for p in sorted(rel_paths)]
         if not files:
             return spark.createDataFrame([], schema)
         # both sides read under the TO snapshot's schema so an evolved
-        # column diffs as NULL→value, not as a schema mismatch
-        return spark.read.schema(schema).parquet(*files)
+        # column diffs as NULL→value, not as a schema mismatch; each
+        # side applies ITS version's deletion vectors so a DV'd row
+        # counts as absent on that side
+        df = spark.read.schema(schema).parquet(*files)
+        if dv is None:
+            return df
+        return (
+            _with_row_refs(df)
+            .join(dv, [_DV_FILE, _DV_POS], "left_anti")
+            .drop(_DV_FILE, _DV_POS)
+        )
 
-    added_rows = read_set(after - before)
-    removed_rows = read_set(before - after)
+    added_rows = read_set(after - before, dv_to)
+    removed_rows = read_set(before - after, dv_from)
+    # txn_delete changes NO files — rows newly hidden by deletion
+    # vectors in files present in BOTH versions are deletes too. Only
+    # the files the new DV entries actually reference are read (the
+    # name list collected is bounded by the manifest's file count, the
+    # same driver-side order as the file listing itself).
+    dv_deleted = spark.createDataFrame([], schema)
+    if dv_to is not None:
+        new_dv = (
+            dv_to.exceptAll(dv_from) if dv_from is not None else dv_to
+        )
+        common = before & after
+        if common:
+            hit_rels = sorted(
+                {r[0] for r in new_dv.select(_DV_FILE).distinct().collect()}
+                & common
+            )
+            if hit_rels:
+                hit_df = _with_row_refs(
+                    spark.read.schema(schema).parquet(
+                        *[os.path.join(path, p) for p in hit_rels]
+                    )
+                )
+                dv_deleted = hit_df.join(
+                    new_dv, [_DV_FILE, _DV_POS], "left_semi"
+                ).drop(_DV_FILE, _DV_POS)
     inserts = added_rows.exceptAll(removed_rows).withColumn(
         "_change_type", F.lit("insert")
     )
-    deletes = removed_rows.exceptAll(added_rows).withColumn(
-        "_change_type", F.lit("delete")
+    deletes = (
+        removed_rows.exceptAll(added_rows)
+        .unionByName(dv_deleted)
+        .withColumn("_change_type", F.lit("delete"))
     )
     return inserts.unionByName(deletes)
 
@@ -718,6 +810,89 @@ def txn_upsert(
     )
 
 
+def txn_delete(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    meta: dict | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Row-level DELETE via DELETION VECTORS — no data file is rewritten
+    (Delta 3.x DV semantics, re-expressed relationally): matching rows'
+    (part-file name, row position) keys are written as a small DV
+    parquet under ``{path}/dv/`` and the new manifest references it;
+    every subsequent read anti-joins the DV table. At 100 TB this turns
+    a GDPR-erase of a few thousand rows from a multi-TB rewrite into a
+    kilobyte-scale commit; files become physically clean at the next
+    ``compact_txn``/``txn_upsert`` (both read DV-applied and rewrite,
+    resetting the DV list) and a full ``mode="overwrite"`` also clears
+    DVs.
+
+    ``predicate``: SQL string or Column over the table columns,
+    evaluated against the CURRENT snapshot with existing DVs applied
+    (a row can only die once — the change feed stays exact). A
+    predicate matching nothing is a no-op returning the current version
+    (no empty commit). Concurrent commits are handled like any writer:
+    the matching row set is recomputed against the new head and the
+    commit retried. Deleted rows remain visible to pinned/as_of readers
+    of older versions until ``txn_vacuum`` reclaims them.
+
+    Data skipping note: per-file min/max recorded by ``stats_cols`` are
+    not recomputed (DVs only hide rows), so pruning stays conservative
+    and correct."""
+    import glob
+    import shutil
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+        if not manifest["files"]:
+            return version  # empty table: nothing to delete
+        # the row-ref columns must come off the SCAN itself (_metadata
+        # does not survive txn_read's own DV anti-join), so rebuild the
+        # snapshot read here with refs attached, then apply existing DVs
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        paths = [os.path.join(path, f["path"]) for f in manifest["files"]]
+        cur = _with_row_refs(spark.read.schema(schema).parquet(*paths))
+        old_dv = _read_dv(spark, path, manifest)
+        if old_dv is not None:
+            cur = cur.join(old_dv, [_DV_FILE, _DV_POS], "left_anti")
+        hits = cur.filter(cond).select(_DV_FILE, _DV_POS)
+        dv_id = uuid.uuid4().hex[:12]
+        dv_dir = os.path.join(path, "dv", dv_id)
+        # cluster the DV by part-file so reads join against few,
+        # file-local entries; AQE coalesces a small delete to one file
+        hits.repartition(F.col(_DV_FILE)).write.parquet(dv_dir)
+        new_rel = [
+            os.path.relpath(p, path)
+            for p in sorted(glob.glob(os.path.join(dv_dir, "*.parquet")))
+        ]
+        # footer-only count of what was just written
+        n_hit = spark.read.schema(_DV_SCHEMA).parquet(dv_dir).count()
+        if n_hit == 0:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return version  # Delta-style: no matching rows, no commit
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": manifest["schema"],
+            "dv": list(manifest.get("dv", [])) + new_rel,
+            "meta": {**(meta or {}), "op": "delete"},
+        }
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+        # lost the race: the matching row set may have changed under the
+        # new head — drop the staged DV and recompute from scratch
+        shutil.rmtree(dv_dir, ignore_errors=True)
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races deleting from {path}"
+    )
+
+
 def txn_restore(
     path: str,
     version: int,
@@ -751,6 +926,7 @@ def txn_restore(
             "ts": time.time(),
             "files": src["files"],
             "schema": src["schema"],
+            "dv": src.get("dv", []),  # the snapshot's deletes come back too
             "meta": {**(meta or {}), "restore_of": version},
         }
         if _publish(path, head + 1, manifest):
@@ -797,6 +973,27 @@ def txn_vacuum(
             continue  # possibly a commit mid-publish — leave it
         shutil.rmtree(cdir)
         removed.append(cdir)
+    # deletion-vector dirs are reclaimed by the same rule: referenced by
+    # no retained manifest + old enough (a txn_delete stages its DV
+    # parquet before winning the manifest race, exactly like data files)
+    live_dv = set()
+    for v in keep:
+        for p in _load(path, v).get("dv", []):
+            live_dv.add(os.path.normpath(p))
+    dv_root = os.path.join(path, "dv")
+    for dv_id in os.listdir(dv_root) if os.path.isdir(dv_root) else []:
+        ddir = os.path.join(dv_root, dv_id)
+        rel = os.path.relpath(ddir, path)
+        if any(p.startswith(rel + os.sep) or p.startswith(rel + "/") for p in live_dv):
+            continue
+        try:
+            age = now - os.path.getmtime(ddir)
+        except OSError:
+            continue
+        if age < min_age_s:
+            continue
+        shutil.rmtree(ddir)
+        removed.append(ddir)
     # keep the newest manifest carrying a streaming sink's batch_id even
     # when it falls outside the retained window: it is the replay fence
     # AND the ownership record — deleting it after a non-sink commit
@@ -820,10 +1017,17 @@ def txn_vacuum(
             # false head (see txn_latest)
             m = _load(path, v)
             fence_files = {os.path.normpath(f["path"]) for f in m["files"]}
+            fence_dv = {os.path.normpath(p) for p in m.get("dv", [])}
             changed = False
-            if not m.get("vacuumed") and not fence_files <= live:
+            # a fence whose DV files were reclaimed must ALSO go
+            # files-invalid: reading it without its deletion vectors
+            # would silently resurrect deleted rows
+            if not m.get("vacuumed") and not (
+                fence_files <= live and fence_dv <= live_dv
+            ):
                 m["vacuumed"] = True
                 m["files"] = []
+                m["dv"] = []
                 changed = True
             if not m.get("retained_fence"):
                 m["retained_fence"] = True

@@ -1067,3 +1067,184 @@ def test_replace_where_on_unpartitioned_table_cleans_staged_dir(
             path, partition_by=["day"], replace_where={"day": [5]},
         )
     assert set(os.listdir(data_dir)) == before  # staged dir cleaned up
+
+
+def test_deletion_vectors_delete_without_rewrite(spark, tmp_path):
+    """txn_delete: row-level DELETE via deletion vectors — the data
+    files are untouched (same inputFiles), matching rows disappear from
+    reads, deletes COMPOSE across commits, a no-match predicate is a
+    no-op (no empty commit), pinned/as_of readers of older versions
+    still see the rows, and partition/range pruning still applies."""
+    from tdataframe_spark.sources.txn import txn_delete
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(1000)], "k int, day int, v double"
+    )
+    v1 = txn_write(df, path, mode="overwrite", partition_by=["day"],
+                   stats_cols=["v"])
+
+    def data_files(df_):
+        return sorted(p for p in df_.inputFiles() if "/data/" in p)
+
+    files_before = data_files(txn_read(spark, path))
+
+    v2 = txn_delete(spark, path, "k % 10 = 0")
+    assert v2 == v1 + 1
+    cur = txn_read(spark, path)
+    assert data_files(cur) == files_before  # no data file rewritten
+    assert cur.count() == 900
+    assert cur.filter("k % 10 = 0").count() == 0
+    # pinned read still sees everything
+    assert txn_read(spark, path, version=v1).count() == 1000
+
+    # deletes compose; second delete only hits still-live rows
+    v3 = txn_delete(spark, path, F.col("k") < 100)
+    assert v3 == v2 + 1
+    assert txn_read(spark, path).count() == 810  # 900 - 90 live k<100
+    # no-match predicate: no commit
+    assert txn_delete(spark, path, "k < 0") == v3
+    assert txn_latest(path)[0] == v3
+
+    # pruned reads apply DVs too
+    day2 = txn_read(spark, path, partition_filter={"day": [2]})
+    assert day2.count() == 810 // 4 + (1 if 810 % 4 > 2 else 0) or day2.count() > 0
+    want = {r["k"] for r in txn_read(spark, path).collect() if r["k"] % 4 == 2}
+    assert {r["k"] for r in day2.collect()} == want
+    rng = txn_read(spark, path, range_filter={"v": (500.0, 600.0)})
+    assert {r["k"] for r in rng.filter("v between 500 and 600").collect()} == {
+        k for k in range(500, 601) if k % 10 != 0
+    }
+
+
+def test_deletion_vectors_compose_with_writers(spark, tmp_path):
+    """DVs survive appends and replace_where (retained files keep their
+    deletes), upsert/compaction materialize them (rows stay gone, files
+    rewritten), overwrite clears them, and restore brings a snapshot's
+    deletes back with it."""
+    from tdataframe_spark.sources.layout import compact_txn
+    from tdataframe_spark.sources.txn import (
+        txn_delete, txn_restore, txn_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(100)],
+            "k int, day int, v double",
+        ),
+        path, mode="overwrite", partition_by=["day"],
+    )
+    txn_delete(spark, path, "k < 10")
+    # append: deleted rows stay gone, new rows visible
+    txn_write(
+        spark.createDataFrame([(1000, 0, 1.0)], "k int, day int, v double"),
+        path, partition_by=["day"],
+    )
+    assert txn_read(spark, path).count() == 91
+    assert txn_read(spark, path).filter("k < 10").count() == 0
+    # replace_where day=1: day-0 files keep their DVs
+    txn_write(
+        spark.createDataFrame([(2001, 1, 2.0)], "k int, day int, v double"),
+        path, partition_by=["day"], replace_where={"day": [1]},
+    )
+    got = txn_read(spark, path)
+    assert got.filter("day = 0 and k < 10").count() == 0
+    assert got.filter("k = 2001").count() == 1
+
+    # upsert reads DV-applied and rewrites: tombstoned rows cannot
+    # resurrect, and the new head carries no DVs
+    txn_upsert(
+        spark.createDataFrame([(50, 0, 999.0)], "k int, day int, v double"),
+        path, keys=["k"],
+    )
+    _, m = txn_latest(path)
+    assert m.get("dv", []) == []
+    assert txn_read(spark, path).filter("day = 0 and k < 10").count() == 0
+    assert txn_read(spark, path).filter("v = 999.0").count() == 1
+
+    # delete → compact: files physically rewritten, rows stay deleted, dv cleared
+    v_del = txn_delete(spark, path, "k = 50")
+    compact_txn(spark, path, target_file_bytes=1 << 20)
+    _, m2 = txn_latest(path)
+    assert m2.get("dv", []) == []
+    assert txn_read(spark, path).filter("k = 50").count() == 0
+
+    # restore to the pre-compaction delete version: dv comes back
+    txn_restore(path, v_del)
+    _, m3 = txn_latest(path)
+    assert m3.get("dv")  # the restored snapshot's DV list
+    assert txn_read(spark, path).filter("k = 50").count() == 0
+
+
+def test_deletion_vectors_change_feed_and_vacuum(spark, tmp_path):
+    """txn_changes across a txn_delete commit (which changes NO files)
+    reports exactly the DV'd rows as deletes; vacuum keeps DV files
+    referenced by retained manifests and reclaims orphaned ones."""
+    import glob as _glob
+
+    from tdataframe_spark.sources.txn import txn_changes, txn_delete
+
+    path = str(tmp_path / "t")
+    v1 = txn_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k int, v double"
+        ),
+        path, mode="overwrite",
+    )
+    v2 = txn_delete(spark, path, "k in (3, 7, 11)")
+    feed = txn_changes(spark, path, v1, v2).collect()
+    assert {(r["k"], r["_change_type"]) for r in feed} == {
+        (3, "delete"), (7, "delete"), (11, "delete")
+    }
+    # and across a delete+append span
+    v3 = txn_write(
+        spark.createDataFrame([(100, 1.0)], "k int, v double"), path
+    )
+    feed2 = txn_changes(spark, path, v1, v3)
+    assert {(r["k"], r["_change_type"]) for r in feed2.collect()} == {
+        (3, "delete"), (7, "delete"), (11, "delete"), (100, "insert")
+    }
+
+    # vacuum with the delete version retained keeps its DV files
+    removed = txn_vacuum(path, keep_versions=2, min_age_s=0.0)
+    assert txn_read(spark, path).count() == 48
+    assert _glob.glob(os.path.join(path, "dv", "*", "*.parquet"))
+    # drop retention to head only: v2's dv is still the head's dv
+    # (files carry forward), so it must survive again
+    txn_vacuum(path, keep_versions=1, min_age_s=0.0)
+    assert txn_read(spark, path).count() == 48
+    assert txn_read(spark, path).filter("k in (3,7,11)").count() == 0
+
+
+def test_deletion_vector_race_recomputes(spark, tmp_path, monkeypatch):
+    """A commit landing between txn_delete's snapshot and its publish
+    must trigger recompute against the new head — the delete applies to
+    rows the interleaved writer added too (predicate semantics, not
+    stale row-set semantics)."""
+    from tdataframe_spark.sources import txn as txn_mod
+    from tdataframe_spark.sources.txn import txn_delete
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(i, float(i)) for i in range(20)],
+                              "k int, v double"),
+        path, mode="overwrite",
+    )
+    real_publish = txn_mod._publish
+    fired = {"done": False}
+
+    def racing_publish(p, version, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # interleave a commit adding a row the predicate matches
+            txn_write(
+                spark.createDataFrame([(999, -1.0)], "k int, v double"), p
+            )
+        return real_publish(p, version, manifest)
+
+    monkeypatch.setattr(txn_mod, "_publish", racing_publish)
+    txn_delete(spark, path, "v < 5.0")
+    got = txn_read(spark, path)
+    assert got.filter("v < 5.0").count() == 0  # including the racer's row
+    assert got.count() == 15
