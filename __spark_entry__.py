@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
+        "shard_shuffle": q_shard_shuffle,
         "ivf_append": q_ivf_append,
         "pq_query": q_pq_query,
         "hash_features": q_hash_features,
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": SQL_CCNET_BUCKETS,
         "dedup_keep_best": _dedup_keep_best_oracle_sql(),
         "group_split": SQL_GROUP_SPLIT,
+        "shard_shuffle": SQL_SHARD_SHUFFLE,
         "retrieval_metrics": SQL_RETRIEVAL_METRICS,
         "winsorize": SQL_WINSORIZE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -517,6 +517,46 @@ def group_split(
     )
 
 
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into training shards — the layout
+    step before writing a corpus for data-parallel training: every row
+    gets a ``shard`` (which output file / data-loader worker reads it)
+    and a ``pos`` (its position within the shard), both pure functions
+    of (seed, id). The same corpus + seed yields the SAME permutation on
+    any engine, any partitioning, any run — reshuffling for a new epoch
+    is just a new seed, and late-arriving rows slot in without
+    perturbing other shards' relative order.
+
+    Shape: one portable hash per row (map-side), one shuffle on the
+    shard key, and a PER-SHARD (never global) rank window. Size
+    ``n_shards`` with the corpus (≈ rows / desired shard size): shard
+    populations are hash-balanced n/n_shards, so the window state stays
+    bounded at any scale. Ties (hash collisions) break on the id, so
+    ``pos`` is total and deterministic.
+    """
+    from tdataframe_spark.functions.numeric import portable_hash64
+
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = portable_hash64(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("__h")
+    )
+
+
 def _eval_bucket_cut(buckets: int, eval_fraction: float) -> int:
     """Hash buckets assigned to the eval side (see group_split's round-vs-
     int note; separated so the arithmetic is directly testable)."""

@@ -3612,6 +3612,36 @@ def q_group_split(spark, sf):
     )
 
 
+def q_shard_shuffle(spark, sf):
+    """Deterministic global shuffle into training shards (shard_shuffle):
+    every document gets its shard and in-shard position as a pure
+    function of (seed, doc_id) — identical permutation on any engine /
+    partitioning / run, per-shard (never global) rank windows. The
+    oracle restates the portable-md5 shard hash and the rank window in
+    SQL."""
+    from tdataframe_spark.ops.textstats import shard_shuffle
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return shard_shuffle(docs, "doc_id", 8, seed=1).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+SQL_SHARD_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('1:', CAST(doc_id AS VARCHAR))),
+                                  1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+            AS INT) AS pos
+FROM h
+"""
+
+
 SQL_GROUP_SPLIT = """
 SELECT doc_id, source,
        CASE WHEN ((CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT)

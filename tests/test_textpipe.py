@@ -1089,3 +1089,30 @@ def test_hash_features_arrow_path_is_bit_identical(spark):
     assert "MapInPandas" in explain_str(auto_wide, "simple")
     auto_narrow = hash_features(df, ["color"], dim=64)
     assert "MapInPandas" not in explain_str(auto_narrow, "simple")
+
+
+def test_shard_shuffle_deterministic_permutation(spark):
+    """shard_shuffle: (shard, pos) is a pure function of (seed, id) —
+    identical under repartitioning; pos is a dense 0..n_s-1 ranking per
+    shard; shards are hash-balanced; a different seed yields a different
+    permutation; n_shards validates."""
+    import pytest
+    from tdataframe_spark.ops.textstats import shard_shuffle
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = sorted(map(tuple, shard_shuffle(df, "doc_id", 8, seed=1).collect()))
+    b = sorted(
+        map(tuple, shard_shuffle(df.repartition(13), "doc_id", 8, seed=1).collect())
+    )
+    assert a == b
+    by_shard = {}
+    for _, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+        assert 2000 / 8 * 0.6 < len(positions) < 2000 / 8 * 1.4
+    c = sorted(map(tuple, shard_shuffle(df, "doc_id", 8, seed=2).collect()))
+    assert c != a
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_shuffle(df, "doc_id", 0)
