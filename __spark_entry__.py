@@ -82,14 +82,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation is documented per-round in STATUS.md.
     """
     return {
-        # --- driver window (first 50): must-verify this round (r7) ---
-        # the 15 oldest externally-verified entries (r3-last, the
-        # remaining rotation debt), then everything NEW or CHANGED this
-        # round (txn predicate validation + vacuum fence; the hybrid
-        # connected-components path and its consumers; the
-        # _assign_with_vec k-means shape behind every ANN/semdedup build;
-        # hash_features now oracle-checked), then the oldest remaining
-        # (r4-last) backfill, complex-oracle-first
+        # --- driver window (first 50): must-verify this round (r8) ---
+        # the 32 oldest externally-verified entries (r4-last — the FULL
+        # remaining rotation debt), then the 4 queries NEW this round
+        # (deletion vectors, real AVI video decode, STFT audio features,
+        # deterministic shard shuffle), then the txn-layer family (DV
+        # plumbing touched txn_write/read/changes/vacuum/upsert/restore
+        # this round), then r5-last backfill complex-oracle-first
+        "chunk_docs": q_chunk_docs,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "decayed_engagement": q_decayed_engagement,
+        "decontamination_bloom": q_decontamination_bloom,
+        "rolling_window": q_rolling_window,
+        "outliers": q_outliers,
+        "nearest_centroid": q_nearest_centroid,
+        "dq_report": q_dq_report,
+        "histo_equidepth": q_histo_equidepth,
+        "fuzzy_join": q_fuzzy_join,
+        "hopping_window": q_hopping_window,
+        "activity_streaks": q_activity_streaks,
+        "event_transitions": q_event_transitions,
+        "resample_daily": q_resample_daily,
+        "lm_score": q_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
+        "group_split": q_group_split,
+        "retrieval_metrics": q_retrieval_metrics,
+        "weighted_sample": q_weighted_sample,
+        "phrase_search": q_phrase_search,
+        "collocations": q_collocations,
+        "bpe_tokens": q_bpe_tokens,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "setops_nations": q_setops_nations,
+        "setops_multiset": q_setops_multiset,
+        "running_window": q_running_window,
+        "exists_subquery": q_exists_subquery,
+        "merge_upsert": q_merge_upsert,
+        "lag_lead_gaps": q_lag_lead_gaps,
+        "topk_orders": q_topk_orders,
+        "delete_vectors": q_delete_vectors,
+        "video_frames": q_video_frames,
+        "audio_features": q_audio_features,
+        "shard_shuffle": q_shard_shuffle,
+        "merge_upsert_txn": q_merge_upsert_txn,
+        "merge_delete_txn": q_merge_delete_txn,
+        "data_skipping": q_data_skipping,
+        "restore_table": q_restore_table,
+        "cdc_changes": q_cdc_changes,
+        "time_travel": q_time_travel,
+        "rollup_incremental": q_rollup_incremental,
+        "snapshot_diff": q_snapshot_diff,
+        "dup_spans": q_dup_spans,
+        "tfidf_pairs": q_tfidf_pairs,
+        "hybrid_search": q_hybrid_search,
+        "bm25_indexed": q_bm25_indexed,
+        "corpus_curation": q_corpus_curation,
+        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
+        # --- position 51+: rotated out — every entry below has an
+        # external driver-green row (r5-r7) and is re-verified every
+        # round by the local full-registry gate (driver_sim at sf0.01) ---
         "grouped_udaf": q_grouped_udaf,
         "min_per_group": q_min_per_group,
         "quantiles": q_quantiles,
@@ -105,23 +157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "q6_revenue_delta": q_q6_revenue_delta,
         "above_customer_avg": q_above_customer_avg,
-        "merge_delete_txn": q_merge_delete_txn,
-        "delete_vectors": q_delete_vectors,
-        "restore_table": q_restore_table,
-        "data_skipping": q_data_skipping,
         "lang_id": q_lang_id,
         "gif_frames": q_gif_frames,
-        "video_frames": q_video_frames,
-        "audio_features": q_audio_features,
-        "shard_shuffle": q_shard_shuffle,
         "ivf_append": q_ivf_append,
         "pq_query": q_pq_query,
         "hash_features": q_hash_features,
-        "merge_upsert_txn": q_merge_upsert_txn,
-        "cdc_changes": q_cdc_changes,
-        "time_travel": q_time_travel,
-        "rollup_incremental": q_rollup_incremental,
-        "snapshot_diff": q_snapshot_diff,
         "dedup_components": q_dedup_components,
         "semantic_dedup": q_semantic_dedup,
         "dedup_keep_best": q_dedup_keep_best,
@@ -144,12 +184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q13_order_distribution": q_q13_order_distribution,
         "q15_top_supplier": q_q15_top_supplier,
-        # --- position 51+: rotated out — every entry below has an
-        # external driver-green row (r4-r6) and is re-verified every
-        # round by the local full-registry gate (driver_sim at sf0.01) ---
-        "chunk_docs": q_chunk_docs,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
         "profile_numeric": q_profile_numeric,
         "rollup_returnflag": q_rollup_returnflag,
@@ -191,9 +225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q16_supplier_counts": q_q16_supplier_counts,
         "q17_small_qty": q_q17_small_qty,
-        "dup_spans": q_dup_spans,
-        "tfidf_pairs": q_tfidf_pairs,
-        "hybrid_search": q_hybrid_search,
         "triangle_count": q_triangle_count,
         "corr_matrix": q_corr_matrix,
         "ab_test": q_ab_test,
@@ -207,7 +238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "source_divergence": q_source_divergence,
-        "bm25_indexed": q_bm25_indexed,
         "target_encode": q_target_encode,
         "bootstrap_ci": q_bootstrap_ci,
         "variant_props": q_variant_props,
@@ -217,7 +247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_robust": q_outliers_robust,
         "window_stats": q_window_stats,
         "confusion_stats": q_confusion_stats,
-        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
         "quantize_embeddings": q_quantize_embeddings,
         "pack_bins": q_pack_bins,
         "group_quantiles_approx": q_group_quantiles_approx,
@@ -225,42 +254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": q_pca_embeddings,
         "logreg_score": q_logreg_score,
         "winsorize": q_winsorize,
-        "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "top_ngrams": q_top_ngrams,
         "repetition_signals": q_repetition_signals,
         "pii_redact": q_pii_redact,
         "domain_mix": q_domain_mix,
         "bm25_topk": q_bm25_topk,
-        "decayed_engagement": q_decayed_engagement,
-        "decontamination_bloom": q_decontamination_bloom,
-        "rolling_window": q_rolling_window,
-        "outliers": q_outliers,
-        "nearest_centroid": q_nearest_centroid,
-        "dq_report": q_dq_report,
-        "histo_equidepth": q_histo_equidepth,
-        "fuzzy_join": q_fuzzy_join,
-        "hopping_window": q_hopping_window,
-        "activity_streaks": q_activity_streaks,
-        "event_transitions": q_event_transitions,
-        "resample_daily": q_resample_daily,
-        "lm_score": q_lm_score,
-        "ccnet_buckets": q_ccnet_buckets,
-        "group_split": q_group_split,
-        "retrieval_metrics": q_retrieval_metrics,
-        "weighted_sample": q_weighted_sample,
-        "phrase_search": q_phrase_search,
-        "collocations": q_collocations,
-        "bpe_tokens": q_bpe_tokens,
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
-        "setops_nations": q_setops_nations,
-        "setops_multiset": q_setops_multiset,
-        "running_window": q_running_window,
-        "exists_subquery": q_exists_subquery,
-        "merge_upsert": q_merge_upsert,
-        "lag_lead_gaps": q_lag_lead_gaps,
-        "topk_orders": q_topk_orders,
     }
 
 

@@ -87,6 +87,15 @@ EXTENDED = [
     # the pruned scan + residual filter)
     "lang_id",
     "data_skipping",
+    # round-8 additions: deletion vectors (seeds a fresh partitioned txn
+    # table and commits TWO row-level deletes per run — the number is
+    # the full DV pipeline: stats write + 2 DV commits + the DV-applied
+    # read), the deterministic shard shuffle (hash + one shuffle +
+    # per-shard rank at corpus scale), and the STFT audio featurizer
+    # (fixture clips — the number tracks the Arrow/FFT path, not IO)
+    "delete_vectors",
+    "shard_shuffle",
+    "audio_features",
 ]
 
 
