@@ -63,11 +63,25 @@ def _walk(buf: bytes, pos: int, end: int):
         pos = data_end + (size % 2)
 
 
+DECODABLE_FOURCCS = ("MJPG", "DIB ")
+
+_MAX_LIST_DEPTH = 16  # legit AVI trees are ~3 deep; a crafted payload
+# nesting thousands of LISTs must not blow the executor's stack
+
+
 def parse_avi(buf: bytes) -> AviInfo | None:
-    """Parse an AVI payload into stream-0 video metadata + raw frame
+    """Parse an AVI payload into first-video-stream metadata + raw frame
     chunk payloads. Returns ``None`` for non-AVI or structurally broken
-    input. Frames are in file order; ``rec `` grouping lists inside
-    ``movi`` are descended into (the interleaved-capture layout)."""
+    input (bounded recursion — corrupt bytes at 100 TB are data, not
+    exceptions). Frames are in file order; ``rec `` grouping lists
+    inside ``movi`` are descended into (the interleaved-capture layout).
+    The video stream's chunk id is derived from its strl POSITION, so an
+    audio-first interleave (``01dc`` video chunks) parses too.
+
+    Frame payloads are only collected for the fourccs the pipeline can
+    actually decode (:data:`DECODABLE_FOURCCS`); for any other codec the
+    header metadata still comes back real (``frames`` empty) without
+    copying megabytes of undecodable chunk data."""
     buf = bytes(buf)
     if not is_avi(buf):
         return None
@@ -75,16 +89,32 @@ def parse_avi(buf: bytes) -> AviInfo | None:
         width = height = n_frames = 0
         scale = rate = 0
         fourcc = None
+        vid_stream = None  # strl ordinal of the first 'vids' stream
         frames: list[bytes] = []
+        stream_ord = 0
         in_strl_video = False
 
-        def scan(pos: int, end: int, ctx: bytes) -> None:
+        def scan(pos: int, end: int, ctx: bytes, depth: int) -> None:
             nonlocal width, height, n_frames, scale, rate, fourcc
-            nonlocal in_strl_video
+            nonlocal vid_stream, stream_ord, in_strl_video
+            if depth > _MAX_LIST_DEPTH:
+                raise IndexError("LIST nesting bomb")
+            vid_ck = (
+                b"%02d" % vid_stream if vid_stream is not None else None
+            )
+            collect = fourcc in DECODABLE_FOURCCS
             for cc, listtype, ds, de in _walk(buf, pos, end):
                 if cc == b"LIST":
                     if listtype in (b"hdrl", b"strl", b"movi", b"rec "):
-                        scan(ds, de, listtype)
+                        scan(ds, de, listtype, depth + 1)
+                        # hdrl precedes movi: stream id / fourcc may
+                        # have just been learned
+                        vid_ck = (
+                            b"%02d" % vid_stream
+                            if vid_stream is not None
+                            else None
+                        )
+                        collect = fourcc in DECODABLE_FOURCCS
                 elif cc == b"avih" and de - ds >= 40:
                     usec, _, _, _, total, _, _, _, w, h = struct.unpack_from(
                         "<10I", buf, ds
@@ -94,11 +124,13 @@ def parse_avi(buf: bytes) -> AviInfo | None:
                     # only the FIRST video stream drives the decode
                     if buf[ds : ds + 4] == b"vids" and fourcc is None:
                         in_strl_video = True
+                        vid_stream = stream_ord
                         fcc = buf[ds + 4 : ds + 8]
                         scale, rate = struct.unpack_from("<II", buf, ds + 20)
                         fourcc = fcc.decode("latin1")
                     else:
                         in_strl_video = False
+                    stream_ord += 1
                 elif cc == b"strf" and ctx == b"strl" and in_strl_video:
                     if de - ds >= 20:
                         comp = buf[ds + 16 : ds + 20]
@@ -106,18 +138,24 @@ def parse_avi(buf: bytes) -> AviInfo | None:
                             fourcc = "DIB "
                         else:
                             fourcc = comp.decode("latin1")
-                elif ctx in (b"movi", b"rec ") and cc[2:4] in (b"db", b"dc"):
-                    if cc[:2] == b"00":  # stream 0 only
-                        frames.append(buf[ds:de])
+                elif (
+                    collect
+                    and ctx in (b"movi", b"rec ")
+                    and cc[2:4] in (b"db", b"dc")
+                    and cc[:2] == vid_ck
+                ):
+                    frames.append(buf[ds:de])
 
         (size,) = struct.unpack_from("<I", buf, 4)
-        scan(12, min(len(buf), 8 + size), b"")
-        if fourcc is None or width <= 0 or height <= 0 or not frames:
+        scan(12, min(len(buf), 8 + size), b"", 0)
+        if fourcc is None or width <= 0 or height <= 0:
             return None
+        if fourcc in DECODABLE_FOURCCS and not frames:
+            return None  # decodable codec but no usable chunks: corrupt
         fps = (rate / scale) if scale else 0.0
         return AviInfo(width, height, n_frames or len(frames), fps,
                        fourcc, frames)
-    except (struct.error, IndexError, UnicodeDecodeError):
+    except (struct.error, IndexError, UnicodeDecodeError, RecursionError):
         return None
 
 

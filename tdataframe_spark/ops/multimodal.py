@@ -836,11 +836,15 @@ AUDIO_SCHEMA = (
 )
 
 
-def _parse_wav(buf):
+def _parse_wav(buf, max_seconds=None, min_frames=0):
     """RIFF/WAV PCM chunk walk + sample parse, pure numpy. Returns
     ``(rate, n_channels, n_frames, interleaved_float64_in_[-1,1])`` or
     ``None`` for non-WAV/non-PCM/corrupt payloads. Shared by
-    :func:`decode_audio` and :func:`audio_features`."""
+    :func:`decode_audio` and :func:`audio_features`.
+
+    ``max_seconds`` truncates at the RAW BYTE level, before any float64
+    conversion — capping a multi-GB payload must not first materialize
+    the whole clip as doubles (~8x the payload per channel)."""
     import numpy as np
 
     try:
@@ -878,6 +882,8 @@ def _parse_wav(buf):
         n = len(data) // (width * n_ch)
         if n == 0:
             return None
+        if max_seconds is not None:
+            n = min(n, max(int(min_frames), int(max_seconds * rate)))
         x = np.frombuffer(data[: n * width * n_ch], dtype=dt).astype(np.float64)
         if audio_format == 1 and bits == 8:
             x = x - 128.0  # 8-bit WAV is unsigned
@@ -990,12 +996,14 @@ def audio_features(
         edges = np.linspace(1, n_bins, n_bands + 1).astype(int)
 
         def feats(buf):
-            parsed = _parse_wav(buf)
+            # the cap is applied inside the parse, at the raw-byte
+            # level — a multi-hour payload never materializes as float64
+            parsed = _parse_wav(buf, max_seconds=max_seconds,
+                                min_frames=n_fft)
             if parsed is None:
                 return None
             rate, n_ch, n, x = parsed
             mono = x.reshape(n, n_ch).mean(axis=1)
-            mono = mono[: max(n_fft, int(max_seconds * rate))]
             if len(mono) < n_fft:
                 mono = np.pad(mono, (0, n_fft - len(mono)))
             n_frames = 1 + (len(mono) - n_fft) // hop
@@ -1279,7 +1287,12 @@ def sample_frames(
     schema = "media_id bigint, kind string, frame_idx int, frame_payload binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tdataframe_spark.ops.avi import dib_to_rgb, is_avi, parse_avi
+        from tdataframe_spark.ops.avi import (
+            DECODABLE_FOURCCS,
+            dib_to_rgb,
+            is_avi,
+            parse_avi,
+        )
         from tdataframe_spark.ops.gif import decode_gif
 
         def p6(arr):
@@ -1290,13 +1303,13 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                p = r["payload"] or b"\x00"
+                p = bytes(r["payload"] or b"\x00")  # ONE copy per row
                 kind = r["kind"]
                 if kind.startswith("video"):
                     frames = None
-                    if bytes(p[:6]) in (b"GIF87a", b"GIF89a"):
+                    if p[:6] in (b"GIF87a", b"GIF89a"):
                         try:
-                            frames = decode_gif(bytes(p))
+                            frames = decode_gif(p)
                         except Exception:
                             frames = None  # corrupt GIF → stub/raise below
                     if frames is not None:
@@ -1310,8 +1323,8 @@ def sample_frames(
                                 }
                             )
                         continue
-                    info = parse_avi(bytes(p)) if is_avi(bytes(p)) else None
-                    if info is not None and info.fourcc in ("MJPG", "DIB "):
+                    info = parse_avi(p) if is_avi(p) else None
+                    if info is not None and info.fourcc in DECODABLE_FOURCCS:
                         for idx in range(0, len(info.frames), every_n):
                             chunk = info.frames[idx]
                             if info.fourcc == "MJPG":

@@ -3256,7 +3256,9 @@ def q_video_frames(spark, sf):
     for did in sorted(ids):
         frames = []
         for f in range(6):
-            tiles = (did * 5 + 3 * f + np.arange(2 * 3)) % 5
+            # 7 is coprime to the 5-entry palette, so frames genuinely
+            # differ per media id (did*5 would cancel mod 5)
+            tiles = (did * 7 + 3 * f + np.arange(2 * 3)) % 5
             img = pal[tiles].reshape(2, 3, 3)
             frames.append(np.repeat(np.repeat(img, 8, 0), 8, 1))
         rows.append((int(did), "video/avi", bytearray(encode_avi(frames))))
@@ -3318,7 +3320,8 @@ def q_audio_features(spark, sf):
         fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
         wav = (
             b"RIFF"
-            + struct.pack("<I", 28 + len(pcm))
+            # 36 = WAVE(4) + fmt header(8) + fmt body(16) + data header(8)
+            + struct.pack("<I", 36 + len(pcm))
             + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(pcm)) + pcm

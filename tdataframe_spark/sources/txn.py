@@ -225,9 +225,17 @@ def _with_row_refs(df: DataFrame) -> DataFrame:
     )
 
 
+def _dv_paths(dv_entries) -> list[str]:
+    """DV parquet paths from manifest entries. An entry is a dict
+    ``{"path": ..., "refs": [data file paths it references]}`` (refs let
+    replace_where prune entries whose files were all dropped); bare
+    string entries (pre-refs manifests) are accepted too."""
+    return [e["path"] if isinstance(e, dict) else e for e in dv_entries or []]
+
+
 def _read_dv(spark: SparkSession, path: str, manifest: dict | None):
     """The manifest's deletion-vector table, or None when it has none."""
-    rels = (manifest or {}).get("dv") or []
+    rels = _dv_paths((manifest or {}).get("dv"))
     if not rels:
         return None
     return spark.read.schema(_DV_SCHEMA).parquet(
@@ -446,6 +454,16 @@ def txn_write(
                 f for f in old_files
                 if not _part_matches(f["partition"], replace_where)
             ]
+            # prune DV entries that only referenced now-dropped files —
+            # without this, refresh-heavy tables anti-join an ever-
+            # growing dead DV set (entries without refs are kept: they
+            # may still reference live files)
+            live_paths = {f["path"] for f in live}
+            dv = [
+                e for e in dv
+                if not isinstance(e, dict) or not e.get("refs")
+                or any(r in live_paths for r in e["refs"])
+            ]
             committed_schema = _merge_schemas(
                 (latest or {}).get("schema"), schema_json
             )
@@ -640,33 +658,42 @@ def txn_changes(
 
     added_rows = read_set(after - before, dv_to)
     removed_rows = read_set(before - after, dv_from)
-    # txn_delete changes NO files — rows newly hidden by deletion
-    # vectors in files present in BOTH versions are deletes too. Only
-    # the files the new DV entries actually reference are read (the
-    # name list collected is bounded by the manifest's file count, the
-    # same driver-side order as the file listing itself).
-    dv_deleted = spark.createDataFrame([], schema)
-    if dv_to is not None:
-        new_dv = (
-            dv_to.exceptAll(dv_from) if dv_from is not None else dv_to
+    # txn_delete / txn_restore change NO files — DV deltas over files
+    # present in BOTH versions are row changes too: entries in dv_to
+    # beyond dv_from are deletes (newly hidden rows), entries in dv_from
+    # beyond dv_to are INSERTS (rows a restore un-hid). Only the files
+    # the DV delta actually references are read (the list collected is
+    # bounded by the manifest's file count, the same driver-side order
+    # as the file listing itself).
+    common = before & after
+
+    def dv_delta_rows(side_dv, other_dv):
+        if side_dv is None:
+            return spark.createDataFrame([], schema)
+        delta = side_dv.exceptAll(other_dv) if other_dv is not None else side_dv
+        if not common:
+            return spark.createDataFrame([], schema)
+        hit_rels = sorted(
+            {r[0] for r in delta.select(_DV_FILE).distinct().collect()}
+            & common
         )
-        common = before & after
-        if common:
-            hit_rels = sorted(
-                {r[0] for r in new_dv.select(_DV_FILE).distinct().collect()}
-                & common
+        if not hit_rels:
+            return spark.createDataFrame([], schema)
+        hit_df = _with_row_refs(
+            spark.read.schema(schema).parquet(
+                *[os.path.join(path, p) for p in hit_rels]
             )
-            if hit_rels:
-                hit_df = _with_row_refs(
-                    spark.read.schema(schema).parquet(
-                        *[os.path.join(path, p) for p in hit_rels]
-                    )
-                )
-                dv_deleted = hit_df.join(
-                    new_dv, [_DV_FILE, _DV_POS], "left_semi"
-                ).drop(_DV_FILE, _DV_POS)
-    inserts = added_rows.exceptAll(removed_rows).withColumn(
-        "_change_type", F.lit("insert")
+        )
+        return hit_df.join(delta, [_DV_FILE, _DV_POS], "left_semi").drop(
+            _DV_FILE, _DV_POS
+        )
+
+    dv_deleted = dv_delta_rows(dv_to, dv_from)
+    dv_restored = dv_delta_rows(dv_from, dv_to)
+    inserts = (
+        added_rows.exceptAll(removed_rows)
+        .unionByName(dv_restored)
+        .withColumn("_change_type", F.lit("insert"))
     )
     deletes = (
         removed_rows.exceptAll(added_rows)
@@ -869,18 +896,32 @@ def txn_delete(
             os.path.relpath(p, path)
             for p in sorted(glob.glob(os.path.join(dv_dir, "*.parquet")))
         ]
-        # footer-only count of what was just written
-        n_hit = spark.read.schema(_DV_SCHEMA).parquet(dv_dir).count()
-        if n_hit == 0:
+        # one pass over what was just written: row count + the set of
+        # data files referenced (bounded by the manifest's file count) —
+        # the refs let a later replace_where prune DV entries whose
+        # files it dropped, so the DV set cannot grow without bound
+        # under a refresh-heavy workload
+        agg = (
+            spark.read.schema(_DV_SCHEMA)
+            .parquet(dv_dir)
+            .agg(
+                F.count("*").alias("n"),
+                F.collect_set(_DV_FILE).alias("refs"),
+            )
+            .first()
+        )
+        if agg["n"] == 0:
             shutil.rmtree(dv_dir, ignore_errors=True)
             return version  # Delta-style: no matching rows, no commit
+        refs = sorted(agg["refs"])
+        new_entries = [{"path": p, "refs": refs} for p in new_rel]
         new_manifest = {
             "version": version + 1,
             "parent": version,
             "ts": time.time(),
             "files": manifest["files"],
             "schema": manifest["schema"],
-            "dv": list(manifest.get("dv", [])) + new_rel,
+            "dv": list(manifest.get("dv", [])) + new_entries,
             "meta": {**(meta or {}), "op": "delete"},
         }
         if _publish(path, version + 1, new_manifest):
@@ -978,7 +1019,7 @@ def txn_vacuum(
     # parquet before winning the manifest race, exactly like data files)
     live_dv = set()
     for v in keep:
-        for p in _load(path, v).get("dv", []):
+        for p in _dv_paths(_load(path, v).get("dv")):
             live_dv.add(os.path.normpath(p))
     dv_root = os.path.join(path, "dv")
     for dv_id in os.listdir(dv_root) if os.path.isdir(dv_root) else []:
@@ -1017,7 +1058,7 @@ def txn_vacuum(
             # false head (see txn_latest)
             m = _load(path, v)
             fence_files = {os.path.normpath(f["path"]) for f in m["files"]}
-            fence_dv = {os.path.normpath(p) for p in m.get("dv", [])}
+            fence_dv = {os.path.normpath(p) for p in _dv_paths(m.get("dv"))}
             changed = False
             # a fence whose DV files were reclaimed must ALSO go
             # files-invalid: reading it without its deletion vectors

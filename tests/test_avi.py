@@ -226,3 +226,63 @@ def test_audio_features_caps_analysis_window(spark):
     assert full["n_frames"] == pref["n_frames"]
     assert full["rms"] == pref["rms"] and full["band_db"] == pref["band_db"]
     assert out[2]["ok"] and out[2]["n_frames"] == 1
+
+
+def test_parse_avi_audio_first_interleave():
+    """Review r8: the video stream's chunk id comes from its strl
+    POSITION — an audio-first AVI (video chunks '01dc') must parse, not
+    come back frameless."""
+    frames = _frames(n=4)
+    buf = encode_avi(frames, codec="DIB ", audio_first=True)
+    info = parse_avi(buf)
+    assert info is not None and info.fourcc == "DIB "
+    assert len(info.frames) == 4
+    assert np.array_equal(
+        dib_to_rgb(info.frames[2], info.width, info.height), frames[2]
+    )
+
+
+def test_parse_avi_list_nesting_bomb_returns_none():
+    """Review r8: a crafted payload nesting thousands of LISTs must
+    return None (bounded depth), not blow the executor stack."""
+    import struct as _s
+
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + _s.pack("<I", 4 + len(inner)) + b"movi" + inner
+    bomb = b"RIFF" + _s.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    assert parse_avi(bomb) is None
+
+
+def test_parse_avi_unsupported_fourcc_metadata_only():
+    """Review r8: an undecodable codec still yields real header metadata
+    (probe_metadata path) but NO copied frame chunks, and sample_frames
+    routes it to the stub/raise contract."""
+    from tdataframe_spark.ops.avi import DECODABLE_FOURCCS
+
+    buf = encode_avi(_frames(n=3), codec="MJPG")
+    h264 = buf[:300].replace(b"MJPG", b"H264") + buf[300:]
+    info = parse_avi(h264)
+    assert info is not None and info.fourcc == "H264"
+    assert info.fourcc not in DECODABLE_FOURCCS
+    assert info.frames == []  # no eager copy of undecodable chunks
+    assert (info.width, info.height, info.n_frames) == (24, 16, 3)
+
+
+def test_parse_wav_caps_before_float_conversion():
+    """Review r8: max_seconds truncates at the raw-byte level — the
+    returned sample array length reflects the cap (a multi-GB payload
+    must never fully materialize as float64)."""
+    from tdataframe_spark.ops.multimodal import _parse_wav
+
+    rate = 8000
+    x = (np.zeros(10 * rate)).astype("<i2")
+    wav = _wav_bytes(x, rate)
+    rate_, n_ch, n, arr = _parse_wav(wav, max_seconds=1.0, min_frames=256)
+    assert n == rate and len(arr) == rate
+    # min_frames floor wins for sub-second caps
+    _, _, n2, _ = _parse_wav(wav, max_seconds=0.001, min_frames=256)
+    assert n2 == 256
+    # no cap: full clip
+    assert _parse_wav(wav)[2] == 10 * rate

@@ -1106,11 +1106,10 @@ def test_deletion_vectors_delete_without_rewrite(spark, tmp_path):
     assert txn_delete(spark, path, "k < 0") == v3
     assert txn_latest(path)[0] == v3
 
-    # pruned reads apply DVs too
+    # pruned reads apply DVs too: exactly the live day-2 keys
     day2 = txn_read(spark, path, partition_filter={"day": [2]})
-    assert day2.count() == 810 // 4 + (1 if 810 % 4 > 2 else 0) or day2.count() > 0
     want = {r["k"] for r in txn_read(spark, path).collect() if r["k"] % 4 == 2}
-    assert {r["k"] for r in day2.collect()} == want
+    assert want and {r["k"] for r in day2.collect()} == want
     rng = txn_read(spark, path, range_filter={"v": (500.0, 600.0)})
     assert {r["k"] for r in rng.filter("v between 500 and 600").collect()} == {
         k for k in range(500, 601) if k % 10 != 0
@@ -1248,3 +1247,65 @@ def test_deletion_vector_race_recomputes(spark, tmp_path, monkeypatch):
     got = txn_read(spark, path)
     assert got.filter("v < 5.0").count() == 0  # including the racer's row
     assert got.count() == 15
+
+
+def test_change_feed_reports_restore_resurrections(spark, tmp_path):
+    """Review r8 (repro-confirmed): a restore to a pre-delete snapshot
+    changes NO files, only the DV list — the un-hidden rows must surface
+    as inserts in the change feed or CDC consumers silently diverge."""
+    from tdataframe_spark.sources.txn import (
+        txn_changes, txn_delete, txn_restore,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = txn_write(
+        spark.createDataFrame([(i, float(i)) for i in range(20)],
+                              "k int, v double"),
+        path, mode="overwrite",
+    )
+    v2 = txn_delete(spark, path, "k in (3, 7)")
+    v3 = txn_restore(path, v1)
+    assert txn_read(spark, path).count() == 20
+    feed = txn_changes(spark, path, v2, v3).collect()
+    assert {(r["k"], r["_change_type"]) for r in feed} == {
+        (3, "insert"), (7, "insert")
+    }
+    # and the full span v1->v3 nets out to no changes
+    assert txn_changes(spark, path, v1, v3).count() == 0
+
+
+def test_replace_where_prunes_dead_dv_entries(spark, tmp_path):
+    """Review r8: DV entries whose referenced files were all dropped by
+    a replace_where refresh are pruned from the manifest (no unbounded
+    DV growth under refresh-heavy workloads); entries still referencing
+    retained files survive."""
+    from tdataframe_spark.sources.txn import txn_delete
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame(
+            [(d, i, float(i)) for d in (1, 2) for i in range(10)],
+            "day int, k int, v double",
+        ),
+        path, mode="overwrite", partition_by=["day"],
+    )
+    # one delete touching ONLY day=1 rows, one touching ONLY day=2
+    txn_delete(spark, path, "day = 1 and k < 3")
+    txn_delete(spark, path, "day = 2 and k < 5")
+    _, m = txn_latest(path)
+    assert len(m["dv"]) >= 2 and all("refs" in e for e in m["dv"])
+    # refresh day=1: the day-1-only DV entry dies, the day-2 one lives
+    txn_write(
+        spark.createDataFrame([(1, 99, 9.0)], "day int, k int, v double"),
+        path, partition_by=["day"], replace_where={"day": [1]},
+    )
+    _, m2 = txn_latest(path)
+    live_files = {f["path"] for f in m2["files"]}
+    assert m2["dv"], "the day-2 delete must survive the refresh"
+    assert all(
+        any(r in live_files for r in e["refs"]) for e in m2["dv"]
+    ), m2["dv"]
+    assert len(m2["dv"]) < len(m["dv"])
+    got = txn_read(spark, path)
+    assert got.filter("day = 2 and k < 5").count() == 0  # still deleted
+    assert got.filter("day = 1").count() == 1  # refreshed content only

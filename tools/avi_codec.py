@@ -53,28 +53,33 @@ def encode_avi(
     codec: str = "MJPG",
     fps: int = 10,
     quant: np.ndarray | None = None,
+    audio_first: bool = False,
 ) -> bytes:
-    """Encode HxWx3 RGB uint8 ``frames`` as a single-stream AVI.
+    """Encode HxWx3 RGB uint8 ``frames`` as an AVI.
 
     ``codec``: ``"MJPG"`` (baseline-JPEG chunks, ``00dc``) or
     ``"DIB "`` (raw BI_RGB chunks, ``00db``). ``quant`` is forwarded to
     the JPEG encoder (default all-ones — flat blocks roundtrip
-    exactly)."""
+    exactly). ``audio_first`` prepends a silent PCM audio stream so the
+    VIDEO stream is stream 1 (chunk ids ``01db``/``01dc``) — the common
+    interleaved-capture layout a parser hardcoding stream 0 gets wrong."""
     if codec not in ("MJPG", "DIB "):
         raise ValueError(f"codec must be 'MJPG' or 'DIB ', got {codec!r}")
     frames = [np.asarray(f, np.uint8) for f in frames]
     h, w = frames[0].shape[:2]
     if any(f.shape != frames[0].shape for f in frames):
         raise ValueError("all frames must share one shape")
+    vstream = 1 if audio_first else 0
     if codec == "MJPG":
         from tools.jpeg_codec import encode_baseline_jpeg
 
         payloads = [encode_baseline_jpeg(f, quant=quant) for f in frames]
-        ckid, compression = b"00dc", b"MJPG"
+        ckid, compression = b"%02ddc" % vstream, b"MJPG"
         size_image = max(len(p) for p in payloads)
     else:
         payloads = [_dib_frame(f) for f in frames]
-        ckid, compression = b"00db", struct.pack("<I", 0)  # BI_RGB
+        ckid = b"%02ddb" % vstream
+        compression = struct.pack("<I", 0)  # BI_RGB
         size_image = ((w * 3 + 3) & ~3) * h
 
     avih = struct.pack(
@@ -85,7 +90,7 @@ def encode_avi(
         0x10,  # dwFlags: AVIF_HASINDEX
         len(frames),  # dwTotalFrames
         0,  # dwInitialFrames
-        1,  # dwStreams
+        2 if audio_first else 1,  # dwStreams
         size_image,  # dwSuggestedBufferSize
         w,
         h,
@@ -111,11 +116,23 @@ def encode_avi(
     strf = struct.pack("<IiiHH", 40, w, h, 1, 24) + compression + struct.pack(
         "<IiiII", size_image, 0, 0, 0, 0
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
+    strls = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    if audio_first:
+        astrh = (
+            b"auds"
+            + b"\x00" * 4
+            + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0, 1, 8000, 0, 0, 0, 0xFFFFFFFF, 1, 0, 0, 0, 0,
+            )
+        )
+        # WAVEFORMATEX: PCM mono 8 kHz 16-bit
+        astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strls = (
+            _list(b"strl", _chunk(b"strh", astrh) + _chunk(b"strf", astrf))
+            + strls
+        )
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
     movi_chunks = [_chunk(ckid, p) for p in payloads]
     movi = _list(b"movi", b"".join(movi_chunks))
     # idx1 offsets are relative to the start of the movi list's data
