@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead_gaps": q_lag_lead_gaps,
         "topk_orders": q_topk_orders,
         "delete_vectors": q_delete_vectors,
+        "dv_purge": q_dv_purge,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "shard_shuffle": q_shard_shuffle,
@@ -138,10 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "bm25_indexed": q_bm25_indexed,
         "corpus_curation": q_corpus_curation,
-        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r5-r7) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
         "grouped_udaf": q_grouped_udaf,
         "min_per_group": q_min_per_group,
         "quantiles": q_quantiles,
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         # delete arm: same relational statement, minus the erased keys
         "merge_delete_txn": SQL_MERGE_DELETE,
         "delete_vectors": SQL_DELETE_VECTORS,
+        "dv_purge": SQL_DV_PURGE,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

@@ -1557,6 +1557,44 @@ WHERE o_orderkey % 13 != 0 AND NOT (o_totalprice < 5000.0)
 """
 
 
+def q_dv_purge(spark, sf):
+    """DV lifecycle end-to-end: row-level delete via deletion vectors,
+    then txn_purge (Delta's REORG/PURGE shape) rewrites exactly the
+    files the deletes concentrated in — afterwards the table reads
+    identically but the heavy files are physically clean. The oracle is
+    the surviving-rows relation; per-file selectivity, stats recompute,
+    and DV-entry pruning are pinned in tests/test_txn.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        txn_delete,
+        txn_purge,
+        txn_read,
+        txn_write,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"dv_purge_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        o, path, mode="overwrite", partition_by=["o_orderstatus"],
+        stats_cols=["o_totalprice"],
+    )
+    txn_delete(spark, path, "o_orderkey % 11 = 0")
+    txn_purge(spark, path, min_deleted_ratio=0.001)
+    return txn_read(spark, path)
+
+
+SQL_DV_PURGE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 11 != 0
+"""
+
+
 def q_restore_table(spark, sf):
     """Delta-style RESTORE (txn_restore): seed the orders table (v1),
     clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed

@@ -934,6 +934,111 @@ def txn_delete(
     )
 
 
+def txn_purge(
+    spark: SparkSession,
+    path: str,
+    min_deleted_ratio: float = 0.1,
+    meta: dict | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Materialize deletion vectors SELECTIVELY (Delta's REORG/PURGE):
+    rewrite only the data files whose DV'd row fraction is at least
+    ``min_deleted_ratio``; lightly-deleted files keep riding their DVs.
+    The scale-correct middle ground between per-read anti-join cost and
+    a full compaction — at 100 TB a purge after a GDPR sweep rewrites
+    the handful of files the deletes concentrated in, not the table.
+
+    Driver-side state is one (file → deleted-count) map plus parquet
+    footer row counts — both bounded by the manifest's file count.
+    Surviving rows are rewritten under the table's partitioning, stats
+    columns are recomputed for the new files, and DV entries whose
+    referenced files were all rewritten are dropped from the manifest.
+    Returns the committed version (the current one when nothing
+    qualifies)."""
+    import glob  # noqa: F401  (parity with sibling commit functions)
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+        dv = _read_dv(spark, path, manifest)
+        if dv is None:
+            return version
+        per_file = {
+            r[0]: r[1] for r in dv.groupBy(_DV_FILE).count().collect()
+        }
+        live_paths = {f["path"] for f in manifest["files"]}
+        targets = set()
+        for rel, n_del in per_file.items():
+            if rel not in live_paths:
+                continue  # inert entry for a since-dropped file
+            total = pq.ParquetFile(
+                os.path.join(path, rel)
+            ).metadata.num_rows
+            if total and n_del / total >= min_deleted_ratio:
+                targets.add(rel)
+        if not targets:
+            return version
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        src = _with_row_refs(
+            spark.read.schema(schema).parquet(
+                *[os.path.join(path, p) for p in sorted(targets)]
+            )
+        )
+        clean = src.join(dv, [_DV_FILE, _DV_POS], "left_anti").drop(
+            _DV_FILE, _DV_POS
+        )
+        partition_by = sorted(
+            {k for f in manifest["files"] for k in f["partition"]}
+        )
+        commit_id = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(path, "data", commit_id)
+        w = clean
+        pcols = []
+        for c in partition_by:
+            pc = _PPREFIX + c
+            w = w.withColumn(pc, F.col(c).cast("string"))
+            pcols.append(pc)
+        writer = w.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(commit_dir)
+        new_files = _collect_files(commit_dir, path)
+        stats_cols = sorted(
+            {k for f in manifest["files"] for k in f.get("stats", {})}
+        )
+        if stats_cols:
+            for f in new_files:
+                f["stats"] = _file_stats(
+                    os.path.join(path, f["path"]), set(stats_cols)
+                )
+        kept = [f for f in manifest["files"] if f["path"] not in targets]
+        kept_paths = {f["path"] for f in kept}
+        new_dv = [
+            e for e in manifest.get("dv", [])
+            if not isinstance(e, dict) or not e.get("refs")
+            or any(r in kept_paths for r in e["refs"])
+        ]
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": kept + new_files,
+            "schema": manifest["schema"],
+            "dv": new_dv,
+            "meta": {**(meta or {}), "op": "purge"},
+        }
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+        shutil.rmtree(commit_dir, ignore_errors=True)  # lost race: redo
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races purging {path}"
+    )
+
+
 def txn_restore(
     path: str,
     version: int,

@@ -494,7 +494,8 @@ _HEAVY_BUILDERS = {
     "pca_embeddings", "logreg_score", "merge_upsert_txn", "cdc_changes", "time_travel",
     # round-7: txn MERGE-with-delete commit, memoized index build+append,
     # memoized pq build, in-engine langid profile training
-    "merge_delete_txn", "delete_vectors", "ivf_append", "pq_query", "lang_id",
+    "merge_delete_txn", "delete_vectors", "dv_purge", "ivf_append",
+    "pq_query", "lang_id",
     "restore_table", "data_skipping", "gif_frames",
     # round-8: fixture AVI/WAV payload construction (collects ≤16 ids)
     "video_frames", "audio_features",

@@ -1309,3 +1309,69 @@ def test_replace_where_prunes_dead_dv_entries(spark, tmp_path):
     got = txn_read(spark, path)
     assert got.filter("day = 2 and k < 5").count() == 0  # still deleted
     assert got.filter("day = 1").count() == 1  # refreshed content only
+
+
+def test_txn_purge_rewrites_only_heavily_deleted_files(spark, tmp_path):
+    """txn_purge: files whose DV'd fraction >= the threshold are
+    rewritten clean; lightly-deleted files keep their DVs; read results
+    are unchanged; stats columns recompute for the new files; DV entries
+    fully contained in purged files drop from the manifest; a DV-less
+    table is a no-op."""
+    from tdataframe_spark.sources.txn import txn_delete, txn_purge
+
+    path = str(tmp_path / "t")
+    # day partitions => one file family per day
+    txn_write(
+        spark.createDataFrame(
+            [(d, i, float(i)) for d in (1, 2) for i in range(100)],
+            "day int, k int, v double",
+        ),
+        path, mode="overwrite", partition_by=["day"], stats_cols=["v"],
+    )
+    # heavy delete in day=1 (50%), light delete in day=2 (2%)
+    txn_delete(spark, path, "day = 1 and k < 50")
+    txn_delete(spark, path, "day = 2 and k < 2")
+    before = _rows(txn_read(spark, path))
+    _, m0 = txn_latest(path)
+    # expected purge targets: files whose DV'd fraction >= threshold
+    import pyarrow.parquet as pq
+
+    from tdataframe_spark.sources.txn import _dv_paths, _DV_FILE
+
+    dv_counts = {
+        r[0]: r[1]
+        for r in spark.read.parquet(
+            *[os.path.join(path, p) for p in _dv_paths(m0["dv"])]
+        ).groupBy(_DV_FILE).count().collect()
+    }
+    expect_purged = {
+        f["path"] for f in m0["files"]
+        if dv_counts.get(f["path"], 0)
+        / pq.ParquetFile(os.path.join(path, f["path"])).metadata.num_rows
+        >= 0.25
+    }
+    expect_kept = {f["path"] for f in m0["files"]} - expect_purged
+    assert expect_purged and expect_kept  # the fixture split is real
+
+    v = txn_purge(spark, path, min_deleted_ratio=0.25)
+    _, m = txn_latest(path)
+    assert m["version"] == v and m["meta"]["op"] == "purge"
+    now_paths = {f["path"] for f in m["files"]}
+    assert not (expect_purged & now_paths)  # heavy files rewritten
+    assert expect_kept <= now_paths         # light files untouched
+    assert m["dv"], "light delete must still ride a DV"
+    assert all(
+        any(r in now_paths for r in e["refs"]) for e in m["dv"]
+    )
+    assert all("v" in f.get("stats", {}) for f in m["files"])
+    assert _rows(txn_read(spark, path)) == before
+
+    # idempotent below threshold; no-op at current version
+    assert txn_purge(spark, path, min_deleted_ratio=0.25) == v
+    # purging the rest clears every DV
+    v2 = txn_purge(spark, path, min_deleted_ratio=0.0001)
+    _, m2 = txn_latest(path)
+    assert v2 == v + 1 and m2["dv"] == []
+    assert _rows(txn_read(spark, path)) == before
+    # DV-less table: no-op
+    assert txn_purge(spark, path) == v2
