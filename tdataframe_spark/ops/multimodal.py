@@ -953,6 +953,7 @@ def audio_features(
     hop: int = 128,
     n_bands: int = 8,
     max_seconds: float = 30.0,
+    n_mfcc: int = 0,
 ) -> DataFrame:
     """REAL spectral feature extraction for WAV PCM payloads — STFT in
     pure numpy (Hann window, rfft magnitude), the featurize stage a
@@ -965,7 +966,12 @@ def audio_features(
     - ``centroid_hz`` — spectral centroid (power-weighted mean bin
       frequency);
     - ``band_db`` — ``n_bands`` equal-width log-power bands over the
-      rfft bins (a coarse log-spectrogram signature, 9-dp rounded).
+      rfft bins (a coarse log-spectrogram signature, 9-dp rounded);
+    - ``mfcc`` (when ``n_mfcc > 0``) — the first ``n_mfcc`` MFCCs:
+      HTK-mel triangular filterbank (26 filters over 0..rate/2) on the
+      frame-averaged power spectrum, log, orthonormal DCT-II — the
+      standard compact audio embedding for clustering/dedup/classifier
+      features.
 
     Analysis is capped at ``max_seconds`` of (channel-averaged mono)
     audio so cost never scales with payload duration — the 100 TB knob,
@@ -974,17 +980,22 @@ def audio_features(
     partitioning. Non-WAV/corrupt payloads come back ``ok=false`` in
     the same pass. Arrow-batched ``mapInPandas``.
     """
+    _N_MELS = 26
     if n_fft < 8 or hop < 1 or n_bands < 1 or n_bands > n_fft // 2:
         raise ValueError(
             f"need n_fft>=8, hop>=1, 1<=n_bands<=n_fft//2; got "
             f"n_fft={n_fft}, hop={hop}, n_bands={n_bands}"
         )
+    if n_mfcc < 0 or n_mfcc > _N_MELS:
+        raise ValueError(f"need 0<=n_mfcc<={_N_MELS}, got {n_mfcc}")
 
     schema = (
         "media_id bigint, kind string, ok boolean, sample_rate int, "
         "n_frames int, rms double, zcr double, dominant_hz double, "
         "centroid_hz double, band_db array<double>"
     )
+    if n_mfcc:
+        schema += ", mfcc array<double>"
 
     def run(batches):
         import numpy as np
@@ -994,6 +1005,37 @@ def audio_features(
         n_bins = n_fft // 2 + 1
         # n_bands equal-width groups over the non-DC bins
         edges = np.linspace(1, n_bins, n_bands + 1).astype(int)
+        fb_cache: dict = {}
+        if n_mfcc:
+            # orthonormal DCT-II rows (type-2, norm='ortho')
+            dct = np.cos(
+                np.pi
+                / _N_MELS
+                * (np.arange(_N_MELS) + 0.5)[None, :]
+                * np.arange(n_mfcc)[:, None]
+            ) * np.sqrt(2.0 / _N_MELS)
+            dct[0] *= np.sqrt(0.5)
+
+        def mel_fb(rate):
+            """HTK-mel triangular filterbank over the rfft bins."""
+            def mel(f):
+                return 2595.0 * np.log10(1.0 + f / 700.0)
+
+            pts = 700.0 * (
+                10.0 ** (np.linspace(mel(0.0), mel(rate / 2.0), _N_MELS + 2)
+                         / 2595.0) - 1.0
+            )
+            bins = np.minimum(
+                np.floor((n_fft + 1) * pts / rate).astype(int), n_bins - 1
+            )
+            fb = np.zeros((_N_MELS, n_bins))
+            for i in range(_N_MELS):
+                a, b, c = bins[i], bins[i + 1], bins[i + 2]
+                if b > a:
+                    fb[i, a:b] = (np.arange(a, b) - a) / (b - a)
+                if c > b:
+                    fb[i, b:c] = (c - np.arange(b, c)) / (c - b)
+            return fb
 
         def feats(buf):
             # the cap is applied inside the parse, at the raw-byte
@@ -1030,43 +1072,53 @@ def audio_features(
                 if len(mono) > 1
                 else 0.0
             )
-            return rate, n_frames, rms, zcr, float(dominant), centroid, bands
+            mfcc = None
+            if n_mfcc:
+                fb = fb_cache.get(rate)
+                if fb is None:
+                    fb = fb_cache[rate] = mel_fb(rate)
+                logm = np.log(fb @ power + 1e-12)
+                mfcc = [round(float(v), 9) for v in dct @ logm]
+            return (rate, n_frames, rms, zcr, float(dominant), centroid,
+                    bands, mfcc)
 
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 f = feats(r["payload"])
                 if f is None:
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "kind": r["kind"],
-                            "ok": False,
-                            "sample_rate": None,
-                            "n_frames": None,
-                            "rms": None,
-                            "zcr": None,
-                            "dominant_hz": None,
-                            "centroid_hz": None,
-                            "band_db": None,
-                        }
-                    )
-                    continue
-                rate, n_frames, rms, zcr, dom, cen, bands = f
-                rows.append(
-                    {
+                    row = {
                         "media_id": r["media_id"],
                         "kind": r["kind"],
-                        "ok": True,
-                        "sample_rate": rate,
-                        "n_frames": n_frames,
-                        "rms": round(rms, 9),
-                        "zcr": round(zcr, 9),
-                        "dominant_hz": round(dom, 9),
-                        "centroid_hz": round(cen, 9),
-                        "band_db": bands,
+                        "ok": False,
+                        "sample_rate": None,
+                        "n_frames": None,
+                        "rms": None,
+                        "zcr": None,
+                        "dominant_hz": None,
+                        "centroid_hz": None,
+                        "band_db": None,
                     }
-                )
+                    if n_mfcc:
+                        row["mfcc"] = None
+                    rows.append(row)
+                    continue
+                rate, n_frames, rms, zcr, dom, cen, bands, mfcc = f
+                row = {
+                    "media_id": r["media_id"],
+                    "kind": r["kind"],
+                    "ok": True,
+                    "sample_rate": rate,
+                    "n_frames": n_frames,
+                    "rms": round(rms, 9),
+                    "zcr": round(zcr, 9),
+                    "dominant_hz": round(dom, 9),
+                    "centroid_hz": round(cen, 9),
+                    "band_db": bands,
+                }
+                if n_mfcc:
+                    row["mfcc"] = mfcc
+                rows.append(row)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema)

@@ -3327,7 +3327,8 @@ def q_audio_features(spark, sf):
     PCM WAVs (a two-tone mix per documents-row id < 16, tone bins
     parameterized by the id), STFT'd by audio_features (pure-numpy Hann
     + rfft over Arrow mapInPandas) into rms/zcr/dominant-frequency/
-    spectral-centroid/log-band features — the decode→featurize audio
+    spectral-centroid/log-band features plus 13 MFCCs (HTK-mel
+    filterbank + orthonormal DCT-II) — the decode→featurize audio
     column pipeline with no stub in the loop. Binary payload
     construction and FFTs are not SQL-expressible → rows-only; the
     spectral math (exact-bin dominant frequency, rms=A/sqrt(2), band
@@ -3368,7 +3369,15 @@ def q_audio_features(spark, sf):
     media = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     )
-    out = audio_features(media, n_fft=n_fft, hop=128, n_bands=8)
+    out = audio_features(media, n_fft=n_fft, hop=128, n_bands=8, n_mfcc=13)
+
+    def csv(col):
+        # arrays never cross the query boundary raw (driver canonicalizer)
+        return F.concat_ws(
+            ",",
+            F.transform(col, lambda x: x.cast("decimal(20,9)").cast("string")),
+        )
+
     return out.select(
         "media_id",
         "ok",
@@ -3378,13 +3387,8 @@ def q_audio_features(spark, sf):
         "zcr",
         "dominant_hz",
         "centroid_hz",
-        # arrays never cross the query boundary raw (driver canonicalizer)
-        F.concat_ws(
-            ",",
-            F.transform(
-                "band_db", lambda x: x.cast("decimal(20,9)").cast("string")
-            ),
-        ).alias("band_db_csv"),
+        csv("band_db").alias("band_db_csv"),
+        csv("mfcc").alias("mfcc_csv"),
     )
 
 

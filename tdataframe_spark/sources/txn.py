@@ -881,6 +881,13 @@ def txn_delete(
         # does not survive txn_read's own DV anti-join), so rebuild the
         # snapshot read here with refs attached, then apply existing DVs
         schema = StructType.fromJson(json.loads(manifest["schema"]))
+        clash = {_DV_FILE, _DV_POS} & {f.name for f in schema.fields}
+        if clash:
+            raise ValueError(
+                f"table columns {sorted(clash)} collide with the "
+                "deletion-vector row-ref internals; rename them before "
+                "using txn_delete"
+            )
         paths = [os.path.join(path, f["path"]) for f in manifest["files"]]
         cur = _with_row_refs(spark.read.schema(schema).parquet(*paths))
         old_dv = _read_dv(spark, path, manifest)

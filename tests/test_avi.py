@@ -286,3 +286,62 @@ def test_parse_wav_caps_before_float_conversion():
     assert n2 == 256
     # no cap: full clip
     assert _parse_wav(wav)[2] == 10 * rate
+
+
+def test_audio_features_mfcc(spark):
+    """n_mfcc adds orthonormal-DCT MFCCs over an HTK-mel filterbank:
+    right length, deterministic across partitionings, scale behaves
+    (doubling amplitude shifts ONLY c0 — log energy — by a constant,
+    sqrt(1/26)*2ln2 per DCT row 0, leaving higher coefficients
+    bit-unchanged), and different tones yield different cepstra."""
+    from tdataframe_spark.ops.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64)
+
+    # broadband multi-tone so EVERY mel filter carries real energy (the
+    # log epsilon floor would otherwise freeze silent filters and break
+    # the uniform-shift algebra below)
+    dense = sum(
+        np.sin(2 * np.pi * (100.0 * k) * t / rate + k) for k in range(1, 40)
+    )
+    x1 = (dense / np.abs(dense).max() * 12000).astype("<i2")
+    x2 = (x1.astype(np.int32) * 2).astype("<i2")  # EXACTLY doubled
+    other = (np.sign(np.sin(2 * np.pi * 300 * t / rate)) * 12000).astype(
+        "<i2"
+    )  # square wave: different spectral envelope
+    media = spark.createDataFrame(
+        [
+            (0, "audio/wav", bytearray(_wav_bytes(x1, rate))),
+            (1, "audio/wav", bytearray(_wav_bytes(x2, rate))),
+            (2, "audio/wav", bytearray(_wav_bytes(other, rate))),
+            (3, "audio/ogg", bytearray(b"OggS nope")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in audio_features(media, n_mfcc=13).collect()
+    }
+    assert len(out[0]["mfcc"]) == 13
+    assert out[3]["mfcc"] is None and not out[3]["ok"]
+    # exactly-doubled samples: power *4 => every log-mel +2ln2 => only
+    # c0 (the orthonormal-DCT DC row, sqrt(1/26)*sum) moves, by
+    # sqrt(1/26)*26*2ln2 = sqrt(26)*2ln2
+    shift = np.sqrt(26.0) * 2.0 * np.log(2.0)
+    assert out[1]["mfcc"][0] - out[0]["mfcc"][0] == pytest.approx(
+        shift, abs=1e-6
+    )
+    for c_a, c_b in zip(out[0]["mfcc"][1:], out[1]["mfcc"][1:]):
+        assert c_a == pytest.approx(c_b, abs=1e-6)
+    assert out[0]["mfcc"][1:] != out[2]["mfcc"][1:]  # different timbre
+    # partitioning invariance
+    a = sorted(map(tuple, audio_features(media, n_mfcc=13).collect()))
+    b = sorted(
+        map(tuple, audio_features(media.repartition(3), n_mfcc=13).collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="n_mfcc"):
+        audio_features(media, n_mfcc=99)
+    # n_mfcc=0 keeps the original schema (no mfcc column)
+    assert "mfcc" not in audio_features(media).columns

@@ -224,3 +224,38 @@ def test_synthetic_source_5m_sessionize_and_heavy_hitters(spark):
         F.count(F.lit(1)).alias("n_rows"),
     ).first()
     assert agg["n_rows"] == n and agg["n_sessions"] == 1000
+
+
+def test_deletion_vectors_2m_rows(spark, tmp_path):
+    """DV scale smoke: a 2M-row table takes a selective row-level delete
+    (0.1% of rows) as a small DV commit — the delete's cost is dominated
+    by one scan, the DV parquet stays kilobyte-scale relative to the
+    data, reads anti-join exactly right, and txn_purge rewrites nothing
+    at a sane threshold (no file is 10% deleted)."""
+    import os
+
+    from tdataframe_spark.sources.txn import (
+        txn_delete, txn_latest, txn_purge, txn_read, txn_write,
+    )
+
+    n = 2_000_000
+    path = str(tmp_path / "t")
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
+    )
+    txn_write(df.repartition(16), path, mode="overwrite")
+    v = txn_delete(spark, path, "k % 1000 = 7")  # 2000 rows
+    assert v == 2
+    _, m = txn_latest(path)
+    dv_bytes = sum(
+        os.path.getsize(os.path.join(path, e["path"])) for e in m["dv"]
+    )
+    data_bytes = sum(
+        os.path.getsize(os.path.join(path, f["path"])) for f in m["files"]
+    )
+    assert dv_bytes < data_bytes / 100  # kilobyte-scale vs the table
+    got = txn_read(spark, path)
+    assert got.count() == n - 2000
+    assert got.filter("k % 1000 = 7").count() == 0
+    # nothing crosses a 10% per-file threshold: purge is a no-op commit
+    assert txn_purge(spark, path, min_deleted_ratio=0.1) == v

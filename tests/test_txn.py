@@ -1375,3 +1375,17 @@ def test_txn_purge_rewrites_only_heavily_deleted_files(spark, tmp_path):
     assert _rows(txn_read(spark, path)) == before
     # DV-less table: no-op
     assert txn_purge(spark, path) == v2
+
+
+def test_txn_delete_rejects_reserved_ref_columns(spark, tmp_path):
+    """A table whose own columns collide with the DV row-ref internals
+    must raise loudly at delete time, not silently mis-join."""
+    from tdataframe_spark.sources.txn import txn_delete
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(1, "x")], "k int, __dv_file string"),
+        path, mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="__dv_file"):
+        txn_delete(spark, path, "k = 1")
