@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "shard_shuffle": q_shard_shuffle,
+        "image_dedup": q_image_dedup,
         "merge_upsert_txn": q_merge_upsert_txn,
         "merge_delete_txn": q_merge_delete_txn,
         "data_skipping": q_data_skipping,
@@ -138,10 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "hybrid_search": q_hybrid_search,
         "bm25_indexed": q_bm25_indexed,
-        "corpus_curation": q_corpus_curation,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r5-r7) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "corpus_curation": q_corpus_curation,
         "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
         "grouped_udaf": q_grouped_udaf,
         "min_per_group": q_min_per_group,

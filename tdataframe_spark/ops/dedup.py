@@ -934,6 +934,30 @@ def simhash_hamming_pairs(
     side, b on the exact side), one shuffle join on the band key, one
     distinct on the candidate pairs, map-side verify.
     """
+    return hamming_pairs(
+        simhash64(df, id_col, text_col, n=n),
+        id_col,
+        "simhash",
+        max_distance=max_distance,
+        n_bits=n_bits,
+        expand=expand,
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_distance: int = 8,
+    n_bits: int = 60,
+    expand: int = 1,
+) -> DataFrame:
+    """Generic banded Hamming join over ANY packed-bigint signature
+    column (SimHash text signatures, pHash image signatures, ...) — the
+    pigeonhole machinery of :func:`simhash_hamming_pairs` factored out
+    so every fixed-width binary embedding gets the never-all-pairs
+    near-dup join. See that docstring for the banding math and the
+    honest cost floor."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
     if expand not in (0, 1):
@@ -947,7 +971,7 @@ def simhash_hamming_pairs(
     widths = [base + (1 if i < extra else 0) for i in range(bands)]
     offsets = [sum(widths[:i]) for i in range(bands)]
 
-    h = simhash64(df, id_col, text_col, n=n)
+    h = sigs.select(F.col(id_col), F.col(sig_col).alias("simhash"))
 
     def band_val(i: int):
         return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(

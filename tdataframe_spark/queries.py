@@ -3392,6 +3392,71 @@ def q_audio_features(spark, sf):
     )
 
 
+def q_image_dedup(spark, sf):
+    """Multimodal near-dup detection: DCT perceptual hashes
+    (phash_images — real decode, grayscale, 32x32, orthonormal DCT,
+    median threshold) paired by the generic banded Hamming join
+    (ops/dedup.hamming_pairs — the SimHash pigeonhole machinery over any
+    packed signature; never all-pairs). Fixtures: one deterministic
+    gradient image per documents-row id < 10, with ids < 4 also planted
+    as a JPEG re-encode (+100) and a mild brightness shift (+200) — the
+    re-encode/brightness families must pair, unrelated gradients must
+    not. Binary payloads + DCT are not SQL-expressible → rows-only;
+    determinism (incl. the pandas Int64-vs-float64 promotion trap) and
+    recall pins live in tests/test_avi.py."""
+    import numpy as np
+
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import phash_images
+    from tools.jpeg_codec import encode_baseline_jpeg
+
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id")
+        .collect()
+    ]
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def img(did):
+        return np.stack(
+            [
+                (xx * (did * 17 % 251 + 4) % 256),
+                (yy * (did * 29 % 241 + 4) % 256),
+                ((xx + yy * (did + 2)) % 97 * 2.6),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+
+    def p6(a):
+        return bytearray(
+            f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
+        )
+
+    rows = []
+    for did in sorted(ids):
+        base = img(did)
+        rows.append((int(did), "image/ppm", p6(base)))
+        if did < 4:
+            rows.append(
+                (int(did) + 100, "image/jpeg",
+                 bytearray(encode_baseline_jpeg(base)))
+            )
+            bright = np.clip(base.astype(np.int16) + 8, 0, 255).astype(
+                np.uint8
+            )
+            rows.append((int(did) + 200, "image/ppm", p6(bright)))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    sigs = phash_images(media)
+    return hamming_pairs(
+        sigs.filter("ok"), "media_id", "phash", max_distance=10, n_bits=63
+    ).select("id_a", "id_b", "hamming")
+
+
 def q_lang_id(spark, sf):
     """Language identification — the ccnet front door the text-quality
     family (lm_score, ccnet_buckets) gates on — Cavnar-Trenkle ranked

@@ -345,3 +345,65 @@ def test_audio_features_mfcc(spark):
         audio_features(media, n_mfcc=99)
     # n_mfcc=0 keeps the original schema (no mfcc column)
     assert "mfcc" not in audio_features(media).columns
+
+
+def test_phash_near_dup_images(spark):
+    """phash_images + hamming_pairs: re-encodes (JPEG of the same
+    pixels) and mild brightness shifts land at small Hamming distance;
+    unrelated images do not pair; junk payloads classify ok=false; the
+    hash is partition-invariant."""
+    from tools.jpeg_codec import encode_baseline_jpeg
+
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import phash_images
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 / (w - 1)),
+            (yy * 255 / (h - 1)),
+            ((xx + yy) % 97 * 2.6),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    bright = np.clip(base.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+    ch = ((xx * 7 + yy * 13) % 256).astype(np.uint8)
+    other = np.stack([ch, ch[::-1], ch[:, ::-1]], axis=2)
+
+    def p6(a):
+        return bytearray(f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode()
+                         + a.tobytes())
+
+    media = spark.createDataFrame(
+        [
+            (0, "image/ppm", p6(base)),
+            (1, "image/jpeg", bytearray(encode_baseline_jpeg(base))),
+            (2, "image/ppm", p6(bright)),
+            (3, "image/ppm", p6(other)),
+            (4, "image/webp", bytearray(b"RIFFxxxxWEBP")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    sigs = phash_images(media)
+    rows = {r["media_id"]: r for r in sigs.collect()}
+    assert rows[4]["ok"] is False and rows[4]["phash"] is None
+    assert all(rows[i]["ok"] for i in range(4))
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            sigs.filter("ok"), "media_id", "phash",
+            max_distance=10, n_bits=63,
+        )
+        .withColumnRenamed("id_a", "id_a").collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+    a = sorted(map(tuple, phash_images(media).collect()))
+    b = sorted(map(tuple, phash_images(media.repartition(3)).collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="block"):
+        phash_images(media, resize=8, block=16)

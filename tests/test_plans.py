@@ -497,8 +497,8 @@ _HEAVY_BUILDERS = {
     "merge_delete_txn", "delete_vectors", "dv_purge", "ivf_append",
     "pq_query", "lang_id",
     "restore_table", "data_skipping", "gif_frames",
-    # round-8: fixture AVI/WAV payload construction (collects ≤16 ids)
-    "video_frames", "audio_features",
+    # round-8: fixture AVI/WAV/image payload construction (collects ≤16 ids)
+    "video_frames", "audio_features", "image_dedup",
 }
 
 
