@@ -84,9 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window (first 50): must-verify this round (r8) ---
         # the 32 oldest externally-verified entries (r4-last — the FULL
-        # remaining rotation debt), then the 4 queries NEW this round
-        # (deletion vectors, real AVI video decode, STFT audio features,
-        # deterministic shard shuffle), then the txn-layer family (DV
+        # remaining rotation debt), then the 7 queries NEW this round
+        # (deletion vectors + purge, real AVI video decode, STFT audio
+        # features, deterministic shard shuffle, pHash image dedup,
+        # shot-boundary detection), then the txn-layer family (DV
         # plumbing touched txn_write/read/changes/vacuum/upsert/restore
         # this round), then r5-last backfill complex-oracle-first
         "chunk_docs": q_chunk_docs,
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "shard_shuffle": q_shard_shuffle,
         "image_dedup": q_image_dedup,
+        "shot_detect": q_shot_detect,
         "merge_upsert_txn": q_merge_upsert_txn,
         "merge_delete_txn": q_merge_delete_txn,
         "data_skipping": q_data_skipping,
@@ -138,10 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "tfidf_pairs": q_tfidf_pairs,
         "hybrid_search": q_hybrid_search,
-        "bm25_indexed": q_bm25_indexed,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r5-r7) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "bm25_indexed": q_bm25_indexed,
         "corpus_curation": q_corpus_curation,
         "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
         "grouped_udaf": q_grouped_udaf,

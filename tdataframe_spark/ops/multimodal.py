@@ -920,6 +920,58 @@ def phash_images(
     return media.mapInPandas(run, schema)
 
 
+def shot_boundaries(
+    media: DataFrame,
+    every_n: int = 1,
+    cut_distance: int = 12,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Scene-cut detection over video payloads: REAL frame fan-out
+    (:func:`sample_frames` — GIF / MJPEG-AVI / raw-AVI), per-frame
+    perceptual hash (:func:`phash_images`), then the Hamming distance
+    between CONSECUTIVE sampled frames computed JVM-side
+    (``bit_count(xor)`` over a per-video window — never global). A
+    frame whose hash sits ≥ ``cut_distance`` bits from its predecessor
+    starts a new shot; gradual motion moves few pHash bits, a cut moves
+    many.
+
+    Returns one row per consecutive frame pair: ``media_id, frame_idx,
+    prev_idx, hamming, is_cut``. The shuffle key is the video id and
+    window state is one video's sampled frames — at 100 TB the heavy
+    work (decode + hash) is embarrassingly per-frame and the window
+    never exceeds frames-per-video."""
+    lim = 1 << 20  # frame_idx packs below the media id
+    frames = sample_frames(media, every_n=every_n, decode_stub=decode_stub)
+    packed = frames.select(
+        (F.col("media_id") * lim + F.col("frame_idx")).alias("media_id"),
+        # MJPG frames are JPEGs, GIF/DIB frames are P6 — the decoder
+        # dispatches on magic bytes, the kind string is informational
+        F.lit("image/frame").alias("kind"),
+        F.col("frame_payload").alias("payload"),
+    )
+    sigs = phash_images(packed).filter("ok")
+    from pyspark.sql import Window
+
+    unpacked = sigs.select(
+        (F.col("media_id") / lim).cast("long").alias("media_id"),
+        F.pmod(F.col("media_id"), F.lit(lim)).cast("int").alias("frame_idx"),
+        "phash",
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    return (
+        unpacked.withColumn("prev_idx", F.lag("frame_idx").over(w))
+        .withColumn("__prev", F.lag("phash").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "media_id",
+            "frame_idx",
+            "prev_idx",
+            F.expr("bit_count(phash ^ __prev)").cast("int").alias("hamming"),
+        )
+        .withColumn("is_cut", F.col("hamming") >= F.lit(cut_distance))
+    )
+
+
 AUDIO_SCHEMA = (
     "media_id bigint, kind string, ok boolean, sample_rate int, "
     "n_channels int, n_samples bigint, duration_s double, "

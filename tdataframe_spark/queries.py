@@ -3457,6 +3457,49 @@ def q_image_dedup(spark, sf):
     ).select("id_a", "id_b", "hamming")
 
 
+def q_shot_detect(spark, sf):
+    """Video scene-cut detection end-to-end (shot_boundaries): real
+    MJPEG-AVI frame fan-out → per-frame perceptual hash → JVM-side
+    consecutive-frame Hamming distance over per-video windows. Fixtures
+    plant one hard cut per video (documents ids < 4, cut position
+    parameterized by the id); gentle within-scene drift stays below the
+    threshold. Binary payloads + DCT are not SQL-expressible →
+    rows-only; exact-boundary recall is pinned in tests/test_avi.py."""
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import shot_boundaries
+    from tools.avi_codec import encode_avi
+
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 4)
+        .select("doc_id")
+        .collect()
+    ]
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    rows = []
+    for did in sorted(ids):
+        cut_at = 2 + did % 3
+        frames = []
+        for f in range(6):
+            if f < cut_at:
+                g = np.clip(xx * 255 / (w - 1) + f * 2, 0, 255)
+                img = np.stack([g, g, g], axis=2)
+            else:
+                g0 = ((yy * (7 + did) + xx * 3) % 64) * 4
+                g = np.clip(g0 + (f - cut_at) * 2, 0, 255)
+                img = np.stack([255 - g, g, np.clip(g0 + 128, 0, 255)],
+                               axis=2)
+            frames.append(img.astype(np.uint8))
+        rows.append((int(did), "video/avi", bytearray(encode_avi(frames))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    return shot_boundaries(media, every_n=1, cut_distance=12)
+
+
 def q_lang_id(spark, sf):
     """Language identification — the ccnet front door the text-quality
     family (lm_score, ccnet_buckets) gates on — Cavnar-Trenkle ranked

@@ -407,3 +407,43 @@ def test_phash_near_dup_images(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="block"):
         phash_images(media, resize=8, block=16)
+
+
+def test_shot_boundaries_detects_planted_cut(spark):
+    """shot_boundaries: a real MJPEG AVI whose frames drift gently for
+    4 frames then hard-cut to a different scene — exactly one is_cut at
+    the planted boundary; the smooth transitions stay below threshold;
+    per-video windows keep videos independent."""
+    from tdataframe_spark.ops.multimodal import shot_boundaries
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def scene_a(f):
+        # slow drift: brightness creeps a little per frame
+        g = ((xx * 255 / (w - 1)) + f * 2) % 256
+        return np.stack([g, g, g], axis=2).astype(np.uint8)
+
+    def scene_b(f):
+        g0 = ((yy * 11 + xx * 3) % 64) * 4
+        g = np.clip(g0 + f * 2, 0, 255)  # gentle drift, no mod wrap
+        return np.stack(
+            [255 - g, g, np.clip(g0 + 128 + f, 0, 255)], axis=2
+        ).astype(np.uint8)
+
+    frames = [scene_a(f) for f in range(4)] + [scene_b(f) for f in range(4)]
+    media = spark.createDataFrame(
+        [
+            (7, "video/avi", bytearray(encode_avi(frames, codec="MJPG"))),
+            (8, "video/avi",
+             bytearray(encode_avi([scene_a(f) for f in range(5)],
+                                  codec="DIB "))),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = shot_boundaries(media, every_n=1, cut_distance=12).collect()
+    cuts = {(r["media_id"], r["frame_idx"]) for r in out if r["is_cut"]}
+    assert cuts == {(7, 4)}  # exactly the planted boundary
+    v7 = sorted(r["frame_idx"] for r in out if r["media_id"] == 7)
+    assert v7 == [1, 2, 3, 4, 5, 6, 7]
+    assert all(not r["is_cut"] for r in out if r["media_id"] == 8)

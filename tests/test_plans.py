@@ -498,7 +498,7 @@ _HEAVY_BUILDERS = {
     "pq_query", "lang_id",
     "restore_table", "data_skipping", "gif_frames",
     # round-8: fixture AVI/WAV/image payload construction (collects ≤16 ids)
-    "video_frames", "audio_features", "image_dedup",
+    "video_frames", "audio_features", "image_dedup", "shot_detect",
 }
 
 
