@@ -96,6 +96,13 @@ EXTENDED = [
     "delete_vectors",
     "shard_shuffle",
     "audio_features",
+    # round-8 late additions: DV purge (seed + delete + selective file
+    # rewrite per run), pHash image near-dup (fixture images — tracks
+    # the decode+DCT+banded-Hamming-join path), and shot detection
+    # (real AVI frame fan-out + per-frame hash + windowed distance)
+    "dv_purge",
+    "image_dedup",
+    "shot_detect",
 ]
 
 

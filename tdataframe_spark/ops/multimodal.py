@@ -796,9 +796,10 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
 
     Output per payload: parsed (width, height, channels) and the per-channel
     pixel mean in [0,1] — a real, deterministic image statistic usable as a
-    trivial embedding. Arrow-batched ``mapInPandas``; closure is
-    self-contained (numpy/pandas only) so workers need no copy of this
-    package.
+    trivial embedding. Arrow-batched ``mapInPandas``; the decoder lives in
+    the module-level :func:`_image_parser` (shared with phash_images), so
+    executors import this package — the same requirement sample_frames'
+    GIF/AVI paths already have.
     """
 
     def run(batches):
@@ -846,29 +847,51 @@ def decode_images(media: DataFrame, resize_to: int | None = None) -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
+_PHASH_LUM_BITS = 16  # thermometer-coded global luminance bits
+
+
 def phash_images(
-    media: DataFrame, resize: int = 32, block: int = 8
+    media: DataFrame,
+    resize: int = 32,
+    block: int = 8,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """DCT perceptual hash (pHash) per image payload — the multimodal
     near-dup key: decode (real, :func:`_image_parser`), grayscale,
     deterministic ``resize``×``resize`` downsample, orthonormal 2-D
     DCT-II, keep the ``block``×``block`` low-frequency corner, threshold
-    each AC coefficient against their median → a packed
-    ``block²-1``-bit signature (63 bits at the default — fits a signed
-    long). Re-encodes, mild brightness/contrast shifts, and small crops
-    move few bits, so near-duplicate images sit at small Hamming
-    distance; pair them with :func:`tdataframe_spark.ops.dedup.
-    hamming_pairs` (banded pigeonhole join — never all-pairs).
+    each AC coefficient against their median. The low 47 bits are those
+    AC signs; the top 16 are THERMOMETER-CODED global luminance
+    (17 levels — level k sets the lowest k of them), so two FLAT images
+    of different shade still differ proportionally to their brightness
+    gap (median-of-AC alone hashes every uniform image to the same
+    value, merging black with white and hiding solid-frame scene cuts).
+    The thermometer code makes luminance Hamming distance monotone in
+    the level gap; a mild brightness shift crosses at most one level
+    (one bit). 63 bits total — fits a signed long.
+
+    Re-encodes, mild brightness/contrast shifts, and small crops move
+    few bits, so near-duplicate images sit at small Hamming distance;
+    pair them with :func:`tdataframe_spark.ops.dedup.hamming_pairs`
+    (banded pigeonhole join — never all-pairs).
+
+    ``passthrough``: input columns copied verbatim to the output (e.g.
+    a frame index riding next to media_id — safer than packing two ids
+    into one long, which breaks on negative/large ids).
 
     Per-row pure function of the payload bytes → bit-deterministic
     under any partitioning. Undecodable payloads come back ``ok=false``
     with a NULL hash. Arrow-batched ``mapInPandas``."""
     if block < 2 or resize < block:
         raise ValueError(f"need 2<=block<=resize, got {block}/{resize}")
-    if block * block - 1 > 63:
-        raise ValueError("block too large: the signature must fit 63 bits")
+    n_ac = min(block * block - 1, 63 - _PHASH_LUM_BITS)
 
-    schema = "media_id bigint, kind string, ok boolean, phash long"
+    extra = ", ".join(
+        f"{c} {media.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    schema = "media_id bigint, kind string, ok boolean, phash long" + (
+        f", {extra}" if extra else ""
+    )
 
     def run(batches):
         import numpy as np
@@ -881,6 +904,7 @@ def phash_images(
             np.pi / n * (np.arange(n)[None, :] + 0.5) * np.arange(n)[:, None]
         ) * np.sqrt(2.0 / n)
         C[0] *= np.sqrt(0.5)
+        levels = _PHASH_LUM_BITS + 1
 
         def phash(buf):
             arr = parse_image(buf)
@@ -889,33 +913,41 @@ def phash_images(
             g = arr.mean(axis=2) if arr.ndim == 3 else arr
             yi = np.linspace(0, g.shape[0] - 1, n).round().astype(int)
             xi = np.linspace(0, g.shape[1] - 1, n).round().astype(int)
-            d = C @ g[yi][:, xi] @ C.T
+            gs = g[yi][:, xi]
+            d = C @ gs @ C.T
             # 9-dp quantization before the median threshold: BLAS dgemm
             # blocking can differ ulps across worker processes, and two
             # near-equal coefficients straddling the median RANK would
             # otherwise swap identities and flip their bits (observed)
-            vals = np.round(d[:block, :block].flatten()[1:], 9)  # drop DC
+            vals = np.round(
+                d[:block, :block].flatten()[1 : 1 + n_ac], 9
+            )  # drop DC, keep the lowest-frequency AC block
             med = np.median(vals)
             h = 0
             for i, v in enumerate(vals):
                 if v > med:
                     h |= 1 << i
+            lum = min(
+                int(round(float(gs.mean()), 9) * levels), levels - 1
+            )
+            h |= ((1 << lum) - 1) << n_ac  # thermometer code
             return h
 
         for pdf in batches:
             hashes = [phash(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "ok": [h is not None for h in hashes],
-                    # nullable Int64, NOT a plain object/int column: a
-                    # batch mixing None (undecodable) with large hashes
-                    # would promote to float64 and round away low bits
-                    # (observed: ...784 -> ...272, partition-dependent)
-                    "phash": pd.array(hashes, dtype="Int64"),
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "ok": [h is not None for h in hashes],
+                # nullable Int64, NOT a plain object/int column: a
+                # batch mixing None (undecodable) with large hashes
+                # would promote to float64 and round away low bits
+                # (observed: ...784 -> ...272, partition-dependent)
+                "phash": pd.array(hashes, dtype="Int64"),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema)
 
@@ -928,44 +960,47 @@ def shot_boundaries(
 ) -> DataFrame:
     """Scene-cut detection over video payloads: REAL frame fan-out
     (:func:`sample_frames` — GIF / MJPEG-AVI / raw-AVI), per-frame
-    perceptual hash (:func:`phash_images`), then the Hamming distance
-    between CONSECUTIVE sampled frames computed JVM-side
-    (``bit_count(xor)`` over a per-video window — never global). A
-    frame whose hash sits ≥ ``cut_distance`` bits from its predecessor
-    starts a new shot; gradual motion moves few pHash bits, a cut moves
-    many.
+    perceptual hash (:func:`phash_images` with ``frame_idx`` riding as a
+    passthrough column — no id packing, so negative/large video ids and
+    arbitrarily long videos are safe), then the Hamming distance between
+    CONSECUTIVE sampled frames computed JVM-side (``bit_count(xor)``
+    over a per-video window — never global). A frame whose hash sits ≥
+    ``cut_distance`` bits from its predecessor starts a new shot;
+    gradual motion moves few pHash bits, a cut moves many.
 
     Returns one row per consecutive frame pair: ``media_id, frame_idx,
-    prev_idx, hamming, is_cut``. The shuffle key is the video id and
-    window state is one video's sampled frames — at 100 TB the heavy
-    work (decode + hash) is embarrassingly per-frame and the window
-    never exceeds frames-per-video."""
-    lim = 1 << 20  # frame_idx packs below the media id
+    prev_idx, hamming, is_cut``. Frames that do not hash (stub-codec
+    slices, corrupt frames) are NOT silently dropped: their pairs come
+    back with NULL hamming / NULL is_cut, so a mixed corpus can tell
+    "no cuts" from "codec unsupported" (the module's classify-don't-
+    vanish contract). The shuffle key is the video id and window state
+    is one video's sampled frames — at 100 TB the heavy work (decode +
+    hash) is embarrassingly per-frame and the window never exceeds
+    frames-per-video."""
     frames = sample_frames(media, every_n=every_n, decode_stub=decode_stub)
-    packed = frames.select(
-        (F.col("media_id") * lim + F.col("frame_idx")).alias("media_id"),
-        # MJPG frames are JPEGs, GIF/DIB frames are P6 — the decoder
-        # dispatches on magic bytes, the kind string is informational
-        F.lit("image/frame").alias("kind"),
-        F.col("frame_payload").alias("payload"),
+    sigs = phash_images(
+        frames.select(
+            "media_id",
+            # MJPG frames are JPEGs, GIF/DIB frames are P6 — the decoder
+            # dispatches on magic bytes, the kind string is informational
+            F.lit("image/frame").alias("kind"),
+            F.col("frame_payload").alias("payload"),
+            "frame_idx",
+        ),
+        passthrough=("frame_idx",),
     )
-    sigs = phash_images(packed).filter("ok")
     from pyspark.sql import Window
 
-    unpacked = sigs.select(
-        (F.col("media_id") / lim).cast("long").alias("media_id"),
-        F.pmod(F.col("media_id"), F.lit(lim)).cast("int").alias("frame_idx"),
-        "phash",
-    )
     w = Window.partitionBy("media_id").orderBy("frame_idx")
     return (
-        unpacked.withColumn("prev_idx", F.lag("frame_idx").over(w))
+        sigs.withColumn("prev_idx", F.lag("frame_idx").over(w))
         .withColumn("__prev", F.lag("phash").over(w))
-        .filter(F.col("__prev").isNotNull())
+        .filter(F.col("prev_idx").isNotNull())
         .select(
             "media_id",
             "frame_idx",
             "prev_idx",
+            # NULL-safe: either side unhashed -> NULL hamming/is_cut
             F.expr("bit_count(phash ^ __prev)").cast("int").alias("hamming"),
         )
         .withColumn("is_cut", F.col("hamming") >= F.lit(cut_distance))

@@ -962,7 +962,6 @@ def txn_purge(
     referenced files were all rewritten are dropped from the manifest.
     Returns the committed version (the current one when nothing
     qualifies)."""
-    import glob  # noqa: F401  (parity with sibling commit functions)
     import shutil
 
     import pyarrow.parquet as pq

@@ -395,8 +395,7 @@ def test_phash_near_dup_images(spark):
         for r in hamming_pairs(
             sigs.filter("ok"), "media_id", "phash",
             max_distance=10, n_bits=63,
-        )
-        .withColumnRenamed("id_a", "id_a").collect()
+        ).collect()
     }
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
     assert not any(3 in p for p in pairs)
@@ -447,3 +446,61 @@ def test_shot_boundaries_detects_planted_cut(spark):
     v7 = sorted(r["frame_idx"] for r in out if r["media_id"] == 7)
     assert v7 == [1, 2, 3, 4, 5, 6, 7]
     assert all(not r["is_cut"] for r in out if r["media_id"] == 8)
+
+
+def test_phash_flat_images_differ_by_luminance(spark):
+    """Review r8: median-of-AC alone hashes every uniform image to the
+    same value — the thermometer-coded luminance bits must separate
+    solid black from solid white (16 bits apart) while a mild
+    brightness shift moves at most ~1 bit."""
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import phash_images
+
+    def flat(v):
+        a = np.full((16, 16, 3), v, np.uint8)
+        return bytearray(b"P6\n16 16\n255\n" + a.tobytes())
+
+    media = spark.createDataFrame(
+        [(0, "image/ppm", flat(0)), (1, "image/ppm", flat(255)),
+         (2, "image/ppm", flat(4))],
+        "media_id long, kind string, payload binary",
+    )
+    sigs = phash_images(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            sigs, "media_id", "phash", max_distance=63, n_bits=63
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 16  # black vs white: all luminance bits
+    assert pairs[(0, 2)] <= 1   # tiny brightness shift: ~one level
+
+
+def test_shot_boundaries_surfaces_unhashable_videos(spark):
+    """Review r8: a stub-codec video must yield pair rows with NULL
+    hamming/is_cut, not vanish — callers can tell 'no cuts' from
+    'codec unsupported'. Also: negative and huge media ids are safe
+    (frame_idx rides as a passthrough column, no id packing)."""
+    from tdataframe_spark.ops.multimodal import shot_boundaries
+
+    frames = _frames(n=4)
+    media = spark.createDataFrame(
+        [
+            (-3, "video/avi", bytearray(encode_avi(frames, codec="DIB "))),
+            (1 << 52, "video/avi",
+             bytearray(encode_avi(frames, codec="MJPG"))),
+            (5, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42data")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = shot_boundaries(media, every_n=1).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {-3, 1 << 52, 5}
+    for vid in (-3, 1 << 52):
+        assert all(r["hamming"] is not None for r in by_id[vid])
+        assert sorted(r["frame_idx"] for r in by_id[vid]) == [1, 2, 3]
+    assert all(
+        r["hamming"] is None and r["is_cut"] is None for r in by_id[5]
+    )
