@@ -417,6 +417,7 @@ def stream_upsert_to_parquet(
     order_col: str | None = None,
     available_now: bool = True,
     txn: bool = False,
+    delete_when: str | None = None,
 ):
     """Streaming CDC upsert: each micro-batch is MERGEd into the keyed
     parquet table at ``path`` via ``foreachBatch`` — batch rows replace
@@ -432,7 +433,18 @@ def stream_upsert_to_parquet(
     parquet dir via the rename-aside swap (single-writer semantics; safe
     here because a same-batch replay of this merge is idempotent —
     anti-join + union of identical rows reproduces the same table).
+
+    ``delete_when`` (txn mode only): SQL predicate over the batch
+    columns marking TOMBSTONES — the streaming GDPR/retention delete
+    arm, forwarded to ``txn_upsert``'s WHEN MATCHED DELETE semantics so
+    one stream carries updates, inserts, and deletes, each micro-batch
+    one atomic commit.
     """
+    if delete_when is not None and not txn:
+        raise ValueError(
+            "delete_when requires txn=True (the tombstone arm is a "
+            "transactional MERGE feature)"
+        )
     from pyspark.sql import Window
 
     fence = _txn_fence(path, checkpoint, "cdc upsert") if txn else None
@@ -449,7 +461,7 @@ def stream_upsert_to_parquet(
             # last-wins dedup too
             txn_upsert(
                 batch, path, keys, order_col=order_col,
-                meta=meta_for(batch_id),
+                meta=meta_for(batch_id), delete_when=delete_when,
             )
             return
 

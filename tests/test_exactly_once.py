@@ -186,3 +186,58 @@ def test_upsert_txn_sink_is_exactly_once_and_snapshot_isolated(spark, tmp_path):
 
     # snapshot isolation: version 1 (first micro-batch's merge) is intact
     assert txn_read(spark, path, version=1).count() > 0
+
+
+def test_stream_upsert_delete_arm(spark, tmp_path):
+    """Streaming MERGE with tombstones: a CDC stream carrying updates,
+    inserts, AND deletes (delete_when) applies each micro-batch as one
+    atomic commit — deleted keys vanish, unmatched tombstones no-op,
+    and the non-txn mode rejects delete_when loudly."""
+    import glob
+    import os as _os
+    import shutil
+
+    import pytest as _pytest
+
+    from tdataframe_spark.sources.txn import txn_read, txn_write
+    from tdataframe_spark.streaming import (
+        stream_from_files, stream_upsert_to_parquet,
+    )
+
+    path, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    txn_write(
+        spark.createDataFrame(
+            [(1, "a", 0, 0), (2, "b", 0, 0), (3, "c", 0, 0)],
+            "k int, v string, ver int, del int",
+        ),
+        path, mode="overwrite",
+    )
+    waves = [
+        [(1, "a2", 1, 0), (4, "d", 1, 0)],          # update + insert
+        [(2, "x", 2, 1), (99, "zz", 2, 1)],          # delete + no-op tomb
+    ]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    for i, rows_ in enumerate(waves):
+        d = str(tmp_path / f"w{i}")
+        spark.createDataFrame(
+            rows_, "k int, v string, ver int, del int"
+        ).coalesce(1).write.parquet(d)
+        f = glob.glob(_os.path.join(d, "*.parquet"))[0]
+        dest = _os.path.join(src, f"w{i}.parquet")
+        shutil.copy(f, dest)
+        _os.utime(dest, (i, i))  # deterministic listing order
+
+    schema = spark.read.parquet(src).schema
+    stream = stream_from_files(spark, src, schema, max_files_per_trigger=1)
+    stream_upsert_to_parquet(
+        stream, path, ckpt, keys=["k"], order_col="ver",
+        txn=True, delete_when="del = 1",
+    )
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}  # 2 deleted, 99 no-op
+
+    with _pytest.raises(ValueError, match="txn=True"):
+        stream_upsert_to_parquet(
+            stream, path, ckpt, keys=["k"], delete_when="del = 1"
+        )
