@@ -84,10 +84,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window (first 50): must-verify this round (r8) ---
         # the 32 oldest externally-verified entries (r4-last — the FULL
-        # remaining rotation debt), then the 7 queries NEW this round
+        # remaining rotation debt), then the 8 queries NEW this round
         # (deletion vectors + purge, real AVI video decode, STFT audio
-        # features, deterministic shard shuffle, pHash image dedup,
-        # shot-boundary detection), then the txn-layer family (DV
+        # features, deterministic shard shuffle, pHash image dedup +
+        # its incremental index twin, shot-boundary detection), then
+        # the txn-layer family (DV
         # plumbing touched txn_write/read/changes/vacuum/upsert/restore
         # this round), then r5-last backfill complex-oracle-first
         "chunk_docs": q_chunk_docs,
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_shuffle": q_shard_shuffle,
         "image_dedup": q_image_dedup,
         "shot_detect": q_shot_detect,
+        "image_dedup_index": q_image_dedup_index,
         "merge_upsert_txn": q_merge_upsert_txn,
         "merge_delete_txn": q_merge_delete_txn,
         "data_skipping": q_data_skipping,
@@ -139,10 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dup_spans": q_dup_spans,
         "tfidf_pairs": q_tfidf_pairs,
-        "hybrid_search": q_hybrid_search,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r5-r7) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        "hybrid_search": q_hybrid_search,
         "bm25_indexed": q_bm25_indexed,
         "corpus_curation": q_corpus_curation,
         "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,

@@ -951,13 +951,21 @@ def hamming_pairs(
     max_distance: int = 8,
     n_bits: int = 60,
     expand: int = 1,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Generic banded Hamming join over ANY packed-bigint signature
     column (SimHash text signatures, pHash image signatures, ...) — the
     pigeonhole machinery of :func:`simhash_hamming_pairs` factored out
     so every fixed-width binary embedding gets the never-all-pairs
     near-dup join. See that docstring for the banding math and the
-    honest cost floor."""
+    honest cost floor.
+
+    ``other``: when given, pairs are CROSS-SET — ``other``'s rows (the
+    new batch; takes the expanded join-key side, so fan-out scales with
+    the batch, not the corpus) against ``sigs``' rows (the persisted
+    index; exact band keys only) — and every (id_a ∈ other, id_b ∈
+    sigs) match returns, with no id ordering filter. The incremental
+    near-dup shape: index once, match forever."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
     if expand not in (0, 1):
@@ -1009,11 +1017,26 @@ def hamming_pairs(
             F.explode(structs).alias("__b"),
         ).select(id_alias, h_alias, "__b.band_idx", "__b.band_val")
 
-    a = explode_side(expanded_structs, "id_a", "h_a")
-    b = explode_side(exact_structs, "id_b", "h_b")
+    def explode_from(df, structs, id_alias: str, h_alias: str) -> DataFrame:
+        hh = df.select(F.col(id_col), F.col(sig_col).alias("simhash"))
+        return hh.select(
+            F.col(id_col).alias(id_alias),
+            F.col("simhash").alias(h_alias),
+            F.explode(structs).alias("__b"),
+        ).select(id_alias, h_alias, "__b.band_idx", "__b.band_val")
+
+    if other is None:
+        a = explode_side(expanded_structs, "id_a", "h_a")
+        b = explode_side(exact_structs, "id_b", "h_b")
+        joined = a.join(b, ["band_idx", "band_val"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+    else:
+        a = explode_from(other, expanded_structs, "id_a", "h_a")
+        b = explode_side(exact_structs, "id_b", "h_b")
+        joined = a.join(b, ["band_idx", "band_val"])
     candidates = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined
         # a close pair can collide in several bands — dedupe before verify
         # (h_a/h_b are functionally dependent on the ids, so distinct on
         # all four columns is a distinct on the pair)

@@ -952,6 +952,59 @@ def phash_images(
     return media.mapInPandas(run, schema)
 
 
+def build_phash_index(
+    media: DataFrame, index_path: str, resize: int = 32, block: int = 8
+) -> None:
+    """Persist the corpus's perceptual-hash signatures as the IMAGE
+    near-dup index: one decode+hash pass, one small parquet of
+    (media_id, phash). New batches then match via
+    :func:`match_phash_index` without re-hashing (or re-reading) the
+    corpus — the incremental-index twin the text family already has
+    (build_minhash_index / semdedup_build / ivf_build)."""
+    phash_images(media, resize=resize, block=block).filter("ok").select(
+        "media_id", "phash"
+    ).write.mode("overwrite").parquet(index_path)
+
+
+def append_phash_index(
+    media: DataFrame, index_path: str, resize: int = 32, block: int = 8
+) -> None:
+    """Fold a new batch's signatures into the persisted index (append —
+    signatures are immutable per payload)."""
+    phash_images(media, resize=resize, block=block).filter("ok").select(
+        "media_id", "phash"
+    ).write.mode("append").parquet(index_path)
+
+
+def match_phash_index(
+    new_media: DataFrame,
+    index_path: str,
+    max_distance: int = 10,
+    resize: int = 32,
+    block: int = 8,
+) -> DataFrame:
+    """Match a NEW batch of images against the persisted pHash index:
+    hash only the batch, then the cross-set banded Hamming join
+    (``hamming_pairs(other=...)`` — the batch takes the expanded-key
+    side, so join fan-out scales with the batch, never the corpus).
+    Returns (id_a = batch id, id_b = corpus id, hamming). The streaming
+    ingestion shape for image dedup at 100 TB: index once, match every
+    arriving batch."""
+    from tdataframe_spark.ops.dedup import hamming_pairs
+
+    spark = new_media.sparkSession
+    idx = spark.read.schema("media_id bigint, phash bigint").parquet(
+        index_path
+    )
+    new_sigs = phash_images(new_media, resize=resize, block=block).filter(
+        "ok"
+    ).select("media_id", "phash")
+    return hamming_pairs(
+        idx, "media_id", "phash",
+        max_distance=max_distance, n_bits=63, other=new_sigs,
+    )
+
+
 def shot_boundaries(
     media: DataFrame,
     every_n: int = 1,

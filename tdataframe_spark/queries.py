@@ -3457,6 +3457,84 @@ def q_image_dedup(spark, sf):
     ).select("id_a", "id_b", "hamming")
 
 
+_PHASH_INDEX_BUILT: set = set()
+
+
+def q_image_dedup_index(spark, sf):
+    """Incremental image near-dup (the index twin of image_dedup): build
+    the pHash index over the base gradient corpus ONCE per process
+    (build_phash_index — one decode+hash pass, small signature parquet),
+    then match a NEW batch (JPEG re-encodes + brightness shifts of four
+    corpus members, plus a novel image) via the cross-set banded Hamming
+    join — the batch takes the expanded-key side so fan-out scales with
+    the batch, never the corpus. Binary payloads + DCT are not
+    SQL-expressible → rows-only; match == full-pairwise-restriction is
+    pinned in tests/test_avi.py."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import (
+        build_phash_index,
+        match_phash_index,
+    )
+    from tools.jpeg_codec import encode_baseline_jpeg
+
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id")
+        .collect()
+    ]
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def img(did):
+        return np.stack(
+            [
+                (xx * (did * 17 % 251 + 4) % 256),
+                (yy * (did * 29 % 241 + 4) % 256),
+                ((xx + yy * (did + 2)) % 97 * 2.6),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+
+    def p6(a):
+        return bytearray(
+            f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
+        )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"phash_index_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
+    )
+    if path not in _PHASH_INDEX_BUILT:
+        corpus = spark.createDataFrame(
+            [(int(d), "image/ppm", p6(img(d))) for d in sorted(ids)],
+            "media_id long, kind string, payload binary",
+        )
+        build_phash_index(corpus, path)
+        _PHASH_INDEX_BUILT.add(path)
+    batch_rows = []
+    for did in sorted(ids)[:4]:
+        base = img(did)
+        batch_rows.append(
+            (int(did) + 100, "image/jpeg",
+             bytearray(encode_baseline_jpeg(base)))
+        )
+        batch_rows.append(
+            (int(did) + 200, "image/ppm",
+             p6(np.clip(base.astype(np.int16) + 8, 0, 255).astype(np.uint8)))
+        )
+    batch_rows.append((999, "image/ppm", p6(img(991))))  # novel
+    batch = spark.createDataFrame(
+        batch_rows, "media_id long, kind string, payload binary"
+    )
+    return match_phash_index(batch, path, max_distance=10)
+
+
 def q_shot_detect(spark, sf):
     """Video scene-cut detection end-to-end (shot_boundaries): real
     MJPEG-AVI frame fan-out → per-frame perceptual hash → JVM-side

@@ -504,3 +504,78 @@ def test_shot_boundaries_surfaces_unhashable_videos(spark):
     assert all(
         r["hamming"] is None and r["is_cut"] is None for r in by_id[5]
     )
+
+
+def test_phash_index_incremental_match(spark, tmp_path):
+    """Incremental image near-dup: build the pHash index once, match a
+    new batch against it — results equal the full pairwise op over the
+    union RESTRICTED to new-vs-corpus pairs (the minhash-index
+    contract); appending folds the batch in for the next round."""
+    from tools.jpeg_codec import encode_baseline_jpeg
+
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import (
+        append_phash_index,
+        build_phash_index,
+        match_phash_index,
+        phash_images,
+    )
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def img(k):
+        return np.stack(
+            [(xx * (k * 13 % 200 + 5)) % 256, (yy * (k + 3) * 7) % 256,
+             ((xx + yy * k) % 97 * 2.6)],
+            axis=2,
+        ).astype(np.uint8)
+
+    def p6(a):
+        return bytearray(f"P6\n{w} {h}\n255\n".encode() + a.tobytes())
+
+    corpus = spark.createDataFrame(
+        [(k, "image/ppm", p6(img(k))) for k in range(8)],
+        "media_id long, kind string, payload binary",
+    )
+    idx = str(tmp_path / "phidx")
+    build_phash_index(corpus, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (100, "image/jpeg", bytearray(encode_baseline_jpeg(img(2)))),
+            (101, "image/ppm", p6(np.clip(
+                img(5).astype(np.int16) + 8, 0, 255).astype(np.uint8))),
+            (102, "image/ppm", p6(img(77))),  # novel
+            (103, "image/webp", bytearray(b"RIFFxxxxWEBP")),  # undecodable
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in match_phash_index(batch, idx).collect()
+    }
+    # contract: equals the full self-join over the union, restricted to
+    # new-vs-corpus pairs
+    union_sigs = phash_images(
+        corpus.unionByName(batch)
+    ).filter("ok")
+    full = {
+        (r["id_b"], r["id_a"]): r["hamming"]
+        for r in hamming_pairs(
+            union_sigs, "media_id", "phash", max_distance=10, n_bits=63
+        ).collect()
+        if r["id_b"] >= 100 and r["id_a"] < 100
+    }
+    assert got == full
+    assert (100, 2) in got and (101, 5) in got
+    assert not any(a == 102 for a, _ in got)
+
+    # append the batch: a replica of 102 now matches next round
+    append_phash_index(batch, idx)
+    probe = spark.createDataFrame(
+        [(200, "image/ppm", p6(img(77)))],
+        "media_id long, kind string, payload binary",
+    )
+    nxt = {(r["id_a"], r["id_b"]) for r in match_phash_index(probe, idx).collect()}
+    assert (200, 102) in nxt

@@ -499,6 +499,7 @@ _HEAVY_BUILDERS = {
     "restore_table", "data_skipping", "gif_frames",
     # round-8: fixture AVI/WAV/image payload construction (collects ≤16 ids)
     "video_frames", "audio_features", "image_dedup", "shot_detect",
+    "image_dedup_index",
 }
 
 
