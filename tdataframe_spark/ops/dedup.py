@@ -964,7 +964,10 @@ def hamming_pairs(
     new batch; takes the expanded join-key side, so fan-out scales with
     the batch, not the corpus) against ``sigs``' rows (the persisted
     index; exact band keys only) — and every (id_a ∈ other, id_b ∈
-    sigs) match returns, with no id ordering filter. The incremental
+    sigs) match returns, with no id ORDERING filter; the trivial
+    ``id_a == id_b`` self-pair is dropped (re-matching a batch whose
+    ids were already folded into the index via an append must not
+    return every row as its own hamming-0 duplicate). The incremental
     near-dup shape: index once, match forever."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
@@ -1034,7 +1037,9 @@ def hamming_pairs(
     else:
         a = explode_from(other, expanded_structs, "id_a", "h_a")
         b = explode_side(exact_structs, "id_b", "h_b")
-        joined = a.join(b, ["band_idx", "band_val"])
+        joined = a.join(b, ["band_idx", "band_val"]).filter(
+            F.col("id_a") != F.col("id_b")
+        )
     candidates = (
         joined
         # a close pair can collide in several bands — dedupe before verify

@@ -359,6 +359,17 @@ def txn_write(
         )
     if replace_where and mode == "overwrite":
         raise ValueError("replace_where and mode='overwrite' are exclusive")
+    # the DV row-ref internals are reserved at WRITE time, not just in
+    # txn_delete: a schema-evolving append introducing __dv_file/__dv_pos
+    # onto a table already carrying deletion vectors would make every
+    # later txn_read/txn_changes fail with ambiguous-column errors —
+    # reject the clash before it can ever enter a manifest
+    clash = {_DV_FILE, _DV_POS} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} are reserved deletion-vector "
+            "row-ref internals; rename them before committing"
+        )
     if stats_cols:
         # same typo-proofing as replace_where/partition_filter: a
         # misspelled stats column would silently record empty stats and
@@ -1109,7 +1120,12 @@ def txn_vacuum(
     for v in keep:
         for f in _load(path, v)["files"]:
             live.add(os.path.normpath(f["path"]))
-    removed = []
+    # PASS 1 — decide what to reclaim, deleting NOTHING yet: the fence
+    # manifests below must be rewritten (files-invalid) BEFORE the dirs
+    # they reference disappear, or a crash between the two leaves a
+    # pinned/as_of read failing with path-not-found instead of the
+    # documented 'was vacuumed' error
+    to_remove = []
     now = time.time()
     data_root = os.path.join(path, "data")
     for commit_id in os.listdir(data_root) if os.path.isdir(data_root) else []:
@@ -1123,8 +1139,7 @@ def txn_vacuum(
             continue  # racing a concurrent removal
         if age < min_age_s:
             continue  # possibly a commit mid-publish — leave it
-        shutil.rmtree(cdir)
-        removed.append(cdir)
+        to_remove.append(cdir)
     # deletion-vector dirs are reclaimed by the same rule: referenced by
     # no retained manifest + old enough (a txn_delete stages its DV
     # parquet before winning the manifest race, exactly like data files)
@@ -1144,8 +1159,7 @@ def txn_vacuum(
             continue
         if age < min_age_s:
             continue
-        shutil.rmtree(ddir)
-        removed.append(ddir)
+        to_remove.append(ddir)
     # keep the newest manifest carrying a streaming sink's batch_id even
     # when it falls outside the retained window: it is the replay fence
     # AND the ownership record — deleting it after a non-sink commit
@@ -1197,4 +1211,12 @@ def txn_vacuum(
     # manifest a stale hint pointed at, and the retained fence must not
     # become anyone's probe start
     _write_hint(path, vs[-1])
+    # PASS 2 — every surviving manifest is now consistent with the
+    # post-vacuum file set, so physical reclamation is safe: a crash
+    # mid-loop leaves only unreferenced dirs on disk, and the next
+    # vacuum picks them up
+    removed = []
+    for d in to_remove:
+        shutil.rmtree(d)
+        removed.append(d)
     return removed

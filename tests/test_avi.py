@@ -579,3 +579,50 @@ def test_phash_index_incremental_match(spark, tmp_path):
     )
     nxt = {(r["id_a"], r["id_b"]) for r in match_phash_index(probe, idx).collect()}
     assert (200, 102) in nxt
+
+
+def test_match_after_append_returns_no_self_pairs(spark, tmp_path):
+    """r8-ADVICE: re-matching a batch whose ids were already folded into
+    the index via append_phash_index must not return trivial
+    (id, id, hamming=0) self-pairs; genuine cross-duplicates still pair."""
+    from tdataframe_spark.ops.multimodal import (
+        append_phash_index,
+        build_phash_index,
+        match_phash_index,
+    )
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def img(k):
+        return np.stack(
+            [(xx * (k * 13 % 200 + 5)) % 256, (yy * (k + 3) * 7) % 256,
+             ((xx + yy * k) % 97 * 2.6)],
+            axis=2,
+        ).astype(np.uint8)
+
+    def p6(a):
+        return bytearray(f"P6\n{w} {h}\n255\n".encode() + a.tobytes())
+
+    corpus = spark.createDataFrame(
+        [(k, "image/ppm", p6(img(k))) for k in range(4)],
+        "media_id long, kind string, payload binary",
+    )
+    idx = str(tmp_path / "phidx")
+    build_phash_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [
+            (10, "image/ppm", p6(np.clip(  # near-dup of corpus 2
+                img(2).astype(np.int16) + 6, 0, 255).astype(np.uint8))),
+            (11, "image/ppm", p6(img(55))),  # novel
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    append_phash_index(batch, idx)
+    again = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in match_phash_index(batch, idx).collect()
+    }
+    # identical signatures now in the index, yet no (10,10)/(11,11) rows
+    assert not any(a == b for a, b in again)
+    assert (10, 2) in again  # the genuine near-dup still pairs

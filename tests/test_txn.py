@@ -1377,15 +1377,85 @@ def test_txn_purge_rewrites_only_heavily_deleted_files(spark, tmp_path):
     assert txn_purge(spark, path) == v2
 
 
-def test_txn_delete_rejects_reserved_ref_columns(spark, tmp_path):
-    """A table whose own columns collide with the DV row-ref internals
-    must raise loudly at delete time, not silently mis-join."""
+def test_txn_write_rejects_reserved_ref_columns(spark, tmp_path):
+    """r8-ADVICE: the DV row-ref internals are reserved at WRITE time —
+    both a fresh table and (the dangerous case) a schema-evolving append
+    onto a table already carrying deletion vectors must raise, or every
+    later txn_read/txn_changes dies with ambiguous-column errors."""
     from tdataframe_spark.sources.txn import txn_delete
 
     path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="__dv_file"):
+        txn_write(
+            spark.createDataFrame([(1, "x")], "k int, __dv_file string"),
+            path, mode="overwrite",
+        )
+    # the ADVICE scenario: DVs exist, then an evolving append tries to
+    # introduce the clash
+    txn_write(spark.createDataFrame([(1,), (2,)], "k int"), path)
+    txn_delete(spark, path, "k = 1")
+    with pytest.raises(ValueError, match="__dv_pos"):
+        txn_write(
+            spark.createDataFrame([(3, 0)], "k int, __dv_pos long"),
+            path, mode="append",
+        )
+    assert _rows(txn_read(spark, path)) == [(2,)]
+
+
+def test_txn_delete_rejects_reserved_ref_columns_legacy_table(spark, tmp_path):
+    """A PRE-EXISTING table whose schema carries the reserved names
+    (written before the write-time guard) must still raise loudly at
+    delete time, not silently mis-join — belt and suspenders."""
+    from tdataframe_spark.sources.txn import _load, _manifest_path, txn_delete
+
+    path = str(tmp_path / "t")
     txn_write(
-        spark.createDataFrame([(1, "x")], "k int, __dv_file string"),
+        spark.createDataFrame([(1, "x")], "k int, dvf string"),
         path, mode="overwrite",
     )
+    # doctor the manifest into the legacy shape: rename dvf → __dv_file
+    m = _load(path, 1)
+    m["schema"] = m["schema"].replace('"dvf"', '"__dv_file"')
+    with open(_manifest_path(path, 1), "w") as f:
+        json.dump(m, f)
     with pytest.raises(ValueError, match="__dv_file"):
         txn_delete(spark, path, "k = 1")
+
+
+def test_vacuum_rewrites_fences_before_reclaiming_dirs(spark, tmp_path, monkeypatch):
+    """r8-ADVICE ordering: vacuum must mark fence manifests
+    files-invalid BEFORE rmtree'ing the data/DV dirs they reference — a
+    crash between the two must leave a pinned read failing with the
+    documented 'vacuumed' error, never path-not-found."""
+    from tdataframe_spark.sources.txn import _load, txn_delete
+    from tdataframe_spark.streaming.ops import _txn_fence
+
+    path = str(tmp_path / "t")
+    _, meta_for = _txn_fence(path, str(tmp_path / "ck"), "rollup")
+    txn_write(spark.range(4), path, meta=meta_for(0))      # v1 = fence
+    txn_delete(spark, path, "id = 1")                      # v2: DV on v1 files
+    txn_write(spark.range(10, 13), path, mode="overwrite")  # v3 head (drops DV)
+
+    calls = []
+
+    def crash_rmtree(p, *a, **k):
+        calls.append(p)
+        raise RuntimeError("injected crash at first physical delete")
+
+    # txn_vacuum imports shutil locally — patch the module attribute
+    monkeypatch.setattr("shutil.rmtree", crash_rmtree)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        txn_vacuum(path, keep_versions=1, min_age_s=0)
+    monkeypatch.undo()
+
+    # the crash hit the FIRST physical delete — nothing was reclaimed yet,
+    # but the fence manifest is already files-invalid, so no surviving
+    # manifest references anything the interrupted pass would have removed
+    assert calls and all(os.path.isdir(p) for p in calls)
+    m = _load(path, 1)
+    assert m.get("vacuumed") is True and m["files"] == [] and m["dv"] == []
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txn_read(spark, path, version=1)
+    # a re-run vacuum completes the reclamation
+    removed = txn_vacuum(path, keep_versions=1, min_age_s=0)
+    assert removed and txn_read(spark, path).count() == 3
