@@ -520,8 +520,9 @@ def group_split(
 def shard_shuffle(
     df: DataFrame,
     id_col: str,
-    n_shards: int,
+    n_shards: int | None = None,
     seed: int = 0,
+    target_shard_rows: int = 1_000_000,
 ) -> DataFrame:
     """Deterministic GLOBAL SHUFFLE into training shards — the layout
     step before writing a corpus for data-parallel training: every row
@@ -533,18 +534,45 @@ def shard_shuffle(
     perturbing other shards' relative order.
 
     Shape: one portable hash per row (map-side), one shuffle on the
-    shard key, and a PER-SHARD (never global) rank window. Size
-    ``n_shards`` with the corpus (≈ rows / desired shard size): shard
+    shard key, and a PER-SHARD (never global) rank window; shard
     populations are hash-balanced n/n_shards, so the window state stays
-    bounded at any scale. Ties (hash collisions) break on the id, so
-    ``pos`` is total and deterministic.
+    bounded ONLY when ``n_shards`` scales with the corpus. That dial is
+    therefore enforced, not just documented: leave ``n_shards=None``
+    and it is derived as ``ceil(rows / target_shard_rows)`` from one
+    cheap count (the semdedup ``target_cluster_size`` pattern); an
+    EXPLICIT ``n_shards`` is validated against the same count and
+    raises when a shard would exceed 4×``target_shard_rows`` — at 100×
+    the data a forgotten constant becomes one n/n_shards-row sort task,
+    and that must fail loudly, not spill quietly. Pass
+    ``target_shard_rows=None`` with an explicit ``n_shards`` to skip
+    the count entirely (caller-audited sizing; no extra pass). Ties
+    (hash collisions) break on the id, so ``pos`` is total and
+    deterministic.
     """
     from tdataframe_spark.functions.numeric import portable_hash64
 
     from pyspark.sql import Window
 
-    if n_shards < 1:
+    if n_shards is None:
+        if target_shard_rows is None:
+            raise ValueError(
+                "n_shards=None needs target_shard_rows to derive from"
+            )
+        n = df.count()
+        n_shards = max(1, -(-n // target_shard_rows))
+    elif n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    elif target_shard_rows is not None:
+        per_shard = -(-df.count() // n_shards)
+        if per_shard > 4 * target_shard_rows:
+            raise ValueError(
+                f"n_shards={n_shards} puts ~{per_shard} rows in each "
+                f"shard (> 4 x target_shard_rows={target_shard_rows}); "
+                "the per-shard rank window would become one giant sort "
+                "task — raise n_shards (or n_shards=None to derive it), "
+                "raise target_shard_rows, or pass target_shard_rows=None "
+                "to accept caller-audited sizing"
+            )
     h = portable_hash64(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )

@@ -1116,3 +1116,29 @@ def test_shard_shuffle_deterministic_permutation(spark):
     assert c != a
     with pytest.raises(ValueError, match="n_shards"):
         shard_shuffle(df, "doc_id", 0)
+
+
+def test_shard_shuffle_scale_dial_enforced(spark):
+    """r8-VERDICT: n_shards must scale with the corpus, and the dial is
+    enforced — n_shards=None derives ceil(n/target_shard_rows) from a
+    cheap count (and equals the explicit call bit-for-bit); an explicit
+    n_shards that would give a shard > 4x target raises loudly;
+    target_shard_rows=None skips the count for caller-audited sizing."""
+    import pytest
+    from tdataframe_spark.ops.textstats import shard_shuffle
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    derived = sorted(map(tuple, shard_shuffle(
+        df, "doc_id", seed=1, target_shard_rows=250
+    ).collect()))
+    explicit = sorted(map(tuple, shard_shuffle(
+        df, "doc_id", 8, seed=1
+    ).collect()))
+    assert derived == explicit  # ceil(2000/250) = 8, identical permutation
+    with pytest.raises(ValueError, match="giant sort task"):
+        shard_shuffle(df, "doc_id", 1, target_shard_rows=250)
+    # escape hatch: caller-audited sizing, no count, no guard
+    one = shard_shuffle(df, "doc_id", 1, target_shard_rows=None)
+    assert one.where("shard = 0").count() == 2000
+    with pytest.raises(ValueError, match="target_shard_rows"):
+        shard_shuffle(df, "doc_id", None, target_shard_rows=None)

@@ -2,7 +2,11 @@
 value-compare against its DuckDB oracle (columns sorted by name, rows
 sorted, exact equality) — the verify-skill recipe, kept in-repo.
 
-    python tools/driver_sim.py [sf_dir]     # default /root/testdata/sf0.01
+    python tools/driver_sim.py [sf_dir] [q1,q2,...]   # default /root/testdata/sf0.01
+
+An optional comma-separated second argument restricts the run to those
+registry entries — the scoped re-verify after touching one operator
+(full runs still gate every commit batch and the round end).
 
 Mirrors tests/test_oracle_parity.py but covers the driver's scale and the
 FULL registry (the external driver only checks the first 50 entries)."""
@@ -49,9 +53,16 @@ def canon(df):
 def main():
     spark = get_spark("driver-sim", cpus=16, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
-    n = em.entry(spark).count()
-    print(f"entry(): {n} rows", flush=True)
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only is None:
+        n = em.entry(spark).count()
+        print(f"entry(): {n} rows", flush=True)
     Q, O = em.queries(), em.oracle_sql()
+    if only is not None:
+        unknown = only - set(Q)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        Q = {k: v for k, v in Q.items() if k in only}
     # the connection and views are query-invariant: create them once
     con = duckdb.connect()
     for t in TABLES:
