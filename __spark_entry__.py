@@ -141,6 +141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dup_spans": q_dup_spans,
         "tfidf_pairs": q_tfidf_pairs,
+        # round-9 additions (will rotate into the window with the r9
+        # reorder): audio fingerprint near-dup + index twin, cross-video
+        # near-dup
+        "audio_dedup": q_audio_dedup,
+        "audio_dedup_index": q_audio_dedup_index,
+        "video_dedup": q_video_dedup,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r5-r7) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---

@@ -103,6 +103,15 @@ EXTENDED = [
     "dv_purge",
     "image_dedup",
     "shot_detect",
+    # round-9 additions: audio fingerprint near-dup (fixture clips —
+    # tracks the FFT+grid-threshold+banded-Hamming-join path), its
+    # amortized index-match twin (per-process memoized build; the
+    # number is fingerprint-the-batch + cross-set join), and
+    # cross-video near-dup (frame fan-out + per-frame hash + one
+    # majority-pooling aggregate + banded join)
+    "audio_dedup",
+    "audio_dedup_index",
+    "video_dedup",
 ]
 
 

@@ -1060,6 +1060,68 @@ def shot_boundaries(
     )
 
 
+def video_signatures(
+    media: DataFrame,
+    every_n: int = 1,
+    min_frames: int = 1,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Corpus-level VIDEO near-dup signature: temporal-MAJORITY pooling
+    of the per-frame perceptual hashes into one packed bigint per video
+    — bit j of ``vsig`` is set iff MORE than half the hashed frames set
+    bit j of their pHash. Two re-encodes of the same video (JPEG
+    quality change, GIF↔MJPEG container swap) have near-identical
+    per-frame hashes, so their pooled signatures sit a few Hamming bits
+    apart; distinct videos pool to unrelated signatures. Feed the
+    result to :func:`tdataframe_spark.ops.dedup.hamming_pairs` — the
+    corpus-vs-corpus join :func:`shot_boundaries` (cuts WITHIN a video)
+    deliberately does not do. Majority pooling also tolerates trims and
+    frame-rate decimation better than any single reference frame: a
+    dropped prefix only moves bits whose frame-majority was marginal.
+
+    Videos with fewer than ``min_frames`` hashed frames are dropped
+    (their majority would be noise); videos whose codec cannot be
+    hashed simply have no row — match the classify-don't-vanish needs
+    of a mixed corpus by joining back on media_id.
+
+    Scale shape: decode+hash is embarrassingly per-frame
+    (:func:`sample_frames` → :func:`phash_images`); pooling is ONE hash
+    aggregate on the video id (63 conditional bit-count sums, map-side
+    combined), so state per video is 64 longs — never a frame list.
+    Returns (media_id, vsig, n_frames_hashed).
+    """
+    frames = sample_frames(media, every_n=every_n, decode_stub=decode_stub)
+    sigs = phash_images(
+        frames.select(
+            "media_id",
+            F.lit("image/frame").alias("kind"),
+            F.col("frame_payload").alias("payload"),
+            "frame_idx",
+        ),
+        passthrough=("frame_idx",),
+    ).filter(F.col("ok"))
+
+    def bit(j: int):
+        return (
+            F.shiftrightunsigned(F.col("phash"), j)
+            .bitwiseAND(F.lit(1).cast("long"))
+        )
+
+    cnts = sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames_hashed"),
+        *[F.sum(bit(j)).alias(f"__b{j}") for j in range(63)],
+    )
+    packed = F.lit(0).cast("long")
+    for j in range(63):
+        packed = packed + F.when(
+            F.col(f"__b{j}") * 2 > F.col("n_frames_hashed"),
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return cnts.filter(F.col("n_frames_hashed") >= min_frames).select(
+        "media_id", packed.alias("vsig"), "n_frames_hashed"
+    )
+
+
 AUDIO_SCHEMA = (
     "media_id bigint, kind string, ok boolean, sample_rate int, "
     "n_channels int, n_samples bigint, duration_s double, "
@@ -1353,6 +1415,162 @@ def audio_features(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema)
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    t_segments: int = 9,
+    f_bands: int = 7,
+    fmax: float = 4000.0,
+    max_seconds: float = 30.0,
+) -> DataFrame:
+    """Perceptual AUDIO fingerprint — the audio analogue of
+    :func:`phash_images`: a ``t_segments x f_bands`` grid of log band
+    energies over the clip's STFT, each cell thresholded against the
+    clip-wide median and packed into one bigint (``afp``,
+    t_segments·f_bands <= 63 bits). Feed :func:`tdataframe_spark.ops.
+    dedup.hamming_pairs` for the banded near-dup join, or the
+    build/append/match index trio below for the incremental shape.
+
+    Robustness by construction: a GAIN change multiplies every cell's
+    power equally, shifting all log cells AND their median by the same
+    constant — bits unchanged (up to the 1e-12 silence floor, which
+    freezes near-silent cells; same caveat as the MFCC log floor). A
+    RE-ENCODE (bit-depth change, int↔float PCM) perturbs cells by
+    quantization noise only, moving a few marginal bits. Frequency
+    bands are ABSOLUTE Hz (equal widths over 0..``fmax``), so a
+    resampled copy lands in the same bands; time segments are equal
+    fractions of the (``max_seconds``-capped) clip. Cells are 9-dp
+    rounded before the median comparison (the BLAS-ulp rank-swap trap).
+
+    Per-row pure function of the payload bytes → bit-deterministic
+    under any partitioning; cost is capped at ``max_seconds`` of audio
+    regardless of payload size (raw-byte-level truncation inside the
+    WAV parse). Non-WAV/corrupt payloads classify ``ok=false`` in the
+    same pass. Arrow-batched ``mapInPandas``; the fingerprint column is
+    nullable Int64 (a plain object column mixing None with 63-bit ints
+    would promote to float64 and round low bits away).
+    """
+    n_cells = t_segments * f_bands
+    if t_segments < 2 or f_bands < 1 or n_cells > 63:
+        raise ValueError(
+            f"need t_segments>=2, f_bands>=1, t_segments*f_bands<=63; "
+            f"got {t_segments}x{f_bands}={n_cells}"
+        )
+    if n_fft < 8 or hop < 1 or fmax <= 0:
+        raise ValueError(
+            f"need n_fft>=8, hop>=1, fmax>0; got n_fft={n_fft}, "
+            f"hop={hop}, fmax={fmax}"
+        )
+
+    schema = "media_id bigint, kind string, ok boolean, afp bigint"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        win = np.hanning(n_fft)
+        n_bins = n_fft // 2 + 1
+        # enough samples that every time segment holds >= 1 frame
+        min_len = n_fft + (t_segments - 1) * hop
+
+        def fingerprint(buf):
+            parsed = _parse_wav(buf, max_seconds=max_seconds,
+                                min_frames=min_len)
+            if parsed is None:
+                return None
+            rate, n_ch, n, x = parsed
+            mono = x.reshape(n, n_ch).mean(axis=1)
+            if len(mono) < min_len:
+                mono = np.pad(mono, (0, min_len - len(mono)))
+            n_frames = 1 + (len(mono) - n_fft) // hop
+            idx = (
+                np.arange(n_fft)[None, :]
+                + hop * np.arange(n_frames)[:, None]
+            )
+            spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1)) ** 2
+            # absolute-Hz bands: a resampled copy maps into the same
+            # bands (bin spacing is rate/n_fft, so the bin covering
+            # fmax moves with the rate)
+            bin_hi = min(n_bins, int(fmax * n_fft / rate) + 1)
+            if bin_hi < f_bands + 1:
+                bin_hi = n_bins  # low-rate clip: use the whole spectrum
+            fedges = np.linspace(1, bin_hi, f_bands + 1).astype(int)
+            tedges = np.linspace(0, n_frames, t_segments + 1).astype(int)
+            cells = np.empty((t_segments, f_bands))
+            for s in range(t_segments):
+                seg = spec[tedges[s]:tedges[s + 1]]
+                for b in range(f_bands):
+                    cells[s, b] = seg[:, fedges[b]:fedges[b + 1]].mean()
+            logc = np.round(10.0 * np.log10(cells.ravel() + 1e-12), 9)
+            med = np.median(logc)
+            h = 0
+            for i, v in enumerate(logc):
+                if v > med:
+                    h |= 1 << i
+            return h
+
+        for pdf in batches:
+            fps = [fingerprint(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "ok": [f is not None for f in fps],
+                    "afp": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def build_afp_index(media: DataFrame, index_path: str, **fp_kwargs) -> None:
+    """Persist the corpus's audio fingerprints as the AUDIO near-dup
+    index — one decode+fingerprint pass, one small parquet of
+    (media_id, afp). The audio twin of :func:`build_phash_index`; new
+    batches then match via :func:`match_afp_index` without re-reading
+    the corpus."""
+    audio_fingerprints(media, **fp_kwargs).filter("ok").select(
+        "media_id", "afp"
+    ).write.mode("overwrite").parquet(index_path)
+
+
+def append_afp_index(media: DataFrame, index_path: str, **fp_kwargs) -> None:
+    """Fold a new batch's audio fingerprints into the persisted index
+    (append — fingerprints are immutable per payload)."""
+    audio_fingerprints(media, **fp_kwargs).filter("ok").select(
+        "media_id", "afp"
+    ).write.mode("append").parquet(index_path)
+
+
+def match_afp_index(
+    new_media: DataFrame,
+    index_path: str,
+    max_distance: int = 8,
+    t_segments: int = 9,
+    f_bands: int = 7,
+    **fp_kwargs,
+) -> DataFrame:
+    """Match a NEW batch of audio clips against the persisted
+    fingerprint index: fingerprint only the batch, then the cross-set
+    banded Hamming join (``hamming_pairs(other=...)`` — the batch takes
+    the expanded-key side, so join fan-out scales with the batch, never
+    the corpus; trivial self-pairs from an already-appended batch are
+    dropped). Returns (id_a = batch id, id_b = corpus id, hamming)."""
+    from tdataframe_spark.ops.dedup import hamming_pairs
+
+    spark = new_media.sparkSession
+    idx = spark.read.schema("media_id bigint, afp bigint").parquet(index_path)
+    new_sigs = audio_fingerprints(
+        new_media, t_segments=t_segments, f_bands=f_bands, **fp_kwargs
+    ).filter("ok").select("media_id", "afp")
+    return hamming_pairs(
+        idx, "media_id", "afp",
+        max_distance=max_distance, n_bits=t_segments * f_bands,
+        other=new_sigs,
+    )
 
 
 def probe_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:

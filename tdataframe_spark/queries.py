@@ -3578,6 +3578,217 @@ def q_shot_detect(spark, sf):
     return shot_boundaries(media, every_n=1, cut_distance=12)
 
 
+def _tone_clip_np(k, rate=8000, n_fft=256, seconds=1.2, t_segments=9):
+    """Deterministic audio fixture: each of the clip's time segments
+    carries a different exact-bin tone parameterized by ``k`` — genuine
+    time-frequency structure for the fingerprint grid, and no two k
+    share a tone schedule."""
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n, dtype=np.float64)
+    seg = np.minimum((t / n * t_segments).astype(int), t_segments - 1)
+    # stride depends on k too: two different k diverge in a
+    # segment-DEPENDENT way (a k-independent stride would make some
+    # pairs a constant few bins apart in every segment — same band,
+    # near-identical fingerprint)
+    b = 6 + ((k * 17 + seg * (29 + 7 * k)) % 110)
+    return 0.55 * np.sin(2 * np.pi * b * t / n_fft)
+
+
+def _wav16_bytes(x, rate=8000, bits=16, fmt_code=1):
+    """Minimal RIFF/WAV wrapper around normalized float samples."""
+    import struct
+
+    import numpy as np
+
+    if fmt_code == 3:
+        data = x.astype("<f4").tobytes()
+        width = 4
+    elif bits == 8:
+        data = ((x * 127) + 128).clip(0, 255).astype(np.uint8).tobytes()
+        width = 1
+    else:
+        data = (x * 32767).astype("<i2").tobytes()
+        width = 2
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, 1, rate, rate * width, width,
+        width * 8,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return bytearray(
+        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    )
+
+
+def q_audio_dedup(spark, sf):
+    """Audio near-dup detection (the WAV analogue of image_dedup):
+    perceptual fingerprints (audio_fingerprints — STFT log-band-energy
+    grid thresholded against the clip median, packed to one bigint)
+    paired by the generic banded Hamming join (ops/dedup.hamming_pairs;
+    never all-pairs). Fixtures: one per-segment-tone clip per
+    documents-row id < 8, with ids < 3 also planted as an 8-bit
+    re-encode (+100), a float32 re-encode (+200), and a half-gain copy
+    (+300) — the re-encode/gain families must pair, unrelated clips
+    must not. Binary payloads + FFTs are not SQL-expressible →
+    rows-only; family recall, gain invariance, and the pandas Int64
+    promotion trap are pinned in tests/test_avi.py."""
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import audio_fingerprints
+
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for did in sorted(ids):
+        x = _tone_clip_np(did)
+        rows.append((int(did), "audio/wav", _wav16_bytes(x)))
+        if did < 3:
+            rows.append((int(did) + 100, "audio/wav",
+                         _wav16_bytes(x, bits=8)))
+            rows.append((int(did) + 200, "audio/wav",
+                         _wav16_bytes(x, fmt_code=3)))
+            rows.append((int(did) + 300, "audio/wav",
+                         _wav16_bytes(x * 0.5)))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    sigs = audio_fingerprints(media)
+    return hamming_pairs(
+        sigs.filter("ok"), "media_id", "afp", max_distance=8, n_bits=63
+    ).select("id_a", "id_b", "hamming")
+
+
+_AFP_INDEX_BUILT: set = set()
+
+
+def q_audio_dedup_index(spark, sf):
+    """Incremental audio near-dup (the index twin of audio_dedup):
+    build the fingerprint index over the base tone corpus ONCE per
+    process (build_afp_index — one decode+fingerprint pass, small
+    signature parquet), then match a NEW batch (re-encodes and gain
+    shifts of three corpus members plus a novel clip) via the cross-set
+    banded Hamming join — the batch takes the expanded-key side so
+    fan-out scales with the batch, never the corpus; already-appended
+    ids never come back as trivial self-pairs. Rows-only; the
+    match == full-pairwise-restriction contract is pinned in
+    tests/test_avi.py."""
+    import os
+    import tempfile
+
+    from tdataframe_spark.ops.multimodal import (
+        build_afp_index,
+        match_afp_index,
+    )
+
+    ids = sorted(
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id")
+        .collect()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"afp_index_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
+    )
+    if path not in _AFP_INDEX_BUILT:
+        corpus = spark.createDataFrame(
+            [(int(d), "audio/wav", _wav16_bytes(_tone_clip_np(d)))
+             for d in ids],
+            "media_id long, kind string, payload binary",
+        )
+        build_afp_index(corpus, path)
+        _AFP_INDEX_BUILT.add(path)
+    batch_rows = []
+    for did in ids[:3]:
+        x = _tone_clip_np(did)
+        batch_rows.append((int(did) + 100, "audio/wav",
+                           _wav16_bytes(x, bits=8)))
+        batch_rows.append((int(did) + 300, "audio/wav",
+                           _wav16_bytes(x * 0.5)))
+    batch_rows.append((999, "audio/wav", _wav16_bytes(_tone_clip_np(97))))
+    batch = spark.createDataFrame(
+        batch_rows, "media_id long, kind string, payload binary"
+    )
+    return match_afp_index(batch, path, max_distance=8)
+
+
+def q_video_dedup(spark, sf):
+    """Corpus-level VIDEO near-dup (what shot_detect — cuts WITHIN a
+    video — deliberately is not): temporal-majority pooling of the
+    per-frame perceptual hashes into one signature per video
+    (video_signatures), paired by the banded Hamming join. Fixtures:
+    one MJPEG-AVI per documents-row id < 5; ids < 2 are also planted as
+    a raw-DIB AVI re-encode (+100), an animated-GIF re-encode (+200),
+    and a lossy-quant MJPEG re-encode (+300) — container/codec swaps of
+    the same footage must pair, distinct videos must not. Rows-only;
+    exact container-swap signature equality is pinned in
+    tests/test_avi.py."""
+    import numpy as np
+
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import video_signatures
+    from tools.avi_codec import encode_avi
+    from tools.gif_codec import encode_gif
+
+    ids = sorted(
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id")
+        .collect()
+    )
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def frames(vid):
+        # per-video gradient family: multipliers keyed to the id so two
+        # videos never share content up to a palette shift; quantized to
+        # 4 levels per channel (<=64 colors) so the GIF fixture encoder
+        # accepts them
+        return [
+            (
+                np.stack(
+                    [
+                        (xx * (11 + 2 * vid) + f * 5) % 256,
+                        (yy * (23 + 3 * vid)) % 256,
+                        (xx + yy * (7 + vid)) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                & 0xC0
+            )
+            for f in range(6)
+        ]
+
+    lossy = np.full((8, 8), 2, np.int64)
+    rows = []
+    for did in ids:
+        fs = frames(did)
+        rows.append((int(did), "video/avi",
+                     bytearray(encode_avi(fs, codec="MJPG"))))
+        if did < 2:
+            rows.append((int(did) + 100, "video/avi",
+                         bytearray(encode_avi(fs, codec="DIB "))))
+            rows.append((int(did) + 200, "video/gif",
+                         bytearray(encode_gif(fs))))
+            rows.append((int(did) + 300, "video/avi",
+                         bytearray(encode_avi(fs, quant=lossy))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    sigs = video_signatures(media)
+    return hamming_pairs(
+        sigs, "media_id", "vsig", max_distance=8, n_bits=63
+    ).select("id_a", "id_b", "hamming")
+
+
 def q_lang_id(spark, sf):
     """Language identification — the ccnet front door the text-quality
     family (lm_score, ccnet_buckets) gates on — Cavnar-Trenkle ranked

@@ -626,3 +626,204 @@ def test_match_after_append_returns_no_self_pairs(spark, tmp_path):
     # identical signatures now in the index, yet no (10,10)/(11,11) rows
     assert not any(a == b for a, b in again)
     assert (10, 2) in again  # the genuine near-dup still pairs
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprints + video signatures (round 9)
+
+
+def _tone_clip(k, rate=8000, n_fft=256, seconds=1.2, t_segments=9):
+    """Per-segment tone sequence parameterized by k: each of the clip's
+    time segments carries a different exact-bin tone, so the T x B
+    fingerprint grid has genuine time-frequency structure and two
+    different k never share a tone schedule."""
+    n = int(rate * seconds)
+    t = np.arange(n, dtype=np.float64)
+    seg = np.minimum((t / n * t_segments).astype(int), t_segments - 1)
+    # k rides the stride too: distinct k diverge segment-dependently (a
+    # k-independent stride left some pairs a constant few bins apart —
+    # same band every segment, near-identical fingerprint)
+    b = 6 + ((k * 17 + seg * (29 + 7 * k)) % 110)
+    return 0.55 * np.sin(2 * np.pi * b * t / n_fft)
+
+
+def _wav16(x, rate=8000):
+    return bytearray(_wav_bytes((x * 32767).astype("<i2"), rate))
+
+
+def test_audio_fingerprint_families_pair(spark):
+    """audio_fingerprints + hamming_pairs: re-encode (8-bit, float32)
+    and gain-shift copies of a clip pair with it; unrelated clips never
+    pair — the WAV analogue of the JPEG re-encode family phash pins."""
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import audio_fingerprints
+
+    rate = 8000
+    rows = []
+    for k in range(6):
+        x = _tone_clip(k)
+        rows.append((k, "audio/wav", _wav16(x, rate)))
+        if k < 2:
+            u8 = ((x * 127) + 128).clip(0, 255).astype(np.uint8)
+            rows.append((k + 100, "audio/wav",
+                         bytearray(_wav_bytes(u8, rate, bits=8))))
+            rows.append((k + 200, "audio/wav",
+                         bytearray(_wav_bytes(x.astype("<f4"), rate,
+                                              bits=32, fmt_code=3))))
+            rows.append((k + 300, "audio/wav", _wav16(x * 0.5, rate)))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    sigs = audio_fingerprints(media)
+    assert all(r["ok"] for r in sigs.collect())
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            sigs, "media_id", "afp", max_distance=8, n_bits=63
+        ).collect()
+    }
+    import itertools
+
+    want = set()
+    for k in range(2):
+        fam = [k, k + 100, k + 200, k + 300]
+        want |= set(itertools.combinations(fam, 2))
+    assert set(pairs) == want
+
+
+def test_audio_fingerprint_gain_invariant_and_deterministic(spark):
+    """A pure gain change shifts every log cell and the median equally —
+    the fingerprint is bit-identical; and the per-row pure function is
+    partition-invariant. Garbage payloads classify ok=false with a NULL
+    (never float64-rounded) fingerprint."""
+    from tdataframe_spark.ops.multimodal import audio_fingerprints
+
+    x = _tone_clip(3)
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", _wav16(x)),
+            (2, "audio/wav", _wav16(x * 0.5)),
+            (3, "audio/wav", _wav16(x * 0.1)),
+            (4, "audio/wav", bytearray(b"not a wav")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r["media_id"]: (r["ok"], r["afp"])
+           for r in audio_fingerprints(media).collect()}
+    assert got[1][0] and got[1][1] == got[2][1] == got[3][1]
+    assert got[4] == (False, None)
+    again = {r["media_id"]: r["afp"]
+             for r in audio_fingerprints(media.repartition(7)).collect()}
+    assert {k: v[1] for k, v in got.items()} == again
+
+
+def test_afp_index_incremental_match(spark, tmp_path):
+    """Incremental audio near-dup: build the fingerprint index once,
+    match a new batch against it — results equal the full pairwise op
+    restricted to new-vs-corpus pairs; appending folds the batch in and
+    re-matching it yields no trivial self-pairs (the phash index
+    contract, audio twin)."""
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import (
+        append_afp_index,
+        audio_fingerprints,
+        build_afp_index,
+        match_afp_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(k, "audio/wav", _wav16(_tone_clip(k))) for k in range(5)],
+        "media_id long, kind string, payload binary",
+    )
+    idx = str(tmp_path / "afpidx")
+    build_afp_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [
+            (100, "audio/wav", _wav16(_tone_clip(2) * 0.5)),  # gain copy of 2
+            (101, "audio/wav",
+             bytearray(_wav_bytes(_tone_clip(4).astype("<f4"), 8000,
+                                  bits=32, fmt_code=3))),  # re-encode of 4
+            (102, "audio/wav", _wav16(_tone_clip(50))),  # novel
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in match_afp_index(batch, idx).collect()
+    }
+    union_sigs = audio_fingerprints(corpus.unionByName(batch)).filter("ok")
+    full = {
+        (r["id_b"], r["id_a"]): r["hamming"]
+        for r in hamming_pairs(
+            union_sigs, "media_id", "afp", max_distance=8, n_bits=63
+        ).collect()
+        if r["id_b"] >= 100 and r["id_a"] < 100
+    }
+    assert got == full
+    assert (100, 2) in got and (101, 4) in got
+    assert not any(a == 102 for a, _ in got)
+    append_afp_index(batch, idx)
+    again = {(r["id_a"], r["id_b"]) for r in match_afp_index(batch, idx).collect()}
+    assert not any(a == b for a, b in again)
+    assert (100, 2) in again
+
+
+def test_video_signatures_pair_reencodes(spark):
+    """video_signatures: the same frame sequence re-encoded across
+    containers/codecs (MJPEG-AVI, raw-DIB AVI, GIF, lossy-quant MJPEG)
+    pools to near-identical majority signatures; a different video does
+    not pair; unhashable videos and sub-min_frames videos have no row."""
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import video_signatures
+    from tools.gif_codec import encode_gif
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [200, 100, 50]],
+        np.uint8,
+    )
+
+    def frames(vid):
+        out = []
+        for f in range(6):
+            tiles = (vid * 7 + 3 * f + np.arange(2 * 3)) % 5
+            img = pal[tiles].reshape(2, 3, 3)
+            out.append(np.repeat(np.repeat(img, 8, 0), 8, 1))
+        return out
+
+    fa = frames(1)
+    yy, xx = np.mgrid[0:16, 0:24]
+    fb = [
+        np.stack(
+            [(xx * 11 + f * 5) % 256, (yy * 23) % 256, (xx + yy * 7) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        for f in range(6)
+    ]
+    lossy = np.full((8, 8), 2, np.int64)
+    media = spark.createDataFrame(
+        [
+            (1, "video/avi", bytearray(encode_avi(fa, codec="MJPG"))),
+            (2, "video/avi", bytearray(encode_avi(fa, codec="DIB "))),
+            (3, "video/gif", bytearray(encode_gif(fa))),
+            (5, "video/avi", bytearray(encode_avi(fa, quant=lossy))),
+            (4, "video/avi", bytearray(encode_avi(fb, codec="MJPG"))),
+            (9, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    sigs = video_signatures(media)
+    rows = {r["media_id"]: r for r in sigs.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # mp4: unhashable -> no row
+    assert all(r["n_frames_hashed"] == 6 for r in rows.values())
+    # exact container swaps pool to the identical signature
+    assert rows[1]["vsig"] == rows[2]["vsig"] == rows[3]["vsig"]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            sigs, "media_id", "vsig", max_distance=8, n_bits=63
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3), (1, 5), (2, 5), (3, 5)}
+    # min_frames drops videos with too few hashed frames
+    few = video_signatures(media, min_frames=7)
+    assert few.count() == 0
