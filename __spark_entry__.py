@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup": q_audio_dedup,
         "audio_dedup_index": q_audio_dedup_index,
         "video_dedup": q_video_dedup,
+        "rename_column": q_rename_column,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r5-r7) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_delete_txn": SQL_MERGE_DELETE,
         "delete_vectors": SQL_DELETE_VECTORS,
         "dv_purge": SQL_DV_PURGE,
+        "rename_column": SQL_RENAME_COLUMN,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

@@ -112,6 +112,10 @@ EXTENDED = [
     "audio_dedup",
     "audio_dedup_index",
     "video_dedup",
+    # round-9: metadata-only column DDL — seeds a fresh txn table and
+    # runs write + rename + drop + evolving append + DV delete + read
+    # per run (the full column-mapping lifecycle at sf scale)
+    "rename_column",
 ]
 
 

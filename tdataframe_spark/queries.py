@@ -1595,6 +1595,59 @@ FROM orders WHERE o_orderkey % 11 != 0
 """
 
 
+def q_rename_column(spark, sf):
+    """Metadata-only column DDL end-to-end (txn_rename_column /
+    txn_drop_column — Delta column-mapping semantics): half of lineitem
+    is committed under the ORIGINAL column names, the price column is
+    renamed and a column dropped (two manifest-only commits — zero data
+    bytes move), the other half is appended under the NEW name (its
+    files store the stable physical name), and a row-level DV delete
+    predicates on the new name. The final read presents one coherent
+    logical schema over files written before AND after the rename. The
+    oracle states the surviving relation; no-rewrite/file-list
+    invariance, re-add-after-drop freshness, and the rename-vs-write
+    race guard are pinned in tests/test_txn.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        txn_delete,
+        txn_drop_column,
+        txn_read,
+        txn_rename_column,
+        txn_write,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_tax",
+        "l_returnflag",
+    )
+    path = os.path.join(tempfile.gettempdir(), f"rename_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        li.filter("l_orderkey % 2 = 0"), path, mode="overwrite",
+        stats_cols=["l_extendedprice"],
+    )
+    txn_rename_column(path, "l_extendedprice", "price")
+    txn_drop_column(path, "l_tax")
+    txn_write(
+        li.filter("l_orderkey % 2 = 1").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_extendedprice").alias("price"), "l_returnflag",
+        ),
+        path, stats_cols=["price"],
+    )
+    txn_delete(spark, path, "price < 2000.0")
+    return txn_read(spark, path)
+
+
+SQL_RENAME_COLUMN = """
+SELECT l_orderkey, l_linenumber, l_extendedprice AS price, l_returnflag
+FROM lineitem WHERE NOT (l_extendedprice < 2000.0)
+"""
+
+
 def q_restore_table(spark, sf):
     """Delta-style RESTORE (txn_restore): seed the orders table (v1),
     clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed

@@ -345,10 +345,11 @@ def compact_txn(
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are exclusive")
     # data-skipping stats survive the rewrite: recompute min/max for every
-    # column any live file recorded them for (footer-only, driver-side)
-    stats_cols = sorted(
-        {c for f in manifest["files"] for c in f.get("stats", {})}
-    )
+    # column any live file recorded them for (footer-only, driver-side).
+    # Stats keys are physical; the rewritten frame is logical — translate
+    from tdataframe_spark.sources.txn import _logical_stats_cols
+
+    stats_cols = _logical_stats_cols(manifest) or []
     df = txn_read(spark, path, version=version)
     if zorder_by:
         df = (

@@ -54,7 +54,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _TXN = "_txn"
 _PPREFIX = "__p_"
@@ -325,6 +325,64 @@ def _merge_schemas(old_json: str | None, new_json: str) -> str:
     return StructType(merged).json()
 
 
+def _phys(f: StructField) -> str:
+    """The PHYSICAL column name a field's data is stored under in the
+    parquet files — the logical (user-facing) name unless a
+    ``txn_rename_column`` recorded a mapping in the field metadata.
+    Column mapping is what makes rename/drop metadata-only operations
+    (Delta's column-mapping shape): files are immutable, so a rename
+    can only ever change what the manifest CALLS the column."""
+    return (f.metadata or {}).get("physical", f.name)
+
+
+def _mapping(schema: StructType) -> dict[str, str]:
+    """logical name -> physical name for every field."""
+    return {f.name: _phys(f) for f in schema.fields}
+
+
+def _physical_schema(schema: StructType) -> StructType:
+    """The schema leaf files are actually read with: physical names."""
+    return StructType(
+        [StructField(_phys(f), f.dataType, f.nullable) for f in schema.fields]
+    )
+
+
+def _plain_schema(schema: StructType) -> StructType:
+    """Logical names, mapping metadata stripped — what callers see."""
+    return StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in schema.fields]
+    )
+
+
+def _to_logical(df: DataFrame, schema: StructType, keep: tuple = ()) -> DataFrame:
+    """Project a physical-named frame to its logical names, preserving
+    ``keep`` columns as-is and dropping everything else (e.g. the DV row
+    refs). Identity mappings still project — Catalyst collapses it."""
+    return df.select(
+        *[F.col(_phys(f)).alias(f.name) for f in schema.fields],
+        *[F.col(c) for c in keep],
+    )
+
+
+def _logical_stats_cols(manifest: dict) -> list[str] | None:
+    """The stats column set of a manifest translated to LOGICAL names —
+    what a read-modify-write (upsert/compaction) re-passes to
+    ``txn_write(stats_cols=...)``. Stats are recorded under physical
+    names (they come from parquet footers); keys whose physical column
+    was since dropped have no logical name and are excluded."""
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    inv = {_phys(f): f.name for f in schema.fields}
+    cols = sorted(
+        {
+            inv[k]
+            for f in manifest["files"]
+            for k in f.get("stats", {})
+            if k in inv
+        }
+    )
+    return cols or None
+
+
 def txn_write(
     df: DataFrame,
     path: str,
@@ -393,6 +451,34 @@ def txn_write(
                 "is partition-level, so the predicate keys must be "
                 "partition columns of the write"
             )
+    # COLUMN MAPPING (append/replace_where only — an overwrite replaces
+    # the whole table, so its schema AND mapping reset to identity):
+    # data files are written under each column's PHYSICAL name, which a
+    # txn_rename_column may have divorced from the logical name; NEW
+    # logical columns get a physical name that collides with no live or
+    # RETIRED physical (re-adding a dropped column's name must not
+    # resurrect the old files' data under it). The mapping is read once
+    # here — the retry loop below re-checks it against the live head and
+    # raises if a rename/drop raced this write (the files are already
+    # staged under the stale physicals and cannot be re-keyed cheaply).
+    phys_map: dict[str, str] = {}
+    if mode != "overwrite":
+        _, head0 = txn_latest(path)
+        head_schema_json = (head0 or {}).get("schema")
+        if head_schema_json is not None:
+            head_schema = StructType.fromJson(json.loads(head_schema_json))
+            cur_map = _mapping(head_schema)
+            used = set(cur_map.values()) | set(
+                (head0 or {}).get("retired_physical", [])
+            )
+            for f in df.schema.fields:
+                if f.name in cur_map:
+                    if cur_map[f.name] != f.name:
+                        phys_map[f.name] = cur_map[f.name]
+                elif f.name in used:
+                    fresh = f"{f.name}__p{uuid.uuid4().hex[:8]}"
+                    phys_map[f.name] = fresh
+                    used.add(fresh)
     commit_id = uuid.uuid4().hex[:12]
     commit_dir = os.path.join(path, "data", commit_id)
     w = df
@@ -401,15 +487,22 @@ def txn_write(
         pc = _PPREFIX + c
         w = w.withColumn(pc, F.col(c).cast("string"))
         pcols.append(pc)
+    if phys_map:
+        w = w.select(
+            *[F.col(c).alias(phys_map.get(c, c)) for c in w.columns]
+        )
     writer = w.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(commit_dir)
     new_files = _collect_files(commit_dir, path)
     if stats_cols:
+        # stats ride the files, so they are keyed by PHYSICAL name (the
+        # name the footer actually carries); txn_read translates
         for f in new_files:
             f["stats"] = _file_stats(
-                os.path.join(path, f["path"]), set(stats_cols)
+                os.path.join(path, f["path"]),
+                {phys_map.get(c, c) for c in stats_cols},
             )
     if replace_where:
         # Delta's replaceWhere rule: every written row must satisfy the
@@ -426,7 +519,17 @@ def txn_write(
                     f"{replace_where}; filter the frame to the predicate "
                     "before committing"
                 )
-    schema_json = df.schema.json()
+    # the committed schema: logical names, with the physical name riding
+    # each mapped field's metadata (any caller-supplied 'physical' key is
+    # stripped first — only this writer assigns it)
+    inc_fields = []
+    for f in df.schema.fields:
+        p = phys_map.get(f.name, f.name)
+        md = {k: v for k, v in (f.metadata or {}).items() if k != "physical"}
+        if p != f.name:
+            md["physical"] = p
+        inc_fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    schema_json = StructType(inc_fields).json()
 
     for _ in range(max_retries):
         version, latest = txn_latest(path)
@@ -434,6 +537,40 @@ def txn_write(
             raise ConcurrentWriteError(
                 f"table {path} moved to v{version}; expected v{expected_version}"
             )
+        if mode != "overwrite":
+            # a rename/drop (or a racing writer's schema evolution) may
+            # have moved the column mapping since the data files were
+            # staged under phys_map — committing them anyway would bind
+            # wrong physical names into the table; raise instead
+            lsj = (latest or {}).get("schema")
+            lmap = (
+                _mapping(StructType.fromJson(json.loads(lsj)))
+                if lsj is not None
+                else {}
+            )
+            lused = set(lmap.values()) | set(
+                (latest or {}).get("retired_physical", [])
+            )
+            conflict = []
+            for f in df.schema.fields:
+                p = phys_map.get(f.name, f.name)
+                if f.name in lmap:
+                    if lmap[f.name] != p:
+                        conflict.append(f.name)
+                elif p in lused:
+                    # staged physical was retired/claimed concurrently —
+                    # committing would resurrect or collide old data
+                    conflict.append(f.name)
+            if conflict:
+                import shutil
+
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"column mapping of {path} changed under this write "
+                    f"(columns {sorted(conflict)}): a rename/drop or a "
+                    "schema-evolving writer raced it — re-run the write "
+                    "against the new head"
+                )
         # deletion vectors ride the live file set: an overwrite replaces
         # every file, so its DVs go too; append/replace_where retain the
         # old files and must retain their DVs (entries pointing at files
@@ -492,6 +629,14 @@ def txn_write(
             "dv": dv,
             "meta": meta or {},
         }
+        # retired physical names ride every non-overwrite commit so a
+        # re-added column can never claim a dropped column's storage
+        retired = (
+            [] if mode == "overwrite"
+            else list((latest or {}).get("retired_physical", []))
+        )
+        if retired:
+            manifest["retired_physical"] = retired
         if _publish(path, version + 1, manifest):
             return version + 1
         if expected_version is not None:
@@ -562,7 +707,12 @@ def txn_read(
             "readers need this snapshot"
         )
     files = manifest["files"]
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
     if range_filter:
+        # stats are keyed by PHYSICAL name (they come from the parquet
+        # footers); the caller filters on logical names — translate
+        cmap = _mapping(schema)
+        range_filter = {cmap.get(c, c): b for c, b in range_filter.items()}
         # validate against the FULL snapshot, not a partition-pruned
         # subset: a partition whose files happen to lack stats must keep
         # its files (conservative), not error on a correct column name
@@ -589,26 +739,26 @@ def txn_read(
         files = [
             f for f in files if _stats_match(f.get("stats", {}), range_filter)
         ]
-    schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not files:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], _plain_schema(schema))
     paths = [os.path.join(path, f["path"]) for f in files]
-    # read with the MANIFEST schema: leaf files carry their own columns
-    # (partition cols are duplicated, not hive-stripped — no basePath /
-    # partition inference needed), the explicit schema ignores the __p_*
-    # helper columns and NULL-backfills evolved columns in older files
-    base = spark.read.schema(schema).parquet(*paths)
+    # read with the manifest's PHYSICAL schema: leaf files carry their
+    # own columns (partition cols are duplicated, not hive-stripped — no
+    # basePath / partition inference needed), the explicit schema
+    # ignores the __p_* helper columns and NULL-backfills evolved
+    # columns in older files; renamed columns resolve because the
+    # physical name never moves — only the logical alias below does
+    base = spark.read.schema(_physical_schema(schema)).parquet(*paths)
     dv = _read_dv(spark, path, manifest)
     if dv is None:
-        return base
+        return _to_logical(base, schema)
     # deletion vectors: anti-join on (part-file name, row position) —
     # Spark broadcasts the DV side when small (the common case), and the
     # equi anti-join scales when it is not; stats/partition pruning above
     # stays valid (a DV never widens a file's min/max, only hides rows)
-    return (
-        _with_row_refs(base)
-        .join(dv, [_DV_FILE, _DV_POS], "left_anti")
-        .drop(_DV_FILE, _DV_POS)
+    return _to_logical(
+        _with_row_refs(base).join(dv, [_DV_FILE, _DV_POS], "left_anti"),
+        schema,
     )
 
 
@@ -647,18 +797,22 @@ def txn_changes(
     before = {f["path"] for f in from_manifest["files"]} if from_manifest else set()
     after = {f["path"] for f in after_manifest["files"]}
     schema = StructType.fromJson(json.loads(after_manifest["schema"]))
+    # the feed computes in PHYSICAL column space (physical names are
+    # version-stable — that is what makes a rename a zero-row change)
+    # and presents the TO snapshot's logical names at the end
+    pschema = _physical_schema(schema)
     dv_from = _read_dv(spark, path, from_manifest)
     dv_to = _read_dv(spark, path, after_manifest)
 
     def read_set(rel_paths, dv):
         files = [os.path.join(path, p) for p in sorted(rel_paths)]
         if not files:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], pschema)
         # both sides read under the TO snapshot's schema so an evolved
         # column diffs as NULL→value, not as a schema mismatch; each
         # side applies ITS version's deletion vectors so a DV'd row
         # counts as absent on that side
-        df = spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(pschema).parquet(*files)
         if dv is None:
             return df
         return (
@@ -680,18 +834,18 @@ def txn_changes(
 
     def dv_delta_rows(side_dv, other_dv):
         if side_dv is None:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], pschema)
         delta = side_dv.exceptAll(other_dv) if other_dv is not None else side_dv
         if not common:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], pschema)
         hit_rels = sorted(
             {r[0] for r in delta.select(_DV_FILE).distinct().collect()}
             & common
         )
         if not hit_rels:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], pschema)
         hit_df = _with_row_refs(
-            spark.read.schema(schema).parquet(
+            spark.read.schema(pschema).parquet(
                 *[os.path.join(path, p) for p in hit_rels]
             )
         )
@@ -711,7 +865,9 @@ def txn_changes(
         .unionByName(dv_deleted)
         .withColumn("_change_type", F.lit("delete"))
     )
-    return inserts.unionByName(deletes)
+    return _to_logical(
+        inserts.unionByName(deletes), schema, keep=("_change_type",)
+    )
 
 
 def txn_changes_since(
@@ -810,10 +966,9 @@ def txn_upsert(
         # likewise data skipping survives the merge: inherit the stats
         # column set from the previous manifest — a recommit without
         # stats_cols would drop every per-file min/max and break all
-        # existing txn_read(range_filter=...) readers
-        stats_cols = sorted(
-            {k for f in manifest["files"] for k in f.get("stats", {})}
-        ) or None
+        # existing txn_read(range_filter=...) readers. Stats keys are
+        # physical; the merged frame is logical — translate
+        stats_cols = _logical_stats_cols(manifest)
         current = txn_read(spark, path, version=version)
         drop_keys = batch.select(*keys)
         if tombstones is not None:
@@ -900,7 +1055,15 @@ def txn_delete(
                 "using txn_delete"
             )
         paths = [os.path.join(path, f["path"]) for f in manifest["files"]]
-        cur = _with_row_refs(spark.read.schema(schema).parquet(*paths))
+        # physical read + logical rename (keeping the row refs): the
+        # predicate is over LOGICAL names, the DV keys over file facts
+        cur = _to_logical(
+            _with_row_refs(
+                spark.read.schema(_physical_schema(schema)).parquet(*paths)
+            ),
+            schema,
+            keep=(_DV_FILE, _DV_POS),
+        )
         old_dv = _read_dv(spark, path, manifest)
         if old_dv is not None:
             cur = cur.join(old_dv, [_DV_FILE, _DV_POS], "left_anti")
@@ -1000,8 +1163,13 @@ def txn_purge(
         if not targets:
             return version
         schema = StructType.fromJson(json.loads(manifest["schema"]))
+        # the purge rewrite stays entirely in PHYSICAL column space: it
+        # reads physical, writes physical, and keeps the manifest schema
+        # (so a mapped logical name keeps resolving after the rewrite);
+        # partition columns are physical==logical by construction
+        # (rename/drop reject partition columns)
         src = _with_row_refs(
-            spark.read.schema(schema).parquet(
+            spark.read.schema(_physical_schema(schema)).parquet(
                 *[os.path.join(path, p) for p in sorted(targets)]
             )
         )
@@ -1092,10 +1260,155 @@ def txn_restore(
             "dv": src.get("dv", []),  # the snapshot's deletes come back too
             "meta": {**(meta or {}), "restore_of": version},
         }
+        # retired physicals accumulate across the restore: both the
+        # snapshot's set and everything retired since must stay
+        # unclaimable by future column adds
+        retired = sorted(
+            set(src.get("retired_physical", []))
+            | set((_latest or {}).get("retired_physical", []))
+        )
+        if retired:
+            manifest["retired_physical"] = retired
         if _publish(path, head + 1, manifest):
             return head + 1
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races restoring {path}"
+    )
+
+
+def _ddl_guard(manifest: dict, col: str, path: str, op: str) -> StructType:
+    """Shared validation for the metadata-only column DDL: the column
+    must exist logically and must not be a partition column (partition
+    values and ``__p_*`` directory names are keyed by the as-written
+    name in every live file — changing them is a rewrite, not metadata;
+    the loud error beats a silently broken partition_filter)."""
+    if manifest is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(
+            f"cannot {op} {col!r}: not a column of {path} (has {names})"
+        )
+    pcols = {k for f in manifest["files"] for k in f["partition"]}
+    if col in pcols:
+        raise ValueError(
+            f"cannot {op} partition column {col!r}: partition directory "
+            "names and per-file partition values are keyed by it in "
+            "every live file — rewrite the table under the new layout "
+            "instead (txn_read -> txn_write(partition_by=...))"
+        )
+    return schema
+
+
+def txn_rename_column(
+    path: str,
+    old: str,
+    new: str,
+    meta: dict | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Rename a column METADATA-ONLY (Delta column-mapping semantics):
+    the manifest's logical field name changes while the field keeps its
+    original PHYSICAL name, so zero data bytes move — at 100 TB a
+    rename is one manifest commit, not a table rewrite. Every
+    subsequent ``txn_read``/``txn_changes`` presents the new name;
+    appends address the column by the new name and their files are
+    written under the stable physical name; pinned/as_of readers of
+    older versions keep seeing the old name (each manifest's schema is
+    self-contained). ``range_filter`` data skipping keeps working — the
+    per-file stats stay keyed by the physical name and reads translate.
+
+    Partition columns are rejected (their name is baked into directory
+    layouts and per-file partition values — that rename IS a rewrite).
+    Returns the committed version."""
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        schema = _ddl_guard(manifest, old, path, "rename")
+        names = [f.name for f in schema.fields]
+        if new in names:
+            raise ValueError(
+                f"cannot rename {old!r} to {new!r}: {path} already has a "
+                f"column {new!r}"
+            )
+        if new in (_DV_FILE, _DV_POS):
+            raise ValueError(
+                f"{new!r} is a reserved deletion-vector row-ref name"
+            )
+        fields = []
+        for f in schema.fields:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md["physical"] = _phys(f)  # pin the storage name forever
+                fields.append(StructField(new, f.dataType, f.nullable, md))
+            else:
+                fields.append(f)
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": StructType(fields).json(),
+            "dv": manifest.get("dv", []),
+            "meta": {**(meta or {}), "op": "rename_column",
+                     "from": old, "to": new},
+        }
+        retired = list(manifest.get("retired_physical", []))
+        if retired:
+            new_manifest["retired_physical"] = retired
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races renaming in {path}"
+    )
+
+
+def txn_drop_column(
+    path: str,
+    col: str,
+    meta: dict | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Drop a column METADATA-ONLY: the field leaves the manifest's
+    logical schema while the data files keep carrying it (immutable;
+    reads simply stop projecting it) — one manifest commit at any table
+    size. The column's PHYSICAL name is recorded as RETIRED so a later
+    re-add of the same name gets a fresh physical name and can never
+    resurrect the old files' values; pinned/as_of readers of older
+    versions still see the column. The bytes are physically reclaimed
+    by the next full rewrite (``txn_upsert``/``compact_txn``/
+    ``mode="overwrite"``), which materializes the current logical
+    schema — the same lifecycle as deletion-vector rows.
+
+    Partition columns are rejected (their name is baked into directory
+    layouts); dropping the last column is rejected. Returns the
+    committed version."""
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        schema = _ddl_guard(manifest, col, path, "drop")
+        if len(schema.fields) == 1:
+            raise ValueError(
+                f"cannot drop {col!r}: it is the only column of {path}"
+            )
+        dropped = next(f for f in schema.fields if f.name == col)
+        fields = [f for f in schema.fields if f.name != col]
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": StructType(fields).json(),
+            "dv": manifest.get("dv", []),
+            "meta": {**(meta or {}), "op": "drop_column", "column": col},
+            "retired_physical": sorted(
+                set(manifest.get("retired_physical", []))
+                | {_phys(dropped)}
+            ),
+        }
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races dropping in {path}"
     )
 
 

@@ -1459,3 +1459,203 @@ def test_vacuum_rewrites_fences_before_reclaiming_dirs(spark, tmp_path, monkeypa
     # a re-run vacuum completes the reclamation
     removed = txn_vacuum(path, keep_versions=1, min_age_s=0)
     assert removed and txn_read(spark, path).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# column mapping: metadata-only rename / drop (round 9)
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """txn_rename_column: zero data files move (the manifest file list
+    is byte-identical); reads present the new name; data skipping keeps
+    pruning through the rename (stats stay keyed physically); appends
+    under the new name land in the old physical column; pinned readers
+    of older versions still see the old name; the change feed across
+    the rename is empty."""
+    from tdataframe_spark.sources.txn import (
+        _load,
+        txn_changes,
+        txn_rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), "ab"[i % 2]) for i in range(20)],
+        "k int, v double, part string",
+    )
+    txn_write(df, path, mode="overwrite", partition_by=["part"],
+              stats_cols=["v"])
+    files_before = _load(path, 1)["files"]
+    v2 = txn_rename_column(path, "v", "score")
+    assert v2 == 2
+    m2 = _load(path, 2)
+    assert m2["files"] == files_before  # not a byte rewritten
+    got = txn_read(spark, path)
+    assert set(got.columns) == {"k", "score", "part"}
+    assert _rows(got.select("k", "score")) == [(i, float(i)) for i in range(20)]
+    # data skipping prunes on the NEW logical name
+    pruned = txn_read(spark, path, range_filter={"score": (5.0, 7.0)})
+    assert {r["k"] for r in pruned.collect()} >= {5, 6, 7}
+    # pinned reader of the pre-rename snapshot sees the old name
+    old = txn_read(spark, path, version=1)
+    assert set(old.columns) == {"k", "v", "part"}
+    # the rename itself is a zero-row change
+    assert txn_changes(spark, path, 1, 2).count() == 0
+    # appends address the new name; old + new rows read back together
+    txn_write(
+        spark.createDataFrame([(100, 100.0, "a")],
+                              "k int, score double, part string"),
+        path, stats_cols=["score"],
+    )
+    allr = txn_read(spark, path)
+    assert allr.count() == 21
+    assert allr.filter("score = 100.0").count() == 1
+    # stats of the appended file are keyed by the PHYSICAL name (v)
+    m3 = _load(path, 3)
+    new_file_stats = [
+        f["stats"] for f in m3["files"] if f not in files_before
+    ]
+    # (an empty part file records no stats at all — skip those)
+    assert any("v" in s for s in new_file_stats)
+    assert not any("score" in s for s in new_file_stats)
+
+
+def test_drop_column_and_safe_readd(spark, tmp_path):
+    """txn_drop_column: metadata-only — reads stop projecting the
+    column; re-adding the same logical name via an evolving append gets
+    a FRESH physical name, so the old files' values can never
+    resurrect (old rows read NULL, new rows read their values)."""
+    from tdataframe_spark.sources.txn import _load, txn_drop_column
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"),
+        path, mode="overwrite",
+    )
+    v2 = txn_drop_column(path, "v")
+    assert v2 == 2
+    assert set(txn_read(spark, path).columns) == {"k"}
+    assert _load(path, 2)["retired_physical"] == ["v"]
+    # pinned read still has it
+    assert set(txn_read(spark, path, version=1).columns) == {"k", "v"}
+    # re-add 'v' by evolving append: fresh physical, no resurrection
+    txn_write(
+        spark.createDataFrame([(3, 333.0)], "k int, v double"), path
+    )
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got == {1: None, 2: None, 3: 333.0}
+    # the re-added field's physical name is NOT 'v'
+    m3 = _load(path, 3)
+    import json as _json
+
+    fields = _json.loads(m3["schema"])["fields"]
+    readd = next(f for f in fields if f["name"] == "v")
+    assert readd["metadata"]["physical"] != "v"
+    assert m3["retired_physical"] == ["v"]
+
+
+def test_column_ddl_validation(spark, tmp_path):
+    """Rename/drop reject partition columns, unknown columns, name
+    clashes, reserved names, and dropping the last column."""
+    from tdataframe_spark.sources.txn import (
+        txn_drop_column,
+        txn_rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(1, 1.0, "a")], "k int, v double, part string"),
+        path, mode="overwrite", partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        txn_rename_column(path, "part", "region")
+    with pytest.raises(ValueError, match="partition column"):
+        txn_drop_column(path, "part")
+    with pytest.raises(ValueError, match="not a column"):
+        txn_rename_column(path, "nope", "x")
+    with pytest.raises(ValueError, match="already has"):
+        txn_rename_column(path, "v", "k")
+    with pytest.raises(ValueError, match="reserved"):
+        txn_rename_column(path, "v", "__dv_pos")
+    p2 = str(tmp_path / "one")
+    txn_write(spark.createDataFrame([(1,)], "k int"), p2, mode="overwrite")
+    with pytest.raises(ValueError, match="only column"):
+        txn_drop_column(p2, "k")
+
+
+def test_rename_composes_with_dv_purge_upsert_restore(spark, tmp_path):
+    """Column mapping through the rest of the txn surface: predicates
+    over the new name drive deletion vectors; purge rewrites physically
+    and the logical read survives; an upsert (full rewrite) MATERIALIZES
+    the mapping back to identity; restore to a pre-rename version brings
+    the old name back."""
+    import json as _json
+
+    from tdataframe_spark.sources.txn import (
+        _load,
+        txn_delete,
+        txn_purge,
+        txn_rename_column,
+        txn_restore,
+        txn_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "k int, v double"),
+        path, mode="overwrite",
+    )
+    txn_rename_column(path, "v", "score")               # v2
+    txn_delete(spark, path, "score >= 8.0")             # v3: DV via new name
+    assert txn_read(spark, path).count() == 8
+    txn_purge(spark, path, min_deleted_ratio=0.001)     # v4: physical rewrite
+    got = txn_read(spark, path)
+    assert set(got.columns) == {"k", "score"} and got.count() == 8
+    # upsert = read-logical + overwrite: the mapping materializes away
+    txn_upsert(
+        spark.createDataFrame([(0, 99.0)], "k int, score double"),
+        path, keys=["k"],
+    )
+    head = txn_latest(path)[1]
+    fields = _json.loads(head["schema"])["fields"]
+    assert [f["name"] for f in fields] == ["k", "score"]
+    assert all("physical" not in (f.get("metadata") or {}) for f in fields)
+    assert {r["k"]: r["score"] for r in txn_read(spark, path).collect()}[0] == 99.0
+    # restore to the pre-rename snapshot: old name, old rows
+    txn_restore(path, 1)
+    back = txn_read(spark, path)
+    assert set(back.columns) == {"k", "v"} and back.count() == 10
+
+
+def test_rename_racing_a_write_raises(spark, tmp_path, monkeypatch):
+    """A rename landing between a writer's mapping snapshot and its
+    manifest commit must raise ConcurrentWriteError (the staged files
+    carry the stale physical names), never bind the wrong mapping."""
+    from tdataframe_spark.sources import txn as txn_mod
+    from tdataframe_spark.sources.txn import txn_rename_column
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(1, 1.0)], "k int, v double"),
+        path, mode="overwrite",
+    )
+    real = txn_mod.txn_latest
+    state = {"fired": False}
+
+    def racy_latest(p):
+        out = real(p)
+        if not state["fired"]:
+            state["fired"] = True
+            txn_rename_column(path, "v", "w")  # lands AFTER the snapshot
+        return out
+
+    monkeypatch.setattr(txn_mod, "txn_latest", racy_latest)
+    with pytest.raises(ConcurrentWriteError, match="column mapping"):
+        txn_write(
+            spark.createDataFrame([(2, 2.0)], "k int, v double"), path
+        )
+    monkeypatch.undo()
+    # the table is intact under the rename
+    got = txn_read(spark, path)
+    assert set(got.columns) == {"k", "w"} and got.count() == 1
