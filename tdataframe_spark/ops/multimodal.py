@@ -952,6 +952,20 @@ def phash_images(
     return media.mapInPandas(run, schema)
 
 
+def _read_sig_index(spark, index_path: str, sig_col: str) -> DataFrame:
+    """Read a signature index written either as plain parquet
+    (build_*/append_* one-shot jobs) or as the transactional table a
+    ``stream_media_to_*_index`` stream maintains (snapshot-isolated
+    against in-flight appends)."""
+    from tdataframe_spark.sources.txn import is_txn_table, txn_read
+
+    if is_txn_table(index_path):
+        return txn_read(spark, index_path).select("media_id", sig_col)
+    return spark.read.schema(f"media_id bigint, {sig_col} bigint").parquet(
+        index_path
+    )
+
+
 def build_phash_index(
     media: DataFrame, index_path: str, resize: int = 32, block: int = 8
 ) -> None:
@@ -989,13 +1003,13 @@ def match_phash_index(
     side, so join fan-out scales with the batch, never the corpus).
     Returns (id_a = batch id, id_b = corpus id, hamming). The streaming
     ingestion shape for image dedup at 100 TB: index once, match every
-    arriving batch."""
+    arriving batch — and when the index is the TRANSACTIONAL table a
+    ``stream_media_to_phash_index`` stream maintains, the read is
+    snapshot-isolated against in-flight appends."""
     from tdataframe_spark.ops.dedup import hamming_pairs
 
     spark = new_media.sparkSession
-    idx = spark.read.schema("media_id bigint, phash bigint").parquet(
-        index_path
-    )
+    idx = _read_sig_index(spark, index_path, "phash")
     new_sigs = phash_images(new_media, resize=resize, block=block).filter(
         "ok"
     ).select("media_id", "phash")
@@ -1558,11 +1572,13 @@ def match_afp_index(
     banded Hamming join (``hamming_pairs(other=...)`` — the batch takes
     the expanded-key side, so join fan-out scales with the batch, never
     the corpus; trivial self-pairs from an already-appended batch are
-    dropped). Returns (id_a = batch id, id_b = corpus id, hamming)."""
+    dropped). Returns (id_a = batch id, id_b = corpus id, hamming).
+    Accepts a plain-parquet index (build/append_afp_index) or the
+    transactional one a ``stream_media_to_afp_index`` stream maintains."""
     from tdataframe_spark.ops.dedup import hamming_pairs
 
     spark = new_media.sparkSession
-    idx = spark.read.schema("media_id bigint, afp bigint").parquet(index_path)
+    idx = _read_sig_index(spark, index_path, "afp")
     new_sigs = audio_fingerprints(
         new_media, t_segments=t_segments, f_bands=f_bands, **fp_kwargs
     ).filter("ok").select("media_id", "afp")

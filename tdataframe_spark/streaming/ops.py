@@ -763,3 +763,82 @@ def stream_topk_refresh(
         record(batch_id)
 
     return _run_foreach_batch(events, _apply, checkpoint, available_now)
+
+
+def _stream_signature_index(
+    media: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    signer,
+    sig_col: str,
+    what: str,
+    available_now: bool = True,
+):
+    """Shared micro-batch loop for streaming near-dup index maintenance:
+    each arriving batch of media payloads is decoded+signed (``signer``
+    — an Arrow mapInPandas signature op like phash_images /
+    audio_fingerprints), and its (media_id, signature) rows are folded
+    into a TRANSACTIONAL index table as ONE atomic append commit
+    carrying the batch id — exactly-once under crash/replay via the
+    commit-meta fence (the rollup/upsert sink discipline), and
+    snapshot-isolated for concurrent matchers: a match_*_index running
+    mid-commit sees the previous complete index, never a half batch.
+
+    The heavy work (decode + signature) is per-row inside the batch;
+    the commit is a manifest append — at 100 TB of media the stream's
+    cost tracks the ARRIVING bytes, never the corpus, and the banded
+    cross-set matcher keeps fan-out on the batch side."""
+    from tdataframe_spark.sources.txn import txn_write
+
+    already_applied, meta_for = _txn_fence(index_path, checkpoint, what)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if already_applied(batch_id):
+            return  # replayed batch: commit meta says it is folded in
+        sigs = signer(batch).filter("ok").select("media_id", sig_col)
+        txn_write(sigs, index_path, mode="append", meta=meta_for(batch_id))
+
+    return _run_foreach_batch(media, _fold, checkpoint, available_now)
+
+
+def stream_media_to_phash_index(
+    media: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    resize: int = 32,
+    block: int = 8,
+):
+    """Streaming maintenance of the IMAGE near-dup index: arriving
+    payloads (``media_id, kind, payload`` — e.g. a binaryFile/parquet
+    ``readStream`` over an ingestion drop zone) are perceptual-hashed
+    per micro-batch and appended to the transactional pHash index as
+    one atomic, batch-id-fenced commit. ``match_phash_index`` reads the
+    txn index directly — the r8 image-dedup index becomes maintainable
+    by a stream, not just buildable by a job."""
+    from tdataframe_spark.ops.multimodal import phash_images
+
+    return _stream_signature_index(
+        media, index_path, checkpoint,
+        lambda b: phash_images(b, resize=resize, block=block),
+        "phash", "phash index", available_now,
+    )
+
+
+def stream_media_to_afp_index(
+    media: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    **fp_kwargs,
+):
+    """Streaming maintenance of the AUDIO near-dup index — the audio
+    twin of :func:`stream_media_to_phash_index` (same fence, same
+    atomic per-batch append), feeding :func:`match_afp_index`."""
+    from tdataframe_spark.ops.multimodal import audio_fingerprints
+
+    return _stream_signature_index(
+        media, index_path, checkpoint,
+        lambda b: audio_fingerprints(b, **fp_kwargs),
+        "afp", "afp index", available_now,
+    )

@@ -241,3 +241,145 @@ def test_stream_upsert_delete_arm(spark, tmp_path):
         stream_upsert_to_parquet(
             stream, path, ckpt, keys=["k"], delete_when="del = 1"
         )
+
+
+def test_phash_index_stream_is_exactly_once(spark, tmp_path):
+    """Streaming media ingestion into the image near-dup index: each
+    micro-batch appends its signatures as one batch-id-fenced txn
+    commit; a crash before the checkpoint commit replays the batch and
+    the fence must skip it (no duplicate index rows, no new commit);
+    later arrivals append; match_phash_index reads the txn index."""
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import (
+        match_phash_index,
+        phash_images,
+    )
+    from tdataframe_spark.sources.txn import txn_latest, txn_read
+    from tdataframe_spark.streaming import (
+        stream_from_files,
+        stream_media_to_phash_index,
+    )
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def img(k):
+        return np.stack(
+            [(xx * (k * 13 % 200 + 5)) % 256, (yy * (k + 3) * 7) % 256,
+             ((xx + yy * k) % 97 * 2.6)],
+            axis=2,
+        ).astype(np.uint8)
+
+    def p6(a):
+        return bytearray(f"P6\n{w} {h}\n255\n".encode() + a.tobytes())
+
+    src = str(tmp_path / "src")
+    media = spark.createDataFrame(
+        [(k, "image/ppm", p6(img(k))) for k in range(6)],
+        "media_id long, kind string, payload binary",
+    )
+    media.repartition(3).write.parquet(src)
+    batch_view = spark.read.parquet(src)
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_from_files(
+            spark, src, batch_view.schema, max_files_per_trigger=1
+        )
+        stream_media_to_phash_index(stream, idx, ckpt)
+
+    run()
+
+    def index_rows():
+        return sorted(
+            tuple(r) for r in txn_read(spark, idx).collect()
+        )
+
+    oneshot = sorted(
+        tuple(r)
+        for r in phash_images(batch_view).filter("ok")
+        .select("media_id", "phash").collect()
+    )
+    assert index_rows() == oneshot
+    v_before, m_before = txn_latest(idx)
+    replayed = _crash_before_checkpoint_commit(ckpt)
+    assert m_before["meta"]["batch_id"] == replayed  # fence rides the commit
+
+    run()  # restart: the commit-meta fence must skip the replayed batch
+    assert index_rows() == oneshot, "replayed batch double-appended"
+    v_after, _ = txn_latest(idx)
+    assert v_after == v_before, "replay must not create a new commit"
+
+    # a genuinely new arrival appends, and matching reads the txn index
+    spark.createDataFrame(
+        [(100, "image/jpeg", p6(img(2)))],  # near-dup of corpus 2
+        "media_id long, kind string, payload binary",
+    ).write.mode("append").parquet(src)
+    run()
+    assert len(index_rows()) == 7
+    probe = spark.createDataFrame(
+        [(500, "image/ppm", p6(np.clip(
+            img(2).astype(np.int16) + 8, 0, 255).astype(np.uint8)))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in match_phash_index(probe, idx).collect()}
+    assert {(500, 2), (500, 100)} <= got
+
+
+def test_afp_index_stream_folds_and_matches(spark, tmp_path):
+    """The audio twin of the streaming index sink: batches fold into the
+    txn fingerprint index exactly once (same fence), and
+    match_afp_index reads the txn index directly."""
+    import struct
+
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import match_afp_index
+    from tdataframe_spark.sources.txn import txn_latest, txn_read
+    from tdataframe_spark.streaming import (
+        stream_from_files,
+        stream_media_to_afp_index,
+    )
+
+    rate, n_fft = 8000, 256
+
+    def clip(k):
+        n = int(rate * 1.2)
+        t = np.arange(n, dtype=np.float64)
+        seg = np.minimum((t / n * 9).astype(int), 8)
+        b = 6 + ((k * 17 + seg * (29 + 7 * k)) % 110)
+        return 0.55 * np.sin(2 * np.pi * b * t / n_fft)
+
+    def wav(x):
+        data = (x * 32767).astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        ch = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        ch += b"data" + struct.pack("<I", len(data)) + data
+        return bytearray(b"RIFF" + struct.pack("<I", 4 + len(ch)) + b"WAVE" + ch)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(k, "audio/wav", wav(clip(k))) for k in range(4)],
+        "media_id long, kind string, payload binary",
+    ).repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+
+    def run():
+        stream_media_to_afp_index(
+            stream_from_files(spark, src, schema, max_files_per_trigger=1),
+            idx, ckpt,
+        )
+
+    run()
+    assert txn_read(spark, idx).count() == 4
+    v, _ = txn_latest(idx)
+    run()  # nothing new: no batch, no commit
+    assert txn_latest(idx)[0] == v and txn_read(spark, idx).count() == 4
+    probe = spark.createDataFrame(
+        [(500, "audio/wav", wav(clip(2) * 0.5))],  # gain copy of corpus 2
+        "media_id long, kind string, payload binary",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in match_afp_index(probe, idx).collect()}
+    assert got == {(500, 2)}
