@@ -82,15 +82,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation is documented per-round in STATUS.md.
     """
     return {
-        # --- driver window (first 50): must-verify this round (r8) ---
-        # the 32 oldest externally-verified entries (r4-last — the FULL
-        # remaining rotation debt), then the 8 queries NEW this round
-        # (deletion vectors + purge, real AVI video decode, STFT audio
-        # features, deterministic shard shuffle, pHash image dedup +
-        # its incremental index twin, shot-boundary detection), then
-        # the txn-layer family (DV
-        # plumbing touched txn_write/read/changes/vacuum/upsert/restore
-        # this round), then r5-last backfill complex-oracle-first
+        # --- driver window (first 50): must-verify this round (r9) ---
+        # the 39 r5-last entries (the FULL remaining rotation debt from
+        # r8 — after this round every registry entry has an external
+        # green row from r6+), then the 4 queries NEW this round (audio
+        # fingerprint near-dup + index twin, cross-video near-dup,
+        # metadata-only column DDL), then the queries whose operators
+        # changed behavior (shard_shuffle sizing guard; index matchers),
+        # then the txn-layer family most affected by column mapping
+        "ab_test": q_ab_test,
+        "bm25_indexed": q_bm25_indexed,
+        "bm25_topk": q_bm25_topk,
+        "bootstrap_ci": q_bootstrap_ci,
+        "confusion_stats": q_confusion_stats,
+        "corpus_curation": q_corpus_curation,
+        "corr_matrix": q_corr_matrix,
+        "domain_mix": q_domain_mix,
+        "dsir_sample": q_dsir_sample,
+        "dsir_weights": q_dsir_weights,
+        "gap_fill_interp": q_gap_fill_interp,
+        "group_quantiles_approx": q_group_quantiles_approx,
+        "heavy_hitters": q_heavy_hitters,
+        "histo2d": q_histo2d,
+        "hll_distinct": q_hll_distinct,
+        "hybrid_search": q_hybrid_search,
+        "interval_join": q_interval_join,
+        "logreg_score": q_logreg_score,
+        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
+        "outliers_robust": q_outliers_robust,
+        "pack_bins": q_pack_bins,
+        "pca_embeddings": q_pca_embeddings,
+        "pii_redact": q_pii_redact,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_parts": q_q11_important_parts,
+        "q12_shipmode_priority": q_q12_shipmode_priority,
+        "q20_part_promotion": q_q20_part_promotion,
+        "q21_suppliers_waiting": q_q21_suppliers_waiting,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_signals": q_repetition_signals,
+        "source_divergence": q_source_divergence,
+        "stratified_sample": q_stratified_sample,
+        "target_encode": q_target_encode,
+        "token_entropy": q_token_entropy,
+        "top_ngrams": q_top_ngrams,
+        "triangle_count": q_triangle_count,
+        "variant_props": q_variant_props,
+        "window_stats": q_window_stats,
+        "winsorize": q_winsorize,
+        "audio_dedup": q_audio_dedup,
+        "audio_dedup_index": q_audio_dedup_index,
+        "video_dedup": q_video_dedup,
+        "rename_column": q_rename_column,
+        "shard_shuffle": q_shard_shuffle,
+        "image_dedup_index": q_image_dedup_index,
+        "delete_vectors": q_delete_vectors,
+        "dv_purge": q_dv_purge,
+        "cdc_changes": q_cdc_changes,
+        "time_travel": q_time_travel,
+        "data_skipping": q_data_skipping,
+        # --- position 51+: rotated out — every entry below has an
+        # external driver-green row (r6-r8) and is re-verified every
+        # round by the local full-registry gate (driver_sim at sf0.01) ---
         "chunk_docs": q_chunk_docs,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
@@ -123,38 +175,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "lag_lead_gaps": q_lag_lead_gaps,
         "topk_orders": q_topk_orders,
-        "delete_vectors": q_delete_vectors,
-        "dv_purge": q_dv_purge,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
-        "shard_shuffle": q_shard_shuffle,
         "image_dedup": q_image_dedup,
         "shot_detect": q_shot_detect,
-        "image_dedup_index": q_image_dedup_index,
         "merge_upsert_txn": q_merge_upsert_txn,
         "merge_delete_txn": q_merge_delete_txn,
-        "data_skipping": q_data_skipping,
         "restore_table": q_restore_table,
-        "cdc_changes": q_cdc_changes,
-        "time_travel": q_time_travel,
         "rollup_incremental": q_rollup_incremental,
         "snapshot_diff": q_snapshot_diff,
         "dup_spans": q_dup_spans,
         "tfidf_pairs": q_tfidf_pairs,
-        # round-9 additions (will rotate into the window with the r9
-        # reorder): audio fingerprint near-dup + index twin, cross-video
-        # near-dup
-        "audio_dedup": q_audio_dedup,
-        "audio_dedup_index": q_audio_dedup_index,
-        "video_dedup": q_video_dedup,
-        "rename_column": q_rename_column,
-        # --- position 51+: rotated out — every entry below has an
-        # external driver-green row (r5-r7) and is re-verified every
-        # round by the local full-registry gate (driver_sim at sf0.01) ---
-        "hybrid_search": q_hybrid_search,
-        "bm25_indexed": q_bm25_indexed,
-        "corpus_curation": q_corpus_curation,
-        "ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
         "grouped_udaf": q_grouped_udaf,
         "min_per_group": q_min_per_group,
         "quantiles": q_quantiles,
@@ -238,41 +269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q16_supplier_counts": q_q16_supplier_counts,
         "q17_small_qty": q_q17_small_qty,
-        "triangle_count": q_triangle_count,
-        "corr_matrix": q_corr_matrix,
-        "ab_test": q_ab_test,
-        "heavy_hitters": q_heavy_hitters,
-        "interval_join": q_interval_join,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q11_important_parts": q_q11_important_parts,
-        "q12_shipmode_priority": q_q12_shipmode_priority,
-        "q20_part_promotion": q_q20_part_promotion,
-        "q21_suppliers_waiting": q_q21_suppliers_waiting,
-        "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
-        "source_divergence": q_source_divergence,
-        "target_encode": q_target_encode,
-        "bootstrap_ci": q_bootstrap_ci,
-        "variant_props": q_variant_props,
-        "histo2d": q_histo2d,
-        "gap_fill_interp": q_gap_fill_interp,
-        "token_entropy": q_token_entropy,
-        "outliers_robust": q_outliers_robust,
-        "window_stats": q_window_stats,
-        "confusion_stats": q_confusion_stats,
-        "quantize_embeddings": q_quantize_embeddings,
-        "pack_bins": q_pack_bins,
-        "group_quantiles_approx": q_group_quantiles_approx,
-        "hll_distinct": q_hll_distinct,
-        "pca_embeddings": q_pca_embeddings,
-        "logreg_score": q_logreg_score,
-        "winsorize": q_winsorize,
-        "stratified_sample": q_stratified_sample,
-        "top_ngrams": q_top_ngrams,
-        "repetition_signals": q_repetition_signals,
-        "pii_redact": q_pii_redact,
-        "domain_mix": q_domain_mix,
-        "bm25_topk": q_bm25_topk,
     }
 
 
