@@ -952,6 +952,7 @@ def hamming_pairs(
     n_bits: int = 60,
     expand: int = 1,
     other: DataFrame | None = None,
+    include_self: bool = False,
 ) -> DataFrame:
     """Generic banded Hamming join over ANY packed-bigint signature
     column (SimHash text signatures, pHash image signatures, ...) — the
@@ -967,8 +968,12 @@ def hamming_pairs(
     sigs) match returns, with no id ORDERING filter; the trivial
     ``id_a == id_b`` self-pair is dropped (re-matching a batch whose
     ids were already folded into the index via an append must not
-    return every row as its own hamming-0 duplicate). The incremental
-    near-dup shape: index once, match forever."""
+    return every row as its own hamming-0 duplicate). This assumes the
+    id is one namespace identifying ITEMS across both sets — the
+    append/re-match contract of the index twins; when the batch's ids
+    are an independent namespace (equal id != same item), pass
+    ``include_self=True`` to keep such pairs. The incremental near-dup
+    shape: index once, match forever."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
     if expand not in (0, 1):
@@ -1037,9 +1042,9 @@ def hamming_pairs(
     else:
         a = explode_from(other, expanded_structs, "id_a", "h_a")
         b = explode_side(exact_structs, "id_b", "h_b")
-        joined = a.join(b, ["band_idx", "band_val"]).filter(
-            F.col("id_a") != F.col("id_b")
-        )
+        joined = a.join(b, ["band_idx", "band_val"])
+        if not include_self:
+            joined = joined.filter(F.col("id_a") != F.col("id_b"))
     candidates = (
         joined
         # a close pair can collide in several bands — dedupe before verify

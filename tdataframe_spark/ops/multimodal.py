@@ -952,6 +952,20 @@ def phash_images(
     return media.mapInPandas(run, schema)
 
 
+def _write_sig_index(sigs: DataFrame, index_path: str, mode: str) -> None:
+    """Write/extend a signature index. On a TRANSACTIONAL index (one a
+    ``stream_media_to_*_index`` stream maintains) this commits through
+    the manifest — a plain ``.parquet(path)`` append there would drop
+    loose part files txn_read never lists (silently invisible to every
+    matcher), and a plain overwrite would destroy the manifest dir."""
+    from tdataframe_spark.sources.txn import is_txn_table, txn_write
+
+    if is_txn_table(index_path):
+        txn_write(sigs, index_path, mode=mode)
+    else:
+        sigs.write.mode(mode).parquet(index_path)
+
+
 def _read_sig_index(spark, index_path: str, sig_col: str) -> DataFrame:
     """Read a signature index written either as plain parquet
     (build_*/append_* one-shot jobs) or as the transactional table a
@@ -975,9 +989,12 @@ def build_phash_index(
     :func:`match_phash_index` without re-hashing (or re-reading) the
     corpus — the incremental-index twin the text family already has
     (build_minhash_index / semdedup_build / ivf_build)."""
-    phash_images(media, resize=resize, block=block).filter("ok").select(
-        "media_id", "phash"
-    ).write.mode("overwrite").parquet(index_path)
+    _write_sig_index(
+        phash_images(media, resize=resize, block=block).filter("ok").select(
+            "media_id", "phash"
+        ),
+        index_path, "overwrite",
+    )
 
 
 def append_phash_index(
@@ -985,9 +1002,12 @@ def append_phash_index(
 ) -> None:
     """Fold a new batch's signatures into the persisted index (append —
     signatures are immutable per payload)."""
-    phash_images(media, resize=resize, block=block).filter("ok").select(
-        "media_id", "phash"
-    ).write.mode("append").parquet(index_path)
+    _write_sig_index(
+        phash_images(media, resize=resize, block=block).filter("ok").select(
+            "media_id", "phash"
+        ),
+        index_path, "append",
+    )
 
 
 def match_phash_index(
@@ -1105,14 +1125,15 @@ def video_signatures(
     Returns (media_id, vsig, n_frames_hashed).
     """
     frames = sample_frames(media, every_n=every_n, decode_stub=decode_stub)
+    # no frame_idx passthrough: majority pooling is order-free (unlike
+    # shot_boundaries' consecutive-frame windows), so the index column
+    # would only widen the Arrow fan-out for nothing
     sigs = phash_images(
         frames.select(
             "media_id",
             F.lit("image/frame").alias("kind"),
             F.col("frame_payload").alias("payload"),
-            "frame_idx",
         ),
-        passthrough=("frame_idx",),
     ).filter(F.col("ok"))
 
     def bit(j: int):
@@ -1478,6 +1499,13 @@ def audio_fingerprints(
             f"need n_fft>=8, hop>=1, fmax>0; got n_fft={n_fft}, "
             f"hop={hop}, fmax={fmax}"
         )
+    if n_fft // 2 < f_bands:
+        # every frequency band needs at least one non-DC rfft bin, or
+        # empty slices NaN the grid and every clip fingerprints to 0
+        raise ValueError(
+            f"n_fft={n_fft} gives only {n_fft // 2} non-DC bins for "
+            f"{f_bands} bands; raise n_fft or lower f_bands"
+        )
 
     schema = "media_id bigint, kind string, ok boolean, afp bigint"
 
@@ -1510,7 +1538,15 @@ def audio_fingerprints(
             # fmax moves with the rate)
             bin_hi = min(n_bins, int(fmax * n_fft / rate) + 1)
             if bin_hi < f_bands + 1:
-                bin_hi = n_bins  # low-rate clip: use the whole spectrum
+                # a VERY high sample rate (rate > fmax*n_fft/(f_bands+1),
+                # ~128 kHz at the defaults) leaves fewer non-DC bins
+                # under fmax than bands. Falling back to the full
+                # spectrum would silently break the absolute-Hz
+                # invariance (a 44.1 kHz original and its 192 kHz
+                # re-encode would fingerprint over unrelated ranges and
+                # never pair) — classify unhashable instead, loudly
+                # NULL, and let the caller raise n_fft for such corpora
+                return None
             fedges = np.linspace(1, bin_hi, f_bands + 1).astype(int)
             tedges = np.linspace(0, n_frames, t_segments + 1).astype(int)
             cells = np.empty((t_segments, f_bands))
@@ -1546,17 +1582,23 @@ def build_afp_index(media: DataFrame, index_path: str, **fp_kwargs) -> None:
     (media_id, afp). The audio twin of :func:`build_phash_index`; new
     batches then match via :func:`match_afp_index` without re-reading
     the corpus."""
-    audio_fingerprints(media, **fp_kwargs).filter("ok").select(
-        "media_id", "afp"
-    ).write.mode("overwrite").parquet(index_path)
+    _write_sig_index(
+        audio_fingerprints(media, **fp_kwargs).filter("ok").select(
+            "media_id", "afp"
+        ),
+        index_path, "overwrite",
+    )
 
 
 def append_afp_index(media: DataFrame, index_path: str, **fp_kwargs) -> None:
     """Fold a new batch's audio fingerprints into the persisted index
     (append — fingerprints are immutable per payload)."""
-    audio_fingerprints(media, **fp_kwargs).filter("ok").select(
-        "media_id", "afp"
-    ).write.mode("append").parquet(index_path)
+    _write_sig_index(
+        audio_fingerprints(media, **fp_kwargs).filter("ok").select(
+            "media_id", "afp"
+        ),
+        index_path, "append",
+    )
 
 
 def match_afp_index(

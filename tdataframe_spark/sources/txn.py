@@ -1105,6 +1105,13 @@ def txn_delete(
             "dv": list(manifest.get("dv", [])) + new_entries,
             "meta": {**(meta or {}), "op": "delete"},
         }
+        # the dropped-column fence must survive EVERY non-overwrite
+        # commit, or a later re-add claims a retired physical name and
+        # resurrects old file values
+        if manifest.get("retired_physical"):
+            new_manifest["retired_physical"] = list(
+                manifest["retired_physical"]
+            )
         if _publish(path, version + 1, new_manifest):
             return version + 1
         # lost the race: the matching row set may have changed under the
@@ -1216,6 +1223,13 @@ def txn_purge(
             "dv": new_dv,
             "meta": {**(meta or {}), "op": "purge"},
         }
+        # same retired-physical propagation as txn_delete: the purge
+        # keeps non-rewritten files whose dropped columns must stay
+        # unclaimable
+        if manifest.get("retired_physical"):
+            new_manifest["retired_physical"] = list(
+                manifest["retired_physical"]
+            )
         if _publish(path, version + 1, new_manifest):
             return version + 1
         shutil.rmtree(commit_dir, ignore_errors=True)  # lost race: redo
@@ -1527,9 +1541,13 @@ def txn_vacuum(
     # PASS 2 — every surviving manifest is now consistent with the
     # post-vacuum file set, so physical reclamation is safe: a crash
     # mid-loop leaves only unreferenced dirs on disk, and the next
-    # vacuum picks them up
+    # vacuum picks them up. A concurrent vacuum may have beaten us to a
+    # dir between the passes — the same race pass 1 tolerates
     removed = []
     for d in to_remove:
-        shutil.rmtree(d)
+        try:
+            shutil.rmtree(d)
+        except OSError:
+            continue  # racing a concurrent removal
         removed.append(d)
     return removed

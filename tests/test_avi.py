@@ -827,3 +827,71 @@ def test_video_signatures_pair_reencodes(spark):
     # min_frames drops videos with too few hashed frames
     few = video_signatures(media, min_frames=7)
     assert few.count() == 0
+
+
+def test_audio_fingerprint_band_edges_guarded(spark):
+    """review-r9: a sample rate too high for the absolute-Hz band grid
+    (fewer non-DC bins under fmax than bands) classifies ok=false
+    instead of silently fingerprinting over an unrelated range; an
+    n_fft too small for f_bands raises at construction."""
+    from tdataframe_spark.ops.multimodal import audio_fingerprints
+
+    x = _tone_clip(1, rate=192000, seconds=0.05)
+    media = spark.createDataFrame(
+        [(1, "audio/wav", _wav16(x, 192000))],
+        "media_id long, kind string, payload binary",
+    )
+    r = audio_fingerprints(media).collect()[0]
+    assert (r["ok"], r["afp"]) == (False, None)
+    with pytest.raises(ValueError, match="non-DC bins"):
+        audio_fingerprints(media, n_fft=8, f_bands=7)
+
+
+def test_index_writers_are_txn_aware(spark, tmp_path):
+    """review-r9: build/append against a TRANSACTIONAL index (one a
+    stream maintains) must commit through the manifest — a plain
+    parquet append used to drop invisible loose files."""
+    from tdataframe_spark.ops.multimodal import (
+        append_phash_index,
+        match_phash_index,
+        phash_images,
+    )
+    from tdataframe_spark.sources.txn import txn_read, txn_write
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def img(k):
+        return np.stack(
+            [(xx * (k * 13 % 200 + 5)) % 256, (yy * (k + 3) * 7) % 256,
+             ((xx + yy * k) % 97 * 2.6)],
+            axis=2,
+        ).astype(np.uint8)
+
+    def p6(a):
+        return bytearray(f"P6\n{w} {h}\n255\n".encode() + a.tobytes())
+
+    corpus = spark.createDataFrame(
+        [(k, "image/ppm", p6(img(k))) for k in range(3)],
+        "media_id long, kind string, payload binary",
+    )
+    idx = str(tmp_path / "txnidx")
+    # seed the index AS a txn table (what the streaming sink creates)
+    txn_write(
+        phash_images(corpus).filter("ok").select("media_id", "phash"),
+        idx, mode="overwrite",
+    )
+    batch = spark.createDataFrame(
+        [(50, "image/ppm", p6(img(77)))],
+        "media_id long, kind string, payload binary",
+    )
+    append_phash_index(batch, idx)
+    assert txn_read(spark, idx).count() == 4  # visible through the manifest
+    probe = spark.createDataFrame(
+        [(500, "image/ppm", p6(np.clip(
+            img(77).astype(np.int16) + 6, 0, 255).astype(np.uint8)))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in match_phash_index(probe, idx).collect()}
+    assert (500, 50) in got

@@ -1659,3 +1659,34 @@ def test_rename_racing_a_write_raises(spark, tmp_path, monkeypatch):
     # the table is intact under the rename
     got = txn_read(spark, path)
     assert set(got.columns) == {"k", "w"} and got.count() == 1
+
+
+def test_retired_physical_survives_delete_and_purge(spark, tmp_path):
+    """review-r9: txn_delete and txn_purge commits must carry the
+    retired-physical fence forward — without it, a re-added column
+    claims a dropped column's storage name and txn_read resurrects the
+    old files' values (repro-confirmed before the fix)."""
+    from tdataframe_spark.sources.txn import (
+        _load,
+        txn_delete,
+        txn_drop_column,
+        txn_purge,
+    )
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame(
+            [(1, "secret1"), (2, "secret2"), (3, "secret3")],
+            "a int, b string",
+        ),
+        path, mode="overwrite",
+    )
+    txn_drop_column(path, "b")                       # v2: retires 'b'
+    txn_delete(spark, path, "a = 2")                 # v3: DV commit
+    assert _load(path, 3).get("retired_physical") == ["b"]
+    txn_purge(spark, path, min_deleted_ratio=0.001)  # v4: purge commit
+    assert _load(path, 4).get("retired_physical") == ["b"]
+    # re-add 'b': must be NULL for surviving old rows, never 'secret*'
+    txn_write(spark.createDataFrame([(9, "new")], "a int, b string"), path)
+    got = {r["a"]: r["b"] for r in txn_read(spark, path).collect()}
+    assert got == {1: None, 3: None, 9: "new"}
