@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "audio_dedup": q_audio_dedup,
         "audio_dedup_index": q_audio_dedup_index,
+        "audio_trim_dedup": q_audio_trim_dedup,
         "video_dedup": q_video_dedup,
         "rename_column": q_rename_column,
         "shard_shuffle": q_shard_shuffle,
@@ -139,10 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_purge": q_dv_purge,
         "cdc_changes": q_cdc_changes,
         "time_travel": q_time_travel,
-        "data_skipping": q_data_skipping,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r6-r8) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
+        # (data_skipping ceded its window slot to audio_trim_dedup: the
+        # range_filter translation it would have re-verified is pinned
+        # by rename_column, which exercises the same path)
+        "data_skipping": q_data_skipping,
         "chunk_docs": q_chunk_docs,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,

@@ -116,6 +116,9 @@ EXTENDED = [
     # runs write + rename + drop + evolving append + DV delete + read
     # per run (the full column-mapping lifecycle at sf scale)
     "rename_column",
+    # round-9 late: trim-robust audio landmark matching (fixture clips —
+    # tracks the FFT + peak-NMS + banded join + offset-vote path)
+    "audio_trim_dedup",
 ]
 
 

@@ -1576,6 +1576,204 @@ def audio_fingerprints(
     return media.mapInPandas(run, schema)
 
 
+def audio_landmarks(
+    media: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    f_bands: int = 7,
+    t_slices: int = 8,
+    window_frames: int = 16,
+    max_landmarks: int = 32,
+    min_sep: int = 8,
+    fmax: float = 4000.0,
+    max_seconds: float = 30.0,
+) -> DataFrame:
+    """TRIM-ROBUST audio fingerprinting (the Shazam-landmark idea,
+    deterministic): anchor hashes at the clip's energy PEAKS instead of
+    at clip-relative positions, so a trimmed copy — whose interior
+    content is untouched — still produces the same landmark hashes at
+    the same content positions. :func:`audio_fingerprints` is the
+    clip-LEVEL signature (gain/re-encode robust, trim-sensitive); this
+    is the segment-level complement, the audio analogue of the text
+    family's span-level ``dup_spans``.
+
+    Per clip: STFT → per-frame energy envelope (9-dp rounded) → local
+    maxima over a ±``min_sep``-frame neighborhood, greedily kept by
+    (energy desc, frame asc) with ``min_sep`` spacing (deterministic
+    NMS), capped at ``max_landmarks``; each surviving landmark hashes
+    the ``window_frames`` frames that FOLLOW it as a ``t_slices x
+    f_bands`` log-band grid thresholded against the window median
+    (gain-invariant, same construction as the clip-level grid; absolute-
+    Hz bands as there). Returns one row per landmark: ``(media_id,
+    frame_off, lhash)`` — feed :func:`audio_landmark_pairs`.
+
+    Scale shape: per-row pure numpy (byte-capped parse, bounded
+    landmark count), one Arrow fan-out of ≤ max_landmarks rows per
+    clip; matching joins landmark tables, never clips x clips.
+    Undecodable / too-short / band-starved payloads simply emit no
+    rows (join back on media_id to classify).
+    """
+    n_cells = t_slices * f_bands
+    if t_slices < 2 or f_bands < 1 or n_cells > 63:
+        raise ValueError(
+            f"need t_slices>=2, f_bands>=1, t_slices*f_bands<=63; got "
+            f"{t_slices}x{f_bands}={n_cells}"
+        )
+    if n_fft < 8 or hop < 1 or fmax <= 0 or n_fft // 2 < f_bands:
+        raise ValueError(
+            f"need n_fft>=8 with n_fft//2>={f_bands} non-DC bins, hop>=1, "
+            f"fmax>0; got n_fft={n_fft}, hop={hop}, fmax={fmax}"
+        )
+    if window_frames < t_slices or min_sep < 1 or max_landmarks < 1:
+        raise ValueError(
+            "need window_frames>=t_slices, min_sep>=1, max_landmarks>=1"
+        )
+
+    schema = "media_id bigint, frame_off int, lhash bigint"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        win = np.hanning(n_fft)
+        n_bins = n_fft // 2 + 1
+
+        def landmarks(buf):
+            parsed = _parse_wav(buf, max_seconds=max_seconds,
+                                min_frames=n_fft)
+            if parsed is None:
+                return []
+            rate, n_ch, n, x = parsed
+            mono = x.reshape(n, n_ch).mean(axis=1)
+            need = n_fft + (window_frames + 1) * hop
+            if len(mono) < need:
+                return []  # too short to hold even one landmark window
+            n_frames = 1 + (len(mono) - n_fft) // hop
+            idx = (
+                np.arange(n_fft)[None, :]
+                + hop * np.arange(n_frames)[:, None]
+            )
+            spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1)) ** 2
+            bin_hi = min(n_bins, int(fmax * n_fft / rate) + 1)
+            if bin_hi < f_bands + 1:
+                return []  # rate too high for the band grid (see afp)
+            env = np.round(spec.sum(axis=1), 9)
+            # candidate peaks: the earliest frame attaining the local
+            # max of its +-min_sep neighborhood
+            cands = []
+            for t in range(n_frames - window_frames):
+                lo, hi = max(0, t - min_sep), min(n_frames, t + min_sep + 1)
+                seg = env[lo:hi]
+                if env[t] == seg.max() and (lo + int(seg.argmax())) == t:
+                    cands.append(t)
+            # deterministic NMS: keep by (energy desc, frame asc) with
+            # min_sep spacing, cap at max_landmarks, emit in time order
+            cands.sort(key=lambda t: (-env[t], t))
+            kept = []
+            for t in cands:
+                if all(abs(t - k) >= min_sep for k in kept):
+                    kept.append(t)
+                    if len(kept) == max_landmarks:
+                        break
+            fedges = np.linspace(1, bin_hi, f_bands + 1).astype(int)
+            tedges = np.linspace(0, window_frames, t_slices + 1).astype(int)
+            out = []
+            for t in sorted(kept):
+                w = spec[t:t + window_frames]
+                cells = np.empty((t_slices, f_bands))
+                for s in range(t_slices):
+                    seg = w[tedges[s]:tedges[s + 1]]
+                    for b in range(f_bands):
+                        cells[s, b] = seg[:, fedges[b]:fedges[b + 1]].mean()
+                logc = np.round(10.0 * np.log10(cells.ravel() + 1e-12), 9)
+                med = np.median(logc)
+                h = 0
+                for i, v in enumerate(logc):
+                    if v > med:
+                        h |= 1 << i
+                out.append((t, h))
+            return out
+
+        for pdf in batches:
+            ids, offs, hashes = [], [], []
+            for _, r in pdf.iterrows():
+                for t, h in landmarks(r["payload"]):
+                    ids.append(r["media_id"])
+                    offs.append(t)
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_off": pd.array(offs, dtype="Int32"),
+                    "lhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def audio_landmark_pairs(
+    lms: DataFrame,
+    min_matches: int = 3,
+    max_distance: int = 4,
+    n_bits: int = 56,
+) -> DataFrame:
+    """Pair clips that share ALIGNED landmark hashes — the trim-robust
+    audio near-dup join over :func:`audio_landmarks` output. Landmark
+    hashes meet through the banded Hamming join (pigeonhole over the
+    packed grid — never all-pairs); cross-clip hash matches then VOTE
+    on their frame offset delta (Shazam's time-alignment filter:
+    genuine copies agree on one delta, chance collisions scatter), and
+    a pair survives with its best-aligned vote count >= ``min_matches``.
+    Returns (id_a, id_b, matches, offset_frames) with id_a < id_b;
+    offset_frames = frame_off(a) - frame_off(b) at the winning
+    alignment (how far b is trimmed relative to a, in STFT hops).
+
+    Scale shape: the join is landmark-table x landmark-table through
+    bands (fan-out bounded by max_landmarks per clip), the vote is one
+    hash aggregate on (pair, delta), the winner one per-pair max —
+    state per pair is its delta histogram, bounded by max_landmarks."""
+    from tdataframe_spark.ops.dedup import hamming_pairs
+
+    keyed = lms.select(
+        F.struct(
+            F.col("media_id").alias("m"), F.col("frame_off").alias("t")
+        ).alias("lm_id"),
+        "lhash",
+    )
+    raw = hamming_pairs(
+        keyed, "lm_id", "lhash",
+        max_distance=max_distance, n_bits=n_bits,
+    )
+    votes = (
+        raw.filter(F.col("id_a.m") != F.col("id_b.m"))
+        .select(
+            # canonical orientation: struct ordering already gives
+            # id_a < id_b, but two landmarks of the SAME clip pair can
+            # arrive in either orientation — normalize on the media id
+            F.when(F.col("id_a.m") < F.col("id_b.m"), F.col("id_a.m"))
+            .otherwise(F.col("id_b.m")).alias("id_a"),
+            F.when(F.col("id_a.m") < F.col("id_b.m"), F.col("id_b.m"))
+            .otherwise(F.col("id_a.m")).alias("id_b"),
+            F.when(
+                F.col("id_a.m") < F.col("id_b.m"),
+                F.col("id_a.t") - F.col("id_b.t"),
+            ).otherwise(F.col("id_b.t") - F.col("id_a.t")).alias("delta"),
+        )
+        .groupBy("id_a", "id_b", "delta")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    best = votes.groupBy("id_a", "id_b").agg(
+        F.max(F.struct("matches", (-F.col("delta")).alias("nd"))).alias("__w")
+    )
+    return best.select(
+        "id_a",
+        "id_b",
+        F.col("__w.matches").alias("matches"),
+        (-F.col("__w.nd")).cast("int").alias("offset_frames"),
+    ).filter(F.col("matches") >= min_matches)
+
+
 def build_afp_index(media: DataFrame, index_path: str, **fp_kwargs) -> None:
     """Persist the corpus's audio fingerprints as the AUDIO near-dup
     index — one decode+fingerprint pass, one small parquet of

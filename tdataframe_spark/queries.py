@@ -3772,6 +3772,66 @@ def q_audio_dedup_index(spark, sf):
     return match_afp_index(batch, path, max_distance=8)
 
 
+def _note_clip_np(k, rate=8000, n_fft=256, seconds=2.4, segments=18):
+    """Audio fixture with ENERGY STRUCTURE for landmark anchoring:
+    per-segment notes with attack-decay envelopes AND per-segment
+    amplitudes (without amplitude diversity, consecutive landmark
+    windows hash within a couple of bits and a shifted alignment ties
+    the true one in the offset vote)."""
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n, dtype=np.float64)
+    seg = np.minimum((t / n * segments).astype(int), segments - 1)
+    pos = t - seg * (n / segments)
+    env = np.exp(-pos / (n / segments / 3.0))
+    amp = 0.25 + 0.6 * (((k * 7 + seg * 11) % 5) / 4.0)
+    b = 6 + ((k * 17 + seg * (29 + 7 * k)) % 110)
+    return amp * env * np.sin(2 * np.pi * b * t / n_fft)
+
+
+def q_audio_trim_dedup(spark, sf):
+    """TRIM-ROBUST audio near-dup (audio_landmarks +
+    audio_landmark_pairs — the Shazam-landmark idea, deterministic):
+    hashes anchor at the clip's energy peaks, so a TRIMMED copy — the
+    case the clip-level grid fingerprint (audio_dedup) cannot catch,
+    its time segments being clip-relative — still pairs with its
+    original, with the trim offset recovered by the landmark
+    time-alignment vote. Fixtures: one note-sequence clip per
+    documents-row id < 5; ids < 2 also planted as a 38-hop-trimmed copy
+    (+400) and a trimmed half-gain copy (+500) — both must pair with
+    the original at offset 38 (and with each other at 0); unrelated
+    clips must not pair. Binary payloads + FFTs + peak NMS are not
+    SQL-expressible → rows-only; exact-offset recovery and partitioning
+    invariance are pinned in tests/test_avi.py."""
+    from tdataframe_spark.ops.multimodal import (
+        audio_landmark_pairs,
+        audio_landmarks,
+    )
+
+    hop = 128
+    ids = sorted(
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id")
+        .collect()
+    )
+    rows = []
+    for did in ids:
+        x = _note_clip_np(did)
+        rows.append((int(did), "audio/wav", _wav16_bytes(x)))
+        if did < 2:
+            rows.append((int(did) + 400, "audio/wav",
+                         _wav16_bytes(x[38 * hop:])))
+            rows.append((int(did) + 500, "audio/wav",
+                         _wav16_bytes(x[38 * hop:] * 0.5)))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    return audio_landmark_pairs(audio_landmarks(media, hop=hop))
+
+
 def q_video_dedup(spark, sf):
     """Corpus-level VIDEO near-dup (what shot_detect — cuts WITHIN a
     video — deliberately is not): temporal-majority pooling of the

@@ -895,3 +895,69 @@ def test_index_writers_are_txn_aware(spark, tmp_path):
     got = {(r["id_a"], r["id_b"])
            for r in match_phash_index(probe, idx).collect()}
     assert (500, 50) in got
+
+
+def _note_clip(k, rate=8000, n_fft=256, seconds=2.4, segments=18):
+    """Audio fixture with ENERGY STRUCTURE: per-segment notes with an
+    attack-decay envelope (peak at each segment start), tone bins
+    parameterized by k as in _tone_clip — landmarks anchor at the
+    attacks."""
+    n = int(rate * seconds)
+    t = np.arange(n, dtype=np.float64)
+    seg = np.minimum((t / n * segments).astype(int), segments - 1)
+    pos = t - seg * (n / segments)
+    env = np.exp(-pos / (n / segments / 3.0))
+    # per-segment note amplitude TOO: without it consecutive landmark
+    # windows hash within a couple bits of each other and a shifted
+    # alignment ties the true one in the vote
+    amp = 0.25 + 0.6 * (((k * 7 + seg * 11) % 5) / 4.0)
+    b = 6 + ((k * 17 + seg * (29 + 7 * k)) % 110)
+    return amp * env * np.sin(2 * np.pi * b * t / n_fft)
+
+
+def test_audio_landmarks_trim_robust_pairing(spark):
+    """audio_landmarks + audio_landmark_pairs: a TRIMMED copy (the case
+    the clip-level grid fingerprint cannot catch — its time segments are
+    clip-relative) pairs with its original at the correct frame offset;
+    a gain-shifted trim pairs too; unrelated clips never pair; output is
+    partition-invariant."""
+    from tdataframe_spark.ops.multimodal import (
+        audio_landmark_pairs,
+        audio_landmarks,
+    )
+
+    hop = 128
+    rows = []
+    for k in range(4):
+        x = _note_clip(k)
+        rows.append((k, "audio/wav", _wav16(x)))
+    x1 = _note_clip(1)
+    rows.append((401, "audio/wav", _wav16(x1[38 * hop:])))        # trim
+    rows.append((402, "audio/wav", _wav16(x1[38 * hop:] * 0.7)))  # trim+gain
+    rows.append((500, "audio/wav", _wav16(_note_clip(50))))       # novel
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    lms = audio_landmarks(media)
+    per_clip = {r["media_id"]: r["n"] for r in
+                lms.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    # trimmed clips are shorter and the amplitude NMS keeps only the
+    # locally-strongest attacks
+    assert all(v >= 3 for v in per_clip.values()), per_clip
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["matches"], r["offset_frames"])
+        for r in audio_landmark_pairs(lms).collect()
+    }
+    assert (1, 401) in pairs and pairs[(1, 401)][1] == 38
+    assert (1, 402) in pairs and pairs[(1, 402)][1] == 38
+    assert (401, 402) in pairs and pairs[(401, 402)][1] == 0
+    assert not any(500 in p for p in pairs)
+    assert not any(set(p) <= {0, 1, 2, 3} for p in pairs)
+    # per-row pure function: identical under repartitioning
+    again = {
+        (r["id_a"], r["id_b"]): (r["matches"], r["offset_frames"])
+        for r in audio_landmark_pairs(
+            audio_landmarks(media.repartition(7))
+        ).collect()
+    }
+    assert again == pairs
