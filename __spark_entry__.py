@@ -139,13 +139,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_vectors": q_delete_vectors,
         "dv_purge": q_dv_purge,
         "cdc_changes": q_cdc_changes,
-        "time_travel": q_time_travel,
+        "video_trim_dedup": q_video_trim_dedup,
         # --- position 51+: rotated out — every entry below has an
         # external driver-green row (r6-r8) and is re-verified every
         # round by the local full-registry gate (driver_sim at sf0.01) ---
-        # (data_skipping ceded its window slot to audio_trim_dedup: the
-        # range_filter translation it would have re-verified is pinned
-        # by rename_column, which exercises the same path)
+        # (data_skipping ceded its window slot to audio_trim_dedup, and
+        # time_travel to video_trim_dedup: the range_filter translation
+        # and versioned manifest replay they would have re-verified are
+        # pinned by rename_column, which exercises the same paths and
+        # holds a window slot)
+        "time_travel": q_time_travel,
         "data_skipping": q_data_skipping,
         "chunk_docs": q_chunk_docs,
         "funnel_steps": q_funnel_steps,

@@ -119,6 +119,10 @@ EXTENDED = [
     # round-9 late: trim-robust audio landmark matching (fixture clips —
     # tracks the FFT + peak-NMS + banded join + offset-vote path)
     "audio_trim_dedup",
+    # round-9 late: trim-robust VIDEO landmark matching (fixture AVIs —
+    # frame fan-out + per-frame pHash + run-start reduction + banded
+    # join + offset vote)
+    "video_trim_dedup",
 ]
 
 

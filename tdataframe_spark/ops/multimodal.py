@@ -1712,27 +1712,32 @@ def audio_landmarks(
     return media.mapInPandas(run, schema)
 
 
-def audio_landmark_pairs(
+def landmark_pairs(
     lms: DataFrame,
     min_matches: int = 3,
     max_distance: int = 4,
     n_bits: int = 56,
 ) -> DataFrame:
-    """Pair clips that share ALIGNED landmark hashes — the trim-robust
-    audio near-dup join over :func:`audio_landmarks` output. Landmark
-    hashes meet through the banded Hamming join (pigeonhole over the
-    packed grid — never all-pairs); cross-clip hash matches then VOTE
+    """Pair media that share ALIGNED landmark hashes — the generic
+    trim-robust near-dup join over any ``(media_id, frame_off, lhash)``
+    landmark table (:func:`audio_landmarks` for audio,
+    :func:`video_frame_landmarks` for video). Landmark hashes meet
+    through the banded Hamming join (pigeonhole over the packed
+    signature — never all-pairs); cross-media hash matches then VOTE
     on their frame offset delta (Shazam's time-alignment filter:
     genuine copies agree on one delta, chance collisions scatter), and
     a pair survives with its best-aligned vote count >= ``min_matches``.
     Returns (id_a, id_b, matches, offset_frames) with id_a < id_b;
     offset_frames = frame_off(a) - frame_off(b) at the winning
-    alignment (how far b is trimmed relative to a, in STFT hops).
+    alignment (how far b is trimmed relative to a, in the landmark
+    table's frame unit — STFT hops for audio, sampled frames for
+    video).
 
     Scale shape: the join is landmark-table x landmark-table through
-    bands (fan-out bounded by max_landmarks per clip), the vote is one
-    hash aggregate on (pair, delta), the winner one per-pair max —
-    state per pair is its delta histogram, bounded by max_landmarks."""
+    bands (fan-out bounded by landmarks per media item), the vote is
+    one hash aggregate on (pair, delta), the winner one per-pair max —
+    state per pair is its delta histogram, bounded by the per-item
+    landmark count."""
     from tdataframe_spark.ops.dedup import hamming_pairs
 
     keyed = lms.select(
@@ -1772,6 +1777,77 @@ def audio_landmark_pairs(
         F.col("__w.matches").alias("matches"),
         (-F.col("__w.nd")).cast("int").alias("offset_frames"),
     ).filter(F.col("matches") >= min_matches)
+
+
+def audio_landmark_pairs(
+    lms: DataFrame,
+    min_matches: int = 3,
+    max_distance: int = 4,
+    n_bits: int = 56,
+) -> DataFrame:
+    """Trim-robust AUDIO near-dup join over :func:`audio_landmarks`
+    output — :func:`landmark_pairs` with the audio grid's 56-bit
+    default. Kept as a named entry point so the audio and video
+    pipelines read symmetrically."""
+    return landmark_pairs(
+        lms, min_matches=min_matches, max_distance=max_distance,
+        n_bits=n_bits,
+    )
+
+
+def video_frame_landmarks(
+    media: DataFrame,
+    every_n: int = 1,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """TRIM-ROBUST video landmarks: per-frame perceptual hashes keyed
+    by frame position, reduced to RUN-START frames (the first frame of
+    each maximal run of identical consecutive pHashes). The video
+    analogue of :func:`audio_landmarks`: :func:`video_signatures`
+    pools a whole video into one majority signature (re-encode robust,
+    but a hard trim shifts marginal bits), while these landmarks are
+    anchored at content positions — a trimmed copy's untouched
+    interior produces the SAME hashes at the same content-relative
+    spacing, so :func:`landmark_pairs`' delta vote recovers both the
+    pairing and the trim offset in sampled frames.
+
+    Run-start reduction matters twice: static scenes would otherwise
+    emit one landmark per frame with IDENTICAL hashes, blowing the
+    banded join up k×k per still scene; and it is itself
+    trim-tolerant — a cut mid-run only perturbs the first run's start,
+    every later run boundary stays at the same content position.
+
+    Returns ``(media_id, frame_off, lhash)`` — feed
+    :func:`landmark_pairs` with ``n_bits=63`` (pHash width). Scale
+    shape: decode+hash embarrassingly per-frame (:func:`sample_frames`
+    → :func:`phash_images`), run detection one per-video lag window
+    (state = one video's sampled hashes, same shape as
+    :func:`shot_boundaries`); landmarks per video ≤ sampled frames,
+    dialed by ``every_n``. Unhashable frames drop here (they cannot
+    anchor); fully-unhashable videos have no row — classify by joining
+    back on media_id."""
+    from pyspark.sql import Window
+
+    frames = sample_frames(media, every_n=every_n, decode_stub=decode_stub)
+    sigs = phash_images(
+        frames.select(
+            "media_id",
+            F.lit("image/frame").alias("kind"),
+            F.col("frame_payload").alias("payload"),
+            "frame_idx",
+        ),
+        passthrough=("frame_idx",),
+    ).filter(F.col("ok"))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    return (
+        sigs.withColumn("__prev", F.lag("phash").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("phash")))
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("int").alias("frame_off"),
+            F.col("phash").alias("lhash"),
+        )
+    )
 
 
 def build_afp_index(media: DataFrame, index_path: str, **fp_kwargs) -> None:

@@ -3902,6 +3902,95 @@ def q_video_dedup(spark, sf):
     ).select("id_a", "id_b", "hamming")
 
 
+def _rand_field_frames(vid, n=10, h=16, w=24, speed=0.2):
+    """Video fixture family for PER-FRAME hash matching: each video is
+    a seeded random low-frequency cosine field panning with f. Random
+    4x4 coefficient draws give near-random pHash sign patterns across
+    videos (measured min cross-video frame distance ~11+ bits) while a
+    lossy quant=2 MJPEG re-encode of the SAME frame moves <=2 bits —
+    the smooth/periodic families used elsewhere (video_dedup's mod-256
+    sawtooths, plain sinusoid pans) concentrate energy in so few DCT
+    bins that unrelated videos collide inside any radius wide enough
+    for a lossy re-encode. ``speed`` is sized so every frame's hash
+    differs from its predecessor (each frame a run-start landmark —
+    exact trim offsets); smaller speeds leave identical-hash runs and
+    landmark_pairs recovers offsets quantized to run boundaries."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    rng = np.random.default_rng(1000 + vid)
+    chans = [
+        (
+            rng.uniform(0.3, 1.0, (4, 4)),
+            rng.uniform(0, 1, (4, 4)),
+            rng.uniform(-speed, speed, (4, 4)),
+        )
+        for _ in range(3)
+    ]
+    out = []
+    for f in range(n):
+        img = np.zeros((h, w, 3))
+        for c, (amp, ph, sp) in enumerate(chans):
+            acc = np.zeros((h, w))
+            for u in range(4):
+                for v in range(4):
+                    acc += amp[u, v] * np.cos(
+                        2 * np.pi
+                        * (u * xx / w + v * yy / h + ph[u, v] + sp[u, v] * f)
+                    )
+            img[:, :, c] = acc
+        lo, hi = img.min(), img.max()
+        out.append(((img - lo) / (hi - lo) * 255).astype(np.uint8))
+    return out
+
+
+def q_video_trim_dedup(spark, sf):
+    """TRIM-ROBUST video near-dup (video_frame_landmarks +
+    landmark_pairs): per-frame pHashes reduced to run-start landmarks,
+    paired by the banded Hamming join with the time-alignment vote —
+    the case video_dedup's whole-video majority signature cannot pin
+    down (a hard trim moves its marginal bits and loses the offset).
+    Fixtures: one 10-frame MJPEG-AVI per documents-row id < 5; ids < 2
+    also planted as a 3-frame-trimmed copy (+400) and a trimmed
+    lossy-quant re-encode (+500) — both must pair with the original at
+    offset 3 (and with each other at 0); distinct videos must not
+    pair. Binary containers + DCT hashing are not SQL-expressible →
+    rows-only; exact-offset recovery and the run-start reduction are
+    pinned in tests/test_avi.py."""
+    import numpy as np
+
+    from tdataframe_spark.ops.multimodal import (
+        landmark_pairs,
+        video_frame_landmarks,
+    )
+    from tools.avi_codec import encode_avi
+
+    ids = sorted(
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id")
+        .collect()
+    )
+    lossy = np.full((8, 8), 2, np.int64)
+    rows = []
+    for did in ids:
+        fs = _rand_field_frames(did)
+        rows.append((int(did), "video/avi",
+                     bytearray(encode_avi(fs, codec="MJPG"))))
+        if did < 2:
+            rows.append((int(did) + 400, "video/avi",
+                         bytearray(encode_avi(fs[3:], codec="MJPG"))))
+            rows.append((int(did) + 500, "video/avi",
+                         bytearray(encode_avi(fs[3:], quant=lossy))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    return landmark_pairs(
+        video_frame_landmarks(media), max_distance=8, n_bits=63
+    )
+
+
 def q_lang_id(spark, sf):
     """Language identification — the ccnet front door the text-quality
     family (lm_score, ccnet_buckets) gates on — Cavnar-Trenkle ranked

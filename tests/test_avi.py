@@ -961,3 +961,76 @@ def test_audio_landmarks_trim_robust_pairing(spark):
         ).collect()
     }
     assert again == pairs
+
+
+def test_video_frame_landmarks_trim_robust_pairing(spark):
+    """video_frame_landmarks + landmark_pairs: a 3-frame-trimmed MJPEG
+    copy pairs with its original at exactly offset 3; a trimmed LOSSY
+    re-encode pairs too (and with the trim at 0); unrelated videos never
+    pair; output is partition-invariant."""
+    from tdataframe_spark.ops.multimodal import (
+        landmark_pairs,
+        video_frame_landmarks,
+    )
+    from tdataframe_spark.queries import _rand_field_frames
+
+    lossy = np.full((8, 8), 2, np.int64)
+    rows = []
+    for vid in range(4):
+        fs = _rand_field_frames(vid)
+        rows.append((vid, "video/avi", bytearray(encode_avi(fs,
+                                                            codec="MJPG"))))
+    f1 = _rand_field_frames(1)
+    rows.append((401, "video/avi",
+                 bytearray(encode_avi(f1[3:], codec="MJPG"))))
+    rows.append((501, "video/avi",
+                 bytearray(encode_avi(f1[3:], quant=lossy))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    lms = video_frame_landmarks(media)
+    per_vid = {r["media_id"]: r["n"] for r in
+               lms.groupBy("media_id").agg(F.count("*").alias("n"))
+               .collect()}
+    # panning content changes every frame: every frame is a run start
+    assert per_vid == {0: 10, 1: 10, 2: 10, 3: 10, 401: 7, 501: 7}
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["matches"], r["offset_frames"])
+        for r in landmark_pairs(lms, max_distance=8, n_bits=63).collect()
+    }
+    assert (1, 401) in pairs and pairs[(1, 401)] == (7, 3)
+    assert (1, 501) in pairs and pairs[(1, 501)] == (7, 3)
+    assert (401, 501) in pairs and pairs[(401, 501)] == (7, 0)
+    assert not any(set(p) <= {0, 1, 2, 3} for p in pairs)
+    # per-row pure function + per-video windows: identical under
+    # repartitioning
+    again = {
+        (r["id_a"], r["id_b"]): (r["matches"], r["offset_frames"])
+        for r in landmark_pairs(
+            video_frame_landmarks(media.repartition(7)),
+            max_distance=8, n_bits=63,
+        ).collect()
+    }
+    assert again == pairs
+
+
+def test_video_frame_landmarks_run_start_reduction(spark):
+    """Static scenes collapse to ONE landmark (the run start) — the
+    guard against k x k banded-join blowup per still scene — and a
+    mid-video scene change anchors a new landmark at its frame."""
+    from tdataframe_spark.ops.multimodal import video_frame_landmarks
+    from tdataframe_spark.queries import _rand_field_frames
+
+    a = _rand_field_frames(2, n=1)[0]
+    b = _rand_field_frames(3, n=1)[0]
+    frames = [a] * 4 + [b] * 4  # two still scenes, cut at frame 4
+    media = spark.createDataFrame(
+        [(9, "video/avi", bytearray(encode_avi(frames, codec="MJPG")))],
+        "media_id long, kind string, payload binary",
+    )
+    lms = sorted(
+        (r["frame_off"], r["lhash"])
+        for r in video_frame_landmarks(media).collect()
+    )
+    assert [t for t, _ in lms] == [0, 4]
+    assert lms[0][1] != lms[1][1]
