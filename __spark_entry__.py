@@ -134,8 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_trim_dedup": q_audio_trim_dedup,
         "video_dedup": q_video_dedup,
         "rename_column": q_rename_column,
+        "shallow_clone": q_shallow_clone,
         "shard_shuffle": q_shard_shuffle,
-        "image_dedup_index": q_image_dedup_index,
         "delete_vectors": q_delete_vectors,
         "dv_purge": q_dv_purge,
         "cdc_changes": q_cdc_changes,
@@ -147,7 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time_travel to video_trim_dedup: the range_filter translation
         # and versioned manifest replay they would have re-verified are
         # pinned by rename_column, which exercises the same paths and
-        # holds a window slot)
+        # holds a window slot; image_dedup_index ceded to shallow_clone
+        # — its external check is rows-only (weak) while the new clone
+        # query is full-oracle, and its real pins live in tests/test_avi)
+        "image_dedup_index": q_image_dedup_index,
         "time_travel": q_time_travel,
         "data_skipping": q_data_skipping,
         "chunk_docs": q_chunk_docs,
@@ -313,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "delete_vectors": SQL_DELETE_VECTORS,
         "dv_purge": SQL_DV_PURGE,
         "rename_column": SQL_RENAME_COLUMN,
+        "shallow_clone": SQL_SHALLOW_CLONE,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

@@ -123,6 +123,10 @@ EXTENDED = [
     # frame fan-out + per-frame pHash + run-start reduction + banded
     # join + offset vote)
     "video_trim_dedup",
+    # round-9 late: zero-copy shallow clone lifecycle — seed + DV delete
+    # + clone (manifest-only) + clone-side append/delete + read through
+    # foreign file references
+    "shallow_clone",
 ]
 
 

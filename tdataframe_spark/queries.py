@@ -1648,6 +1648,68 @@ FROM lineitem WHERE NOT (l_extendedprice < 2000.0)
 """
 
 
+def q_shallow_clone(spark, sf):
+    """Zero-copy SHALLOW CLONE end-to-end (txn_clone — Delta CLONE
+    semantics): customer is committed to a source table, a row-level DV
+    delete lands on the source, the table is cloned (ONE manifest
+    commit referencing the source's files and DV by base — zero data
+    bytes copied), rows are appended to the CLONE, a second DV delete
+    lands on the clone, and the source gets a post-clone append that
+    must NOT appear. The final clone read is the oracle: source rows
+    minus the inherited delete, plus the clone-side appends, minus the
+    clone-side delete — proving the clone pins its snapshot, inherits
+    deletion vectors by reference, and diverges without touching the
+    source. Zero-copy/divergence/localization invariants are pinned in
+    tests/test_txn.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        txn_clone,
+        txn_delete,
+        txn_read,
+        txn_write,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    src = os.path.join(tempfile.gettempdir(), f"clone_src_{os.getpid()}")
+    dst = os.path.join(tempfile.gettempdir(), f"clone_dst_{os.getpid()}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    txn_write(c, src, mode="overwrite", stats_cols=["c_acctbal"])
+    txn_delete(spark, src, "c_acctbal < 0.0")
+    txn_clone(src, dst)
+    appended = c.filter("c_custkey % 100 = 0").select(
+        (F.col("c_custkey") + F.lit(1000000)).cast("bigint")
+        .alias("c_custkey"),
+        "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    txn_write(appended, dst, mode="append", stats_cols=["c_acctbal"])
+    txn_delete(spark, dst, "c_nationkey = 7")
+    # post-clone source commit: pinned snapshot means the clone never
+    # sees it
+    txn_write(appended, src, mode="append", stats_cols=["c_acctbal"])
+    return txn_read(spark, dst)
+
+
+SQL_SHALLOW_CLONE = """
+WITH base AS (
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE NOT (c_acctbal < 0.0)
+), appended AS (
+  SELECT CAST(c_custkey + 1000000 AS BIGINT) AS c_custkey,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT * FROM (
+  SELECT * FROM base UNION ALL SELECT * FROM appended
+) WHERE NOT (c_nationkey = 7)
+"""
+
+
 def q_restore_table(spark, sf):
     """Delta-style RESTORE (txn_restore): seed the orders table (v1),
     clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed

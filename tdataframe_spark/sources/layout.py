@@ -327,12 +327,17 @@ def compact_txn(
     import math
     import os
 
-    from tdataframe_spark.sources.txn import txn_latest, txn_read, txn_write
+    from tdataframe_spark.sources.txn import (
+        _abs_file,
+        txn_latest,
+        txn_read,
+        txn_write,
+    )
 
     version, manifest = txn_latest(path)
     if manifest is None:
         raise FileNotFoundError(f"no transactional table at {path}")
-    files = [os.path.join(path, f["path"]) for f in manifest["files"]]
+    files = [_abs_file(path, f) for f in manifest["files"]]
     total = sum(os.path.getsize(f) for f in files)
     n_files = max(1, math.ceil(total / target_file_bytes))
     # a partitioned table must stay partitioned: the rewrite re-records

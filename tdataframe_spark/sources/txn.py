@@ -233,14 +233,37 @@ def _dv_paths(dv_entries) -> list[str]:
     return [e["path"] if isinstance(e, dict) else e for e in dv_entries or []]
 
 
+def _abs_file(path: str, f: dict) -> str:
+    """Filesystem path of a manifest file entry. ``path`` (the table
+    root) resolves ordinary entries; a SHALLOW-CLONED entry instead
+    carries ``base`` — the absolute root of the table it was cloned
+    from — while its ``path`` key stays the manifest-relative
+    ``data/<commit>/...`` form every identity comparison in this module
+    (DV row refs, replace_where pruning, vacuum live sets, purge
+    targets) is keyed by. Commit ids are uuid-hex, so a foreign and a
+    local entry can never collide on that key."""
+    return os.path.join(f.get("base") or path, f["path"])
+
+
+def _dv_abs_paths(path: str, dv_entries) -> list[str]:
+    """Filesystem paths of DV entries — same ``base`` rule as
+    :func:`_abs_file` (a shallow clone inherits its source's deletion
+    vectors by reference)."""
+    out = []
+    for e in dv_entries or []:
+        if isinstance(e, dict):
+            out.append(os.path.join(e.get("base") or path, e["path"]))
+        else:
+            out.append(os.path.join(path, e))
+    return out
+
+
 def _read_dv(spark: SparkSession, path: str, manifest: dict | None):
     """The manifest's deletion-vector table, or None when it has none."""
-    rels = _dv_paths((manifest or {}).get("dv"))
-    if not rels:
+    abss = _dv_abs_paths(path, (manifest or {}).get("dv"))
+    if not abss:
         return None
-    return spark.read.schema(_DV_SCHEMA).parquet(
-        *[os.path.join(path, p) for p in rels]
-    )
+    return spark.read.schema(_DV_SCHEMA).parquet(*abss)
 
 
 def _file_stats(abs_path: str, cols: set[str]) -> dict:
@@ -648,28 +671,14 @@ def txn_write(
     )
 
 
-def txn_read(
-    spark: SparkSession,
-    path: str,
-    version: int | None = None,
-    as_of: float | None = None,
-    partition_filter: dict[str, list] | None = None,
-    range_filter: dict[str, tuple] | None = None,
-) -> DataFrame:
-    """Read a snapshot: exactly the files the manifest lists (latest, a
-    pinned ``version``, or — time travel — the newest commit at or before
-    unix-seconds ``as_of``). ``partition_filter`` prunes FILES on the
-    manifest's recorded partition values before Spark is involved — the
-    100 TB path where a day-refresh never lists undead directories.
-
-    ``range_filter`` ({column: (lo, hi)}, either bound None for
-    open-ended) prunes files on the per-file min/max recorded by
-    ``txn_write(stats_cols=...)`` — DATA SKIPPING. File-level only: the
-    surviving files still contain out-of-range rows, so callers keep
-    their row filter (which Spark then also pushes into the scan); files
-    without stats for a column are conservatively kept, and a column for
-    which NO live file records stats raises (a typo would silently skip
-    nothing)."""
+def _resolve_snapshot(
+    path: str, version: int | None, as_of: float | None
+) -> tuple[int, dict]:
+    """Resolve (version, manifest) for a snapshot read: the latest, a
+    pinned ``version``, or the newest commit at or before unix-seconds
+    ``as_of`` (time travel). Vacuumed manifests raise — their data files
+    are reclaimed (the manifest survives only as a streaming replay
+    fence)."""
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
     if as_of is not None:
@@ -706,6 +715,32 @@ def txn_read(
             "replay fence); re-run vacuum with a longer retention if "
             "readers need this snapshot"
         )
+    return version, manifest
+
+
+def txn_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    partition_filter: dict[str, list] | None = None,
+    range_filter: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Read a snapshot: exactly the files the manifest lists (latest, a
+    pinned ``version``, or — time travel — the newest commit at or before
+    unix-seconds ``as_of``). ``partition_filter`` prunes FILES on the
+    manifest's recorded partition values before Spark is involved — the
+    100 TB path where a day-refresh never lists undead directories.
+
+    ``range_filter`` ({column: (lo, hi)}, either bound None for
+    open-ended) prunes files on the per-file min/max recorded by
+    ``txn_write(stats_cols=...)`` — DATA SKIPPING. File-level only: the
+    surviving files still contain out-of-range rows, so callers keep
+    their row filter (which Spark then also pushes into the scan); files
+    without stats for a column are conservatively kept, and a column for
+    which NO live file records stats raises (a typo would silently skip
+    nothing)."""
+    version, manifest = _resolve_snapshot(path, version, as_of)
     files = manifest["files"]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     if range_filter:
@@ -741,7 +776,7 @@ def txn_read(
         ]
     if not files:
         return spark.createDataFrame([], _plain_schema(schema))
-    paths = [os.path.join(path, f["path"]) for f in files]
+    paths = [_abs_file(path, f) for f in files]
     # read with the manifest's PHYSICAL schema: leaf files carry their
     # own columns (partition cols are duplicated, not hive-stripped — no
     # basePath / partition inference needed), the explicit schema
@@ -796,6 +831,15 @@ def txn_changes(
             )
     before = {f["path"] for f in from_manifest["files"]} if from_manifest else set()
     after = {f["path"] for f in after_manifest["files"]}
+    # manifest-relative key -> filesystem path (shallow-cloned entries
+    # resolve against their recorded base; files are immutable and keys
+    # are commit-uuid-unique, so both versions agree where they overlap)
+    absmap = {
+        f["path"]: _abs_file(path, f)
+        for m in (from_manifest, after_manifest)
+        if m is not None
+        for f in m["files"]
+    }
     schema = StructType.fromJson(json.loads(after_manifest["schema"]))
     # the feed computes in PHYSICAL column space (physical names are
     # version-stable — that is what makes a rename a zero-row change)
@@ -805,7 +849,7 @@ def txn_changes(
     dv_to = _read_dv(spark, path, after_manifest)
 
     def read_set(rel_paths, dv):
-        files = [os.path.join(path, p) for p in sorted(rel_paths)]
+        files = [absmap[p] for p in sorted(rel_paths)]
         if not files:
             return spark.createDataFrame([], pschema)
         # both sides read under the TO snapshot's schema so an evolved
@@ -846,7 +890,7 @@ def txn_changes(
             return spark.createDataFrame([], pschema)
         hit_df = _with_row_refs(
             spark.read.schema(pschema).parquet(
-                *[os.path.join(path, p) for p in hit_rels]
+                *[absmap[p] for p in hit_rels]
             )
         )
         return hit_df.join(delta, [_DV_FILE, _DV_POS], "left_semi").drop(
@@ -1054,7 +1098,7 @@ def txn_delete(
                 "deletion-vector row-ref internals; rename them before "
                 "using txn_delete"
             )
-        paths = [os.path.join(path, f["path"]) for f in manifest["files"]]
+        paths = [_abs_file(path, f) for f in manifest["files"]]
         # physical read + logical rename (keeping the row refs): the
         # predicate is over LOGICAL names, the DV keys over file facts
         cur = _to_logical(
@@ -1157,14 +1201,12 @@ def txn_purge(
         per_file = {
             r[0]: r[1] for r in dv.groupBy(_DV_FILE).count().collect()
         }
-        live_paths = {f["path"] for f in manifest["files"]}
+        by_rel = {f["path"]: _abs_file(path, f) for f in manifest["files"]}
         targets = set()
         for rel, n_del in per_file.items():
-            if rel not in live_paths:
+            if rel not in by_rel:
                 continue  # inert entry for a since-dropped file
-            total = pq.ParquetFile(
-                os.path.join(path, rel)
-            ).metadata.num_rows
+            total = pq.ParquetFile(by_rel[rel]).metadata.num_rows
             if total and n_del / total >= min_deleted_ratio:
                 targets.add(rel)
         if not targets:
@@ -1177,7 +1219,7 @@ def txn_purge(
         # (rename/drop reject partition columns)
         src = _with_row_refs(
             spark.read.schema(_physical_schema(schema)).parquet(
-                *[os.path.join(path, p) for p in sorted(targets)]
+                *[by_rel[p] for p in sorted(targets)]
             )
         )
         clean = src.join(dv, [_DV_FILE, _DV_POS], "left_anti").drop(
@@ -1288,6 +1330,88 @@ def txn_restore(
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races restoring {path}"
     )
+
+
+def txn_clone(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    meta: dict | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): create
+    a new transactional table at ``dst`` whose first manifest references
+    the SOURCE snapshot's data files and deletion vectors — one manifest
+    commit, zero data bytes copied. The zero-cost branch/test/dev-table
+    primitive: at 100 TB a clone is a kilobyte of JSON, and every write
+    to it (append, MERGE, DELETE, rename/drop column, OPTIMIZE) commits
+    new LOCAL files under ``dst`` without ever touching ``src`` — the
+    tables share history up to the clone point and diverge freely after.
+
+    Cloned file entries keep their manifest-relative ``path`` key (what
+    DV row refs, replace_where pruning, and vacuum live sets are keyed
+    by — commit-uuid-unique, so foreign and local entries never collide)
+    and carry ``base`` = the source root for filesystem resolution;
+    compaction/upsert/purge materialize foreign references away as a
+    side effect of rewriting. A clone of a clone keeps each entry's
+    ORIGINAL base (references chase data, not clone chains). Snapshot
+    selection (``version`` / ``as_of``) follows :func:`txn_read`.
+
+    Caveats, both Delta-parity: the clone is a snapshot, not a
+    subscription — source commits after the clone point never appear in
+    it (use :func:`txn_changes_since` on the source to replicate); and
+    ``txn_vacuum`` on the SOURCE does not know about foreign references,
+    so vacuuming the source inside a clone's lifetime can reclaim files
+    the clone still lists (clone from a snapshot the source retains, or
+    run the clone's compaction to localize it first). The clone's own
+    vacuum can never touch source bytes — foreign paths resolve outside
+    its data dir.
+
+    Returns the clone's committed version (always 1)."""
+    if not is_txn_table(src):
+        raise FileNotFoundError(f"no transactional table at {src}")
+    abs_src, abs_dst = os.path.abspath(src), os.path.abspath(dst)
+    if abs_src == abs_dst:
+        raise ValueError(f"cannot clone {src} onto itself")
+    if _versions(dst):
+        raise ValueError(
+            f"{dst} is already a transactional table — clone targets a "
+            "fresh path (drop it or pick another)"
+        )
+    v, manifest = _resolve_snapshot(src, version, as_of)
+    files = [
+        {**f, "base": f.get("base") or abs_src} for f in manifest["files"]
+    ]
+    dv = []
+    for e in manifest.get("dv", []):
+        if isinstance(e, dict):
+            dv.append({**e, "base": e.get("base") or abs_src})
+        else:  # pre-refs bare-string entry
+            dv.append({"path": e, "refs": None, "base": abs_src})
+    new_manifest = {
+        "version": 1,
+        "parent": 0,
+        "ts": time.time(),
+        "files": files,
+        "schema": manifest["schema"],
+        "dv": dv,
+        "meta": {
+            **(meta or {}),
+            "op": "clone",
+            "source": abs_src,
+            "source_version": v,
+        },
+    }
+    # the dropped-column fence travels with the schema: a re-added
+    # column on the CLONE must not claim a physical name that old
+    # (shared) files still carry values for
+    if manifest.get("retired_physical"):
+        new_manifest["retired_physical"] = list(manifest["retired_physical"])
+    if not _publish(dst, 1, new_manifest):
+        raise ConcurrentWriteError(
+            f"{dst} was created concurrently — clone targets a fresh path"
+        )
+    return 1
 
 
 def _ddl_guard(manifest: dict, col: str, path: str, op: str) -> StructType:

@@ -1690,3 +1690,127 @@ def test_retired_physical_survives_delete_and_purge(spark, tmp_path):
     txn_write(spark.createDataFrame([(9, "new")], "a int, b string"), path)
     got = {r["a"]: r["b"] for r in txn_read(spark, path).collect()}
     assert got == {1: None, 3: None, 9: "new"}
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """txn_clone: one manifest commit, zero data bytes under the clone;
+    reads equal the source snapshot; appends/deletes on either side
+    never show up on the other."""
+    from tdataframe_spark.sources.txn import txn_clone, txn_delete
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    a = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    txn_write(a, src, mode="append")
+    assert txn_clone(src, dst) == 1
+    # zero-copy: the clone has no data dir at all yet
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    assert _rows(txn_read(spark, dst)) == _rows(a)
+    meta = txn_latest_meta(dst)
+    assert meta["op"] == "clone" and meta["source_version"] == 1
+    # divergence: clone-side append + delete stay clone-local
+    b = spark.range(10, 13).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    txn_write(b, dst, mode="append")
+    txn_delete(spark, dst, "id = 3")
+    assert _rows(txn_read(spark, src)) == _rows(a)
+    got = _rows(txn_read(spark, dst))
+    assert got == _rows(a.unionByName(b).filter("id <> 3"))
+    # source-side append stays source-local (clone pinned the snapshot)
+    txn_write(b, src, mode="append")
+    assert _rows(txn_read(spark, dst)) == got
+
+
+def test_shallow_clone_inherits_dv_and_pins_version(spark, tmp_path):
+    """A clone of a DV-carrying snapshot hides the same rows; pinning
+    version/as_of clones history, not the head; a vacuumed snapshot
+    refuses to clone."""
+    from tdataframe_spark.sources.txn import txn_clone, txn_delete
+
+    src = str(tmp_path / "src")
+    a = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    txn_write(a, src, mode="append")                       # v1
+    txn_delete(spark, src, "id >= 8")                      # v2 (DV)
+    txn_clone(src, str(tmp_path / "c2"))
+    assert _rows(txn_read(spark, str(tmp_path / "c2"))) == _rows(
+        a.filter("id < 8")
+    )
+    txn_clone(src, str(tmp_path / "c1"), version=1)
+    assert _rows(txn_read(spark, str(tmp_path / "c1"))) == _rows(a)
+    # validation
+    with pytest.raises(ValueError, match="already a transactional"):
+        txn_clone(src, str(tmp_path / "c1"))
+    with pytest.raises(ValueError, match="onto itself"):
+        txn_clone(src, src)
+    with pytest.raises(FileNotFoundError):
+        txn_clone(str(tmp_path / "nope"), str(tmp_path / "c3"))
+
+
+def test_clone_of_clone_chases_data_not_chain(spark, tmp_path):
+    """A clone of a clone records the ORIGINAL table as each entry's
+    base — resolution never walks clone chains."""
+    from tdataframe_spark.sources.txn import txn_clone
+
+    src = str(tmp_path / "src")
+    a = spark.range(6).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    txn_write(a, src, mode="append")
+    txn_clone(src, str(tmp_path / "c1"))
+    txn_clone(str(tmp_path / "c1"), str(tmp_path / "c2"))
+    m = txn_latest(str(tmp_path / "c2"))[1]
+    assert all(f["base"] == os.path.abspath(src) for f in m["files"])
+    assert _rows(txn_read(spark, str(tmp_path / "c2"))) == _rows(a)
+
+
+def test_clone_composes_with_rename_compact_vacuum(spark, tmp_path):
+    """Column DDL on the clone stays clone-local; compact_txn
+    LOCALIZES the clone (no foreign bases survive the rewrite); the
+    clone's vacuum never reclaims source bytes."""
+    from tdataframe_spark.sources.layout import compact_txn
+    from tdataframe_spark.sources.txn import txn_clone, txn_rename_column
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    a = spark.range(8).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    txn_write(a, src, mode="append")
+    txn_clone(src, dst)
+    txn_rename_column(dst, "v", "val")
+    assert txn_read(spark, dst).columns == ["id", "val"]
+    assert txn_read(spark, src).columns == ["id", "v"]  # source untouched
+    compact_txn(spark, dst, meta={"op": "optimize"})
+    m = txn_latest(dst)[1]
+    assert m["files"] and all("base" not in f for f in m["files"])
+    # clone vacuum (post-localization, retention 1) must not touch src
+    src_files = {
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(os.path.join(src, "data")) for n in ns
+    }
+    txn_vacuum(dst, keep_versions=1, min_age_s=0.0)
+    assert src_files == {
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(os.path.join(src, "data")) for n in ns
+    }
+    assert _rows(txn_read(spark, dst)) == _rows(
+        a.withColumnRenamed("v", "val")
+    )
+
+
+def test_clone_change_feed_and_upsert_localize(spark, tmp_path):
+    """txn_changes on a clone resolves foreign files (the from-side of
+    the diff lives in the source); txn_upsert rewrites the clone into
+    local files."""
+    from tdataframe_spark.sources.txn import txn_changes, txn_clone, txn_upsert
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    a = spark.range(6).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    txn_write(a, src, mode="append")
+    txn_clone(src, dst)
+    batch = spark.createDataFrame([(2, 99), (10, 100)], "id long, v long")
+    txn_upsert(batch, dst, keys=["id"])
+    ch = txn_changes(spark, dst, 1)
+    ins = {tuple(r) for r in ch.filter("_change_type='insert'")
+           .select("id", "v").collect()}
+    dels = {tuple(r) for r in ch.filter("_change_type='delete'")
+            .select("id", "v").collect()}
+    assert (2, 99) in ins and (10, 100) in ins and (2, 4) in dels
+    m = txn_latest(dst)[1]
+    assert m["files"] and all("base" not in f for f in m["files"])
