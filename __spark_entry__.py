@@ -150,6 +150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # holds a window slot; image_dedup_index ceded to shallow_clone
         # — its external check is rows-only (weak) while the new clone
         # query is full-oracle, and its real pins live in tests/test_avi)
+        # dds_quantiles is new this round but sits at 51: every window
+        # slot is spoken for by the r5 rotation-debt closure + this
+        # round's behavioral changes; it is oracle-checked by the local
+        # full-registry sim and rotates into r10's window first
+        "dds_quantiles": q_dds_quantiles,
         "image_dedup_index": q_image_dedup_index,
         "time_travel": q_time_travel,
         "data_skipping": q_data_skipping,
@@ -317,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "dv_purge": SQL_DV_PURGE,
         "rename_column": SQL_RENAME_COLUMN,
         "shallow_clone": SQL_SHALLOW_CLONE,
+        "dds_quantiles": _dds_oracle(),
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

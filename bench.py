@@ -127,6 +127,9 @@ EXTENDED = [
     # + clone (manifest-only) + clone-side append/delete + read through
     # foreign file references
     "shallow_clone",
+    # round-9 late: deterministic mergeable quantile sketch — one
+    # log-bucket aggregate over lineitem + per-group cumulative walk
+    "dds_quantiles",
 ]
 
 

@@ -242,3 +242,194 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("count"))
         .filter(F.col("count") >= min_count)
     )
+
+
+def _dds_gamma(alpha: float) -> tuple[float, float]:
+    """(gamma, ln(gamma)) for a DDSketch relative accuracy ``alpha``.
+    Computed ONCE driver-side and inlined as literals into both the
+    Spark plan and any SQL oracle, so every engine buckets against the
+    IDENTICAL double constants — the only engine-computed transcendental
+    left is ln(value), and bucket expressions 9-dp-round before ceil so
+    a 1-ulp ln() divergence cannot flip a bucket unless the value sits
+    within 5e-10 of a boundary."""
+    import math
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1 + alpha) / (1 - alpha)
+    return gamma, math.log(gamma)
+
+
+def _dds_zone_bucket(col: str, ln_gamma: float) -> tuple[Column, Column]:
+    """(zone, bucket) for a value: zone -1/0/+1 by sign, bucket the
+    DDSketch log index of |value| (0 in the zero zone). NULLs are the
+    caller's concern (dds_build drops them — a sketch counts values)."""
+    v = F.col(col).cast("double")
+    zone = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    b = F.ceil(
+        F.round(F.log(F.abs(v)) / F.lit(ln_gamma), 9)
+    ).cast("int")
+    return zone, F.when(zone == 0, F.lit(0)).otherwise(b)
+
+
+def dds_build(
+    df: DataFrame, col: str, alpha: float = 0.01, by: tuple = ()
+) -> DataFrame:
+    """DDSketch-style mergeable QUANTILE sketch (the relative-error
+    log-bucket histogram of the DDSketch paper, deterministic variant):
+    value x lands in bucket ceil(ln(|x|)/ln(gamma)) of its sign zone,
+    gamma = (1+alpha)/(1-alpha), so every bucket's representative value
+    is within ``alpha`` relative error of anything it holds. The result
+    is one (zone, bucket, n) count table — at most ~2·log_gamma(range)
+    rows per group REGARDLESS of input size — the pre-aggregate a
+    100 TB percentile pipeline persists per shard/day and merges later
+    (the GK/t-digest sketches behind approx_percentile are mergeable
+    only inside one engine run; this table is mergeable forever, and —
+    unlike them — deterministic, so it IS oracle-checkable).
+
+    ``by``: optional grouping columns that ride the sketch (per-domain /
+    per-day percentiles). NULL values are dropped (a sketch counts
+    values); exact zeros get their own zone (no log). ``alpha`` rides
+    every row so merge/query derive it from the sketch itself, same as
+    CMS width/depth."""
+    _, ln_gamma = _dds_gamma(alpha)
+    zone, bucket = _dds_zone_bucket(col, ln_gamma)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*by, zone.alias("zone"), bucket.alias("bucket"))
+        .groupBy(*by, "zone", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("alpha", F.lit(float(alpha)))
+    )
+
+
+def dds_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketch tables by element-wise sum — sketches built on data
+    slices merge into exactly the sketch of the union (tested law).
+    Sketches with different ``alpha`` bucket incompatibly and are
+    rejected."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    alphas = out.select("alpha").distinct().collect()
+    if len(alphas) > 1:
+        raise ValueError(
+            f"cannot merge DDSketches with different alpha: "
+            f"{sorted(r['alpha'] for r in alphas)}"
+        )
+    keys = [c for c in out.columns if c not in ("n", "alpha")]
+    return out.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("n"), F.first("alpha").alias("alpha")
+    )
+
+
+def dds_quantiles(
+    sketch: DataFrame, qs: list[float], round_dp: int = 4
+) -> DataFrame:
+    """Quantile estimates from a DDSketch table: per group, the value of
+    the first bucket whose cumulative count reaches rank ceil(q·N) —
+    back-transformed to the bucket midpoint 2·gamma^b/(gamma+1) (zone-
+    signed, 0 for the zero zone), which is within alpha relative error
+    of the true quantile. ``qs`` must lie in (0, 1].
+
+    Returns the sketch's group columns + (q, est); ``est`` is rounded to
+    ``round_dp`` decimals at this query boundary (pow() can differ by
+    ulps across engines; raw buckets stay exact in the sketch). The
+    cumulative window partitions by the group columns and orders by the
+    bucket's numeric value — per-partition state is the group's bucket
+    count, bounded by ~2·log_gamma(range), never the row count."""
+    import math
+
+    from pyspark.sql import Window
+
+    if not qs or not all(0 < q <= 1 for q in qs):
+        raise ValueError(f"qs must be non-empty, each in (0, 1]: {qs}")
+    row = sketch.select("alpha").first()
+    if row is None:
+        return sketch.sparkSession.createDataFrame(
+            [], "q double, est double"
+        )
+    gamma, _ = _dds_gamma(row["alpha"])
+    by = [c for c in sketch.columns if c not in ("zone", "bucket", "n", "alpha")]
+    val = F.when(F.col("zone") == 0, F.lit(0.0)).otherwise(
+        F.col("zone")
+        * (
+            F.lit(2.0)
+            * F.pow(F.lit(float(gamma)), F.col("bucket"))
+            / F.lit(float(gamma) + 1.0)
+        )
+    )
+    w = Window.partitionBy(*by).orderBy("__val")
+    cum = (
+        sketch.withColumn("__val", val)
+        .withColumn("__cum", F.sum("n").over(w))
+        .withColumn(
+            "__total", F.sum("n").over(Window.partitionBy(*by))
+        )
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(qs)], "q double"
+    )
+    hits = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("__cum") >= F.ceil(F.col("q") * F.col("__total"))
+    )
+    # first qualifying bucket per (group, q): min over (cum, val)
+    win = hits.groupBy(*by, "q").agg(
+        F.min(F.struct("__cum", "__val")).alias("__w")
+    )
+    return win.select(
+        *by, "q", F.round(F.col("__w.__val"), round_dp).alias("est")
+    )
+
+
+def dds_oracle_sql(
+    source_sql: str,
+    col: str,
+    alpha: float,
+    qs: list[float],
+    by: tuple = (),
+    round_dp: int = 4,
+) -> str:
+    """The ANSI-SQL twin of dds_build→dds_quantiles over ``source_sql``
+    (a relation producing ``col`` + ``by``), GENERATED from the same
+    gamma constants so any engine reproduces the sketch bit-for-bit —
+    the same constants-inlined-oracle pattern as the minhash family."""
+    gamma, ln_gamma = _dds_gamma(alpha)
+    g1 = gamma + 1.0
+    bycols = ", ".join(by)
+    by_pre = f"{bycols}, " if by else ""
+    part = f"PARTITION BY {bycols} " if by else ""
+    # CAST: bare literals type as DECIMAL in some engines, and the q
+    # column must compare as DOUBLE against the Spark side
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in sorted(qs))
+    return f"""
+WITH src AS ({source_sql}),
+buckets AS (
+  SELECT {by_pre}
+         CASE WHEN {col} > 0 THEN 1 WHEN {col} < 0 THEN -1 ELSE 0 END AS zone,
+         CASE WHEN {col} = 0 THEN 0
+              ELSE CAST(CEIL(ROUND(LN(ABS({col})) / {ln_gamma!r}, 9)) AS INT)
+         END AS bucket,
+         COUNT(*) AS n
+  FROM src WHERE {col} IS NOT NULL
+  GROUP BY ALL
+),
+vals AS (
+  SELECT *,
+         CASE WHEN zone = 0 THEN 0.0
+              ELSE zone * (2.0 * POWER({gamma!r}, bucket) / {g1!r})
+         END AS val
+  FROM buckets
+),
+cums AS (
+  SELECT *,
+         SUM(n) OVER ({part}ORDER BY val) AS cum,
+         SUM(n) OVER ({part}) AS total
+  FROM vals
+),
+qv(q) AS (VALUES {qvals})
+SELECT {by_pre}q, ROUND(MIN(val ORDER BY cum, val), {round_dp}) AS est
+FROM cums CROSS JOIN qv
+WHERE cum >= CEIL(q * total)
+GROUP BY ALL
+"""

@@ -6165,6 +6165,41 @@ FROM per_doc
 """
 
 
+_DDS_ALPHA = 0.01
+_DDS_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_dds_quantiles(spark, sf):
+    """Mergeable DETERMINISTIC quantile sketch (functions/sketches.py
+    dds_build/dds_quantiles — the DDSketch relative-error log-bucket
+    idea): per-returnflag price percentiles from a (zone, bucket, n)
+    count table of ~2·log_gamma(range) rows per group, mergeable across
+    shards/days by plain count addition (the law the streaming
+    stream_dds_refresh fold leans on). Unlike the engine-specific GK
+    sketch behind percentile_approx (group_quantiles_approx, rows-only),
+    every bucket decision here is deterministic arithmetic over
+    driver-inlined gamma constants — so the FULL sketch pipeline is
+    ORACLE-CHECKED: the SQL twin is GENERATED from the same constants
+    (dds_oracle_sql, the minhash constants-inlined pattern). The
+    alpha-relative-error bound vs exact percentiles and the merge law
+    are pinned in tests/test_sketches.py."""
+    from tdataframe_spark.functions.sketches import dds_build, dds_quantiles
+
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    sk = dds_build(li, "l_extendedprice", alpha=_DDS_ALPHA,
+                   by=("l_returnflag",))
+    return dds_quantiles(sk, _DDS_QS)
+
+
+def _dds_oracle() -> str:
+    from tdataframe_spark.functions.sketches import dds_oracle_sql
+
+    return dds_oracle_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_extendedprice", _DDS_ALPHA, _DDS_QS, by=("l_returnflag",),
+    )
+
+
 def q_group_quantiles_approx(spark, sf):
     """Per-group sketch quantiles: Greenwald-Khanna percentile_approx as a
     grouped MERGEABLE aggregate (one partial+final pass, no per-group

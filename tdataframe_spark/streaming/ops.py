@@ -647,6 +647,49 @@ def stream_cms_refresh(
     return _run_foreach_batch(events, _apply, checkpoint, available_now)
 
 
+def stream_dds_refresh(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    col: str,
+    alpha: float = 0.01,
+    by: tuple = (),
+    available_now: bool = True,
+):
+    """Streaming QUANTILE-sketch maintenance: each micro-batch builds a
+    bounded DDSketch bucket table over ``col`` and merges it into the
+    sketch persisted at ``path/sketch`` — by the DDSketch merge law the
+    result is EXACTLY the one-shot batch sketch over all streamed data
+    (bucket counts are plain sums), so ``dds_quantiles`` over the
+    persisted table serves live percentiles (latency SLOs, price
+    distributions) with alpha relative error at O(log range) state per
+    group, whatever the stream length. Same exactly-once ledger +
+    rename-aside swap as the CMS/HLL/top-k folds."""
+    import os
+
+    data = os.path.join(path, "sketch")
+    already_applied, record, stamp_for = _once_ledger(
+        path, checkpoint, "dds sketch", data_dir=data
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from tdataframe_spark.functions.sketches import dds_build, dds_merge
+
+        spark = batch.sparkSession
+        if already_applied(batch_id):
+            return  # replayed batch: already folded in
+        delta = dds_build(batch, col, alpha=alpha, by=by)
+        _staged_swap(
+            data,
+            lambda: dds_merge(spark.read.parquet(data), delta),
+            lambda dest: delta.write.mode("overwrite").parquet(dest),
+            stamp=stamp_for(batch_id),
+        )
+        record(batch_id)
+
+    return _run_foreach_batch(events, _apply, checkpoint, available_now)
+
+
 def stream_hll_refresh(
     events: DataFrame,
     path: str,

@@ -265,3 +265,75 @@ def test_hll_rollup_accuracy_and_merge_consistency(spark):
         for est in (rolled[k], direct[k]):
             rel = abs(est - exact[k]) / exact[k]
             assert rel < 0.052, (k, est, exact[k])  # 2σ for lgk=12, slack
+
+
+def test_dds_merge_law_and_alpha_bound(spark, orders):
+    """DDSketch: union of part-sketches == sketch of the whole (exact —
+    buckets are plain counts), and every quantile estimate is within
+    alpha relative error of the exact percentile."""
+    from tdataframe_spark.functions.sketches import (
+        dds_build,
+        dds_merge,
+        dds_quantiles,
+    )
+
+    alpha = 0.02
+    lo = orders.filter("o_totalprice < 150000")
+    hi = orders.filter("o_totalprice >= 150000")
+    merged = dds_merge(
+        dds_build(lo, "o_totalprice", alpha=alpha),
+        dds_build(hi, "o_totalprice", alpha=alpha),
+    )
+    whole = dds_build(orders, "o_totalprice", alpha=alpha)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    est = {r["q"]: r["est"] for r in dds_quantiles(whole, qs).collect()}
+    exact = {
+        q: orders.selectExpr(f"percentile(o_totalprice, {q}) v").first()["v"]
+        for q in qs
+    }
+    for q in qs:
+        assert abs(est[q] - exact[q]) / exact[q] <= alpha + 1e-9, (
+            q, est[q], exact[q],
+        )
+    # mixed-alpha merges bucket incompatibly and must refuse
+    with pytest.raises(ValueError, match="different alpha"):
+        dds_merge(whole, dds_build(orders, "o_totalprice", alpha=0.05))
+
+
+def test_dds_zones_grouping_and_determinism(spark):
+    """Sign zones: negatives mirror, exact zeros get their own bucket
+    (no log); grouped sketches estimate per group; output is identical
+    under repartitioning (deterministic bucket arithmetic)."""
+    from tdataframe_spark.functions.sketches import dds_build, dds_quantiles
+
+    rows = (
+        [("a", float(-v)) for v in range(1, 101)]
+        + [("a", 0.0)]
+        + [("b", float(v)) for v in range(1, 101)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    sk = dds_build(df, "v", alpha=0.01, by=("g",))
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in dds_quantiles(sk, [0.5, 1.0]).collect()
+    }
+    # group a: 100 negatives + one zero -> median ~-50, max is the zero
+    assert abs(est[("a", 0.5)] + 50) <= 0.5 + 1e-9
+    assert est[("a", 1.0)] == 0.0
+    assert abs(est[("b", 0.5)] - 50) <= 0.5 + 1e-9
+    assert abs(est[("b", 1.0)] - 100) <= 1.0 + 1e-9
+    again = {
+        (r["g"], r["q"]): r["est"]
+        for r in dds_quantiles(
+            dds_build(df.repartition(7), "v", alpha=0.01, by=("g",)),
+            [0.5, 1.0],
+        ).collect()
+    }
+    assert again == est
+    with pytest.raises(ValueError, match="alpha"):
+        dds_build(df, "v", alpha=1.5)
+    with pytest.raises(ValueError, match="qs"):
+        dds_quantiles(sk, [0.0, 0.5])

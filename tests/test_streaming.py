@@ -656,3 +656,50 @@ def test_stream_topk_refresh_matches_batch(spark, stream_dir, tmp_path):
     assert state() == got
     with _pt.raises(Exception, match="owned by checkpoint"):
         run(str(tmp_path / "other"))
+
+
+def test_stream_dds_refresh_matches_batch_sketch(spark, stream_dir, tmp_path):
+    """The streamed quantile sketch must equal a one-shot batch build
+    over the same data EXACTLY (DDSketch buckets are plain counts), and
+    a restart over the same checkpoint must replay as no-ops — the
+    percentiles stay identical instead of drifting."""
+    from tdataframe_spark.functions.sketches import dds_build, dds_quantiles
+    from tdataframe_spark.streaming import stream_dds_refresh, stream_from_files
+
+    batch = spark.read.parquet(stream_dir)
+    path = str(tmp_path / "dds_state")
+    ckpt = str(tmp_path / "dds_ckpt")
+    stream = stream_from_files(
+        spark, stream_dir, batch.schema, max_files_per_trigger=2
+    )
+    stream_dds_refresh(
+        stream.select("value"), path, ckpt, "value", alpha=0.02
+    )
+    qs = [0.25, 0.5, 0.95]
+    streamed = {
+        r["q"]: r["est"]
+        for r in dds_quantiles(
+            spark.read.parquet(f"{path}/sketch"), qs
+        ).collect()
+    }
+    oneshot = {
+        r["q"]: r["est"]
+        for r in dds_quantiles(
+            dds_build(batch.select("value"), "value", alpha=0.02), qs
+        ).collect()
+    }
+    assert streamed == oneshot and len(streamed) == 3
+    # replay from the SAME checkpoint: availableNow reprocesses nothing
+    stream2 = stream_from_files(
+        spark, stream_dir, batch.schema, max_files_per_trigger=2
+    )
+    stream_dds_refresh(
+        stream2.select("value"), path, ckpt, "value", alpha=0.02
+    )
+    after = {
+        r["q"]: r["est"]
+        for r in dds_quantiles(
+            spark.read.parquet(f"{path}/sketch"), qs
+        ).collect()
+    }
+    assert after == streamed
