@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round's behavioral changes; it is oracle-checked by the local
         # full-registry sim and rotates into r10's window first
         "dds_quantiles": q_dds_quantiles,
+        "trim_dedup_index": q_trim_dedup_index,
         "image_dedup_index": q_image_dedup_index,
         "time_travel": q_time_travel,
         "data_skipping": q_data_skipping,

@@ -130,6 +130,10 @@ EXTENDED = [
     # round-9 late: deterministic mergeable quantile sketch — one
     # log-bucket aggregate over lineitem + per-group cumulative walk
     "dds_quantiles",
+    # round-9 late: trim-robust incremental match — batch landmarks vs
+    # the persisted landmark index (memoized build; the number is
+    # landmark-the-batch + cross-set banded join + offset vote)
+    "trim_dedup_index",
 ]
 
 

@@ -1717,6 +1717,7 @@ def landmark_pairs(
     min_matches: int = 3,
     max_distance: int = 4,
     n_bits: int = 56,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Pair media that share ALIGNED landmark hashes — the generic
     trim-robust near-dup join over any ``(media_id, frame_off, lhash)``
@@ -1740,19 +1741,20 @@ def landmark_pairs(
     landmark count."""
     from tdataframe_spark.ops.dedup import hamming_pairs
 
-    keyed = lms.select(
-        F.struct(
-            F.col("media_id").alias("m"), F.col("frame_off").alias("t")
-        ).alias("lm_id"),
-        "lhash",
-    )
-    raw = hamming_pairs(
-        keyed, "lm_id", "lhash",
-        max_distance=max_distance, n_bits=n_bits,
-    )
-    votes = (
-        raw.filter(F.col("id_a.m") != F.col("id_b.m"))
-        .select(
+    def keyed(df):
+        return df.select(
+            F.struct(
+                F.col("media_id").alias("m"), F.col("frame_off").alias("t")
+            ).alias("lm_id"),
+            "lhash",
+        )
+
+    if other is None:
+        raw = hamming_pairs(
+            keyed(lms), "lm_id", "lhash",
+            max_distance=max_distance, n_bits=n_bits,
+        )
+        oriented = raw.filter(F.col("id_a.m") != F.col("id_b.m")).select(
             # canonical orientation: struct ordering already gives
             # id_a < id_b, but two landmarks of the SAME clip pair can
             # arrive in either orientation — normalize on the media id
@@ -1765,6 +1767,27 @@ def landmark_pairs(
                 F.col("id_a.t") - F.col("id_b.t"),
             ).otherwise(F.col("id_b.t") - F.col("id_a.t")).alias("delta"),
         )
+    else:
+        # CROSS-SET: other = the NEW batch's landmark table (takes the
+        # expanded band side — fan-out scales with the batch), lms = the
+        # persisted index. Orientation is fixed (id_a = batch media,
+        # id_b = corpus media) — no id-ordering normalization, so a
+        # batch item pairs with a SMALLER corpus id too. include_self
+        # skips hamming_pairs' struct-equality filter (same media id is
+        # dropped on m below, covering the re-match-after-append case
+        # landmark-by-landmark).
+        raw = hamming_pairs(
+            keyed(lms), "lm_id", "lhash",
+            max_distance=max_distance, n_bits=n_bits,
+            other=keyed(other), include_self=True,
+        )
+        oriented = raw.filter(F.col("id_a.m") != F.col("id_b.m")).select(
+            F.col("id_a.m").alias("id_a"),
+            F.col("id_b.m").alias("id_b"),
+            (F.col("id_a.t") - F.col("id_b.t")).alias("delta"),
+        )
+    votes = (
+        oriented
         .groupBy("id_a", "id_b", "delta")
         .agg(F.count(F.lit(1)).alias("matches"))
     )
@@ -1847,6 +1870,67 @@ def video_frame_landmarks(
             F.col("frame_idx").cast("int").alias("frame_off"),
             F.col("phash").alias("lhash"),
         )
+    )
+
+
+_LANDMARK_SCHEMA = "media_id bigint, frame_off int, lhash bigint"
+
+
+def _read_landmark_index(spark, index_path: str) -> DataFrame:
+    """Read a persisted landmark table — plain parquet or the
+    transactional table a streaming maintainer appends to
+    (snapshot-isolated against in-flight appends), mirroring
+    :func:`_read_sig_index` for the 3-column landmark shape."""
+    from tdataframe_spark.sources.txn import is_txn_table, txn_read
+
+    if is_txn_table(index_path):
+        return txn_read(spark, index_path).select(
+            "media_id", "frame_off", "lhash"
+        )
+    return spark.read.schema(_LANDMARK_SCHEMA).parquet(index_path)
+
+
+def build_landmark_index(lms: DataFrame, index_path: str) -> None:
+    """Persist a landmark table (:func:`audio_landmarks` /
+    :func:`video_frame_landmarks` output) as the TRIM-ROBUST near-dup
+    index: one decode+landmark pass, one small parquet of (media_id,
+    frame_off, lhash) — the segment-level twin of the clip/frame-level
+    build_phash_index / build_afp_index. New batches then match via
+    :func:`match_landmark_index` without re-decoding the corpus."""
+    _write_sig_index(
+        lms.select("media_id", "frame_off", "lhash"), index_path, "overwrite"
+    )
+
+
+def append_landmark_index(lms: DataFrame, index_path: str) -> None:
+    """Fold a new batch's landmarks into the persisted index (append —
+    landmarks are a pure function of the payload)."""
+    _write_sig_index(
+        lms.select("media_id", "frame_off", "lhash"), index_path, "append"
+    )
+
+
+def match_landmark_index(
+    new_lms: DataFrame,
+    index_path: str,
+    min_matches: int = 3,
+    max_distance: int = 4,
+    n_bits: int = 56,
+) -> DataFrame:
+    """Match a NEW batch's landmark table against the persisted index:
+    the cross-set :func:`landmark_pairs` join — batch landmarks take the
+    expanded band side, so fan-out scales with the batch, never the
+    corpus — then the same offset-alignment vote. Returns (id_a = batch
+    media, id_b = corpus media, matches, offset_frames): the streaming
+    ingestion shape for TRIMMED/re-encoded copy detection at 100 TB —
+    index once, match every arriving batch, recover the trim offset.
+    Pass ``n_bits=63`` for video landmarks (pHash width); the default 56
+    is the audio grid's."""
+    spark = new_lms.sparkSession
+    idx = _read_landmark_index(spark, index_path)
+    return landmark_pairs(
+        idx, min_matches=min_matches, max_distance=max_distance,
+        n_bits=n_bits, other=new_lms,
     )
 
 

@@ -3834,6 +3834,63 @@ def q_audio_dedup_index(spark, sf):
     return match_afp_index(batch, path, max_distance=8)
 
 
+_LM_INDEX_BUILT: set = set()
+
+
+def q_trim_dedup_index(spark, sf):
+    """Incremental TRIM-robust near-dup (the index twin of
+    audio_trim_dedup / video_trim_dedup): persist the corpus's audio
+    LANDMARK table once per process (build_landmark_index), then match
+    a NEW batch — trimmed and trimmed+gain copies of two corpus clips
+    plus a novel clip — via the cross-set landmark join
+    (match_landmark_index): batch landmarks take the expanded band
+    side, the offset vote recovers each copy's trim. Rows-only; the
+    exact-offset contract, no-self-pairs-after-append, and the
+    streaming maintainer's exactly-once fence are pinned in
+    tests/test_avi.py."""
+    import os
+    import tempfile
+
+    from tdataframe_spark.ops.multimodal import (
+        audio_landmarks,
+        build_landmark_index,
+        match_landmark_index,
+    )
+
+    hop = 128
+    ids = sorted(
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id")
+        .collect()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lm_index_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
+    )
+    if path not in _LM_INDEX_BUILT:
+        corpus = spark.createDataFrame(
+            [(int(d), "audio/wav", _wav16_bytes(_note_clip_np(d)))
+             for d in ids],
+            "media_id long, kind string, payload binary",
+        )
+        build_landmark_index(audio_landmarks(corpus, hop=hop), path)
+        _LM_INDEX_BUILT.add(path)
+    batch_rows = []
+    for did in ids[:2]:
+        x = _note_clip_np(did)
+        batch_rows.append((int(did) + 400, "audio/wav",
+                           _wav16_bytes(x[38 * hop:])))
+        batch_rows.append((int(did) + 500, "audio/wav",
+                           _wav16_bytes(x[38 * hop:] * 0.5)))
+    batch_rows.append((999, "audio/wav", _wav16_bytes(_note_clip_np(50))))
+    batch = spark.createDataFrame(
+        batch_rows, "media_id long, kind string, payload binary"
+    )
+    return match_landmark_index(audio_landmarks(batch, hop=hop), path)
+
+
 def _note_clip_np(k, rate=8000, n_fft=256, seconds=2.4, segments=18):
     """Audio fixture with ENERGY STRUCTURE for landmark anchoring:
     per-segment notes with attack-decay envelopes AND per-segment

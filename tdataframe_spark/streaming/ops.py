@@ -868,6 +868,39 @@ def stream_media_to_phash_index(
     )
 
 
+def stream_media_to_landmark_index(
+    media: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    landmarker,
+    available_now: bool = True,
+):
+    """Streaming maintenance of a TRIM-ROBUST landmark index: each
+    arriving batch of media payloads runs ``landmarker`` (an Arrow
+    landmark op — ``audio_landmarks`` or ``video_frame_landmarks``,
+    possibly with kwargs bound) and its (media_id, frame_off, lhash)
+    rows land in the transactional index as ONE atomic batch-id-fenced
+    append — the same exactly-once fence as the pHash/afp index streams
+    (a landmark op fans out several rows per item and has no ``ok``
+    column: undecodable payloads simply emit no rows, so the generic
+    single-signature fold does not apply). ``match_landmark_index``
+    reads the txn index directly, snapshot-isolated against in-flight
+    appends."""
+    from tdataframe_spark.sources.txn import txn_write
+
+    already_applied, meta_for = _txn_fence(
+        index_path, checkpoint, "landmark index"
+    )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if already_applied(batch_id):
+            return  # replayed batch: commit meta says it is folded in
+        lms = landmarker(batch).select("media_id", "frame_off", "lhash")
+        txn_write(lms, index_path, mode="append", meta=meta_for(batch_id))
+
+    return _run_foreach_batch(media, _fold, checkpoint, available_now)
+
+
 def stream_media_to_afp_index(
     media: DataFrame,
     index_path: str,

@@ -1034,3 +1034,112 @@ def test_video_frame_landmarks_run_start_reduction(spark):
     )
     assert [t for t, _ in lms] == [0, 4]
     assert lms[0][1] != lms[1][1]
+
+
+def test_landmark_index_incremental_match(spark, tmp_path):
+    """Trim-robust incremental near-dup: index the corpus's audio
+    landmarks once, match a new batch's landmarks against it — a
+    TRIMMED (+gain) copy pairs with its corpus original at the exact
+    offset; novel clips do not; after appending the batch, re-matching
+    yields no same-id pairs."""
+    from tdataframe_spark.ops.multimodal import (
+        append_landmark_index,
+        audio_landmarks,
+        build_landmark_index,
+        match_landmark_index,
+    )
+
+    hop = 128
+    corpus = spark.createDataFrame(
+        [(k, "audio/wav", _wav16(_note_clip(k))) for k in range(4)],
+        "media_id long, kind string, payload binary",
+    )
+    idx = str(tmp_path / "lmidx")
+    build_landmark_index(audio_landmarks(corpus, hop=hop), idx)
+    x1 = _note_clip(1)
+    batch = spark.createDataFrame(
+        [
+            (100, "audio/wav", _wav16(x1[38 * hop:] * 0.7)),  # trim+gain of 1
+            (101, "audio/wav", _wav16(_note_clip(50))),       # novel
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    blms = audio_landmarks(batch, hop=hop)
+    got = {
+        (r["id_a"], r["id_b"]): (r["matches"], r["offset_frames"])
+        for r in match_landmark_index(blms, idx).collect()
+    }
+    assert (100, 1) in got and got[(100, 1)][1] == -38  # batch trimmed BY 38
+    assert not any(a == 101 for a, _ in got)
+    append_landmark_index(blms, idx)
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in match_landmark_index(blms, idx).collect()
+    }
+    assert not any(a == b for a, b in again)
+    assert (100, 1) in again
+
+
+def test_landmark_index_stream_is_exactly_once(spark, tmp_path):
+    """Streaming maintenance of the VIDEO landmark index: per-batch
+    atomic fenced appends; a replayed batch neither double-appends nor
+    commits; matching a trimmed probe against the txn index recovers
+    the offset."""
+    from tdataframe_spark.ops.multimodal import (
+        match_landmark_index,
+        video_frame_landmarks,
+    )
+    from tdataframe_spark.queries import _rand_field_frames
+    from tdataframe_spark.sources.txn import txn_latest, txn_read
+    from tdataframe_spark.streaming import (
+        stream_from_files,
+        stream_media_to_landmark_index,
+    )
+    from tests.test_exactly_once import _crash_before_checkpoint_commit
+
+    src = str(tmp_path / "src")
+    media = spark.createDataFrame(
+        [(k, "video/avi",
+          bytearray(encode_avi(_rand_field_frames(k), codec="MJPG")))
+         for k in range(3)],
+        "media_id long, kind string, payload binary",
+    )
+    media.repartition(3).write.parquet(src)
+    batch_view = spark.read.parquet(src)
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_from_files(
+            spark, src, batch_view.schema, max_files_per_trigger=1
+        )
+        stream_media_to_landmark_index(
+            stream, idx, ckpt, video_frame_landmarks
+        )
+
+    run()
+
+    def index_rows():
+        return sorted(tuple(r) for r in txn_read(spark, idx).collect())
+
+    oneshot = sorted(
+        tuple(r) for r in video_frame_landmarks(batch_view).collect()
+    )
+    assert index_rows() == oneshot
+    v_before, m_before = txn_latest(idx)
+    replayed = _crash_before_checkpoint_commit(ckpt)
+    assert m_before["meta"]["batch_id"] == replayed
+    run()  # restart: the commit-meta fence must skip the replayed batch
+    assert index_rows() == oneshot, "replayed batch double-appended"
+    assert txn_latest(idx)[0] == v_before, "replay must not commit"
+    probe = spark.createDataFrame(
+        [(500, "video/avi",
+          bytearray(encode_avi(_rand_field_frames(2)[3:], codec="MJPG")))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["offset_frames"]
+        for r in match_landmark_index(
+            video_frame_landmarks(probe), idx, max_distance=8, n_bits=63
+        ).collect()
+    }
+    assert got == {(500, 2): -3}  # probe trimmed BY 3 relative to corpus
