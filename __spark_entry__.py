@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round's behavioral changes; it is oracle-checked by the local
         # full-registry sim and rotates into r10's window first
         "dds_quantiles": q_dds_quantiles,
+        "txn_constraints": q_txn_constraints,
         "trim_dedup_index": q_trim_dedup_index,
         "image_dedup_index": q_image_dedup_index,
         "time_travel": q_time_travel,
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "rename_column": SQL_RENAME_COLUMN,
         "shallow_clone": SQL_SHALLOW_CLONE,
         "dds_quantiles": _dds_oracle(),
+        "txn_constraints": SQL_TXN_CONSTRAINTS,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

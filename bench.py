@@ -134,6 +134,9 @@ EXTENDED = [
     # the persisted landmark index (memoized build; the number is
     # landmark-the-batch + cross-set banded join + offset vote)
     "trim_dedup_index",
+    # round-9 late: CHECK-constraint lifecycle — seed + ADD CONSTRAINT
+    # (validating scan) + enforced append + bounced violating batch
+    "txn_constraints",
 ]
 
 

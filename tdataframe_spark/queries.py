@@ -1710,6 +1710,51 @@ SELECT * FROM (
 """
 
 
+def q_txn_constraints(spark, sf):
+    """CHECK-constraint lifecycle end-to-end (txn_add_constraint —
+    Delta ALTER TABLE ADD CONSTRAINT semantics): half of orders is
+    committed, a CHECK lands as one metadata-only commit (validating
+    the existing rows first), the other half appends THROUGH the
+    enforcement gate, and a deliberately violating batch is proven to
+    bounce — ConstraintViolationError, no commit, version unchanged —
+    before the final read. The oracle is the clean union: exactly the
+    rows the contract admitted. NULL-passes semantics, DDL blocking,
+    restore/clone inheritance are pinned in tests/test_txn.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        ConstraintViolationError,
+        txn_add_constraint,
+        txn_latest,
+        txn_read,
+        txn_write,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"cons_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(o.filter("o_orderkey % 2 = 0"), path, mode="overwrite")
+    txn_add_constraint(spark, path, "price_pos", "o_totalprice > 0")
+    txn_write(o.filter("o_orderkey % 2 = 1"), path)
+    v = txn_latest(path)[0]
+    try:
+        txn_write(o.limit(50).withColumn("o_totalprice", F.lit(-1.0)), path)
+        raise AssertionError("violating batch must bounce")
+    except ConstraintViolationError:
+        pass
+    assert txn_latest(path)[0] == v  # nothing committed
+    return txn_read(spark, path)
+
+
+SQL_TXN_CONSTRAINTS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+"""
+
+
 def q_restore_table(spark, sf):
     """Delta-style RESTORE (txn_restore): seed the orders table (v1),
     clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed

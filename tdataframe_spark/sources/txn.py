@@ -66,6 +66,12 @@ class ConcurrentWriteError(RuntimeError):
     matches the table head (strict CAS mode)."""
 
 
+class ConstraintViolationError(ValueError):
+    """Raised when a write's rows violate a table CHECK constraint, or
+    when ``txn_add_constraint`` finds existing rows violating the new
+    constraint (either way: nothing is committed)."""
+
+
 def is_txn_table(path: str) -> bool:
     return os.path.isdir(os.path.join(path, _TXN))
 
@@ -406,6 +412,35 @@ def _logical_stats_cols(manifest: dict) -> list[str] | None:
     return cols or None
 
 
+def _violation_counts(
+    df: DataFrame, constraints: dict[str, str], schema: StructType | None
+) -> dict[str, int]:
+    """Per-constraint count of rows whose CHECK predicate evaluates
+    FALSE (SQL CHECK semantics: TRUE and NULL both pass) — ONE
+    aggregate pass over ``df`` whatever the constraint count. Columns
+    the table has but the frame omits (a schema-evolving append) are
+    backfilled as typed NULLs first, so a constraint over them
+    evaluates exactly as it will against the committed data."""
+    if not constraints:
+        return {}
+    if schema is not None:
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True)),
+                    1,
+                ).otherwise(0)
+            ).alias(name)
+            for name, sql in sorted(constraints.items())
+        ]
+    ).first()
+    return {name: row[name] or 0 for name in constraints}
+
+
 def txn_write(
     df: DataFrame,
     path: str,
@@ -485,8 +520,56 @@ def txn_write(
     # raises if a rename/drop raced this write (the files are already
     # staged under the stale physicals and cannot be re-keyed cheaply).
     phys_map: dict[str, str] = {}
+    _, head0 = txn_latest(path)
+    # CHECK constraints are table invariants: they survive EVERY mode
+    # (an overwrite replaces the data, not the contract) and are
+    # enforced here BEFORE any file is staged — one aggregate pass, a
+    # violating batch never touches disk. The commit loop re-checks the
+    # set against the live head (a constraint added mid-write must not
+    # slip past validation).
+    head_constraints = dict((head0 or {}).get("constraints", {}))
+    if head_constraints:
+        if mode == "overwrite":
+            # an overwrite RESETS the schema to the frame's: committing
+            # one whose columns cannot resolve a constraint would leave
+            # the contract unresolvable for every later write — so the
+            # checks must resolve against the NEW frame alone (no
+            # head-schema NULL backfill), and a resolution failure is a
+            # schema-contract error, not a crash
+            head_schema0 = None
+            for n, sql in sorted(head_constraints.items()):
+                try:
+                    df.select(F.expr(sql))  # analysis only, no job
+                except Exception as e:
+                    raise ValueError(
+                        f"overwrite of {path} cannot resolve CHECK "
+                        f"constraint {n!r} ({sql}) against the new "
+                        f"columns {df.columns} — txn_drop_constraint "
+                        "first, or keep the columns"
+                    ) from e
+        else:
+            head_schema0 = (
+                StructType.fromJson(json.loads(head0["schema"]))
+                if head0.get("schema") is not None
+                else None
+            )
+        bad = {
+            k: v
+            for k, v in _violation_counts(
+                df, head_constraints, head_schema0
+            ).items()
+            if v
+        }
+        if bad:
+            raise ConstraintViolationError(
+                f"write to {path} violates CHECK constraint(s) "
+                + ", ".join(
+                    f"{n!r} ({head_constraints[n]}): {c} row(s)"
+                    for n, c in sorted(bad.items())
+                )
+                + " — nothing was committed"
+            )
     if mode != "overwrite":
-        _, head0 = txn_latest(path)
         head_schema_json = (head0 or {}).get("schema")
         if head_schema_json is not None:
             head_schema = StructType.fromJson(json.loads(head_schema_json))
@@ -660,6 +743,21 @@ def txn_write(
         )
         if retired:
             manifest["retired_physical"] = retired
+        live_constraints = dict((latest or {}).get("constraints", {}))
+        if live_constraints != head_constraints:
+            # a constraint was added/dropped between validation and this
+            # commit attempt: the batch was not checked against the live
+            # contract — refuse rather than slip an unvalidated commit in
+            # (same staged-dir cleanup as the column-mapping race above)
+            import shutil
+
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"CHECK constraints of {path} changed under this write — "
+                "re-run it against the new head"
+            )
+        if live_constraints:
+            manifest["constraints"] = live_constraints
         if _publish(path, version + 1, manifest):
             return version + 1
         if expected_version is not None:
@@ -1156,6 +1254,7 @@ def txn_delete(
             new_manifest["retired_physical"] = list(
                 manifest["retired_physical"]
             )
+        _carry_constraints(new_manifest, manifest)
         if _publish(path, version + 1, new_manifest):
             return version + 1
         # lost the race: the matching row set may have changed under the
@@ -1272,6 +1371,7 @@ def txn_purge(
             new_manifest["retired_physical"] = list(
                 manifest["retired_physical"]
             )
+        _carry_constraints(new_manifest, manifest)
         if _publish(path, version + 1, new_manifest):
             return version + 1
         shutil.rmtree(commit_dir, ignore_errors=True)  # lost race: redo
@@ -1325,6 +1425,9 @@ def txn_restore(
         )
         if retired:
             manifest["retired_physical"] = retired
+        # RESTORE restores table state, constraints included — the
+        # snapshot's contract comes back with its data
+        _carry_constraints(manifest, src)
         if _publish(path, head + 1, manifest):
             return head + 1
     raise ConcurrentWriteError(
@@ -1407,6 +1510,9 @@ def txn_clone(
     # (shared) files still carry values for
     if manifest.get("retired_physical"):
         new_manifest["retired_physical"] = list(manifest["retired_physical"])
+    # the clone inherits the snapshot's CHECK constraints (it is the
+    # same table contract until someone drops them on the clone)
+    _carry_constraints(new_manifest, manifest)
     if not _publish(dst, 1, new_manifest):
         raise ConcurrentWriteError(
             f"{dst} was created concurrently — clone targets a fresh path"
@@ -1436,7 +1542,32 @@ def _ddl_guard(manifest: dict, col: str, path: str, op: str) -> StructType:
             "every live file — rewrite the table under the new layout "
             "instead (txn_read -> txn_write(partition_by=...))"
         )
+    import re as _re
+
+    referencing = sorted(
+        n for n, sql in manifest.get("constraints", {}).items()
+        if _re.search(rf"\b{_re.escape(col)}\b", sql)
+    )
+    if referencing:
+        # conservative word-boundary scan of the constraint TEXT (a
+        # column name inside a string literal also blocks — the loud
+        # false positive beats a constraint silently unresolvable by
+        # every later write): drop/re-add the constraint around the DDL
+        raise ValueError(
+            f"cannot {op} {col!r}: CHECK constraint(s) {referencing} "
+            "reference it — txn_drop_constraint first, then re-add "
+            "under the new name"
+        )
     return schema
+
+
+def _carry_constraints(new_manifest: dict, manifest: dict | None) -> None:
+    """Copy the CHECK-constraint set onto a derived manifest — every
+    commit that is not txn_add/drop_constraint preserves the contract,
+    the same ride-along rule as retired_physical."""
+    cons = (manifest or {}).get("constraints")
+    if cons:
+        new_manifest["constraints"] = dict(cons)
 
 
 def txn_rename_column(
@@ -1494,6 +1625,7 @@ def txn_rename_column(
         retired = list(manifest.get("retired_physical", []))
         if retired:
             new_manifest["retired_physical"] = retired
+        _carry_constraints(new_manifest, manifest)
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(
@@ -1543,10 +1675,124 @@ def txn_drop_column(
                 | {_phys(dropped)}
             ),
         }
+        _carry_constraints(new_manifest, manifest)
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races dropping in {path}"
+    )
+
+
+def txn_add_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    check: str,
+    meta: dict | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Add a named CHECK constraint (Delta ``ALTER TABLE ... ADD
+    CONSTRAINT`` semantics): ``check`` is a SQL predicate over the
+    table's logical columns; rows where it evaluates FALSE are
+    violations, TRUE and NULL both pass (SQL CHECK / Delta semantics —
+    ``NOT NULL`` is spelled ``col IS NOT NULL``). The CURRENT snapshot
+    is validated first (one aggregate pass; existing violations raise
+    ``ConstraintViolationError`` and nothing commits), then the
+    constraint lands as one metadata-only commit and EVERY subsequent
+    write — append, overwrite, replace_where, MERGE, streaming folds —
+    validates its batch before any file is staged. Constraints ride
+    every derived commit (delete/purge/restore/clone/column DDL, the
+    retired_physical rule); renaming or dropping a referenced column is
+    blocked until the constraint is dropped. Returns the committed
+    version.
+
+    At 100 TB the one-time validation scan is the honest cost of a
+    trustworthy contract (exactly Delta's ADD CONSTRAINT behavior);
+    per-write enforcement costs one map-side aggregate over the BATCH,
+    never the table."""
+    if not name or not name.isidentifier():
+        raise ValueError(
+            f"constraint name must be an identifier, got {name!r}"
+        )
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+        cons = dict(manifest.get("constraints", {}))
+        if name in cons:
+            raise ValueError(
+                f"{path} already has a constraint {name!r} "
+                f"({cons[name]}); drop it first"
+            )
+        n_bad = _violation_counts(
+            txn_read(spark, path, version=version), {name: check}, None
+        )[name]
+        if n_bad:
+            raise ConstraintViolationError(
+                f"cannot add constraint {name!r} ({check}) to {path}: "
+                f"{n_bad} existing row(s) violate it"
+            )
+        cons[name] = check
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": manifest["schema"],
+            "dv": manifest.get("dv", []),
+            "meta": {**(meta or {}), "op": "add_constraint", "name": name},
+            "constraints": cons,
+        }
+        if manifest.get("retired_physical"):
+            new_manifest["retired_physical"] = list(
+                manifest["retired_physical"]
+            )
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races adding a constraint "
+        f"to {path}"
+    )
+
+
+def txn_drop_constraint(
+    path: str, name: str, meta: dict | None = None, max_retries: int = 50
+) -> int:
+    """Drop a named CHECK constraint — one metadata-only commit; an
+    unknown name raises (a typo'd drop that silently 'succeeds' leaves
+    the caller believing enforcement stopped). Returns the committed
+    version."""
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+        cons = dict(manifest.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(
+                f"{path} has no constraint {name!r} "
+                f"(has {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": manifest["schema"],
+            "dv": manifest.get("dv", []),
+            "meta": {**(meta or {}), "op": "drop_constraint", "name": name},
+        }
+        if cons:
+            new_manifest["constraints"] = cons
+        if manifest.get("retired_physical"):
+            new_manifest["retired_physical"] = list(
+                manifest["retired_physical"]
+            )
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races dropping a constraint "
+        f"from {path}"
     )
 
 

@@ -1814,3 +1814,97 @@ def test_clone_change_feed_and_upsert_localize(spark, tmp_path):
     assert (2, 99) in ins and (10, 100) in ins and (2, 4) in dels
     m = txn_latest(dst)[1]
     assert m["files"] and all("base" not in f for f in m["files"])
+
+
+def test_check_constraints_enforced_on_every_write(spark, tmp_path):
+    """txn_add_constraint validates existing data, then every write
+    path (append, overwrite, MERGE) validates its batch BEFORE staging:
+    a violating batch raises and commits nothing; NULL passes (SQL
+    CHECK semantics); an evolving append omitting the constrained
+    column passes (it backfills NULL)."""
+    from tdataframe_spark.sources.txn import (
+        ConstraintViolationError,
+        txn_add_constraint,
+        txn_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.5)], "id long, v double"
+    )
+    txn_write(a, path, mode="append")
+    txn_add_constraint(spark, path, "v_pos", "v > 0")
+    assert txn_latest(path)[1]["constraints"] == {"v_pos": "v > 0"}
+    # existing violations refuse the ADD itself
+    with pytest.raises(ConstraintViolationError, match="existing row"):
+        txn_add_constraint(spark, path, "v_big", "v > 100")
+    v_before = txn_latest(path)[0]
+    bad = spark.createDataFrame([(4, -1.0), (5, 2.0)], "id long, v double")
+    with pytest.raises(ConstraintViolationError, match="v_pos.*1 row"):
+        txn_write(bad, path, mode="append")
+    assert txn_latest(path)[0] == v_before  # nothing committed
+    with pytest.raises(ConstraintViolationError):
+        txn_upsert(bad, path, keys=["id"])
+    with pytest.raises(ConstraintViolationError):
+        txn_write(bad, path, mode="overwrite")  # overwrite enforces too
+    # NULL passes; evolving append without the column passes
+    txn_write(
+        spark.createDataFrame([(6, None)], "id long, v double"), path
+    )
+    txn_write(spark.createDataFrame([(7,)], "id long"), path)
+    got = sorted(tuple(r) for r in txn_read(spark, path).collect())
+    assert (7, None) in got and (6, None) in got
+    # constraints ride derived commits (delete keeps the key)
+    from tdataframe_spark.sources.txn import txn_delete
+
+    txn_delete(spark, path, "id = 6")
+    assert txn_latest(path)[1]["constraints"] == {"v_pos": "v > 0"}
+
+
+def test_check_constraints_compose_with_ddl_restore_clone(spark, tmp_path):
+    """Rename/drop of a referenced column is blocked until the
+    constraint drops; an overwrite that cannot resolve a constraint is
+    refused; RESTORE brings the snapshot's contract back; a clone
+    inherits and enforces it; unknown/dup names raise."""
+    from tdataframe_spark.sources.txn import (
+        ConstraintViolationError,
+        txn_add_constraint,
+        txn_clone,
+        txn_drop_constraint,
+        txn_rename_column,
+        txn_restore,
+    )
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(1, 2.0)], "id long, v double"), path
+    )
+    txn_add_constraint(spark, path, "v_pos", "v > 0")       # v2
+    with pytest.raises(ValueError, match="reference it"):
+        txn_rename_column(path, "v", "w")
+    with pytest.raises(ValueError, match="cannot resolve CHECK"):
+        txn_write(
+            spark.createDataFrame([(9,)], "id long"), path,
+            mode="overwrite",
+        )
+    with pytest.raises(ValueError, match="already has a constraint"):
+        txn_add_constraint(spark, path, "v_pos", "v > 1")
+    with pytest.raises(ValueError, match="identifier"):
+        txn_add_constraint(spark, path, "bad name", "v > 0")
+    # clone inherits the contract and enforces it
+    dst = str(tmp_path / "c")
+    txn_clone(path, dst)
+    with pytest.raises(ConstraintViolationError):
+        txn_write(
+            spark.createDataFrame([(2, -1.0)], "id long, v double"), dst
+        )
+    txn_drop_constraint(path, "v_pos")                      # v3
+    with pytest.raises(ValueError, match="no constraint"):
+        txn_drop_constraint(path, "v_pos")
+    txn_rename_column(path, "v", "w")                       # v4: now fine
+    txn_restore(path, 2)                                    # contract returns
+    assert txn_latest(path)[1]["constraints"] == {"v_pos": "v > 0"}
+    with pytest.raises(ConstraintViolationError):
+        txn_write(
+            spark.createDataFrame([(3, -5.0)], "id long, v double"), path
+        )
