@@ -324,7 +324,10 @@ def dds_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def dds_quantiles(
-    sketch: DataFrame, qs: list[float], round_dp: int = 4
+    sketch: DataFrame,
+    qs: list[float],
+    round_dp: int = 4,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Quantile estimates from a DDSketch table: per group, the value of
     the first bucket whose cumulative count reaches rank ceil(q·N) —
@@ -344,13 +347,24 @@ def dds_quantiles(
 
     if not qs or not all(0 < q <= 1 for q in qs):
         raise ValueError(f"qs must be non-empty, each in (0, 1]: {qs}")
-    row = sketch.select("alpha").first()
-    if row is None:
-        return sketch.sparkSession.createDataFrame(
-            [], "q double, est double"
-        )
-    gamma, _ = _dds_gamma(row["alpha"])
     by = [c for c in sketch.columns if c not in ("zone", "bucket", "n", "alpha")]
+    if alpha is None:
+        # derived from the sketch (the CMS parameters-ride-the-sketch
+        # rule) — but .first() EXECUTES the sketch plan once just to
+        # read the constant, and the result plan recomputes it; pass
+        # ``alpha`` explicitly on hot paths where it is driver-known
+        row = sketch.select("alpha").first()
+        if row is None:
+            # empty sketch: keep the GROUP columns in the schema (a
+            # zero-value day must not change downstream shape)
+            return (
+                sketch.limit(0)
+                .select(*by)
+                .withColumn("q", F.lit(0.0))
+                .withColumn("est", F.lit(0.0))
+            )
+        alpha = row["alpha"]
+    gamma, _ = _dds_gamma(alpha)
     val = F.when(F.col("zone") == 0, F.lit(0.0)).otherwise(
         F.col("zone")
         * (

@@ -1913,9 +1913,9 @@ def append_landmark_index(lms: DataFrame, index_path: str) -> None:
 def match_landmark_index(
     new_lms: DataFrame,
     index_path: str,
+    n_bits: int,
     min_matches: int = 3,
     max_distance: int = 4,
-    n_bits: int = 56,
 ) -> DataFrame:
     """Match a NEW batch's landmark table against the persisted index:
     the cross-set :func:`landmark_pairs` join — batch landmarks take the
@@ -1924,8 +1924,13 @@ def match_landmark_index(
     media, id_b = corpus media, matches, offset_frames): the streaming
     ingestion shape for TRIMMED/re-encoded copy detection at 100 TB —
     index once, match every arriving batch, recover the trim offset.
-    Pass ``n_bits=63`` for video landmarks (pHash width); the default 56
-    is the audio grid's."""
+
+    ``n_bits`` is REQUIRED (56 for the audio landmark grid, 63 for
+    video pHash landmarks) because a persisted index does not record
+    its hash width and a wrong guess degrades SILENTLY: too narrow and
+    pairs differing only in the uncovered top bits never meet in any
+    band (lost recall, no error); too wide and a constant top band
+    becomes an all-pairs bucket (quadratic blowup)."""
     spark = new_lms.sparkSession
     idx = _read_landmark_index(spark, index_path)
     return landmark_pairs(

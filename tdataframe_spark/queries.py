@@ -3933,7 +3933,9 @@ def q_trim_dedup_index(spark, sf):
     batch = spark.createDataFrame(
         batch_rows, "media_id long, kind string, payload binary"
     )
-    return match_landmark_index(audio_landmarks(batch, hop=hop), path)
+    return match_landmark_index(
+        audio_landmarks(batch, hop=hop), path, n_bits=56
+    )
 
 
 def _note_clip_np(k, rate=8000, n_fft=256, seconds=2.4, segments=18):
@@ -6290,7 +6292,9 @@ def q_dds_quantiles(spark, sf):
     li = _t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
     sk = dds_build(li, "l_extendedprice", alpha=_DDS_ALPHA,
                    by=("l_returnflag",))
-    return dds_quantiles(sk, _DDS_QS)
+    # alpha passed explicitly: deriving it from the sketch costs one
+    # extra execution of the build aggregation (see dds_quantiles)
+    return dds_quantiles(sk, _DDS_QS, alpha=_DDS_ALPHA)
 
 
 def _dds_oracle() -> str:

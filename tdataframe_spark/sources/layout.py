@@ -384,6 +384,9 @@ def compact_txn(
         meta={**(meta or {}), "compaction": True, "source_version": version},
         expected_version=version,
         stats_cols=stats_cols or None,
+        # a compaction rewrites already-validated snapshot rows — skip
+        # the whole-table CHECK re-scan (expected_version pins the race)
+        _constraints_prevalidated=True,
     )
     return n_files
 

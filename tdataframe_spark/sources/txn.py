@@ -451,6 +451,7 @@ def txn_write(
     expected_version: int | None = None,
     max_retries: int = 50,
     stats_cols: list[str] | None = None,
+    _constraints_prevalidated: bool = False,
 ) -> int:
     """Commit ``df`` to the transactional table at ``path``; returns the
     committed version.
@@ -553,7 +554,15 @@ def txn_write(
                 if head0.get("schema") is not None
                 else None
             )
-        bad = {
+        # _constraints_prevalidated: internal flag for read-modify-write
+        # commits (txn_upsert, compact_txn) whose frame is (already
+        # validated snapshot rows) + (a batch the caller validated) —
+        # re-aggregating the WHOLE merged table here would add a full
+        # table scan per MERGE/OPTIMIZE, breaking the batch-not-table
+        # enforcement cost contract. Safe because those callers pin
+        # expected_version: any concurrent add_constraint bumps the
+        # version and the commit raises instead of slipping through.
+        bad = {} if _constraints_prevalidated else {
             k: v
             for k, v in _violation_counts(
                 df, head_constraints, head_schema0
@@ -1096,8 +1105,33 @@ def txn_upsert(
         batch = batch.filter(~F.coalesce(cond, F.lit(False)))
     partition_by = None
     stats_cols = None
+    prevalidated = False
     if is_txn_table(path):
         version, manifest = txn_latest(path)
+        cons = dict(manifest.get("constraints", {}))
+        if cons:
+            # validate the BATCH alone (survivors were validated when
+            # they committed / when the constraint was added): keeps
+            # MERGE's enforcement cost on the batch, never the table —
+            # the overwrite commit below then skips re-validating the
+            # merged frame (safe: it pins expected_version, so a racing
+            # add_constraint raises instead of slipping past)
+            mschema = StructType.fromJson(json.loads(manifest["schema"]))
+            bad = {
+                k: v
+                for k, v in _violation_counts(batch, cons, mschema).items()
+                if v
+            }
+            if bad:
+                raise ConstraintViolationError(
+                    f"merge into {path} violates CHECK constraint(s) "
+                    + ", ".join(
+                        f"{n!r} ({cons[n]}): {c} row(s)"
+                        for n, c in sorted(bad.items())
+                    )
+                    + " — nothing was committed"
+                )
+            prevalidated = True
         # a partitioned table stays partitioned through the merge — an
         # unpartitioned overwrite would empty the per-file partition
         # metadata, silently breaking partition_filter reads and making
@@ -1142,6 +1176,7 @@ def txn_upsert(
         meta=meta,
         expected_version=version,
         stats_cols=stats_cols,
+        _constraints_prevalidated=prevalidated,
     )
 
 

@@ -678,14 +678,20 @@ def stream_dds_refresh(
         spark = batch.sparkSession
         if already_applied(batch_id):
             return  # replayed batch: already folded in
-        delta = dds_build(batch, col, alpha=alpha, by=by)
-        _staged_swap(
-            data,
-            lambda: dds_merge(spark.read.parquet(data), delta),
-            lambda dest: delta.write.mode("overwrite").parquet(dest),
-            stamp=stamp_for(batch_id),
-        )
-        record(batch_id)
+        # persist: dds_merge's mixed-alpha guard runs one job over the
+        # union BEFORE the merged write — without the cache the batch
+        # aggregation would run twice per micro-batch
+        delta = dds_build(batch, col, alpha=alpha, by=by).persist()
+        try:
+            _staged_swap(
+                data,
+                lambda: dds_merge(spark.read.parquet(data), delta),
+                lambda dest: delta.write.mode("overwrite").parquet(dest),
+                stamp=stamp_for(batch_id),
+            )
+            record(batch_id)
+        finally:
+            delta.unpersist()
 
     return _run_foreach_batch(events, _apply, checkpoint, available_now)
 

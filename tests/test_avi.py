@@ -1067,14 +1067,14 @@ def test_landmark_index_incremental_match(spark, tmp_path):
     blms = audio_landmarks(batch, hop=hop)
     got = {
         (r["id_a"], r["id_b"]): (r["matches"], r["offset_frames"])
-        for r in match_landmark_index(blms, idx).collect()
+        for r in match_landmark_index(blms, idx, n_bits=56).collect()
     }
     assert (100, 1) in got and got[(100, 1)][1] == -38  # batch trimmed BY 38
     assert not any(a == 101 for a, _ in got)
     append_landmark_index(blms, idx)
     again = {
         (r["id_a"], r["id_b"])
-        for r in match_landmark_index(blms, idx).collect()
+        for r in match_landmark_index(blms, idx, n_bits=56).collect()
     }
     assert not any(a == b for a, b in again)
     assert (100, 1) in again

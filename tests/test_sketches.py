@@ -337,3 +337,20 @@ def test_dds_zones_grouping_and_determinism(spark):
         dds_build(df, "v", alpha=1.5)
     with pytest.raises(ValueError, match="qs"):
         dds_quantiles(sk, [0.0, 0.5])
+
+
+def test_dds_empty_sketch_keeps_group_columns(spark):
+    """A grouped sketch over zero non-NULL values yields quantiles with
+    the SAME schema as a populated day (group cols + q + est) — both on
+    the sketch-derived-alpha path and with alpha passed explicitly."""
+    from tdataframe_spark.functions.sketches import dds_build, dds_quantiles
+
+    df = spark.createDataFrame(
+        [("a", None)], "g string, v double"
+    ).filter("v is not null")
+    sk = dds_build(df, "v", alpha=0.01, by=("g",))
+    derived = dds_quantiles(sk, [0.5])
+    explicit = dds_quantiles(sk, [0.5], alpha=0.01)
+    assert derived.columns == ["g", "q", "est"]
+    assert explicit.columns == ["g", "q", "est"]
+    assert derived.count() == 0 and explicit.count() == 0
