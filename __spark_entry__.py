@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_quantiles": q_dds_quantiles,
         "txn_constraints": q_txn_constraints,
         "trim_dedup_index": q_trim_dedup_index,
+        "image_dedup_mirror": q_image_dedup_mirror,
         "image_dedup_index": q_image_dedup_index,
         "time_travel": q_time_travel,
         "data_skipping": q_data_skipping,

@@ -137,6 +137,9 @@ EXTENDED = [
     # round-9 late: CHECK-constraint lifecycle — seed + ADD CONSTRAINT
     # (validating scan) + enforced append + bounced violating batch
     "txn_constraints",
+    # round-9 late: dihedral-canonical pHash near-dup (8 tiny DCTs per
+    # image + the banded join)
+    "image_dedup_mirror",
 ]
 
 

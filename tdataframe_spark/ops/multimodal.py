@@ -855,6 +855,7 @@ def phash_images(
     resize: int = 32,
     block: int = 8,
     passthrough: tuple = (),
+    canonical: bool = False,
 ) -> DataFrame:
     """DCT perceptual hash (pHash) per image payload — the multimodal
     near-dup key: decode (real, :func:`_image_parser`), grayscale,
@@ -874,6 +875,16 @@ def phash_images(
     few bits, so near-duplicate images sit at small Hamming distance;
     pair them with :func:`tdataframe_spark.ops.dedup.hamming_pairs`
     (banded pigeonhole join — never all-pairs).
+
+    ``canonical=True`` makes the hash DIHEDRAL-INVARIANT: it is the
+    minimum over the 8 flip/rotation transforms of the downsampled
+    grayscale (the luminance thermometer is transform-invariant
+    already — the mean doesn't move), so a mirrored or 90°/180°/270°-
+    rotated re-post hashes IDENTICALLY to its original and a mirrored
+    re-encode still lands within the banded join's radius. Cost: 8
+    tiny ``resize``×``resize`` DCTs per image instead of 1 — noise
+    next to the decode. Plain and canonical hashes live in different
+    spaces; never mix them in one index.
 
     ``passthrough``: input columns copied verbatim to the output (e.g.
     a frame index riding next to media_id — safer than packing two ids
@@ -906,14 +917,7 @@ def phash_images(
         C[0] *= np.sqrt(0.5)
         levels = _PHASH_LUM_BITS + 1
 
-        def phash(buf):
-            arr = parse_image(buf)
-            if arr is None:
-                return None
-            g = arr.mean(axis=2) if arr.ndim == 3 else arr
-            yi = np.linspace(0, g.shape[0] - 1, n).round().astype(int)
-            xi = np.linspace(0, g.shape[1] - 1, n).round().astype(int)
-            gs = g[yi][:, xi]
+        def hash_gray(gs):
             d = C @ gs @ C.T
             # 9-dp quantization before the median threshold: BLAS dgemm
             # blocking can differ ulps across worker processes, and two
@@ -932,6 +936,26 @@ def phash_images(
             )
             h |= ((1 << lum) - 1) << n_ac  # thermometer code
             return h
+
+        def phash(buf):
+            arr = parse_image(buf)
+            if arr is None:
+                return None
+            g = arr.mean(axis=2) if arr.ndim == 3 else arr
+            yi = np.linspace(0, g.shape[0] - 1, n).round().astype(int)
+            xi = np.linspace(0, g.shape[1] - 1, n).round().astype(int)
+            gs = g[yi][:, xi]
+            if not canonical:
+                return hash_gray(gs)
+            # min over the dihedral group D4: identity/rot90/180/270 ×
+            # {unflipped, mirrored} — the same set for every member of
+            # an orbit, so the min is orbit-invariant by construction
+            return min(
+                hash_gray(t)
+                for base in (gs, gs[:, ::-1])
+                for t in (base, np.rot90(base, 1), np.rot90(base, 2),
+                          np.rot90(base, 3))
+            )
 
         for pdf in batches:
             hashes = [phash(p) for p in pdf["payload"]]

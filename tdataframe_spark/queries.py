@@ -3617,6 +3617,68 @@ def q_image_dedup(spark, sf):
     ).select("id_a", "id_b", "hamming")
 
 
+def q_image_dedup_mirror(spark, sf):
+    """MIRROR/ROTATION-robust image near-dup (phash_images
+    canonical=True): the hash is the min over an image's 8 dihedral
+    transforms, so a flipped or 90°/180°/270°-rotated re-post hashes
+    into the same neighborhood as its original — the re-post family
+    the plain pHash (image_dedup) structurally misses (a mirror
+    permutes DCT sign bits far past any usable radius). Fixtures: one
+    32x32 image per documents-row id < 8; ids < 3 also planted as a
+    horizontal mirror (+100), a 90° rotation (+200), and a mirrored
+    JPEG re-encode (+300) — families must pair, distinct images must
+    not. Rows-only; exact dihedral-invariance (bit-identical orbit at
+    tie-free sampling sizes) is pinned in tests/test_avi.py."""
+    import numpy as np
+
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import phash_images
+    from tools.jpeg_codec import encode_baseline_jpeg
+
+    ids = sorted(
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id")
+        .collect()
+    )
+
+    def img(did):
+        # 32x32 == the hash's resize: sampling is exact, so dihedral
+        # transforms of the payload land bit-identically on the orbit
+        f = _rand_field_frames(100 + did, n=1, h=32, w=32)[0]
+        return f
+
+    def p6(a):
+        return bytearray(
+            f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
+        )
+
+    rows = []
+    for did in ids:
+        base = img(did)
+        rows.append((int(did), "image/ppm", p6(base)))
+        if did < 3:
+            rows.append((int(did) + 100, "image/ppm", p6(base[:, ::-1])))
+            rows.append(
+                (int(did) + 200, "image/ppm",
+                 p6(np.ascontiguousarray(np.rot90(base))))
+            )
+            rows.append(
+                (int(did) + 300, "image/jpeg",
+                 bytearray(encode_baseline_jpeg(
+                     np.ascontiguousarray(base[:, ::-1])
+                 )))
+            )
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    sigs = phash_images(media, canonical=True)
+    return hamming_pairs(
+        sigs.filter("ok"), "media_id", "phash", max_distance=10, n_bits=63
+    ).select("id_a", "id_b", "hamming")
+
+
 _PHASH_INDEX_BUILT: set = set()
 
 

@@ -1143,3 +1143,41 @@ def test_landmark_index_stream_is_exactly_once(spark, tmp_path):
         ).collect()
     }
     assert got == {(500, 2): -3}  # probe trimmed BY 3 relative to corpus
+
+
+def test_phash_canonical_dihedral_invariance(spark):
+    """canonical=True pHash: all 8 dihedral transforms of a 32x32 image
+    (tie-free sampling) hash BIT-IDENTICALLY; the plain hash of a
+    mirror sits far away (the family it structurally misses); a
+    mirrored lossless re-encode pairs; distinct images stay distant."""
+    from tdataframe_spark.ops.multimodal import phash_images
+    from tdataframe_spark.queries import _rand_field_frames
+
+    base = _rand_field_frames(7, n=1, h=32, w=32)[0]
+    other = _rand_field_frames(8, n=1, h=32, w=32)[0]
+
+    def p6(a):
+        a = np.ascontiguousarray(a)
+        return bytearray(
+            f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
+        )
+
+    orbit = []
+    for b in (base, base[:, ::-1]):
+        for k in range(4):
+            orbit.append(np.rot90(b, k))
+    rows = [(i, "image/ppm", p6(t)) for i, t in enumerate(orbit)]
+    rows.append((100, "image/ppm", p6(other)))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    canon = {r["media_id"]: r["phash"]
+             for r in phash_images(media, canonical=True).collect()}
+    assert len({canon[i] for i in range(8)}) == 1  # bit-identical orbit
+    assert canon[100] != canon[0]
+    d_other = bin(canon[100] ^ canon[0]).count("1")
+    assert d_other > 10, d_other
+    plain = {r["media_id"]: r["phash"]
+             for r in phash_images(media).collect()}
+    d_mirror_plain = bin(plain[0] ^ plain[4]).count("1")
+    assert d_mirror_plain > 10, d_mirror_plain  # plain pHash misses mirrors

@@ -463,6 +463,8 @@ _BNLJ_ALLOWED = {
                            # 100 rows) crossed from two range() axes
     "target_encode",       # 1-row global-mean (prior) attach
     "bootstrap_ci",        # 1-row percentile-band attach onto 1-row stats
+    "dds_quantiles",       # len(qs)-row quantile-probe attach onto the
+                           # bounded (zone, bucket) sketch table
     # heavy builders (linted on their FINAL plans): each BNLJ is a
     # bounded model/constant attach, never a data-proportional side
     "decontamination_bloom",  # 1-row bloom-bitset attach (map-side probes)
