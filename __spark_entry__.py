@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_constraints": q_txn_constraints,
         "trim_dedup_index": q_trim_dedup_index,
         "image_dedup_mirror": q_image_dedup_mirror,
+        "image_dedup_letterbox": q_image_dedup_letterbox,
+        "txn_stream_feed": q_txn_stream_feed,
         "image_dedup_index": q_image_dedup_index,
         "time_travel": q_time_travel,
         "data_skipping": q_data_skipping,
@@ -327,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "shallow_clone": SQL_SHALLOW_CLONE,
         "dds_quantiles": _dds_oracle(),
         "txn_constraints": SQL_TXN_CONSTRAINTS,
+        "txn_stream_feed": SQL_TXN_STREAM_FEED,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

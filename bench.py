@@ -140,6 +140,12 @@ EXTENDED = [
     # round-9 late: dihedral-canonical pHash near-dup (8 tiny DCTs per
     # image + the banded join)
     "image_dedup_mirror",
+    # round-9 late: pad/letterbox-robust pHash near-dup (deterministic
+    # uniform-margin peel + the banded join)
+    "image_dedup_letterbox",
+    # round-9 late: streaming source over the txn table — two commits
+    # (one through a rename) replayed availableNow into a parquet sink
+    "txn_stream_feed",
 ]
 
 

@@ -856,6 +856,7 @@ def phash_images(
     block: int = 8,
     passthrough: tuple = (),
     canonical: bool = False,
+    trim_borders: bool = False,
 ) -> DataFrame:
     """DCT perceptual hash (pHash) per image payload — the multimodal
     near-dup key: decode (real, :func:`_image_parser`), grayscale,
@@ -885,6 +886,16 @@ def phash_images(
     tiny ``resize``×``resize`` DCTs per image instead of 1 — noise
     next to the decode. Plain and canonical hashes live in different
     spaces; never mix them in one index.
+
+    ``trim_borders=True`` strips uniform margins (letterbox/pillarbox
+    bars, solid padding, watermark strips on flat bands) BEFORE the
+    downsample: border rows/cols whose max-min grayscale spread stays
+    within a small tolerance peel off deterministically, so a padded
+    re-post hashes like its unpadded original (bit-identical when the
+    recovered content is pixel-identical). A trim that would leave
+    less than 8px on either axis is rejected wholesale (near-uniform
+    images must keep hashing as themselves). Same different-space
+    caveat as ``canonical`` — index and probe must agree on the flag.
 
     ``passthrough``: input columns copied verbatim to the output (e.g.
     a frame index riding next to media_id — safer than packing two ids
@@ -937,11 +948,34 @@ def phash_images(
             h |= ((1 << lum) - 1) << n_ac  # thermometer code
             return h
 
+        def trim(g, tol=2.0 / 255.0):
+            # peel border rows/cols whose grayscale spread is within
+            # tol (uniform bars; JPEG ringing stays under ~2 of 255
+            # levels on flat bands — the decoder normalizes to [0, 1]).
+            # Pure per-line max-min: deterministic.
+            t, b = 0, g.shape[0]
+            while t < b and np.ptp(g[t]) <= tol:
+                t += 1
+            while b > t and np.ptp(g[b - 1]) <= tol:
+                b -= 1
+            if b - t < 8:
+                return g  # near-uniform image: keep hashing as itself
+            l, r = 0, g.shape[1]
+            while l < r and np.ptp(g[t:b, l]) <= tol:
+                l += 1
+            while r > l and np.ptp(g[t:b, r - 1]) <= tol:
+                r -= 1
+            if r - l < 8:
+                return g
+            return g[t:b, l:r]
+
         def phash(buf):
             arr = parse_image(buf)
             if arr is None:
                 return None
             g = arr.mean(axis=2) if arr.ndim == 3 else arr
+            if trim_borders:
+                g = trim(g)
             yi = np.linspace(0, g.shape[0] - 1, n).round().astype(int)
             xi = np.linspace(0, g.shape[1] - 1, n).round().astype(int)
             gs = g[yi][:, xi]

@@ -1755,6 +1755,55 @@ SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
 """
 
 
+def q_txn_stream_feed(spark, sf):
+    """Structured-Streaming SOURCE over the transactional table
+    (sources/txn_stream.py — the Delta-streaming shape on this repo's
+    manifest log, via the Spark 4 Python DataSource streaming API):
+    orders is committed in two appends (the second through a column
+    RENAME, so old files stream under the pinned logical schema), then
+    a readStream with version offsets replays both commits availableNow
+    into a parquet sink — executor-side Arrow file reads, one input
+    partition per added file. The read-back is the oracle: exactly the
+    table. Non-append guards, incremental offsets, vacuum gaps, and
+    clone streaming are pinned in tests/test_txn_stream.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_rename_column, txn_write
+    from tdataframe_spark.sources.txn_stream import txn_readstream
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"tstream_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    path, out, ck = (os.path.join(base, d) for d in ("t", "out", "ck"))
+    txn_write(o.filter("o_orderkey % 2 = 0"), path, mode="overwrite")
+    txn_rename_column(path, "o_totalprice", "price")
+    txn_write(
+        o.filter("o_orderkey % 2 = 1").withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+        path,
+    )
+    q = (
+        txn_readstream(spark, path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+SQL_TXN_STREAM_FEED = """
+SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
+"""
+
+
 def q_restore_table(spark, sf):
     """Delta-style RESTORE (txn_restore): seed the orders table (v1),
     clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed
@@ -3674,6 +3723,61 @@ def q_image_dedup_mirror(spark, sf):
         rows, "media_id long, kind string, payload binary"
     )
     sigs = phash_images(media, canonical=True)
+    return hamming_pairs(
+        sigs.filter("ok"), "media_id", "phash", max_distance=10, n_bits=63
+    ).select("id_a", "id_b", "hamming")
+
+
+def q_image_dedup_letterbox(spark, sf):
+    """PAD/LETTERBOX-robust image near-dup (phash_images
+    trim_borders=True): uniform margins — letterbox bars, pillarbox
+    bars, solid padding — peel off deterministically before the hash,
+    so a padded re-post hashes bit-identically to its unpadded
+    original (plain pHash sees the bars as content and lands ~20+ bits
+    away; measured). Fixtures: one 32x48 image per documents-row
+    id < 8; ids < 3 also planted letterboxed (+100), pillarboxed
+    (+200), and padded+JPEG-re-encoded (+300) — families must pair,
+    distinct images must not. Rows-only; exact recovery and the
+    near-uniform-image guard are pinned in tests/test_avi.py."""
+    import numpy as np
+
+    from tdataframe_spark.ops.dedup import hamming_pairs
+    from tdataframe_spark.ops.multimodal import phash_images
+    from tools.jpeg_codec import encode_baseline_jpeg
+
+    ids = sorted(
+        r["doc_id"]
+        for r in _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id")
+        .collect()
+    )
+
+    def p6(a):
+        a = np.ascontiguousarray(a.astype(np.uint8))
+        return bytearray(
+            f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
+        )
+
+    rows = []
+    for did in ids:
+        base = _rand_field_frames(200 + did, n=1, h=32, w=48)[0]
+        rows.append((int(did), "image/ppm", p6(base)))
+        if did < 3:
+            letter = np.zeros((48, 48, 3), np.uint8)
+            letter[8:40] = base
+            rows.append((int(did) + 100, "image/ppm", p6(letter)))
+            pillar = np.full((32, 72, 3), 255, np.uint8)
+            pillar[:, 12:60] = base
+            rows.append((int(did) + 200, "image/ppm", p6(pillar)))
+            rows.append(
+                (int(did) + 300, "image/jpeg",
+                 bytearray(encode_baseline_jpeg(letter)))
+            )
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    sigs = phash_images(media, trim_borders=True)
     return hamming_pairs(
         sigs.filter("ok"), "media_id", "phash", max_distance=10, n_bits=63
     ).select("id_a", "id_b", "hamming")

@@ -1181,3 +1181,46 @@ def test_phash_canonical_dihedral_invariance(spark):
              for r in phash_images(media).collect()}
     d_mirror_plain = bin(plain[0] ^ plain[4]).count("1")
     assert d_mirror_plain > 10, d_mirror_plain  # plain pHash misses mirrors
+
+
+def test_phash_trim_borders_letterbox_robust(spark):
+    """trim_borders=True: letterboxed / pillarboxed / solid-padded
+    copies hash BIT-IDENTICALLY to the unpadded original (the content
+    pixels are identical after the deterministic peel); plain mode
+    puts the letterbox far away; a near-uniform image keeps hashing
+    as itself (the <8px trim guard)."""
+    from tdataframe_spark.ops.multimodal import phash_images
+    from tdataframe_spark.queries import _rand_field_frames
+
+    base = _rand_field_frames(11, n=1, h=32, w=48)[0]
+
+    def p6(a):
+        a = np.ascontiguousarray(a.astype(np.uint8))
+        return bytearray(
+            f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
+        )
+
+    letter = np.zeros((48, 48, 3), np.uint8)          # top/bottom bars
+    letter[8:40] = base
+    pillar = np.full((32, 72, 3), 255, np.uint8)      # white side bars
+    pillar[:, 12:60] = base
+    both = np.zeros((64, 80, 3), np.uint8)
+    both[16:48, 16:64] = base
+    flat = np.full((32, 48, 3), 128, np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, "image/ppm", p6(base)),
+            (1, "image/ppm", p6(letter)),
+            (2, "image/ppm", p6(pillar)),
+            (3, "image/ppm", p6(both)),
+            (9, "image/ppm", p6(flat)),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    trimmed = {r["media_id"]: r["phash"]
+               for r in phash_images(media, trim_borders=True).collect()}
+    assert trimmed[0] == trimmed[1] == trimmed[2] == trimmed[3]
+    assert trimmed[9] is not None  # flat image survives the guard
+    plain = {r["media_id"]: r["phash"]
+             for r in phash_images(media).collect()}
+    assert bin(plain[0] ^ plain[1]).count("1") > 10  # plain misses bars
