@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_mirror": q_image_dedup_mirror,
         "image_dedup_letterbox": q_image_dedup_letterbox,
         "txn_stream_feed": q_txn_stream_feed,
+        "txn_native_sink": q_txn_native_sink,
         "image_dedup_index": q_image_dedup_index,
         "time_travel": q_time_travel,
         "data_skipping": q_data_skipping,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "dds_quantiles": _dds_oracle(),
         "txn_constraints": SQL_TXN_CONSTRAINTS,
         "txn_stream_feed": SQL_TXN_STREAM_FEED,
+        "txn_native_sink": SQL_TXN_NATIVE_SINK,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

@@ -146,6 +146,9 @@ EXTENDED = [
     # round-9 late: streaming source over the txn table — two commits
     # (one through a rename) replayed availableNow into a parquet sink
     "txn_stream_feed",
+    # round-9 late: native txn sink — batch writer + streaming writer
+    # (two-phase commit: staged executor files, one manifest publish)
+    "txn_native_sink",
 ]
 
 

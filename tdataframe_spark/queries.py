@@ -1804,6 +1804,51 @@ SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
 """
 
 
+def q_txn_native_sink(spark, sf):
+    """Native txn SINK (sources/txn_stream.py writers — the two-phase
+    commit shape: executor tasks stage parquet files, ONE driver-side
+    manifest publish lands them atomically): half of orders commits
+    through the BATCH writer (``df.write.format("txn_table")``), the
+    other half arrives through the STREAMING writer (one batch-id-
+    fenced manifest commit per micro-batch). The read-back is the
+    oracle: exactly orders. Exactly-once replay, overwrite/evolution,
+    and the constraint/mapping/partition routing guards are pinned in
+    tests/test_txn_stream.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    register_txn_stream(spark)
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"tsink_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    path, src, ck = (os.path.join(base, d) for d in ("t", "src", "ck"))
+    o.filter("o_orderkey % 2 = 0").write.format("txn_table").option(
+        "path", path
+    ).mode("append").save()
+    o.filter("o_orderkey % 2 = 1").write.parquet(src)
+    q = (
+        spark.readStream.schema(o.schema).parquet(src)
+        .writeStream.format("txn_table")
+        .option("path", path)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return txn_read(spark, path)
+
+
+SQL_TXN_NATIVE_SINK = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
 def q_restore_table(spark, sf):
     """Delta-style RESTORE (txn_restore): seed the orders table (v1),
     clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed

@@ -192,6 +192,12 @@ class TxnTableSource(DataSource):
     def streamReader(self, schema: StructType):
         return TxnStreamReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _sink_writer(schema, self.options, overwrite, streaming=False)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _sink_writer(schema, self.options, overwrite, streaming=True)
+
 
 def register_txn_stream(spark) -> None:
     """Register the source for this session; afterwards
@@ -219,4 +225,206 @@ def txn_readstream(
         .option("start_version", start_version)
         .option("ignore_changes", str(bool(ignore_changes)).lower())
         .load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native SINK: two-phase commit through the manifest log
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    """One task's staged parquet file (table-relative), or None when the
+    task saw no rows."""
+
+    rel_path: str | None
+    n_rows: int
+
+
+def _writer_guards(path: str, mode: str) -> None:
+    """The native sink covers the PLAIN-table fast path; tables whose
+    commit protocol needs engine-side work route to txn_write and
+    raise here LOUDLY instead of committing wrong data: CHECK
+    constraints (validation needs a SQL engine pass over the batch),
+    column mapping / retired physicals (files must be written under
+    physical names), and partitioned layouts (per-file partition
+    values key replace_where and pruning)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    _, manifest = txn_latest(path)
+    if manifest is None or mode == "overwrite":
+        return
+    if manifest.get("constraints"):
+        raise ValueError(
+            f"{path} carries CHECK constraints — the native sink cannot "
+            "validate batches; write through txn_write/txn_upsert (or a "
+            "foreachBatch txn sink) instead"
+        )
+    schema = _St.fromJson(_json.loads(manifest["schema"]))
+    if manifest.get("retired_physical") or any(
+        v != k for k, v in _mapping(schema).items()
+    ):
+        raise ValueError(
+            f"{path} uses column mapping — the native sink writes "
+            "logical names; write through txn_write instead"
+        )
+    if any(f["partition"] for f in manifest["files"]):
+        raise ValueError(
+            f"{path} is partitioned — the native sink writes "
+            "unpartitioned files; write through txn_write(partition_by=...)"
+        )
+
+
+class _TxnWriterBase:
+    def __init__(self, schema: StructType, options, mode: str):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("txn_table sink needs .option('path', ...)")
+        self.schema = schema
+        self.mode = mode
+        _writer_guards(self.path, mode)
+
+    # -- executor side ------------------------------------------------
+    def write(self, iterator):
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(_plain_schema(self.schema))
+        names = [f.name for f in self.schema.fields]
+        rows = [dict(zip(names, r)) for r in iterator]
+        if not rows:
+            return _Staged(None, 0)
+        stage = _os.path.join(
+            self.path, "data", f"stage-{_uuid.uuid4().hex}"
+        )
+        _os.makedirs(stage, exist_ok=True)
+        f = _os.path.join(stage, "part-00000.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), f)
+        return _Staged(_os.path.relpath(f, self.path), len(rows))
+
+    # -- driver side ----------------------------------------------------
+    def _land(self, messages) -> list[dict]:
+        """Move every task's staged file into ONE fresh commit dir and
+        return manifest file entries (same-filesystem renames; a crash
+        mid-move leaves only unreferenced files that vacuum ages out —
+        the same window every txn writer already has)."""
+        import os as _os
+        import uuid as _uuid
+
+        staged = [m.rel_path for m in messages if m and m.rel_path]
+        if not staged:
+            return []
+        commit_id = _uuid.uuid4().hex[:12]
+        dest = _os.path.join(self.path, "data", commit_id)
+        _os.makedirs(dest, exist_ok=True)
+        entries = []
+        for i, rel in enumerate(sorted(staged)):
+            name = f"part-{i:05d}-{_uuid.uuid4().hex[:8]}.parquet"
+            _os.replace(
+                _os.path.join(self.path, rel), _os.path.join(dest, name)
+            )
+            entries.append({
+                "path": _os.path.relpath(_os.path.join(dest, name), self.path),
+                "partition": {},
+            })
+        return entries
+
+    def _publish_append(self, new_files: list[dict], meta: dict) -> int:
+        """txn_write's commit loop, reduced to the guarded fast path
+        (no stats, no partitions, identity mapping, no constraints)."""
+        import time as _time
+
+        from tdataframe_spark.sources.txn import (
+            ConcurrentWriteError,
+            _merge_schemas,
+            _publish,
+        )
+
+        schema_json = _plain_schema(self.schema).json()
+        for _ in range(50):
+            version, latest = txn_latest(self.path)
+            if self.mode == "overwrite":
+                live, dv, committed = [], [], schema_json
+            else:
+                live = list((latest or {}).get("files", []))
+                dv = list((latest or {}).get("dv", []))
+                committed = _merge_schemas(
+                    (latest or {}).get("schema"), schema_json
+                )
+            manifest = {
+                "version": version + 1,
+                "parent": version,
+                "ts": _time.time(),
+                "files": live + new_files,
+                "schema": committed,
+                "dv": dv,
+                "meta": meta,
+            }
+            if _publish(self.path, version + 1, manifest):
+                return version + 1
+        raise ConcurrentWriteError(
+            f"gave up after 50 commit races on {self.path}"
+        )
+
+    def _clean(self, messages) -> None:
+        import os as _os
+        import shutil as _shutil
+
+        for m in messages:
+            if m and m.rel_path:
+                _shutil.rmtree(
+                    _os.path.dirname(_os.path.join(self.path, m.rel_path)),
+                    ignore_errors=True,
+                )
+
+    def abort(self, messages, *_args) -> None:
+        self._clean(messages)
+
+
+class TxnBatchWriter(_TxnWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        new_files = self._land(messages)
+        if new_files or self.mode == "overwrite":
+            self._publish_append(new_files, {"sink": "txn_table"})
+
+
+class TxnStreamWriter(_TxnWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        _, latest = txn_latest(self.path)
+        applied = (latest or {}).get("meta", {}).get("batch_id")
+        if applied is not None and applied >= batchId:
+            # replayed batch (crash between sink commit and checkpoint
+            # commit): the manifest already carries it — drop the
+            # re-staged files, publish nothing
+            self._clean(messages)
+            return
+        new_files = self._land(messages)
+        if new_files:
+            self._publish_append(
+                new_files, {"sink": "txn_table", "batch_id": batchId}
+            )
+
+
+def _sink_writer(schema: StructType, options, overwrite: bool, streaming):
+    mode = "overwrite" if overwrite else "append"
+    return (
+        TxnStreamWriter(schema, options, mode)
+        if streaming
+        else TxnBatchWriter(schema, options, mode)
     )

@@ -123,3 +123,101 @@ def test_txn_stream_reads_clones_and_start_version(spark, tmp_path):
     out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
     _run(spark, dst, out2, ck2, start_version=1)  # skip the clone commit
     assert _rows(spark.read.parquet(out2)) == [(100, 1)]
+
+
+def test_txn_sink_batch_append_overwrite_and_evolution(spark, tmp_path):
+    """Native batch sink (write.format('txn_table')): appends land as
+    manifest commits equal to txn_write's result, an evolving append
+    NULL-backfills through the merged schema, overwrite replaces the
+    live set."""
+    from tdataframe_spark.sources.txn import txn_latest
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    register_txn_stream(spark)
+    path = str(tmp_path / "t")
+    a = spark.range(4).select("id", (F.col("id") * 2).alias("v"))
+    a.write.format("txn_table").option("path", path).mode("append").save()
+    b = spark.range(4, 6).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+    )
+    b.write.format("txn_table").option("path", path).mode("append").save()
+    got = _rows(txn_read(spark, path))
+    assert (0, 0, None) in got and (5, 10, "x") in got and len(got) == 6
+    assert txn_latest(path)[0] == 2
+    a.write.format("txn_table").option("path", path).mode(
+        "overwrite"
+    ).save()
+    assert _rows(txn_read(spark, path)) == _rows(a)
+
+
+def test_txn_sink_stream_is_exactly_once(spark, tmp_path):
+    """Native streaming sink: each micro-batch is ONE manifest commit
+    carrying its batch id; a crash between sink commit and checkpoint
+    commit replays the batch and the fence drops it (no duplicate rows,
+    no new version)."""
+    from tests.test_exactly_once import _crash_before_checkpoint_commit
+
+    from tdataframe_spark.sources.txn import txn_latest
+
+    src, path, ck = (str(tmp_path / d) for d in ("src", "t", "ck"))
+    ev = spark.range(8).select("id", (F.col("id") + 100).alias("w"))
+    ev.repartition(2).write.parquet(src)
+
+    def run():
+        st = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            st.writeStream.format("txn_table")
+            .option("path", path)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    before = _rows(txn_read(spark, path))
+    v_before, m = txn_latest(path)
+    assert before == _rows(ev) and m["meta"]["batch_id"] is not None
+    replayed = _crash_before_checkpoint_commit(ck)
+    assert m["meta"]["batch_id"] >= replayed
+    run()  # restart: the batch-id fence must drop the replay
+    assert _rows(txn_read(spark, path)) == before, "replay double-appended"
+    assert txn_latest(path)[0] == v_before, "replay must not commit"
+    # a genuinely new arrival appends
+    spark.range(8, 9).select("id", (F.col("id") + 100).alias("w")).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert len(_rows(txn_read(spark, path))) == 9
+
+
+def test_txn_sink_guards_route_to_txn_write(spark, tmp_path):
+    """Constrained, column-mapped, and partitioned tables refuse the
+    native sink loudly — their commit protocols need the engine-side
+    txn_write path."""
+    from tdataframe_spark.sources.txn import txn_add_constraint
+
+    path = str(tmp_path / "t")
+    df = spark.range(4).select("id", (F.col("id") * 2).alias("v"))
+    txn_write(df, path, mode="append")
+    txn_add_constraint(spark, path, "v_nonneg", "v >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        df.write.format("txn_table").option("path", path).mode(
+            "append"
+        ).save()
+    path2 = str(tmp_path / "t2")
+    txn_write(df, path2, mode="append")
+    txn_rename_column(path2, "v", "val")
+    with pytest.raises(Exception, match="column mapping"):
+        df.withColumnRenamed("v", "val").write.format("txn_table").option(
+            "path", path2
+        ).mode("append").save()
+    path3 = str(tmp_path / "t3")
+    txn_write(
+        df.withColumn("day", F.lit("5")), path3, mode="append",
+        partition_by=["day"],
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        df.withColumn("day", F.lit("6")).write.format("txn_table").option(
+            "path", path3
+        ).mode("append").save()
