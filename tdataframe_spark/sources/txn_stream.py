@@ -80,12 +80,28 @@ def _added_files(path: str, version: int) -> tuple[list[dict], bool]:
     try:
         pm = _load(path, parent) if parent else None
     except FileNotFoundError:
-        pm = None  # parent manifest aged out: treat as unknown baseline
+        # the parent manifest was vacuumed away: with no baseline the
+        # commit's delta is unknowable — treating it as empty would
+        # re-emit the table's whole cumulative file set as "added"
+        # (every already-delivered row duplicated downstream)
+        raise ValueError(
+            f"commit {parent} of {path} (the baseline for commit "
+            f"{version}) was vacuumed away — restart the stream with "
+            f"start_version >= {version}"
+        )
     before = {f["path"] for f in (pm or {}).get("files", [])}
     added = [f for f in m["files"] if f["path"] not in before]
     removed = bool(before - {f["path"] for f in m["files"]})
-    dv_grew = len(m.get("dv", [])) > len((pm or {}).get("dv", []))
-    return added, removed or dv_grew
+    # ANY deletion-vector change hides or RESURRECTS rows (a restore
+    # shrinking the DV set un-hides rows) — growth-only checks miss the
+    # resurrection side
+    dv_changed = {
+        e["path"] if isinstance(e, dict) else e for e in m.get("dv", [])
+    } != {
+        e["path"] if isinstance(e, dict) else e
+        for e in (pm or {}).get("dv", [])
+    }
+    return added, removed or dv_changed
 
 
 class TxnStreamReader(DataSourceStreamReader):
@@ -113,8 +129,10 @@ class TxnStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        vs = _versions(self.path)
-        return {"version": vs[-1] if vs else self.start_version}
+        # hint-based O(1) head resolution (txn_latest), NOT a directory
+        # listing — this runs on every micro-batch poll
+        head, manifest = txn_latest(self.path)
+        return {"version": head if manifest is not None else self.start_version}
 
     def partitions(self, start: dict, end: dict):
         out = []
@@ -263,14 +281,19 @@ def _writer_guards(path: str, mode: str) -> None:
     from pyspark.sql.types import StructType as _St
 
     _, manifest = txn_latest(path)
-    if manifest is None or mode == "overwrite":
+    if manifest is None:
         return
+    # constraints refuse BOTH modes: an overwrite must carry the
+    # contract forward and validate against it (txn_write's documented
+    # behavior) and the sink can do neither
     if manifest.get("constraints"):
         raise ValueError(
             f"{path} carries CHECK constraints — the native sink cannot "
             "validate batches; write through txn_write/txn_upsert (or a "
             "foreachBatch txn sink) instead"
         )
+    if mode == "overwrite":
+        return  # overwrite resets mapping and layout, like txn_write's
     schema = _St.fromJson(_json.loads(manifest["schema"]))
     if manifest.get("retired_physical") or any(
         v != k for k, v in _mapping(schema).items()
@@ -297,6 +320,7 @@ class _TxnWriterBase:
 
     # -- executor side ------------------------------------------------
     def write(self, iterator):
+        import itertools as _it
         import os as _os
         import uuid as _uuid
 
@@ -306,17 +330,36 @@ class _TxnWriterBase:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(_plain_schema(self.schema))
-        names = [f.name for f in self.schema.fields]
-        rows = [dict(zip(names, r)) for r in iterator]
-        if not rows:
-            return _Staged(None, 0)
+        n_cols = len(arrow_schema)
         stage = _os.path.join(
             self.path, "data", f"stage-{_uuid.uuid4().hex}"
         )
-        _os.makedirs(stage, exist_ok=True)
         f = _os.path.join(stage, "part-00000.parquet")
-        pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), f)
-        return _Staged(_os.path.relpath(f, self.path), len(rows))
+        writer = None
+        n_rows = 0
+        # CHUNKED: never materialize the whole partition as Python
+        # objects — a million-row task held as list[dict] is an OOM;
+        # 64k-row column batches keep peak memory flat
+        while True:
+            chunk = list(_it.islice(iterator, 65536))
+            if not chunk:
+                break
+            cols = [
+                pa.array(
+                    [r[i] for r in chunk], type=arrow_schema.field(i).type
+                )
+                for i in range(n_cols)
+            ]
+            batch = pa.record_batch(cols, schema=arrow_schema)
+            if writer is None:
+                _os.makedirs(stage, exist_ok=True)
+                writer = pq.ParquetWriter(f, arrow_schema)
+            writer.write_batch(batch)
+            n_rows += len(chunk)
+        if writer is None:
+            return _Staged(None, 0)
+        writer.close()
+        return _Staged(_os.path.relpath(f, self.path), n_rows)
 
     # -- driver side ----------------------------------------------------
     def _land(self, messages) -> list[dict]:
@@ -347,8 +390,16 @@ class _TxnWriterBase:
 
     def _publish_append(self, new_files: list[dict], meta: dict) -> int:
         """txn_write's commit loop, reduced to the guarded fast path
-        (no stats, no partitions, identity mapping, no constraints)."""
+        (no stats, no partitions, identity mapping, no constraints).
+        The fast-path preconditions are RE-CHECKED against the live
+        head inside the loop: a constraint or column-DDL commit racing
+        this write must raise, not be silently erased by a manifest
+        built without those keys."""
+        import os as _os
+        import shutil as _shutil
         import time as _time
+
+        from pyspark.sql.types import StructType as _St
 
         from tdataframe_spark.sources.txn import (
             ConcurrentWriteError,
@@ -359,6 +410,26 @@ class _TxnWriterBase:
         schema_json = _plain_schema(self.schema).json()
         for _ in range(50):
             version, latest = txn_latest(self.path)
+            raced = bool((latest or {}).get("constraints")) or bool(
+                (latest or {}).get("retired_physical")
+            )
+            if not raced and latest is not None and self.mode != "overwrite":
+                lschema = _St.fromJson(json.loads(latest["schema"]))
+                raced = any(v != k for k, v in _mapping(lschema).items())
+            if raced:
+                if new_files:
+                    _shutil.rmtree(
+                        _os.path.dirname(
+                            _os.path.join(self.path, new_files[0]["path"])
+                        ),
+                        ignore_errors=True,
+                    )
+                raise ConcurrentWriteError(
+                    f"a CHECK constraint or column DDL landed on "
+                    f"{self.path} under this native-sink write — re-run "
+                    "it through txn_write (which validates/translates) "
+                    "or drop the constraint/mapping"
+                )
             if self.mode == "overwrite":
                 live, dv, committed = [], [], schema_json
             else:
@@ -405,15 +476,38 @@ class TxnBatchWriter(_TxnWriterBase, DataSourceWriter):
 
 
 class TxnStreamWriter(_TxnWriterBase, DataSourceStreamWriter):
+    def _last_sink_batch(self):
+        """Newest-to-oldest scan for the last commit THIS sink landed —
+        a head-only check misses the fence whenever a non-sink commit
+        (a batch write, OPTIMIZE) took the head after the crash (the
+        _txn_fence discipline in streaming/ops.py)."""
+        for v in reversed(_versions(self.path)):
+            meta = _load(self.path, v).get("meta", {})
+            if meta.get("sink") == "txn_table" and "batch_id" in meta:
+                return meta["batch_id"]
+        return None
+
     def commit(self, messages, batchId: int) -> None:
-        _, latest = txn_latest(self.path)
-        applied = (latest or {}).get("meta", {}).get("batch_id")
-        if applied is not None and applied >= batchId:
-            # replayed batch (crash between sink commit and checkpoint
-            # commit): the manifest already carries it — drop the
-            # re-staged files, publish nothing
-            self._clean(messages)
-            return
+        applied = self._last_sink_batch()
+        if applied is not None:
+            if applied == batchId:
+                # replayed batch (crash between sink commit and
+                # checkpoint commit): the manifest already carries it —
+                # drop the re-staged files, publish nothing
+                self._clean(messages)
+                return
+            if applied > batchId:
+                # a FOREIGN checkpoint (fresh batch ids on a table owned
+                # by a further-along stream): silently skipping would be
+                # data loss, folding in would double rows — refuse
+                self._clean(messages)
+                raise ValueError(
+                    f"{self.path} was last written by a txn_table stream "
+                    f"at batch {applied}, but this query is at batch "
+                    f"{batchId} — a different checkpoint owns this "
+                    "table; write elsewhere or resume the original "
+                    "checkpoint"
+                )
         new_files = self._land(messages)
         if new_files:
             self._publish_append(

@@ -221,3 +221,53 @@ def test_txn_sink_guards_route_to_txn_write(spark, tmp_path):
         df.withColumn("day", F.lit("6")).write.format("txn_table").option(
             "path", path3
         ).mode("append").save()
+
+
+def test_txn_sink_refuses_foreign_checkpoint(spark, tmp_path):
+    """A second streaming query with a FRESH checkpoint (batch ids
+    restart at 0) against a table owned by a further-along stream must
+    raise, not silently drop its batches."""
+    src, path, ck1, ck2 = (
+        str(tmp_path / d) for d in ("src", "t", "ck1", "ck2")
+    )
+    ev = spark.range(4).select("id", (F.col("id") + 100).alias("w"))
+    ev.repartition(2).write.parquet(src)
+
+    def run(ck):
+        st = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            st.writeStream.format("txn_table")
+            .option("path", path)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(ck1)
+    # push the owner's batch id past 0 so the foreign query is behind
+    spark.range(4, 5).select("id", (F.col("id") + 100).alias("w")).write.mode(
+        "append"
+    ).parquet(src)
+    run(ck1)
+    before = _rows(txn_read(spark, path))
+    with pytest.raises(Exception, match="different checkpoint"):
+        run(ck2)
+    assert _rows(txn_read(spark, path)) == before
+
+
+def test_txn_stream_source_flags_dv_resurrection(spark, tmp_path):
+    """A restore that SHRINKS the deletion-vector set un-hides rows —
+    not an append; the source must flag it like any removal (a
+    growth-only DV check would stream it as a silent no-op)."""
+    from tdataframe_spark.sources.txn import txn_restore
+
+    path, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    txn_write(
+        spark.range(5).select("id", (F.col("id") * 2).alias("v")),
+        path, mode="append",
+    )                                    # v1
+    txn_delete(spark, path, "id = 2")    # v2: DV added
+    txn_restore(path, 1)                 # v3: DV set shrinks back
+    with pytest.raises(Exception, match="not an"):
+        _run(spark, path, out, ck)
