@@ -7,9 +7,13 @@ Stages: seed (atomic commit) → CDC MERGE (txn_upsert, CAS-pinned) →
 snapshot time travel (read the pre-merge table AS OF its commit ts) →
 row-level change feed (txn_changes: updates as delete+insert pairs) →
 incremental consumer (txn_changes_since cursor loop) → schema evolution
-(append a new column; old rows NULL-backfill) → OPTIMIZE (compact_txn:
-one atomic manifest commit, snapshot-pinned readers unaffected) →
-VACUUM (reclaim unreferenced files under a retention window).
+(append a new column; old rows NULL-backfill) → CHECK constraint
+(violating batches bounce pre-staging) → SHALLOW CLONE (zero-copy dev
+branch) → native streaming source (readStream over commit history) →
+OPTIMIZE (compact_txn: one atomic manifest commit, snapshot-pinned
+readers unaffected) → VACUUM (reclaim unreferenced files under a
+retention window; note the clone is a snapshot — vacuuming the source
+inside a clone's lifetime is the documented Delta-parity caveat).
 
 Run: python examples/lakehouse_tour.py [sf_dir]
 """
@@ -81,6 +85,55 @@ def main() -> None:
     head = txn_read(spark, path)
     n_null = head.filter(F.col("priority").isNull()).count()
     print(f"schema evolved: +priority, {n_null} pre-existing rows NULL-backfilled")
+
+    # 6b. CHECK constraint — contract validated per batch, pre-staging
+    from tdataframe_spark.sources.txn import (
+        ConstraintViolationError,
+        txn_add_constraint,
+        txn_clone,
+        txn_drop_constraint,
+    )
+
+    txn_add_constraint(spark, path, "price_pos", "o_totalprice > 0")
+    try:
+        bad = txn_read(spark, path).limit(3).withColumn(
+            "o_totalprice", F.lit(-1.0)
+        )
+        txn_write(bad, path)
+    except ConstraintViolationError as e:
+        print(f"CHECK bounced a bad batch pre-staging: {str(e)[:70]}...")
+
+    # 6c. SHALLOW CLONE — a zero-copy dev branch of the table
+    dev = path + "_dev"
+    shutil.rmtree(dev, ignore_errors=True)
+    txn_clone(path, dev)
+    txn_write(
+        txn_read(spark, path).limit(5).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        ),
+        dev,
+    )
+    print(f"CLONE: dev table reads {txn_read(spark, dev).count()} rows "
+          f"(source untouched at {txn_read(spark, path).count()}); "
+          "clone cost = one manifest commit, zero data bytes")
+
+    # 6d. native streaming SOURCE — replay the dev clone's commits
+    from tdataframe_spark.sources.txn_stream import txn_readstream
+
+    sink_dir = os.path.join(os.path.dirname(path), "feed")
+    q = (
+        txn_readstream(spark, dev)
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", sink_dir + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    print(f"readStream('txn_table') replayed "
+          f"{spark.read.parquet(sink_dir).count()} rows from the clone's "
+          "commit history (version offsets)")
+    txn_drop_constraint(path, "price_pos")
 
     # 7. OPTIMIZE — compact small files in one atomic commit
     n_files_before = len(txn_latest(path)[1]["files"])
