@@ -3743,20 +3743,14 @@ def q_image_dedup_mirror(spark, sf):
         f = _rand_field_frames(100 + did, n=1, h=32, w=32)[0]
         return f
 
-    def p6(a):
-        return bytearray(
-            f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
-        )
-
     rows = []
     for did in ids:
         base = img(did)
-        rows.append((int(did), "image/ppm", p6(base)))
+        rows.append((int(did), "image/ppm", _p6(base)))
         if did < 3:
-            rows.append((int(did) + 100, "image/ppm", p6(base[:, ::-1])))
+            rows.append((int(did) + 100, "image/ppm", _p6(base[:, ::-1])))
             rows.append(
-                (int(did) + 200, "image/ppm",
-                 p6(np.ascontiguousarray(np.rot90(base))))
+                (int(did) + 200, "image/ppm", _p6(np.rot90(base)))
             )
             rows.append(
                 (int(did) + 300, "image/jpeg",
@@ -3798,23 +3792,17 @@ def q_image_dedup_letterbox(spark, sf):
         .collect()
     )
 
-    def p6(a):
-        a = np.ascontiguousarray(a.astype(np.uint8))
-        return bytearray(
-            f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
-        )
-
     rows = []
     for did in ids:
         base = _rand_field_frames(200 + did, n=1, h=32, w=48)[0]
-        rows.append((int(did), "image/ppm", p6(base)))
+        rows.append((int(did), "image/ppm", _p6(base)))
         if did < 3:
             letter = np.zeros((48, 48, 3), np.uint8)
             letter[8:40] = base
-            rows.append((int(did) + 100, "image/ppm", p6(letter)))
+            rows.append((int(did) + 100, "image/ppm", _p6(letter)))
             pillar = np.full((32, 72, 3), 255, np.uint8)
             pillar[:, 12:60] = base
-            rows.append((int(did) + 200, "image/ppm", p6(pillar)))
+            rows.append((int(did) + 200, "image/ppm", _p6(pillar)))
             rows.append(
                 (int(did) + 300, "image/jpeg",
                  bytearray(encode_baseline_jpeg(letter)))
@@ -4277,6 +4265,17 @@ def q_video_dedup(spark, sf):
     return hamming_pairs(
         sigs, "media_id", "vsig", max_distance=8, n_bits=63
     ).select("id_a", "id_b", "hamming")
+
+
+def _p6(a):
+    """netpbm P6 payload from an HxWx3 uint8-compatible array — shared
+    by every image-fixture query."""
+    import numpy as np
+
+    a = np.ascontiguousarray(a.astype(np.uint8))
+    return bytearray(
+        f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes()
+    )
 
 
 def _rand_field_frames(vid, n=10, h=16, w=24, speed=0.2):

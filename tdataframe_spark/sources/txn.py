@@ -441,6 +441,33 @@ def _violation_counts(
     return {name: row[name] or 0 for name in constraints}
 
 
+def _check_batch_constraints(
+    df: DataFrame,
+    constraints: dict[str, str],
+    schema: StructType | None,
+    path: str,
+    verb: str,
+) -> None:
+    """Run :func:`_violation_counts` and raise the standard
+    ``ConstraintViolationError`` naming every violated constraint —
+    shared by txn_write's pre-staging gate and txn_upsert's batch-only
+    validation."""
+    bad = {
+        k: v
+        for k, v in _violation_counts(df, constraints, schema).items()
+        if v
+    }
+    if bad:
+        raise ConstraintViolationError(
+            f"{verb} {path} violates CHECK constraint(s) "
+            + ", ".join(
+                f"{n!r} ({constraints[n]}): {c} row(s)"
+                for n, c in sorted(bad.items())
+            )
+            + " — nothing was committed"
+        )
+
+
 def txn_write(
     df: DataFrame,
     path: str,
@@ -562,21 +589,9 @@ def txn_write(
         # enforcement cost contract. Safe because those callers pin
         # expected_version: any concurrent add_constraint bumps the
         # version and the commit raises instead of slipping through.
-        bad = {} if _constraints_prevalidated else {
-            k: v
-            for k, v in _violation_counts(
-                df, head_constraints, head_schema0
-            ).items()
-            if v
-        }
-        if bad:
-            raise ConstraintViolationError(
-                f"write to {path} violates CHECK constraint(s) "
-                + ", ".join(
-                    f"{n!r} ({head_constraints[n]}): {c} row(s)"
-                    for n, c in sorted(bad.items())
-                )
-                + " — nothing was committed"
+        if not _constraints_prevalidated:
+            _check_batch_constraints(
+                df, head_constraints, head_schema0, path, "write to"
             )
     if mode != "overwrite":
         head_schema_json = (head0 or {}).get("schema")
@@ -1117,20 +1132,9 @@ def txn_upsert(
             # merged frame (safe: it pins expected_version, so a racing
             # add_constraint raises instead of slipping past)
             mschema = StructType.fromJson(json.loads(manifest["schema"]))
-            bad = {
-                k: v
-                for k, v in _violation_counts(batch, cons, mschema).items()
-                if v
-            }
-            if bad:
-                raise ConstraintViolationError(
-                    f"merge into {path} violates CHECK constraint(s) "
-                    + ", ".join(
-                        f"{n!r} ({cons[n]}): {c} row(s)"
-                        for n, c in sorted(bad.items())
-                    )
-                    + " — nothing was committed"
-                )
+            _check_batch_constraints(
+                batch, cons, mschema, path, "merge into"
+            )
             prevalidated = True
         # a partitioned table stays partitioned through the merge — an
         # unpartitioned overwrite would empty the per-file partition

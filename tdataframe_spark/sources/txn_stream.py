@@ -265,48 +265,43 @@ class _Staged(WriterCommitMessage):
     task saw no rows."""
 
     rel_path: str | None
-    n_rows: int
 
 
-def _writer_guards(path: str, mode: str) -> None:
-    """The native sink covers the PLAIN-table fast path; tables whose
-    commit protocol needs engine-side work route to txn_write and
-    raise here LOUDLY instead of committing wrong data: CHECK
-    constraints (validation needs a SQL engine pass over the batch),
-    column mapping / retired physicals (files must be written under
-    physical names), and partitioned layouts (per-file partition
-    values key replace_where and pruning)."""
-    import json as _json
-
-    from pyspark.sql.types import StructType as _St
-
-    _, manifest = txn_latest(path)
+def _fastpath_blocker(manifest: dict | None, mode: str) -> str | None:
+    """Why this table cannot take the native sink's fast path, or None.
+    ONE source of truth for both the up-front guard and the in-commit-
+    loop race re-check: CHECK constraints (validation needs a SQL
+    engine pass over the batch; refused in BOTH modes — an overwrite
+    must carry the contract forward and validate against it, txn_write's
+    documented behavior), column mapping / retired physicals (files
+    must be written under physical names), and partitioned layouts
+    (per-file partition values key replace_where and pruning). The
+    latter two clear under mode='overwrite', which resets mapping and
+    layout like txn_write's."""
     if manifest is None:
-        return
-    # constraints refuse BOTH modes: an overwrite must carry the
-    # contract forward and validate against it (txn_write's documented
-    # behavior) and the sink can do neither
+        return None
     if manifest.get("constraints"):
-        raise ValueError(
-            f"{path} carries CHECK constraints — the native sink cannot "
-            "validate batches; write through txn_write/txn_upsert (or a "
+        return (
+            "carries CHECK constraints — the native sink cannot validate "
+            "batches; write through txn_write/txn_upsert (or a "
             "foreachBatch txn sink) instead"
         )
     if mode == "overwrite":
-        return  # overwrite resets mapping and layout, like txn_write's
-    schema = _St.fromJson(_json.loads(manifest["schema"]))
+        return None
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
     if manifest.get("retired_physical") or any(
         v != k for k, v in _mapping(schema).items()
     ):
-        raise ValueError(
-            f"{path} uses column mapping — the native sink writes "
-            "logical names; write through txn_write instead"
+        return (
+            "uses column mapping — the native sink writes logical "
+            "names; write through txn_write instead"
         )
     if any(f["partition"] for f in manifest["files"]):
-        raise ValueError(
-            f"{path} is partitioned — the native sink writes "
-            "unpartitioned files; write through txn_write(partition_by=...)"
+        return (
+            "is partitioned — the native sink writes unpartitioned "
+            "files; write through txn_write(partition_by=...)"
         )
+    return None
 
 
 class _TxnWriterBase:
@@ -316,7 +311,9 @@ class _TxnWriterBase:
             raise ValueError("txn_table sink needs .option('path', ...)")
         self.schema = schema
         self.mode = mode
-        _writer_guards(self.path, mode)
+        blocker = _fastpath_blocker(txn_latest(self.path)[1], mode)
+        if blocker:
+            raise ValueError(f"{self.path} {blocker}")
 
     # -- executor side ------------------------------------------------
     def write(self, iterator):
@@ -336,7 +333,6 @@ class _TxnWriterBase:
         )
         f = _os.path.join(stage, "part-00000.parquet")
         writer = None
-        n_rows = 0
         # CHUNKED: never materialize the whole partition as Python
         # objects — a million-row task held as list[dict] is an OOM;
         # 64k-row column batches keep peak memory flat
@@ -355,11 +351,10 @@ class _TxnWriterBase:
                 _os.makedirs(stage, exist_ok=True)
                 writer = pq.ParquetWriter(f, arrow_schema)
             writer.write_batch(batch)
-            n_rows += len(chunk)
         if writer is None:
-            return _Staged(None, 0)
+            return _Staged(None)
         writer.close()
-        return _Staged(_os.path.relpath(f, self.path), n_rows)
+        return _Staged(_os.path.relpath(f, self.path))
 
     # -- driver side ----------------------------------------------------
     def _land(self, messages) -> list[dict]:
@@ -399,8 +394,6 @@ class _TxnWriterBase:
         import shutil as _shutil
         import time as _time
 
-        from pyspark.sql.types import StructType as _St
-
         from tdataframe_spark.sources.txn import (
             ConcurrentWriteError,
             _merge_schemas,
@@ -410,13 +403,7 @@ class _TxnWriterBase:
         schema_json = _plain_schema(self.schema).json()
         for _ in range(50):
             version, latest = txn_latest(self.path)
-            raced = bool((latest or {}).get("constraints")) or bool(
-                (latest or {}).get("retired_physical")
-            )
-            if not raced and latest is not None and self.mode != "overwrite":
-                lschema = _St.fromJson(json.loads(latest["schema"]))
-                raced = any(v != k for k, v in _mapping(lschema).items())
-            if raced:
+            if _fastpath_blocker(latest, self.mode):
                 if new_files:
                     _shutil.rmtree(
                         _os.path.dirname(
