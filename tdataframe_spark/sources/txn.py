@@ -782,6 +782,11 @@ def txn_write(
             )
         if live_constraints:
             manifest["constraints"] = live_constraints
+        # table properties (ops metadata) survive EVERY mode, overwrite
+        # included — they describe the table, not a data version
+        live_props = dict((latest or {}).get("properties", {}))
+        if live_props:
+            manifest["properties"] = live_props
         if _publish(path, version + 1, manifest):
             return version + 1
         if expected_version is not None:
@@ -1601,12 +1606,13 @@ def _ddl_guard(manifest: dict, col: str, path: str, op: str) -> StructType:
 
 
 def _carry_constraints(new_manifest: dict, manifest: dict | None) -> None:
-    """Copy the CHECK-constraint set onto a derived manifest — every
-    commit that is not txn_add/drop_constraint preserves the contract,
-    the same ride-along rule as retired_physical."""
-    cons = (manifest or {}).get("constraints")
-    if cons:
-        new_manifest["constraints"] = dict(cons)
+    """Copy the CHECK-constraint set AND table properties onto a derived
+    manifest — every commit that is not the dedicated DDL for them
+    preserves both, the same ride-along rule as retired_physical."""
+    for key in ("constraints", "properties"):
+        val = (manifest or {}).get(key)
+        if val:
+            new_manifest[key] = dict(val)
 
 
 def txn_rename_column(
@@ -1786,6 +1792,8 @@ def txn_add_constraint(
             new_manifest["retired_physical"] = list(
                 manifest["retired_physical"]
             )
+        if manifest.get("properties"):
+            new_manifest["properties"] = dict(manifest["properties"])
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(
@@ -1827,11 +1835,103 @@ def txn_drop_constraint(
             new_manifest["retired_physical"] = list(
                 manifest["retired_physical"]
             )
+        if manifest.get("properties"):
+            new_manifest["properties"] = dict(manifest["properties"])
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races dropping a constraint "
         f"from {path}"
+    )
+
+
+def txn_set_properties(
+    path: str,
+    props: dict[str, str | None],
+    meta: dict | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Set/unset table PROPERTIES (Delta ``TBLPROPERTIES``): free-form
+    ops metadata — owner, retention policy, pipeline tags — merged into
+    the manifest as one metadata-only commit. A ``None`` value UNSETS
+    its key. Properties describe the table, not a data version: they
+    ride every commit (append, overwrite, MERGE, DDL, clone, restore —
+    the retired_physical ride-along rule) until changed here. Values
+    are stored as strings. Returns the committed version."""
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+        merged = dict(manifest.get("properties", {}))
+        for k, v in props.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = str(v)
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": manifest["schema"],
+            "dv": manifest.get("dv", []),
+            "meta": {**(meta or {}), "op": "set_properties"},
+        }
+        if merged:
+            new_manifest["properties"] = merged
+        if manifest.get("retired_physical"):
+            new_manifest["retired_physical"] = list(
+                manifest["retired_physical"]
+            )
+        if manifest.get("constraints"):
+            new_manifest["constraints"] = dict(manifest["constraints"])
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races setting properties "
+        f"on {path}"
+    )
+
+
+def txn_properties(path: str) -> dict[str, str]:
+    """The head snapshot's table properties (empty dict if none)."""
+    _, manifest = txn_latest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    return dict(manifest.get("properties", {}))
+
+
+def txn_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained commit, newest first —
+    version, commit timestamp, operation (from the commit meta's ``op``,
+    with write/vacuum fences inferred), file/DV counts, and the full
+    meta as a JSON string. Driver-side manifest walk (O(#retained
+    commits) JSON reads — the audit surface, not a data path)."""
+    rows = []
+    for v in reversed(_versions(path)):
+        m = _load(path, v)
+        meta = m.get("meta", {})
+        op = meta.get("op") or (
+            "vacuum_fence" if m.get("vacuumed")
+            else "restore" if "restore_of" in meta
+            else "streaming_batch" if "batch_id" in meta
+            else "write"
+        )
+        rows.append((
+            v,
+            float(m.get("ts") or 0.0),
+            op,
+            len(m.get("files", [])),
+            len(m.get("dv", [])),
+            m.get("parent"),
+            json.dumps(meta, sort_keys=True),
+        ))
+    if not rows:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    return spark.createDataFrame(
+        rows,
+        "version int, ts double, op string, n_files int, n_dv int, "
+        "parent int, meta string",
     )
 
 

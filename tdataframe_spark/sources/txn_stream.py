@@ -434,6 +434,11 @@ class _TxnWriterBase:
                 "dv": dv,
                 "meta": meta,
             }
+            # table properties ride every commit (constraints are
+            # guarded absent on the fast path; properties are not)
+            props = dict((latest or {}).get("properties", {}))
+            if props:
+                manifest["properties"] = props
             if _publish(self.path, version + 1, manifest):
                 return version + 1
         raise ConcurrentWriteError(

@@ -1908,3 +1908,52 @@ def test_check_constraints_compose_with_ddl_restore_clone(spark, tmp_path):
         txn_write(
             spark.createDataFrame([(3, -5.0)], "id long, v double"), path
         )
+
+
+def test_table_properties_ride_every_commit(spark, tmp_path):
+    """txn_set_properties: merged metadata-only commits; None unsets;
+    properties survive append/overwrite/MERGE/delete/DDL/clone/restore
+  and the native sink; txn_history reports one row per commit newest
+    first with the right ops."""
+    from tdataframe_spark.sources.layout import compact_txn
+    from tdataframe_spark.sources.txn import (
+        txn_clone,
+        txn_delete,
+        txn_history,
+        txn_properties,
+        txn_rename_column,
+        txn_restore,
+        txn_set_properties,
+        txn_upsert,
+    )
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, v double")
+    txn_write(df, path, mode="append")                       # v1
+    txn_set_properties(path, {"owner": "pipeline", "tier": "gold"})  # v2
+    assert txn_properties(path) == {"owner": "pipeline", "tier": "gold"}
+    txn_set_properties(path, {"tier": None, "ttl_days": 30})  # v3
+    assert txn_properties(path) == {"owner": "pipeline", "ttl_days": "30"}
+    # survive every commit family
+    txn_write(df, path, mode="append")                       # v4
+    txn_upsert(spark.createDataFrame([(1, 9.0)], "id long, v double"),
+               path, ["id"])                                 # v5
+    txn_delete(spark, path, "id = 2")                        # v6
+    txn_rename_column(path, "v", "val")                      # v7
+    compact_txn(spark, path)                                 # v8
+    txn_restore(path, 5)                                     # v9
+    register_txn_stream(spark)
+    spark.createDataFrame([(7, 1.0)], "id long, v double").write.format(
+        "txn_table"
+    ).option("path", path).mode("append").save()             # v10
+    assert txn_properties(path) == {"owner": "pipeline", "ttl_days": "30"}
+    dst = str(tmp_path / "c")
+    txn_clone(path, dst)
+    assert txn_properties(dst) == {"owner": "pipeline", "ttl_days": "30"}
+    hist = txn_history(spark, path).collect()
+    assert [r["version"] for r in hist] == list(range(10, 0, -1))
+    ops = {r["version"]: r["op"] for r in hist}
+    assert ops[2] == ops[3] == "set_properties"
+    assert ops[6] == "delete" and ops[7] == "rename_column"
+    assert ops[9] == "restore" and ops[1] == "write"
