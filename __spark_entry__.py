@@ -82,24 +82,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation is documented per-round in STATUS.md.
     """
     return {
-        # --- driver window (first 50): must-verify this round (r9) ---
-        # the 39 r5-last entries (the FULL remaining rotation debt from
-        # r8 — after this round every registry entry has an external
-        # green row from r6+), then the 4 queries NEW this round (audio
-        # fingerprint near-dup + index twin, cross-video near-dup,
-        # metadata-only column DDL), then the queries whose operators
-        # changed behavior (shard_shuffle sizing guard; index matchers),
-        # then the txn-layer family most affected by column mapping
+        # --- driver window (first 50): must-verify this round (r10) ---
+        # the 7 queries NEW in r9 that have no external CORRECTNESS row in
+        # any round (registry positions 51+ last round; VERDICT r9 item 1)
+        "dds_quantiles": q_dds_quantiles,
+        "txn_constraints": q_txn_constraints,
+        "trim_dedup_index": q_trim_dedup_index,
+        "image_dedup_mirror": q_image_dedup_mirror,
+        "image_dedup_letterbox": q_image_dedup_letterbox,
+        "txn_stream_feed": q_txn_stream_feed,
+        "txn_native_sink": q_txn_native_sink,
+        # then 43 of the 46 entries whose last external green is r8 (the
+        # normal rotation cadence), image_dedup_index / time_travel /
+        # data_skipping among them as VERDICT r9 ordered
+        "activity_streaks": q_activity_streaks,
+        "ccnet_buckets": q_ccnet_buckets,
+        "chunk_docs": q_chunk_docs,
+        "cohort_retention": q_cohort_retention,
+        "collocations": q_collocations,
+        "data_skipping": q_data_skipping,
+        "decayed_engagement": q_decayed_engagement,
+        "decontamination_bloom": q_decontamination_bloom,
+        "dq_report": q_dq_report,
+        "dup_spans": q_dup_spans,
+        "event_transitions": q_event_transitions,
+        "exists_subquery": q_exists_subquery,
+        "funnel_steps": q_funnel_steps,
+        "fuzzy_join": q_fuzzy_join,
+        "group_split": q_group_split,
+        "histo_equidepth": q_histo_equidepth,
+        "hopping_window": q_hopping_window,
+        "image_dedup": q_image_dedup,
+        "image_dedup_index": q_image_dedup_index,
+        "join_anti": q_join_anti,
+        "join_semi": q_join_semi,
+        "lag_lead_gaps": q_lag_lead_gaps,
+        "lm_score": q_lm_score,
+        "merge_delete_txn": q_merge_delete_txn,
+        "merge_upsert_txn": q_merge_upsert_txn,
+        "nearest_centroid": q_nearest_centroid,
+        "outliers": q_outliers,
+        "phrase_search": q_phrase_search,
+        "resample_daily": q_resample_daily,
+        "restore_table": q_restore_table,
+        "retrieval_metrics": q_retrieval_metrics,
+        "rolling_window": q_rolling_window,
+        "rollup_incremental": q_rollup_incremental,
+        "running_window": q_running_window,
+        "setops_multiset": q_setops_multiset,
+        "setops_nations": q_setops_nations,
+        "shot_detect": q_shot_detect,
+        "snapshot_diff": q_snapshot_diff,
+        "tfidf_pairs": q_tfidf_pairs,
+        "time_travel": q_time_travel,
+        "topk_orders": q_topk_orders,
+        "video_frames": q_video_frames,
+        "weighted_sample": q_weighted_sample,
+        # --- position 51+: rotated out — every entry below has an external
+        # driver-green row from r8/r9 and is re-verified every round by the
+        # local full-registry gate (driver_sim at sf0.01) ---
+        # the 3 r8-last entries deferred to make window room (merge_upsert
+        # shares its oracle with in-window merge_upsert_txn; audio_features /
+        # bpe_tokens are rows-only with r9-green family twins) — r11 first
+        "merge_upsert": q_merge_upsert,
+        "audio_features": q_audio_features,
+        "bpe_tokens": q_bpe_tokens,
+        # r9-green
         "ab_test": q_ab_test,
+        "audio_dedup": q_audio_dedup,
+        "audio_dedup_index": q_audio_dedup_index,
+        "audio_trim_dedup": q_audio_trim_dedup,
         "bm25_indexed": q_bm25_indexed,
         "bm25_topk": q_bm25_topk,
         "bootstrap_ci": q_bootstrap_ci,
+        "cdc_changes": q_cdc_changes,
         "confusion_stats": q_confusion_stats,
         "corpus_curation": q_corpus_curation,
         "corr_matrix": q_corr_matrix,
+        "delete_vectors": q_delete_vectors,
         "domain_mix": q_domain_mix,
         "dsir_sample": q_dsir_sample,
         "dsir_weights": q_dsir_weights,
+        "dv_purge": q_dv_purge,
         "gap_fill_interp": q_gap_fill_interp,
         "group_quantiles_approx": q_group_quantiles_approx,
         "heavy_hitters": q_heavy_hitters,
@@ -113,13 +177,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "pca_embeddings": q_pca_embeddings,
         "pii_redact": q_pii_redact,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q11_important_parts": q_q11_important_parts,
         "q12_shipmode_priority": q_q12_shipmode_priority,
         "q20_part_promotion": q_q20_part_promotion,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "quantize_embeddings": q_quantize_embeddings,
+        "rename_column": q_rename_column,
         "repetition_signals": q_repetition_signals,
+        "shallow_clone": q_shallow_clone,
+        "shard_shuffle": q_shard_shuffle,
         "source_divergence": q_source_divergence,
         "stratified_sample": q_stratified_sample,
         "target_encode": q_target_encode,
@@ -127,169 +194,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "triangle_count": q_triangle_count,
         "variant_props": q_variant_props,
+        "video_dedup": q_video_dedup,
+        "video_trim_dedup": q_video_trim_dedup,
         "window_stats": q_window_stats,
         "winsorize": q_winsorize,
-        "audio_dedup": q_audio_dedup,
-        "audio_dedup_index": q_audio_dedup_index,
-        "audio_trim_dedup": q_audio_trim_dedup,
-        "video_dedup": q_video_dedup,
-        "rename_column": q_rename_column,
-        "shallow_clone": q_shallow_clone,
-        "shard_shuffle": q_shard_shuffle,
-        "delete_vectors": q_delete_vectors,
-        "dv_purge": q_dv_purge,
-        "cdc_changes": q_cdc_changes,
-        "video_trim_dedup": q_video_trim_dedup,
-        # --- position 51+: rotated out — every entry below has an
-        # external driver-green row (r6-r8) and is re-verified every
-        # round by the local full-registry gate (driver_sim at sf0.01) ---
-        # (data_skipping ceded its window slot to audio_trim_dedup, and
-        # time_travel to video_trim_dedup: the range_filter translation
-        # and versioned manifest replay they would have re-verified are
-        # pinned by rename_column, which exercises the same paths and
-        # holds a window slot; image_dedup_index ceded to shallow_clone
-        # — its external check is rows-only (weak) while the new clone
-        # query is full-oracle, and its real pins live in tests/test_avi)
-        # dds_quantiles is new this round but sits at 51: every window
-        # slot is spoken for by the r5 rotation-debt closure + this
-        # round's behavioral changes; it is oracle-checked by the local
-        # full-registry sim and rotates into r10's window first
-        "dds_quantiles": q_dds_quantiles,
-        "txn_constraints": q_txn_constraints,
-        "trim_dedup_index": q_trim_dedup_index,
-        "image_dedup_mirror": q_image_dedup_mirror,
-        "image_dedup_letterbox": q_image_dedup_letterbox,
-        "txn_stream_feed": q_txn_stream_feed,
-        "txn_native_sink": q_txn_native_sink,
-        "image_dedup_index": q_image_dedup_index,
-        "time_travel": q_time_travel,
-        "data_skipping": q_data_skipping,
-        "chunk_docs": q_chunk_docs,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
-        "decayed_engagement": q_decayed_engagement,
-        "decontamination_bloom": q_decontamination_bloom,
-        "rolling_window": q_rolling_window,
-        "outliers": q_outliers,
-        "nearest_centroid": q_nearest_centroid,
-        "dq_report": q_dq_report,
-        "histo_equidepth": q_histo_equidepth,
-        "fuzzy_join": q_fuzzy_join,
-        "hopping_window": q_hopping_window,
-        "activity_streaks": q_activity_streaks,
-        "event_transitions": q_event_transitions,
-        "resample_daily": q_resample_daily,
-        "lm_score": q_lm_score,
-        "ccnet_buckets": q_ccnet_buckets,
-        "group_split": q_group_split,
-        "retrieval_metrics": q_retrieval_metrics,
-        "weighted_sample": q_weighted_sample,
-        "phrase_search": q_phrase_search,
-        "collocations": q_collocations,
-        "bpe_tokens": q_bpe_tokens,
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
-        "setops_nations": q_setops_nations,
-        "setops_multiset": q_setops_multiset,
-        "running_window": q_running_window,
-        "exists_subquery": q_exists_subquery,
-        "merge_upsert": q_merge_upsert,
-        "lag_lead_gaps": q_lag_lead_gaps,
-        "topk_orders": q_topk_orders,
-        "video_frames": q_video_frames,
-        "audio_features": q_audio_features,
-        "image_dedup": q_image_dedup,
-        "shot_detect": q_shot_detect,
-        "merge_upsert_txn": q_merge_upsert_txn,
-        "merge_delete_txn": q_merge_delete_txn,
-        "restore_table": q_restore_table,
-        "rollup_incremental": q_rollup_incremental,
-        "snapshot_diff": q_snapshot_diff,
-        "dup_spans": q_dup_spans,
-        "tfidf_pairs": q_tfidf_pairs,
-        "grouped_udaf": q_grouped_udaf,
-        "min_per_group": q_min_per_group,
-        "quantiles": q_quantiles,
-        "join_outer": q_join_outer,
-        "regex_extract": q_regex_extract,
-        "range_join": q_range_join,
-        "ntile_ranks": q_ntile_ranks,
-        "sql_grouping_sets": q_sql_grouping_sets,
-        "pivot_status": q_pivot_status,
-        "array_agg_sorted": q_array_agg_sorted,
-        "posexplode_tokens": q_posexplode_tokens,
-        "window_top_orders": q_window_top_orders,
-        "q22_idle_customers": q_q22_idle_customers,
-        "q6_revenue_delta": q_q6_revenue_delta,
+        # r7-last (rotate r11 after the deferred three)
         "above_customer_avg": q_above_customer_avg,
-        "lang_id": q_lang_id,
-        "gif_frames": q_gif_frames,
-        "ivf_append": q_ivf_append,
-        "pq_query": q_pq_query,
-        "hash_features": q_hash_features,
+        "array_agg_sorted": q_array_agg_sorted,
         "dedup_components": q_dedup_components,
-        "semantic_dedup": q_semantic_dedup,
         "dedup_keep_best": q_dedup_keep_best,
-        "minhash_lsh": q_minhash_lsh,
-        "line_dedup": q_line_dedup,
-        "semdedup": q_semdedup,
-        "semdedup_assign": q_semdedup_assign,
         "filtered_ann": q_filtered_ann,
-        "ivf_ann": q_ivf_ann,
-        "ivfpq_ann": q_ivfpq_ann,
-        "pq_ann": q_pq_ann,
-        "lsh_ann": q_lsh_ann,
-        "simhash_hamming": q_simhash_hamming,
-        "histo_flow": q_histo_flow,
+        "gif_frames": q_gif_frames,
+        "grouped_udaf": q_grouped_udaf,
+        "hash_features": q_hash_features,
+        "histo_auto": q_histo_auto,
         "histo_equidepth_approx": q_histo_equidepth_approx,
         "histo_fixed": q_histo_fixed,
-        "histo_auto": q_histo_auto,
-        "q8_market_share": q_q8_market_share,
-        "q9_profit": q_q9_profit,
+        "histo_flow": q_histo_flow,
+        "ivf_ann": q_ivf_ann,
+        "ivf_append": q_ivf_append,
+        "ivfpq_ann": q_ivfpq_ann,
+        "join_outer": q_join_outer,
+        "lang_id": q_lang_id,
+        "line_dedup": q_line_dedup,
+        "lsh_ann": q_lsh_ann,
+        "min_per_group": q_min_per_group,
+        "minhash_lsh": q_minhash_lsh,
+        "ntile_ranks": q_ntile_ranks,
+        "pivot_status": q_pivot_status,
+        "posexplode_tokens": q_posexplode_tokens,
+        "pq_ann": q_pq_ann,
+        "pq_query": q_pq_query,
         "q10_returned_items": q_q10_returned_items,
         "q13_order_distribution": q_q13_order_distribution,
         "q15_top_supplier": q_q15_top_supplier,
-        "pagerank": q_pagerank,
-        "profile_numeric": q_profile_numeric,
-        "rollup_returnflag": q_rollup_returnflag,
-        "distinct_supp_per_flag": q_distinct_supp_per_flag,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
+        "q22_idle_customers": q_q22_idle_customers,
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "q8_market_share": q_q8_market_share,
+        "q9_profit": q_q9_profit,
+        "quantiles": q_quantiles,
+        "range_join": q_range_join,
+        "regex_extract": q_regex_extract,
+        "semantic_dedup": q_semantic_dedup,
+        "semdedup": q_semdedup,
+        "semdedup_assign": q_semdedup_assign,
+        "simhash_hamming": q_simhash_hamming,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "window_top_orders": q_window_top_orders,
+        # r6-last
+        "asof_click_purchase": q_asof_click_purchase,
         "case_when_agg": q_case_when_agg,
-        "global_rank": q_global_rank,
-        "roc_auc": q_roc_auc,
-        "encode_categorical": q_encode_categorical,
-        "winsorize_approx": q_winsorize_approx,
-        "multimodal_features": q_multimodal_features,
-        "decontamination": q_decontamination,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
-        "dedup_exact": q_dedup_exact,
-        "doc_profile": q_doc_profile,
-        "text_stats": q_text_stats,
-        "asof_click_purchase": q_asof_click_purchase,
-        "sessionize": q_sessionize,
-        "json_events": q_json_events,
-        "time_bucket_agg": q_time_bucket_agg,
-        "pack_sequences": q_pack_sequences,
-        "map_props": q_map_props,
-        "histo_edges": q_histo_edges,
-        "explode_agg": q_explode_agg,
-        "take_col": q_take_col,
         "count_chain": q_count_chain,
+        "date_funcs": q_date_funcs,
+        "decontamination": q_decontamination,
+        "dedup_exact": q_dedup_exact,
         "define_filter_agg": q_define_filter_agg,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_topk_revenue": q_q3_topk_revenue,
-        "q5_region_revenue": q_q5_region_revenue,
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q18_large_orders": q_q18_large_orders,
-        "q19_disjunctive": q_q19_disjunctive,
-        "q4_priority_exists": q_q4_priority_exists,
+        "distinct_supp_per_flag": q_distinct_supp_per_flag,
+        "doc_profile": q_doc_profile,
+        "encode_categorical": q_encode_categorical,
+        "explode_agg": q_explode_agg,
+        "global_rank": q_global_rank,
+        "histo_edges": q_histo_edges,
+        "json_events": q_json_events,
+        "map_props": q_map_props,
+        "multimodal_features": q_multimodal_features,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pack_sequences": q_pack_sequences,
+        "pagerank": q_pagerank,
+        "profile_numeric": q_profile_numeric,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q16_supplier_counts": q_q16_supplier_counts,
         "q17_small_qty": q_q17_small_qty,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive": q_q19_disjunctive,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_topk_revenue": q_q3_topk_revenue,
+        "q4_priority_exists": q_q4_priority_exists,
+        "q5_region_revenue": q_q5_region_revenue,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "roc_auc": q_roc_auc,
+        "rollup_returnflag": q_rollup_returnflag,
+        "sessionize": q_sessionize,
+        "simhash": q_simhash,
+        "string_funcs": q_string_funcs,
+        "take_col": q_take_col,
+        "text_stats": q_text_stats,
+        "time_bucket_agg": q_time_bucket_agg,
+        "winsorize_approx": q_winsorize_approx,
     }
 
 

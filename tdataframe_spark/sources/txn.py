@@ -1471,7 +1471,15 @@ def txn_restore(
             manifest["retired_physical"] = retired
         # RESTORE restores table state, constraints included — the
         # snapshot's contract comes back with its data
-        _carry_constraints(manifest, src)
+        if src.get("constraints"):
+            manifest["constraints"] = dict(src["constraints"])
+        # properties describe the TABLE, not a data version (the
+        # txn_set_properties contract: they ride every commit until
+        # changed via txn_set_properties) — so they come from the LIVE
+        # head, not the snapshot; RESTORE rolls back data, not ops
+        # metadata set since
+        if (_latest or {}).get("properties"):
+            manifest["properties"] = dict(_latest["properties"])
         if _publish(path, head + 1, manifest):
             return head + 1
     raise ConcurrentWriteError(

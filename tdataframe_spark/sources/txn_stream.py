@@ -89,6 +89,16 @@ def _added_files(path: str, version: int) -> tuple[list[dict], bool]:
             f"{version}) was vacuumed away — restart the stream with "
             f"start_version >= {version}"
         )
+    if pm is not None and pm.get("vacuumed"):
+        # a vacuumed parent retained as a streaming FENCE still exists
+        # as a manifest but its files list was rewritten empty — using
+        # it as the baseline would count every cumulative file of this
+        # commit as "added" and silently re-emit the whole table
+        raise ValueError(
+            f"commit {parent} of {path} (the baseline for commit "
+            f"{version}) was vacuumed away — restart the stream with "
+            f"start_version >= {version}"
+        )
     before = {f["path"] for f in (pm or {}).get("files", [])}
     added = [f for f in m["files"] if f["path"] not in before]
     removed = bool(before - {f["path"] for f in m["files"]})
@@ -472,12 +482,29 @@ class TxnStreamWriter(_TxnWriterBase, DataSourceStreamWriter):
         """Newest-to-oldest scan for the last commit THIS sink landed —
         a head-only check misses the fence whenever a non-sink commit
         (a batch write, OPTIMIZE) took the head after the crash (the
-        _txn_fence discipline in streaming/ops.py)."""
-        for v in reversed(_versions(self.path)):
+        _txn_fence discipline in streaming/ops.py).
+
+        The scan result is CACHED on the writer: versions only grow, so
+        after the one full scan at startup each micro-batch re-scans
+        only the commits landed since the previous poll — without the
+        cache a long-running stream on a table with a deep retained
+        history (many OPTIMIZE/batch/DDL commits above the last sink
+        commit) pays O(retained manifests) of driver JSON reads on
+        EVERY commit."""
+        versions = _versions(self.path)
+        floor = getattr(self, "_fence_scanned_to", 0)
+        for v in reversed(versions):
+            if v <= floor:
+                break  # everything at/below was scanned last poll
             meta = _load(self.path, v).get("meta", {})
             if meta.get("sink") == "txn_table" and "batch_id" in meta:
-                return meta["batch_id"]
-        return None
+                # newest sink commit in the unscanned range supersedes
+                # whatever the cache held
+                self._fence_batch = meta["batch_id"]
+                break
+        if versions:
+            self._fence_scanned_to = max(versions)
+        return getattr(self, "_fence_batch", None)
 
     def commit(self, messages, batchId: int) -> None:
         applied = self._last_sink_batch()

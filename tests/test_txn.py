@@ -1957,3 +1957,31 @@ def test_table_properties_ride_every_commit(spark, tmp_path):
     assert ops[2] == ops[3] == "set_properties"
     assert ops[6] == "delete" and ops[7] == "rename_column"
     assert ops[9] == "restore" and ops[1] == "write"
+
+
+def test_restore_keeps_live_properties(spark, tmp_path):
+    """r9-ADVICE: RESTORE rolls back DATA, not ops metadata — properties
+    describe the table, not a version (the txn_set_properties contract),
+    so a restore to a snapshot that predates them (or carries stale
+    ones) keeps the LIVE head's property set. Constraints, by contrast,
+    are part of the restored table state and DO come from the snapshot."""
+    from tdataframe_spark.sources.txn import (
+        txn_properties,
+        txn_restore,
+        txn_set_properties,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, v double")
+    txn_write(df, path, mode="append")                        # v1: no props
+    txn_write(df, path, mode="overwrite")                     # v2
+    txn_set_properties(path, {"owner": "pipeline"})           # v3
+    # restore to a PRE-properties snapshot: props must survive
+    txn_restore(path, 1)                                      # v4
+    assert txn_properties(path) == {"owner": "pipeline"}
+    # props changed since a props-carrying snapshot: restore keeps the
+    # LATEST values, not the snapshot's stale ones
+    txn_set_properties(path, {"owner": "ml-team", "tier": "gold"})  # v5
+    txn_restore(path, 3)                                      # v6
+    assert txn_properties(path) == {"owner": "ml-team", "tier": "gold"}
+    assert txn_read(spark, path).count() == 2

@@ -271,3 +271,74 @@ def test_txn_stream_source_flags_dv_resurrection(spark, tmp_path):
     txn_restore(path, 1)                 # v3: DV set shrinks back
     with pytest.raises(Exception, match="not an"):
         _run(spark, path, out, ck)
+
+
+def test_txn_stream_refuses_vacuumed_fence_baseline(spark, tmp_path):
+    """r9-ADVICE: a vacuumed parent RETAINED as a streaming fence still
+    loads (vacuumed:true, files stripped) — using its empty file list
+    as the baseline would count every cumulative file of the next
+    commit as 'added' and silently re-emit the whole table. The source
+    must treat a vacuumed baseline exactly like a missing one: raise."""
+    from tdataframe_spark.sources.txn import _load
+    from tdataframe_spark.sources.txn_stream import _added_files
+    from tdataframe_spark.streaming.ops import _txn_fence
+
+    path = str(tmp_path / "t")
+    _, meta_for = _txn_fence(path, str(tmp_path / "fence_ck"), "rollup")
+    txn_write(spark.range(3), path, meta=meta_for(0))    # v1 = fence
+    txn_write(spark.range(3, 6), path, mode="overwrite")  # v2 head
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    assert _load(path, 1).get("vacuumed") is True  # fence kept, files gone
+    with pytest.raises(ValueError, match="vacuumed away"):
+        _added_files(path, 2)
+    # and through the real source: a stream whose window starts exactly
+    # at the fence version must raise, never emit v2's cumulative files
+    with pytest.raises(Exception, match="vacuumed away"):
+        _run(
+            spark, path, str(tmp_path / "out"), str(tmp_path / "ck"),
+            start_version=1,
+        )
+
+
+def test_txn_sink_fence_scan_is_incremental(spark, tmp_path):
+    """r9-ADVICE: the streaming sink's fence scan caches the last
+    scanned version — after startup each micro-batch re-reads only the
+    manifests landed since the previous poll, not the whole retained
+    history (O(batches x manifests) driver cost on long streams)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from tdataframe_spark.sources import txn_stream as ts
+
+    path = str(tmp_path / "t")
+    schema = StructType([StructField("id", LongType())])
+    txn_write(spark.range(3), path, mode="append")
+    w = ts.TxnStreamWriter(schema, {"path": path}, "append")
+    assert w._last_sink_batch() is None  # full startup scan, no fence
+
+    loads = []
+    real_load = ts._load
+
+    def counting_load(p, v):
+        loads.append(v)
+        return real_load(p, v)
+
+    ts._load = counting_load
+    try:
+        # pile non-sink commits above: an uncached scan re-reads them all
+        for i in range(3, 8):
+            txn_write(spark.range(i, i + 1), path, mode="append")
+        assert w._last_sink_batch() is None
+        first = list(loads)
+        assert sorted(first) == [2, 3, 4, 5, 6]  # only the new commits
+        loads.clear()
+        assert w._last_sink_batch() is None      # nothing new landed
+        assert loads == []                        # zero manifest reads
+        # a sink commit landed by someone else is still picked up
+        from tdataframe_spark.sources.txn import _publish
+
+        v7 = dict(real_load(path, 6), version=7, parent=6,
+                  meta={"sink": "txn_table", "batch_id": 41})
+        assert _publish(path, 7, v7)
+        assert w._last_sink_batch() == 41
+    finally:
+        ts._load = real_load
