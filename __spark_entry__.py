@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_letterbox": q_image_dedup_letterbox,
         "txn_stream_feed": q_txn_stream_feed,
         "txn_native_sink": q_txn_native_sink,
+        # NEW this round: partitioned-layout support in the native sink
+        "txn_sink_partitioned": q_txn_sink_partitioned,
+        # NEW this round: Delta-parity generated columns in the txn layer
+        "txn_generated_cols": q_txn_generated_cols,
         # then 43 of the 46 entries whose last external green is r8 (the
         # normal rotation cadence), image_dedup_index / time_travel /
         # data_skipping among them as VERDICT r9 ordered
@@ -112,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "histo_equidepth": q_histo_equidepth,
         "hopping_window": q_hopping_window,
-        "image_dedup": q_image_dedup,
         "image_dedup_index": q_image_dedup_index,
         "join_anti": q_join_anti,
         "join_semi": q_join_semi,
@@ -136,7 +139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "time_travel": q_time_travel,
         "topk_orders": q_topk_orders,
-        "video_frames": q_video_frames,
         "weighted_sample": q_weighted_sample,
         # --- position 51+: rotated out — every entry below has an external
         # driver-green row from r8/r9 and is re-verified every round by the
@@ -144,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 3 r8-last entries deferred to make window room (merge_upsert
         # shares its oracle with in-window merge_upsert_txn; audio_features /
         # bpe_tokens are rows-only with r9-green family twins) — r11 first
+        "video_frames": q_video_frames,
+        "image_dedup": q_image_dedup,
         "merge_upsert": q_merge_upsert,
         "audio_features": q_audio_features,
         "bpe_tokens": q_bpe_tokens,
@@ -325,6 +329,8 @@ def oracle_sql() -> dict[str, str]:
         "txn_constraints": SQL_TXN_CONSTRAINTS,
         "txn_stream_feed": SQL_TXN_STREAM_FEED,
         "txn_native_sink": SQL_TXN_NATIVE_SINK,
+        "txn_sink_partitioned": SQL_TXN_SINK_PARTITIONED,
+        "txn_generated_cols": SQL_TXN_GENERATED_COLS,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

@@ -149,6 +149,12 @@ EXTENDED = [
     # round-9 late: native txn sink — batch writer + streaming writer
     # (two-phase commit: staged executor files, one manifest publish)
     "txn_native_sink",
+    # round-10: partitioned-layout native sink — per-partition executor
+    # routing + recorded partition values + pruned read-back
+    "txn_sink_partitioned",
+    # round-10: generated columns — declare + computed append +
+    # validated append + bounced mismatch, at lineitem scale
+    "txn_generated_cols",
 ]
 
 

@@ -636,14 +636,54 @@ class Frame:
         right = other.df if isinstance(other, Frame) else other
         return self._derive(self._df.intersectAll(right))
 
-    def upsert(self, updates: "Frame | DataFrame", on: Sequence[str]) -> "Frame":
+    def upsert(
+        self,
+        updates: "Frame | DataFrame",
+        on: Sequence[str],
+        check_duplicates: bool = True,
+    ) -> "Frame":
         """CDC-style merge: rows from ``updates`` replace rows with the same
         key; new keys append (SQL MERGE's update+insert arms). Planned as
         anti-join + union — ONE shuffle on the key, no per-column coalesce
         over a full outer join, and the anti side broadcasts when updates
-        are small. Schemas must match by name."""
+        are small. Schemas must match by name.
+
+        Two update rows sharing a key raise at execution (SQL MERGE's
+        "multiple source rows matched" error — both appending silently
+        was the pre-r10 behavior). The check is free: the key-distinct
+        the anti join already needs becomes a groupBy-count, so no extra
+        shuffle or pass. ``check_duplicates=False`` restores the blind
+        append-both path for callers that WANT multiset updates."""
         right = updates.df if isinstance(updates, Frame) else updates
-        keys = right.select(*on).distinct()
+        if not check_duplicates:
+            keys = right.select(*on).distinct()
+        else:
+            first = on[0]
+            err = F.raise_error(
+                F.concat(
+                    F.lit("upsert: multiple update rows share key ("),
+                    F.concat_ws(
+                        ",", *[F.col(k).cast("string") for k in on]
+                    ),
+                    F.lit(
+                        ") — SQL MERGE raises on multiple matches; "
+                        "deduplicate updates first or pass "
+                        "check_duplicates=False"
+                    ),
+                )
+            )
+            keys = (
+                right.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("__upsert_n"))
+                .select(*[
+                    F.when(F.col("__upsert_n") > 1, err)
+                    .otherwise(F.col(k))
+                    .alias(k)
+                    if k == first
+                    else F.col(k)
+                    for k in on
+                ])
+            )
         kept = self._df.join(keys, list(on), "left_anti")
         return self._derive(kept.unionByName(right))
 

@@ -1849,6 +1849,110 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 """
 
 
+def q_txn_sink_partitioned(spark, sf):
+    """r10: native txn sink over a PARTITIONED table (the r9 gap — the
+    sink used to refuse partitioned layouts). A table partitioned by
+    o_orderpriority is seeded through txn_write(partition_by=), the
+    other half of orders appends through the native BATCH writer
+    (layout inherited from the manifest, per-partition files routed in
+    the executor, per-file partition values recorded in the commit),
+    and the result is read back through partition_filter PRUNING over
+    two of the five priorities — so a sink file with missing or wrong
+    partition values would drop or smuggle rows. The oracle is the
+    same priority filter over orders. Streaming-writer parity and the
+    layout-race guard are pinned in tests/test_txn_stream.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read, txn_write
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    register_txn_stream(spark)
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"psink_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        o.filter("o_orderkey % 2 = 0"), path, mode="overwrite",
+        partition_by=["o_orderpriority"],
+    )
+    o.filter("o_orderkey % 2 = 1").write.format("txn_table").option(
+        "path", path
+    ).mode("append").save()
+    return txn_read(
+        spark, path,
+        partition_filter={"o_orderpriority": ["1-URGENT", "3-MEDIUM"]},
+    )
+
+
+SQL_TXN_SINK_PARTITIONED = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+"""
+
+
+def q_txn_generated_cols(spark, sf):
+    """r10: GENERATED columns end-to-end (txn_add_generated_column —
+    Delta ``GENERATED ALWAYS AS`` semantics): ``disc_price`` is
+    declared over an empty lineitem-shaped table, half the rows append
+    WITHOUT the column (the write computes it), half append WITH a
+    correctly precomputed copy (the write validates it, one map-side
+    aggregate over the batch), and a batch carrying a wrong value is
+    proven to bounce — ConstraintViolationError, no commit, version
+    unchanged — before the final read. The oracle computes the same
+    expression in SQL, so a compute or validate drift would hash-
+    mismatch. DDL blocking, restore/clone inheritance, and upsert
+    compute are pinned in tests/test_txn.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        ConstraintViolationError,
+        txn_add_generated_column,
+        txn_latest,
+        txn_read,
+        txn_write,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"gen_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(li.limit(0), path, mode="overwrite")
+    txn_add_generated_column(
+        spark, path, "disc_price",
+        "l_extendedprice * (1 - l_discount)", dtype="double",
+    )
+    txn_write(li.filter("l_orderkey % 2 = 0"), path)  # computed
+    txn_write(  # provided + validated
+        li.filter("l_orderkey % 2 = 1").withColumn(
+            "disc_price", F.expr("l_extendedprice * (1 - l_discount)")
+        ),
+        path,
+    )
+    v = txn_latest(path)[0]
+    try:
+        txn_write(
+            li.limit(50).withColumn("disc_price", F.lit(-1.0)), path
+        )
+        raise AssertionError("mismatching generated batch must bounce")
+    except ConstraintViolationError:
+        pass
+    assert txn_latest(path)[0] == v  # nothing committed
+    return txn_read(spark, path)
+
+
+SQL_TXN_GENERATED_COLS = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+       l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+"""
+
+
 def q_restore_table(spark, sf):
     """Delta-style RESTORE (txn_restore): seed the orders table (v1),
     clobber it with a corrupted overwrite (v2 — a 10% subset with zeroed

@@ -468,6 +468,57 @@ def _check_batch_constraints(
         )
 
 
+def _apply_generated(
+    df: DataFrame,
+    generated: dict[str, str],
+    schema: StructType | None,
+    path: str,
+    verb: str,
+    validate: bool = True,
+) -> DataFrame:
+    """Delta generated-column write semantics: COMPUTE columns the
+    batch omits (cast to the table's declared type), VALIDATE columns
+    it provides — one aggregate pass asserting ``col <=> expr`` per
+    provided column (null-safe equality: TRUE/FALSE, never NULL), a
+    mismatching batch raises before any file is staged. An expression
+    that no longer resolves against the batch's columns raises a
+    schema-contract error, not an AnalysisException."""
+    if not generated:
+        return df
+    types = {f.name: f.dataType for f in (schema.fields if schema else [])}
+    provided = {c: e for c, e in generated.items() if c in df.columns}
+    for c, e in sorted(generated.items()):
+        try:
+            df.select(F.expr(e))  # analysis only, no job
+        except Exception as err:
+            raise ValueError(
+                f"{verb} {path} cannot resolve generated column {c!r} "
+                f"(GENERATED ALWAYS AS {e}) against columns "
+                f"{df.columns} — txn_drop_generated_column first, or "
+                "keep the referenced columns"
+            ) from err
+        if c not in df.columns:
+            gen = F.expr(e)
+            df = df.withColumn(c, gen.cast(types[c]) if c in types else gen)
+    if validate and provided:
+        preds = {c: f"({c}) <=> ({e})" for c, e in provided.items()}
+        bad = {
+            k: v for k, v in _violation_counts(df, preds, None).items() if v
+        }
+        if bad:
+            raise ConstraintViolationError(
+                f"{verb} {path} conflicts with generated column(s) "
+                + ", ".join(
+                    f"{c!r} (GENERATED ALWAYS AS {provided[c]}): "
+                    f"{n} row(s)"
+                    for c, n in sorted(bad.items())
+                )
+                + " — omit the column to have it computed, or fix the "
+                "values"
+            )
+    return df
+
+
 def txn_write(
     df: DataFrame,
     path: str,
@@ -555,6 +606,25 @@ def txn_write(
     # violating batch never touches disk. The commit loop re-checks the
     # set against the live head (a constraint added mid-write must not
     # slip past validation).
+    # GENERATED columns come first (constraints may reference them):
+    # compute the ones the batch omits, validate the ones it provides.
+    # Like constraints they survive EVERY mode — the rules are table
+    # contract, not data; the commit loop re-checks the set below.
+    head_generated = dict((head0 or {}).get("generated", {}))
+    if head_generated:
+        gschema = (
+            StructType.fromJson(json.loads(head0["schema"]))
+            if (head0 or {}).get("schema") is not None
+            else None
+        )
+        df = _apply_generated(
+            df,
+            head_generated,
+            gschema,
+            path,
+            "write to",
+            validate=not _constraints_prevalidated,
+        )
     head_constraints = dict((head0 or {}).get("constraints", {}))
     if head_constraints:
         if mode == "overwrite":
@@ -782,6 +852,20 @@ def txn_write(
             )
         if live_constraints:
             manifest["constraints"] = live_constraints
+        # same race rule for generated-column rules: a rule added or
+        # dropped between compute/validate and this commit attempt
+        # means the batch was built against a stale contract
+        live_generated = dict((latest or {}).get("generated", {}))
+        if live_generated != head_generated:
+            import shutil
+
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"generated-column rules of {path} changed under this "
+                "write — re-run it against the new head"
+            )
+        if live_generated:
+            manifest["generated"] = live_generated
         # table properties (ops metadata) survive EVERY mode, overwrite
         # included — they describe the table, not a data version
         live_props = dict((latest or {}).get("properties", {}))
@@ -1128,6 +1212,21 @@ def txn_upsert(
     prevalidated = False
     if is_txn_table(path):
         version, manifest = txn_latest(path)
+        gen = dict(manifest.get("generated", {}))
+        if gen:
+            # generated columns: compute/validate the BATCH alone (the
+            # survivors were computed/validated when they committed) —
+            # the merged overwrite below then skips re-validation via
+            # the same prevalidated flag as constraints, safe for the
+            # same expected_version reason
+            batch = _apply_generated(
+                batch,
+                gen,
+                StructType.fromJson(json.loads(manifest["schema"])),
+                path,
+                "merge into",
+            )
+            prevalidated = True
         cons = dict(manifest.get("constraints", {}))
         if cons:
             # validate the BATCH alone (survivors were validated when
@@ -1469,10 +1568,12 @@ def txn_restore(
         )
         if retired:
             manifest["retired_physical"] = retired
-        # RESTORE restores table state, constraints included — the
-        # snapshot's contract comes back with its data
-        if src.get("constraints"):
-            manifest["constraints"] = dict(src["constraints"])
+        # RESTORE restores table state, constraints and generated-
+        # column rules included — the snapshot's contract comes back
+        # with its data
+        for key in ("constraints", "generated"):
+            if src.get(key):
+                manifest[key] = dict(src[key])
         # properties describe the TABLE, not a data version (the
         # txn_set_properties contract: they ride every commit until
         # changed via txn_set_properties) — so they come from the LIVE
@@ -1610,14 +1711,32 @@ def _ddl_guard(manifest: dict, col: str, path: str, op: str) -> StructType:
             "reference it — txn_drop_constraint first, then re-add "
             "under the new name"
         )
+    gen = manifest.get("generated", {})
+    if col in gen:
+        raise ValueError(
+            f"cannot {op} {col!r}: it is a generated column (GENERATED "
+            f"ALWAYS AS {gen[col]}) — txn_drop_generated_column first"
+        )
+    g_referencing = sorted(
+        c for c, e in gen.items()
+        if _re.search(rf"\b{_re.escape(col)}\b", e)
+    )
+    if g_referencing:
+        # same conservative word-boundary scan as constraints above
+        raise ValueError(
+            f"cannot {op} {col!r}: generated column(s) {g_referencing} "
+            "compute from it — txn_drop_generated_column first, then "
+            "re-add under the new name"
+        )
     return schema
 
 
 def _carry_constraints(new_manifest: dict, manifest: dict | None) -> None:
-    """Copy the CHECK-constraint set AND table properties onto a derived
-    manifest — every commit that is not the dedicated DDL for them
-    preserves both, the same ride-along rule as retired_physical."""
-    for key in ("constraints", "properties"):
+    """Copy the CHECK-constraint set, GENERATED-column rules, and table
+    properties onto a derived manifest — every commit that is not the
+    dedicated DDL for them preserves all three, the same ride-along
+    rule as retired_physical."""
+    for key in ("constraints", "properties", "generated"):
         val = (manifest or {}).get(key)
         if val:
             new_manifest[key] = dict(val)
@@ -1802,6 +1921,8 @@ def txn_add_constraint(
             )
         if manifest.get("properties"):
             new_manifest["properties"] = dict(manifest["properties"])
+        if manifest.get("generated"):
+            new_manifest["generated"] = dict(manifest["generated"])
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(
@@ -1845,11 +1966,191 @@ def txn_drop_constraint(
             )
         if manifest.get("properties"):
             new_manifest["properties"] = dict(manifest["properties"])
+        if manifest.get("generated"):
+            new_manifest["generated"] = dict(manifest["generated"])
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races dropping a constraint "
         f"from {path}"
+    )
+
+
+def txn_add_generated_column(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    expr: str,
+    dtype: str | None = None,
+    meta: dict | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Declare ``col`` GENERATED ALWAYS AS (``expr``) — Delta generated-
+    column semantics re-expressed as table DDL: every subsequent write
+    COMPUTES the column when the batch omits it and VALIDATES it (one
+    map-side aggregate over the batch, ``col <=> expr``) when the batch
+    provides it; a mismatching batch raises before any file is staged.
+    The rule rides every derived commit (the constraint ride-along
+    rule), blocks rename/drop of the column and of every column the
+    expression references, survives RESTORE with its snapshot, and is
+    inherited by clones.
+
+    Two declaration shapes:
+
+    * the column ALREADY EXISTS — the current snapshot is validated
+      first (existing rows must equal the expression; one aggregate
+      pass, exactly ADD CONSTRAINT's cost), then the rule lands as one
+      metadata-only commit;
+    * the column is NEW — allowed only while the table holds no data
+      files (Delta allows generated columns at creation only:
+      backfilling would rewrite every file); ``dtype`` (a DDL string,
+      e.g. ``"double"``) extends the schema metadata-only and files
+      written before... there are none, by construction.
+
+    Returns the committed version."""
+    if not col or not col.isidentifier():
+        raise ValueError(
+            f"generated column name must be an identifier, got {col!r}"
+        )
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+        gen = dict(manifest.get("generated", {}))
+        if col in gen:
+            raise ValueError(
+                f"{path} already generates {col!r} AS ({gen[col]}); "
+                "txn_drop_generated_column first"
+            )
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        names = [f.name for f in schema.fields]
+        new_schema_json = manifest["schema"]
+        if col in names:
+            n_bad = _violation_counts(
+                txn_read(spark, path, version=version),
+                {col: f"({col}) <=> ({expr})"},
+                None,
+            )[col]
+            if n_bad:
+                raise ConstraintViolationError(
+                    f"cannot declare {col!r} GENERATED ALWAYS AS "
+                    f"({expr}) on {path}: {n_bad} existing row(s) "
+                    "differ from the expression"
+                )
+        else:
+            # emptiness is about ROWS, not file entries: a zero-row
+            # seed write still stages empty part files, and NULL-
+            # backfilling those under the new column is vacuous
+            if manifest["files"] and txn_read(
+                spark, path, version=version
+            ).count():
+                raise ValueError(
+                    f"cannot add NEW generated column {col!r} to "
+                    f"non-empty {path}: backfilling would rewrite every "
+                    "file — declare it while the table is empty, or "
+                    "materialize it once (txn_read -> txn_write) and "
+                    "declare it over the existing column"
+                )
+            if dtype is None:
+                raise ValueError(
+                    f"dtype is required to add the new column {col!r} "
+                    "(a DDL string, e.g. 'double')"
+                )
+            used = set(_mapping(schema).values()) | set(
+                manifest.get("retired_physical", [])
+            )
+            if col in used:
+                raise ValueError(
+                    f"column name {col!r} collides with a live or "
+                    f"retired physical name of {path} — pick another"
+                )
+            from pyspark.sql.types import _parse_datatype_string
+
+            dt = _parse_datatype_string(dtype)
+            # analysis-only resolution check against the table's columns
+            empty = spark.createDataFrame([], schema=_plain_schema(schema))
+            try:
+                empty.select(F.expr(expr).cast(dt))
+            except Exception as e:
+                raise ValueError(
+                    f"generated expression ({expr}) does not resolve "
+                    f"against the table's columns {names}"
+                ) from e
+            new_schema_json = StructType(
+                list(schema.fields) + [StructField(col, dt, True)]
+            ).json()
+        gen[col] = expr
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": new_schema_json,
+            "dv": manifest.get("dv", []),
+            "meta": {
+                **(meta or {}),
+                "op": "add_generated_column",
+                "name": col,
+            },
+        }
+        if manifest.get("retired_physical"):
+            new_manifest["retired_physical"] = list(
+                manifest["retired_physical"]
+            )
+        _carry_constraints(new_manifest, manifest)
+        new_manifest["generated"] = gen
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races adding a generated "
+        f"column to {path}"
+    )
+
+
+def txn_drop_generated_column(
+    path: str, col: str, meta: dict | None = None, max_retries: int = 50
+) -> int:
+    """Drop the GENERATED rule for ``col`` — the column stays, as plain
+    data (Delta parity: dropping the expression, not the values). One
+    metadata-only commit; an unknown rule raises. Returns the committed
+    version."""
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+        gen = dict(manifest.get("generated", {}))
+        if col not in gen:
+            raise ValueError(
+                f"{path} has no generated column {col!r} "
+                f"(has {sorted(gen) or 'none'})"
+            )
+        del gen[col]
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": manifest["schema"],
+            "dv": manifest.get("dv", []),
+            "meta": {
+                **(meta or {}),
+                "op": "drop_generated_column",
+                "name": col,
+            },
+        }
+        if manifest.get("retired_physical"):
+            new_manifest["retired_physical"] = list(
+                manifest["retired_physical"]
+            )
+        _carry_constraints(new_manifest, manifest)
+        new_manifest.pop("generated", None)
+        if gen:
+            new_manifest["generated"] = gen
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races dropping a generated "
+        f"column from {path}"
     )
 
 
@@ -1893,6 +2194,8 @@ def txn_set_properties(
             )
         if manifest.get("constraints"):
             new_manifest["constraints"] = dict(manifest["constraints"])
+        if manifest.get("generated"):
+            new_manifest["generated"] = dict(manifest["generated"])
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(

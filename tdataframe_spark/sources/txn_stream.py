@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from tdataframe_spark.sources.txn import (
+    _PPREFIX,
     _abs_file,
     _load,
     _mapping,
@@ -271,10 +272,11 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 @dataclass
 class _Staged(WriterCommitMessage):
-    """One task's staged parquet file (table-relative), or None when the
-    task saw no rows."""
+    """One task's staged parquet files: ``(table-relative path,
+    partition values)`` pairs — several per task on a partitioned
+    table, empty when the task saw no rows."""
 
-    rel_path: str | None
+    files: list
 
 
 def _fastpath_blocker(manifest: dict | None, mode: str) -> str | None:
@@ -283,11 +285,12 @@ def _fastpath_blocker(manifest: dict | None, mode: str) -> str | None:
     loop race re-check: CHECK constraints (validation needs a SQL
     engine pass over the batch; refused in BOTH modes — an overwrite
     must carry the contract forward and validate against it, txn_write's
-    documented behavior), column mapping / retired physicals (files
-    must be written under physical names), and partitioned layouts
-    (per-file partition values key replace_where and pruning). The
-    latter two clear under mode='overwrite', which resets mapping and
-    layout like txn_write's."""
+    documented behavior) and column mapping / retired physicals (files
+    must be written under physical names). The latter clears under
+    mode='overwrite', which resets the mapping like txn_write's.
+    Partitioned layouts are handled natively since r10 (per-partition
+    routing in the executor writer; layout races re-checked in the
+    commit loop)."""
     if manifest is None:
         return None
     if manifest.get("constraints"):
@@ -295,6 +298,12 @@ def _fastpath_blocker(manifest: dict | None, mode: str) -> str | None:
             "carries CHECK constraints — the native sink cannot validate "
             "batches; write through txn_write/txn_upsert (or a "
             "foreachBatch txn sink) instead"
+        )
+    if manifest.get("generated"):
+        return (
+            "declares generated columns — the native sink cannot "
+            "compute or validate SQL expressions; write through "
+            "txn_write instead"
         )
     if mode == "overwrite":
         return None
@@ -306,12 +315,33 @@ def _fastpath_blocker(manifest: dict | None, mode: str) -> str | None:
             "uses column mapping — the native sink writes logical "
             "names; write through txn_write instead"
         )
-    if any(f["partition"] for f in manifest["files"]):
-        return (
-            "is partitioned — the native sink writes unpartitioned "
-            "files; write through txn_write(partition_by=...)"
-        )
     return None
+
+
+def _manifest_pcols(manifest: dict | None) -> list[str]:
+    """The table's partition columns in directory-nesting order, from
+    the head manifest's file entries (every txn writer records them in
+    segment order; JSON objects preserve it)."""
+    for f in (manifest or {}).get("files", []):
+        if f.get("partition"):
+            return list(f["partition"].keys())
+    return []
+
+
+# Spark's own null-partition directory token — kept identical so
+# partition_filter predicates written against txn_write tables match
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _pvalue(v) -> str:
+    """A partition value as txn_write records it: Spark cast-to-string
+    semantics for the types partitioning is sane for (null token,
+    lowercase booleans; ints/strings/dates/decimals stringify alike)."""
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 class _TxnWriterBase:
@@ -321,15 +351,64 @@ class _TxnWriterBase:
             raise ValueError("txn_table sink needs .option('path', ...)")
         self.schema = schema
         self.mode = mode
-        blocker = _fastpath_blocker(txn_latest(self.path)[1], mode)
+        manifest = txn_latest(self.path)[1]
+        blocker = _fastpath_blocker(manifest, mode)
         if blocker:
             raise ValueError(f"{self.path} {blocker}")
+        # partition columns: .option("partition_by", "a,b") on a fresh
+        # table or an overwrite; appends INHERIT the table's layout (an
+        # explicit option must agree with it — silently mixing layouts
+        # would orphan partitions from replace_where/pruning)
+        opt = options.get("partition_by")
+        opt_cols = (
+            [c.strip() for c in opt.split(",") if c.strip()] if opt else None
+        )
+        live = _manifest_pcols(manifest)
+        if self.mode != "overwrite" and (manifest or {}).get("files"):
+            # the table has data: its layout wins (live == [] means an
+            # unpartitioned layout, which an option cannot override —
+            # mixed layouts orphan partitions from pruning/replace_where)
+            if opt_cols is not None and opt_cols != live:
+                raise ValueError(
+                    f"{self.path} is partitioned by {live or 'nothing'}; "
+                    f"appends cannot repartition to {opt_cols} — "
+                    "overwrite the table to change its layout"
+                )
+            self.partition_cols = live
+        else:
+            self.partition_cols = opt_cols or []
+        names = [f.name for f in schema.fields]
+        missing = [c for c in self.partition_cols if c not in names]
+        if missing:
+            raise ValueError(
+                f"partition column(s) {missing} not in the written "
+                f"schema {names}"
+            )
 
     # -- executor side ------------------------------------------------
     def write(self, iterator):
+        """Stage this task's rows as parquet under data/stage-<uuid>/,
+        routed into one file per table partition seen (hive ``__p_k=v``
+        segments for layout parity with txn_write; the COMMIT MESSAGE
+        carries each file's partition values — the manifest's source of
+        truth — so no path parsing on the driver).
+
+        Memory shape: 64k-row column chunks (never the whole task as
+        Python objects) and a BOUNDED pool of open parquet writers — a
+        task that interleaves many partitions closes the oldest writer
+        and opens a fresh part file if that partition reappears, so
+        peak memory is flat in both rows and distinct partitions.
+
+        NOTE this is the Python DataSource row-iterator path (~10-50×
+        slower per byte than txn_write's JVM parquet writers — the
+        API's constraint, not a plan choice): the sink is for streaming
+        exactly-once appends and modest batches; ``txn_write`` is the
+        documented bulk-ingest path."""
         import itertools as _it
         import os as _os
         import uuid as _uuid
+        from collections import OrderedDict
+        from urllib.parse import quote as _quote
 
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -338,58 +417,100 @@ class _TxnWriterBase:
 
         arrow_schema = to_arrow_schema(_plain_schema(self.schema))
         n_cols = len(arrow_schema)
+        names = [f.name for f in self.schema.fields]
+        p_idx = [names.index(c) for c in self.partition_cols]
         stage = _os.path.join(
             self.path, "data", f"stage-{_uuid.uuid4().hex}"
         )
-        f = _os.path.join(stage, "part-00000.parquet")
-        writer = None
-        # CHUNKED: never materialize the whole partition as Python
-        # objects — a million-row task held as list[dict] is an OOM;
-        # 64k-row column batches keep peak memory flat
+        open_writers: OrderedDict = OrderedDict()  # pkey -> (writer, rel, part)
+        done: list[tuple[str, dict]] = []
+        seq = 0
+        MAX_OPEN = 32
+
+        def _open(pkey: tuple) -> tuple:
+            nonlocal seq
+            part = {
+                c: _pvalue(v) for c, v in zip(self.partition_cols, pkey)
+            }
+            segs = [
+                f"{_PPREFIX}{k}={_quote(v, safe='')}"
+                for k, v in part.items()
+            ]
+            d = _os.path.join(stage, *segs)
+            _os.makedirs(d, exist_ok=True)
+            f = _os.path.join(d, f"part-{seq:05d}.parquet")
+            seq += 1
+            return (
+                pq.ParquetWriter(f, arrow_schema),
+                _os.path.relpath(f, self.path),
+                part,
+            )
+
         while True:
             chunk = list(_it.islice(iterator, 65536))
             if not chunk:
                 break
-            cols = [
-                pa.array(
-                    [r[i] for r in chunk], type=arrow_schema.field(i).type
+            groups: dict[tuple, list] = {}
+            for r in chunk:
+                groups.setdefault(
+                    tuple(r[i] for i in p_idx), []
+                ).append(r)
+            for pkey, rows in groups.items():
+                if pkey in open_writers:
+                    open_writers.move_to_end(pkey)
+                else:
+                    if len(open_writers) >= MAX_OPEN:
+                        w, rel, part = open_writers.popitem(last=False)[1]
+                        w.close()
+                        done.append((rel, part))
+                    open_writers[pkey] = _open(pkey)
+                writer = open_writers[pkey][0]
+                cols = [
+                    pa.array(
+                        [r[i] for r in rows],
+                        type=arrow_schema.field(i).type,
+                    )
+                    for i in range(n_cols)
+                ]
+                writer.write_batch(
+                    pa.record_batch(cols, schema=arrow_schema)
                 )
-                for i in range(n_cols)
-            ]
-            batch = pa.record_batch(cols, schema=arrow_schema)
-            if writer is None:
-                _os.makedirs(stage, exist_ok=True)
-                writer = pq.ParquetWriter(f, arrow_schema)
-            writer.write_batch(batch)
-        if writer is None:
-            return _Staged(None)
-        writer.close()
-        return _Staged(_os.path.relpath(f, self.path))
+        for w, rel, part in open_writers.values():
+            w.close()
+            done.append((rel, part))
+        return _Staged(done)
 
     # -- driver side ----------------------------------------------------
     def _land(self, messages) -> list[dict]:
-        """Move every task's staged file into ONE fresh commit dir and
-        return manifest file entries (same-filesystem renames; a crash
-        mid-move leaves only unreferenced files that vacuum ages out —
-        the same window every txn writer already has)."""
+        """Move every task's staged files into ONE fresh commit dir
+        (partition dirs preserved) and return manifest file entries
+        with their recorded partition values (same-filesystem renames;
+        a crash mid-move leaves only unreferenced files that vacuum
+        ages out — the same window every txn writer already has)."""
         import os as _os
         import uuid as _uuid
+        from urllib.parse import quote as _quote
 
-        staged = [m.rel_path for m in messages if m and m.rel_path]
+        staged = [t for m in messages if m for t in m.files]
         if not staged:
             return []
         commit_id = _uuid.uuid4().hex[:12]
-        dest = _os.path.join(self.path, "data", commit_id)
-        _os.makedirs(dest, exist_ok=True)
+        dest_root = _os.path.join(self.path, "data", commit_id)
         entries = []
-        for i, rel in enumerate(sorted(staged)):
+        for i, (rel, part) in enumerate(sorted(staged, key=lambda t: t[0])):
+            segs = [
+                f"{_PPREFIX}{k}={_quote(v, safe='')}"
+                for k, v in part.items()
+            ]
+            dest = _os.path.join(dest_root, *segs)
+            _os.makedirs(dest, exist_ok=True)
             name = f"part-{i:05d}-{_uuid.uuid4().hex[:8]}.parquet"
             _os.replace(
                 _os.path.join(self.path, rel), _os.path.join(dest, name)
             )
             entries.append({
                 "path": _os.path.relpath(_os.path.join(dest, name), self.path),
-                "partition": {},
+                "partition": dict(part),
             })
         return entries
 
@@ -411,22 +532,38 @@ class _TxnWriterBase:
         )
 
         schema_json = _plain_schema(self.schema).json()
+        def _drop_staged():
+            if new_files:
+                # entries all live under data/<commit_id>/...: remove
+                # that commit root, partition dirs included
+                d, cid = new_files[0]["path"].split(_os.sep)[:2]
+                _shutil.rmtree(
+                    _os.path.join(self.path, d, cid), ignore_errors=True
+                )
+
         for _ in range(50):
             version, latest = txn_latest(self.path)
             if _fastpath_blocker(latest, self.mode):
-                if new_files:
-                    _shutil.rmtree(
-                        _os.path.dirname(
-                            _os.path.join(self.path, new_files[0]["path"])
-                        ),
-                        ignore_errors=True,
-                    )
+                _drop_staged()
                 raise ConcurrentWriteError(
                     f"a CHECK constraint or column DDL landed on "
                     f"{self.path} under this native-sink write — re-run "
                     "it through txn_write (which validates/translates) "
                     "or drop the constraint/mapping"
                 )
+            if self.mode != "overwrite" and (latest or {}).get("files"):
+                # layout race: a writer overwrote the table into a
+                # DIFFERENT partitioning while our files were staged —
+                # committing them anyway would mix layouts silently
+                if _manifest_pcols(latest) != self.partition_cols:
+                    _drop_staged()
+                    raise ConcurrentWriteError(
+                        f"{self.path} was repartitioned to "
+                        f"{_manifest_pcols(latest) or 'unpartitioned'} "
+                        f"under this native-sink write (staged as "
+                        f"{self.partition_cols or 'unpartitioned'}) — "
+                        "re-run the write against the new layout"
+                    )
             if self.mode == "overwrite":
                 live, dv, committed = [], [], schema_json
             else:
@@ -460,10 +597,12 @@ class _TxnWriterBase:
         import shutil as _shutil
 
         for m in messages:
-            if m and m.rel_path:
+            if m and m.files:
+                # every file of a task lives under ONE data/stage-<uuid>
+                # root (possibly below partition segments)
+                d, sid = m.files[0][0].split(_os.sep)[:2]
                 _shutil.rmtree(
-                    _os.path.dirname(_os.path.join(self.path, m.rel_path)),
-                    ignore_errors=True,
+                    _os.path.join(self.path, d, sid), ignore_errors=True
                 )
 
     def abort(self, messages, *_args) -> None:

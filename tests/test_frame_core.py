@@ -298,6 +298,27 @@ def test_upsert_replaces_and_appends(spark):
     assert out == {1: "a", 2: "B", 3: "c"}
 
 
+def test_upsert_duplicate_update_keys_raise(spark):
+    """r9-VERDICT: two update rows sharing a key used to BOTH append
+    (anti-join + union has no within-batch dedup) — SQL MERGE errors on
+    multiple matches, and so does upsert now, at execution, from a
+    guard folded into the key-distinct it already computes.
+    check_duplicates=False keeps the multiset-append escape hatch."""
+    import pytest
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    dup = spark.createDataFrame([Row(k=2, v="B"), Row(k=2, v="B2")])
+    with pytest.raises(Exception, match="multiple update rows share key"):
+        Frame(base).upsert(dup, on=["k"]).df.collect()
+    rows = (
+        Frame(base)
+        .upsert(dup, on=["k"], check_duplicates=False)
+        .df.collect()
+    )
+    assert sorted(r["v"] for r in rows) == ["B", "B2", "a"]
+
+
 def test_head_tail_flush_pending(f1):
     """Head/Tail (reference planned pretty-printers): instant actions that
     flush pending lazies first; deterministic on a stable scan order."""

@@ -1985,3 +1985,145 @@ def test_restore_keeps_live_properties(spark, tmp_path):
     txn_restore(path, 3)                                      # v6
     assert txn_properties(path) == {"owner": "ml-team", "tier": "gold"}
     assert txn_read(spark, path).count() == 2
+
+
+def test_generated_columns_compute_validate_enforce(spark, tmp_path):
+    """r10: txn_add_generated_column (Delta GENERATED ALWAYS AS): a
+    write that omits the column gets it COMPUTED (cast to the declared
+    type); a write that provides it is VALIDATED (col <=> expr over
+    the batch; mismatches bounce before staging, version unchanged);
+    upsert computes for its batch; declaring over an existing column
+    validates the snapshot first; a NEW column may only be declared
+    while the table holds no rows (dtype extends the schema
+    metadata-only)."""
+    from tdataframe_spark.sources.txn import (
+        ConstraintViolationError,
+        txn_add_generated_column,
+        txn_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 2.0, 0.1), (2, 4.0, 0.2)], "id long, price double, disc double"
+    )
+    txn_write(df.limit(0), path)  # zero-row seed: rows-empty, files exist
+    txn_add_generated_column(
+        spark, path, "net", "price * (1 - disc)", dtype="double"
+    )
+    txn_write(df, path)  # omits net -> computed
+    got = {r["id"]: r["net"] for r in txn_read(spark, path).collect()}
+    assert got == {1: pytest.approx(1.8), 2: pytest.approx(3.2)}
+    v = txn_latest(path)[0]
+    bad = spark.createDataFrame(
+        [(3, 10.0, 0.5, 999.0)],
+        "id long, price double, disc double, net double",
+    )
+    with pytest.raises(ConstraintViolationError, match="generated"):
+        txn_write(bad, path)
+    assert txn_latest(path)[0] == v  # nothing committed
+    txn_write(  # providing the RIGHT value passes
+        spark.createDataFrame(
+            [(3, 10.0, 0.5, 5.0)],
+            "id long, price double, disc double, net double",
+        ),
+        path,
+    )
+    txn_upsert(  # upsert computes for its batch
+        spark.createDataFrame(
+            [(3, 20.0, 0.5)], "id long, price double, disc double"
+        ),
+        path, ["id"],
+    )
+    got = {r["id"]: r["net"] for r in txn_read(spark, path).collect()}
+    assert got[3] == pytest.approx(10.0)
+    # declaring over an existing column validates the snapshot
+    with pytest.raises(ConstraintViolationError, match="existing row"):
+        txn_add_generated_column(spark, path, "price", "id * 3.0")
+    # a NEW column on a table WITH rows refuses (backfill = rewrite)
+    with pytest.raises(ValueError, match="non-empty"):
+        txn_add_generated_column(spark, path, "gross", "price", "double")
+    with pytest.raises(ValueError, match="already generates"):
+        txn_add_generated_column(spark, path, "net", "price")
+    with pytest.raises(ValueError, match="does not resolve"):
+        path2 = str(tmp_path / "t2")
+        txn_write(df.limit(0), path2)
+        txn_add_generated_column(spark, path2, "x", "no_such + 1", "double")
+
+
+def test_generated_columns_compose_with_ddl_restore_clone_sink(
+    spark, tmp_path
+):
+    """Rename/drop of the generated column or a column its expression
+    references is blocked until the rule drops; the rule rides derived
+    commits, comes back with RESTORE, is inherited (and enforced) by
+    clones; dropping the rule leaves a plain column; the native sink
+    refuses generated tables."""
+    from tdataframe_spark.sources.txn import (
+        ConstraintViolationError,
+        txn_add_generated_column,
+        txn_clone,
+        txn_delete,
+        txn_drop_generated_column,
+        txn_rename_column,
+        txn_restore,
+    )
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 2.0, 0.5)], "id long, price double, disc double"
+    )
+    txn_write(df.limit(0), path)
+    txn_add_generated_column(
+        spark, path, "net", "price * (1 - disc)", dtype="double"
+    )                                                        # v2
+    txn_write(df, path)                                      # v3
+    for col in ("net", "price", "disc"):
+        with pytest.raises(ValueError, match="generated"):
+            txn_rename_column(path, col, col + "_x")
+    # rides derived commits
+    txn_delete(spark, path, "id = 999")  # no match -> no commit; use real one
+    txn_write(
+        spark.createDataFrame(
+            [(2, 6.0, 0.0)], "id long, price double, disc double"
+        ),
+        path,
+    )                                                        # v4
+    txn_delete(spark, path, "id = 2")                        # v5
+    assert "net" in txn_latest(path)[1]["generated"]
+    # clone inherits and ENFORCES
+    dst = str(tmp_path / "c")
+    txn_clone(path, dst)
+    with pytest.raises(ConstraintViolationError, match="generated"):
+        txn_write(
+            spark.createDataFrame(
+                [(9, 1.0, 0.0, 77.0)],
+                "id long, price double, disc double, net double",
+            ),
+            dst,
+        )
+    out = txn_read(spark, dst).filter("id = 1").first()
+    assert out["net"] == pytest.approx(1.0)
+    # drop -> plain column (arbitrary values commit); restore -> back
+    v_with_rule = txn_latest(path)[0]
+    txn_drop_generated_column(path, "net")
+    with pytest.raises(ValueError, match="no generated column"):
+        txn_drop_generated_column(path, "net")
+    txn_write(
+        spark.createDataFrame(
+            [(7, 1.0, 0.0, 42.0)],
+            "id long, price double, disc double, net double",
+        ),
+        path,
+    )
+    txn_rename_column(path, "net", "net2")  # DDL unblocked after drop
+    txn_restore(path, v_with_rule)  # the rule comes back with its data
+    assert txn_latest(path)[1]["generated"] == {
+        "net": "price * (1 - disc)"
+    }
+    # native sink refuses
+    register_txn_stream(spark)
+    with pytest.raises(Exception, match="generated"):
+        df.write.format("txn_table").option("path", path).mode(
+            "append"
+        ).save()

@@ -192,9 +192,11 @@ def test_txn_sink_stream_is_exactly_once(spark, tmp_path):
 
 
 def test_txn_sink_guards_route_to_txn_write(spark, tmp_path):
-    """Constrained, column-mapped, and partitioned tables refuse the
-    native sink loudly — their commit protocols need the engine-side
-    txn_write path."""
+    """Constrained and column-mapped tables refuse the native sink
+    loudly — their commit protocols need the engine-side txn_write
+    path. A LAYOUT conflict (appending a different partitioning than
+    the table's) also refuses; matching layouts append natively (the
+    partitioned-append path has its own test)."""
     from tdataframe_spark.sources.txn import txn_add_constraint
 
     path = str(tmp_path / "t")
@@ -217,10 +219,10 @@ def test_txn_sink_guards_route_to_txn_write(spark, tmp_path):
         df.withColumn("day", F.lit("5")), path3, mode="append",
         partition_by=["day"],
     )
-    with pytest.raises(Exception, match="partitioned"):
+    with pytest.raises(Exception, match="cannot repartition"):
         df.withColumn("day", F.lit("6")).write.format("txn_table").option(
             "path", path3
-        ).mode("append").save()
+        ).option("partition_by", "id").mode("append").save()
 
 
 def test_txn_sink_refuses_foreign_checkpoint(spark, tmp_path):
@@ -342,3 +344,106 @@ def test_txn_sink_fence_scan_is_incremental(spark, tmp_path):
         assert w._last_sink_batch() == 41
     finally:
         ts._load = real_load
+
+
+def test_txn_sink_partitioned_append_and_create(spark, tmp_path):
+    """r10: the native sink handles PARTITIONED layouts — appends to a
+    txn_write(partition_by=)-created table inherit its layout (per-file
+    partition values recorded, so partition_filter pruning and
+    replace_where keep working over sink-written files); an explicit
+    .option('partition_by') creates a fresh partitioned table; an
+    explicit option that disagrees with the table's layout refuses."""
+    from tdataframe_spark.sources.txn import txn_latest
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    register_txn_stream(spark)
+    path = str(tmp_path / "t")
+    df = spark.range(8).select(
+        "id", (F.col("id") % 3).alias("day"), (F.col("id") * 2).alias("v")
+    )
+    txn_write(df, path, mode="append", partition_by=["day"])
+    more = spark.createDataFrame(
+        [(100, 1, 200), (101, 7, 202)], "id long, day long, v long"
+    )
+    more.write.format("txn_table").option("path", path).mode("append").save()
+    assert _rows(txn_read(spark, path)) == _rows(df.unionByName(more))
+    # the sink's entries carry partition values like txn_write's
+    m = txn_latest(path)[1]
+    assert {f["partition"]["day"] for f in m["files"]} == {
+        "0", "1", "2", "7"
+    }
+    # pruning works over sink-written files (day=7 exists ONLY there)
+    assert _rows(
+        txn_read(spark, path, partition_filter={"day": ["7"]})
+    ) == [(101, 7, 202)]
+    # fresh table created partitioned by the sink option
+    path2 = str(tmp_path / "t2")
+    df.write.format("txn_table").option("path", path2).option(
+        "partition_by", "day"
+    ).mode("append").save()
+    m2 = txn_latest(path2)[1]
+    assert all(f["partition"].get("day") is not None for f in m2["files"])
+    assert "__p_day=" in m2["files"][0]["path"]  # txn_write layout parity
+    assert _rows(txn_read(spark, path2)) == _rows(df)
+    # appending UNPARTITIONED (no option) inherits the layout too
+    more.write.format("txn_table").option("path", path2).mode(
+        "append"
+    ).save()
+    assert txn_read(
+        spark, path2, partition_filter={"day": ["7"]}
+    ).count() == 1
+    # a partition column missing from the written schema refuses
+    with pytest.raises(Exception, match="not in the written"):
+        spark.range(3).write.format("txn_table").option(
+            "path", str(tmp_path / "t3")
+        ).option("partition_by", "nope").mode("append").save()
+
+
+def test_txn_sink_partitioned_stream_exactly_once(spark, tmp_path):
+    """r10: the streaming sink on a partitioned table keeps the
+    batch-id fence semantics — a crash between sink commit and
+    checkpoint commit replays the batch and the fence drops it, with
+    per-partition files intact."""
+    from tests.test_exactly_once import _crash_before_checkpoint_commit
+
+    from tdataframe_spark.sources.txn import txn_latest, txn_write as _tw
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    register_txn_stream(spark)
+    src, path, ck = (str(tmp_path / d) for d in ("src", "t", "ck"))
+    ev = spark.range(8).select(
+        "id", (F.col("id") % 2).alias("par"), (F.col("id") + 100).alias("w")
+    )
+    # an EMPTY table has no file entries to infer a layout from — the
+    # sink option declares it (and later batches inherit the then-live
+    # layout, which matches)
+    _tw(ev.limit(0), path, mode="append", partition_by=["par"])
+    ev.repartition(2).write.parquet(src)
+
+    def run():
+        st = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            st.writeStream.format("txn_table")
+            .option("path", path)
+            .option("partition_by", "par")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    before = _rows(txn_read(spark, path))
+    v_before, m = txn_latest(path)
+    assert before == _rows(ev)
+    assert {f["partition"].get("par") for f in m["files"] if f["partition"]} == {
+        "0", "1"
+    }
+    _crash_before_checkpoint_commit(ck)
+    run()  # replay: fence drops it
+    assert _rows(txn_read(spark, path)) == before
+    assert txn_latest(path)[0] == v_before
+    # pruning over the streamed files
+    assert (
+        txn_read(spark, path, partition_filter={"par": ["1"]}).count() == 4
+    )
