@@ -103,6 +103,22 @@ def main() -> None:
     except ConstraintViolationError as e:
         print(f"CHECK bounced a bad batch pre-staging: {str(e)[:70]}...")
 
+    # 6b'. GENERATED column — declared once, computed/validated on
+    # every write (Delta GENERATED ALWAYS AS); batches that omit it
+    # get it computed, batches that provide a wrong copy bounce
+    from tdataframe_spark.sources.txn import txn_add_generated_column
+
+    gen_path = path + "_gen"
+    shutil.rmtree(gen_path, ignore_errors=True)
+    txn_write(orders.limit(0), gen_path)
+    txn_add_generated_column(
+        spark, gen_path, "price_band",
+        "cast(floor(o_totalprice / 100000) as string)", dtype="string",
+    )
+    txn_write(orders.limit(100), gen_path)  # omits price_band -> computed
+    bands = txn_read(spark, gen_path).groupBy("price_band").count().count()
+    print(f"GENERATED price_band computed on append: {bands} bands")
+
     # 6c. SHALLOW CLONE — a zero-copy dev branch of the table
     dev = path + "_dev"
     shutil.rmtree(dev, ignore_errors=True)
@@ -120,9 +136,14 @@ def main() -> None:
     # 6d. native streaming SOURCE — replay the dev clone's commits
     from tdataframe_spark.sources.txn_stream import txn_readstream
 
+    # replay bounds: start_version skips already-consumed history (the
+    # first batch of any (re)start replays everything after it in ONE
+    # batch), and max_commits_per_batch caps steady-state batches under
+    # a periodic trigger — together they bound both the cold-start and
+    # the catch-up cost of a long-running stream
     sink_dir = os.path.join(os.path.dirname(path), "feed")
     q = (
-        txn_readstream(spark, dev)
+        txn_readstream(spark, dev, start_version=0, max_commits_per_batch=10)
         .writeStream.format("parquet")
         .option("path", sink_dir)
         .option("checkpointLocation", sink_dir + "_ck")
@@ -142,7 +163,10 @@ def main() -> None:
     print(f"OPTIMIZE: {n_files_before} files -> {n_files_after}; "
           f"as-of v1 still reads {txn_read(spark, path, version=1).count()} rows")
 
-    # 8. VACUUM — reclaim unreferenced commits past the retention window
+    # 8. VACUUM — reclaim unreferenced commits past the retention
+    # window; a table can pin its own policy via properties
+    # (vacuum.keep_versions / vacuum.min_age_s) and a bare
+    # txn_vacuum(path) honors it — explicit arguments override
     removed = txn_vacuum(path, keep_versions=1, min_age_s=0)
     print(f"VACUUM removed {len(removed)} retired commit dirs; "
           f"head still reads {txn_read(spark, path).count()} rows")

@@ -2247,7 +2247,9 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
 
 
 def txn_vacuum(
-    path: str, keep_versions: int = 1, min_age_s: float = 3600.0
+    path: str,
+    keep_versions: int | None = None,
+    min_age_s: float | None = None,
 ) -> list[str]:
     """Reclaim data files referenced by NO manifest in the retained
     window (the last ``keep_versions`` manifests; older manifests are
@@ -2256,10 +2258,23 @@ def txn_vacuum(
     IN-FLIGHT commits: a writer stages its data files BEFORE winning the
     manifest race, so an unreferenced-but-young commit dir may be about
     to be published — dirs younger than the threshold are left alone
-    (the Delta retention-period rule). Returns removed paths."""
+    (the Delta retention-period rule). Returns removed paths.
+
+    Retention DEFAULTS come from table properties when the caller
+    passes None (Delta's ``delta.deletedFileRetentionDuration`` idea):
+    ``vacuum.keep_versions`` and ``vacuum.min_age_s``, set via
+    ``txn_set_properties`` — so an ops team pins a table's retention
+    policy ON the table once, and every vacuum honors it. Built-in
+    fallbacks: keep_versions=1, min_age_s=3600."""
     import shutil
 
     vs = _versions(path)
+    if keep_versions is None or min_age_s is None:
+        props = _load(path, vs[-1]).get("properties", {}) if vs else {}
+        if keep_versions is None:
+            keep_versions = int(props.get("vacuum.keep_versions", 1))
+        if min_age_s is None:
+            min_age_s = float(props.get("vacuum.min_age_s", 3600.0))
     if not vs:
         return []
     keep = vs[-keep_versions:]

@@ -124,6 +124,19 @@ class TxnStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )
+        # admission control (Delta maxFilesPerTrigger's shape, by
+        # COMMITS): cap how many manifest versions one micro-batch may
+        # span. The Python DataSource API gives latestOffset() no view
+        # of the stream's committed start (Scala's SupportsAdmission-
+        # Control latestOffset(start, limit) is not exposed), so the
+        # cap anchors on the last offset this reader PLANNED — the
+        # first batch of a (re)start is unbounded (bound deep replays
+        # with start_version), every steady-state batch under a
+        # periodic trigger is capped. trigger(availableNow=True)
+        # bypasses per-batch latestOffset entirely (Spark's wrapper
+        # captures one end offset up front) — the cap is a no-op there.
+        self.max_commits = int(options.get("max_commits_per_batch", 0))
+        self._progress: int | None = None  # last planned/committed end
         self.schema = schema
         # mapping pinned at stream start alongside the schema: the
         # manifest's field metadata carries each column's physical name
@@ -137,15 +150,29 @@ class TxnStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
+        # a FRESH stream starts here — anchor the admission cap so even
+        # its first micro-batch is bounded (only a checkpoint RESTART,
+        # which skips initialOffset, gets one uncapped batch)
+        self._progress = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         # hint-based O(1) head resolution (txn_latest), NOT a directory
         # listing — this runs on every micro-batch poll
         head, manifest = txn_latest(self.path)
-        return {"version": head if manifest is not None else self.start_version}
+        if manifest is None:
+            return {"version": self.start_version}
+        if self.max_commits and self._progress is not None:
+            # never below already-planned progress: an offset that
+            # moves backwards aborts the query
+            head = max(self._progress, min(head, self._progress + self.max_commits))
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
+        # the offset log's start IS the stream's committed progress —
+        # record it so the admission cap anchors correctly (commit()
+        # confirms the end after the batch lands)
+        self._progress = max(self._progress or 0, start["version"], end["version"])
         out = []
         sj = self.schema.json()
         have = set(_versions(self.path))
@@ -242,17 +269,26 @@ def txn_readstream(
     path: str,
     start_version: int = 0,
     ignore_changes: bool = False,
+    max_commits_per_batch: int = 0,
 ):
     """``readStream`` over a transactional table: registers the source
     and returns the streaming DataFrame. ``start_version`` is
     EXCLUSIVE — the first emitted commit is ``start_version + 1``
-    (0 = replay the whole history)."""
+    (0 = replay the whole history). ``max_commits_per_batch`` > 0
+    bounds how many commits one micro-batch may span under a PERIODIC
+    trigger (admission control, Delta ``maxFilesPerTrigger``'s shape
+    by commits); the first batch of a (re)start is uncapped (the
+    Python DataSource API exposes no committed start to
+    ``latestOffset``) and ``availableNow`` drains to one captured end
+    offset regardless — so bound deep-history replays with
+    ``start_version`` and steady-state batches with the cap."""
     register_txn_stream(spark)
     return (
         spark.readStream.format("txn_table")
         .option("path", path)
         .option("start_version", start_version)
         .option("ignore_changes", str(bool(ignore_changes)).lower())
+        .option("max_commits_per_batch", max_commits_per_batch)
         .load()
     )
 

@@ -2127,3 +2127,51 @@ def test_generated_columns_compose_with_ddl_restore_clone_sink(
         df.write.format("txn_table").option("path", path).mode(
             "append"
         ).save()
+
+
+def test_vacuum_retention_defaults_from_table_properties(spark, tmp_path):
+    """r10: txn_vacuum with no explicit retention honors the table's
+    vacuum.keep_versions / vacuum.min_age_s properties (the Delta
+    deletedFileRetentionDuration idea) — policy pinned ON the table;
+    explicit arguments still win."""
+    from tdataframe_spark.sources.txn import txn_set_properties
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        txn_write(spark.range(i, i + 1), path, mode="overwrite")  # v1..v4
+    txn_set_properties(
+        path, {"vacuum.keep_versions": 3, "vacuum.min_age_s": 0}
+    )                                                             # v5
+    txn_vacuum(path)  # property-driven: keep 3 -> v3..v5 retained
+    from tdataframe_spark.sources.txn import _versions
+
+    assert set(_versions(path)) >= {3, 4, 5} and 1 not in _versions(path)
+    assert txn_read(spark, path, version=4).count() == 1
+    # explicit args still override the property
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    with pytest.raises(FileNotFoundError):
+        txn_read(spark, path, version=4)
+
+
+def test_partition_by_generated_column(spark, tmp_path):
+    """r10 pin: partitioning BY a generated column composes — the
+    write computes the column before the partitioned layout is staged
+    (Delta's generated-partition-column pattern, e.g. day=date(ts)),
+    and partition_filter pruning works over the computed values."""
+    from tdataframe_spark.sources.txn import txn_add_generated_column
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 35), (2, 47), (3, 52)], "id long, ts long"
+    )
+    expr = "cast(ts div 10 as string)"
+    # seed carries the column (0 rows), the rule declares over it, and
+    # the data write computes it BEFORE the partitioned layout stages
+    txn_write(df.limit(0).withColumn("day", F.expr(expr)), path)
+    txn_add_generated_column(spark, path, "day", expr)
+    txn_write(df, path, partition_by=["day"])
+    got = {r["id"]: r["day"] for r in txn_read(spark, path).collect()}
+    assert got == {1: "3", 2: "4", 3: "5"}
+    assert txn_read(
+        spark, path, partition_filter={"day": ["4"]}
+    ).count() == 1

@@ -447,3 +447,60 @@ def test_txn_sink_partitioned_stream_exactly_once(spark, tmp_path):
     assert (
         txn_read(spark, path, partition_filter={"par": ["1"]}).count() == 4
     )
+
+
+def test_txn_stream_admission_control_caps_batches(spark, tmp_path):
+    """r10: max_commits_per_batch bounds steady-state micro-batches
+    under a periodic trigger — 4 commits landing on a running stream
+    with a cap of 1 drain as 4 separate batches (visible in the
+    checkpoint offset log), same total rows. The first batch of a
+    (re)start and availableNow drains are uncapped by API limits
+    (documented in the reader)."""
+    import glob
+    import time
+
+    path, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    txn_write(
+        spark.range(3).select("id", (F.col("id") * 2).alias("v")),
+        path, mode="append",
+    )
+    q = (
+        txn_readstream(spark, path, max_commits_per_batch=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    try:
+        deadline = time.time() + 120
+        while rows() < 3 and time.time() < deadline:
+            time.sleep(0.5)
+        assert rows() == 3, "seed batch did not drain"
+        for i in range(1, 5):
+            txn_write(
+                spark.range(i * 10, i * 10 + 3).select(
+                    "id", (F.col("id") * 2).alias("v")
+                ),
+                path, mode="append",
+            )
+        deadline = time.time() + 120
+        while rows() < 15 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert _rows(spark.read.parquet(out)) == _rows(txn_read(spark, path))
+    batches = [
+        b for b in glob.glob(os.path.join(ck, "offsets", "*"))
+        if not b.endswith(".tmp")
+    ]
+    # seed batch + one batch PER capped commit (>= tolerates an extra
+    # empty trigger planning nothing)
+    assert len(batches) >= 5
