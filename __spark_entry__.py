@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_sink_partitioned": q_txn_sink_partitioned,
         # NEW this round: Delta-parity generated columns in the txn layer
         "txn_generated_cols": q_txn_generated_cols,
+        # NEW this round: Delta-shaped selective MERGE (clustered showcase)
+        "merge_clustered_txn": q_merge_clustered_txn,
         # then 43 of the 46 entries whose last external green is r8 (the
         # normal rotation cadence), image_dedup_index / time_travel /
         # data_skipping among them as VERDICT r9 ordered
@@ -134,7 +136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_running_window,
         "setops_multiset": q_setops_multiset,
         "setops_nations": q_setops_nations,
-        "shot_detect": q_shot_detect,
         "snapshot_diff": q_snapshot_diff,
         "tfidf_pairs": q_tfidf_pairs,
         "time_travel": q_time_travel,
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bpe_tokens are rows-only with r9-green family twins) — r11 first
         "video_frames": q_video_frames,
         "image_dedup": q_image_dedup,
+        "shot_detect": q_shot_detect,
         "merge_upsert": q_merge_upsert,
         "audio_features": q_audio_features,
         "bpe_tokens": q_bpe_tokens,
@@ -331,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "txn_native_sink": SQL_TXN_NATIVE_SINK,
         "txn_sink_partitioned": SQL_TXN_SINK_PARTITIONED,
         "txn_generated_cols": SQL_TXN_GENERATED_COLS,
+        "merge_clustered_txn": SQL_MERGE_CLUSTERED,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

@@ -155,6 +155,11 @@ EXTENDED = [
     # round-10: generated columns — declare + computed append +
     # validated append + bounced mismatch, at lineitem scale
     "txn_generated_cols",
+    # round-10: selective MERGE on a key-clustered table (stats-pruned
+    # probe + touched-file-only rewrite — the shape where Delta-style
+    # MERGE beats full overwrite; merge_upsert_txn times the
+    # uniform-key worst case where the probe is pure premium)
+    "merge_clustered_txn",
 ]
 
 

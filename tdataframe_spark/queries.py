@@ -1484,6 +1484,60 @@ def q_merge_upsert_txn(spark, sf):
     return txn_read(spark, path)
 
 
+def q_merge_clustered_txn(spark, sf):
+    """r10: selective MERGE on a KEY-CLUSTERED table — the 100 TB shape
+    where Delta-style touched-file rewriting wins. Orders is seeded as
+    8 range-clustered files with per-file o_orderkey stats; the batch
+    re-prices one narrow key band, so stats pruning + the key-column
+    probe confine the rewrite to the one or two files actually holding
+    the band — every other file entry rides into the commit untouched
+    (asserted: most of the seeded files survive by identity). The
+    oracle is the band-repriced relational result. Contrast with
+    merge_upsert_txn, whose uniformly-spread keys force a full-radius
+    rewrite (the probe there is pure premium — both shapes are timed)."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        txn_latest,
+        txn_read,
+        txn_upsert,
+        txn_write,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    upd = o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    path = os.path.join(
+        tempfile.gettempdir(), f"merge_clustered_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        o.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        path, mode="overwrite", stats_cols=["o_orderkey"],
+    )
+    seeded = {f["path"] for f in txn_latest(path)[1]["files"]}
+    txn_upsert(upd, path, keys=["o_orderkey"])
+    kept = seeded & {f["path"] for f in txn_latest(path)[1]["files"]}
+    # blast radius: the band lives in at most 2 of the 8 range files
+    assert len(kept) >= len(seeded) - 2, (len(kept), len(seeded))
+    return txn_read(spark, path)
+
+
+SQL_MERGE_CLUSTERED = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey < 1000 OR o_orderkey >= 2000
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+"""
+
+
 def q_merge_delete_txn(spark, sf):
     """MERGE with a WHEN MATCHED DELETE arm (txn_upsert delete_when —
     Delta's whenMatchedDelete shape): one batch carries re-priced updates

@@ -530,6 +530,7 @@ def txn_write(
     max_retries: int = 50,
     stats_cols: list[str] | None = None,
     _constraints_prevalidated: bool = False,
+    _replace_paths: set[str] | None = None,
 ) -> int:
     """Commit ``df`` to the transactional table at ``path``; returns the
     committed version.
@@ -554,6 +555,17 @@ def txn_write(
         )
     if replace_where and mode == "overwrite":
         raise ValueError("replace_where and mode='overwrite' are exclusive")
+    # _replace_paths (internal — txn_upsert's selective MERGE): commit
+    # df's files while DROPPING the named live files in the same atomic
+    # manifest. File-level replacement is only sound against the exact
+    # snapshot the caller diffed, so the version pin is mandatory.
+    if _replace_paths and (
+        mode != "append" or replace_where or expected_version is None
+    ):
+        raise ValueError(
+            "_replace_paths requires mode='append', no replace_where, "
+            "and an expected_version pin"
+        )
     # the DV row-ref internals are reserved at WRITE time, not just in
     # txn_delete: a schema-evolving append introducing __dv_file/__dv_pos
     # onto a table already carrying deletion vectors would make every
@@ -696,6 +708,22 @@ def txn_write(
         writer = writer.partitionBy(*pcols)
     writer.parquet(commit_dir)
     new_files = _collect_files(commit_dir, path)
+    if _replace_paths is not None:
+        # selective MERGE: a rewrite whose touched survivors are all
+        # erased stages ZERO-ROW part files — drop them (footer-count
+        # check, driver-side over just-written files) rather than
+        # littering the manifest with stat-less empties; a merge whose
+        # whole output is empty commits pure file removal below
+        import pyarrow.parquet as _pq
+
+        kept_entries = []
+        for f in new_files:
+            abs_f = os.path.join(path, f["path"])
+            if _pq.ParquetFile(abs_f).metadata.num_rows:
+                kept_entries.append(f)
+            else:
+                os.unlink(abs_f)
+        new_files = kept_entries
     if stats_cols:
         # stats ride the files, so they are keyed by PHYSICAL name (the
         # name the footer actually carries); txn_read translates
@@ -817,6 +845,20 @@ def txn_write(
             )
         else:
             live = list((latest or {}).get("files", []))
+            if _replace_paths:
+                # selective MERGE: the rewritten files drop out of the
+                # live set atomically with their replacements landing;
+                # DV entries referencing ONLY dropped files go too (the
+                # rewrite materialized their deletes), entries that
+                # also reference kept files stay — their positions for
+                # dropped paths can never match again
+                live = [f for f in live if f["path"] not in _replace_paths]
+                live_paths = {f["path"] for f in live}
+                dv = [
+                    e for e in dv
+                    if not isinstance(e, dict) or not e.get("refs")
+                    or any(r in live_paths for r in e["refs"])
+                ]
             committed_schema = _merge_schemas(
                 (latest or {}).get("schema"), schema_json
             )
@@ -1155,6 +1197,107 @@ def txn_changes_since(
     return txn_changes(spark, path, last_version, head), head
 
 
+def _read_file_subset(
+    spark: SparkSession, path: str, manifest: dict, rel_paths: set[str]
+) -> DataFrame:
+    """Read a SUBSET of a snapshot's files under its logical schema,
+    deletion vectors applied — txn_read's tail restricted to the named
+    manifest-relative paths (the selective-MERGE rewrite read). DV
+    entries are pre-pruned to those whose refs may touch the subset."""
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    files = [f for f in manifest["files"] if f["path"] in rel_paths]
+    if not files:
+        return spark.createDataFrame([], _plain_schema(schema))
+    paths = [_abs_file(path, f) for f in files]
+    base = spark.read.schema(_physical_schema(schema)).parquet(*paths)
+    dv_entries = [
+        e for e in manifest.get("dv", [])
+        if not isinstance(e, dict) or not e.get("refs")
+        or any(r in rel_paths for r in e["refs"])
+    ]
+    dv = _read_dv(spark, path, {**manifest, "dv": dv_entries})
+    if dv is None:
+        return _to_logical(base, schema)
+    return _to_logical(
+        _with_row_refs(base).join(dv, [_DV_FILE, _DV_POS], "left_anti"),
+        schema,
+    )
+
+
+def _touched_files(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    keys: list[str],
+    key_df: DataFrame,
+) -> set[str]:
+    """Manifest-relative paths of live files holding at least one row
+    whose key tuple appears in ``key_df`` — a MERGE's blast radius.
+
+    100 TB shape: candidate files are pre-pruned on per-file min/max
+    stats against the batch's key bounds when the table records them
+    (one tiny aggregate over the batch), then ONE key-column-only scan
+    of the candidates (parquet column pruning — the key bytes, not the
+    table) semi-joins the batch keys; the result collected is DISTINCT
+    FILE PATHS, O(#files) driver state, never rows."""
+    from urllib.parse import unquote as _unq
+    from urllib.parse import urlparse as _urlparse
+
+    files = manifest["files"]
+    if not files:
+        return set()
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    cmap = _mapping(schema)
+    phys_keys = [cmap.get(k, k) for k in keys]
+    # stats pruning: a file whose recorded [min, max] cannot overlap the
+    # batch's key bounds cannot contain a matching row
+    if any(pk in f.get("stats", {}) for f in files for pk in phys_keys):
+        bounds_row = key_df.agg(
+            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
+        ).first()
+        bounds = {
+            pk: (bounds_row[f"lo_{i}"], bounds_row[f"hi_{i}"])
+            for i, pk in enumerate(phys_keys)
+        }
+        try:
+            files = [
+                f for f in files if _stats_match(f.get("stats", {}), bounds)
+            ]
+        except TypeError:
+            pass  # incomparable stat types: keep every candidate
+        if not files:
+            return set()
+    pschema = _physical_schema(schema)
+    key_fields = StructType(
+        [f for f in pschema.fields if f.name in phys_keys]
+    )
+    absmap = {os.path.normpath(_abs_file(path, f)): f["path"] for f in files}
+    scan = (
+        spark.read.schema(key_fields)
+        .parquet(*absmap.keys())
+        .withColumn("__src_file", F.input_file_name())
+    )
+    probe = key_df.toDF(*phys_keys).dropDuplicates(phys_keys)
+    hits = (
+        scan.join(probe, phys_keys, "left_semi")
+        .select("__src_file")
+        .distinct()
+        .collect()
+    )
+    out = set()
+    for r in hits:
+        p = os.path.normpath(_unq(_urlparse(r["__src_file"]).path))
+        rel = absmap.get(p)
+        if rel is None:
+            raise RuntimeError(
+                f"touched-file scan returned {r['__src_file']!r}, not a "
+                f"live file of {path}"
+            )
+        out.add(rel)
+    return out
+
+
 def txn_upsert(
     batch: DataFrame,
     path: str,
@@ -1162,14 +1305,28 @@ def txn_upsert(
     order_col: str | None = None,
     meta: dict | None = None,
     delete_when: str | None = None,
+    rewrite: str = "selective",
 ) -> int:
     """Batch MERGE INTO: batch rows replace same-key rows, new keys
-    append — one keyed shuffle, ONE atomic overwrite commit (readers see
-    pre- or post-merge, never between; pinned snapshots unaffected).
-    Within the batch, ``order_col`` picks the winning version per key
-    (last-wins); without it the batch must be key-unique. The batch
-    counterpart of ``streaming.ops.stream_upsert_to_parquet(txn=True)``.
-    Returns the committed version.
+    append — one keyed shuffle, ONE atomic commit (readers see pre- or
+    post-merge, never between; pinned snapshots unaffected). Within the
+    batch, ``order_col`` picks the winning version per key (last-wins);
+    without it the batch must be key-unique. The batch counterpart of
+    ``streaming.ops.stream_upsert_to_parquet(txn=True)``. Returns the
+    committed version.
+
+    ``rewrite`` picks the physical strategy (identical results):
+
+    * ``"selective"`` (default — Delta MERGE's shape): ONE key-column-
+      only scan (stats-pruned when the table records key stats) finds
+      the files actually holding batch keys; only those are rewritten,
+      every other file rides into the commit untouched. A MERGE's cost
+      becomes O(touched files + key bytes scanned), not O(table) — at
+      100 TB, merging a day's delta into a key-clustered table (see
+      ``sources.layout``) rewrites gigabytes, not the table.
+    * ``"full"`` — rewrite the whole table as one overwrite commit (the
+      pre-r10 behavior; OPTIMIZE-adjacent, occasionally useful to
+      defragment while merging).
 
     ``delete_when`` (SQL predicate over the batch columns, or a Column)
     adds the WHEN MATCHED DELETE arm (Delta's ``whenMatchedDelete``):
@@ -1253,16 +1410,36 @@ def txn_upsert(
         # existing txn_read(range_filter=...) readers. Stats keys are
         # physical; the merged frame is logical — translate
         stats_cols = _logical_stats_cols(manifest)
-        current = txn_read(spark, path, version=version)
         drop_keys = batch.select(*keys)
         if tombstones is not None:
             drop_keys = drop_keys.unionByName(tombstones)
-        survivors = current.join(
-            drop_keys.dropDuplicates(keys), keys, "left_anti"
-        )
-        # allowMissingColumns: the batch may introduce a new column or
-        # omit an evolved one — either side NULL-backfills, matching the
-        # additive schema-evolution semantics of plain appends
+        drop_keys = drop_keys.dropDuplicates(keys)
+        if rewrite == "selective":
+            touched = _touched_files(spark, path, manifest, keys, drop_keys)
+            survivors = _read_file_subset(
+                spark, path, manifest, touched
+            ).join(drop_keys, keys, "left_anti")
+            # allowMissingColumns: the batch may introduce a new column
+            # or omit an evolved one — either side NULL-backfills,
+            # matching additive schema-evolution semantics
+            merged = survivors.unionByName(batch, allowMissingColumns=True)
+            return txn_write(
+                merged,
+                path,
+                mode="append",
+                partition_by=partition_by,
+                meta=meta,
+                expected_version=version,
+                stats_cols=stats_cols,
+                _constraints_prevalidated=prevalidated,
+                _replace_paths=touched,
+            )
+        if rewrite != "full":
+            raise ValueError(
+                f"rewrite must be 'selective' or 'full', got {rewrite!r}"
+            )
+        current = txn_read(spark, path, version=version)
+        survivors = current.join(drop_keys, keys, "left_anti")
         merged = survivors.unionByName(batch, allowMissingColumns=True)
     else:
         if os.path.isdir(path) and (

@@ -412,11 +412,12 @@ def test_txn_upsert_preserves_partitioning_and_races_loudly(spark, tmp_path, mon
     assert {r["tag"] for r in head.collect()} == {None, "x"}
 
     # (2) inject a commit between txn_upsert's read and its commit
-    real_read = txn_mod.txn_read
+    # (into the selective path's snapshot-subset read)
+    real_subset = txn_mod._read_file_subset
     bumped = {"done": False}
 
-    def racing_read(spark_, p, **kw):
-        out = real_read(spark_, p, **kw)
+    def racing_subset(spark_, p, manifest, rel_paths):
+        out = real_subset(spark_, p, manifest, rel_paths)
         if not bumped["done"]:
             bumped["done"] = True
             txn_write(
@@ -426,7 +427,7 @@ def test_txn_upsert_preserves_partitioning_and_races_loudly(spark, tmp_path, mon
             )
         return out
 
-    monkeypatch.setattr(txn_mod, "txn_read", racing_read)
+    monkeypatch.setattr(txn_mod, "_read_file_subset", racing_subset)
     with pytest.raises(ConcurrentWriteError):
         txn_upsert(
             spark.createDataFrame(
@@ -714,12 +715,13 @@ def test_txn_upsert_delete_arm(spark, tmp_path, monkeypatch):
     got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
     assert set(got) == {2, 3, 4} and got[2] == 20.0
 
-    # race: a commit between the snapshot read and the merge commit raises
-    real_read = txn_mod.txn_read
+    # race: a commit between the snapshot read and the merge commit
+    # raises (injected into the selective path's snapshot-subset read)
+    real_subset = txn_mod._read_file_subset
     bumped = {"done": False}
 
-    def racing_read(spark_, p, **kw):
-        out = real_read(spark_, p, **kw)
+    def racing_subset(spark_, p, manifest, rel_paths):
+        out = real_subset(spark_, p, manifest, rel_paths)
         if not bumped["done"]:
             bumped["done"] = True
             txn_write(
@@ -729,7 +731,7 @@ def test_txn_upsert_delete_arm(spark, tmp_path, monkeypatch):
             )
         return out
 
-    monkeypatch.setattr(txn_mod, "txn_read", racing_read)
+    monkeypatch.setattr(txn_mod, "_read_file_subset", racing_subset)
     with pytest.raises(ConcurrentWriteError):
         txn_upsert(versioned, path, keys=["k"], order_col="ts",
                    delete_when="gone")
@@ -1151,16 +1153,23 @@ def test_deletion_vectors_compose_with_writers(spark, tmp_path):
     assert got.filter("day = 0 and k < 10").count() == 0
     assert got.filter("k = 2001").count() == 1
 
-    # upsert reads DV-applied and rewrites: tombstoned rows cannot
-    # resurrect, and the new head carries no DVs
+    # upsert reads DV-applied and rewrites the TOUCHED files (r10
+    # selective MERGE): tombstoned rows cannot resurrect; DV entries
+    # referencing untouched files legitimately survive and keep
+    # applying, while a rewrite="full" pass clears every DV
     txn_upsert(
         spark.createDataFrame([(50, 0, 999.0)], "k int, day int, v double"),
         path, keys=["k"],
     )
+    assert txn_read(spark, path).filter("day = 0 and k < 10").count() == 0
+    assert txn_read(spark, path).filter("v = 999.0").count() == 1
+    txn_upsert(
+        spark.createDataFrame([(51, 0, 998.0)], "k int, day int, v double"),
+        path, keys=["k"], rewrite="full",
+    )
     _, m = txn_latest(path)
     assert m.get("dv", []) == []
     assert txn_read(spark, path).filter("day = 0 and k < 10").count() == 0
-    assert txn_read(spark, path).filter("v = 999.0").count() == 1
 
     # delete → compact: files physically rewritten, rows stay deleted, dv cleared
     v_del = txn_delete(spark, path, "k = 50")
@@ -1612,7 +1621,9 @@ def test_rename_composes_with_dv_purge_upsert_restore(spark, tmp_path):
     txn_purge(spark, path, min_deleted_ratio=0.001)     # v4: physical rewrite
     got = txn_read(spark, path)
     assert set(got.columns) == {"k", "score"} and got.count() == 8
-    # upsert = read-logical + overwrite: the mapping materializes away
+    # selective upsert (r10): an append-shaped commit — the column
+    # mapping PERSISTS (untouched files keep their physical names; the
+    # rename stays metadata-only through merges), and values read right
     txn_upsert(
         spark.createDataFrame([(0, 99.0)], "k int, score double"),
         path, keys=["k"],
@@ -1620,8 +1631,16 @@ def test_rename_composes_with_dv_purge_upsert_restore(spark, tmp_path):
     head = txn_latest(path)[1]
     fields = _json.loads(head["schema"])["fields"]
     assert [f["name"] for f in fields] == ["k", "score"]
-    assert all("physical" not in (f.get("metadata") or {}) for f in fields)
     assert {r["k"]: r["score"] for r in txn_read(spark, path).collect()}[0] == 99.0
+    # a FULL-rewrite upsert materializes the mapping away (the pre-r10
+    # overwrite shape: every file rewritten under logical names)
+    txn_upsert(
+        spark.createDataFrame([(0, 97.0)], "k int, score double"),
+        path, keys=["k"], rewrite="full",
+    )
+    fields = _json.loads(txn_latest(path)[1]["schema"])["fields"]
+    assert all("physical" not in (f.get("metadata") or {}) for f in fields)
+    assert {r["k"]: r["score"] for r in txn_read(spark, path).collect()}[0] == 97.0
     # restore to the pre-rename snapshot: old name, old rows
     txn_restore(path, 1)
     back = txn_read(spark, path)
@@ -1795,8 +1814,10 @@ def test_clone_composes_with_rename_compact_vacuum(spark, tmp_path):
 
 def test_clone_change_feed_and_upsert_localize(spark, tmp_path):
     """txn_changes on a clone resolves foreign files (the from-side of
-    the diff lives in the source); txn_upsert rewrites the clone into
-    local files."""
+    the diff lives in the source); a selective txn_upsert localizes the
+    TOUCHED foreign files (untouched foreign refs stay shared —
+    zero-copy is the point of the clone), and a rewrite='full' upsert
+    localizes everything."""
     from tdataframe_spark.sources.txn import txn_changes, txn_clone, txn_upsert
 
     src = str(tmp_path / "src")
@@ -1813,7 +1834,19 @@ def test_clone_change_feed_and_upsert_localize(spark, tmp_path):
             .select("id", "v").collect()}
     assert (2, 99) in ins and (10, 100) in ins and (2, 4) in dels
     m = txn_latest(dst)[1]
-    assert m["files"] and all("base" not in f for f in m["files"])
+    assert m["files"]
+    # the file that held id=2 was rewritten LOCAL; reads stay correct
+    # whether or not other foreign refs remain shared
+    assert any("base" not in f for f in m["files"])
+    assert _rows(txn_read(spark, dst)) == _rows(
+        a.filter("id <> 2").unionByName(batch)
+    )
+    txn_upsert(
+        spark.createDataFrame([(3, 77)], "id long, v long"), dst,
+        keys=["id"], rewrite="full",
+    )
+    m2 = txn_latest(dst)[1]
+    assert m2["files"] and all("base" not in f for f in m2["files"])
 
 
 def test_check_constraints_enforced_on_every_write(spark, tmp_path):
@@ -2175,3 +2208,52 @@ def test_partition_by_generated_column(spark, tmp_path):
     assert txn_read(
         spark, path, partition_filter={"day": ["4"]}
     ).count() == 1
+
+
+def test_selective_merge_rewrites_only_touched_files(spark, tmp_path):
+    """r10: txn_upsert's default selective strategy (Delta MERGE's
+    shape) — files whose key ranges cannot hold batch keys are pruned
+    on recorded stats, the rest are probed with a key-column-only scan,
+    and ONLY files actually holding batch keys are rewritten; every
+    other file entry rides into the commit byte-identical (zero-copy),
+    DV entries on untouched files keep applying, and an all-erased
+    rewrite commits pure file removal (no zero-row litter)."""
+    from tdataframe_spark.sources.txn import _load, txn_delete, txn_upsert
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):  # 4 commits -> 4 key-disjoint files
+        txn_write(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            path, stats_cols=["k"],
+        )
+    txn_delete(spark, path, "k = 250")  # DV on the 200-file      (v5)
+    v_pre = txn_latest(path)[0]
+    txn_upsert(  # touches ONLY the 100-file; 450 is a pure insert (v6)
+        spark.createDataFrame([(150, 999), (450, 900)], "k long, v long"),
+        path, ["k"],
+    )
+    m = txn_latest(path)[1]
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got[150] == 999 and got[450] == 900 and 250 not in got
+    assert len(got) == 400 and got[0] == 0
+    prev = {f["path"] for f in _load(path, v_pre)["files"]}
+    kept = prev & {f["path"] for f in m["files"]}
+    assert len(kept) == 3, "exactly one of four files may be rewritten"
+    assert m["dv"], "DV on an untouched file must survive the merge"
+    # pure-delete merge: the touched file's survivors vanish -> the
+    # commit removes the file, staging no zero-row replacements
+    only_450 = [
+        f["path"] for f in m["files"] if f["path"] not in kept
+        and txn_read(spark, path).filter("k = 450").count()
+    ]
+    txn_upsert(
+        spark.createDataFrame([(450, 0)], "k long, v long"), path, ["k"],
+        delete_when="v = 0",
+    )
+    m2 = txn_latest(path)[1]
+    assert txn_read(spark, path).count() == 399
+    assert all(
+        "stats" not in f or f["stats"] for f in m2["files"]
+    )  # no stat-less empties
