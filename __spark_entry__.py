@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_generated_cols": q_txn_generated_cols,
         # NEW this round: Delta-shaped selective MERGE (clustered showcase)
         "merge_clustered_txn": q_merge_clustered_txn,
+        # NEW this round: opt-in partition evolution with exact pruned reads
+        "partition_evolution": q_partition_evolution,
         # then 43 of the 46 entries whose last external green is r8 (the
         # normal rotation cadence), image_dedup_index / time_travel /
         # data_skipping among them as VERDICT r9 ordered
@@ -139,7 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "tfidf_pairs": q_tfidf_pairs,
         "time_travel": q_time_travel,
-        "topk_orders": q_topk_orders,
         "weighted_sample": q_weighted_sample,
         # --- position 51+: rotated out — every entry below has an external
         # driver-green row from r8/r9 and is re-verified every round by the
@@ -150,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "image_dedup": q_image_dedup,
         "shot_detect": q_shot_detect,
+        "topk_orders": q_topk_orders,
         "merge_upsert": q_merge_upsert,
         "audio_features": q_audio_features,
         "bpe_tokens": q_bpe_tokens,
@@ -334,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "txn_sink_partitioned": SQL_TXN_SINK_PARTITIONED,
         "txn_generated_cols": SQL_TXN_GENERATED_COLS,
         "merge_clustered_txn": SQL_MERGE_CLUSTERED,
+        "partition_evolution": SQL_PARTITION_EVOLUTION,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,

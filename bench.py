@@ -160,6 +160,9 @@ EXTENDED = [
     # MERGE beats full overwrite; merge_upsert_txn times the
     # uniform-key worst case where the probe is pure premium)
     "merge_clustered_txn",
+    # round-10: partition evolution — mixed-layout seed + evolved
+    # append + exact pruned read (legacy files kept + residual filter)
+    "partition_evolution",
 ]
 
 

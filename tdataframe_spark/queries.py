@@ -1950,6 +1950,45 @@ WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
 """
 
 
+def q_partition_evolution(spark, sf):
+    """r10: Iceberg-style PARTITION EVOLUTION, opt-in and exact — half
+    of orders is seeded UNPARTITIONED, the other half appends
+    partitioned by o_orderpriority under allow_partition_evolution=True
+    (without the flag the layout change raises), and the table is read
+    back through partition_filter over one priority: legacy files
+    record no value for the key, so pruning KEEPS them and a residual
+    row filter over the (data-duplicated) column restores exactness —
+    the oracle is the same priority filter over ALL of orders, so a
+    pruned legacy file (the pre-r10 silent-data-loss bug) or a missing
+    residual would hash-mismatch. Guards and file-level pruning are
+    pinned in tests/test_txn.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read, txn_write
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"pevo_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(o.filter("o_orderkey % 2 = 0"), path, mode="overwrite")
+    txn_write(
+        o.filter("o_orderkey % 2 = 1"), path,
+        partition_by=["o_orderpriority"], allow_partition_evolution=True,
+    )
+    return txn_read(
+        spark, path, partition_filter={"o_orderpriority": ["2-HIGH"]}
+    )
+
+
+SQL_PARTITION_EVOLUTION = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+WHERE o_orderpriority = '2-HIGH'
+"""
+
+
 def q_txn_generated_cols(spark, sf):
     """r10: GENERATED columns end-to-end (txn_add_generated_column —
     Delta ``GENERATED ALWAYS AS`` semantics): ``disc_price`` is

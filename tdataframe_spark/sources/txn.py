@@ -529,6 +529,7 @@ def txn_write(
     expected_version: int | None = None,
     max_retries: int = 50,
     stats_cols: list[str] | None = None,
+    allow_partition_evolution: bool = False,
     _constraints_prevalidated: bool = False,
     _replace_paths: set[str] | None = None,
 ) -> int:
@@ -618,6 +619,32 @@ def txn_write(
     # violating batch never touches disk. The commit loop re-checks the
     # set against the live head (a constraint added mid-write must not
     # slip past validation).
+    # PARTITION LAYOUT guard: an append whose partition_by differs from
+    # every live file's layout would create a MIXED table silently —
+    # partition_filter then degrades to residual row filtering for the
+    # missing keys and replace_where refuses outright. Iceberg-style
+    # evolution is real and supported, but OPT-IN
+    # (allow_partition_evolution=True), never an accident.
+    if mode != "overwrite" and not replace_where:
+        live_layouts = {
+            tuple(sorted(f["partition"].keys()))
+            for f in (head0 or {}).get("files", [])
+        }
+        this_layout = tuple(sorted(partition_by or []))
+        if (
+            live_layouts
+            and this_layout not in live_layouts
+            and not allow_partition_evolution
+        ):
+            raise ValueError(
+                f"append partition layout {sorted(this_layout) or 'unpartitioned'} "
+                f"differs from {path}'s live layout(s) "
+                f"{sorted(sorted(t) for t in live_layouts)} — pass "
+                "allow_partition_evolution=True to evolve the layout "
+                "going forward (old files stay readable; partition_filter "
+                "stays exact via residual row filters), or match the "
+                "existing partition_by"
+            )
     # GENERATED columns come first (constraints may reference them):
     # compute the ones the batch omits, validate the ones it provides.
     # Like constraints they survive EVERY mode — the rules are table
@@ -708,22 +735,23 @@ def txn_write(
         writer = writer.partitionBy(*pcols)
     writer.parquet(commit_dir)
     new_files = _collect_files(commit_dir, path)
-    if _replace_paths is not None:
-        # selective MERGE: a rewrite whose touched survivors are all
-        # erased stages ZERO-ROW part files — drop them (footer-count
-        # check, driver-side over just-written files) rather than
-        # littering the manifest with stat-less empties; a merge whose
-        # whole output is empty commits pure file removal below
-        import pyarrow.parquet as _pq
+    # ZERO-ROW part files never enter the manifest (footer-count check,
+    # driver-side over just-written files — the same order as stats
+    # collection): they carry no data, no stats, and a PHANTOM partition
+    # layout that would otherwise trip the evolution guard on the next
+    # real write (a zero-row seed is a schema commit, nothing more; a
+    # selective MERGE whose touched survivors are all erased commits
+    # pure file removal)
+    import pyarrow.parquet as _pq
 
-        kept_entries = []
-        for f in new_files:
-            abs_f = os.path.join(path, f["path"])
-            if _pq.ParquetFile(abs_f).metadata.num_rows:
-                kept_entries.append(f)
-            else:
-                os.unlink(abs_f)
-        new_files = kept_entries
+    kept_entries = []
+    for f in new_files:
+        abs_f = os.path.join(path, f["path"])
+        if _pq.ParquetFile(abs_f).metadata.num_rows:
+            kept_entries.append(f)
+        else:
+            os.unlink(abs_f)
+    new_files = kept_entries
     if stats_cols:
         # stats ride the files, so they are keyed by PHYSICAL name (the
         # name the footer actually carries); txn_read translates
@@ -825,6 +853,22 @@ def txn_write(
                     f"(has {sorted(existing_cols) or 'none — unpartitioned'}); "
                     "the predicate would retain every file and the new rows "
                     "would duplicate instead of replace"
+                )
+            mixed = [
+                f["path"] for f in old_files
+                if any(k not in f["partition"] for k in replace_where)
+            ]
+            if mixed:
+                import shutil
+
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise ValueError(
+                    f"replace_where on {path} is unsound under a mixed "
+                    f"partition layout: {len(mixed)} live file(s) record "
+                    f"no value for {sorted(replace_where)} (written "
+                    "before the layout evolved) and may hold matching "
+                    "rows that would silently duplicate — compact to "
+                    "one layout first (txn_read -> txn_write)"
                 )
             live = [
                 f for f in old_files
@@ -1011,6 +1055,7 @@ def txn_read(
                     f"any live file of {path} — commit with "
                     "txn_write(stats_cols=[...]) (or fix the column name)"
                 )
+    residual_filter = None
     if partition_filter:
         # pruning compares against recorded partition values, so a key
         # that is not a partition column of ANY live file would silently
@@ -1022,7 +1067,35 @@ def txn_read(
                 f"partition_filter keys {sorted(unknown)} are not partition "
                 f"columns of {path} (has {sorted(pcols) or 'none — unpartitioned'})"
             )
-        files = [f for f in files if _part_matches(f["partition"], partition_filter)]
+        # PARTITION EVOLUTION: files written before a layout change
+        # record no value for the new key — pruning must KEEP them
+        # (dropping them silently loses their rows), and an exact
+        # result is restored by a residual ROW filter over those keys
+        # (partition columns are duplicated into the data, so the
+        # filter pushes into the scan; for files that do record a
+        # matching value it is a no-op)
+        files = [
+            f for f in files
+            if any(k not in f["partition"] for k in partition_filter)
+            or _part_matches(f["partition"], partition_filter)
+        ]
+        evolved = {
+            k for f in files for k in partition_filter
+            if k not in f["partition"]
+        }
+        if evolved:
+            conds = []
+            for k in evolved:
+                vals = [str(v) for v in partition_filter[k]]
+                cond = F.col(k).cast("string").isin(
+                    [v for v in vals if v != "__HIVE_DEFAULT_PARTITION__"]
+                )
+                if "__HIVE_DEFAULT_PARTITION__" in vals:
+                    cond = cond | F.col(k).isNull()
+                conds.append(cond)
+            residual_filter = conds[0]
+            for c in conds[1:]:
+                residual_filter = residual_filter & c
     if range_filter:
         files = [
             f for f in files if _stats_match(f.get("stats", {}), range_filter)
@@ -1039,15 +1112,20 @@ def txn_read(
     base = spark.read.schema(_physical_schema(schema)).parquet(*paths)
     dv = _read_dv(spark, path, manifest)
     if dv is None:
-        return _to_logical(base, schema)
-    # deletion vectors: anti-join on (part-file name, row position) —
-    # Spark broadcasts the DV side when small (the common case), and the
-    # equi anti-join scales when it is not; stats/partition pruning above
-    # stays valid (a DV never widens a file's min/max, only hides rows)
-    return _to_logical(
-        _with_row_refs(base).join(dv, [_DV_FILE, _DV_POS], "left_anti"),
-        schema,
-    )
+        out = _to_logical(base, schema)
+    else:
+        # deletion vectors: anti-join on (part-file name, row position) —
+        # Spark broadcasts the DV side when small (the common case), and
+        # the equi anti-join scales when it is not; stats/partition
+        # pruning above stays valid (a DV never widens a file's min/max,
+        # only hides rows)
+        out = _to_logical(
+            _with_row_refs(base).join(dv, [_DV_FILE, _DV_POS], "left_anti"),
+            schema,
+        )
+    if residual_filter is not None:
+        out = out.filter(residual_filter)
+    return out
 
 
 def txn_latest_meta(path: str) -> dict:
@@ -1431,6 +1509,10 @@ def txn_upsert(
                 meta=meta,
                 expected_version=version,
                 stats_cols=stats_cols,
+                # the layout is DERIVED from the table (union of live
+                # partition keys), not user input — on an already-
+                # evolved table it may widen a narrower live layout
+                allow_partition_evolution=True,
                 _constraints_prevalidated=prevalidated,
                 _replace_paths=touched,
             )

@@ -1511,10 +1511,12 @@ def test_rename_column_is_metadata_only(spark, tmp_path):
     # the rename itself is a zero-row change
     assert txn_changes(spark, path, 1, 2).count() == 0
     # appends address the new name; old + new rows read back together
+    # (matching the table's partition layout — an unpartitioned append
+    # would now trip the r10 evolution guard)
     txn_write(
         spark.createDataFrame([(100, 100.0, "a")],
                               "k int, score double, part string"),
-        path, stats_cols=["score"],
+        path, stats_cols=["score"], partition_by=["part"],
     )
     allr = txn_read(spark, path)
     assert allr.count() == 21
@@ -2257,3 +2259,50 @@ def test_selective_merge_rewrites_only_touched_files(spark, tmp_path):
     assert all(
         "stats" not in f or f["stats"] for f in m2["files"]
     )  # no stat-less empties
+
+
+def test_partition_evolution_guarded_and_exact(spark, tmp_path):
+    """r10: an append whose partition_by differs from the live layout
+    raises (accidental mixing) unless allow_partition_evolution=True;
+    on an evolved table partition_filter stays EXACT — old files that
+    record no value for the key are kept by pruning and a residual row
+    filter over the (duplicated-into-data) column restores exactness;
+    replace_where refuses mixed layouts outright; zero-row writes
+    commit schema only (no phantom-layout file entries)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(20)],
+        "id long, grp string, v double",
+    )
+    # zero-row seed: schema commit, NO file entries
+    txn_write(df.limit(0), path)
+    assert txn_latest(path)[1]["files"] == []
+    txn_write(df.filter("id < 10"), path)  # unpartitioned data
+    with pytest.raises(ValueError, match="allow_partition_evolution"):
+        txn_write(df.filter("id >= 10"), path, partition_by=["grp"])
+    txn_write(
+        df.filter("id >= 10"), path, partition_by=["grp"],
+        allow_partition_evolution=True,
+    )
+    # exact pruned read across BOTH layouts
+    got = sorted(
+        r["id"] for r in txn_read(
+            spark, path, partition_filter={"grp": ["b"]}
+        ).collect()
+    )
+    assert got == [i for i in range(20) if i % 2 == 1]
+    # the new-layout files were actually PRUNED (not just row-filtered):
+    # grp='b' keeps half the partitioned files plus every legacy file
+    n_all = len(txn_read(spark, path).inputFiles())
+    n_pruned = len(
+        txn_read(spark, path, partition_filter={"grp": ["b"]}).inputFiles()
+    )
+    assert n_pruned < n_all
+    with pytest.raises(ValueError, match="mixed partition layout"):
+        txn_write(
+            df.filter("id = 1"), path, partition_by=["grp"],
+            replace_where={"grp": ["b"]},
+        )
+    # partitioned -> differently-partitioned also refuses without opt-in
+    with pytest.raises(ValueError, match="allow_partition_evolution"):
+        txn_write(df.limit(1), path, partition_by=["id"])
