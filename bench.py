@@ -194,14 +194,27 @@ BEST_CACHE = os.path.join(
 
 
 def _git_head() -> str | None:
+    """Fingerprint of the CODE the bench exercises — the tree hashes of
+    the package + the two contract files, not the commit hash, so a
+    docs-only commit does not invalidate the best-of-session record
+    while any code change still does. A dirty working tree under those
+    paths returns None (no merging against unknown code)."""
     import subprocess
 
+    cwd = os.path.dirname(os.path.abspath(__file__))
+    paths = ["tdataframe_spark", "__spark_entry__.py", "bench.py"]
     try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or None
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", *paths],
+            cwd=cwd, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if dirty:
+            return None
+        out = subprocess.run(
+            ["git", "rev-parse", *[f"HEAD:{p}" for p in paths]],
+            cwd=cwd, capture_output=True, text=True, timeout=10,
+        ).stdout.split()
+        return "-".join(out) if len(out) == len(paths) else None
     except OSError:
         return None
 
