@@ -215,7 +215,11 @@ def _git_head() -> str | None:
             cwd=cwd, capture_output=True, text=True, timeout=10,
         ).stdout.split()
         return "-".join(out) if len(out) == len(paths) else None
-    except OSError:
+    except Exception:
+        # OSError, TimeoutExpired (NOT an OSError subclass), anything
+        # else git-shaped: the cache is an optimization — a failed
+        # fingerprint must degrade to no-merge, never lose the run's
+        # JSON line after every query already executed
         return None
 
 
@@ -302,10 +306,15 @@ def main() -> None:
     extended = {name: time_query(name) for name in EXTENDED}
 
     # quiet runs of the same commit fold into a best-of-session record;
-    # unquiet runs stand alone (and are flagged)
+    # unquiet runs stand alone (and are flagged). The key carries the
+    # MEASUREMENT CONFIG too — minima from different scales or
+    # parallelism must never merge (an sf0.001 smoke run folding into
+    # the sf0.1 record would fabricate the round's gate numbers)
     n_runs = 1
     if quiet:
-        timings, extended, n_runs = _merge_best(_git_head(), timings, extended)
+        code = _git_head()
+        key = f"{code}@{sf_dir}@{cpus}" if code else None
+        timings, extended, n_runs = _merge_best(key, timings, extended)
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]

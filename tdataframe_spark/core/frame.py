@@ -650,14 +650,20 @@ class Frame:
 
         Two update rows sharing a key raise at execution (SQL MERGE's
         "multiple source rows matched" error — both appending silently
-        was the pre-r10 behavior). The check is free: the key-distinct
-        the anti join already needs becomes a groupBy-count, so no extra
-        shuffle or pass. ``check_duplicates=False`` restores the blind
-        append-both path for callers that WANT multiset updates."""
+        was the pre-r10 behavior). The guard rides the UPDATES side of
+        the plan (a per-key window count feeding ``raise_error``), so it
+        fires whenever any update row is produced — including against
+        an empty target, where an anti-join-side guard would be
+        optimized away with the join by empty-relation propagation.
+        Cost: the updates side shuffles whole rows by key instead of a
+        keys-only distinct (updates are the small delta by
+        construction). ``check_duplicates=False`` restores the blind
+        zero-overhead append-both path for callers that WANT multiset
+        updates."""
+        from pyspark.sql import Window
+
         right = updates.df if isinstance(updates, Frame) else updates
-        if not check_duplicates:
-            keys = right.select(*on).distinct()
-        else:
+        if check_duplicates:
             first = on[0]
             err = F.raise_error(
                 F.concat(
@@ -672,18 +678,18 @@ class Frame:
                     ),
                 )
             )
-            keys = (
-                right.groupBy(*on)
-                .agg(F.count(F.lit(1)).alias("__upsert_n"))
-                .select(*[
-                    F.when(F.col("__upsert_n") > 1, err)
-                    .otherwise(F.col(k))
-                    .alias(k)
-                    if k == first
-                    else F.col(k)
-                    for k in on
-                ])
+            w = Window.partitionBy(*on)
+            right = (
+                right.withColumn("__upsert_n", F.count(F.lit(1)).over(w))
+                .withColumn(
+                    first,
+                    F.when(F.col("__upsert_n") > 1, err).otherwise(
+                        F.col(first)
+                    ),
+                )
+                .drop("__upsert_n")
             )
+        keys = right.select(*on).distinct()
         kept = self._df.join(keys, list(on), "left_anti")
         return self._derive(kept.unionByName(right))
 

@@ -272,15 +272,17 @@ def _read_dv(spark: SparkSession, path: str, manifest: dict | None):
     return spark.read.schema(_DV_SCHEMA).parquet(*abss)
 
 
-def _file_stats(abs_path: str, cols: set[str]) -> dict:
+def _file_stats(abs_path: str, cols: set[str], _md=None) -> dict:
     """Per-file min/max of ``cols`` from the parquet footer (driver-side,
     metadata only — no data pages read). Values are kept JSON-portable
     (int/float/str); columns without usable statistics are omitted, which
-    downstream pruning treats as 'keep the file' (safe)."""
+    downstream pruning treats as 'keep the file' (safe). ``_md`` lets a
+    caller that already opened the footer pass it in (txn_write's
+    zero-row pruning — one footer open per fresh file, not two)."""
     import pyarrow.parquet as pq
 
     agg: dict[str, list] = {}
-    md = pq.ParquetFile(abs_path).metadata
+    md = _md if _md is not None else pq.ParquetFile(abs_path).metadata
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             c = md.row_group(rg).column(ci)
@@ -736,30 +738,28 @@ def txn_write(
     writer.parquet(commit_dir)
     new_files = _collect_files(commit_dir, path)
     # ZERO-ROW part files never enter the manifest (footer-count check,
-    # driver-side over just-written files — the same order as stats
-    # collection): they carry no data, no stats, and a PHANTOM partition
-    # layout that would otherwise trip the evolution guard on the next
-    # real write (a zero-row seed is a schema commit, nothing more; a
-    # selective MERGE whose touched survivors are all erased commits
-    # pure file removal)
+    # driver-side over just-written files — ONE footer open per file,
+    # shared with stats collection below): they carry no data, no
+    # stats, and a PHANTOM partition layout that would otherwise trip
+    # the evolution guard on the next real write (a zero-row seed is a
+    # schema commit, nothing more; a selective MERGE whose touched
+    # survivors are all erased commits pure file removal)
     import pyarrow.parquet as _pq
 
+    phys_stats = {phys_map.get(c, c) for c in stats_cols or []}
     kept_entries = []
     for f in new_files:
         abs_f = os.path.join(path, f["path"])
-        if _pq.ParquetFile(abs_f).metadata.num_rows:
-            kept_entries.append(f)
-        else:
+        md = _pq.ParquetFile(abs_f).metadata
+        if not md.num_rows:
             os.unlink(abs_f)
+            continue
+        if stats_cols:
+            # stats ride the files, so they are keyed by PHYSICAL name
+            # (the name the footer actually carries); txn_read translates
+            f["stats"] = _file_stats(abs_f, phys_stats, _md=md)
+        kept_entries.append(f)
     new_files = kept_entries
-    if stats_cols:
-        # stats ride the files, so they are keyed by PHYSICAL name (the
-        # name the footer actually carries); txn_read translates
-        for f in new_files:
-            f["stats"] = _file_stats(
-                os.path.join(path, f["path"]),
-                {phys_map.get(c, c) for c in stats_cols},
-            )
     if replace_where:
         # Delta's replaceWhere rule: every written row must satisfy the
         # predicate, or rows outside it land in the commit alongside the
@@ -827,6 +827,32 @@ def txn_write(
                     "schema-evolving writer raced it — re-run the write "
                     "against the new head"
                 )
+            # partition-layout race: the up-front evolution guard saw
+            # head0 — a concurrent overwrite/evolution landing since
+            # would otherwise let this commit create the exact mixed
+            # table the guard refuses (same re-check rule as the
+            # constraint set and the column mapping above)
+            if (
+                not replace_where
+                and not allow_partition_evolution
+                and latest is not None
+            ):
+                live_now = {
+                    tuple(sorted(f["partition"].keys()))
+                    for f in latest.get("files", [])
+                }
+                if (
+                    live_now
+                    and tuple(sorted(partition_by or [])) not in live_now
+                ):
+                    import shutil
+
+                    shutil.rmtree(commit_dir, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"partition layout of {path} changed under this "
+                        "write — re-run it against the new head (or opt "
+                        "into allow_partition_evolution=True)"
+                    )
         # deletion vectors ride the live file set: an overwrite replaces
         # every file, so its DVs go too; append/replace_where retain the
         # old files and must retain their DVs (entries pointing at files
@@ -1350,7 +1376,11 @@ def _touched_files(
     key_fields = StructType(
         [f for f in pschema.fields if f.name in phys_keys]
     )
-    absmap = {os.path.normpath(_abs_file(path, f)): f["path"] for f in files}
+    # input_file_name() returns ABSOLUTE file: URIs — key the map by
+    # abspath so a caller's cwd-relative table path still resolves
+    absmap = {
+        os.path.abspath(_abs_file(path, f)): f["path"] for f in files
+    }
     scan = (
         spark.read.schema(key_fields)
         .parquet(*absmap.keys())
@@ -1365,7 +1395,7 @@ def _touched_files(
     )
     out = set()
     for r in hits:
-        p = os.path.normpath(_unq(_urlparse(r["__src_file"]).path))
+        p = os.path.abspath(_unq(_urlparse(r["__src_file"]).path))
         rel = absmap.get(p)
         if rel is None:
             raise RuntimeError(
@@ -1867,8 +1897,11 @@ def txn_clone(
     DV row refs, replace_where pruning, and vacuum live sets are keyed
     by — commit-uuid-unique, so foreign and local entries never collide)
     and carry ``base`` = the source root for filesystem resolution;
-    compaction/upsert/purge materialize foreign references away as a
-    side effect of rewriting. A clone of a clone keeps each entry's
+    compaction, purge, and ``txn_upsert(rewrite="full")`` materialize
+    foreign references away as a side effect of rewriting (the default
+    SELECTIVE merge localizes only the files it touches — untouched
+    entries deliberately stay shared/zero-copy, so do a full rewrite
+    before vacuuming the source if the clone must outlive it). A clone of a clone keeps each entry's
     ORIGINAL base (references chase data, not clone chains). Snapshot
     selection (``version`` / ``as_of``) follows :func:`txn_read`.
 
@@ -2077,9 +2110,11 @@ def txn_drop_column(
     re-add of the same name gets a fresh physical name and can never
     resurrect the old files' values; pinned/as_of readers of older
     versions still see the column. The bytes are physically reclaimed
-    by the next full rewrite (``txn_upsert``/``compact_txn``/
-    ``mode="overwrite"``), which materializes the current logical
-    schema — the same lifecycle as deletion-vector rows.
+    by the next full rewrite (``txn_upsert(rewrite="full")`` /
+    ``compact_txn`` / ``mode="overwrite"``), which materializes the
+    current logical schema — the same lifecycle as deletion-vector
+    rows (the default selective merge rewrites only touched files, so
+    it reclaims the column's bytes only there).
 
     Partition columns are rejected (their name is baked into directory
     layouts); dropping the last column is rejected. Returns the
@@ -2172,16 +2207,16 @@ def txn_add_constraint(
             "schema": manifest["schema"],
             "dv": manifest.get("dv", []),
             "meta": {**(meta or {}), "op": "add_constraint", "name": name},
-            "constraints": cons,
         }
         if manifest.get("retired_physical"):
             new_manifest["retired_physical"] = list(
                 manifest["retired_physical"]
             )
-        if manifest.get("properties"):
-            new_manifest["properties"] = dict(manifest["properties"])
-        if manifest.get("generated"):
-            new_manifest["generated"] = dict(manifest["generated"])
+        # carry every table-contract key, then overwrite the one this
+        # DDL edits — hand-copying the others is the bug class where a
+        # NEW contract key silently drops on the next unrelated DDL
+        _carry_constraints(new_manifest, manifest)
+        new_manifest["constraints"] = cons
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(
@@ -2217,16 +2252,14 @@ def txn_drop_constraint(
             "dv": manifest.get("dv", []),
             "meta": {**(meta or {}), "op": "drop_constraint", "name": name},
         }
-        if cons:
-            new_manifest["constraints"] = cons
         if manifest.get("retired_physical"):
             new_manifest["retired_physical"] = list(
                 manifest["retired_physical"]
             )
-        if manifest.get("properties"):
-            new_manifest["properties"] = dict(manifest["properties"])
-        if manifest.get("generated"):
-            new_manifest["generated"] = dict(manifest["generated"])
+        _carry_constraints(new_manifest, manifest)
+        new_manifest.pop("constraints", None)
+        if cons:
+            new_manifest["constraints"] = cons
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(
@@ -2280,6 +2313,26 @@ def txn_add_generated_column(
             raise ValueError(
                 f"{path} already generates {col!r} AS ({gen[col]}); "
                 "txn_drop_generated_column first"
+            )
+        # CHAINED generated columns are refused in both directions —
+        # compute order would otherwise depend on column NAMES (rules
+        # apply in sorted order), so a AS "b+1" over generated b works
+        # or fails by alphabet; inline the expression instead
+        import re as _re
+
+        fwd = sorted(
+            g for g in gen if _re.search(rf"\b{_re.escape(g)}\b", expr)
+        )
+        back = sorted(
+            g for g, e in gen.items()
+            if _re.search(rf"\b{_re.escape(col)}\b", e)
+        )
+        if fwd or back:
+            raise ValueError(
+                f"generated column {col!r} would chain with generated "
+                f"column(s) {fwd or back} (one's expression references "
+                "the other) — chained generated columns are not "
+                "supported; inline the upstream expression instead"
             )
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         names = [f.name for f in schema.fields]
@@ -2445,16 +2498,14 @@ def txn_set_properties(
             "dv": manifest.get("dv", []),
             "meta": {**(meta or {}), "op": "set_properties"},
         }
-        if merged:
-            new_manifest["properties"] = merged
         if manifest.get("retired_physical"):
             new_manifest["retired_physical"] = list(
                 manifest["retired_physical"]
             )
-        if manifest.get("constraints"):
-            new_manifest["constraints"] = dict(manifest["constraints"])
-        if manifest.get("generated"):
-            new_manifest["generated"] = dict(manifest["generated"])
+        _carry_constraints(new_manifest, manifest)
+        new_manifest.pop("properties", None)
+        if merged:
+            new_manifest["properties"] = merged
         if _publish(path, version + 1, new_manifest):
             return version + 1
     raise ConcurrentWriteError(

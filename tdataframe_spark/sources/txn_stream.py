@@ -351,16 +351,31 @@ def _fastpath_blocker(manifest: dict | None, mode: str) -> str | None:
             "uses column mapping — the native sink writes logical "
             "names; write through txn_write instead"
         )
+    layouts = {
+        tuple(f["partition"].keys()) for f in manifest.get("files", [])
+    }
+    if len(layouts) > 1:
+        # an EVOLVED table carries several layouts — "inherit the
+        # table's layout" is ambiguous (the first-file answer would be
+        # whichever layout happens to sort first, possibly the
+        # abandoned one); route to the engine-side writer, which takes
+        # an explicit partition_by + allow_partition_evolution
+        return (
+            "has a mixed (evolved) partition layout — the native sink "
+            "cannot infer which to inherit; write through "
+            "txn_write(partition_by=..., allow_partition_evolution=True)"
+        )
     return None
 
 
 def _manifest_pcols(manifest: dict | None) -> list[str]:
     """The table's partition columns in directory-nesting order, from
     the head manifest's file entries (every txn writer records them in
-    segment order; JSON objects preserve it)."""
+    segment order; JSON objects preserve it). Only meaningful on
+    single-layout tables — the blocker above refuses mixed ones, so the
+    first entry's layout IS the table's."""
     for f in (manifest or {}).get("files", []):
-        if f.get("partition"):
-            return list(f["partition"].keys())
+        return list(f["partition"].keys())
     return []
 
 

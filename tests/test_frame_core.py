@@ -525,3 +525,19 @@ def test_frame_histo2d_lazy_action(spark):
     ).collect()]
     assert sorted(rows) == sorted(want)
     assert sum(r[-1] for r in rows) == 40
+
+
+def test_upsert_duplicate_keys_raise_even_on_empty_target(spark):
+    """r10 review pin: the duplicate-key guard rides the UPDATES side
+    of the plan — an empty target used to optimize the anti-join (and
+    the guard with it) away via empty-relation propagation, silently
+    appending both duplicates."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    empty = spark.createDataFrame(
+        [], "k long, v string"
+    )
+    dup = spark.createDataFrame([(2, "B"), (2, "B2")], "k long, v string")
+    with pytest.raises(Exception, match="multiple update rows share key"):
+        Frame(empty).upsert(dup, on=["k"]).df.collect()

@@ -2071,9 +2071,11 @@ def test_generated_columns_compute_validate_enforce(spark, tmp_path):
     )
     got = {r["id"]: r["net"] for r in txn_read(spark, path).collect()}
     assert got[3] == pytest.approx(10.0)
-    # declaring over an existing column validates the snapshot
+    # declaring over an existing column validates the snapshot (id is
+    # referenced by no generated rule — price/disc would trip the
+    # chain refusal first, which test_review_r10_fixes pins)
     with pytest.raises(ConstraintViolationError, match="existing row"):
-        txn_add_generated_column(spark, path, "price", "id * 3.0")
+        txn_add_generated_column(spark, path, "id", "cast(price as bigint)")
     # a NEW column on a table WITH rows refuses (backfill = rewrite)
     with pytest.raises(ValueError, match="non-empty"):
         txn_add_generated_column(spark, path, "gross", "price", "double")
@@ -2306,3 +2308,94 @@ def test_partition_evolution_guarded_and_exact(spark, tmp_path):
     # partitioned -> differently-partitioned also refuses without opt-in
     with pytest.raises(ValueError, match="allow_partition_evolution"):
         txn_write(df.limit(1), path, partition_by=["id"])
+
+
+def test_review_r10_fixes(spark, tmp_path, monkeypatch):
+    """r10 review pins: (1) selective merge works through a
+    cwd-RELATIVE table path (input_file_name returns absolute URIs —
+    the touched-file map must be abspath-keyed); (2) chained generated
+    columns are refused in both declaration orders (compute order would
+    depend on column names); (3) a racing partition-layout change
+    between txn_write's guard and its commit raises instead of creating
+    a mixed table."""
+    import os as _os
+
+    from tdataframe_spark.sources import txn as txn_mod
+    from tdataframe_spark.sources.txn import (
+        txn_add_generated_column,
+        txn_upsert,
+    )
+
+    # (1) relative path through the selective probe: the touched-file
+    # map is keyed by abspath so input_file_name()'s absolute URIs
+    # resolve (cwd and the JVM working dir agree here, the supported
+    # relative-path contract — os.chdir mid-session never was)
+    import shutil as _shutil
+    import uuid as _uuid
+
+    rel = f"rel_t_{_uuid.uuid4().hex[:8]}"
+    try:
+        df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "k long, v double")
+        txn_write(df, rel)
+        txn_upsert(
+            spark.createDataFrame([(2, 9.0)], "k long, v double"),
+            rel, ["k"],
+        )
+        got = {r["k"]: r["v"] for r in txn_read(spark, rel).collect()}
+        assert got == {1: 2.0, 2: 9.0}
+    finally:
+        _shutil.rmtree(rel, ignore_errors=True)
+
+    # (2) chained generated columns refuse, both directions
+    path = str(tmp_path / "g")
+    txn_write(
+        spark.createDataFrame([], "a double, b double, c double"), path
+    )
+    txn_add_generated_column(spark, path, "b", "a * 2")
+    with pytest.raises(ValueError, match="chain"):
+        txn_add_generated_column(spark, path, "z", "b + 1", "double")
+    with pytest.raises(ValueError, match="chain"):
+        # 'a' feeds the existing rule for 'b' — declaring a AS anything
+        # would chain backwards
+        txn_add_generated_column(spark, path, "a", "c + 1")
+
+    # (3) layout race: a partitioned overwrite lands between the guard
+    # and the commit — injected via the snapshot-subset read the plain
+    # append does NOT use, so patch txn_latest's first in-loop call
+    path2 = str(tmp_path / "r")
+    txn_write(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, g string, v double"),
+        path2,
+    )
+    real_latest = txn_mod.txn_latest
+    # the appending txn_write reads the head twice: head0 for the
+    # up-front guard, then the commit loop's read — inject the racing
+    # partitioned overwrite at the SECOND read, i.e. after the guard
+    # passed against the old head (reentrancy-guarded: the injected
+    # write's own head reads must not count)
+    state = {"n": 0, "in": False}
+
+    def racing_latest(p):
+        out = real_latest(p)
+        if p == path2 and not state["in"]:
+            state["n"] += 1
+            if state["n"] == 2:
+                state["in"] = True
+                txn_write(
+                    spark.createDataFrame(
+                        [(9, "z", 9.0)], "k long, g string, v double"
+                    ),
+                    p, mode="overwrite", partition_by=["g"],
+                )
+                state["in"] = False
+                return real_latest(p)
+        return out
+
+    monkeypatch.setattr(txn_mod, "txn_latest", racing_latest)
+    with pytest.raises(ConcurrentWriteError, match="partition layout"):
+        txn_write(
+            spark.createDataFrame(
+                [(2, "b", 2.0)], "k long, g string, v double"
+            ),
+            path2,
+        )

@@ -61,6 +61,11 @@ def main() -> None:
         # (broadcast centroid argmax + cluster-keyed rep join, no retrain)
         "roc_auc",
         "semdedup_assign",
+        # round-10 showcase: partition evolution's read plan — the
+        # manifest pruned the file list BEFORE Spark (few input files)
+        # and the residual partition predicate is PUSHED into the scan
+        # for the legacy files that record no partition value
+        "partition_evolution",
     ]
     for name in HEADLINE + showcase:
         df = queries[name](spark, SF)
