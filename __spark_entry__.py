@@ -82,33 +82,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation is documented per-round in STATUS.md.
     """
     return {
-        # --- driver window (first 50): must-verify this round (r10) ---
-        # the 7 queries NEW in r9 that have no external CORRECTNESS row in
-        # any round (registry positions 51+ last round; VERDICT r9 item 1)
+        # --- driver window (first 50): must-verify this round (r11) ---
+        # 1-7: the six r8-last entries deferred from the r10 window
+        # (VERDICT r10 item 2: rotate these first)
+        "video_frames": q_video_frames,
+        "image_dedup": q_image_dedup,
+        "shot_detect": q_shot_detect,
+        "topk_orders": q_topk_orders,
+        "merge_upsert": q_merge_upsert,
+        "audio_features": q_audio_features,
+        "bpe_tokens": q_bpe_tokens,
+        # NEW this round: Reduce/Accumulate (the last reference-planned
+        # feature) and the txn SQL front door (txn_view)
+        "reduce_fold": q_reduce_fold,
+        "txn_sql_view": q_txn_sql_view,
+        # txn family re-verified after this round's incremental commit
+        # log, cost-based MERGE probe bail, and layout-order fixes
+        "merge_upsert_txn": q_merge_upsert_txn,
+        "merge_clustered_txn": q_merge_clustered_txn,
+        "merge_delete_txn": q_merge_delete_txn,
+        "time_travel": q_time_travel,
+        "restore_table": q_restore_table,
+        "data_skipping": q_data_skipping,
+        "cdc_changes": q_cdc_changes,
+        "partition_evolution": q_partition_evolution,
+        "txn_stream_feed": q_txn_stream_feed,
+        "txn_native_sink": q_txn_native_sink,
+        "txn_sink_partitioned": q_txn_sink_partitioned,
+        "shallow_clone": q_shallow_clone,
+        # the r7-last oracle cohort (normal rotation cadence; the
+        # remaining r7-last rows-only entries + simhash_hamming rotate
+        # r12 with the r6 cohort)
+        "above_customer_avg": q_above_customer_avg,
+        "array_agg_sorted": q_array_agg_sorted,
+        "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
+        "grouped_udaf": q_grouped_udaf,
+        "hash_features": q_hash_features,
+        "histo_auto": q_histo_auto,
+        "histo_fixed": q_histo_fixed,
+        "histo_flow": q_histo_flow,
+        "join_outer": q_join_outer,
+        "line_dedup": q_line_dedup,
+        "min_per_group": q_min_per_group,
+        "minhash_lsh": q_minhash_lsh,
+        "ntile_ranks": q_ntile_ranks,
+        "pivot_status": q_pivot_status,
+        "posexplode_tokens": q_posexplode_tokens,
+        "q10_returned_items": q_q10_returned_items,
+        "q13_order_distribution": q_q13_order_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q22_idle_customers": q_q22_idle_customers,
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "q8_market_share": q_q8_market_share,
+        "q9_profit": q_q9_profit,
+        "quantiles": q_quantiles,
+        "range_join": q_range_join,
+        "regex_extract": q_regex_extract,
+        "semantic_dedup": q_semantic_dedup,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "window_top_orders": q_window_top_orders,
+        # --- position 51+: rotated out — every entry below has an
+        # external driver-green row from r8-r10 and is re-verified every
+        # round by the local full-registry gate (driver_sim at sf0.01) ---
         "dds_quantiles": q_dds_quantiles,
         "txn_constraints": q_txn_constraints,
         "trim_dedup_index": q_trim_dedup_index,
         "image_dedup_mirror": q_image_dedup_mirror,
         "image_dedup_letterbox": q_image_dedup_letterbox,
-        "txn_stream_feed": q_txn_stream_feed,
-        "txn_native_sink": q_txn_native_sink,
-        # NEW this round: partitioned-layout support in the native sink
-        "txn_sink_partitioned": q_txn_sink_partitioned,
-        # NEW this round: Delta-parity generated columns in the txn layer
         "txn_generated_cols": q_txn_generated_cols,
-        # NEW this round: Delta-shaped selective MERGE (clustered showcase)
-        "merge_clustered_txn": q_merge_clustered_txn,
-        # NEW this round: opt-in partition evolution with exact pruned reads
-        "partition_evolution": q_partition_evolution,
-        # then 43 of the 46 entries whose last external green is r8 (the
-        # normal rotation cadence), image_dedup_index / time_travel /
-        # data_skipping among them as VERDICT r9 ordered
         "activity_streaks": q_activity_streaks,
         "ccnet_buckets": q_ccnet_buckets,
         "chunk_docs": q_chunk_docs,
         "cohort_retention": q_cohort_retention,
         "collocations": q_collocations,
-        "data_skipping": q_data_skipping,
         "decayed_engagement": q_decayed_engagement,
         "decontamination_bloom": q_decontamination_bloom,
         "dq_report": q_dq_report,
@@ -125,13 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": q_join_semi,
         "lag_lead_gaps": q_lag_lead_gaps,
         "lm_score": q_lm_score,
-        "merge_delete_txn": q_merge_delete_txn,
-        "merge_upsert_txn": q_merge_upsert_txn,
         "nearest_centroid": q_nearest_centroid,
         "outliers": q_outliers,
         "phrase_search": q_phrase_search,
         "resample_daily": q_resample_daily,
-        "restore_table": q_restore_table,
         "retrieval_metrics": q_retrieval_metrics,
         "rolling_window": q_rolling_window,
         "rollup_incremental": q_rollup_incremental,
@@ -140,22 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_nations": q_setops_nations,
         "snapshot_diff": q_snapshot_diff,
         "tfidf_pairs": q_tfidf_pairs,
-        "time_travel": q_time_travel,
         "weighted_sample": q_weighted_sample,
-        # --- position 51+: rotated out — every entry below has an external
-        # driver-green row from r8/r9 and is re-verified every round by the
-        # local full-registry gate (driver_sim at sf0.01) ---
-        # the 3 r8-last entries deferred to make window room (merge_upsert
-        # shares its oracle with in-window merge_upsert_txn; audio_features /
-        # bpe_tokens are rows-only with r9-green family twins) — r11 first
-        "video_frames": q_video_frames,
-        "image_dedup": q_image_dedup,
-        "shot_detect": q_shot_detect,
-        "topk_orders": q_topk_orders,
-        "merge_upsert": q_merge_upsert,
-        "audio_features": q_audio_features,
-        "bpe_tokens": q_bpe_tokens,
-        # r9-green
         "ab_test": q_ab_test,
         "audio_dedup": q_audio_dedup,
         "audio_dedup_index": q_audio_dedup_index,
@@ -163,7 +192,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         "bm25_topk": q_bm25_topk,
         "bootstrap_ci": q_bootstrap_ci,
-        "cdc_changes": q_cdc_changes,
         "confusion_stats": q_confusion_stats,
         "corpus_curation": q_corpus_curation,
         "corr_matrix": q_corr_matrix,
@@ -193,7 +221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "rename_column": q_rename_column,
         "repetition_signals": q_repetition_signals,
-        "shallow_clone": q_shallow_clone,
         "shard_shuffle": q_shard_shuffle,
         "source_divergence": q_source_divergence,
         "stratified_sample": q_stratified_sample,
@@ -206,50 +233,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_trim_dedup": q_video_trim_dedup,
         "window_stats": q_window_stats,
         "winsorize": q_winsorize,
-        # r7-last (rotate r11 after the deferred three)
-        "above_customer_avg": q_above_customer_avg,
-        "array_agg_sorted": q_array_agg_sorted,
-        "dedup_components": q_dedup_components,
-        "dedup_keep_best": q_dedup_keep_best,
         "filtered_ann": q_filtered_ann,
         "gif_frames": q_gif_frames,
-        "grouped_udaf": q_grouped_udaf,
-        "hash_features": q_hash_features,
-        "histo_auto": q_histo_auto,
         "histo_equidepth_approx": q_histo_equidepth_approx,
-        "histo_fixed": q_histo_fixed,
-        "histo_flow": q_histo_flow,
         "ivf_ann": q_ivf_ann,
         "ivf_append": q_ivf_append,
         "ivfpq_ann": q_ivfpq_ann,
-        "join_outer": q_join_outer,
         "lang_id": q_lang_id,
-        "line_dedup": q_line_dedup,
         "lsh_ann": q_lsh_ann,
-        "min_per_group": q_min_per_group,
-        "minhash_lsh": q_minhash_lsh,
-        "ntile_ranks": q_ntile_ranks,
-        "pivot_status": q_pivot_status,
-        "posexplode_tokens": q_posexplode_tokens,
         "pq_ann": q_pq_ann,
         "pq_query": q_pq_query,
-        "q10_returned_items": q_q10_returned_items,
-        "q13_order_distribution": q_q13_order_distribution,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q22_idle_customers": q_q22_idle_customers,
-        "q6_revenue_delta": q_q6_revenue_delta,
-        "q8_market_share": q_q8_market_share,
-        "q9_profit": q_q9_profit,
-        "quantiles": q_quantiles,
-        "range_join": q_range_join,
-        "regex_extract": q_regex_extract,
-        "semantic_dedup": q_semantic_dedup,
         "semdedup": q_semdedup,
         "semdedup_assign": q_semdedup_assign,
         "simhash_hamming": q_simhash_hamming,
-        "sql_grouping_sets": q_sql_grouping_sets,
-        "window_top_orders": q_window_top_orders,
-        # r6-last
         "asof_click_purchase": q_asof_click_purchase,
         "case_when_agg": q_case_when_agg,
         "cosine_pairs": q_cosine_pairs,
@@ -296,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "reduce_fold": SQL_REDUCE_FOLD,
+        "txn_sql_view": SQL_TXN_SQL_VIEW,
         "histo_flow": SQL_HISTO_FLOW,
         "line_dedup": SQL_LINE_DEDUP,
         "count_chain": SQL_COUNT_CHAIN,

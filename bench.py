@@ -163,6 +163,12 @@ EXTENDED = [
     # round-10: partition evolution — mixed-layout seed + evolved
     # append + exact pruned read (legacy files kept + residual filter)
     "partition_evolution",
+    # round-11: Reduce/Accumulate — mapPartitions decimal fold + ordered
+    # driver merge (the reference's last planned feature)
+    "reduce_fold",
+    # round-11: SQL front door — spark.sql over a DV'd, renamed,
+    # partition-pruned txn snapshot view + VERSION AS OF subquery
+    "txn_sql_view",
 ]
 
 

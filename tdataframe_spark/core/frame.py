@@ -59,6 +59,12 @@ def _fn_arity(fn: Callable) -> "tuple[int, int] | None":
     return required, total
 
 
+# Module-level fold sentinel: closures capture it BY REFERENCE, so the
+# executor-side identity check resolves to the same object after
+# unpickling (an inline object() would break that).
+_NO_VALUE = object()
+
+
 class Frame:
     """A lazily-evaluated analytics frame over a Spark DataFrame."""
 
@@ -505,6 +511,60 @@ class Frame:
                 fn(slot, *[row[c] for c in use])
 
         self._df.select(*use).foreachPartition(run_partition)
+
+    # -- generic folds (planned in reference: TDFGuide.md:379-380
+    # Reduce/Accumulate — the last commented-out TODO of the prototype) --
+    def reduce(self, fn: Callable, col: str | None = None) -> Any:
+        """Fold ``fn`` (an ASSOCIATIVE binary callable) over one column's
+        post-filter values; returns the folded value, or None on an empty
+        frame. Instant action — flushes pending lazy results first, like
+        ``foreach`` (the reference's instant-action contract).
+
+        Distributed shape: one ``mapPartitions`` pass folds each
+        partition locally (the honest per-partition-imperative case RDDs
+        exist for), then the O(#partitions) partials merge driver-side
+        in ASCENDING PARTITION ORDER — for a stable file layout that is
+        scan order, so a non-commutative-but-associative ``fn`` (string
+        concatenation, matrix multiply) folds exactly as a sequential
+        pass would. Commutativity is never required; associativity is
+        (same contract as ROOT's planned ``Reduce``)."""
+        c = self._one_default(col)
+        if not callable(fn):
+            raise TypeError(f"reduce needs a binary callable, got {fn!r}")
+        ar = _fn_arity(fn)
+        if ar is not None and not (ar[0] <= 2 <= ar[1]):
+            raise ArityError(
+                f"reduce fn must accept 2 positional args, takes {ar[1]}"
+            )
+        self._engine.flush()
+
+        def part(idx: int, rows: Iterable):
+            acc = _NO_VALUE
+            for row in rows:
+                v = row[0]
+                acc = v if acc is _NO_VALUE else fn(acc, v)
+            if acc is not _NO_VALUE:
+                yield idx, acc
+
+        partials = self._df.select(c).rdd.mapPartitionsWithIndex(
+            part, preservesPartitioning=True
+        ).collect()
+        acc = _NO_VALUE
+        for _, p in sorted(partials, key=lambda t: t[0]):
+            acc = p if acc is _NO_VALUE else fn(acc, p)
+        return None if acc is _NO_VALUE else acc
+
+    def accumulate(
+        self, fn: Callable, init: Any, col: str | None = None
+    ) -> Any:
+        """``reduce`` with a seed: fold ``fn`` over the column starting
+        from ``init`` (returned unchanged on an empty frame). Exact
+        sequential-fold semantics for an associative ``fn``: the seed is
+        applied ONCE, driver-side, as the leftmost operand —
+        ``fn(init, reduce(values))`` — never re-applied per partition
+        (a non-identity seed must not be counted #partitions times)."""
+        folded = self.reduce(fn, col)
+        return init if folded is _NO_VALUE or folded is None else fn(init, folded)
 
     # -- sink (planned in reference: Snapshot) ----------------------------
     def snapshot(

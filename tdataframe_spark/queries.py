@@ -7408,6 +7408,99 @@ FROM d
 SQL_BOOTSTRAP_CI = _bootstrap_oracle_sql()
 
 
+def q_reduce_fold(spark, sf):
+    """Reference-planned Reduce/Accumulate (the last commented-out TODO
+    of the prototype, /root/reference/TDFGuide.md:379-380):
+    ``Frame.reduce(add)`` — a mapPartitions partial fold + ordered
+    driver merge — over DECIMAL-cast quantities equals the SQL SUM
+    exactly (decimal addition is order-free, so the distributed fold is
+    bit-stable under any partitioning); ``accumulate`` seeds the same
+    fold once, driver-side. The folded scalars return as one row for
+    the oracle compare."""
+    from decimal import Decimal
+
+    fr = Frame(
+        _t(spark, sf, "lineitem")
+        .filter("l_quantity > 45")
+        .select(F.col("l_quantity").cast("decimal(18,2)").alias("q"))
+    )
+    total = fr.reduce(lambda a, b: a + b, "q")
+    seeded = fr.accumulate(lambda a, b: a + b, Decimal("1000.00"), "q")
+    return spark.createDataFrame(
+        [(float(total), float(seeded))],
+        "reduce_sum double, accumulate_sum double",
+    )
+
+
+SQL_REDUCE_FOLD = """
+SELECT
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS reduce_sum,
+  CAST(CAST(1000.00 AS DECIMAL(18,2))
+       + SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+    AS accumulate_sum
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_txn_sql_view(spark, sf):
+    """r11: the SQL front door for txn tables (txn_view) — seed orders
+    as a partitioned+stats txn table, DELETE via deletion vectors,
+    RENAME a column (mapping, zero rewrite), then run PLAIN spark.sql
+    over the registered snapshot view, with a VERSION AS OF view of the
+    pre-delete/pre-rename table attached as a scalar subquery. Manifest
+    pruning applies before the catalog sees a path (plan-asserted in
+    pytest); the oracle restates the pipeline relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        txn_delete,
+        txn_rename_column,
+        txn_view,
+        txn_write,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"sqlview_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        o, path, mode="overwrite",
+        partition_by=["o_orderstatus"], stats_cols=["o_orderkey"],
+    )
+    txn_delete(spark, path, "o_orderkey % 97 = 0")
+    txn_rename_column(path, "o_totalprice", "price")
+    cur = f"txn_cur_{os.getpid()}"
+    v1 = f"txn_v1_{os.getpid()}"
+    txn_view(spark, path, cur, partition_filter={"o_orderstatus": ["O", "F"]})
+    txn_view(spark, path, v1, version=1)
+    out = spark.sql(f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {v1}) AS v1_rows
+        FROM {cur}
+        WHERE o_custkey % 3 = 0
+        GROUP BY o_orderstatus
+    """)
+    return out
+
+
+SQL_TXN_SQL_VIEW = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS v1_rows
+FROM orders
+WHERE o_orderkey % 97 <> 0
+  AND o_orderstatus IN ('O', 'F')
+  AND o_custkey % 3 = 0
+GROUP BY o_orderstatus
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

@@ -329,6 +329,7 @@ def compact_txn(
 
     from tdataframe_spark.sources.txn import (
         _abs_file,
+        _layout_order,
         txn_latest,
         txn_read,
         txn_write,
@@ -343,10 +344,9 @@ def compact_txn(
     # a partitioned table must stay partitioned: the rewrite re-records
     # each file's partition values in the new manifest, or partition-
     # filtered reads and replace_where refreshes would silently miss
-    # every compacted row
-    partition_by = sorted(
-        {k for f in manifest["files"] for k in f["partition"]}
-    )
+    # every compacted row (recorded segment order preserved — see
+    # _layout_order)
+    partition_by = _layout_order(manifest)
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are exclusive")
     # data-skipping stats survive the rewrite: recompute min/max for every

@@ -10,6 +10,16 @@ lakehouse commit protocol, scaled down to what the engine needs:
     data/<commit-id>/[__p_day=5/]part-*.parquet   immutable data files
     _txn/manifest-000000000042.json               one manifest per commit``
 
+Manifests form an INCREMENTAL commit log (Delta's ``_delta_log``
+shape): most commits serialize only their delta — ``log: {add,
+remove, dv_add, dv_remove}`` — while every Nth commit (default 20;
+``txn.checkpoint_interval`` table property) is a full CHECKPOINT
+listing the complete live set. Readers reconstruct any snapshot from
+the nearest checkpoint plus the delta suffix (cached in-process), so
+a 1-file append to a 10⁶-file table writes kilobytes, not the whole
+file list, and the streaming source reads each commit's added files
+from one delta JSON without touching the parent.
+
 * **Atomic commit** — a manifest is staged to a temp file, fsynced,
   then ``os.link``-ed to its final ``manifest-N`` name. ``link`` is
   atomic and fails with EEXIST if another writer published N first, so
@@ -38,10 +48,12 @@ reading a manifest's leaf files directly needs no basePath/partition
 inference, while the manifest still records per-file partition values
 (as strings) for file-level pruning and ``replace_where`` replacement.
 
-Scale note: at 100 TB the manifest lists files, not rows — commit cost
-is O(files touched), reads prune on manifest partition values before
-Spark ever lists a directory, and compaction is just another
-``replace_where`` commit.
+Scale note: at 100 TB the manifest lists files, not rows — and the
+incremental log makes commit cost O(files TOUCHED) end to end,
+manifest serialization included (a checkpoint every N commits
+amortizes the full listing to O(live files / N) per commit). Reads
+prune on manifest partition values before Spark ever lists a
+directory, and compaction is just another ``replace_where`` commit.
 """
 
 from __future__ import annotations
@@ -91,8 +103,121 @@ def _versions(path: str) -> list[int]:
     return sorted(out)
 
 def _load(path: str, version: int) -> dict:
+    """RAW manifest bytes of one commit — a full checkpoint ({'files',
+    'dv'} complete) or an incremental delta ({'log': {add, remove,
+    dv_add, dv_remove}}). Most callers want :func:`_materialize`, which
+    reconstructs the complete snapshot state either way."""
     with open(_manifest_path(path, version)) as f:
         return json.load(f)
+
+
+def _dv_key(e) -> str:
+    """Identity key of a DV manifest entry (dict or legacy bare path)."""
+    return e["path"] if isinstance(e, dict) else e
+
+
+# Reconstructed snapshot states, keyed by (table abspath, version) and
+# validated against the manifest file's (mtime_ns, size) — manifests are
+# immutable once published EXCEPT when vacuum rewrites one in place
+# (stamping a fence / materializing the oldest retained version), which
+# changes the signature and misses the cache. Bounded: states share
+# entry dicts with each other, so the marginal cost per entry is one
+# list + one dict shell.
+from collections import OrderedDict as _OrderedDict
+
+_STATE_CACHE: _OrderedDict = _OrderedDict()
+_STATE_CACHE_MAX = 64
+
+
+def _manifest_sig(path: str, version: int) -> tuple:
+    st = os.stat(_manifest_path(path, version))
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _cache_state(path_key: str, version: int, sig: tuple, state: dict):
+    _STATE_CACHE[(path_key, version)] = (sig, state)
+    while len(_STATE_CACHE) > _STATE_CACHE_MAX:
+        _STATE_CACHE.popitem(last=False)
+
+
+def _materialize(path: str, version: int, raw: dict | None = None) -> dict:
+    """Full snapshot STATE at ``version``: the manifest with complete
+    ``files`` and ``dv`` lists. Checkpoint manifests pass through; a
+    delta manifest is reconstructed by walking back to the nearest
+    full (checkpoint / cached) ancestor and replaying the delta chain
+    forward — the read half of the incremental commit log (the write
+    half is :func:`_publish`'s diff). Every intermediate state along
+    the walk is cached, so a sequence of resolutions (history, vacuum,
+    the change feed) is O(1) amortized per version.
+
+    Table state that is O(columns), not O(files) — schema, meta,
+    constraints, generated rules, properties, retired physicals — rides
+    every commit in full, so only files/dv need replay."""
+    def _copy(state: dict) -> dict:
+        # defensive shell copy: callers may extend/replace the lists
+        # (vacuum stamps fences; writers build live sets) — the cached
+        # state and its entry dicts stay shared and untouched
+        out = dict(state)
+        out["files"] = list(state.get("files", []))
+        out["dv"] = list(state.get("dv", []))
+        return out
+
+    m = raw if raw is not None else _load(path, version)
+    if "log" not in m:
+        return m
+    path_key = os.path.abspath(path)
+    sig = _manifest_sig(path, version)
+    hit = _STATE_CACHE.get((path_key, version))
+    if hit is not None and hit[0] == sig:
+        _STATE_CACHE.move_to_end((path_key, version))
+        return _copy(hit[1])
+    chain = [(version, m, sig)]
+    base = None
+    v = version
+    while base is None:
+        v -= 1
+        if v < 1:
+            raise FileNotFoundError(
+                f"cannot reconstruct version {version} of {path}: no "
+                "full ancestor manifest below the delta chain"
+            )
+        try:
+            am = _load(path, v)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"cannot reconstruct version {version} of {path}: the "
+                f"delta chain is broken at missing manifest {v} "
+                "(vacuumed away?)"
+            ) from None
+        if "log" not in am:
+            base = am
+            continue
+        asig = _manifest_sig(path, v)
+        ahit = _STATE_CACHE.get((path_key, v))
+        if ahit is not None and ahit[0] == asig:
+            base = ahit[1]
+            continue
+        chain.append((v, am, asig))
+    files = {f["path"]: f for f in base.get("files", [])}
+    dv = {_dv_key(e): e for e in base.get("dv", [])}
+    state = None
+    for cv, cm, csig in reversed(chain):
+        log = cm["log"]
+        for p in log.get("remove", []):
+            files.pop(p, None)
+        for f in log.get("add", []):
+            files[f["path"]] = f
+        for k in log.get("dv_remove", []):
+            dv.pop(k, None)
+        for e in log.get("dv_add", []):
+            dv[_dv_key(e)] = e
+        state = {k: val for k, val in cm.items() if k != "log"}
+        # the snapshot lists are frozen per version (list() below);
+        # continuing the replay mutates only the working dicts
+        state["files"] = list(files.values())
+        state["dv"] = list(dv.values())
+        _cache_state(path_key, cv, csig, state)
+    return _copy(state)
 
 
 def _hint_path(path: str) -> str:
@@ -130,13 +255,13 @@ def txn_latest(path: str) -> tuple[int, dict | None]:
             v += 1
         m = _load(path, v)
         if not (m.get("vacuumed") or m.get("retained_fence")):
-            return v, m
+            return v, _materialize(path, v, raw=m)
         # probe landed on a vacuum survivor below a manifest gap: the
         # real head is above the gap — only the listing can find it
     vs = _versions(path)
     if not vs:
         return 0, None
-    return vs[-1], _load(path, vs[-1])
+    return vs[-1], _materialize(path, vs[-1])
 
 
 def _write_hint(path: str, version: int) -> None:
@@ -162,15 +287,81 @@ def txn_snapshots(path: str) -> list[tuple[int, dict]]:
     return [(v, _load(path, v).get("meta", {})) for v in _versions(path)]
 
 
+# A full (checkpoint) manifest is written every N commits; the commits
+# between carry only {added, removed} deltas. Overridable per table via
+# the txn.checkpoint_interval property (txn_set_properties).
+_CHECKPOINT_EVERY = 20
+
+
+def _commit_form(path: str, version: int, manifest: dict) -> dict:
+    """The on-disk form of a commit: the full ``manifest`` when a
+    checkpoint is due (every txn.checkpoint_interval-th version, a
+    fresh/unreconstructable parent, or a delta that would not be
+    smaller), else an incremental delta manifest — everything except
+    files/dv plus ``log: {add, remove, dv_add, dv_remove}`` diffed
+    against the parent state. This is what makes commit cost O(files
+    touched): a 1-file append to a 10⁶-file table serializes one entry,
+    not the live set (the Delta _delta_log / Iceberg manifest-list
+    idea), while :func:`_materialize` reconstructs complete snapshots
+    from checkpoint + suffix on read."""
+    if "files" not in manifest or manifest.get("vacuumed"):
+        return manifest
+    try:
+        interval = int(
+            (manifest.get("properties") or {}).get(
+                "txn.checkpoint_interval", _CHECKPOINT_EVERY
+            )
+        )
+    except (TypeError, ValueError):
+        interval = _CHECKPOINT_EVERY
+    if version <= 1 or (interval > 0 and version % interval == 0):
+        return manifest
+    try:
+        parent = _materialize(path, version - 1)
+    except FileNotFoundError:
+        return manifest
+    if parent.get("vacuumed"):
+        # a vacuumed fence has no file list to diff against — the next
+        # real commit above it must re-anchor the chain as a checkpoint
+        return manifest
+    pf = {f["path"]: f for f in parent.get("files", [])}
+    nf = {f["path"]: f for f in manifest["files"]}
+    add = [f for p, f in nf.items() if pf.get(p) != f]
+    remove = [p for p in pf if p not in nf]
+    pdv = {_dv_key(e): e for e in parent.get("dv", [])}
+    ndv = {_dv_key(e): e for e in manifest.get("dv", [])}
+    dv_add = [e for k, e in ndv.items() if pdv.get(k) != e]
+    dv_remove = [k for k in pdv if k not in ndv]
+    if len(add) + len(remove) + len(dv_add) + len(dv_remove) >= max(
+        1, len(pf) + len(pdv)
+    ):
+        return manifest  # the delta is no smaller — checkpoint instead
+    out = {k: v for k, v in manifest.items() if k not in ("files", "dv")}
+    log: dict = {}
+    if add:
+        log["add"] = add
+    if remove:
+        log["remove"] = remove
+    if dv_add:
+        log["dv_add"] = dv_add
+    if dv_remove:
+        log["dv_remove"] = dv_remove
+    out["log"] = log
+    return out
+
+
 def _publish(path: str, version: int, manifest: dict) -> bool:
     """Atomically publish ``manifest`` as version ``version``. The JSON
     is fully written+fsynced to a temp name first; ``os.link`` then
-    makes it visible in one atomic step (EEXIST → another writer won)."""
+    makes it visible in one atomic step (EEXIST → another writer won).
+    On disk the commit lands as a delta or a checkpoint
+    (:func:`_commit_form`); callers keep passing complete manifests."""
     d = os.path.join(path, _TXN)
     os.makedirs(d, exist_ok=True)
+    on_disk = _commit_form(path, version, manifest)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump(on_disk, f)
         f.flush()
         os.fsync(f.fileno())
     try:
@@ -319,6 +510,22 @@ def _stats_match(stats: dict, range_filter: dict) -> bool:
         if (hi is not None and mn > hi) or (lo is not None and mx < lo):
             return False
     return True
+
+
+def _layout_order(manifest: dict) -> list[str]:
+    """The table's partition keys in RECORDED segment order (first-seen
+    across file entries — one layout means exactly the written order).
+    Rewrites (merge/purge/compact) must re-commit under this order, not
+    ``sorted()``: re-sorting the keys makes a never-evolved table look
+    mixed-layout to order-sensitive consumers (the native sink's
+    blocker, layout inheritance) even though values — which drive
+    pruning and replace_where — never changed."""
+    seen: list[str] = []
+    for f in manifest.get("files", []):
+        for k in f["partition"]:
+            if k not in seen:
+                seen.append(k)
+    return seen
 
 
 def _part_matches(part: dict, where: dict) -> bool:
@@ -1030,7 +1237,7 @@ def _resolve_snapshot(
         if manifest is None:
             raise FileNotFoundError(f"no transactional table at {path}")
     else:
-        manifest = _load(path, version)
+        manifest = _materialize(path, version)
     if manifest.get("vacuumed"):
         raise FileNotFoundError(
             f"version {version} of {path} was vacuumed — its data files "
@@ -1099,11 +1306,18 @@ def txn_read(
         # result is restored by a residual ROW filter over those keys
         # (partition columns are duplicated into the data, so the
         # filter pushes into the scan; for files that do record a
-        # matching value it is a no-op)
+        # matching value it is a no-op). The check is PER KEY: every
+        # filter key the file DOES record must match — an all-or-nothing
+        # rule would let one missing key waive the recorded-key checks
+        # and leak rows (old file with a=5 kept under {a:[1], b:[2]}
+        # just because it predates b)
         files = [
             f for f in files
-            if any(k not in f["partition"] for k in partition_filter)
-            or _part_matches(f["partition"], partition_filter)
+            if all(
+                k not in f["partition"]
+                or str(f["partition"][k]) in {str(v) for v in vs}
+                for k, vs in partition_filter.items()
+            )
         ]
         evolved = {
             k for f in files for k in partition_filter
@@ -1154,6 +1368,44 @@ def txn_read(
     return out
 
 
+def txn_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    partition_filter: dict[str, list] | None = None,
+    range_filter: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """SQL front door for txn tables: register the snapshot (column-
+    mapped, DV-filtered, manifest-pruned) as a TEMP VIEW so plain
+    ``spark.sql`` works over it by name — the ``SELECT ... FROM t
+    VERSION AS OF n`` experience users bring from Delta/Iceberg,
+    expressed through Spark's catalog:
+
+        txn_view(spark, path, "t_v3", version=3)
+        spark.sql("SELECT k, sum(v) FROM t_v3 GROUP BY k")
+
+    The view is a logical plan over exactly the snapshot's pruned file
+    list — manifest pruning (``partition_filter`` / ``range_filter``)
+    happens HERE, before the catalog ever sees a path, so a pruned view
+    scans only surviving files no matter what SQL runs over it (row
+    filters inside the SQL still push into the parquet scan as usual).
+    Snapshot-stable: later commits never change what the view reads
+    (it pins the resolved file list, like any txn_read). Re-registering
+    the same name replaces the view. Returns the view's DataFrame."""
+    df = txn_read(
+        spark,
+        path,
+        version=version,
+        as_of=as_of,
+        partition_filter=partition_filter,
+        range_filter=range_filter,
+    )
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def txn_latest_meta(path: str) -> dict:
     """Commit metadata of the table head ({} for a fresh table)."""
     _, manifest = txn_latest(path)
@@ -1177,8 +1429,8 @@ def txn_changes(
     the standard CDF shape consumers fold by key."""
     if to_version is None:
         to_version, _ = txn_latest(path)
-    from_manifest = _load(path, from_version) if from_version else None
-    after_manifest = _load(path, to_version)
+    from_manifest = _materialize(path, from_version) if from_version else None
+    after_manifest = _materialize(path, to_version)
     for v, m in ((from_version, from_manifest), (to_version, after_manifest)):
         if m is not None and m.get("vacuumed"):
             raise ValueError(
@@ -1328,6 +1580,23 @@ def _read_file_subset(
     )
 
 
+# Cost-based probe bail (selective MERGE): when stats pruning still
+# leaves more than this fraction of the live files as candidates, the
+# key-column probe scan cannot pay for itself — the batch evidently
+# touches most of the table, so every candidate is rewritten without
+# probing (identical semantics: rewriting an untouched candidate is a
+# byte-preserving rewrite, and files PRUNED by stats still ride the
+# commit zero-copy). This is what caps the uniform-key worst case at
+# the plain rewrite cost instead of rewrite + a wasted probe.
+_PROBE_SKIP_FRACTION = 0.6
+# Single-key merges sharpen bounds pruning with the batch's DISTINCT
+# key values (bounded driver collect): a file is a candidate only if
+# some actual key falls inside its [min, max], not merely the batch's
+# global bounds — a 2-key batch spanning the table no longer marks
+# every file candidate. Batches over the cap keep bounds-only pruning.
+_EXACT_PRUNE_KEY_CAP = 100_000
+
+
 def _touched_files(
     spark: SparkSession,
     path: str,
@@ -1335,27 +1604,36 @@ def _touched_files(
     keys: list[str],
     key_df: DataFrame,
 ) -> set[str]:
-    """Manifest-relative paths of live files holding at least one row
-    whose key tuple appears in ``key_df`` — a MERGE's blast radius.
+    """Manifest-relative paths of live files a MERGE must rewrite — the
+    files holding batch keys, or a stats-bounded superset when probing
+    cannot pay for itself.
 
     100 TB shape: candidate files are pre-pruned on per-file min/max
     stats against the batch's key bounds when the table records them
-    (one tiny aggregate over the batch), then ONE key-column-only scan
-    of the candidates (parquet column pruning — the key bytes, not the
-    table) semi-joins the batch keys; the result collected is DISTINCT
-    FILE PATHS, O(#files) driver state, never rows."""
+    (one tiny aggregate over the batch), sharpened by exact batch keys
+    for single-key merges (bounded collect), then ONE key-column-only
+    scan of the candidates (parquet column pruning — the key bytes, not
+    the table) semi-joins the batch keys; the result collected is
+    DISTINCT FILE PATHS, O(#files) driver state, never rows. When the
+    candidates exceed ``_PROBE_SKIP_FRACTION`` of the live files the
+    probe scan is skipped and every candidate is rewritten (the
+    uniform-key case, where the probe is pure overhead)."""
     from urllib.parse import unquote as _unq
     from urllib.parse import urlparse as _urlparse
 
-    files = manifest["files"]
-    if not files:
+    all_files = manifest["files"]
+    if not all_files:
         return set()
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     cmap = _mapping(schema)
     phys_keys = [cmap.get(k, k) for k in keys]
+    files = all_files
+    have_stats = any(
+        pk in f.get("stats", {}) for f in all_files for pk in phys_keys
+    )
     # stats pruning: a file whose recorded [min, max] cannot overlap the
     # batch's key bounds cannot contain a matching row
-    if any(pk in f.get("stats", {}) for f in files for pk in phys_keys):
+    if have_stats:
         bounds_row = key_df.agg(
             *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
             *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
@@ -1366,12 +1644,48 @@ def _touched_files(
         }
         try:
             files = [
-                f for f in files if _stats_match(f.get("stats", {}), bounds)
+                f for f in all_files
+                if _stats_match(f.get("stats", {}), bounds)
             ]
         except TypeError:
-            pass  # incomparable stat types: keep every candidate
+            files = all_files  # incomparable stat types: keep every candidate
         if not files:
             return set()
+    if len(files) > _PROBE_SKIP_FRACTION * len(all_files):
+        if have_stats and len(keys) == 1:
+            # global bounds are loose for sparse batches (keys {150, 450}
+            # mark every mid-range file candidate) — re-prune on the
+            # actual key values when the batch is driver-safe
+            import bisect
+
+            kvals = [
+                r[0]
+                for r in key_df.dropDuplicates(keys)
+                .limit(_EXACT_PRUNE_KEY_CAP + 1)
+                .collect()
+            ]
+            if len(kvals) <= _EXACT_PRUNE_KEY_CAP:
+                kvals = sorted(v for v in kvals if v is not None)
+                pk = phys_keys[0]
+
+                def _holds_a_key(f) -> bool:
+                    st = f.get("stats", {}).get(pk)
+                    if st is None:
+                        return True  # no stats: conservatively candidate
+                    mn, mx = st
+                    i = bisect.bisect_left(kvals, mn)
+                    return i < len(kvals) and kvals[i] <= mx
+
+                try:
+                    files = [f for f in files if _holds_a_key(f)]
+                except TypeError:
+                    pass  # incomparable types: keep the bounds pruning
+                if not files:
+                    return set()
+        if len(files) > _PROBE_SKIP_FRACTION * len(all_files):
+            # cost-based bail: most files are candidates anyway — skip
+            # the probe and rewrite them all (see _PROBE_SKIP_FRACTION)
+            return {f["path"] for f in files}
     pschema = _physical_schema(schema)
     key_fields = StructType(
         [f for f in pschema.fields if f.name in phys_keys]
@@ -1431,7 +1745,11 @@ def txn_upsert(
       every other file rides into the commit untouched. A MERGE's cost
       becomes O(touched files + key bytes scanned), not O(table) — at
       100 TB, merging a day's delta into a key-clustered table (see
-      ``sources.layout``) rewrites gigabytes, not the table.
+      ``sources.layout``) rewrites gigabytes, not the table. COST-BASED
+      BAIL: when pruning leaves most of the table as candidates (a
+      uniformly-keyed batch), the probe scan is skipped and the
+      candidates are rewritten directly — the worst case costs what a
+      plain rewrite costs, never rewrite + a wasted probe.
     * ``"full"`` — rewrite the whole table as one overwrite commit (the
       pre-r10 behavior; OPTIMIZE-adjacent, occasionally useful to
       defragment while merging).
@@ -1509,9 +1827,7 @@ def txn_upsert(
         # unpartitioned overwrite would empty the per-file partition
         # metadata, silently breaking partition_filter reads and making
         # later replace_where refreshes DUPLICATE instead of replace
-        partition_by = sorted(
-            {k for f in manifest["files"] for k in f["partition"]}
-        ) or None
+        partition_by = _layout_order(manifest) or None
         # likewise data skipping survives the merge: inherit the stats
         # column set from the previous manifest — a recommit without
         # stats_cols would drop every per-file min/max and break all
@@ -1756,9 +2072,7 @@ def txn_purge(
         clean = src.join(dv, [_DV_FILE, _DV_POS], "left_anti").drop(
             _DV_FILE, _DV_POS
         )
-        partition_by = sorted(
-            {k for f in manifest["files"] for k in f["partition"]}
-        )
+        partition_by = _layout_order(manifest)
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(path, "data", commit_id)
         w = clean
@@ -1830,7 +2144,7 @@ def txn_restore(
     vacuumed (its files are gone — nothing to restore), and retries the
     manifest race like any commit (the target snapshot is absolute, so
     a retry cannot change what is being restored)."""
-    src = _load(path, version)  # FileNotFoundError if it never existed
+    src = _materialize(path, version)  # FileNotFoundError if never existed
     if src.get("vacuumed"):
         raise FileNotFoundError(
             f"version {version} of {path} was vacuumed — its data files "
@@ -2530,7 +2844,7 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
     commits) JSON reads — the audit surface, not a data path)."""
     rows = []
     for v in reversed(_versions(path)):
-        m = _load(path, v)
+        m = _materialize(path, v)
         meta = m.get("meta", {})
         op = meta.get("op") or (
             "vacuum_fence" if m.get("vacuumed")
@@ -2590,7 +2904,7 @@ def txn_vacuum(
     keep = vs[-keep_versions:]
     live = set()
     for v in keep:
-        for f in _load(path, v)["files"]:
+        for f in _materialize(path, v)["files"]:
             live.add(os.path.normpath(f["path"]))
     # PASS 1 — decide what to reclaim, deleting NOTHING yet: the fence
     # manifests below must be rewritten (files-invalid) BEFORE the dirs
@@ -2617,7 +2931,7 @@ def txn_vacuum(
     # parquet before winning the manifest race, exactly like data files)
     live_dv = set()
     for v in keep:
-        for p in _dv_paths(_load(path, v).get("dv")):
+        for p in _dv_paths(_materialize(path, v).get("dv")):
             live_dv.add(os.path.normpath(p))
     dv_root = os.path.join(path, "dv")
     for dv_id in os.listdir(dv_root) if os.path.isdir(dv_root) else []:
@@ -2642,6 +2956,21 @@ def txn_vacuum(
         (v for v in reversed(vs) if "batch_id" in _load(path, v).get("meta", {})),
         None,
     )
+    # the OLDEST RETAINED manifest must be self-contained before any
+    # older manifest is unlinked: with the incremental commit log it may
+    # be a delta whose chain roots below the window — materialize it to
+    # a full checkpoint in place (logical state unchanged; same atomic
+    # replace as the fence rewrites below)
+    if vs[:-keep_versions]:
+        raw_oldest = _load(path, keep[0])
+        if "log" in raw_oldest:
+            full = _materialize(path, keep[0], raw=raw_oldest)
+            tmp = os.path.join(path, _TXN, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(full, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, _manifest_path(path, keep[0]))
     for v in vs[:-keep_versions]:
         if v == fence:
             # the fence only needs its meta; when its data files are no
@@ -2653,10 +2982,13 @@ def txn_vacuum(
             # retained_fence: it sits below a manifest gap, so a stale
             # version hint landing on it must not forward-probe to a
             # false head (see txn_latest)
-            m = _load(path, v)
+            raw_m = _load(path, v)
+            m = _materialize(path, v, raw=raw_m)
             fence_files = {os.path.normpath(f["path"]) for f in m["files"]}
             fence_dv = {os.path.normpath(p) for p in _dv_paths(m.get("dv"))}
-            changed = False
+            # a retained DELTA fence must persist as a full manifest —
+            # the chain below it is about to be unlinked
+            changed = "log" in raw_m
             # a fence whose DV files were reclaimed must ALSO go
             # files-invalid: reading it without its deletion vectors
             # would silently resurrect deleted rows

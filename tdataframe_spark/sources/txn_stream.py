@@ -51,6 +51,7 @@ from tdataframe_spark.sources.txn import (
     _abs_file,
     _load,
     _mapping,
+    _materialize,
     _plain_schema,
     _versions,
     txn_latest,
@@ -70,16 +71,26 @@ class _FileSlice(InputPartition):
 def _added_files(path: str, version: int) -> tuple[list[dict], bool]:
     """(files added by ``version``, whether it also removed/hid rows).
     Removal = files dropped vs the parent OR deletion-vector entries
-    grown (a DV hides rows — not an append)."""
+    grown (a DV hides rows — not an append). A DELTA manifest IS the
+    answer — one JSON read, no parent reconstruction (the incremental
+    commit log's streaming dividend); checkpoint manifests diff against
+    the materialized parent as before."""
     m = _load(path, version)
     if m.get("vacuumed"):
         raise ValueError(
             f"version {version} of {path} was vacuumed — its data is "
             "reclaimed; restart the stream from a retained version"
         )
+    if "log" in m:
+        log = m["log"]
+        added = list(log.get("add", []))
+        removed = bool(log.get("remove"))
+        dv_changed = bool(log.get("dv_add")) or bool(log.get("dv_remove"))
+        return added, removed or dv_changed
+    m = _materialize(path, version, raw=m)
     parent = m.get("parent", version - 1)
     try:
-        pm = _load(path, parent) if parent else None
+        pm = _materialize(path, parent) if parent else None
     except FileNotFoundError:
         # the parent manifest was vacuumed away: with no baseline the
         # commit's delta is unknowable — treating it as empty would
@@ -137,6 +148,20 @@ class TxnStreamReader(DataSourceStreamReader):
         # captures one end offset up front) — the cap is a no-op there.
         self.max_commits = int(options.get("max_commits_per_batch", 0))
         self._progress: int | None = None  # last planned/committed end
+        # RESTART admission control: with a caller-chosen stream_id the
+        # reader persists its planned end offset next to the table
+        # (atomic replace, best-effort) and restores it here — so the
+        # FIRST batch after a clean restart is capped too, closing the
+        # documented API gap (latestOffset never sees the committed
+        # start; pending-batch replays already anchor via partitions()).
+        # A FRESH stream (initialOffset) overrides any stale sidecar.
+        self.stream_id = str(options.get("stream_id", "") or "")
+        if self.stream_id and self.max_commits:
+            try:
+                with open(self._progress_path()) as f:
+                    self._progress = int(f.read().strip())
+            except (FileNotFoundError, ValueError, OSError):
+                pass
         self.schema = schema
         # mapping pinned at stream start alongside the schema: the
         # manifest's field metadata carries each column's physical name
@@ -149,11 +174,38 @@ class TxnStreamReader(DataSourceStreamReader):
             StructType.fromJson(json.loads(manifest["schema"]))
         )
 
+    def _progress_path(self) -> str:
+        import hashlib
+        import os as _os
+
+        digest = hashlib.md5(self.stream_id.encode()).hexdigest()[:16]
+        return _os.path.join(self.path, "_txn", f".progress-{digest}")
+
+    def _save_progress(self, version: int) -> None:
+        """Best-effort atomic sidecar write — the cap anchor, never a
+        correctness input (Spark's checkpoint owns the real offsets; the
+        anchor only bounds how far ahead one batch may plan)."""
+        if not (self.stream_id and self.max_commits):
+            return
+        import os as _os
+        import uuid as _uuid
+
+        try:
+            d = _os.path.join(self.path, "_txn")
+            _os.makedirs(d, exist_ok=True)
+            tmp = _os.path.join(d, f".progress-tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            _os.replace(tmp, self._progress_path())
+        except OSError:
+            pass
+
     def initialOffset(self) -> dict:
         # a FRESH stream starts here — anchor the admission cap so even
-        # its first micro-batch is bounded (only a checkpoint RESTART,
-        # which skips initialOffset, gets one uncapped batch)
+        # its first micro-batch is bounded, and take over any stale
+        # sidecar from a previous stream under the same stream_id
         self._progress = self.start_version
+        self._save_progress(self.start_version)
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
@@ -166,13 +218,18 @@ class TxnStreamReader(DataSourceStreamReader):
             # never below already-planned progress: an offset that
             # moves backwards aborts the query
             head = max(self._progress, min(head, self._progress + self.max_commits))
+        if self._progress is None or head > self._progress:
+            self._save_progress(head)
         return {"version": head}
 
     def partitions(self, start: dict, end: dict):
         # the offset log's start IS the stream's committed progress —
         # record it so the admission cap anchors correctly (commit()
         # confirms the end after the batch lands)
-        self._progress = max(self._progress or 0, start["version"], end["version"])
+        new_progress = max(self._progress or 0, start["version"], end["version"])
+        if new_progress != self._progress:
+            self._save_progress(new_progress)
+        self._progress = new_progress
         out = []
         sj = self.schema.json()
         have = set(_versions(self.path))
@@ -270,6 +327,7 @@ def txn_readstream(
     start_version: int = 0,
     ignore_changes: bool = False,
     max_commits_per_batch: int = 0,
+    stream_id: str | None = None,
 ):
     """``readStream`` over a transactional table: registers the source
     and returns the streaming DataFrame. ``start_version`` is
@@ -277,11 +335,16 @@ def txn_readstream(
     (0 = replay the whole history). ``max_commits_per_batch`` > 0
     bounds how many commits one micro-batch may span under a PERIODIC
     trigger (admission control, Delta ``maxFilesPerTrigger``'s shape
-    by commits); the first batch of a (re)start is uncapped (the
-    Python DataSource API exposes no committed start to
-    ``latestOffset``) and ``availableNow`` drains to one captured end
-    offset regardless — so bound deep-history replays with
-    ``start_version`` and steady-state batches with the cap."""
+    by commits). Restart coverage: a pending-batch replay re-anchors
+    the cap automatically (``partitions`` sees the committed offsets);
+    a CLEAN restart is also capped when ``stream_id`` (any stable
+    caller-chosen string, unique per stream) is set — the reader
+    persists its planned end offset in a tiny sidecar next to the
+    table and restores it at restart, closing the documented API gap
+    (``latestOffset`` never sees the committed start). Without a
+    stream_id the first batch of a clean restart is uncapped.
+    ``availableNow`` drains to one captured end offset regardless —
+    bound deep-history replays with ``start_version``."""
     register_txn_stream(spark)
     return (
         spark.readStream.format("txn_table")
@@ -289,6 +352,7 @@ def txn_readstream(
         .option("start_version", start_version)
         .option("ignore_changes", str(bool(ignore_changes)).lower())
         .option("max_commits_per_batch", max_commits_per_batch)
+        .option("stream_id", stream_id or "")
         .load()
     )
 
@@ -352,7 +416,13 @@ def _fastpath_blocker(manifest: dict | None, mode: str) -> str | None:
             "names; write through txn_write instead"
         )
     layouts = {
-        tuple(f["partition"].keys()) for f in manifest.get("files", [])
+        # normalize to SORTED key tuples: values, not segment order,
+        # drive pruning and replace_where — tables whose rewrites were
+        # committed under a re-sorted key order (pre-_layout_order
+        # versions of txn_upsert did this) are single-layout in every
+        # way that matters and must not be refused as evolved
+        tuple(sorted(f["partition"].keys()))
+        for f in manifest.get("files", [])
     }
     if len(layouts) > 1:
         # an EVOLVED table carries several layouts — "inherit the
@@ -372,8 +442,10 @@ def _manifest_pcols(manifest: dict | None) -> list[str]:
     """The table's partition columns in directory-nesting order, from
     the head manifest's file entries (every txn writer records them in
     segment order; JSON objects preserve it). Only meaningful on
-    single-layout tables — the blocker above refuses mixed ones, so the
-    first entry's layout IS the table's."""
+    single-layout tables — the blocker above refuses mixed ones (as
+    sorted KEY SETS; entries may disagree on order, so callers compare
+    layouts order-insensitively and the first entry's key set IS the
+    table's)."""
     for f in (manifest or {}).get("files", []):
         return list(f["partition"].keys())
     return []
@@ -386,8 +458,11 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 def _pvalue(v) -> str:
     """A partition value as txn_write records it: Spark cast-to-string
-    semantics for the types partitioning is sane for (null token,
-    lowercase booleans; ints/strings/dates/decimals stringify alike)."""
+    semantics for the types the sink ADMITS as partition columns (the
+    _TxnWriterBase allowlist — null token, lowercase booleans;
+    ints/strings/dates stringify identically in Python and the JVM).
+    Float/decimal/timestamp renderings diverge (str(1e20)='1e+20' vs
+    Spark '1.0E20') and are rejected before any value reaches here."""
     if v is None:
         return _HIVE_NULL
     if isinstance(v, bool):
@@ -418,8 +493,10 @@ class _TxnWriterBase:
         if self.mode != "overwrite" and (manifest or {}).get("files"):
             # the table has data: its layout wins (live == [] means an
             # unpartitioned layout, which an option cannot override —
-            # mixed layouts orphan partitions from pruning/replace_where)
-            if opt_cols is not None and opt_cols != live:
+            # mixed layouts orphan partitions from pruning/replace_where).
+            # Compared as KEY SETS: segment order varies across writers
+            # and values, not order, drive pruning
+            if opt_cols is not None and sorted(opt_cols) != sorted(live):
                 raise ValueError(
                     f"{self.path} is partitioned by {live or 'nothing'}; "
                     f"appends cannot repartition to {opt_cols} — "
@@ -434,6 +511,29 @@ class _TxnWriterBase:
             raise ValueError(
                 f"partition column(s) {missing} not in the written "
                 f"schema {names}"
+            )
+        # _pvalue must render values EXACTLY as txn_write's Spark
+        # cast-to-string does, or sink-recorded partition values silently
+        # mismatch engine-recorded ones for the same logical value
+        # (str(1e20) = '1e+20' vs Spark '1.0E20') and partition_filter /
+        # replace_where equality breaks. Only admit types whose Python
+        # rendering provably agrees with the JVM's
+        _SAFE_PART_TYPES = (
+            "string", "integer", "long", "short", "byte", "boolean", "date",
+        )
+        by_name = {f.name: f for f in schema.fields}
+        bad = {
+            c: by_name[c].dataType.typeName()
+            for c in self.partition_cols
+            if by_name[c].dataType.typeName() not in _SAFE_PART_TYPES
+        }
+        if bad:
+            raise ValueError(
+                f"partition column type(s) {bad} are not supported by the "
+                "native txn sink: Python and JVM string renderings diverge "
+                "for float/decimal/timestamp values, which would corrupt "
+                "partition_filter/replace_where equality — partition by a "
+                "string/int/bool/date column, or write through txn_write"
             )
 
     # -- executor side ------------------------------------------------
@@ -594,19 +694,23 @@ class _TxnWriterBase:
 
         for _ in range(50):
             version, latest = txn_latest(self.path)
-            if _fastpath_blocker(latest, self.mode):
+            blocker = _fastpath_blocker(latest, self.mode)
+            if blocker:
+                # the blocker string names the cause and remedy
+                # (constraints, generated columns, column mapping, or a
+                # mixed layout) — surface it instead of guessing which
                 _drop_staged()
                 raise ConcurrentWriteError(
-                    f"a CHECK constraint or column DDL landed on "
-                    f"{self.path} under this native-sink write — re-run "
-                    "it through txn_write (which validates/translates) "
-                    "or drop the constraint/mapping"
+                    f"{self.path} {blocker} (landed under this "
+                    "native-sink write)"
                 )
             if self.mode != "overwrite" and (latest or {}).get("files"):
                 # layout race: a writer overwrote the table into a
                 # DIFFERENT partitioning while our files were staged —
                 # committing them anyway would mix layouts silently
-                if _manifest_pcols(latest) != self.partition_cols:
+                if sorted(_manifest_pcols(latest)) != sorted(
+                    self.partition_cols
+                ):
                     _drop_staged()
                     raise ConcurrentWriteError(
                         f"{self.path} was repartitioned to "

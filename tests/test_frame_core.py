@@ -541,3 +541,54 @@ def test_upsert_duplicate_keys_raise_even_on_empty_target(spark):
     dup = spark.createDataFrame([(2, "B"), (2, "B2")], "k long, v string")
     with pytest.raises(Exception, match="multiple update rows share key"):
         Frame(empty).upsert(dup, on=["k"]).df.collect()
+
+
+# -- reduce / accumulate (reference-planned: TDFGuide.md:379-380) ----------
+
+
+def test_reduce_associative_fold(f1):
+    assert f1.reduce(lambda a, b: a + b, "b2") == sum(i * i for i in range(10))
+    # associative + commutative max
+    assert f1.reduce(max, "b1") == 9.0
+
+
+def test_reduce_flushes_pending_and_empty(spark, f1):
+    c = f1.count()
+    assert not c.ready
+    assert f1.reduce(lambda a, b: a + b, "b2") == 285
+    assert c.ready and c.get() == 10  # instant-action flush (X1 contract)
+    empty = Frame(spark.createDataFrame([], "x long"))
+    assert empty.reduce(lambda a, b: a + b, "x") is None
+    assert empty.accumulate(lambda a, b: a + b, 42, "x") == 42
+
+
+def test_reduce_non_commutative_partition_order(spark):
+    """Partials merge in ascending partition order — a non-commutative
+    but associative fold (string concat) equals the sequential fold in
+    scan order, regardless of which executor finishes first."""
+    from pyspark.sql import Row
+
+    rows = [Row(s=chr(ord("a") + i)) for i in range(12)]
+    fr = Frame(spark.createDataFrame(rows).repartitionByRange(4, "s"))
+    got = fr.reduce(lambda a, b: a + b, "s")
+    assert got == "abcdefghijkl"
+
+
+def test_accumulate_seed_applied_once(spark):
+    from pyspark.sql import Row
+
+    rows = [Row(v=i) for i in range(1, 7)]
+    # many partitions: a per-partition seed would add 100 several times
+    fr = Frame(spark.createDataFrame(rows).repartition(8))
+    assert fr.accumulate(lambda a, b: a + b, 100, "v") == 121
+
+
+def test_reduce_arity_and_type_guards(f1):
+    import pytest
+
+    from tdataframe_spark.core.errors import ArityError
+
+    with pytest.raises(ArityError):
+        f1.reduce(lambda a: a, "b1")
+    with pytest.raises(TypeError):
+        f1.reduce("not callable", "b1")

@@ -502,6 +502,9 @@ _HEAVY_BUILDERS = {
     # round-8: fixture AVI/WAV/image payload construction (collects ≤16 ids)
     "video_frames", "audio_features", "image_dedup", "shot_detect",
     "image_dedup_index",
+    # round-11: reduce_fold EXECUTES the fold at construction (instant
+    # action); txn_sql_view seeds+mutates a txn table at construction
+    "reduce_fold", "txn_sql_view",
 }
 
 

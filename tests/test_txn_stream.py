@@ -504,3 +504,155 @@ def test_txn_stream_admission_control_caps_batches(spark, tmp_path):
     # seed batch + one batch PER capped commit (>= tolerates an extra
     # empty trigger planning nothing)
     assert len(batches) >= 5
+
+
+def test_sink_accepts_reverse_layout_merged_table(spark, tmp_path):
+    """r11 ADVICE (medium): a table seeded partition_by=['b','a'] and
+    then selectively merged must stay appendable through the native
+    sink — pre-fix the merge re-sorted the keys, the blocker saw
+    {('b','a'), ('a','b')} and refused the table forever as 'mixed
+    (evolved) partition layout'."""
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    register_txn_stream(spark)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 3, float(i)) for i in range(12)],
+        "k long, b long, a long, v double",
+    )
+    txn_write(df, path, partition_by=["b", "a"])
+    txn_upsert(
+        spark.createDataFrame(
+            [(0, 0, 0, 99.0)], "k long, b long, a long, v double"
+        ),
+        path, ["k"],
+    )
+    more = spark.createDataFrame(
+        [(100, 1, 1, 1.5)], "k long, b long, a long, v double"
+    )
+    more.write.format("txn_table").option("path", path).mode(
+        "append"
+    ).save()
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got[0] == 99.0 and got[100] == 1.5 and len(got) == 13
+    # pruning still works over all three writers' files
+    assert txn_read(
+        spark, path, partition_filter={"b": ["1"], "a": ["1"]}
+    ).count() == sum(1 for r in got if r % 2 == 1 and r % 3 == 1) + 1
+
+
+def test_sink_refuses_diverging_partition_value_types(spark, tmp_path):
+    """r11 ADVICE (low): float/decimal/timestamp partition values render
+    differently in Python (str) and the JVM (cast-to-string) — the sink
+    refuses them up front instead of recording values that silently
+    break partition_filter/replace_where equality."""
+    from tdataframe_spark.sources.txn_stream import register_txn_stream
+
+    register_txn_stream(spark)
+    df = spark.createDataFrame([(1, 0.5)], "k long, x double")
+    with pytest.raises(Exception, match="renderings diverge"):
+        df.write.format("txn_table").option(
+            "path", str(tmp_path / "t")
+        ).option("partition_by", "x").mode("append").save()
+    # the agreeing types still pass (date included)
+    ok = spark.sql(
+        "select 1 as k, date'2026-01-02' as d, true as f, 'x' as s"
+    )
+    ok.write.format("txn_table").option("path", str(tmp_path / "t2")).option(
+        "partition_by", "d,f,s"
+    ).mode("append").save()
+    m = __import__(
+        "tdataframe_spark.sources.txn", fromlist=["txn_latest"]
+    ).txn_latest(str(tmp_path / "t2"))[1]
+    assert m["files"][0]["partition"] == {
+        "d": "2026-01-02", "f": "true", "s": "x"
+    }
+
+
+def test_sink_race_error_names_the_blocker(spark, tmp_path):
+    """r11 ADVICE (low): the sink commit-loop's race error carries the
+    actual blocker string (constraint, generated column, mapping, or
+    mixed layout) instead of hard-coding the constraint/DDL wording."""
+    from tdataframe_spark.sources.txn import txn_add_constraint
+    from tdataframe_spark.sources.txn_stream import TxnBatchWriter
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 5)], "k long, v long")
+    txn_write(df, path)
+    w = TxnBatchWriter(df.schema, {"path": path}, "append")
+    # the race: a CHECK constraint lands after the writer's guard passed
+    txn_add_constraint(spark, path, "v_pos", "v > 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        w._publish_append([], {"sink": "txn_table"})
+
+
+def test_txn_stream_restart_admission_control(spark, tmp_path):
+    """r11 (VERDICT item 6): with a stream_id, the planned end offset
+    persists in a sidecar, so even a CLEAN restart's first batches are
+    capped — a 4-commit backlog accumulated while the stream was down
+    drains in >1 capped micro-batch instead of one giant batch."""
+    import glob
+    import time
+
+    path, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    txn_write(
+        spark.range(3).select("id", (F.col("id") * 2).alias("v")),
+        path, mode="append",
+    )
+
+    def start():
+        return (
+            txn_readstream(
+                spark, path, max_commits_per_batch=1, stream_id="restart-t"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while rows() < 3 and time.time() < deadline:
+            time.sleep(0.5)
+        assert rows() == 3, "seed batch did not drain"
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    # the stream is DOWN; a 4-commit backlog piles up
+    for i in range(1, 5):
+        txn_write(
+            spark.range(i * 10, i * 10 + 3).select(
+                "id", (F.col("id") * 2).alias("v")
+            ),
+            path, mode="append",
+        )
+    n_before = len([
+        b for b in glob.glob(os.path.join(ck, "offsets", "*"))
+        if not b.endswith(".tmp")
+    ])
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while rows() < 15 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert _rows(spark.read.parquet(out)) == _rows(txn_read(spark, path))
+    batches = [
+        b for b in glob.glob(os.path.join(ck, "offsets", "*"))
+        if not b.endswith(".tmp")
+    ]
+    # the backlog must drain in >1 capped batch after the restart (one
+    # offsets entry per commit with cap=1; without the sidecar the whole
+    # backlog lands as ONE post-restart batch)
+    assert len(batches) - n_before >= 4, (n_before, len(batches))
