@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feature) and the txn SQL front door (txn_view)
         "reduce_fold": q_reduce_fold,
         "txn_sql_view": q_txn_sql_view,
+        "cdf_feed": q_cdf_feed,
         # txn family re-verified after this round's incremental commit
         # log, cost-based MERGE probe bail, and layout-order fixes
         "merge_upsert_txn": q_merge_upsert_txn,
@@ -141,10 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "semantic_dedup": q_semantic_dedup,
         "sql_grouping_sets": q_sql_grouping_sets,
+        # --- position 51+ (window_top_orders ceded its r11 slot to the
+        # new cdf_feed; it rotates r12 with the r6 cohort): rotated out —
+        # every entry below has an external driver-green row from r8-r10
+        # and is re-verified every round by the local full-registry gate ---
         "window_top_orders": q_window_top_orders,
-        # --- position 51+: rotated out — every entry below has an
-        # external driver-green row from r8-r10 and is re-verified every
-        # round by the local full-registry gate (driver_sim at sf0.01) ---
         "dds_quantiles": q_dds_quantiles,
         "txn_constraints": q_txn_constraints,
         "trim_dedup_index": q_trim_dedup_index,
@@ -294,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "reduce_fold": SQL_REDUCE_FOLD,
         "txn_sql_view": SQL_TXN_SQL_VIEW,
+        "cdf_feed": SQL_CDF_FEED,
         "histo_flow": SQL_HISTO_FLOW,
         "line_dedup": SQL_LINE_DEDUP,
         "count_chain": SQL_COUNT_CHAIN,

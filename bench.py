@@ -169,6 +169,9 @@ EXTENDED = [
     # round-11: SQL front door — spark.sql over a DV'd, renamed,
     # partition-pruned txn snapshot view + VERSION AS OF subquery
     "txn_sql_view",
+    # round-11: recorded change files — cdf.enabled MERGE+DELETE, then
+    # the per-commit feed read from the recorded files alone
+    "cdf_feed",
 ]
 
 

@@ -156,6 +156,47 @@ def main() -> None:
           "commit history (version offsets)")
     txn_drop_constraint(path, "price_pos")
 
+    # 6e. SQL FRONT DOOR — plain spark.sql over a snapshot by name
+    # (VERSION AS OF included); pruning happened before the catalog
+    from tdataframe_spark.sources.txn import txn_view
+
+    txn_view(spark, path, "orders_txn")
+    n_sql = spark.sql(
+        "SELECT count(*) AS c FROM orders_txn WHERE o_totalprice > 0"
+    ).first()["c"]
+    print(f"txn_view: spark.sql over the snapshot reads {n_sql} rows")
+    spark.catalog.dropTempView("orders_txn")
+
+    # 6f. RECORDED CHANGE FILES (Change Data Feed) — with cdf.enabled,
+    # MERGE/DELETE commit their exact row changes; the per-commit feed
+    # never diffs snapshots (contrast txn_changes, which collapses
+    # intermediate states between two snapshots)
+    from tdataframe_spark.sources.txn import (
+        txn_change_feed,
+        txn_delete,
+        txn_set_properties,
+    )
+
+    cdf_path = path + "_cdf"
+    shutil.rmtree(cdf_path, ignore_errors=True)
+    txn_write(orders.limit(200), cdf_path)
+    txn_set_properties(cdf_path, {"cdf.enabled": "true"})
+    txn_upsert(
+        txn_read(spark, cdf_path).limit(10).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.1
+        ),
+        cdf_path, keys=["o_orderkey"],
+    )
+    txn_delete(spark, cdf_path, "o_orderkey % 50 = 0")
+    feed = txn_change_feed(spark, cdf_path, 2)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    print(f"CDF feed (recorded, per-commit): {by_type}")
+
     # 7. OPTIMIZE — compact small files in one atomic commit
     n_files_before = len(txn_latest(path)[1]["files"])
     compact_txn(spark, path)

@@ -7501,6 +7501,88 @@ GROUP BY o_orderstatus
 """
 
 
+def q_cdf_feed(spark, sf):
+    """r11: recorded change files (Delta Change Data Feed parity).
+    Under the cdf.enabled table property a MERGE (updates + inserts +
+    tombstones) and a DV DELETE each commit their exact row-level
+    changes as change parquet; txn_change_feed then streams per-commit
+    update pre/post images, inserts and deletes WITHOUT diffing
+    snapshots (one recorded-file read per commit). The oracle restates
+    every commit's change set relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        txn_change_feed,
+        txn_delete,
+        txn_set_properties,
+        txn_upsert,
+        txn_write,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"cdf_txn_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(o, path, mode="overwrite")                    # v1
+    txn_set_properties(path, {"cdf.enabled": "true"})       # v2
+    k = F.col("o_orderkey")
+    upd = o.filter(k % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    ins = o.filter(k % 11 == 0).select(
+        (k + 3000000).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+    )
+    dels = o.filter((k % 13 == 0) & (k % 10 != 0)).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    batch = upd.unionByName(ins).unionByName(dels)
+    txn_upsert(
+        batch, path, ["o_orderkey"], delete_when="o_totalprice < 0"
+    )                                                       # v3: recorded
+    txn_delete(spark, path, "o_custkey % 97 = 0")           # v4: recorded
+    return txn_change_feed(spark, path, 2).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "_change_type", "_commit_version",
+    )
+
+
+SQL_CDF_FEED = """
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+SELECT o_orderkey, o_custkey, o_totalprice,
+       'update_preimage' AS _change_type,
+       CAST(3 AS BIGINT) AS _commit_version
+FROM base WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+       'update_postimage', CAST(3 AS BIGINT)
+FROM base WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey + 3000000 AS o_orderkey, o_custkey,
+       o_totalprice * 0.5 AS o_totalprice, 'insert', CAST(3 AS BIGINT)
+FROM base WHERE o_orderkey % 11 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, 'delete', CAST(3 AS BIGINT)
+FROM base WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, 'delete', CAST(4 AS BIGINT)
+FROM base
+WHERE o_custkey % 97 = 0 AND o_orderkey % 10 <> 0 AND o_orderkey % 13 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+       'delete', CAST(4 AS BIGINT)
+FROM base WHERE o_custkey % 97 = 0 AND o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey + 3000000 AS o_orderkey, o_custkey,
+       o_totalprice * 0.5 AS o_totalprice, 'delete', CAST(4 AS BIGINT)
+FROM base WHERE o_custkey % 97 = 0 AND o_orderkey % 11 = 0
+"""
+
+
 # re-export surface for `from tdataframe_spark.queries import *`
 # (single-underscore helpers like _events and the oracle builders are
 # part of the contract surface; dunders are not)

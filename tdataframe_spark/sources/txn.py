@@ -528,6 +528,43 @@ def _layout_order(manifest: dict) -> list[str]:
     return seen
 
 
+def _cdf_enabled(manifest: dict | None) -> bool:
+    """True when the table records change files (Delta's
+    delta.enableChangeDataFeed): ``txn_set_properties(path,
+    {"cdf.enabled": "true"})``."""
+    props = (manifest or {}).get("properties", {})
+    return str(props.get("cdf.enabled", "")).lower() == "true"
+
+
+def _commit_file_delta(path: str, version: int, raw: dict):
+    """(files added by ``version``, removed_any, dv_changed) — straight
+    from the delta log when the commit is incremental (one JSON read),
+    else a materialized parent diff. None when the baseline is
+    unknowable (parent vacuumed away)."""
+    if "log" in raw:
+        log = raw["log"]
+        return (
+            list(log.get("add", [])),
+            bool(log.get("remove")),
+            bool(log.get("dv_add") or log.get("dv_remove")),
+        )
+    m = _materialize(path, version, raw=raw)
+    try:
+        pm = _materialize(path, version - 1) if version > 1 else None
+    except FileNotFoundError:
+        return None
+    if pm is not None and pm.get("vacuumed"):
+        return None
+    before = {f["path"] for f in (pm or {}).get("files", [])}
+    after_files = m.get("files", [])
+    added = [f for f in after_files if f["path"] not in before]
+    removed = bool(before - {f["path"] for f in after_files})
+    dv_changed = {_dv_key(e) for e in m.get("dv", [])} != {
+        _dv_key(e) for e in (pm or {}).get("dv", [])
+    }
+    return added, removed, dv_changed
+
+
 def _part_matches(part: dict, where: dict) -> bool:
     """True when a file's partition values fall inside ``where``
     (column -> allowed value list; string-compared)."""
@@ -741,6 +778,7 @@ def txn_write(
     allow_partition_evolution: bool = False,
     _constraints_prevalidated: bool = False,
     _replace_paths: set[str] | None = None,
+    _cdf_paths: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the transactional table at ``path``; returns the
     committed version.
@@ -1148,6 +1186,11 @@ def txn_write(
             "dv": dv,
             "meta": meta or {},
         }
+        if _cdf_paths:
+            # recorded change files (internal — txn_upsert): the commit's
+            # exact row-level changes, pre-materialized so CDC consumers
+            # never diff snapshots for it
+            manifest["cdf"] = list(_cdf_paths)
         # retired physical names ride every non-overwrite commit so a
         # re-added column can never claim a dropped column's storage
         retired = (
@@ -1553,6 +1596,120 @@ def txn_changes_since(
     return txn_changes(spark, path, last_version, head), head
 
 
+def txn_change_feed(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """PER-COMMIT Change Data Feed (Delta CDF's shape): every commit in
+    ``(from_version, to_version]`` contributes its own change rows with
+    ``_change_type`` ('insert' | 'delete' | 'update_preimage' |
+    'update_postimage'), ``_commit_version`` and ``_commit_timestamp``.
+    Unlike :func:`txn_changes` — which diffs the two SNAPSHOTS, so a row
+    inserted at v5 and deleted at v7 cancels out — the feed preserves
+    each commit's changes (the audit/replication shape).
+
+    This is the never-diff-snapshots path. Per commit, consumption cost:
+
+    * RECORDED change files (MERGE/DELETE committed under the
+      ``cdf.enabled`` table property): read exactly those files — the
+      pre-materialized update pre/post images, inserts and deletes.
+    * Append-only commits: the delta log names the added files (one
+      JSON read); they stream as inserts. No change file needed — the
+      data files ARE the changes (Delta does the same).
+    * Anything else (overwrite, replace_where, restore, a merge/delete
+      committed while cdf was off): per-commit snapshot diff fallback
+      (updates appear as plain delete+insert pairs there — pre/post
+      labels need recorded files).
+
+    Columns present under ``to_version``'s logical names (physical
+    names are version-stable, so renames resolve; columns added later
+    NULL-backfill, columns dropped later are omitted)."""
+    from pyspark.sql.types import StringType
+
+    if to_version is None:
+        to_version, _ = txn_latest(path)
+    to_state = _materialize(path, to_version)
+    if to_state.get("vacuumed"):
+        raise ValueError(
+            f"version {to_version} of {path} was vacuumed — no feed"
+        )
+    to_schema = StructType.fromJson(json.loads(to_state["schema"]))
+    to_pschema = _physical_schema(to_schema)
+
+    def present(df_phys: DataFrame) -> DataFrame:
+        # physical column space (possibly a subset) -> the feed's
+        # presentation: to_version's logical names, NULL backfill
+        have = set(df_phys.columns)
+        cols = []
+        for lf, pf in zip(to_schema.fields, to_pschema.fields):
+            if pf.name in have:
+                cols.append(F.col(pf.name).alias(lf.name))
+            else:
+                cols.append(F.lit(None).cast(pf.dataType).alias(lf.name))
+        return df_phys.select(*cols, "_change_type")
+
+    out = None
+    for v in range(from_version + 1, to_version + 1):
+        raw = _load(path, v)  # FileNotFoundError: vacuumed away — loud
+        if raw.get("vacuumed"):
+            raise ValueError(
+                f"commit {v} of {path} was vacuumed — its changes are "
+                "gone; restart the consumer from a full snapshot"
+            )
+        state = _materialize(path, v, raw=raw)
+        vschema = StructType.fromJson(json.loads(state["schema"]))
+        if raw.get("cdf"):
+            read_schema = StructType(
+                list(_physical_schema(vschema).fields)
+                + [StructField("_change_type", StringType(), False)]
+            )
+            df = spark.read.schema(read_schema).parquet(
+                *[os.path.join(path, p) for p in raw["cdf"]]
+            )
+            part = present(df)
+        else:
+            delta = _commit_file_delta(path, v, raw)
+            if delta is not None and not delta[1] and not delta[2]:
+                added = delta[0]
+                if not added:
+                    continue  # property/DDL/schema-only commit: no rows
+                df = spark.read.schema(_physical_schema(vschema)).parquet(
+                    *[_abs_file(path, f) for f in added]
+                ).withColumn("_change_type", F.lit("insert"))
+                part = present(df)
+            else:
+                # snapshot-diff fallback for this one commit; translate
+                # its logical presentation back to physical space first
+                vmap = _mapping(vschema)
+                fb = txn_changes(spark, path, v - 1, v)
+                df = fb.select(
+                    *[
+                        F.col(f.name).alias(vmap.get(f.name, f.name))
+                        for f in vschema.fields
+                    ],
+                    "_change_type",
+                )
+                part = present(df)
+        part = part.withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        ).withColumn(
+            "_commit_timestamp",
+            F.lit(float(raw.get("ts") or 0.0)).cast("double"),
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is not None:
+        return out
+    base = txn_read(spark, path, version=to_version).limit(0)
+    return (
+        base.withColumn("_change_type", F.lit("").cast("string"))
+        .withColumn("_commit_version", F.lit(0).cast("long"))
+        .withColumn("_commit_timestamp", F.lit(0.0).cast("double"))
+        .limit(0)
+    )
+
+
 def _read_file_subset(
     spark: SparkSession, path: str, manifest: dict, rel_paths: set[str]
 ) -> DataFrame:
@@ -1720,6 +1877,80 @@ def _touched_files(
     return out
 
 
+def _write_merge_cdf(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    matched_src: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    tombstones: DataFrame | None,
+) -> list[str]:
+    """Record a MERGE's exact row-level changes as a change parquet
+    under ``{path}/cdf/<id>/`` (Delta Change Data Feed's shape):
+    update_preimage / update_postimage / insert / delete rows, computed
+    from the rows the merge already reads (``matched_src`` is the
+    touched-file subset, DV-applied). Columns are written under the
+    table's PHYSICAL names (version-stable through renames, same
+    contract as data files) plus ``_change_type``; returns the written
+    files' manifest-relative paths for the commit to reference."""
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    cmap = _mapping(schema)
+    used = set(cmap.values()) | set(manifest.get("retired_physical", []))
+    for c in batch.columns:
+        if c not in cmap and c in used:
+            # a NEW batch column colliding with a live/retired physical
+            # gets a fresh uuid physical inside txn_write — unknowable
+            # here, so the change file would record the wrong name and
+            # the feed would NULL it silently. Rare; refuse loudly.
+            raise ValueError(
+                f"cannot record change files: new column {c!r} collides "
+                f"with a retired/claimed physical name of {path} — "
+                "rename the batch column, or disable cdf.enabled for "
+                "this merge"
+            )
+    upd_keys = batch.select(*keys).dropDuplicates(keys)
+    matched_keys = matched_src.select(*keys).dropDuplicates(keys)
+    parts = [
+        matched_src.join(upd_keys, keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        ),
+        batch.join(matched_keys, keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        ),
+        batch.join(matched_keys, keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        ),
+    ]
+    if tombstones is not None:
+        parts.append(
+            matched_src.join(tombstones, keys, "left_semi").withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
+    changes = parts[0]
+    for p in parts[1:]:
+        # allowMissingColumns: the batch may add or omit evolved columns
+        # — either side NULL-backfills, matching the merge itself
+        changes = changes.unionByName(p, allowMissingColumns=True)
+    changes = changes.select(
+        *[
+            F.col(c).alias(cmap.get(c, c))
+            for c in changes.columns
+            if c != "_change_type"
+        ],
+        "_change_type",
+    )
+    import glob as _glob
+
+    cdf_dir = os.path.join(path, "cdf", uuid.uuid4().hex[:12])
+    changes.write.parquet(cdf_dir)
+    return [
+        os.path.relpath(p, path)
+        for p in sorted(_glob.glob(os.path.join(cdf_dir, "*.parquet")))
+    ]
+
+
 def txn_upsert(
     batch: DataFrame,
     path: str,
@@ -1838,35 +2069,55 @@ def txn_upsert(
         if tombstones is not None:
             drop_keys = drop_keys.unionByName(tombstones)
         drop_keys = drop_keys.dropDuplicates(keys)
+        record_cdf = _cdf_enabled(manifest)
         if rewrite == "selective":
             touched = _touched_files(spark, path, manifest, keys, drop_keys)
-            survivors = _read_file_subset(
-                spark, path, manifest, touched
-            ).join(drop_keys, keys, "left_anti")
+            subset = _read_file_subset(spark, path, manifest, touched)
+            cdf_paths = None
+            if record_cdf:
+                # the change rows reuse the subset the merge reads
+                # anyway — persist so the cdf write and the rewrite
+                # don't scan the touched files twice
+                subset = subset.persist()
+                cdf_paths = _write_merge_cdf(
+                    spark, path, manifest, subset, batch, keys, tombstones
+                )
+            survivors = subset.join(drop_keys, keys, "left_anti")
             # allowMissingColumns: the batch may introduce a new column
             # or omit an evolved one — either side NULL-backfills,
             # matching additive schema-evolution semantics
             merged = survivors.unionByName(batch, allowMissingColumns=True)
-            return txn_write(
-                merged,
-                path,
-                mode="append",
-                partition_by=partition_by,
-                meta=meta,
-                expected_version=version,
-                stats_cols=stats_cols,
-                # the layout is DERIVED from the table (union of live
-                # partition keys), not user input — on an already-
-                # evolved table it may widen a narrower live layout
-                allow_partition_evolution=True,
-                _constraints_prevalidated=prevalidated,
-                _replace_paths=touched,
-            )
+            try:
+                return txn_write(
+                    merged,
+                    path,
+                    mode="append",
+                    partition_by=partition_by,
+                    meta=meta,
+                    expected_version=version,
+                    stats_cols=stats_cols,
+                    # the layout is DERIVED from the table (union of live
+                    # partition keys), not user input — on an already-
+                    # evolved table it may widen a narrower live layout
+                    allow_partition_evolution=True,
+                    _constraints_prevalidated=prevalidated,
+                    _replace_paths=touched,
+                    _cdf_paths=cdf_paths,
+                )
+            finally:
+                if record_cdf:
+                    subset.unpersist()
         if rewrite != "full":
             raise ValueError(
                 f"rewrite must be 'selective' or 'full', got {rewrite!r}"
             )
         current = txn_read(spark, path, version=version)
+        cdf_paths = None
+        if record_cdf:
+            current = current.persist()
+            cdf_paths = _write_merge_cdf(
+                spark, path, manifest, current, batch, keys, tombstones
+            )
         survivors = current.join(drop_keys, keys, "left_anti")
         merged = survivors.unionByName(batch, allowMissingColumns=True)
     else:
@@ -1881,16 +2132,23 @@ def txn_upsert(
             )
         version = 0
         merged = batch
-    return txn_write(
-        merged,
-        path,
-        mode="overwrite",
-        partition_by=partition_by,
-        meta=meta,
-        expected_version=version,
-        stats_cols=stats_cols,
-        _constraints_prevalidated=prevalidated,
-    )
+        record_cdf = False
+        cdf_paths = None
+    try:
+        return txn_write(
+            merged,
+            path,
+            mode="overwrite",
+            partition_by=partition_by,
+            meta=meta,
+            expected_version=version,
+            stats_cols=stats_cols,
+            _constraints_prevalidated=prevalidated,
+            _cdf_paths=cdf_paths,
+        )
+    finally:
+        if record_cdf:
+            current.unpersist()
 
 
 def txn_delete(
@@ -1957,12 +2215,35 @@ def txn_delete(
         old_dv = _read_dv(spark, path, manifest)
         if old_dv is not None:
             cur = cur.join(old_dv, [_DV_FILE, _DV_POS], "left_anti")
-        hits = cur.filter(cond).select(_DV_FILE, _DV_POS)
+        record_cdf = _cdf_enabled(manifest)
+        matched = cur.filter(cond)
+        if record_cdf:
+            # the DV write and the change file share one scan's rows
+            matched = matched.persist()
+        hits = matched.select(_DV_FILE, _DV_POS)
         dv_id = uuid.uuid4().hex[:12]
         dv_dir = os.path.join(path, "dv", dv_id)
         # cluster the DV by part-file so reads join against few,
         # file-local entries; AQE coalesces a small delete to one file
         hits.repartition(F.col(_DV_FILE)).write.parquet(dv_dir)
+        cdf_rel: list[str] = []
+        if record_cdf:
+            # recorded change files: the deleted rows themselves, under
+            # PHYSICAL column names (version-stable through renames)
+            cmap = _mapping(schema)
+            dels = matched.drop(_DV_FILE, _DV_POS).select(
+                *[
+                    F.col(f.name).alias(cmap.get(f.name, f.name))
+                    for f in schema.fields
+                ]
+            ).withColumn("_change_type", F.lit("delete"))
+            cdf_dir = os.path.join(path, "cdf", uuid.uuid4().hex[:12])
+            dels.write.parquet(cdf_dir)
+            cdf_rel = [
+                os.path.relpath(p, path)
+                for p in sorted(glob.glob(os.path.join(cdf_dir, "*.parquet")))
+            ]
+            matched.unpersist()
         new_rel = [
             os.path.relpath(p, path)
             for p in sorted(glob.glob(os.path.join(dv_dir, "*.parquet")))
@@ -1983,6 +2264,11 @@ def txn_delete(
         )
         if agg["n"] == 0:
             shutil.rmtree(dv_dir, ignore_errors=True)
+            if cdf_rel:
+                shutil.rmtree(
+                    os.path.join(path, os.path.dirname(cdf_rel[0])),
+                    ignore_errors=True,
+                )
             return version  # Delta-style: no matching rows, no commit
         refs = sorted(agg["refs"])
         new_entries = [{"path": p, "refs": refs} for p in new_rel]
@@ -1995,6 +2281,8 @@ def txn_delete(
             "dv": list(manifest.get("dv", [])) + new_entries,
             "meta": {**(meta or {}), "op": "delete"},
         }
+        if cdf_rel:
+            new_manifest["cdf"] = cdf_rel
         # the dropped-column fence must survive EVERY non-overwrite
         # commit, or a later re-add claims a retired physical name and
         # resurrects old file values
@@ -2946,6 +3234,27 @@ def txn_vacuum(
         if age < min_age_s:
             continue
         to_remove.append(ddir)
+    # recorded change-file dirs follow the same rule: referenced by no
+    # retained commit (cdf entries are PER COMMIT — each retained raw
+    # manifest names its own) + old enough. Change history below the
+    # retention window dies with its manifests, as the feed documents.
+    live_cdf = set()
+    for v in keep:
+        for p in _load(path, v).get("cdf", []):
+            live_cdf.add(os.path.normpath(p))
+    cdf_root = os.path.join(path, "cdf")
+    for cdf_id in os.listdir(cdf_root) if os.path.isdir(cdf_root) else []:
+        cdir = os.path.join(cdf_root, cdf_id)
+        rel = os.path.relpath(cdir, path)
+        if any(p.startswith(rel + os.sep) or p.startswith(rel + "/") for p in live_cdf):
+            continue
+        try:
+            age = now - os.path.getmtime(cdir)
+        except OSError:
+            continue
+        if age < min_age_s:
+            continue
+        to_remove.append(cdir)
     # keep the newest manifest carrying a streaming sink's batch_id even
     # when it falls outside the retained window: it is the replay fence
     # AND the ownership record — deleting it after a non-sink commit
@@ -2998,6 +3307,12 @@ def txn_vacuum(
                 m["vacuumed"] = True
                 m["files"] = []
                 m["dv"] = []
+                changed = True
+            if m.get("cdf"):
+                # the fence only needs its meta; its change files are
+                # not referenced by any retained commit and are being
+                # reclaimed — a dangling list would crash the feed
+                m["cdf"] = []
                 changed = True
             if not m.get("retained_fence"):
                 m["retained_fence"] = True

@@ -59,13 +59,25 @@ from tdataframe_spark.sources.txn import (
 
 
 class _FileSlice(InputPartition):
-    """One added data file: absolute path + the pinned logical schema
-    (JSON) + logical→physical mapping, self-contained for the executor."""
+    """One added data (or recorded-change) file: absolute path + the
+    pinned logical schema (JSON) + logical→physical mapping, self-
+    contained for the executor. ``kind`` is None for the plain append
+    feed, 'insert' / 'cdf' for the CDC mode (with the commit version the
+    slice belongs to)."""
 
-    def __init__(self, abs_path: str, schema_json: str, mapping: dict):
+    def __init__(
+        self,
+        abs_path: str,
+        schema_json: str,
+        mapping: dict,
+        kind: str | None = None,
+        version: int = 0,
+    ):
         self.abs_path = abs_path
         self.schema_json = schema_json
         self.mapping = mapping
+        self.kind = kind
+        self.version = version
 
 
 def _added_files(path: str, version: int) -> tuple[list[dict], bool]:
@@ -147,6 +159,10 @@ class TxnStreamReader(DataSourceStreamReader):
         # bypasses per-batch latestOffset entirely (Spark's wrapper
         # captures one end offset up front) — the cap is a no-op there.
         self.max_commits = int(options.get("max_commits_per_batch", 0))
+        # CDC mode: emit _change_type/_commit_version per row — commits
+        # with RECORDED change files (cdf.enabled MERGE/DELETE) stream
+        # those; append-only commits stream their added files as inserts
+        self.cdc = str(options.get("cdc", "false")).lower() == "true"
         self._progress: int | None = None  # last planned/committed end
         # RESTART admission control: with a caller-chosen stream_id the
         # reader persists its planned end offset next to the table
@@ -246,6 +262,41 @@ class TxnStreamReader(DataSourceStreamReader):
                 f"start_version >= {max(gaps)}"
             )
         for v in range(start["version"] + 1, end["version"] + 1):
+            if self.cdc:
+                raw = _load(self.path, v)
+                if raw.get("vacuumed"):
+                    raise ValueError(
+                        f"version {v} of {self.path} was vacuumed — its "
+                        "changes are gone; restart the stream from a "
+                        "retained version"
+                    )
+                if raw.get("cdf"):
+                    # recorded change files ARE the commit's complete
+                    # row-level change set — stream exactly those
+                    import os as _os
+
+                    for p in raw["cdf"]:
+                        out.append(_FileSlice(
+                            _os.path.join(self.path, p), sj, self.mapping,
+                            kind="cdf", version=v,
+                        ))
+                    continue
+                added, changed = _added_files(self.path, v)
+                if changed and not self.ignore_changes:
+                    raise ValueError(
+                        f"commit {v} of {self.path} removed or hid rows "
+                        "without recorded change files — enable the "
+                        "cdf.enabled table property BEFORE such commits "
+                        "(txn_set_properties) so MERGE/DELETE record "
+                        "their changes, or pass ignore_changes=true to "
+                        "stream only the added files"
+                    )
+                for f in added:
+                    out.append(_FileSlice(
+                        _abs_file(self.path, f), sj, self.mapping,
+                        kind="insert", version=v,
+                    ))
+                continue
             added, changed = _added_files(self.path, v)
             if changed and not self.ignore_changes:
                 raise ValueError(
@@ -253,7 +304,8 @@ class TxnStreamReader(DataSourceStreamReader):
                     "(overwrite/replace_where/MERGE/DELETE) — not an "
                     "append; pass ignore_changes=true to stream its "
                     "added files anyway (downstream must tolerate "
-                    "re-emits), or consume txn_changes_since for CDC"
+                    "re-emits), or consume txn_changes_since for CDC "
+                    "(or txn_readstream(cdc=True) with cdf.enabled)"
                 )
             for f in added:
                 out.append(
@@ -268,11 +320,27 @@ class TxnStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = StructType.fromJson(json.loads(partition.schema_json))
+        # CDC mode: the pinned stream schema carries the two feed
+        # columns; they are synthesized below ('_change_type' from the
+        # recorded change file itself on cdf slices), never resolved
+        # through the column mapping
         arrow_target = to_arrow_schema(_plain_schema(target))
         table = pq.read_table(partition.abs_path)
         n = table.num_rows
         cols = []
         for field, spark_field in zip(arrow_target, target.fields):
+            if spark_field.name == "_change_type":
+                if partition.kind == "cdf":
+                    col = table.column("_change_type").cast(field.type)
+                else:
+                    col = pa.array(["insert"] * n, type=field.type)
+                cols.append(col)
+                continue
+            if spark_field.name == "_commit_version":
+                cols.append(
+                    pa.array([partition.version] * n, type=field.type)
+                )
+                continue
             phys = partition.mapping.get(spark_field.name, spark_field.name)
             if phys in table.column_names:
                 col = table.column(phys).cast(field.type)
@@ -298,9 +366,20 @@ class TxnTableSource(DataSource):
         _, manifest = txn_latest(path)
         if manifest is None:
             raise FileNotFoundError(f"no transactional table at {path}")
-        return _plain_schema(
+        out = _plain_schema(
             StructType.fromJson(json.loads(manifest["schema"]))
         )
+        if str(self.options.get("cdc", "false")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            out = StructType(
+                list(out.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        return out
 
     def streamReader(self, schema: StructType):
         return TxnStreamReader(schema, self.options)
@@ -328,6 +407,7 @@ def txn_readstream(
     ignore_changes: bool = False,
     max_commits_per_batch: int = 0,
     stream_id: str | None = None,
+    cdc: bool = False,
 ):
     """``readStream`` over a transactional table: registers the source
     and returns the streaming DataFrame. ``start_version`` is
@@ -344,7 +424,15 @@ def txn_readstream(
     (``latestOffset`` never sees the committed start). Without a
     stream_id the first batch of a clean restart is uncapped.
     ``availableNow`` drains to one captured end offset regardless —
-    bound deep-history replays with ``start_version``."""
+    bound deep-history replays with ``start_version``.
+
+    ``cdc=True`` switches to the CHANGE-DATA-FEED mode: rows carry
+    ``_change_type`` and ``_commit_version``; commits with recorded
+    change files (MERGE/DELETE under the ``cdf.enabled`` table
+    property) stream their exact pre/post images and deletes, append
+    commits stream their added files as inserts, and a row-hiding
+    commit WITHOUT recorded changes raises (enable cdf.enabled before
+    merging/deleting). The batch counterpart is ``txn_change_feed``."""
     register_txn_stream(spark)
     return (
         spark.readStream.format("txn_table")
@@ -353,6 +441,7 @@ def txn_readstream(
         .option("ignore_changes", str(bool(ignore_changes)).lower())
         .option("max_commits_per_batch", max_commits_per_batch)
         .option("stream_id", stream_id or "")
+        .option("cdc", str(bool(cdc)).lower())
         .load()
     )
 

@@ -503,8 +503,9 @@ _HEAVY_BUILDERS = {
     "video_frames", "audio_features", "image_dedup", "shot_detect",
     "image_dedup_index",
     # round-11: reduce_fold EXECUTES the fold at construction (instant
-    # action); txn_sql_view seeds+mutates a txn table at construction
-    "reduce_fold", "txn_sql_view",
+    # action); txn_sql_view / cdf_feed seed+mutate txn tables at
+    # construction
+    "reduce_fold", "txn_sql_view", "cdf_feed",
 }
 
 

@@ -2574,7 +2574,10 @@ def test_incremental_log_dv_and_upsert_deltas(spark, tmp_path):
     df = spark.range(400).select(
         "id", (F.col("id") % 8).alias("b"), (F.col("id") * 2).alias("v")
     ).repartitionByRange(16, "id")
-    txn_write(df, path)  # v1: 16 id-clustered files
+    # id stats recorded: without them every file is a merge candidate
+    # and the cost-based probe bail (>60% candidates) correctly rewrites
+    # them all — this test pins the STATS-PRUNED selective delta shape
+    txn_write(df, path, stats_cols=["id"])  # v1: 16 id-clustered files
     n1 = len(_load(path, 1)["files"])
     assert n1 >= 12
     txn_delete(spark, path, "id = 7")  # v2: DV only
@@ -2643,3 +2646,138 @@ def test_txn_view_sql_front_door(spark, tmp_path):
     assert spark.sql("SELECT count(*) c FROM t_cur").first()["c"] == 39
     for n in ("t_cur", "t_v1", "t_b"):
         spark.catalog.dropTempView(n)
+
+
+def test_cdf_recorded_change_files(spark, tmp_path):
+    """r11: recorded change files (Delta CDF parity). Under the
+    cdf.enabled table property, MERGE and DELETE commit their exact
+    row-level changes as change parquet referenced by the manifest;
+    txn_change_feed streams per-commit changes (update pre/post images,
+    inserts, deletes, _commit_version) without diffing snapshots;
+    appends need no recorded files (added files ARE the inserts);
+    un-recorded row-hiding commits fall back to the per-commit snapshot
+    diff; vacuum reclaims unreferenced change dirs."""
+    from tdataframe_spark.sources.txn import (
+        _load,
+        txn_change_feed,
+        txn_changes,
+        txn_delete,
+        txn_set_properties,
+        txn_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    txn_write(df, path)                                   # v1
+    txn_set_properties(path, {"cdf.enabled": "true"})     # v2
+    batch = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (50, 500.0), (3, -1.0)], "k long, v double"
+    )
+    txn_upsert(batch, path, ["k"], delete_when="v < 0")   # v3: recorded
+    assert _load(path, 3).get("cdf"), "merge must record change files"
+    txn_delete(spark, path, "k = 7")                      # v4: recorded
+    assert _load(path, 4).get("cdf")
+    txn_write(
+        spark.createDataFrame([(90, 9.0)], "k long, v double"), path
+    )                                                     # v5: append
+    assert not _load(path, 5).get("cdf")
+    feed = txn_change_feed(spark, path, 2).collect()
+    by_commit = {}
+    for r in feed:
+        by_commit.setdefault(r["_commit_version"], []).append(
+            (r["_change_type"], r["k"], r["v"])
+        )
+    v3 = sorted(by_commit[3])
+    assert v3 == sorted([
+        ("update_preimage", 1, 1.0), ("update_postimage", 1, 100.0),
+        ("update_preimage", 2, 2.0), ("update_postimage", 2, 200.0),
+        ("insert", 50, 500.0),
+        ("delete", 3, 3.0),
+    ])
+    assert sorted(by_commit[4]) == [("delete", 7, 7.0)]
+    assert sorted(by_commit[5]) == [("insert", 90, 9.0)]
+    # the feed PRESERVES per-commit history; txn_changes collapses it —
+    # k=7 was present at v2 and deleted at v4, so the snapshot diff
+    # v2->v5 reports it once as a delete, and the feed shows it at v4
+    collapsed = txn_changes(spark, path, 2).collect()
+    assert sum(1 for r in collapsed if r["k"] == 7) == 1
+    # fallback: a merge committed while cdf was OFF still feeds, as
+    # plain delete+insert pairs for the updated key
+    path2 = str(tmp_path / "t2")
+    txn_write(df, path2)
+    txn_upsert(
+        spark.createDataFrame([(1, 111.0)], "k long, v double"),
+        path2, ["k"],
+    )
+    fb = txn_change_feed(spark, path2, 1).collect()
+    assert sorted((r["_change_type"], r["k"], r["v"]) for r in fb) == [
+        ("delete", 1, 1.0), ("insert", 1, 111.0),
+    ]
+    # vacuum reclaims change dirs of dropped commits
+    import glob as _glob
+
+    n_before = len(_glob.glob(os.path.join(path, "cdf", "*")))
+    assert n_before >= 2
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    assert len(_glob.glob(os.path.join(path, "cdf", "*"))) < n_before
+
+
+def test_cdf_streaming_cdc_mode(spark, tmp_path):
+    """r11: txn_readstream(cdc=True) streams per-commit change rows —
+    recorded change files for MERGE/DELETE, added files as inserts for
+    appends — matching the batch feed exactly; a row-hiding commit
+    without recorded changes refuses instead of silently re-emitting."""
+    from tdataframe_spark.sources.txn import (
+        txn_change_feed,
+        txn_delete,
+        txn_set_properties,
+        txn_upsert,
+    )
+    from tdataframe_spark.sources.txn_stream import txn_readstream
+
+    path, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    txn_write(df, path)                                   # v1
+    txn_set_properties(path, {"cdf.enabled": "true"})     # v2
+    txn_upsert(
+        spark.createDataFrame([(1, 100.0), (50, 500.0)], "k long, v double"),
+        path, ["k"],
+    )                                                     # v3
+    txn_delete(spark, path, "k = 7")                      # v4
+    q = (
+        txn_readstream(spark, path, start_version=2, cdc=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in txn_change_feed(spark, path, 2).collect()
+    )
+    assert got == want and len(got) == 4
+    # un-recorded row-hiding commit refuses in cdc mode
+    path3 = str(tmp_path / "t3")
+    txn_write(df, path3)
+    txn_delete(spark, path3, "k = 1")  # cdf never enabled
+    with pytest.raises(Exception, match="cdf.enabled|recorded"):
+        q2 = (
+            txn_readstream(spark, path3, cdc=True)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out3"))
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        raise RuntimeError(q2.exception() or "stream did not fail")
