@@ -528,6 +528,13 @@ class Frame:
         concatenation, matrix multiply) folds exactly as a sequential
         pass would. Commutativity is never required; associativity is
         (same contract as ROOT's planned ``Reduce``)."""
+        folded = self._reduce_impl(fn, col)
+        return None if folded is _NO_VALUE else folded
+
+    def _reduce_impl(self, fn: Callable, col: str | None) -> Any:
+        """reduce's engine; returns the ``_NO_VALUE`` sentinel on an
+        empty frame so ``accumulate`` can distinguish emptiness from a
+        fold that legitimately produced None."""
         c = self._one_default(col)
         if not callable(fn):
             raise TypeError(f"reduce needs a binary callable, got {fn!r}")
@@ -552,19 +559,20 @@ class Frame:
         acc = _NO_VALUE
         for _, p in sorted(partials, key=lambda t: t[0]):
             acc = p if acc is _NO_VALUE else fn(acc, p)
-        return None if acc is _NO_VALUE else acc
+        return acc
 
     def accumulate(
         self, fn: Callable, init: Any, col: str | None = None
     ) -> Any:
         """``reduce`` with a seed: fold ``fn`` over the column starting
-        from ``init`` (returned unchanged on an empty frame). Exact
-        sequential-fold semantics for an associative ``fn``: the seed is
-        applied ONCE, driver-side, as the leftmost operand —
+        from ``init`` (returned unchanged ONLY on an empty frame — a
+        fold legitimately producing None still gets the seed applied).
+        Exact sequential-fold semantics for an associative ``fn``: the
+        seed is applied ONCE, driver-side, as the leftmost operand —
         ``fn(init, reduce(values))`` — never re-applied per partition
         (a non-identity seed must not be counted #partitions times)."""
-        folded = self.reduce(fn, col)
-        return init if folded is _NO_VALUE or folded is None else fn(init, folded)
+        folded = self._reduce_impl(fn, col)
+        return init if folded is _NO_VALUE else fn(init, folded)
 
     # -- sink (planned in reference: Snapshot) ----------------------------
     def snapshot(

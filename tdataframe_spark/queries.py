@@ -1462,7 +1462,12 @@ def q_merge_upsert_txn(spark, sf):
     post-merge, never between), read the head snapshot. MERGE semantics
     are identical to the plain anti-join+union upsert, so it shares
     SQL_MERGE_UPSERT's oracle — the commit protocol must not change a
-    single value."""
+    single value. The seed records key stats (the recommended deployment
+    shape): the batch's uniformly-spread keys then trip the evidence-
+    gated probe bail — exact-key pruning proves every file holds batch
+    keys, so the merge costs a plain rewrite, never rewrite + a wasted
+    probe (contrast merge_clustered_txn, where pruning confines the
+    rewrite to the touched band)."""
     import os
     import shutil
     import tempfile
@@ -1479,7 +1484,7 @@ def q_merge_upsert_txn(spark, sf):
         tempfile.gettempdir(), f"merge_txn_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
-    txn_write(o, path, mode="overwrite")
+    txn_write(o, path, mode="overwrite", stats_cols=["o_orderkey"])
     txn_upsert(upd, path, keys=["o_orderkey"])
     return txn_read(spark, path)
 
@@ -1561,7 +1566,8 @@ def q_merge_delete_txn(spark, sf):
         tempfile.gettempdir(), f"merge_del_txn_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
-    txn_write(o, path, mode="overwrite")
+    # key stats seed the evidence-gated probe bail (see merge_upsert_txn)
+    txn_write(o, path, mode="overwrite", stats_cols=["o_orderkey"])
     txn_upsert(
         batch, path, keys=["o_orderkey"], delete_when="o_orderkey % 7 = 0"
     )
@@ -7533,7 +7539,7 @@ def q_cdf_feed(spark, sf):
         "o_totalprice", F.col("o_totalprice") * 1.1
     )
     ins = o.filter(k % 11 == 0).select(
-        (k + 3000000).alias("o_orderkey"),
+        (k + 900000000).alias("o_orderkey"),
         "o_custkey",
         (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
     )
@@ -7562,7 +7568,7 @@ SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
        'update_postimage', CAST(3 AS BIGINT)
 FROM base WHERE o_orderkey % 10 = 0
 UNION ALL
-SELECT o_orderkey + 3000000 AS o_orderkey, o_custkey,
+SELECT o_orderkey + 900000000 AS o_orderkey, o_custkey,
        o_totalprice * 0.5 AS o_totalprice, 'insert', CAST(3 AS BIGINT)
 FROM base WHERE o_orderkey % 11 = 0
 UNION ALL
@@ -7577,7 +7583,7 @@ SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
        'delete', CAST(4 AS BIGINT)
 FROM base WHERE o_custkey % 97 = 0 AND o_orderkey % 10 = 0
 UNION ALL
-SELECT o_orderkey + 3000000 AS o_orderkey, o_custkey,
+SELECT o_orderkey + 900000000 AS o_orderkey, o_custkey,
        o_totalprice * 0.5 AS o_totalprice, 'delete', CAST(4 AS BIGINT)
 FROM base WHERE o_custkey % 97 = 0 AND o_orderkey % 11 = 0
 """

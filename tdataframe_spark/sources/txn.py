@@ -1354,12 +1354,18 @@ def txn_read(
         # rule would let one missing key waive the recorded-key checks
         # and leak rows (old file with a=5 kept under {a:[1], b:[2]}
         # just because it predates b)
+        # match sets hoisted once: rebuilding them per (file x key) pair
+        # is O(files x filter values) string churn on the driver — the
+        # exact hot path manifest pruning exists to keep cheap
+        pf_sets = {
+            k: {str(v) for v in vs} for k, vs in partition_filter.items()
+        }
         files = [
             f for f in files
             if all(
                 k not in f["partition"]
-                or str(f["partition"][k]) in {str(v) for v in vs}
-                for k, vs in partition_filter.items()
+                or str(f["partition"][k]) in want
+                for k, want in pf_sets.items()
             )
         ]
         evolved = {
@@ -1737,14 +1743,18 @@ def _read_file_subset(
     )
 
 
-# Cost-based probe bail (selective MERGE): when stats pruning still
-# leaves more than this fraction of the live files as candidates, the
-# key-column probe scan cannot pay for itself — the batch evidently
+# Cost-based probe bail (selective MERGE): when EXACT-KEY pruning —
+# not mere bounds overlap — confirms that more than this fraction of
+# the live files hold a batch key in their recorded range, the
+# key-column probe scan cannot pay for itself: the batch provably
 # touches most of the table, so every candidate is rewritten without
 # probing (identical semantics: rewriting an untouched candidate is a
 # byte-preserving rewrite, and files PRUNED by stats still ride the
-# commit zero-copy). This is what caps the uniform-key worst case at
-# the plain rewrite cost instead of rewrite + a wasted probe.
+# commit zero-copy). This caps the uniform-key worst case at the plain
+# rewrite cost instead of rewrite + a wasted probe, while stats-less
+# tables, multi-key merges, and over-cap batches ALWAYS probe (there,
+# "everything is a candidate" is absence of evidence, and bailing
+# would turn a 10-row merge into a full-table rewrite).
 _PROBE_SKIP_FRACTION = 0.6
 # Single-key merges sharpen bounds pruning with the batch's DISTINCT
 # key values (bounded driver collect): a file is a candidate only if
@@ -1808,41 +1818,55 @@ def _touched_files(
             files = all_files  # incomparable stat types: keep every candidate
         if not files:
             return set()
-    if len(files) > _PROBE_SKIP_FRACTION * len(all_files):
-        if have_stats and len(keys) == 1:
-            # global bounds are loose for sparse batches (keys {150, 450}
-            # mark every mid-range file candidate) — re-prune on the
-            # actual key values when the batch is driver-safe
-            import bisect
+    if (
+        have_stats
+        and len(keys) == 1
+        and len(files) > _PROBE_SKIP_FRACTION * len(all_files)
+    ):
+        # global bounds are loose for sparse batches (keys {150, 450}
+        # mark every mid-range file candidate) — re-prune on the actual
+        # key values when the batch is driver-safe
+        import bisect
 
-            kvals = [
-                r[0]
-                for r in key_df.dropDuplicates(keys)
-                .limit(_EXACT_PRUNE_KEY_CAP + 1)
-                .collect()
-            ]
-            if len(kvals) <= _EXACT_PRUNE_KEY_CAP:
-                kvals = sorted(v for v in kvals if v is not None)
-                pk = phys_keys[0]
+        kvals = [
+            r[0]
+            for r in key_df.dropDuplicates(keys)
+            .limit(_EXACT_PRUNE_KEY_CAP + 1)
+            .collect()
+        ]
+        if len(kvals) <= _EXACT_PRUNE_KEY_CAP:
+            kvals = sorted(v for v in kvals if v is not None)
+            pk = phys_keys[0]
 
-                def _holds_a_key(f) -> bool:
-                    st = f.get("stats", {}).get(pk)
-                    if st is None:
-                        return True  # no stats: conservatively candidate
-                    mn, mx = st
-                    i = bisect.bisect_left(kvals, mn)
-                    return i < len(kvals) and kvals[i] <= mx
+            def _holds_a_key(f) -> bool:
+                st = f.get("stats", {}).get(pk)
+                if st is None:
+                    return True  # no stats: conservatively candidate
+                mn, mx = st
+                i = bisect.bisect_left(kvals, mn)
+                return i < len(kvals) and kvals[i] <= mx
 
-                try:
-                    files = [f for f in files if _holds_a_key(f)]
-                except TypeError:
-                    pass  # incomparable types: keep the bounds pruning
-                if not files:
-                    return set()
-        if len(files) > _PROBE_SKIP_FRACTION * len(all_files):
-            # cost-based bail: most files are candidates anyway — skip
-            # the probe and rewrite them all (see _PROBE_SKIP_FRACTION)
-            return {f["path"] for f in files}
+            sharpened = True
+            try:
+                files = [f for f in files if _holds_a_key(f)]
+            except TypeError:
+                sharpened = False  # incomparable types: bounds only
+            if not files:
+                return set()
+            if (
+                sharpened
+                and len(files) > _PROBE_SKIP_FRACTION * len(all_files)
+            ):
+                # cost-based bail — EVIDENCE-GATED: only after exact-key
+                # pruning confirmed that most files genuinely hold a
+                # batch key in their recorded range (the uniform-key
+                # case) is the probe scan provably near-worthless; skip
+                # it and rewrite the candidates. Without stats, with
+                # multi-key merges, or for over-cap batches there is no
+                # such evidence and the probe always runs — bailing on
+                # "100% candidates because nothing could prune" would
+                # turn a 10-row merge into a full-table rewrite.
+                return {f["path"] for f in files}
     pschema = _physical_schema(schema)
     key_fields = StructType(
         [f for f in pschema.fields if f.name in phys_keys]
@@ -1885,6 +1909,7 @@ def _write_merge_cdf(
     batch: DataFrame,
     keys: list[str],
     tombstones: DataFrame | None,
+    identity_names: bool = False,
 ) -> list[str]:
     """Record a MERGE's exact row-level changes as a change parquet
     under ``{path}/cdf/<id>/`` (Delta Change Data Feed's shape):
@@ -1893,9 +1918,15 @@ def _write_merge_cdf(
     touched-file subset, DV-applied). Columns are written under the
     table's PHYSICAL names (version-stable through renames, same
     contract as data files) plus ``_change_type``; returns the written
-    files' manifest-relative paths for the commit to reference."""
+    files' manifest-relative paths for the commit to reference.
+
+    ``identity_names=True`` is for the FULL-rewrite merge: its
+    mode='overwrite' commit RESETS the column mapping to identity, so
+    the change file must carry the post-commit (logical==physical)
+    names — recording the pre-commit physicals there would make the
+    feed NULL every renamed column silently."""
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    cmap = _mapping(schema)
+    cmap = {} if identity_names else _mapping(schema)
     used = set(cmap.values()) | set(manifest.get("retired_physical", []))
     for c in batch.columns:
         if c not in cmap and c in used:
@@ -2115,8 +2146,11 @@ def txn_upsert(
         cdf_paths = None
         if record_cdf:
             current = current.persist()
+            # identity names: this mode='overwrite' commit RESETS the
+            # column mapping — the change file must carry the new names
             cdf_paths = _write_merge_cdf(
-                spark, path, manifest, current, batch, keys, tombstones
+                spark, path, manifest, current, batch, keys, tombstones,
+                identity_names=True,
             )
         survivors = current.join(drop_keys, keys, "left_anti")
         merged = survivors.unionByName(batch, allowMissingColumns=True)
@@ -2294,8 +2328,13 @@ def txn_delete(
         if _publish(path, version + 1, new_manifest):
             return version + 1
         # lost the race: the matching row set may have changed under the
-        # new head — drop the staged DV and recompute from scratch
+        # new head — drop the staged DV (and change files) and recompute
         shutil.rmtree(dv_dir, ignore_errors=True)
+        if cdf_rel:
+            shutil.rmtree(
+                os.path.join(path, os.path.dirname(cdf_rel[0])),
+                ignore_errors=True,
+            )
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races deleting from {path}"
     )
@@ -3265,21 +3304,27 @@ def txn_vacuum(
         (v for v in reversed(vs) if "batch_id" in _load(path, v).get("meta", {})),
         None,
     )
-    # the OLDEST RETAINED manifest must be self-contained before any
-    # older manifest is unlinked: with the incremental commit log it may
-    # be a delta whose chain roots below the window — materialize it to
-    # a full checkpoint in place (logical state unchanged; same atomic
-    # replace as the fence rewrites below)
+    # every manifest that SURVIVES this vacuum (the oldest retained one,
+    # and a retained out-of-window fence) must be self-contained BEFORE
+    # any older manifest is unlinked: with the incremental commit log it
+    # may be a delta whose chain roots below the window — materialize it
+    # to a full checkpoint in place (logical state unchanged; same
+    # atomic replace as the fence rewrites below). Doing this inside the
+    # unlink loop would be too late: an ascending unlink deletes the
+    # fence's ancestors before reaching it, and _materialize then fails
+    # FileNotFoundError forever (vacuum permanently broken).
     if vs[:-keep_versions]:
-        raw_oldest = _load(path, keep[0])
-        if "log" in raw_oldest:
-            full = _materialize(path, keep[0], raw=raw_oldest)
+        for v in {keep[0], fence} - {None}:
+            raw_v = _load(path, v)
+            if "log" not in raw_v:
+                continue
+            full = _materialize(path, v, raw=raw_v)
             tmp = os.path.join(path, _TXN, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 json.dump(full, f)
                 f.flush()
                 os.fsync(f.fileno())
-            os.replace(tmp, _manifest_path(path, keep[0]))
+            os.replace(tmp, _manifest_path(path, v))
     for v in vs[:-keep_versions]:
         if v == fence:
             # the fence only needs its meta; when its data files are no

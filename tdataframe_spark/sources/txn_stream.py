@@ -80,14 +80,17 @@ class _FileSlice(InputPartition):
         self.version = version
 
 
-def _added_files(path: str, version: int) -> tuple[list[dict], bool]:
+def _added_files(
+    path: str, version: int, raw: dict | None = None
+) -> tuple[list[dict], bool]:
     """(files added by ``version``, whether it also removed/hid rows).
     Removal = files dropped vs the parent OR deletion-vector entries
     grown (a DV hides rows — not an append). A DELTA manifest IS the
     answer — one JSON read, no parent reconstruction (the incremental
     commit log's streaming dividend); checkpoint manifests diff against
-    the materialized parent as before."""
-    m = _load(path, version)
+    the materialized parent as before. ``raw`` lets a caller that
+    already loaded the manifest skip the re-read."""
+    m = raw if raw is not None else _load(path, version)
     if m.get("vacuumed"):
         raise ValueError(
             f"version {version} of {path} was vacuumed — its data is "
@@ -281,7 +284,7 @@ class TxnStreamReader(DataSourceStreamReader):
                             kind="cdf", version=v,
                         ))
                     continue
-                added, changed = _added_files(self.path, v)
+                added, changed = _added_files(self.path, v, raw=raw)
                 if changed and not self.ignore_changes:
                     raise ValueError(
                         f"commit {v} of {self.path} removed or hid rows "

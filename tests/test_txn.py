@@ -2781,3 +2781,89 @@ def test_cdf_streaming_cdc_mode(spark, tmp_path):
         )
         q2.awaitTermination(120)
         raise RuntimeError(q2.exception() or "stream did not fail")
+
+
+def test_review_r11_fixes(spark, tmp_path):
+    """r11 review pins: (1) vacuum materializes a retained DELTA fence
+    BEFORE unlinking its chain ancestors (pre-fix: FileNotFoundError
+    mid-vacuum, permanently broken table); (2) rewrite='full' merges
+    under cdf.enabled record change files under the POST-overwrite
+    (identity) names — the feed must show real values for renamed
+    columns, not silent NULLs; (3) the probe bail requires exact-key
+    EVIDENCE: a stats-less table always probes and rewrites only the
+    files actually holding batch keys."""
+    from tdataframe_spark.sources.txn import (
+        _load,
+        _materialize,
+        txn_change_feed,
+        txn_rename_column,
+        txn_set_properties,
+        txn_upsert,
+    )
+
+    # (1) delta fence below the window, checkpoint (overwrite) between
+    path = str(tmp_path / "t1")
+    df = spark.createDataFrame([(i, i) for i in range(8)], "k long, v long")
+    txn_write(df, path)                                     # v1 full
+    txn_write(df.limit(1), path)                            # v2 delta
+    txn_write(df.limit(1), path, meta={"batch_id": 7})      # v3 delta FENCE
+    txn_write(df, path, mode="overwrite")                   # v4 full
+    txn_write(df.limit(1), path)                            # v5 delta
+    txn_write(df.limit(1), path)                            # v6 delta
+    assert "log" in _load(path, 3)  # the fence IS a delta pre-vacuum
+    txn_vacuum(path, keep_versions=2, min_age_s=0)
+    m3 = _load(path, 3)
+    assert m3.get("retained_fence") and "log" not in m3
+    assert m3.get("vacuumed")  # its files died with the overwrite
+    assert txn_read(spark, path).count() == 10  # 8 overwrite + 2 appends
+    txn_vacuum(path, keep_versions=2, min_age_s=0)  # idempotent, no crash
+
+    # (2) full-rewrite merge + cdf + renamed column
+    path = str(tmp_path / "t2")
+    txn_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"),
+        path,
+    )
+    txn_rename_column(path, "v", "score")
+    txn_set_properties(path, {"cdf.enabled": "true"})
+    txn_upsert(
+        spark.createDataFrame([(1, 99.0)], "k long, score double"),
+        path, ["k"], rewrite="full",
+    )
+    head, _ = __import__(
+        "tdataframe_spark.sources.txn", fromlist=["txn_latest"]
+    ).txn_latest(path)
+    feed = txn_change_feed(spark, path, head - 1, head).collect()
+    vals = {(r["_change_type"], r["k"]): r["score"] for r in feed}
+    # pre-fix both images read back NULL (change file carried the OLD
+    # physical name while the overwrite reset the mapping)
+    assert vals[("update_preimage", 1)] == 10.0
+    assert vals[("update_postimage", 1)] == 99.0
+
+    # (3) stats-less table: the bail must NOT fire — probe confines the
+    # rewrite to the one file actually holding the batch key
+    path = str(tmp_path / "t3")
+    for lo in (0, 100, 200, 300):
+        txn_write(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            path,  # NO stats_cols
+        )
+    v_pre = txn_latest(path)[0]
+    txn_upsert(
+        spark.createDataFrame([(150, 999)], "k long, v long"), path, ["k"]
+    )
+    prev = {f["path"] for f in _materialize(path, v_pre)["files"]}
+    now = {f["path"] for f in txn_latest(path)[1]["files"]}
+    assert len(prev & now) == 3, "stats-less merge must probe, not bail"
+
+
+def test_accumulate_applies_seed_to_none_fold(spark):
+    """r11 review pin: a fold that legitimately produces None still gets
+    the seed applied — only a genuinely EMPTY frame returns init."""
+    from tdataframe_spark import Frame
+
+    fr = Frame(spark.createDataFrame([(None,), (None,)], "x: int"))
+    out = fr.accumulate(lambda a, b: None, 42, "x")
+    assert out is None  # fn(42, None) ran; pre-fix returned 42
