@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # log, cost-based MERGE probe bail, and layout-order fixes
         "merge_upsert_txn": q_merge_upsert_txn,
         "merge_clustered_txn": q_merge_clustered_txn,
+        "merge_bloom_txn": q_merge_bloom_txn,
+        "bloom_point_lookup": q_bloom_point_lookup,
         "merge_delete_txn": q_merge_delete_txn,
         "time_travel": q_time_travel,
         "restore_table": q_restore_table,
@@ -337,6 +339,8 @@ def oracle_sql() -> dict[str, str]:
         "txn_sink_partitioned": SQL_TXN_SINK_PARTITIONED,
         "txn_generated_cols": SQL_TXN_GENERATED_COLS,
         "merge_clustered_txn": SQL_MERGE_CLUSTERED,
+        "merge_bloom_txn": SQL_MERGE_BLOOM,
+        "bloom_point_lookup": SQL_BLOOM_LOOKUP,
         "partition_evolution": SQL_PARTITION_EVOLUTION,
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,

@@ -172,6 +172,11 @@ EXTENDED = [
     # round-11: recorded change files — cdf.enabled MERGE+DELETE, then
     # the per-commit feed read from the recorded files alone
     "cdf_feed",
+    # round-11: bloom file skipping — selective MERGE on an UNCLUSTERED
+    # hash layout (min/max blind; bloom membership confines the
+    # rewrite) and the point-lookup read path (value_filter)
+    "merge_bloom_txn",
+    "bloom_point_lookup",
 ]
 
 

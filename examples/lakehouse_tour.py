@@ -197,6 +197,24 @@ def main() -> None:
     }
     print(f"CDF feed (recorded, per-commit): {by_type}")
 
+    # 6g. BLOOM FILE SKIPPING — per-file Bloom filters prune point
+    # lookups min/max stats are blind to (unclustered hash layouts);
+    # the row filter always applies, so false positives never change
+    # the result
+    bloom_path = path + "_bloom"
+    shutil.rmtree(bloom_path, ignore_errors=True)
+    txn_write(
+        orders.repartition(8, "o_orderkey"),
+        bloom_path, mode="overwrite",
+        stats_cols=["o_orderkey"], bloom_cols=["o_orderkey"],
+    )
+    probe = [r[0] for r in orders.select("o_orderkey").limit(3).collect()]
+    hit = txn_read(spark, bloom_path, value_filter={"o_orderkey": probe})
+    print(
+        f"bloom lookup: {hit.count()} rows from "
+        f"{len(hit.inputFiles())} of 8 hash files scanned"
+    )
+
     # 7. OPTIMIZE — compact small files in one atomic commit
     n_files_before = len(txn_latest(path)[1]["files"])
     compact_txn(spark, path)

@@ -1546,6 +1546,114 @@ FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
 """
 
 
+def q_merge_bloom_txn(spark, sf):
+    """r11: selective MERGE on an UNCLUSTERED bloom-indexed table — the
+    third MERGE shape, where min/max stats are provably blind. Orders
+    is hash-spread over 8 files (every file's o_orderkey range spans
+    the domain, so stats pruning keeps all 8 candidates) with per-file
+    BLOOM filters on the key; the batch re-prices a sparse modulus
+    slice, and bloom membership confines the rewrite to the files
+    actually holding batch keys (asserted: at least one seeded file
+    survives by identity — stats alone would rewrite all 8). Oracle:
+    the slice-repriced relational result. Completes the trio:
+    merge_clustered_txn (stats win), merge_upsert_txn (uniform worst
+    case, probe bail), merge_bloom_txn (bloom win)."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import (
+        txn_latest,
+        txn_read,
+        txn_upsert,
+        txn_write,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # the 3 smallest orderkeys: deterministic at every SF, and 3 keys
+    # can touch at most 3 of the 8 hash files — the bloom-prunable shape
+    upd = o.orderBy("o_orderkey").limit(3).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"merge_bloom_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        o.repartition(8, "o_orderkey"),
+        path, mode="overwrite",
+        stats_cols=["o_orderkey"], bloom_cols=["o_orderkey"],
+    )
+    seeded = {f["path"] for f in txn_latest(path)[1]["files"]}
+    txn_upsert(upd, path, keys=["o_orderkey"])
+    kept = seeded & {f["path"] for f in txn_latest(path)[1]["files"]}
+    # ≥5 of 8 hash files must ride zero-copy (stats alone keep all 8
+    # candidates — every file's range spans the key domain; the exact
+    # striped-layout radius is pinned in tests/test_txn.py)
+    assert len(kept) >= 5, (len(kept), len(seeded))
+    return txn_read(spark, path)
+
+
+SQL_MERGE_BLOOM = """
+WITH low3 AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM low3)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM low3)
+"""
+
+
+def q_bloom_point_lookup(spark, sf):
+    """r11: the bloom POINT-LOOKUP read path. Orders is committed as an
+    unclustered (hash-spread) txn table with per-file bloom filters on
+    o_orderkey; ``txn_read(value_filter=...)`` then serves
+    ``WHERE o_orderkey IN (...)`` by pruning files on bloom membership
+    BEFORE Spark lists anything — the needle-in-haystack shape where
+    min/max stats keep every file (each spans the key domain). The row
+    filter is always applied on top, so bloom false positives can never
+    change the result — which is exactly what the relational oracle
+    checks."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read, txn_write
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"bloom_lookup_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        o.repartition(8, "o_orderkey"),
+        path, mode="overwrite",
+        stats_cols=["o_orderkey"], bloom_cols=["o_orderkey"],
+    )
+    # the probe list: the 25 smallest orderkeys (bounded driver collect
+    # — the lookup VALUES are the operator's input, never table rows);
+    # pruning ratios on controlled striped layouts are pinned in
+    # tests/test_txn.py — here the oracle pins exactness
+    keys = [
+        r[0]
+        for r in o.select("o_orderkey").orderBy("o_orderkey").limit(25)
+        .collect()
+    ]
+    return txn_read(spark, path, value_filter={"o_orderkey": keys})
+
+
+SQL_BLOOM_LOOKUP = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey IN (
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 25
+)
+"""
+
+
 def q_merge_delete_txn(spark, sf):
     """MERGE with a WHEN MATCHED DELETE arm (txn_upsert delete_when —
     Delta's whenMatchedDelete shape): one batch carries re-priced updates

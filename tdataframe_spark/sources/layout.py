@@ -352,9 +352,15 @@ def compact_txn(
     # data-skipping stats survive the rewrite: recompute min/max for every
     # column any live file recorded them for (footer-only, driver-side).
     # Stats keys are physical; the rewritten frame is logical — translate
-    from tdataframe_spark.sources.txn import _logical_stats_cols
+    from tdataframe_spark.sources.txn import (
+        _logical_bloom_cols,
+        _logical_stats_cols,
+    )
 
     stats_cols = _logical_stats_cols(manifest) or []
+    # bloom filters survive compaction too (fresh filters for the
+    # compacted files — same inheritance rule as min/max stats)
+    bloom_cols, bloom_bits = _logical_bloom_cols(manifest) or (None, None)
     df = txn_read(spark, path, version=version)
     if zorder_by:
         df = (
@@ -384,6 +390,8 @@ def compact_txn(
         meta={**(meta or {}), "compaction": True, "source_version": version},
         expected_version=version,
         stats_cols=stats_cols or None,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
         # a compaction rewrites already-validated snapshot rows — skip
         # the whole-table CHECK re-scan (expected_version pins the race)
         _constraints_prevalidated=True,

@@ -512,6 +512,303 @@ def _stats_match(stats: dict, range_filter: dict) -> bool:
     return True
 
 
+# --- Bloom-filter file skipping (Delta bloom index / Iceberg puffin's
+# shape) -------------------------------------------------------------
+#
+# Min/max stats prune RANGE predicates, but are blind to point lookups
+# on an UNCLUSTERED column: when every file's [min, max] spans the key
+# domain (hash-distributed writes — the common ingest layout), a
+# needle-in-haystack read or a selective MERGE probe must scan every
+# file's key column. A small per-file Bloom filter answers "might this
+# file contain value v?" from manifest-adjacent metadata instead:
+# ~16 KB of bloom bits per file versus megabytes of key column — the
+# 100 TB point-lookup path. False positives only cost a wasted file
+# read (or a byte-preserving rewrite in a MERGE); absence proofs are
+# exact, so pruning never drops a row.
+#
+# Portability contract: positions are md5-based — md5(str(value) +
+# "\x1f" + str(seed)) — computed identically by Spark expressions at
+# build time and by Python at check time, which is why bloom columns
+# are restricted to integer/string types (their Spark cast-to-string
+# rendering provably equals Python's str()).
+_BLOOM_K = 7  # hash count; ~optimal for ~1% fpp at m/n ≈ 10
+_BLOOM_DEFAULT_BITS = 1 << 17  # 16 KB/file; size for ~13k distinct @1%
+# above this many bloom-carrying candidates the membership test runs as
+# a Spark job over the sidecar parquet (bits never pass the driver);
+# below it a driver-side pyarrow read is cheaper than a job
+_BLOOM_DRIVER_CAP = 512
+
+
+def _bloom_positions(value, m: int) -> list[int]:
+    """The _BLOOM_K bit positions of ``value`` in an m-bit filter —
+    the Python twin of the Spark build expression in
+    :func:`_write_bloom_sidecar` (same md5, same rendering)."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(
+            hashlib.md5(f"{s}\x1f{i}".encode("utf-8")).hexdigest()[:15], 16
+        ) % m
+        for i in range(_BLOOM_K)
+    ]
+
+
+_BLOOM_OK_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _write_bloom_sidecar(
+    spark: SparkSession,
+    path: str,
+    commit_id: str,
+    entries: list[dict],
+    phys_cols: list[str],
+    pschema: StructType,
+    m: int,
+) -> None:
+    """Build per-file Bloom filters over ``phys_cols`` for freshly
+    written ``entries`` and write them as ONE sidecar parquet at
+    ``{path}/bloom/{commit_id}.parquet`` (rows: file, col, bits) —
+    then stamp each entry's ``bloom`` ref.
+
+    100 TB shape: one column-pruned scan of just the new files'
+    bloom columns; positions are computed JVM-side, deduped with a
+    distributed distinct (the per-file position set is capped at m —
+    never row count), and the bit-packing runs executor-side in an
+    Arrow-batched grouped map, so only the packed ~m/8-byte filters
+    ever reach the driver."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not entries:
+        return
+    from urllib.parse import unquote as _unq
+    from urllib.parse import urlparse as _urlparse
+
+    absmap = {
+        os.path.abspath(os.path.join(path, f["path"])): f["path"]
+        for f in entries
+    }
+    fields = [f for f in pschema.fields if f.name in phys_cols]
+    scan = (
+        spark.read.schema(StructType(fields))
+        .parquet(*absmap.keys())
+        .withColumn("__src_file", F.input_file_name())
+    )
+    per_col = []
+    for pc in phys_cols:
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col(pc).cast("string"),
+                                        F.lit(f"\x1f{i}"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(m),
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+        per_col.append(
+            scan.select(
+                F.col("__src_file").alias("file"),
+                F.lit(pc).alias("col"),
+                pos,
+            ).where(F.col("pos").isNotNull())
+        )
+    positions = per_col[0]
+    for d in per_col[1:]:
+        positions = positions.unionByName(d)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        p = pdf["pos"].to_numpy()
+        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "file": [pdf["file"].iloc[0]],
+                "col": [pdf["col"].iloc[0]],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    packed = (
+        positions.distinct()
+        .groupBy("file", "col")
+        .applyInPandas(_pack, "file string, col string, bits binary")
+        .collect()
+    )
+    rels, cols, bits = [], [], []
+    for r in packed:
+        p = os.path.abspath(_unq(_urlparse(r["file"]).path))
+        rel = absmap.get(p)
+        if rel is None:
+            raise RuntimeError(
+                f"bloom build scan returned {r['file']!r}, not a fresh "
+                f"file of {path}"
+            )
+        rels.append(rel)
+        cols.append(r["col"])
+        bits.append(r["bits"])
+    os.makedirs(os.path.join(path, "bloom"), exist_ok=True)
+    ref = os.path.join("bloom", f"{commit_id}.parquet")
+    pq.write_table(
+        pa.table({"file": rels, "col": cols, "bits": bits}),
+        os.path.join(path, ref),
+    )
+    for f in entries:
+        f["bloom"] = {
+            "ref": ref,
+            "m": m,
+            "k": _BLOOM_K,
+            "cols": list(phys_cols),
+        }
+
+
+def _logical_bloom_cols(manifest: dict) -> tuple[list[str], int] | None:
+    """(logical bloom column set, m bits) a read-modify-write commit
+    (upsert/compaction) re-passes to ``txn_write(bloom_cols=...)`` so
+    point-lookup skipping survives rewrites — the bloom twin of
+    :func:`_logical_stats_cols`. Physical columns since dropped are
+    excluded; m is the largest recorded (rewrites never shrink a
+    table's filters)."""
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    inv = {_phys(f): f.name for f in schema.fields}
+    cols, m = set(), 0
+    for f in manifest["files"]:
+        b = f.get("bloom")
+        if not b:
+            continue
+        cols.update(inv[c] for c in b["cols"] if c in inv)
+        m = max(m, int(b["m"]))
+    if not cols:
+        return None
+    return sorted(cols), m
+
+
+def _bloom_prune(
+    spark: SparkSession,
+    path: str,
+    files: list[dict],
+    phys_col: str,
+    values: list,
+) -> list[dict]:
+    """Drop candidate ``files`` whose Bloom filter PROVES none of
+    ``values`` is present in ``phys_col``. Files without a bloom for
+    the column are kept (no proof, no prune); a None in ``values``
+    disables pruning entirely (filters never witness NULLs). Exact in
+    the only direction that matters: a kept file may be a false
+    positive, a dropped file can never hold a probed value."""
+    if any(v is None for v in values):
+        return files
+    with_bloom = [
+        f for f in files if phys_col in (f.get("bloom") or {}).get("cols", [])
+    ]
+    if not with_bloom:
+        return files
+    pos_by_m: dict[int, list[list[int]]] = {}
+    for f in with_bloom:
+        mm = int(f["bloom"]["m"])
+        if mm not in pos_by_m:
+            pos_by_m[mm] = [_bloom_positions(v, mm) for v in values]
+    # (sidecar ref, base root) -> rel file paths wanted from it
+    want: dict[tuple[str, str], set] = {}
+    for f in with_bloom:
+        key = (f["bloom"]["ref"], f.get("base") or path)
+        want.setdefault(key, set()).add(f["path"])
+    hits: set = set()
+    if not values:
+        pass  # no probe values: every bloomed file is provably clean
+    elif len(with_bloom) <= _BLOOM_DRIVER_CAP:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        for (ref, base), rels in want.items():
+            t = pq.read_table(
+                os.path.join(base, ref), columns=["file", "col", "bits"]
+            )
+            for file_rel, col, bits in zip(
+                t["file"].to_pylist(), t["col"].to_pylist(),
+                t["bits"].to_pylist(),
+            ):
+                if col != phys_col or file_rel not in rels:
+                    continue
+                arr = np.frombuffer(bits, dtype=np.uint8)
+                for pos in pos_by_m.get(len(arr) * 8) or [None]:
+                    if pos is None:  # size/entry mismatch: no proof, keep
+                        hits.add(file_rel)
+                        break
+                    p = np.asarray(pos)
+                    if ((arr[p >> 3] & (1 << (p & 7))) != 0).all():
+                        hits.add(file_rel)
+                        break
+    else:
+        # distributed membership test: the sidecar bits are scanned as a
+        # Spark job and only matching file paths return to the driver
+        import pandas as pd
+
+        sidecars = sorted({os.path.join(b, r) for r, b in want})
+        cand = spark.createDataFrame(
+            [(f["path"],) for f in with_bloom], "file string"
+        )
+        rows = spark.read.parquet(*sidecars).where(
+            F.col("col") == phys_col
+        ).join(F.broadcast(cand), "file")
+
+        def _may_contain(batch):
+            import numpy as np
+
+            out = []
+            for bits in batch:
+                arr = np.frombuffer(bits, dtype=np.uint8)
+                plists = pos_by_m.get(len(arr) * 8)
+                if plists is None:  # size/entry mismatch: no proof, keep
+                    out.append(True)
+                    continue
+                ok = False
+                for pos in plists:
+                    p = np.asarray(pos)
+                    if ((arr[p >> 3] & (1 << (p & 7))) != 0).all():
+                        ok = True
+                        break
+                out.append(ok)
+            return pd.Series(out)
+
+        # real annotation objects: the module's postponed annotations
+        # (PEP 563) would stringify inline hints and break pandas_udf's
+        # signature inference
+        _may_contain.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+        probe = F.pandas_udf(_may_contain, "boolean")
+        hits = {
+            r["file"]
+            for r in rows.where(probe(F.col("bits")))
+            .select("file")
+            .distinct()
+            .collect()
+        }
+    return [
+        f
+        for f in files
+        if phys_col not in (f.get("bloom") or {}).get("cols", [])
+        or f["path"] in hits
+    ]
+
+
 def _layout_order(manifest: dict) -> list[str]:
     """The table's partition keys in RECORDED segment order (first-seen
     across file entries — one layout means exactly the written order).
@@ -775,6 +1072,8 @@ def txn_write(
     expected_version: int | None = None,
     max_retries: int = 50,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
     allow_partition_evolution: bool = False,
     _constraints_prevalidated: bool = False,
     _replace_paths: set[str] | None = None,
@@ -796,7 +1095,17 @@ def txn_write(
     SKIPPING. ``txn_read(range_filter=...)`` then prunes files before
     Spark ever lists them — combined with a ``compact_txn(sort_by=
     ...)``/``zorder_by`` layout this is the open-table fast path for
-    selective range scans at 100 TB."""
+    selective range scans at 100 TB.
+
+    ``bloom_cols`` additionally records a per-file BLOOM FILTER over
+    those columns (integer/string only; ``bloom_bits`` bits per file,
+    default 2^17 — size it to ~10x the expected per-file distinct
+    count): point lookups (``txn_read(value_filter=...)``) and
+    selective-MERGE probes then prune files min/max stats cannot —
+    the unclustered-key case where every file's range spans the
+    domain. Filters live in one sidecar parquet per commit
+    (``bloom/<commit>.parquet``), never inflate the manifest, and are
+    rebuilt automatically when upserts/compaction rewrite files."""
     if mode not in ("append", "overwrite"):
         raise ValueError(
             f"mode must be 'append' or 'overwrite', got {mode!r}"
@@ -834,6 +1143,34 @@ def txn_write(
             raise ValueError(
                 f"stats_cols {sorted(unknown)} are not columns of the "
                 f"frame (has {df.columns})"
+            )
+    if bloom_cols:
+        unknown = set(bloom_cols) - set(df.columns)
+        if unknown:
+            raise ValueError(
+                f"bloom_cols {sorted(unknown)} are not columns of the "
+                f"frame (has {df.columns})"
+            )
+        for fld in df.schema.fields:
+            if (
+                fld.name in bloom_cols
+                and fld.dataType.simpleString() not in _BLOOM_OK_TYPES
+            ):
+                # the build (Spark cast-to-string) and the check
+                # (Python str) must render values identically — only
+                # integer/string types provably agree (same refusal
+                # rule as the native sink's partition columns)
+                raise ValueError(
+                    f"bloom_cols column {fld.name!r} has type "
+                    f"{fld.dataType.simpleString()!r}; bloom filters "
+                    f"support {list(_BLOOM_OK_TYPES)} (hash rendering "
+                    "is portable only for these)"
+                )
+        if bloom_bits is None:
+            bloom_bits = _BLOOM_DEFAULT_BITS
+        if bloom_bits < 64 or bloom_bits & (bloom_bits - 1):
+            raise ValueError(
+                f"bloom_bits must be a power of two >= 64, got {bloom_bits}"
             )
     if replace_where:
         # the predicate can only be validated against partition values,
@@ -1020,6 +1357,28 @@ def txn_write(
                     f"{replace_where}; filter the frame to the predicate "
                     "before committing"
                 )
+    if bloom_cols and new_files:
+        # one sidecar parquet per commit, outside the retry loop like
+        # the data files (commit-invariant); a lost race orphans it and
+        # vacuum reclaims it with the data dir
+        _write_bloom_sidecar(
+            df.sparkSession,
+            path,
+            commit_id,
+            new_files,
+            [phys_map.get(c, c) for c in bloom_cols],
+            StructType(
+                [
+                    StructField(
+                        phys_map.get(fld.name, fld.name),
+                        fld.dataType,
+                        fld.nullable,
+                    )
+                    for fld in df.schema.fields
+                ]
+            ),
+            bloom_bits,
+        )
     # the committed schema: logical names, with the physical name riding
     # each mapped field's metadata (any caller-supplied 'physical' key is
     # stripped first — only this writer assigns it)
@@ -1298,6 +1657,7 @@ def txn_read(
     as_of: float | None = None,
     partition_filter: dict[str, list] | None = None,
     range_filter: dict[str, tuple] | None = None,
+    value_filter: dict[str, list] | None = None,
 ) -> DataFrame:
     """Read a snapshot: exactly the files the manifest lists (latest, a
     pinned ``version``, or — time travel — the newest commit at or before
@@ -1312,7 +1672,18 @@ def txn_read(
     their row filter (which Spark then also pushes into the scan); files
     without stats for a column are conservatively kept, and a column for
     which NO live file records stats raises (a typo would silently skip
-    nothing)."""
+    nothing).
+
+    ``value_filter`` ({column: [values]}) is the POINT-LOOKUP filter:
+    ``WHERE col IN (values)`` semantics — the row filter is always
+    applied (and pushed into the scan), and files are pruned first on
+    min/max stats (any value inside [min, max]) then on the per-file
+    Bloom filters recorded by ``txn_write(bloom_cols=...)``, which
+    prune even when every file's range spans the key domain (the
+    unclustered needle-in-haystack at 100 TB). Bloom false positives
+    cost a wasted file read, never a wrong row; a None among the
+    values disables file pruning for that column (filters never
+    witness NULLs) while the row filter still matches them."""
     version, manifest = _resolve_snapshot(path, version, as_of)
     files = manifest["files"]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -1389,6 +1760,41 @@ def txn_read(
         files = [
             f for f in files if _stats_match(f.get("stats", {}), range_filter)
         ]
+    if value_filter:
+        cmap = _mapping(schema)
+        known = {f.name for f in schema.fields}
+        unknown = set(value_filter) - known
+        if unknown:
+            raise ValueError(
+                f"value_filter keys {sorted(unknown)} are not columns of "
+                f"{path} (has {sorted(known)})"
+            )
+        for col, vals in value_filter.items():
+            pc = cmap.get(col, col)
+            vv = list(vals)
+            non_null = [v for v in vv if v is not None]
+            if len(non_null) == len(vv):  # NULL probes prune nothing
+                # stats first (free): keep a file iff ANY value is
+                # inside its recorded [min, max]
+                def _any_in(st):
+                    if st is None:
+                        return True
+                    mn, mx = st
+                    try:
+                        return any(mn <= v <= mx for v in non_null)
+                    except TypeError:
+                        return True  # incomparable: no proof, keep
+                files = [
+                    f for f in files if _any_in(f.get("stats", {}).get(pc))
+                ]
+                files = _bloom_prune(spark, path, files, pc, non_null)
+            # the ROW filter is the contract; pruning is only a fast path
+            cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+            if len(non_null) != len(vv):
+                cond = cond | F.col(col).isNull()
+            residual_filter = (
+                cond if residual_filter is None else residual_filter & cond
+            )
     if not files:
         return spark.createDataFrame([], _plain_schema(schema))
     paths = [_abs_file(path, f) for f in files]
@@ -1425,6 +1831,7 @@ def txn_view(
     as_of: float | None = None,
     partition_filter: dict[str, list] | None = None,
     range_filter: dict[str, tuple] | None = None,
+    value_filter: dict[str, list] | None = None,
 ) -> DataFrame:
     """SQL front door for txn tables: register the snapshot (column-
     mapped, DV-filtered, manifest-pruned) as a TEMP VIEW so plain
@@ -1450,6 +1857,7 @@ def txn_view(
         as_of=as_of,
         partition_filter=partition_filter,
         range_filter=range_filter,
+        value_filter=value_filter,
     )
     df.createOrReplaceTempView(name)
     return df
@@ -1818,55 +2226,76 @@ def _touched_files(
             files = all_files  # incomparable stat types: keep every candidate
         if not files:
             return set()
+    kvals = None  # the batch's distinct keys, collected at most once
+
+    def _batch_keys() -> list:
+        nonlocal kvals
+        if kvals is None:
+            kvals = [
+                r[0]
+                for r in key_df.dropDuplicates(keys)
+                .limit(_EXACT_PRUNE_KEY_CAP + 1)
+                .collect()
+            ]
+        return kvals
+
+    exact_evidence = False  # did EXACT-KEY pruning vet the candidates?
+    pk = phys_keys[0]
+    if (
+        len(keys) == 1
+        and any(pk in (f.get("bloom") or {}).get("cols", []) for f in files)
+        and len(_batch_keys()) <= _EXACT_PRUNE_KEY_CAP
+    ):
+        # bloom pruning: exact-key membership per file, effective even
+        # when every file's [min, max] spans the key domain (the
+        # unclustered layout min/max is blind to). NULL keys never
+        # equi-join, so probing only the non-null values stays exact.
+        files = _bloom_prune(
+            spark, path, files, pk, [v for v in _batch_keys() if v is not None]
+        )
+        exact_evidence = True
+        if not files:
+            return set()
     if (
         have_stats
         and len(keys) == 1
         and len(files) > _PROBE_SKIP_FRACTION * len(all_files)
+        and len(_batch_keys()) <= _EXACT_PRUNE_KEY_CAP
     ):
         # global bounds are loose for sparse batches (keys {150, 450}
         # mark every mid-range file candidate) — re-prune on the actual
         # key values when the batch is driver-safe
         import bisect
 
-        kvals = [
-            r[0]
-            for r in key_df.dropDuplicates(keys)
-            .limit(_EXACT_PRUNE_KEY_CAP + 1)
-            .collect()
-        ]
-        if len(kvals) <= _EXACT_PRUNE_KEY_CAP:
-            kvals = sorted(v for v in kvals if v is not None)
-            pk = phys_keys[0]
+        skvals = sorted(v for v in _batch_keys() if v is not None)
 
-            def _holds_a_key(f) -> bool:
-                st = f.get("stats", {}).get(pk)
-                if st is None:
-                    return True  # no stats: conservatively candidate
-                mn, mx = st
-                i = bisect.bisect_left(kvals, mn)
-                return i < len(kvals) and kvals[i] <= mx
+        def _holds_a_key(f) -> bool:
+            st = f.get("stats", {}).get(pk)
+            if st is None:
+                return True  # no stats: conservatively candidate
+            mn, mx = st
+            i = bisect.bisect_left(skvals, mn)
+            return i < len(skvals) and skvals[i] <= mx
 
-            sharpened = True
-            try:
-                files = [f for f in files if _holds_a_key(f)]
-            except TypeError:
-                sharpened = False  # incomparable types: bounds only
-            if not files:
-                return set()
-            if (
-                sharpened
-                and len(files) > _PROBE_SKIP_FRACTION * len(all_files)
-            ):
-                # cost-based bail — EVIDENCE-GATED: only after exact-key
-                # pruning confirmed that most files genuinely hold a
-                # batch key in their recorded range (the uniform-key
-                # case) is the probe scan provably near-worthless; skip
-                # it and rewrite the candidates. Without stats, with
-                # multi-key merges, or for over-cap batches there is no
-                # such evidence and the probe always runs — bailing on
-                # "100% candidates because nothing could prune" would
-                # turn a 10-row merge into a full-table rewrite.
-                return {f["path"] for f in files}
+        try:
+            files = [f for f in files if _holds_a_key(f)]
+            exact_evidence = True
+        except TypeError:
+            pass  # incomparable types: bounds only, no exact evidence
+        if not files:
+            return set()
+    if exact_evidence and len(files) > _PROBE_SKIP_FRACTION * len(all_files):
+        # cost-based bail — EVIDENCE-GATED: only after exact-key
+        # pruning (bloom membership and/or per-key stats) confirmed
+        # that most files genuinely may hold a batch key (the
+        # uniform-key case) is the probe scan provably near-worthless;
+        # skip it and rewrite the candidates (identical semantics:
+        # rewriting an untouched candidate is byte-preserving). Without
+        # stats or blooms, with multi-key merges, or for over-cap
+        # batches there is no such evidence and the probe always runs —
+        # bailing on "100% candidates because nothing could prune"
+        # would turn a 10-row merge into a full-table rewrite.
+        return {f["path"] for f in files}
     pschema = _physical_schema(schema)
     key_fields = StructType(
         [f for f in pschema.fields if f.name in phys_keys]
@@ -2054,6 +2483,7 @@ def txn_upsert(
         batch = batch.filter(~F.coalesce(cond, F.lit(False)))
     partition_by = None
     stats_cols = None
+    bloom_cols, bloom_bits = None, None
     prevalidated = False
     if is_txn_table(path):
         version, manifest = txn_latest(path)
@@ -2096,6 +2526,10 @@ def txn_upsert(
         # existing txn_read(range_filter=...) readers. Stats keys are
         # physical; the merged frame is logical — translate
         stats_cols = _logical_stats_cols(manifest)
+        # bloom filters survive the merge the same way: rewritten files
+        # get fresh filters, untouched files keep their sidecar refs
+        bloom_spec = _logical_bloom_cols(manifest)
+        bloom_cols, bloom_bits = bloom_spec or (None, None)
         drop_keys = batch.select(*keys)
         if tombstones is not None:
             drop_keys = drop_keys.unionByName(tombstones)
@@ -2127,6 +2561,8 @@ def txn_upsert(
                     meta=meta,
                     expected_version=version,
                     stats_cols=stats_cols,
+                    bloom_cols=bloom_cols,
+                    bloom_bits=bloom_bits,
                     # the layout is DERIVED from the table (union of live
                     # partition keys), not user input — on an already-
                     # evolved table it may widen a narrower live layout
@@ -2177,6 +2613,8 @@ def txn_upsert(
             meta=meta,
             expected_version=version,
             stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            bloom_bits=bloom_bits,
             _constraints_prevalidated=prevalidated,
             _cdf_paths=cdf_paths,
         )
@@ -2420,6 +2858,25 @@ def txn_purge(
             for f in new_files:
                 f["stats"] = _file_stats(
                     os.path.join(path, f["path"]), set(stats_cols)
+                )
+        # bloom filters survive the purge: the rewrite stays in physical
+        # column space, so the inherited col set is physical as-is
+        bloomed = [f["bloom"] for f in manifest["files"] if f.get("bloom")]
+        if bloomed and new_files:
+            pschema = _physical_schema(schema)
+            pnames = {fl.name for fl in pschema.fields}
+            bcols = sorted(
+                {c for b in bloomed for c in b["cols"] if c in pnames}
+            )
+            if bcols:
+                _write_bloom_sidecar(
+                    spark,
+                    path,
+                    commit_id,
+                    new_files,
+                    bcols,
+                    pschema,
+                    max(int(b["m"]) for b in bloomed),
                 )
         kept = [f for f in manifest["files"] if f["path"] not in targets]
         kept_paths = {f["path"] for f in kept}
@@ -3230,9 +3687,15 @@ def txn_vacuum(
         return []
     keep = vs[-keep_versions:]
     live = set()
+    live_bloom = set()
     for v in keep:
         for f in _materialize(path, v)["files"]:
             live.add(os.path.normpath(f["path"]))
+            b = f.get("bloom")
+            if b and not f.get("base"):
+                # foreign (cloned) refs live under the SOURCE table and
+                # are that table's vacuum's concern, like its data files
+                live_bloom.add(os.path.normpath(b["ref"]))
     # PASS 1 — decide what to reclaim, deleting NOTHING yet: the fence
     # manifests below must be rewritten (files-invalid) BEFORE the dirs
     # they reference disappear, or a crash between the two leaves a
@@ -3273,6 +3736,20 @@ def txn_vacuum(
         if age < min_age_s:
             continue
         to_remove.append(ddir)
+    # bloom sidecars follow the same rule: one parquet FILE per commit,
+    # reclaimed when no retained manifest's file entries reference it
+    bloom_root = os.path.join(path, "bloom")
+    for bname in os.listdir(bloom_root) if os.path.isdir(bloom_root) else []:
+        bfile = os.path.join(bloom_root, bname)
+        if os.path.normpath(os.path.join("bloom", bname)) in live_bloom:
+            continue
+        try:
+            age = now - os.path.getmtime(bfile)
+        except OSError:
+            continue
+        if age < min_age_s:
+            continue
+        to_remove.append(bfile)
     # recorded change-file dirs follow the same rule: referenced by no
     # retained commit (cdf entries are PER COMMIT — each retained raw
     # manifest names its own) + old enough. Change history below the
@@ -3383,7 +3860,10 @@ def txn_vacuum(
     removed = []
     for d in to_remove:
         try:
-            shutil.rmtree(d)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            else:
+                os.unlink(d)  # bloom sidecars are single parquet files
         except OSError:
             continue  # racing a concurrent removal
         removed.append(d)

@@ -2867,3 +2867,164 @@ def test_accumulate_applies_seed_to_none_fold(spark):
     fr = Frame(spark.createDataFrame([(None,), (None,)], "x: int"))
     out = fr.accumulate(lambda a, b: None, 42, "x")
     assert out is None  # fn(42, None) ran; pre-fix returned 42
+
+
+def _bloom_seed(spark, path, n_stripes=8, rows=400, **kw):
+    """n_stripes files whose keys are STRIPED (k % n_stripes == r), so
+    every file's [min, max] spans the whole domain — min/max stats can
+    prune nothing; only bloom membership can."""
+    for r in range(n_stripes):
+        df = spark.range(rows).select(
+            (F.col("id") * n_stripes + r).alias("k"),
+            (F.col("id") * 2).alias("v"),
+        ).coalesce(1)
+        txn_write(
+            df, path, stats_cols=["k"], bloom_cols=["k"],
+            bloom_bits=16384, **kw,
+        )
+
+
+def test_bloom_point_lookup_prunes_unclustered_files(spark, tmp_path):
+    """value_filter + bloom_cols: a point lookup on an unclustered key
+    reads ONLY the files that may hold it — the layout where min/max
+    stats are provably blind (every file's range spans the domain)."""
+    path = str(tmp_path / "t")
+    _bloom_seed(spark, path)
+    head = txn_latest(path)[1]
+    assert all("bloom" in f for f in head["files"])
+    # keys 3 and 11 both live in stripe 3 only
+    out = txn_read(spark, path, value_filter={"k": [3, 11]})
+    assert _rows(out) == [(3, 0), (11, 2)]
+    assert len(out.inputFiles()) == 1  # 1 of 8 — stats alone keep all 8
+    # rows_only contract: the row filter is exact even where the file
+    # pruning is conservative (None disables pruning, never correctness)
+    out2 = txn_read(spark, path, value_filter={"k": [3, None]})
+    assert _rows(out2) == [(3, 0)]
+    assert len(out2.inputFiles()) == 8  # NULL probe: no file pruning
+    # typo-proofing
+    with pytest.raises(ValueError, match="value_filter"):
+        txn_read(spark, path, value_filter={"nope": [1]})
+
+
+def test_bloom_merge_blast_radius_and_bail_evidence(spark, tmp_path):
+    """Selective MERGE on a bloom-indexed UNCLUSTERED table rewrites
+    only the files actually holding batch keys (stats would mark all 8
+    candidates); a batch spanning every stripe still bails to the plain
+    rewrite on bloom evidence."""
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    _bloom_seed(spark, path)
+    v_pre, m_pre = txn_latest(path)
+    batch = spark.createDataFrame([(5, 999), (13, 999)], "k long, v long")
+    txn_upsert(batch, path, keys=["k"])  # both keys in stripe 5
+    m_post = txn_latest(path)[1]
+    prev = {f["path"] for f in m_pre["files"]}
+    assert len(prev & {f["path"] for f in m_post["files"]}) == 7
+    # rewritten files carry FRESH blooms and stay lookup-able
+    assert all("bloom" in f for f in m_post["files"])
+    assert _rows(
+        txn_read(spark, path, value_filter={"k": [5, 13]})
+    ) == [(5, 999), (13, 999)]
+    # uniform batch (a key in every stripe): bloom confirms >60% of
+    # files hold batch keys -> evidence-gated bail rewrites every
+    # CANDIDATE; files bloom-PRUNED (holding no batch key) still ride
+    # zero-copy, and values stay exact either way
+    m_pre2 = txn_latest(path)[1]
+    wide = spark.createDataFrame(
+        [(i, -1) for i in range(8)], "k long, v long"
+    )
+    txn_upsert(wide, path, keys=["k"])
+    m_post2 = txn_latest(path)[1]
+    survivors = {f["path"] for f in m_pre2["files"]} & {
+        f["path"] for f in m_post2["files"]
+    }
+    # the 7 original stripes all hold a batch key — all rewritten
+    assert not (survivors & prev)
+    # any survivor is a first-merge file holding NO batch key
+    for f in m_post2["files"]:
+        if f["path"] in survivors:
+            ks = {r[0] for r in spark.read.parquet(
+                os.path.join(path, f["path"])).select("k").collect()}
+            assert not (ks & set(range(8)))
+    got = dict(_rows(txn_read(spark, path, value_filter={"k": list(range(8))})))
+    assert got == {i: -1 for i in range(8)}
+
+
+def test_bloom_distributed_checker_matches_driver(spark, tmp_path, monkeypatch):
+    """Above _BLOOM_DRIVER_CAP candidates the membership test runs as a
+    Spark job over the sidecar parquet — same result as the driver path
+    (bits never change, only where they are read)."""
+    import tdataframe_spark.sources.txn as txn_mod
+
+    path = str(tmp_path / "t")
+    _bloom_seed(spark, path)
+    files = txn_latest(path)[1]["files"]
+    driver = {
+        f["path"]
+        for f in txn_mod._bloom_prune(spark, path, files, "k", [3, 11, 20])
+    }
+    monkeypatch.setattr(txn_mod, "_BLOOM_DRIVER_CAP", 0)
+    dist = {
+        f["path"]
+        for f in txn_mod._bloom_prune(spark, path, files, "k", [3, 11, 20])
+    }
+    assert driver == dist and 1 <= len(driver) <= 2  # stripes 3 and 4
+
+
+def test_bloom_string_col_clone_compaction_and_types(spark, tmp_path):
+    """String bloom columns hash portably; a shallow clone's foreign
+    bloom refs resolve against the source; compaction rebuilds filters
+    for the compacted files; unsupported types are refused up front."""
+    from tdataframe_spark.sources.layout import compact_txn
+    from tdataframe_spark.sources.txn import txn_clone
+
+    path = str(tmp_path / "t")
+    for r in range(4):
+        df = spark.range(300).select(
+            F.concat(F.lit("u"), (F.col("id") * 4 + r).cast("string")
+                     ).alias("uid"),
+            F.col("id").alias("v"),
+        ).coalesce(1)
+        txn_write(df, path, bloom_cols=["uid"], bloom_bits=16384)
+    out = txn_read(spark, path, value_filter={"uid": ["u6"]})
+    assert _rows(out) == [("u6", 1)]
+    assert len(out.inputFiles()) == 1
+    # clone: foreign refs resolve via base
+    dst = str(tmp_path / "c")
+    txn_clone(path, dst)
+    cout = txn_read(spark, dst, value_filter={"uid": ["u6"]})
+    assert _rows(cout) == [("u6", 1)] and len(cout.inputFiles()) == 1
+    # compaction inherits bloom cols and rebuilds sidecars
+    compact_txn(spark, path, target_file_bytes=1 << 30)
+    head = txn_latest(path)[1]
+    assert all("bloom" in f for f in head["files"])
+    out2 = txn_read(spark, path, value_filter={"uid": ["u6"]})
+    assert _rows(out2) == [("u6", 1)]
+    # type refusal: float hashing is not render-portable
+    with pytest.raises(ValueError, match="bloom_cols column"):
+        txn_write(
+            spark.range(3).select(F.col("id").cast("double").alias("x")),
+            str(tmp_path / "bad"), bloom_cols=["x"],
+        )
+
+
+def test_bloom_vacuum_reclaims_unreferenced_sidecars(spark, tmp_path):
+    """Sidecars of rewritten-away commits die with their data dirs; the
+    live head's refs all survive, byte-exactly resolvable."""
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    _bloom_seed(spark, path, n_stripes=4)
+    txn_upsert(
+        spark.createDataFrame([(2, 7)], "k long, v long"), path, ["k"]
+    )
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    head = txn_latest(path)[1]
+    live = {f["bloom"]["ref"] for f in head["files"]}
+    disk = {
+        os.path.join("bloom", b)
+        for b in os.listdir(os.path.join(path, "bloom"))
+    }
+    assert disk == live
+    assert _rows(txn_read(spark, path, value_filter={"k": [2]})) == [(2, 7)]
