@@ -442,6 +442,24 @@ def _abs_file(path: str, f: dict) -> str:
     return os.path.join(f.get("base") or path, f["path"])
 
 
+def _rel_from_scan_uri(absmap: dict, uri: str, path: str, what: str) -> str:
+    """Map an ``input_file_name()`` URI back to its manifest-relative
+    path via an {abspath: rel} map — the decoding quirks (file: scheme,
+    percent-encoding, abspath keying for cwd-relative table paths) live
+    HERE once for every executor-scan consumer (merge probe, bloom
+    build)."""
+    from urllib.parse import unquote as _unq
+    from urllib.parse import urlparse as _urlparse
+
+    p = os.path.abspath(_unq(_urlparse(uri).path))
+    rel = absmap.get(p)
+    if rel is None:
+        raise RuntimeError(
+            f"{what} returned {uri!r}, not an expected file of {path}"
+        )
+    return rel
+
+
 def _dv_abs_paths(path: str, dv_entries) -> list[str]:
     """Filesystem paths of DV entries — same ``base`` rule as
     :func:`_abs_file` (a shallow clone inherits its source's deletion
@@ -555,6 +573,42 @@ def _bloom_positions(value, m: int) -> list[int]:
 
 
 _BLOOM_OK_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+_BLOOM_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _bloom_canon(values: list, dtype_simple: str) -> list | None:
+    """Probe values canonicalized to the COLUMN's build-time rendering,
+    or None when pruning must be skipped (a probe the filter cannot
+    reason about). The build hashed Spark's cast-to-string of the
+    COLUMN type — a probe of another Python type (3.0 against a bigint
+    column) must be coerced to that rendering or bloom pruning would
+    FALSE-NEGATIVE on a value the row filter matches. Integral columns:
+    int/bool/integral-float/Decimal coerce to int; a non-integral
+    number can equal no stored value, so it is dropped from the probe
+    list (its absence is exact). String columns: non-str probes bail
+    out entirely (Spark's implicit cast comparisons — '03' == 3 — have
+    no per-value rendering a filter could check)."""
+    if dtype_simple in _BLOOM_INT_TYPES:
+        out = []
+        for v in values:
+            if isinstance(v, bool):
+                out.append(int(v))
+            elif isinstance(v, int):
+                out.append(v)
+            else:
+                try:
+                    iv = int(v)
+                except (TypeError, ValueError):
+                    return None  # unreasonable probe: no pruning
+                if iv == v:  # 3.0 / Decimal('3') -> 3
+                    out.append(iv)
+                # non-integral numbers match no integer row: drop
+        return out
+    if dtype_simple == "string":
+        if all(isinstance(v, str) for v in values):
+            return list(values)
+        return None
+    return None  # column type the filter never indexed
 
 
 def _write_bloom_sidecar(
@@ -583,9 +637,6 @@ def _write_bloom_sidecar(
 
     if not entries:
         return
-    from urllib.parse import unquote as _unq
-    from urllib.parse import urlparse as _urlparse
-
     absmap = {
         os.path.abspath(os.path.join(path, f["path"])): f["path"]
         for f in entries
@@ -655,14 +706,9 @@ def _write_bloom_sidecar(
     )
     rels, cols, bits = [], [], []
     for r in packed:
-        p = os.path.abspath(_unq(_urlparse(r["file"]).path))
-        rel = absmap.get(p)
-        if rel is None:
-            raise RuntimeError(
-                f"bloom build scan returned {r['file']!r}, not a fresh "
-                f"file of {path}"
-            )
-        rels.append(rel)
+        rels.append(
+            _rel_from_scan_uri(absmap, r["file"], path, "bloom build scan")
+        )
         cols.append(r["col"])
         bits.append(r["bits"])
     os.makedirs(os.path.join(path, "bloom"), exist_ok=True)
@@ -707,20 +753,29 @@ def _bloom_prune(
     files: list[dict],
     phys_col: str,
     values: list,
-) -> list[dict]:
-    """Drop candidate ``files`` whose Bloom filter PROVES none of
-    ``values`` is present in ``phys_col``. Files without a bloom for
-    the column are kept (no proof, no prune); a None in ``values``
-    disables pruning entirely (filters never witness NULLs). Exact in
-    the only direction that matters: a kept file may be a false
-    positive, a dropped file can never hold a probed value."""
+    dtype_simple: str,
+) -> tuple[list[dict], bool]:
+    """(surviving candidates, vetted) — drop candidate ``files`` whose
+    Bloom filter PROVES none of ``values`` is present in ``phys_col``.
+    Files without a bloom for the column are kept (no proof, no
+    prune); a None in ``values``, or a probe the column's rendering
+    cannot canonicalize (see :func:`_bloom_canon`), disables pruning
+    entirely and returns vetted=False (filters never witness NULLs and
+    must never false-negative on a coercible equality — 3.0 probed
+    against a bigint column hashes as '3', not '3.0'). Exact in the
+    only direction that matters: a kept file may be a false positive,
+    a dropped file can never hold a probed value."""
     if any(v is None for v in values):
-        return files
+        return files, False
+    canon = _bloom_canon(values, dtype_simple)
+    if canon is None:
+        return files, False
+    values = canon
     with_bloom = [
         f for f in files if phys_col in (f.get("bloom") or {}).get("cols", [])
     ]
     if not with_bloom:
-        return files
+        return files, False
     pos_by_m: dict[int, list[list[int]]] = {}
     for f in with_bloom:
         mm = int(f["bloom"]["m"])
@@ -739,8 +794,16 @@ def _bloom_prune(
         import pyarrow.parquet as pq
 
         for (ref, base), rels in want.items():
+            # row-group predicate pushdown: a commit that wrote many
+            # files has a many-row sidecar — read only the wanted
+            # (file, col) rows' bits, not every blob in it
             t = pq.read_table(
-                os.path.join(base, ref), columns=["file", "col", "bits"]
+                os.path.join(base, ref),
+                columns=["file", "col", "bits"],
+                filters=[
+                    ("col", "==", phys_col),
+                    ("file", "in", sorted(rels)),
+                ],
             )
             for file_rel, col, bits in zip(
                 t["file"].to_pylist(), t["col"].to_pylist(),
@@ -801,12 +864,19 @@ def _bloom_prune(
             .distinct()
             .collect()
         }
-    return [
+    kept = [
         f
         for f in files
         if phys_col not in (f.get("bloom") or {}).get("cols", [])
         or f["path"] in hits
     ]
+    # vetted only when EVERY survivor passed a membership test — files
+    # kept because they carry no filter were never checked, and a
+    # caller treating them as exact-key evidence would act on proof
+    # that does not exist
+    return kept, all(
+        phys_col in (f.get("bloom") or {}).get("cols", []) for f in kept
+    )
 
 
 def _layout_order(manifest: dict) -> list[str]:
@@ -1357,10 +1427,23 @@ def txn_write(
                     f"{replace_where}; filter the frame to the predicate "
                     "before committing"
                 )
+
+    def _drop_staged():
+        """Terminal-raise cleanup: the staged data dir AND this
+        commit's bloom sidecar (staged alongside it) go together —
+        leaving either would linger until a vacuum ages it out."""
+        import shutil
+
+        shutil.rmtree(commit_dir, ignore_errors=True)
+        try:
+            os.unlink(os.path.join(path, "bloom", f"{commit_id}.parquet"))
+        except OSError:
+            pass
+
     if bloom_cols and new_files:
         # one sidecar parquet per commit, outside the retry loop like
-        # the data files (commit-invariant); a lost race orphans it and
-        # vacuum reclaims it with the data dir
+        # the data files (commit-invariant; manifest-race RETRIES reuse
+        # both, only terminal raises drop them)
         _write_bloom_sidecar(
             df.sparkSession,
             path,
@@ -1422,9 +1505,7 @@ def txn_write(
                     # committing would resurrect or collide old data
                     conflict.append(f.name)
             if conflict:
-                import shutil
-
-                shutil.rmtree(commit_dir, ignore_errors=True)
+                _drop_staged()
                 raise ConcurrentWriteError(
                     f"column mapping of {path} changed under this write "
                     f"(columns {sorted(conflict)}): a rename/drop or a "
@@ -1449,9 +1530,7 @@ def txn_write(
                     live_now
                     and tuple(sorted(partition_by or [])) not in live_now
                 ):
-                    import shutil
-
-                    shutil.rmtree(commit_dir, ignore_errors=True)
+                    _drop_staged()
                     raise ConcurrentWriteError(
                         f"partition layout of {path} changed under this "
                         "write — re-run it against the new head (or opt "
@@ -1471,12 +1550,10 @@ def txn_write(
             existing_cols = {k for f in old_files for k in f["partition"]}
             missing = set(replace_where) - existing_cols
             if old_files and missing:
-                import shutil
-
                 # same cleanup as the written-file partition-violation
                 # path above: the staged data dir was already written
                 # and would otherwise linger until a vacuum ages it out
-                shutil.rmtree(commit_dir, ignore_errors=True)
+                _drop_staged()
                 raise ValueError(
                     f"replace_where keys {sorted(missing)} are not "
                     "partition columns of the existing table "
@@ -1489,9 +1566,7 @@ def txn_write(
                 if any(k not in f["partition"] for k in replace_where)
             ]
             if mixed:
-                import shutil
-
-                shutil.rmtree(commit_dir, ignore_errors=True)
+                _drop_staged()
                 raise ValueError(
                     f"replace_where on {path} is unsound under a mixed "
                     f"partition layout: {len(mixed)} live file(s) record "
@@ -1564,9 +1639,7 @@ def txn_write(
             # commit attempt: the batch was not checked against the live
             # contract — refuse rather than slip an unvalidated commit in
             # (same staged-dir cleanup as the column-mapping race above)
-            import shutil
-
-            shutil.rmtree(commit_dir, ignore_errors=True)
+            _drop_staged()
             raise ConcurrentWriteError(
                 f"CHECK constraints of {path} changed under this write — "
                 "re-run it against the new head"
@@ -1578,9 +1651,7 @@ def txn_write(
         # means the batch was built against a stale contract
         live_generated = dict((latest or {}).get("generated", {}))
         if live_generated != head_generated:
-            import shutil
-
-            shutil.rmtree(commit_dir, ignore_errors=True)
+            _drop_staged()
             raise ConcurrentWriteError(
                 f"generated-column rules of {path} changed under this "
                 "write — re-run it against the new head"
@@ -1787,7 +1858,14 @@ def txn_read(
                 files = [
                     f for f in files if _any_in(f.get("stats", {}).get(pc))
                 ]
-                files = _bloom_prune(spark, path, files, pc, non_null)
+                files, _ = _bloom_prune(
+                    spark, path, files, pc, non_null,
+                    next(
+                        f.dataType.simpleString()
+                        for f in schema.fields
+                        if f.name == col
+                    ),
+                )
             # the ROW filter is the contract; pruning is only a fast path
             cond = F.col(col).isin(non_null) if non_null else F.lit(False)
             if len(non_null) != len(vv):
@@ -2193,9 +2271,6 @@ def _touched_files(
     candidates exceed ``_PROBE_SKIP_FRACTION`` of the live files the
     probe scan is skipped and every candidate is rewritten (the
     uniform-key case, where the probe is pure overhead)."""
-    from urllib.parse import unquote as _unq
-    from urllib.parse import urlparse as _urlparse
-
     all_files = manifest["files"]
     if not all_files:
         return set()
@@ -2250,10 +2325,19 @@ def _touched_files(
         # when every file's [min, max] spans the key domain (the
         # unclustered layout min/max is blind to). NULL keys never
         # equi-join, so probing only the non-null values stays exact.
-        files = _bloom_prune(
-            spark, path, files, pk, [v for v in _batch_keys() if v is not None]
+        # vetted=True (-> exact-key evidence for the bail) only when
+        # every surviving candidate actually passed a membership test —
+        # unbloomed files kept conservatively, or an uncanonicalizable
+        # probe, must never let the bail rewrite unvetted files
+        files, exact_evidence = _bloom_prune(
+            spark, path, files, pk,
+            [v for v in _batch_keys() if v is not None],
+            next(
+                fl.dataType.simpleString()
+                for fl in schema.fields
+                if _phys(fl) == pk
+            ),
         )
-        exact_evidence = True
         if not files:
             return set()
     if (
@@ -2279,7 +2363,11 @@ def _touched_files(
 
         try:
             files = [f for f in files if _holds_a_key(f)]
-            exact_evidence = True
+            # evidence only when every survivor actually RECORDS key
+            # stats — stats-less files were kept unvetted, and bailing
+            # on them would rewrite files nothing ever checked
+            if all(f.get("stats", {}).get(pk) is not None for f in files):
+                exact_evidence = True
         except TypeError:
             pass  # incomparable types: bounds only, no exact evidence
         if not files:
@@ -2317,17 +2405,12 @@ def _touched_files(
         .distinct()
         .collect()
     )
-    out = set()
-    for r in hits:
-        p = os.path.abspath(_unq(_urlparse(r["__src_file"]).path))
-        rel = absmap.get(p)
-        if rel is None:
-            raise RuntimeError(
-                f"touched-file scan returned {r['__src_file']!r}, not a "
-                f"live file of {path}"
-            )
-        out.add(rel)
-    return out
+    return {
+        _rel_from_scan_uri(
+            absmap, r["__src_file"], path, "touched-file scan"
+        )
+        for r in hits
+    }
 
 
 def _write_merge_cdf(
@@ -2904,7 +2987,14 @@ def txn_purge(
         _carry_constraints(new_manifest, manifest)
         if _publish(path, version + 1, new_manifest):
             return version + 1
-        shutil.rmtree(commit_dir, ignore_errors=True)  # lost race: redo
+        # lost race: redo — drop the staged data AND this iteration's
+        # bloom sidecar (it references only the dropped files; leaving
+        # it would accumulate one orphan per retry until vacuum)
+        shutil.rmtree(commit_dir, ignore_errors=True)
+        try:
+            os.unlink(os.path.join(path, "bloom", f"{commit_id}.parquet"))
+        except OSError:
+            pass
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races purging {path}"
     )

@@ -2960,16 +2960,33 @@ def test_bloom_distributed_checker_matches_driver(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "t")
     _bloom_seed(spark, path)
     files = txn_latest(path)[1]["files"]
-    driver = {
-        f["path"]
-        for f in txn_mod._bloom_prune(spark, path, files, "k", [3, 11, 20])
-    }
+    kept_d, vetted_d = txn_mod._bloom_prune(
+        spark, path, files, "k", [3, 11, 20], "bigint"
+    )
     monkeypatch.setattr(txn_mod, "_BLOOM_DRIVER_CAP", 0)
-    dist = {
-        f["path"]
-        for f in txn_mod._bloom_prune(spark, path, files, "k", [3, 11, 20])
-    }
+    kept_x, vetted_x = txn_mod._bloom_prune(
+        spark, path, files, "k", [3, 11, 20], "bigint"
+    )
+    driver = {f["path"] for f in kept_d}
+    dist = {f["path"] for f in kept_x}
+    assert vetted_d and vetted_x
     assert driver == dist and 1 <= len(driver) <= 2  # stripes 3 and 4
+    # probe-type canonicalization: a float probe of an integral column
+    # hashes under the COLUMN's rendering — 3.0 finds k=3, never a
+    # false-negative prune (the review's blocking finding)
+    kept_f, vetted_f = txn_mod._bloom_prune(
+        spark, path, files, "k", [3.0], "bigint"
+    )
+    assert vetted_f and {f["path"] for f in kept_f} == {
+        f["path"] for f in txn_mod._bloom_prune(
+            spark, path, files, "k", [3], "bigint"
+        )[0]
+    }
+    # an uncanonicalizable probe disables pruning, never drops a file
+    kept_n, vetted_n = txn_mod._bloom_prune(
+        spark, path, files, "k", ["x"], "bigint"
+    )
+    assert not vetted_n and len(kept_n) == len(files)
 
 
 def test_bloom_string_col_clone_compaction_and_types(spark, tmp_path):
