@@ -18,7 +18,11 @@ listing the complete live set. Readers reconstruct any snapshot from
 the nearest checkpoint plus the delta suffix (cached in-process), so
 a 1-file append to a 10⁶-file table writes kilobytes, not the whole
 file list, and the streaming source reads each commit's added files
-from one delta JSON without touching the parent.
+from one delta JSON without touching the parent. Checkpoints above
+``txn.parquet_checkpoint_rows`` state rows (default 4096) externalize
+their file/DV lists to a PARQUET sidecar (Delta's parquet-checkpoint
+idea) — the manifest JSON stays O(meta) and cold readers stream a
+compressed columnar file instead of parsing one giant JSON string.
 
 * **Atomic commit** — a manifest is staged to a temp file, fsynced,
   then ``os.link``-ed to its final ``manifest-N`` name. ``link`` is
@@ -104,11 +108,59 @@ def _versions(path: str) -> list[int]:
 
 def _load(path: str, version: int) -> dict:
     """RAW manifest bytes of one commit — a full checkpoint ({'files',
-    'dv'} complete) or an incremental delta ({'log': {add, remove,
-    dv_add, dv_remove}}). Most callers want :func:`_materialize`, which
-    reconstructs the complete snapshot state either way."""
+    'dv'} complete), a PARQUET checkpoint ({'state_parquet': sidecar}
+    with the lists externalized), or an incremental delta ({'log':
+    {add, remove, dv_add, dv_remove}}). Most callers want
+    :func:`_materialize`, which reconstructs the complete snapshot
+    state in every case; meta-only consumers (history, fences, hints)
+    stay O(1) on all three forms."""
     with open(_manifest_path(path, version)) as f:
         return json.load(f)
+
+
+# Above this many state rows (files + dv entries) a checkpoint's lists
+# are externalized to a PARQUET sidecar next to the manifest instead of
+# being serialized into its JSON (Delta's parquet-checkpoint idea): at
+# 10^6 files a JSON checkpoint is a ~10^2 MB single-string parse per
+# cold reader, while the parquet form is compressed, row-batch-streamed
+# and column-pruned by the reader. Overridable per table via the
+# txn.parquet_checkpoint_rows property (0 disables).
+_PARQUET_CKPT_ROWS = 4096
+
+
+def _ckpt_parquet_write(abs_dir: str, name: str, files: list, dv: list):
+    """Write a checkpoint state sidecar: rows of (kind, entry-JSON).
+    Entries keep their exact manifest JSON form (dicts, or legacy bare
+    DV strings), so the round-trip is byte-faithful; parquet framing
+    buys compression + streamed decode without a bespoke schema for
+    the irregular stats/bloom/partition maps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    kinds = ["f"] * len(files) + ["dv"] * len(dv)
+    entries = [json.dumps(e) for e in files] + [json.dumps(e) for e in dv]
+    tmp = os.path.join(abs_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table({"kind": kinds, "entry": entries}), tmp)
+    os.replace(tmp, os.path.join(abs_dir, name))
+
+
+def _ckpt_parquet_read(path: str, raw: dict) -> dict:
+    """Expand a {'state_parquet': sidecar} manifest to its full form
+    (the sidecar ref is stripped — consumers see exactly what a JSON
+    checkpoint would have carried)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(path, _TXN, raw["state_parquet"]),
+        columns=["kind", "entry"],
+    )
+    files, dv = [], []
+    for kind, entry in zip(t["kind"].to_pylist(), t["entry"].to_pylist()):
+        (files if kind == "f" else dv).append(json.loads(entry))
+    out = {k: v for k, v in raw.items() if k != "state_parquet"}
+    out["files"] = files
+    out["dv"] = dv
+    return out
 
 
 def _dv_key(e) -> str:
@@ -163,7 +215,7 @@ def _materialize(path: str, version: int, raw: dict | None = None) -> dict:
         return out
 
     m = raw if raw is not None else _load(path, version)
-    if "log" not in m:
+    if "log" not in m and "state_parquet" not in m:
         return m
     path_key = os.path.abspath(path)
     sig = _manifest_sig(path, version)
@@ -171,6 +223,12 @@ def _materialize(path: str, version: int, raw: dict | None = None) -> dict:
     if hit is not None and hit[0] == sig:
         _STATE_CACHE.move_to_end((path_key, version))
         return _copy(hit[1])
+    if "state_parquet" in m:
+        # a parquet checkpoint is self-contained: expand its sidecar
+        # (one columnar read, cached like any reconstructed state)
+        state = _ckpt_parquet_read(path, m)
+        _cache_state(path_key, version, sig, state)
+        return _copy(state)
     chain = [(version, m, sig)]
     base = None
     v = version
@@ -190,7 +248,13 @@ def _materialize(path: str, version: int, raw: dict | None = None) -> dict:
                 "(vacuumed away?)"
             ) from None
         if "log" not in am:
-            base = am
+            # a JSON checkpoint IS the base; a parquet one expands
+            # (recursing into the state_parquet branch above, cached)
+            base = (
+                am
+                if "state_parquet" not in am
+                else _materialize(path, v, raw=am)
+            )
             continue
         asig = _manifest_sig(path, v)
         ahit = _STATE_CACHE.get((path_key, v))
@@ -359,6 +423,29 @@ def _publish(path: str, version: int, manifest: dict) -> bool:
     d = os.path.join(path, _TXN)
     os.makedirs(d, exist_ok=True)
     on_disk = _commit_form(path, version, manifest)
+    sidecar = None
+    if "files" in on_disk and not on_disk.get("vacuumed"):
+        try:
+            thr = int(
+                (manifest.get("properties") or {}).get(
+                    "txn.parquet_checkpoint_rows", _PARQUET_CKPT_ROWS
+                )
+            )
+        except (TypeError, ValueError):
+            thr = _PARQUET_CKPT_ROWS
+        n_rows = len(on_disk["files"]) + len(on_disk.get("dv", []))
+        if thr > 0 and n_rows >= thr:
+            # big checkpoint: externalize the state lists to a parquet
+            # sidecar (written FIRST — the JSON link below makes the
+            # commit visible atomically; a lost race unlinks it)
+            sidecar = f"checkpoint-{version:012d}-{uuid.uuid4().hex[:8]}.parquet"
+            _ckpt_parquet_write(
+                d, sidecar, on_disk["files"], on_disk.get("dv", [])
+            )
+            on_disk = {
+                k: v for k, v in on_disk.items() if k not in ("files", "dv")
+            }
+            on_disk["state_parquet"] = sidecar
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(on_disk, f)
@@ -369,6 +456,11 @@ def _publish(path: str, version: int, manifest: dict) -> bool:
         _write_hint(path, version)
         return True
     except FileExistsError:
+        if sidecar is not None:
+            try:
+                os.unlink(os.path.join(d, sidecar))
+            except OSError:
+                pass
         return False
     finally:
         os.unlink(tmp)
@@ -3880,18 +3972,48 @@ def txn_vacuum(
     # unlink loop would be too late: an ascending unlink deletes the
     # fence's ancestors before reaching it, and _materialize then fails
     # FileNotFoundError forever (vacuum permanently broken).
+    def _rewrite_inplace(v: int, full: dict):
+        """Atomic in-place manifest rewrite, externalizing big state
+        lists to a parquet sidecar exactly like _publish (a vacuum that
+        materializes a 10^6-file delta must not inline the list the
+        checkpoint format exists to avoid)."""
+        try:
+            thr = int(
+                (full.get("properties") or {}).get(
+                    "txn.parquet_checkpoint_rows", _PARQUET_CKPT_ROWS
+                )
+            )
+        except (TypeError, ValueError):
+            thr = _PARQUET_CKPT_ROWS
+        n_rows = len(full.get("files", [])) + len(full.get("dv", []))
+        if (
+            "files" in full
+            and not full.get("vacuumed")
+            and thr > 0
+            and n_rows >= thr
+        ):
+            sidecar = f"checkpoint-{v:012d}-{uuid.uuid4().hex[:8]}.parquet"
+            _ckpt_parquet_write(
+                os.path.join(path, _TXN), sidecar,
+                full["files"], full.get("dv", []),
+            )
+            full = {
+                k: w for k, w in full.items() if k not in ("files", "dv")
+            }
+            full["state_parquet"] = sidecar
+        tmp = os.path.join(path, _TXN, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(full, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _manifest_path(path, v))
+
     if vs[:-keep_versions]:
         for v in {keep[0], fence} - {None}:
             raw_v = _load(path, v)
             if "log" not in raw_v:
-                continue
-            full = _materialize(path, v, raw=raw_v)
-            tmp = os.path.join(path, _TXN, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                json.dump(full, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, _manifest_path(path, v))
+                continue  # JSON/parquet checkpoints are self-contained
+            _rewrite_inplace(v, _materialize(path, v, raw=raw_v))
     for v in vs[:-keep_versions]:
         if v == fence:
             # the fence only needs its meta; when its data files are no
@@ -3907,41 +4029,69 @@ def txn_vacuum(
             m = _materialize(path, v, raw=raw_m)
             fence_files = {os.path.normpath(f["path"]) for f in m["files"]}
             fence_dv = {os.path.normpath(p) for p in _dv_paths(m.get("dv"))}
+            invalid = not m.get("vacuumed") and not (
+                fence_files <= live and fence_dv <= live_dv
+            )
+            # a still-valid PARQUET-checkpoint fence keeps its sidecar
+            # ref — meta-only stamps must not inline a huge file list
+            w = (
+                dict(raw_m)
+                if "state_parquet" in raw_m and not invalid
+                else m
+            )
             # a retained DELTA fence must persist as a full manifest —
             # the chain below it is about to be unlinked
             changed = "log" in raw_m
             # a fence whose DV files were reclaimed must ALSO go
             # files-invalid: reading it without its deletion vectors
             # would silently resurrect deleted rows
-            if not m.get("vacuumed") and not (
-                fence_files <= live and fence_dv <= live_dv
-            ):
-                m["vacuumed"] = True
-                m["files"] = []
-                m["dv"] = []
+            if invalid:
+                w["vacuumed"] = True
+                w["files"] = []
+                w["dv"] = []
+                w.pop("state_parquet", None)
                 changed = True
-            if m.get("cdf"):
+            if w.get("cdf"):
                 # the fence only needs its meta; its change files are
                 # not referenced by any retained commit and are being
                 # reclaimed — a dangling list would crash the feed
-                m["cdf"] = []
+                w["cdf"] = []
                 changed = True
-            if not m.get("retained_fence"):
-                m["retained_fence"] = True
+            if not w.get("retained_fence"):
+                w["retained_fence"] = True
                 changed = True
             if changed:
-                tmp = os.path.join(path, _TXN, f".tmp-{uuid.uuid4().hex}")
-                with open(tmp, "w") as f:
-                    json.dump(m, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, _manifest_path(path, v))
+                _rewrite_inplace(v, w)
             continue
         os.unlink(_manifest_path(path, v))
     # refresh the hint to the true head: vacuum may have deleted the
     # manifest a stale hint pointed at, and the retained fence must not
     # become anyone's probe start
     _write_hint(path, vs[-1])
+    # parquet-checkpoint sidecars referenced by NO surviving manifest
+    # (their manifest was unlinked, a fence went files-invalid, or a
+    # racer lost the publish) are reclaimed with the same age guard;
+    # decided here — after the unlink/fence rewrites settled the
+    # surviving reference set — and deleted in pass 2 with the rest
+    txn_dir = os.path.join(path, _TXN)
+    live_ckpt = set()
+    for v in _versions(path):
+        sp = _load(path, v).get("state_parquet")
+        if sp:
+            live_ckpt.add(sp)
+    for name in os.listdir(txn_dir) if os.path.isdir(txn_dir) else []:
+        if not (name.startswith("checkpoint-") and name.endswith(".parquet")):
+            continue
+        if name in live_ckpt:
+            continue
+        cfile = os.path.join(txn_dir, name)
+        try:
+            age = now - os.path.getmtime(cfile)
+        except OSError:
+            continue
+        if age < min_age_s:
+            continue
+        to_remove.append(cfile)
     # PASS 2 — every surviving manifest is now consistent with the
     # post-vacuum file set, so physical reclamation is safe: a crash
     # mid-loop leaves only unreferenced dirs on disk, and the next

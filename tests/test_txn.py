@@ -3045,3 +3045,122 @@ def test_bloom_vacuum_reclaims_unreferenced_sidecars(spark, tmp_path):
     }
     assert disk == live
     assert _rows(txn_read(spark, path, value_filter={"k": [2]})) == [(2, 7)]
+
+
+def test_parquet_checkpoint_roundtrip_and_vacuum(spark, tmp_path):
+    """r11: big checkpoints externalize their state lists to a parquet
+    sidecar (Delta parquet-checkpoint shape) — the manifest JSON stays
+    O(meta) however many files the table holds. Pins: the on-disk form
+    mix, exact reads through/at/past the parquet checkpoint, the
+    streaming source's added-files diff across it, restore onto it,
+    and vacuum keeping referenced sidecars while reclaiming orphans."""
+    import glob
+
+    from tdataframe_spark.sources.txn import (
+        _load,
+        _versions,
+        txn_changes,
+        txn_restore,
+        txn_set_properties,
+        txn_upsert,
+    )
+    from tdataframe_spark.sources.txn_stream import _added_files
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i * 2) for i in range(40)], "k long, v long")
+    txn_write(df, path)
+    txn_set_properties(
+        path,
+        {"txn.parquet_checkpoint_rows": "4", "txn.checkpoint_interval": "3"},
+    )
+    for i in range(1, 7):
+        txn_write(
+            df.limit(2).withColumn("k", F.col("k") + 1000 * i).coalesce(2),
+            path,
+        )
+    forms = {
+        v: (
+            "log" if "log" in _load(path, v)
+            else "pq" if "state_parquet" in _load(path, v)
+            else "json"
+        )
+        for v in _versions(path)
+    }
+    assert "pq" in forms.values()
+    v_pq = next(v for v, f in forms.items() if f == "pq")
+    # the manifest JSON of a parquet checkpoint carries NO file list
+    raw = _load(path, v_pq)
+    assert "files" not in raw and "dv" not in raw
+    # exact reads at / across the externalized checkpoint
+    assert txn_read(spark, path).count() == 40 + 12
+    assert txn_read(spark, path, version=v_pq).count() == 40 + 2 * (v_pq - 2)
+    assert txn_changes(spark, path, v_pq - 1, v_pq).count() == 2
+    # streaming source: the added-files diff for a pq-checkpoint commit
+    added, changed = _added_files(path, v_pq)
+    assert len(added) == 1 and not changed  # limit() writes one file
+    # merge + restore onto the pq snapshot
+    txn_upsert(spark.createDataFrame([(1, 9)], "k long, v long"), path, ["k"])
+    txn_restore(path, v_pq)
+    n_restored = txn_read(spark, path, version=v_pq).count()
+    assert txn_read(spark, path).count() == n_restored
+    # vacuum: referenced sidecars survive, unreferenced are reclaimed
+    # (v_pq itself falls out of the window — only the head's state,
+    # restored FROM it, remains readable)
+    txn_vacuum(path, keep_versions=2, min_age_s=0)
+    live = {
+        _load(path, v).get("state_parquet") for v in _versions(path)
+    } - {None}
+    disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(path, "_txn", "checkpoint-*.parquet"))
+    }
+    assert disk == live
+    assert txn_read(spark, path).count() == n_restored
+
+
+def test_parquet_checkpoint_fence_keeps_sidecar_ref(spark, tmp_path):
+    """A retained out-of-window FENCE that is a parquet checkpoint with
+    all files still live is stamped meta-only — the rewrite keeps the
+    sidecar ref instead of inlining the file list, and the fence stays
+    readable; a files-invalid fence drops the ref and its sidecar is
+    reclaimed."""
+    from tdataframe_spark.sources.txn import _load, _versions
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    txn_write(df, path)
+    from tdataframe_spark.sources.txn import txn_set_properties
+
+    txn_set_properties(
+        path,
+        {"txn.parquet_checkpoint_rows": "2", "txn.checkpoint_interval": "2"},
+    )
+    txn_write(df.limit(1).coalesce(1), path)  # v3 (delta)
+    # v4: append-only pq checkpoint (interval=2) carrying a sink
+    # batch_id — a fence
+    txn_write(df.limit(1).coalesce(1), path, meta={"batch_id": 1})
+    v_f = _versions(path)[-1]
+    assert "state_parquet" in _load(path, v_f)
+    txn_write(df.limit(1).coalesce(1), path)
+    txn_write(df.limit(1).coalesce(1), path)
+    txn_vacuum(path, keep_versions=2, min_age_s=0)
+    raw = _load(path, v_f)
+    # append-only history: every fence file is still live -> ref kept
+    assert raw.get("retained_fence") and "state_parquet" in raw
+    assert txn_read(spark, path, version=v_f).count() == 12
+    # now make the fence's files dead and vacuum again
+    txn_write(df, path, mode="overwrite")
+    txn_write(df.limit(1).coalesce(1), path)
+    txn_vacuum(path, keep_versions=1, min_age_s=0)
+    raw = _load(path, v_f)
+    assert raw.get("vacuumed") and "state_parquet" not in raw
+    import glob
+
+    disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(path, "_txn", "checkpoint-*.parquet"))
+    }
+    live = {
+        _load(path, v).get("state_parquet") for v in _versions(path)
+    } - {None}
+    assert disk == live
