@@ -133,15 +133,43 @@ def _ckpt_parquet_write(abs_dir: str, name: str, files: list, dv: list):
     Entries keep their exact manifest JSON form (dicts, or legacy bare
     DV strings), so the round-trip is byte-faithful; parquet framing
     buys compression + streamed decode without a bespoke schema for
-    the irregular stats/bloom/partition maps."""
+    the irregular stats/bloom/partition maps. The file is fully
+    FSYNCED before it takes its final name: the manifest that will
+    reference it is the layer's durability anchor, and a journaled
+    manifest pointing at unsynced sidecar pages would break the
+    visible-means-complete commit guarantee after a power loss."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     kinds = ["f"] * len(files) + ["dv"] * len(dv)
     entries = [json.dumps(e) for e in files] + [json.dumps(e) for e in dv]
     tmp = os.path.join(abs_dir, f".tmp-{uuid.uuid4().hex}.parquet")
-    pq.write_table(pa.table({"kind": kinds, "entry": entries}), tmp)
-    os.replace(tmp, os.path.join(abs_dir, name))
+    try:
+        pq.write_table(pa.table({"kind": kinds, "entry": entries}), tmp)
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.replace(tmp, os.path.join(abs_dir, name))
+    except BaseException:
+        # disk-full mid-write must not leak a multi-MB temp forever
+        # (_publish unlinks its JSON temp the same way)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    try:
+        # persist the rename itself (best-effort: not every fs/OS
+        # supports directory fds)
+        dfd = os.open(abs_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def _ckpt_parquet_read(path: str, raw: dict) -> dict:
@@ -150,16 +178,53 @@ def _ckpt_parquet_read(path: str, raw: dict) -> dict:
     checkpoint would have carried)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(path, _TXN, raw["state_parquet"]),
-        columns=["kind", "entry"],
-    )
+    sidecar = os.path.join(path, _TXN, raw["state_parquet"])
+    if not os.path.exists(sidecar):
+        # same operator contract as a broken delta chain: name the
+        # likely cause instead of surfacing a raw pyarrow path error
+        raise FileNotFoundError(
+            f"checkpoint state sidecar {raw['state_parquet']!r} of "
+            f"{path} is missing (vacuumed away, or a copy/backup took "
+            "manifest-*.json without checkpoint-*.parquet?) — the "
+            "snapshot cannot be reconstructed"
+        )
+    t = pq.read_table(sidecar, columns=["kind", "entry"])
     files, dv = [], []
     for kind, entry in zip(t["kind"].to_pylist(), t["entry"].to_pylist()):
         (files if kind == "f" else dv).append(json.loads(entry))
     out = {k: v for k, v in raw.items() if k != "state_parquet"}
     out["files"] = files
     out["dv"] = dv
+    return out
+
+
+def _externalize_if_big(path: str, version: int, on_disk: dict) -> dict:
+    """The ONE externalization rule both manifest writers (_publish and
+    vacuum's in-place rewrites) apply: when a full-form manifest's
+    state rows cross ``txn.parquet_checkpoint_rows`` (default 4096;
+    0 disables), move files+dv to a parquet sidecar and return the
+    O(meta) manifest carrying ``state_parquet``; otherwise return the
+    manifest unchanged."""
+    if "files" not in on_disk or on_disk.get("vacuumed"):
+        return on_disk
+    try:
+        thr = int(
+            (on_disk.get("properties") or {}).get(
+                "txn.parquet_checkpoint_rows", _PARQUET_CKPT_ROWS
+            )
+        )
+    except (TypeError, ValueError):
+        thr = _PARQUET_CKPT_ROWS
+    n_rows = len(on_disk["files"]) + len(on_disk.get("dv", []))
+    if thr <= 0 or n_rows < thr:
+        return on_disk
+    sidecar = f"checkpoint-{version:012d}-{uuid.uuid4().hex[:8]}.parquet"
+    _ckpt_parquet_write(
+        os.path.join(path, _TXN), sidecar,
+        on_disk["files"], on_disk.get("dv", []),
+    )
+    out = {k: v for k, v in on_disk.items() if k not in ("files", "dv")}
+    out["state_parquet"] = sidecar
     return out
 
 
@@ -423,29 +488,11 @@ def _publish(path: str, version: int, manifest: dict) -> bool:
     d = os.path.join(path, _TXN)
     os.makedirs(d, exist_ok=True)
     on_disk = _commit_form(path, version, manifest)
-    sidecar = None
-    if "files" in on_disk and not on_disk.get("vacuumed"):
-        try:
-            thr = int(
-                (manifest.get("properties") or {}).get(
-                    "txn.parquet_checkpoint_rows", _PARQUET_CKPT_ROWS
-                )
-            )
-        except (TypeError, ValueError):
-            thr = _PARQUET_CKPT_ROWS
-        n_rows = len(on_disk["files"]) + len(on_disk.get("dv", []))
-        if thr > 0 and n_rows >= thr:
-            # big checkpoint: externalize the state lists to a parquet
-            # sidecar (written FIRST — the JSON link below makes the
-            # commit visible atomically; a lost race unlinks it)
-            sidecar = f"checkpoint-{version:012d}-{uuid.uuid4().hex[:8]}.parquet"
-            _ckpt_parquet_write(
-                d, sidecar, on_disk["files"], on_disk.get("dv", [])
-            )
-            on_disk = {
-                k: v for k, v in on_disk.items() if k not in ("files", "dv")
-            }
-            on_disk["state_parquet"] = sidecar
+    # big checkpoint: externalize the state lists to a parquet sidecar
+    # (written + fsynced FIRST — the JSON link below makes the commit
+    # visible atomically; a lost race unlinks it)
+    on_disk = _externalize_if_big(path, version, on_disk)
+    sidecar = on_disk.get("state_parquet")
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(on_disk, f)
@@ -3973,34 +4020,11 @@ def txn_vacuum(
     # fence's ancestors before reaching it, and _materialize then fails
     # FileNotFoundError forever (vacuum permanently broken).
     def _rewrite_inplace(v: int, full: dict):
-        """Atomic in-place manifest rewrite, externalizing big state
-        lists to a parquet sidecar exactly like _publish (a vacuum that
-        materializes a 10^6-file delta must not inline the list the
-        checkpoint format exists to avoid)."""
-        try:
-            thr = int(
-                (full.get("properties") or {}).get(
-                    "txn.parquet_checkpoint_rows", _PARQUET_CKPT_ROWS
-                )
-            )
-        except (TypeError, ValueError):
-            thr = _PARQUET_CKPT_ROWS
-        n_rows = len(full.get("files", [])) + len(full.get("dv", []))
-        if (
-            "files" in full
-            and not full.get("vacuumed")
-            and thr > 0
-            and n_rows >= thr
-        ):
-            sidecar = f"checkpoint-{v:012d}-{uuid.uuid4().hex[:8]}.parquet"
-            _ckpt_parquet_write(
-                os.path.join(path, _TXN), sidecar,
-                full["files"], full.get("dv", []),
-            )
-            full = {
-                k: w for k, w in full.items() if k not in ("files", "dv")
-            }
-            full["state_parquet"] = sidecar
+        """Atomic in-place manifest rewrite, applying the SAME
+        externalization rule as _publish (a vacuum that materializes a
+        10^6-file delta must not inline the list the checkpoint format
+        exists to avoid)."""
+        full = _externalize_if_big(path, v, full)
         tmp = os.path.join(path, _TXN, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(full, f)
@@ -4080,7 +4104,12 @@ def txn_vacuum(
         if sp:
             live_ckpt.add(sp)
     for name in os.listdir(txn_dir) if os.path.isdir(txn_dir) else []:
-        if not (name.startswith("checkpoint-") and name.endswith(".parquet")):
+        is_ckpt = name.startswith("checkpoint-") and name.endswith(".parquet")
+        # .tmp-* are in-flight staging files (manifest JSON, hint,
+        # checkpoint parquet); one crashed mid-write can strand a
+        # multi-MB parquet temp — the age guard protects live writers
+        is_tmp = name.startswith((".tmp-", ".hint-"))
+        if not (is_ckpt or is_tmp):
             continue
         if name in live_ckpt:
             continue

@@ -3164,3 +3164,27 @@ def test_parquet_checkpoint_fence_keeps_sidecar_ref(spark, tmp_path):
         _load(path, v).get("state_parquet") for v in _versions(path)
     } - {None}
     assert disk == live
+
+
+def test_parquet_checkpoint_missing_sidecar_error(spark, tmp_path):
+    """A pq-checkpoint manifest whose sidecar is gone (bad backup,
+    manual deletion) raises the descriptive reconstruction error, not
+    a raw pyarrow path error."""
+    import glob
+
+    from tdataframe_spark.sources.txn import _load, _versions, txn_set_properties
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    txn_write(df, path)
+    txn_set_properties(
+        path,
+        {"txn.parquet_checkpoint_rows": "1", "txn.checkpoint_interval": "1"},
+    )
+    txn_write(df.limit(1).coalesce(1), path)
+    v = _versions(path)[-1]
+    assert "state_parquet" in _load(path, v)
+    for p in glob.glob(os.path.join(path, "_txn", "checkpoint-*.parquet")):
+        os.unlink(p)
+    with pytest.raises(FileNotFoundError, match="state sidecar"):
+        txn_read(spark, path).count()
