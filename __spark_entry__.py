@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_native_sink": q_txn_native_sink,
         "txn_sink_partitioned": q_txn_sink_partitioned,
         "shallow_clone": q_shallow_clone,
+        # NEW this round (late): file-inventory metadata table
+        "txn_files_meta": q_txn_files_meta,
         # the r7-last oracle cohort (normal rotation cadence; the
         # remaining r7-last rows-only entries + simhash_hamming rotate
         # r12 with the r6 cohort)
@@ -345,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         # RESTORE: the head after rollback IS the original table
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,
+        "txn_files_meta": SQL_TXN_FILES_META,
         "cdc_changes": SQL_CDC_CHANGES,
         "time_travel": SQL_TIME_TRAVEL,
         "q7_volume_shipping": SQL_Q7,

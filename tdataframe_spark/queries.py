@@ -2245,6 +2245,52 @@ WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
 """
 
 
+def q_txn_files_meta(spark, sf):
+    """r11: the file-inventory metadata table (txn_files — Iceberg's
+    ``files`` metadata table / Delta's DESCRIBE DETAIL inventory).
+    Lineitem is committed partitioned by l_returnflag, then a second
+    commit appends the low-quantity rows; per-partition row totals are
+    answered from the MANIFEST ALONE (row counts and byte sizes ride
+    every file entry, recorded from the just-written footers at commit
+    time) — no data read, no filesystem listing, which is the point of
+    a metadata table at 100 TB. The oracle restates the same totals
+    relationally from the source table."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_files, txn_write
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"files_meta_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(
+        li.repartition(4, "l_returnflag"), path,
+        partition_by=["l_returnflag"], mode="overwrite",
+    )
+    txn_write(
+        li.filter(F.col("l_quantity") < 10).repartition(2, "l_returnflag"),
+        path, partition_by=["l_returnflag"],
+    )
+    inv = txn_files(spark, path)
+    return (
+        inv.groupBy(F.col("partition")["l_returnflag"].alias("returnflag"))
+        .agg(F.sum("rows").alias("n_rows"))
+        .orderBy("returnflag")
+    )
+
+
+SQL_TXN_FILES_META = """
+SELECT l_returnflag AS returnflag,
+       COUNT(*) + COUNT(CASE WHEN l_quantity < 10 THEN 1 END) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY returnflag
+"""
+
+
 def q_cdc_changes(spark, sf):
     """Row-level change feed between two table snapshots (txn_changes):
     seed the orders table (v1), MERGE the re-priced 10% batch (v2), ask

@@ -308,6 +308,7 @@ def compact_txn(
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     meta: dict | None = None,
+    on_conflict: str = "raise",
 ) -> int:
     """Compaction for a transactional table (``sources/txn.py``): rewrite
     the current snapshot into right-sized files and publish ONE atomic
@@ -323,7 +324,20 @@ def compact_txn(
     OPTIMIZE ZORDER BY — the snapshot is rewritten in Morton-key order
     over SEVERAL columns, so per-file ranges stay bounded on every
     z-ordered column at once and multi-dimensional predicates prune
-    files the way a single-column sort never can."""
+    files the way a single-column sort never can.
+
+    ``on_conflict="raise"`` (default) pins the rewrite: any commit
+    landing mid-compaction raises. ``"rebase"`` is the lakehouse
+    OPTIMIZE shape — compaction is row-preserving, so a concurrent
+    APPEND is never a logical conflict: the compacted files replace
+    exactly the snapshot's files (a file-level replacement commit, not
+    an overwrite), appended files ride into the commit untouched, and
+    only a real conflict (a compacted file removed concurrently, a
+    deletion vector landing on one, a layout change) raises. Rebase
+    mode also preserves the column mapping (the replacement commit
+    keeps physical names; the overwrite path materializes renames
+    away). At 100 TB, background OPTIMIZE must never block ingestion —
+    this is the mode that guarantees it."""
     import math
     import os
 
@@ -379,6 +393,47 @@ def compact_txn(
         df = df.repartition(n_files, *partition_by)
     else:
         df = df.repartition(n_files)
+    if on_conflict not in ("raise", "rebase"):
+        raise ValueError(
+            f"on_conflict must be 'raise' or 'rebase', got {on_conflict!r}"
+        )
+    if on_conflict == "rebase":
+        from tdataframe_spark.sources.txn import _rebase_conflict_check
+
+        # file-level replacement commit: the compacted outputs replace
+        # exactly the source snapshot's files; anything a concurrent
+        # commit appended since rides into the commit untouched. The
+        # checker raises when the concurrent commits are NOT disjoint
+        # (a compacted file removed, a DV landing on one, a layout
+        # change) — compaction is row-preserving, so appended ROWS can
+        # never conflict and no key probe is needed.
+        protected = {f["path"] for f in manifest["files"]}
+
+        def checker(base_v, head_v):
+            _rebase_conflict_check(spark, path, base_v, head_v, protected)
+
+        txn_write(
+            df,
+            path,
+            mode="append",
+            partition_by=partition_by or None,
+            meta={
+                **(meta or {}), "compaction": True, "source_version": version,
+            },
+            expected_version=version,
+            stats_cols=stats_cols or None,
+            bloom_cols=bloom_cols,
+            bloom_bits=bloom_bits,
+            # the layout is DERIVED from the table; on an evolved table
+            # it may widen a narrower live layout (compacting to one
+            # layout is the point) — concurrent layout CHANGES are
+            # caught by the checker instead
+            allow_partition_evolution=True,
+            _constraints_prevalidated=True,
+            _replace_paths=protected,
+            _on_conflict=checker,
+        )
+        return n_files
     # expected_version pins the read-modify-write: a concurrent append
     # landing mid-compaction raises instead of silently vanishing from
     # the compacted head

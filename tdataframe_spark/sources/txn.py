@@ -532,6 +532,10 @@ def _collect_files(commit_dir: str, root: str) -> list[dict]:
             out.append({
                 "path": os.path.relpath(os.path.join(dirpath, n), root),
                 "partition": part,
+                # size rides the manifest (Delta's add-action shape) so
+                # metadata consumers (txn_files, compaction planning)
+                # never re-list the filesystem
+                "bytes": os.path.getsize(os.path.join(dirpath, n)),
             })
     return out
 
@@ -1287,9 +1291,19 @@ def txn_write(
     _constraints_prevalidated: bool = False,
     _replace_paths: set[str] | None = None,
     _cdf_paths: list[str] | None = None,
+    _on_conflict=None,
 ) -> int:
     """Commit ``df`` to the transactional table at ``path``; returns the
     committed version.
+
+    ``_on_conflict`` (internal — txn_upsert/compact_txn optimistic
+    rebase): a callable ``(base_version, head_version)`` invoked when
+    the ``expected_version`` pin no longer matches the head. It must
+    raise ``ConcurrentWriteError`` on a REAL conflict; returning means
+    the concurrent commits are logically disjoint from this one, and
+    the commit REBASES — the already-staged files re-commit against
+    the new head (the retry loop recomputes the live set from it), no
+    data rewritten. Without it, any version race raises.
 
     ``mode="append"`` adds files; ``mode="overwrite"`` replaces the
     whole live set; ``replace_where={"day": [5, 6]}`` (implies
@@ -1545,6 +1559,9 @@ def txn_write(
         if not md.num_rows:
             os.unlink(abs_f)
             continue
+        # row count rides the manifest next to bytes (the footer is
+        # already open for the zero-row check — recording is free)
+        f["rows"] = md.num_rows
         if stats_cols:
             # stats ride the files, so they are keyed by PHYSICAL name
             # (the name the footer actually carries); txn_read translates
@@ -1616,9 +1633,21 @@ def txn_write(
     for _ in range(max_retries):
         version, latest = txn_latest(path)
         if expected_version is not None and version != expected_version:
-            raise ConcurrentWriteError(
-                f"table {path} moved to v{version}; expected v{expected_version}"
-            )
+            if _on_conflict is None:
+                raise ConcurrentWriteError(
+                    f"table {path} moved to v{version}; "
+                    f"expected v{expected_version}"
+                )
+            # optimistic rebase: the checker raises on a REAL conflict;
+            # returning means the concurrent commits are disjoint and
+            # this commit's staged files re-apply against the new head
+            # (the loop body below recomputes the live set from it)
+            try:
+                _on_conflict(expected_version, version)
+            except BaseException:
+                _drop_staged()
+                raise
+            expected_version = version
         if mode != "overwrite":
             # a rename/drop (or a racing writer's schema evolution) may
             # have moved the column mapping since the data files were
@@ -1804,10 +1833,12 @@ def txn_write(
             manifest["properties"] = live_props
         if _publish(path, version + 1, manifest):
             return version + 1
-        if expected_version is not None:
+        if expected_version is not None and _on_conflict is None:
             raise ConcurrentWriteError(
                 f"lost commit race on {path} at v{version + 1}"
             )
+        # with a conflict checker, a lost publish race loops back to the
+        # top, where the new head is validated and the pin rebases
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races on {path}"
     )
@@ -2633,6 +2664,123 @@ def _write_merge_cdf(
     ]
 
 
+def _rebase_conflict_check(
+    spark: SparkSession,
+    path: str,
+    base_version: int,
+    head_version: int,
+    protected: set[str],
+    keys: list[str] | None = None,
+    key_df: DataFrame | None = None,
+    check_cdf: bool = False,
+) -> None:
+    """Logical conflict detection for optimistic rebase (Delta's
+    WriteSerializable shape): decide whether the commits in
+    ``(base_version, head_version]`` are DISJOINT from a pinned
+    read-modify-write whose staged outputs replace the ``protected``
+    files. Raises ``ConcurrentWriteError`` on a real conflict;
+    returning means the operation can re-commit against the new head
+    with its staged files intact — nothing rewritten, nothing lost.
+
+    Conflicts (each would silently lose a writer's effect):
+
+    * a protected file was removed/rewritten concurrently — the staged
+      replacement was derived from a snapshot that no longer exists;
+    * a deletion-vector change references a protected file — the
+      staged rewrite materialized the OLD DV state for it, so carrying
+      it forward would resurrect (or re-hide) rows;
+    * the partition layout changed — the staged files were routed
+      under the old layout;
+    * (``check_cdf``) the ``cdf.enabled`` property toggled — the
+      decision whether to record change files was made on the old head;
+    * (``keys``) a concurrently APPENDED file holds rows matching the
+      operation's keys — a MERGE would have had to update them. Probed
+      with the same stats/bloom-pruned key-column scan as
+      :func:`_touched_files` — key bytes of the new files only.
+
+    Everything else — appends of non-matching rows, DV changes on
+    untouched files, property edits — rebases: concurrent writers on
+    disjoint data both land, the multi-writer shape a 1000-executor
+    pipeline needs (schema/constraint/mapping races are re-checked by
+    the commit loop itself, independent of this function)."""
+    base_m = _materialize(path, base_version)
+    head_m = _materialize(path, head_version)
+    base_paths = {f["path"] for f in base_m["files"]}
+    head_files = {f["path"]: f for f in head_m["files"]}
+    hit = (base_paths - set(head_files)) & protected
+    if hit:
+        raise ConcurrentWriteError(
+            f"cannot rebase onto v{head_version} of {path}: concurrent "
+            f"commit(s) removed or rewrote file(s) this operation "
+            f"rewrites (e.g. {sorted(hit)[:3]}) — re-run against the "
+            "new head"
+        )
+    base_dv = {_dv_key(e): e for e in base_m.get("dv", [])}
+    head_dv = {_dv_key(e): e for e in head_m.get("dv", [])}
+    for k in set(base_dv) | set(head_dv):
+        a, b = base_dv.get(k), head_dv.get(k)
+        if a == b:
+            continue
+        for e in (a, b):
+            if e is None:
+                continue
+            refs = e.get("refs") if isinstance(e, dict) else None
+            if refs is None:
+                # legacy DV entry without file refs: cannot prove
+                # disjointness — conservative conflict
+                raise ConcurrentWriteError(
+                    f"cannot rebase onto v{head_version} of {path}: "
+                    "deletion vectors changed concurrently and carry no "
+                    "file refs to prove disjointness — re-run against "
+                    "the new head"
+                )
+            if set(refs) & protected:
+                raise ConcurrentWriteError(
+                    f"cannot rebase onto v{head_version} of {path}: a "
+                    "concurrent deletion-vector change references "
+                    "file(s) this operation rewrites — re-run against "
+                    "the new head"
+                )
+    base_layouts = {
+        tuple(sorted(f["partition"].keys())) for f in base_m["files"]
+    }
+    head_layouts = {
+        tuple(sorted(f["partition"].keys())) for f in head_m["files"]
+    }
+    if head_layouts - base_layouts or _layout_order(base_m) != _layout_order(
+        head_m
+    ):
+        raise ConcurrentWriteError(
+            f"cannot rebase onto v{head_version} of {path}: the "
+            "partition layout changed concurrently — re-run against "
+            "the new head"
+        )
+    if check_cdf and _cdf_enabled(base_m) != _cdf_enabled(head_m):
+        raise ConcurrentWriteError(
+            f"cannot rebase onto v{head_version} of {path}: cdf.enabled "
+            "toggled concurrently — re-run against the new head"
+        )
+    if keys is not None:
+        added = [
+            f for p, f in head_files.items() if p not in base_paths
+        ]
+        if added:
+            hits = _touched_files(
+                spark,
+                path,
+                {"files": added, "schema": head_m["schema"]},
+                keys,
+                key_df,
+            )
+            if hits:
+                raise ConcurrentWriteError(
+                    f"cannot rebase onto v{head_version} of {path}: "
+                    "concurrently appended file(s) hold rows matching "
+                    f"the merge keys (e.g. {sorted(hits)[:3]}) — re-run "
+                    "the merge against the new head"
+                )
+
+
 def txn_upsert(
     batch: DataFrame,
     path: str,
@@ -2641,6 +2789,7 @@ def txn_upsert(
     meta: dict | None = None,
     delete_when: str | None = None,
     rewrite: str = "selective",
+    on_conflict: str = "raise",
 ) -> int:
     """Batch MERGE INTO: batch rows replace same-key rows, new keys
     append — one keyed shuffle, ONE atomic commit (readers see pre- or
@@ -2681,13 +2830,34 @@ def txn_upsert(
     ``expected_version``: a concurrent commit landing between the
     snapshot read and the merge commit raises ``ConcurrentWriteError``
     instead of silently dropping that writer's rows — re-run the merge
-    against the new head. Refuses a path holding a plain (non-txn)
-    parquet table: shadowing it would silently drop every existing key
-    from the transactional view."""
+    against the new head. ``on_conflict="rebase"`` (selective rewrite
+    only) upgrades that to OPTIMISTIC CONCURRENCY with logical conflict
+    detection (Delta's WriteSerializable shape): on a version race the
+    concurrent commits are examined, and when they are provably
+    disjoint — appends holding no batch key (stats/bloom-pruned
+    key-column probe of the NEW files only), DV changes on files this
+    merge does not rewrite — the merge re-commits against the new head
+    with its staged outputs intact: both writers land, nothing is
+    rewritten twice. A real conflict (a touched file removed, an
+    appended row matching a merge key, a layout/contract change) still
+    raises. The multi-writer shape: concurrent merges to disjoint key
+    ranges of a 100 TB table proceed without coordination. Refuses a
+    path holding a plain (non-txn) parquet table: shadowing it would
+    silently drop every existing key from the transactional view."""
     import glob
 
     from pyspark.sql import Window
 
+    if on_conflict not in ("raise", "rebase"):
+        raise ValueError(
+            f"on_conflict must be 'raise' or 'rebase', got {on_conflict!r}"
+        )
+    if on_conflict == "rebase" and rewrite != "selective":
+        raise ValueError(
+            "on_conflict='rebase' requires rewrite='selective': a full "
+            "rewrite replaces the whole live set, so concurrent appends "
+            "can never rebase into it"
+        )
     spark = batch.sparkSession
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
@@ -2774,6 +2944,13 @@ def txn_upsert(
             # or omit an evolved one — either side NULL-backfills,
             # matching additive schema-evolution semantics
             merged = survivors.unionByName(batch, allowMissingColumns=True)
+            checker = None
+            if on_conflict == "rebase":
+                def checker(base_v, head_v, _t=touched, _dk=drop_keys):
+                    _rebase_conflict_check(
+                        spark, path, base_v, head_v, _t,
+                        keys=keys, key_df=_dk, check_cdf=True,
+                    )
             try:
                 return txn_write(
                     merged,
@@ -2792,6 +2969,7 @@ def txn_upsert(
                     _constraints_prevalidated=prevalidated,
                     _replace_paths=touched,
                     _cdf_paths=cdf_paths,
+                    _on_conflict=checker,
                 )
             finally:
                 if record_cdf:
@@ -3073,6 +3251,12 @@ def txn_purge(
             writer = writer.partitionBy(*pcols)
         writer.parquet(commit_dir)
         new_files = _collect_files(commit_dir, path)
+        import pyarrow.parquet as _pq
+
+        for f in new_files:
+            f["rows"] = _pq.ParquetFile(
+                os.path.join(path, f["path"])
+            ).metadata.num_rows
         stats_cols = sorted(
             {k for f in manifest["files"] for k in f.get("stats", {})}
         )
@@ -3880,6 +4064,99 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "version int, ts double, op string, n_files int, n_dv int, "
         "parent int, meta string",
+    )
+
+
+def _entry_size(path: str, f: dict) -> tuple[int, int]:
+    """(rows, bytes) of a manifest file entry. Recorded at commit time
+    since r11 (from the just-written footers — free); entries from
+    older commits fall back to ONE driver-side footer/stat read each."""
+    nrows, nbytes = f.get("rows"), f.get("bytes")
+    if nrows is None or nbytes is None:
+        import pyarrow.parquet as pq
+
+        abs_f = _abs_file(path, f)
+        if nbytes is None:
+            nbytes = os.path.getsize(abs_f)
+        if nrows is None:
+            nrows = pq.ParquetFile(abs_f).metadata.num_rows
+    return int(nrows), int(nbytes)
+
+
+def txn_files(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """File-inventory metadata table of a snapshot (Iceberg's ``files``
+    metadata table / Delta's inventory): one row per live data file
+    with its manifest-recorded partition values, row count, byte size,
+    per-column min/max stats (JSON-rendered, physical column names —
+    the names the footers carry) and bloom-filter columns. Everything
+    comes from the manifest alone — no filesystem listing, no data
+    read (legacy entries without recorded sizes fall back to one
+    driver-side footer read each).
+
+    The operational query surface: file-size skew and small-file
+    pressure (compaction planning), per-partition row distribution,
+    stats/bloom coverage audits. At 100 TB these questions must be
+    answerable from O(manifest), never O(data) — the same discipline
+    as :func:`txn_history`."""
+    version, manifest = _resolve_snapshot(path, version, as_of)
+    rows = []
+    for f in manifest["files"]:
+        nrows, nbytes = _entry_size(path, f)
+        rows.append((
+            version,
+            f["path"],
+            {k: str(v) for k, v in f.get("partition", {}).items()},
+            nrows,
+            nbytes,
+            {
+                k: json.dumps(v, default=str)
+                for k, v in f.get("stats", {}).items()
+            },
+            sorted((f.get("bloom") or {}).get("cols", [])),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version int, path string, partition map<string,string>, "
+        "rows bigint, bytes bigint, stats map<string,string>, "
+        "bloom_cols array<string>",
+    )
+
+
+def txn_detail(spark: SparkSession, path: str) -> DataFrame:
+    """One-row table summary (Delta's DESCRIBE DETAIL): head version,
+    commit timestamp, file count, total rows and bytes, deletion-vector
+    entry count, partition columns, and the property/constraint/
+    generated-rule counts. Driver-side manifest walk — O(files) dict
+    reads, no data touched."""
+    version, manifest = txn_latest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    total_rows = total_bytes = 0
+    for f in manifest["files"]:
+        r, b = _entry_size(path, f)
+        total_rows += r
+        total_bytes += b
+    return spark.createDataFrame(
+        [(
+            version,
+            float(manifest.get("ts") or 0.0),
+            len(manifest["files"]),
+            total_rows,
+            total_bytes,
+            len(manifest.get("dv", [])),
+            _layout_order(manifest),
+            len(manifest.get("properties", {})),
+            len(manifest.get("constraints", {})),
+            len(manifest.get("generated", {})),
+        )],
+        "version int, ts double, n_files int, rows bigint, bytes bigint, "
+        "n_dv int, partition_by array<string>, n_properties int, "
+        "n_constraints int, n_generated int",
     )
 
 

@@ -3188,3 +3188,283 @@ def test_parquet_checkpoint_missing_sidecar_error(spark, tmp_path):
         os.unlink(p)
     with pytest.raises(FileNotFoundError, match="state sidecar"):
         txn_read(spark, path).count()
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency: logical conflict detection + rebase (r11)
+
+
+def _seed_two_files(spark, path):
+    """k 0-4 in one commit's file, k 5-9 in another (file boundaries are
+    what the conflict rules are about)."""
+    lo = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k int, v double"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i, float(i)) for i in range(5, 10)], "k int, v double"
+    ).coalesce(1)
+    txn_write(lo, path, mode="overwrite")  # v1
+    txn_write(hi, path)                    # v2
+    return 2
+
+
+def _race_once(monkeypatch, fn):
+    """Run ``fn`` once from inside txn_upsert's snapshot-subset read —
+    after the merge pinned its snapshot, before its commit."""
+    from tdataframe_spark.sources import txn as txn_mod
+
+    real_subset = txn_mod._read_file_subset
+    done = {"hit": False}
+
+    def racing(spark_, p, manifest, rel_paths):
+        out = real_subset(spark_, p, manifest, rel_paths)
+        if not done["hit"]:
+            done["hit"] = True
+            fn()
+        return out
+
+    monkeypatch.setattr(txn_mod, "_read_file_subset", racing)
+
+
+def test_upsert_rebase_lands_disjoint_append(spark, tmp_path, monkeypatch):
+    """The multi-writer shape: a concurrent append holding NO merge key
+    rebases — both writers land, the merge's staged rewrite is reused
+    (no second rewrite), versions stay sequential. Default mode still
+    raises for the same race."""
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    _seed_two_files(spark, path)
+    batch = spark.createDataFrame([(0, 99.0)], "k int, v double")
+
+    _race_once(
+        monkeypatch,
+        lambda: txn_write(
+            spark.createDataFrame([(20, 20.0)], "k int, v double"), path
+        ),
+    )
+    v = txn_upsert(batch, path, keys=["k"], on_conflict="rebase")
+    assert v == 4  # seed(2) + racer(3) + merge(4): nothing re-staged
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got[0] == 99.0, "merge effect lost in rebase"
+    assert got[20] == 20.0, "concurrent append lost in rebase"
+    assert len(got) == 11
+
+    # same race under the default pin: raises (pre-r11 behavior pinned)
+    monkeypatch.undo()
+    _race_once(
+        monkeypatch,
+        lambda: txn_write(
+            spark.createDataFrame([(21, 21.0)], "k int, v double"), path
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        txn_upsert(batch, path, keys=["k"])
+
+
+def test_upsert_rebase_conflicts_on_matching_key(spark, tmp_path, monkeypatch):
+    """A concurrently appended file holding a MERGE KEY is a real
+    conflict (the merge would have had to update that row) — the key
+    probe over the new files catches it and the rebase refuses."""
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    _seed_two_files(spark, path)
+    _race_once(
+        monkeypatch,
+        lambda: txn_write(
+            spark.createDataFrame([(0, -1.0)], "k int, v double"), path
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError, match="matching the merge keys"):
+        txn_upsert(
+            spark.createDataFrame([(0, 99.0)], "k int, v double"),
+            path, keys=["k"], on_conflict="rebase",
+        )
+
+
+def test_upsert_rebase_dv_rules(spark, tmp_path, monkeypatch):
+    """Deletion-vector deltas: a concurrent DELETE on an UNTOUCHED file
+    rides through the rebase (its DV entry survives into the merged
+    commit); the same delete on a file the merge REWRITES is a conflict
+    (the rewrite materialized the old DV state — carrying the new entry
+    forward would re-hide, dropping it would resurrect)."""
+    from tdataframe_spark.sources.txn import txn_delete, txn_upsert
+
+    path = str(tmp_path / "t")
+    _seed_two_files(spark, path)
+    batch = spark.createDataFrame([(0, 99.0)], "k int, v double")
+
+    # racer deletes k=7 — lives in the hi file, which the merge (k=0)
+    # does not touch -> rebase, both effects land
+    _race_once(monkeypatch, lambda: txn_delete(spark, path, "k = 7"))
+    txn_upsert(batch, path, keys=["k"], on_conflict="rebase")
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got[0] == 99.0 and 7 not in got and len(got) == 9
+
+    # fresh table (controlled file boundaries): racer deletes k=1 —
+    # SAME file as the merge's k=0 -> conflict
+    monkeypatch.undo()
+    path2 = str(tmp_path / "t2")
+    _seed_two_files(spark, path2)
+    _race_once(monkeypatch, lambda: txn_delete(spark, path2, "k = 1"))
+    with pytest.raises(ConcurrentWriteError, match="deletion-vector"):
+        txn_upsert(batch, path2, keys=["k"], on_conflict="rebase")
+
+
+def test_upsert_rebase_conflicts_on_touched_file_removal(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent commit that REWRITES a file this merge also rewrites
+    (another merge on a key in the same file) is a conflict — the staged
+    replacement was derived from a snapshot that no longer exists."""
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    _seed_two_files(spark, path)
+    _race_once(
+        monkeypatch,
+        lambda: txn_upsert(
+            spark.createDataFrame([(1, -1.0)], "k int, v double"),
+            path, keys=["k"],
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError, match="removed or rewrote"):
+        txn_upsert(
+            spark.createDataFrame([(0, 99.0)], "k int, v double"),
+            path, keys=["k"], on_conflict="rebase",
+        )
+
+
+def test_upsert_rebase_arg_validation(spark, tmp_path):
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    txn_write(spark.createDataFrame([(1, 1.0)], "k int, v double"), path)
+    batch = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    with pytest.raises(ValueError, match="on_conflict must be"):
+        txn_upsert(batch, path, keys=["k"], on_conflict="retry")
+    with pytest.raises(ValueError, match="requires rewrite='selective'"):
+        txn_upsert(
+            batch, path, keys=["k"], rewrite="full", on_conflict="rebase"
+        )
+
+
+def test_compact_txn_rebase_append_rides(spark, tmp_path, monkeypatch):
+    """Background OPTIMIZE must never block ingestion: an append landing
+    mid-compaction rebases (compaction is row-preserving, so appended
+    rows can never conflict) — the compacted files replace exactly the
+    source snapshot's files and the appended file rides untouched. A
+    concurrent DELETE on a compacted file still raises."""
+    from tdataframe_spark.sources import txn as txn_mod
+    from tdataframe_spark.sources.layout import compact_txn
+    from tdataframe_spark.sources.txn import txn_delete
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k int, v double"
+    )
+    txn_write(base.repartition(8), path, mode="overwrite")
+
+    real_read = txn_mod.txn_read
+    done = {"hit": False}
+
+    def racing_read(spark_, p, **kw):
+        out = real_read(spark_, p, **kw)
+        if not done["hit"]:
+            done["hit"] = True
+            txn_write(
+                spark.createDataFrame([(200, 200.0)], "k int, v double"),
+                p,
+            )
+        return out
+
+    monkeypatch.setattr(txn_mod, "txn_read", racing_read)
+    compact_txn(spark, path, target_file_bytes=1 << 30, on_conflict="rebase")
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert len(got) == 101 and got[200] == 200.0, "append lost in OPTIMIZE"
+    _, m = txn_latest(path)
+    # compacted to 1 file + the racer's append
+    assert len(m["files"]) == 2, [f["path"] for f in m["files"]]
+
+    # concurrent DELETE on a compacted file: conflict
+    done["hit"] = False
+
+    def racing_del(spark_, p, **kw):
+        out = real_read(spark_, p, **kw)
+        if not done["hit"]:
+            done["hit"] = True
+            txn_delete(spark, p, "k = 5")
+        return out
+
+    monkeypatch.setattr(txn_mod, "txn_read", racing_del)
+    with pytest.raises(ConcurrentWriteError):
+        compact_txn(spark, path, target_file_bytes=1 << 30, on_conflict="rebase")
+
+
+def test_compact_txn_rebase_preserves_column_mapping(spark, tmp_path):
+    """The rebase commit keeps physical names (file-level replacement,
+    not an overwrite), so a renamed column stays metadata-mapped through
+    OPTIMIZE and old snapshots remain readable."""
+    from tdataframe_spark.sources.layout import compact_txn
+    from tdataframe_spark.sources.txn import txn_rename_column
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "k int, v double"),
+        path, mode="overwrite",
+    )
+    txn_rename_column(path, "v", "val")
+    compact_txn(spark, path, target_file_bytes=1 << 30, on_conflict="rebase")
+    df = txn_read(spark, path)
+    assert df.columns == ["k", "val"]
+    assert _rows(df.select("val")) == [(float(i),) for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# metadata tables: txn_files / txn_detail (r11)
+
+
+def test_txn_files_and_detail(spark, tmp_path):
+    """The inventory answers from the manifest alone: rows/bytes are
+    recorded per file entry at commit time (no footer fallback needed),
+    partition values / stats / bloom columns surface, and txn_detail's
+    totals agree with the data."""
+    from tdataframe_spark.sources.txn import txn_detail, txn_files
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in (1, 2) for i in range(10)],
+        "day int, k int, v double",
+    )
+    txn_write(
+        df.repartition(2, "day"), path, partition_by=["day"],
+        mode="overwrite", stats_cols=["k"], bloom_cols=["k"],
+    )
+    _, m = txn_latest(path)
+    assert all("rows" in f and "bytes" in f for f in m["files"]), (
+        "sizes must ride the manifest"
+    )
+    inv = txn_files(spark, path).collect()
+    assert sum(r["rows"] for r in inv) == 20
+    assert all(r["bytes"] > 0 for r in inv)
+    assert all(r["partition"]["day"] in ("1", "2") for r in inv)
+    assert all("k" in r["stats"] and r["bloom_cols"] == ["k"] for r in inv)
+    by_day = {}
+    for r in inv:
+        by_day[r["partition"]["day"]] = by_day.get(r["partition"]["day"], 0) + r["rows"]
+    assert by_day == {"1": 10, "2": 10}
+
+    det = txn_detail(spark, path).collect()[0]
+    assert det["n_files"] == len(inv) and det["rows"] == 20
+    assert det["bytes"] == sum(r["bytes"] for r in inv)
+    assert det["partition_by"] == ["day"]
+    assert det["version"] == 1 and det["n_dv"] == 0
+
+    # version pin: the inventory of a PAST snapshot stays stable
+    txn_write(df.limit(3), path, partition_by=["day"])
+    old = txn_files(spark, path, version=1).collect()
+    assert sum(r["rows"] for r in old) == 20
+    assert txn_detail(spark, path).collect()[0]["rows"] == 23
