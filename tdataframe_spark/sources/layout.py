@@ -349,11 +349,20 @@ def compact_txn(
         txn_write,
     )
 
+    if on_conflict not in ("raise", "rebase"):
+        raise ValueError(
+            f"on_conflict must be 'raise' or 'rebase', got {on_conflict!r}"
+        )
     version, manifest = txn_latest(path)
     if manifest is None:
         raise FileNotFoundError(f"no transactional table at {path}")
-    files = [_abs_file(path, f) for f in manifest["files"]]
-    total = sum(os.path.getsize(f) for f in files)
+    # sizing reads the manifest's recorded byte sizes (they ride every
+    # commit entry) — one filesystem stat only for legacy entries
+    # committed before sizes were recorded, never a full re-listing
+    total = sum(
+        f["bytes"] if "bytes" in f else os.path.getsize(_abs_file(path, f))
+        for f in manifest["files"]
+    )
     n_files = max(1, math.ceil(total / target_file_bytes))
     # a partitioned table must stay partitioned: the rewrite re-records
     # each file's partition values in the new manifest, or partition-
@@ -393,10 +402,6 @@ def compact_txn(
         df = df.repartition(n_files, *partition_by)
     else:
         df = df.repartition(n_files)
-    if on_conflict not in ("raise", "rebase"):
-        raise ValueError(
-            f"on_conflict must be 'raise' or 'rebase', got {on_conflict!r}"
-        )
     if on_conflict == "rebase":
         from tdataframe_spark.sources.txn import _rebase_conflict_check
 

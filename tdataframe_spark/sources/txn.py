@@ -1634,6 +1634,7 @@ def txn_write(
         version, latest = txn_latest(path)
         if expected_version is not None and version != expected_version:
             if _on_conflict is None:
+                _drop_staged()
                 raise ConcurrentWriteError(
                     f"table {path} moved to v{version}; "
                     f"expected v{expected_version}"
@@ -1834,11 +1835,13 @@ def txn_write(
         if _publish(path, version + 1, manifest):
             return version + 1
         if expected_version is not None and _on_conflict is None:
+            _drop_staged()
             raise ConcurrentWriteError(
                 f"lost commit race on {path} at v{version + 1}"
             )
         # with a conflict checker, a lost publish race loops back to the
         # top, where the new head is validated and the pin rebases
+    _drop_staged()
     raise ConcurrentWriteError(
         f"gave up after {max_retries} commit races on {path}"
     )
@@ -2760,6 +2763,21 @@ def _rebase_conflict_check(
             f"cannot rebase onto v{head_version} of {path}: cdf.enabled "
             "toggled concurrently — re-run against the new head"
         )
+    # table CONTRACT changes are always conflicts: the caller validated
+    # (or skipped validating, via _constraints_prevalidated) its batch
+    # against the BASE contract. The commit loop's own re-check compares
+    # the live head against head0 — read inside txn_write, possibly
+    # AFTER a concurrent add_constraint — so without this check a rule
+    # landing in the base→head0 window would let an unvalidated batch
+    # commit under rebase (the default pin raise closes that window).
+    for contract in ("constraints", "generated"):
+        if base_m.get(contract, {}) != head_m.get(contract, {}):
+            raise ConcurrentWriteError(
+                f"cannot rebase onto v{head_version} of {path}: the "
+                f"{contract} contract changed concurrently — the batch "
+                "was validated against the old head; re-run against "
+                "the new one"
+            )
     if keys is not None:
         added = [
             f for p, f in head_files.items() if p not in base_paths
@@ -3253,18 +3271,17 @@ def txn_purge(
         new_files = _collect_files(commit_dir, path)
         import pyarrow.parquet as _pq
 
-        for f in new_files:
-            f["rows"] = _pq.ParquetFile(
-                os.path.join(path, f["path"])
-            ).metadata.num_rows
         stats_cols = sorted(
             {k for f in manifest["files"] for k in f.get("stats", {})}
         )
-        if stats_cols:
-            for f in new_files:
-                f["stats"] = _file_stats(
-                    os.path.join(path, f["path"]), set(stats_cols)
-                )
+        for f in new_files:
+            abs_f = os.path.join(path, f["path"])
+            # ONE footer open per file, shared between the row-count
+            # recording and the stats inheritance (same as txn_write)
+            md = _pq.ParquetFile(abs_f).metadata
+            f["rows"] = md.num_rows
+            if stats_cols:
+                f["stats"] = _file_stats(abs_f, set(stats_cols), _md=md)
         # bloom filters survive the purge: the rewrite stays in physical
         # column space, so the inherited col set is physical as-is
         bloomed = [f["bloom"] for f in manifest["files"] if f.get("bloom")]

@@ -3468,3 +3468,48 @@ def test_txn_files_and_detail(spark, tmp_path):
     old = txn_files(spark, path, version=1).collect()
     assert sum(r["rows"] for r in old) == 20
     assert txn_detail(spark, path).collect()[0]["rows"] == 23
+
+
+def test_upsert_rebase_conflicts_on_contract_change(spark, tmp_path, monkeypatch):
+    """A CHECK constraint (or generated rule) landing between the
+    merge's snapshot read and its commit is ALWAYS a conflict under
+    rebase: the batch was validated against the old contract, and the
+    commit loop's own re-check can miss the base→head0 window — the
+    checker must close it."""
+    from tdataframe_spark.sources.txn import txn_add_constraint, txn_upsert
+
+    path = str(tmp_path / "t")
+    _seed_two_files(spark, path)
+    _race_once(
+        monkeypatch,
+        lambda: txn_add_constraint(spark, path, "v_floor", "v >= -100"),
+    )
+    with pytest.raises(ConcurrentWriteError, match="constraints contract"):
+        txn_upsert(
+            spark.createDataFrame([(0, 99.0)], "k int, v double"),
+            path, keys=["k"], on_conflict="rebase",
+        )
+
+
+def test_race_raise_drops_staged_files(spark, tmp_path, monkeypatch):
+    """Terminal ConcurrentWriteError paths clean their staged commit
+    dir (pre-fix, the version-pin raise leaked the full rewrite until
+    vacuum — GBs at the scale selective MERGE targets)."""
+    path = str(tmp_path / "t")
+    _seed_two_files(spark, path)
+    _race_once(
+        monkeypatch,
+        lambda: txn_write(
+            spark.createDataFrame([(30, 30.0)], "k int, v double"), path
+        ),
+    )
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    data_dir = os.path.join(path, "data")
+    with pytest.raises(ConcurrentWriteError):
+        txn_upsert(
+            spark.createDataFrame([(0, 99.0)], "k int, v double"),
+            path, keys=["k"],
+        )
+    # seed(2 commits) + racer(1): the merge's staged dir must be gone
+    assert len(os.listdir(data_dir)) == 3, sorted(os.listdir(data_dir))
