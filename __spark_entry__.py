@@ -113,8 +113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_native_sink": q_txn_native_sink,
         "txn_sink_partitioned": q_txn_sink_partitioned,
         "shallow_clone": q_shallow_clone,
-        # NEW this round (late): file-inventory metadata table
+        # NEW this round (late): file-inventory metadata table +
+        # idempotent writes
         "txn_files_meta": q_txn_files_meta,
+        "idempotent_writes": q_idempotent_writes,
         # the r7-last oracle cohort (normal rotation cadence; the
         # remaining r7-last rows-only entries + simhash_hamming rotate
         # r12 with the r6 cohort)
@@ -348,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "restore_table": SQL_RESTORE_TABLE,
         "data_skipping": SQL_DATA_SKIPPING,
         "txn_files_meta": SQL_TXN_FILES_META,
+        "idempotent_writes": SQL_IDEMPOTENT_WRITES,
         "cdc_changes": SQL_CDC_CHANGES,
         "time_travel": SQL_TIME_TRAVEL,
         "q7_volume_shipping": SQL_Q7,

@@ -2291,6 +2291,39 @@ ORDER BY returnflag
 """
 
 
+def q_idempotent_writes(spark, sf):
+    """r11: idempotent writes (Delta's txnAppId/txnVersion): a
+    replayable loader feeds two batches and REPLAYS batch 1 in between
+    — the replay is skipped on the writer-app watermark every manifest
+    records (nothing staged, head unchanged), so the table holds each
+    batch exactly once without the loader keeping a checkpoint. The
+    oracle is the exactly-once relational result; a non-idempotent
+    sink would duplicate batch 1 and hash-mismatch."""
+    import os
+    import shutil
+    import tempfile
+
+    from tdataframe_spark.sources.txn import txn_read, txn_write
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    b2 = o.filter(F.col("o_orderkey") % 3 == 1)
+    path = os.path.join(tempfile.gettempdir(), f"idem_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    txn_write(b1, path, mode="overwrite", app_id="loader", app_version=1)
+    txn_write(b1, path, app_id="loader", app_version=1)  # replay: skipped
+    txn_write(b2, path, app_id="loader", app_version=2)
+    return txn_read(spark, path)
+
+
+SQL_IDEMPOTENT_WRITES = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
 def q_cdc_changes(spark, sf):
     """Row-level change feed between two table snapshots (txn_changes):
     seed the orders table (v1), MERGE the re-priced 10% batch (v2), ask

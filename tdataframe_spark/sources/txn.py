@@ -1288,6 +1288,8 @@ def txn_write(
     bloom_cols: list[str] | None = None,
     bloom_bits: int | None = None,
     allow_partition_evolution: bool = False,
+    app_id: str | None = None,
+    app_version: int | None = None,
     _constraints_prevalidated: bool = False,
     _replace_paths: set[str] | None = None,
     _cdf_paths: list[str] | None = None,
@@ -1320,6 +1322,13 @@ def txn_write(
     ...)``/``zorder_by`` layout this is the open-table fast path for
     selective range scans at 100 TB.
 
+    ``app_id``/``app_version`` make the write IDEMPOTENT (Delta's
+    txnAppId/txnVersion): the table records each writer's high-water
+    mark in every manifest, and a commit at or below it is skipped —
+    returning the current head, staging nothing. The exactly-once
+    primitive for replayable batch loaders; ``txn_app_version`` reads
+    the watermark back.
+
     ``bloom_cols`` additionally records a per-file BLOOM FILTER over
     those columns (integer/string only; ``bloom_bits`` bits per file,
     default 2^17 — size it to ~10x the expected per-file distinct
@@ -1332,6 +1341,21 @@ def txn_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(
             f"mode must be 'append' or 'overwrite', got {mode!r}"
+        )
+    # IDEMPOTENT WRITES (Delta's txnAppId/txnVersion): a writer that may
+    # replay (a restarted batch loader, a foreachBatch retry) names
+    # itself and a monotonically increasing version; the table records
+    # the high-water mark per app_id in every manifest, and a commit at
+    # or below it is SKIPPED — returning the current head, staging
+    # nothing. Exactly-once for batch writers, without a checkpoint dir.
+    if (app_id is None) != (app_version is None):
+        raise ValueError(
+            "app_id and app_version go together: both identify an "
+            "idempotent writer's commit, neither means a plain write"
+        )
+    if app_version is not None and not isinstance(app_version, int):
+        raise ValueError(
+            f"app_version must be an int, got {type(app_version).__name__}"
         )
     if replace_where and mode == "overwrite":
         raise ValueError("replace_where and mode='overwrite' are exclusive")
@@ -1419,7 +1443,14 @@ def txn_write(
     # raises if a rename/drop raced this write (the files are already
     # staged under the stale physicals and cannot be re-keyed cheaply).
     phys_map: dict[str, str] = {}
-    _, head0 = txn_latest(path)
+    head0_version, head0 = txn_latest(path)
+    if app_id is not None:
+        prev = (head0 or {}).get("apps", {}).get(app_id)
+        if prev is not None and app_version <= prev:
+            # replay of an already-applied commit: skip BEFORE staging
+            # anything (the in-loop re-check covers the race where the
+            # twin lands after this read)
+            return head0_version
     # CHECK constraints are table invariants: they survive EVERY mode
     # (an overwrite replaces the data, not the contract) and are
     # enforced here BEFORE any file is staged — one aggregate pass, a
@@ -1832,6 +1863,19 @@ def txn_write(
         live_props = dict((latest or {}).get("properties", {}))
         if live_props:
             manifest["properties"] = live_props
+        # writer-app watermarks (Delta's setTransaction): survive EVERY
+        # mode — they describe what each writer has applied, not a data
+        # version. The skip re-check runs against the LIVE head each
+        # attempt, so a replay racing its own twin never double-commits.
+        live_apps = dict((latest or {}).get("apps", {}))
+        if app_id is not None:
+            prev = live_apps.get(app_id)
+            if prev is not None and app_version <= prev:
+                _drop_staged()
+                return version
+            live_apps[app_id] = app_version
+        if live_apps:
+            manifest["apps"] = live_apps
         if _publish(path, version + 1, manifest):
             return version + 1
         if expected_version is not None and _on_conflict is None:
@@ -3398,6 +3442,13 @@ def txn_restore(
         # metadata set since
         if (_latest or {}).get("properties"):
             manifest["properties"] = dict(_latest["properties"])
+        # writer-app watermarks also survive from the LIVE head: a
+        # RESTORE rolls back data, not what each writer has applied —
+        # a loader that must re-feed rolled-back batches does so with a
+        # HIGHER app_version (re-running the old one would be skipped,
+        # by design: the watermark is monotonic)
+        if (_latest or {}).get("apps"):
+            manifest["apps"] = dict(_latest["apps"])
         if _publish(path, head + 1, manifest):
             return head + 1
     raise ConcurrentWriteError(
@@ -3484,8 +3535,12 @@ def txn_clone(
     if manifest.get("retired_physical"):
         new_manifest["retired_physical"] = list(manifest["retired_physical"])
     # the clone inherits the snapshot's CHECK constraints (it is the
-    # same table contract until someone drops them on the clone)
+    # same table contract until someone drops them on the clone) — but
+    # NOT the writer-app watermarks: the clone is a new table, and a
+    # loader feeding it must not be skipped because its twin already
+    # fed the source (see _carry_constraints)
     _carry_constraints(new_manifest, manifest)
+    new_manifest.pop("apps", None)
     if not _publish(dst, 1, new_manifest):
         raise ConcurrentWriteError(
             f"{dst} was created concurrently — clone targets a fresh path"
@@ -3552,11 +3607,14 @@ def _ddl_guard(manifest: dict, col: str, path: str, op: str) -> StructType:
 
 
 def _carry_constraints(new_manifest: dict, manifest: dict | None) -> None:
-    """Copy the CHECK-constraint set, GENERATED-column rules, and table
-    properties onto a derived manifest — every commit that is not the
-    dedicated DDL for them preserves all three, the same ride-along
-    rule as retired_physical."""
-    for key in ("constraints", "properties", "generated"):
+    """Copy the CHECK-constraint set, GENERATED-column rules, table
+    properties, and writer-app watermarks onto a derived manifest —
+    every commit that is not the dedicated DDL for them preserves all
+    four, the same ride-along rule as retired_physical. (txn_clone
+    strips ``apps`` afterwards: a clone is a NEW table, and blocking a
+    loader because its twin already fed the SOURCE would silently skip
+    real data — Delta's clone drops txnAppId state the same way.)"""
+    for key in ("constraints", "properties", "generated", "apps"):
         val = (manifest or {}).get(key)
         if val:
             new_manifest[key] = dict(val)
@@ -4048,6 +4106,17 @@ def txn_properties(path: str) -> dict[str, str]:
     if manifest is None:
         raise FileNotFoundError(f"no transactional table at {path}")
     return dict(manifest.get("properties", {}))
+
+
+def txn_app_version(path: str, app_id: str) -> int | None:
+    """The recorded high-water mark for an idempotent writer (the
+    ``app_version`` of its newest applied ``txn_write``), or None if the
+    app never committed. A restarted loader resumes from here instead
+    of re-reading its own checkpoint."""
+    _, manifest = txn_latest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    return (manifest.get("apps") or {}).get(app_id)
 
 
 def txn_history(spark: SparkSession, path: str) -> DataFrame:

@@ -3513,3 +3513,105 @@ def test_race_raise_drops_staged_files(spark, tmp_path, monkeypatch):
         )
     # seed(2 commits) + racer(1): the merge's staged dir must be gone
     assert len(os.listdir(data_dir)) == 3, sorted(os.listdir(data_dir))
+
+
+# ---------------------------------------------------------------------------
+# idempotent writes (app_id/app_version — Delta txnAppId/txnVersion, r11)
+
+
+def test_idempotent_writes_skip_replays(spark, tmp_path):
+    """A writer naming (app_id, app_version) is exactly-once: replaying
+    an applied version is a no-op returning the current head; a higher
+    version commits; the watermark is per-app and survives unrelated
+    commits, DDL, and overwrites."""
+    from tdataframe_spark.sources.txn import txn_app_version, txn_rename_column
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    b2 = spark.createDataFrame([(2, 2.0)], "k int, v double")
+
+    v = txn_write(b1, path, app_id="loader", app_version=1)
+    assert v == 1 and txn_app_version(path, "loader") == 1
+    # replay: skipped, head unchanged, no duplicate rows
+    assert txn_write(b1, path, app_id="loader", app_version=1) == 1
+    assert txn_latest(path)[0] == 1
+    # stale version after progress: also skipped
+    assert txn_write(b2, path, app_id="loader", app_version=2) == 2
+    assert txn_write(b2, path, app_id="loader", app_version=1) == 2
+    assert txn_read(spark, path).count() == 2
+    # per-app isolation + survival across DDL and unrelated commits
+    txn_write(spark.createDataFrame([(3, 3.0)], "k int, v double"), path)
+    txn_rename_column(path, "v", "val")
+    assert txn_app_version(path, "loader") == 2
+    assert txn_app_version(path, "other") is None
+    other = spark.createDataFrame([(4, 4.0)], "k int, val double")
+    txn_write(other, path, app_id="other", app_version=7)
+    assert txn_app_version(path, "loader") == 2
+    assert txn_app_version(path, "other") == 7
+    # watermark survives an overwrite (table state, not data state)
+    txn_write(other, path, mode="overwrite", app_id="loader", app_version=3)
+    assert txn_app_version(path, "loader") == 3
+    assert txn_app_version(path, "other") == 7
+    # arg validation
+    with pytest.raises(ValueError, match="go together"):
+        txn_write(b1, path, app_id="loader")
+    with pytest.raises(ValueError, match="app_version must be an int"):
+        txn_write(b1, path, app_id="loader", app_version="7")
+
+
+def test_idempotent_write_race_with_twin(spark, tmp_path, monkeypatch):
+    """Two instances of the same writer racing the same app_version:
+    the loser's commit is skipped by the IN-LOOP re-check (its twin's
+    watermark landed after the loser's pre-staging check) and its
+    staged files are dropped — never a double append."""
+    from tdataframe_spark.sources import txn as txn_mod
+
+    path = str(tmp_path / "t")
+    txn_write(spark.createDataFrame([(0, 0.0)], "k int, v double"), path)
+    b = spark.createDataFrame([(1, 1.0)], "k int, v double")
+
+    real_publish = txn_mod._publish
+    state = {"hit": False}
+
+    def racing_publish(p, version, manifest):
+        if not state["hit"] and manifest.get("apps", {}).get("loader") == 1:
+            state["hit"] = True
+            # the twin lands the SAME logical commit first
+            txn_write(b, p, app_id="loader", app_version=1)
+        return real_publish(p, version, manifest)
+
+    monkeypatch.setattr(txn_mod, "_publish", racing_publish)
+    txn_write(b, path, app_id="loader", app_version=1)
+    monkeypatch.undo()
+    assert txn_read(spark, path).filter("k = 1").count() == 1, (
+        "racing twins double-applied the batch"
+    )
+
+
+def test_idempotent_watermark_clone_and_restore(spark, tmp_path):
+    """A clone DROPS writer watermarks (it is a new table — a loader
+    feeding it must not be skipped because its twin fed the source); a
+    RESTORE keeps them from the live head (rollback undoes data, not
+    what writers applied — re-feeding takes a higher app_version)."""
+    from tdataframe_spark.sources.txn import (
+        txn_app_version,
+        txn_clone,
+        txn_restore,
+    )
+
+    src = str(tmp_path / "src")
+    b = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    txn_write(b, src, app_id="loader", app_version=5)
+    dst = str(tmp_path / "dst")
+    txn_clone(src, dst)
+    assert txn_app_version(dst, "loader") is None
+    txn_write(b, dst, app_id="loader", app_version=1)  # NOT skipped
+    assert txn_app_version(dst, "loader") == 1
+
+    txn_write(spark.createDataFrame([(2, 2.0)], "k int, v double"), src,
+              app_id="loader", app_version=6)
+    txn_restore(src, 1)
+    assert txn_app_version(src, "loader") == 6
+    # replaying v6 after the rollback: still skipped (monotonic mark)
+    assert txn_write(b, src, app_id="loader", app_version=6) == txn_latest(src)[0]
+    assert txn_read(spark, src).count() == 1
