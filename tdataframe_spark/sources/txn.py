@@ -2852,6 +2852,8 @@ def txn_upsert(
     delete_when: str | None = None,
     rewrite: str = "selective",
     on_conflict: str = "raise",
+    app_id: str | None = None,
+    app_version: int | None = None,
 ) -> int:
     """Batch MERGE INTO: batch rows replace same-key rows, new keys
     append — one keyed shuffle, ONE atomic commit (readers see pre- or
@@ -2905,7 +2907,13 @@ def txn_upsert(
     raises. The multi-writer shape: concurrent merges to disjoint key
     ranges of a 100 TB table proceed without coordination. Refuses a
     path holding a plain (non-txn) parquet table: shadowing it would
-    silently drop every existing key from the transactional view."""
+    silently drop every existing key from the transactional view.
+
+    ``app_id``/``app_version`` make the merge IDEMPOTENT (the
+    foreachBatch-replay idiom — a restarted stream re-running an
+    applied micro-batch's merge): a replay of an applied version
+    returns the current head before the probe or any rewrite; see
+    :func:`txn_write`'s idempotent-writes contract."""
     import glob
 
     from pyspark.sql import Window
@@ -2920,6 +2928,21 @@ def txn_upsert(
             "rewrite replaces the whole live set, so concurrent appends "
             "can never rebase into it"
         )
+    # idempotent MERGE (the foreachBatch-replay idiom — a restarted
+    # stream re-running an applied micro-batch's merge): skip BEFORE
+    # the probe/rewrite when the watermark says the batch already
+    # landed; the commit itself records the mark atomically (txn_write
+    # validates the pair and re-checks in its commit loop)
+    if (app_id is None) != (app_version is None):
+        raise ValueError(
+            "app_id and app_version go together: both identify an "
+            "idempotent writer's commit, neither means a plain merge"
+        )
+    if app_id is not None and is_txn_table(path):
+        head_v, head_m = txn_latest(path)
+        prev = (head_m or {}).get("apps", {}).get(app_id)
+        if prev is not None and app_version <= prev:
+            return head_v
     spark = batch.sparkSession
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
@@ -3028,6 +3051,8 @@ def txn_upsert(
                     # partition keys), not user input — on an already-
                     # evolved table it may widen a narrower live layout
                     allow_partition_evolution=True,
+                    app_id=app_id,
+                    app_version=app_version,
                     _constraints_prevalidated=prevalidated,
                     _replace_paths=touched,
                     _cdf_paths=cdf_paths,
@@ -3077,6 +3102,8 @@ def txn_upsert(
             stats_cols=stats_cols,
             bloom_cols=bloom_cols,
             bloom_bits=bloom_bits,
+            app_id=app_id,
+            app_version=app_version,
             _constraints_prevalidated=prevalidated,
             _cdf_paths=cdf_paths,
         )

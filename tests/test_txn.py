@@ -3615,3 +3615,38 @@ def test_idempotent_watermark_clone_and_restore(spark, tmp_path):
     # replaying v6 after the rollback: still skipped (monotonic mark)
     assert txn_write(b, src, app_id="loader", app_version=6) == txn_latest(src)[0]
     assert txn_read(spark, src).count() == 1
+
+
+def test_idempotent_merge_replay_skips(spark, tmp_path):
+    """txn_upsert(app_id=, app_version=) — the foreachBatch replay
+    idiom: re-running an applied micro-batch's MERGE is a no-op
+    returning the current head (checked BEFORE the probe/rewrite); a
+    higher version merges normally and records the new mark
+    atomically with its commit."""
+    from tdataframe_spark.sources.txn import txn_app_version, txn_upsert
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(i, float(i)) for i in range(6)],
+                              "k int, v double"),
+        path, mode="overwrite",
+    )
+    b7 = spark.createDataFrame([(1, 99.0)], "k int, v double")
+    v = txn_upsert(b7, path, keys=["k"], app_id="stream", app_version=7)
+    assert txn_app_version(path, "stream") == 7
+    # replay of batch 7: skipped, head unchanged, value not re-applied
+    assert txn_upsert(b7, path, keys=["k"], app_id="stream",
+                      app_version=7) == v
+    assert txn_latest(path)[0] == v
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got[1] == 99.0 and len(got) == 6
+    # batch 8 merges and advances the mark
+    txn_upsert(
+        spark.createDataFrame([(2, 88.0)], "k int, v double"),
+        path, keys=["k"], app_id="stream", app_version=8,
+    )
+    assert txn_app_version(path, "stream") == 8
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got[2] == 88.0
+    with pytest.raises(ValueError, match="go together"):
+        txn_upsert(b7, path, keys=["k"], app_id="stream")
