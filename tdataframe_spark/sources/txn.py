@@ -1348,15 +1348,7 @@ def txn_write(
     # the high-water mark per app_id in every manifest, and a commit at
     # or below it is SKIPPED — returning the current head, staging
     # nothing. Exactly-once for batch writers, without a checkpoint dir.
-    if (app_id is None) != (app_version is None):
-        raise ValueError(
-            "app_id and app_version go together: both identify an "
-            "idempotent writer's commit, neither means a plain write"
-        )
-    if app_version is not None and not isinstance(app_version, int):
-        raise ValueError(
-            f"app_version must be an int, got {type(app_version).__name__}"
-        )
+    _validate_app(app_id, app_version, "write")
     if replace_where and mode == "overwrite":
         raise ValueError("replace_where and mode='overwrite' are exclusive")
     # _replace_paths (internal — txn_upsert's selective MERGE): commit
@@ -1663,6 +1655,17 @@ def txn_write(
 
     for _ in range(max_retries):
         version, latest = txn_latest(path)
+        # the idempotence re-check comes FIRST — even before the
+        # version pin: if this writer's twin applied the same logical
+        # commit while we staged, the right outcome is a graceful skip
+        # (drop staged, return head), not a ConcurrentWriteError the
+        # caller must interpret (a pinned MERGE replay hits exactly
+        # this: the twin moved the version AND recorded the mark)
+        if app_id is not None:
+            prev = (latest or {}).get("apps", {}).get(app_id)
+            if prev is not None and app_version <= prev:
+                _drop_staged()
+                return version
         if expected_version is not None and version != expected_version:
             if _on_conflict is None:
                 _drop_staged()
@@ -1865,14 +1868,9 @@ def txn_write(
             manifest["properties"] = live_props
         # writer-app watermarks (Delta's setTransaction): survive EVERY
         # mode — they describe what each writer has applied, not a data
-        # version. The skip re-check runs against the LIVE head each
-        # attempt, so a replay racing its own twin never double-commits.
+        # version (the replay/twin SKIP ran at the top of the loop)
         live_apps = dict((latest or {}).get("apps", {}))
         if app_id is not None:
-            prev = live_apps.get(app_id)
-            if prev is not None and app_version <= prev:
-                _drop_staged()
-                return version
             live_apps[app_id] = app_version
         if live_apps:
             manifest["apps"] = live_apps
@@ -2928,21 +2926,7 @@ def txn_upsert(
             "rewrite replaces the whole live set, so concurrent appends "
             "can never rebase into it"
         )
-    # idempotent MERGE (the foreachBatch-replay idiom — a restarted
-    # stream re-running an applied micro-batch's merge): skip BEFORE
-    # the probe/rewrite when the watermark says the batch already
-    # landed; the commit itself records the mark atomically (txn_write
-    # validates the pair and re-checks in its commit loop)
-    if (app_id is None) != (app_version is None):
-        raise ValueError(
-            "app_id and app_version go together: both identify an "
-            "idempotent writer's commit, neither means a plain merge"
-        )
-    if app_id is not None and is_txn_table(path):
-        head_v, head_m = txn_latest(path)
-        prev = (head_m or {}).get("apps", {}).get(app_id)
-        if prev is not None and app_version <= prev:
-            return head_v
+    _validate_app(app_id, app_version, "merge")
     spark = batch.sparkSession
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
@@ -2964,6 +2948,15 @@ def txn_upsert(
     prevalidated = False
     if is_txn_table(path):
         version, manifest = txn_latest(path)
+        # idempotent MERGE (the foreachBatch-replay idiom): skip BEFORE
+        # the probe or any rewrite when the watermark says this batch
+        # already landed; the commit records the mark atomically, and
+        # txn_write's loop-top re-check closes the racing-twin window
+        # with the same graceful skip
+        if app_id is not None:
+            prev = manifest.get("apps", {}).get(app_id)
+            if prev is not None and app_version <= prev:
+                return version
         gen = dict(manifest.get("generated", {}))
         if gen:
             # generated columns: compute/validate the BATCH alone (the
@@ -3633,6 +3626,29 @@ def _ddl_guard(manifest: dict, col: str, path: str, op: str) -> StructType:
     return schema
 
 
+def _validate_app(app_id, app_version, what: str) -> None:
+    """Shared validation for the idempotent-writer pair. app_id must be
+    a STRING: JSON coerces dict keys to strings on serialization, so a
+    non-string id would round-trip as a different key, the watermark
+    lookup would never match, and every replay would silently
+    re-apply — the exact failure the feature exists to prevent."""
+    if (app_id is None) != (app_version is None):
+        raise ValueError(
+            "app_id and app_version go together: both identify an "
+            f"idempotent writer's commit, neither means a plain {what}"
+        )
+    if app_id is not None and not isinstance(app_id, str):
+        raise ValueError(
+            f"app_id must be a string, got {type(app_id).__name__} "
+            "(JSON stores manifest keys as strings — a non-string id "
+            "would never match its own watermark)"
+        )
+    if app_version is not None and not isinstance(app_version, int):
+        raise ValueError(
+            f"app_version must be an int, got {type(app_version).__name__}"
+        )
+
+
 def _carry_constraints(new_manifest: dict, manifest: dict | None) -> None:
     """Copy the CHECK-constraint set, GENERATED-column rules, table
     properties, and writer-app watermarks onto a derived manifest —
@@ -4144,6 +4160,51 @@ def txn_app_version(path: str, app_id: str) -> int | None:
     if manifest is None:
         raise FileNotFoundError(f"no transactional table at {path}")
     return (manifest.get("apps") or {}).get(app_id)
+
+
+def txn_drop_app(path: str, app_id: str, max_retries: int = 50) -> int:
+    """Retire an idempotent writer's watermark (the bounded-growth
+    valve Delta exposes as setTransactionRetentionDuration): every
+    app_id ever used otherwise rides every future manifest forever, so
+    a decommissioned pipeline's mark should be dropped explicitly.
+    Use STABLE app ids (one per pipeline, not one per run) — dropping
+    a LIVE writer's mark re-opens its replay window. Unknown ids
+    raise (a typo'd drop that silently does nothing would leave the
+    real mark growing forever). Returns the committed version."""
+    for _ in range(max_retries):
+        version, manifest = txn_latest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no transactional table at {path}")
+        apps = dict(manifest.get("apps", {}))
+        if app_id not in apps:
+            raise ValueError(
+                f"no watermark recorded for app_id {app_id!r} on {path} "
+                f"(has {sorted(apps) or 'none'})"
+            )
+        del apps[app_id]
+        new_manifest = {
+            "version": version + 1,
+            "parent": version,
+            "ts": time.time(),
+            "files": manifest["files"],
+            "schema": manifest["schema"],
+            "dv": manifest.get("dv", []),
+            "meta": {"op": "drop_app", "app_id": app_id},
+        }
+        if manifest.get("retired_physical"):
+            new_manifest["retired_physical"] = list(
+                manifest["retired_physical"]
+            )
+        _carry_constraints(new_manifest, manifest)
+        new_manifest.pop("apps", None)
+        if apps:
+            new_manifest["apps"] = apps
+        if _publish(path, version + 1, new_manifest):
+            return version + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} commit races dropping app "
+        f"{app_id!r} on {path}"
+    )
 
 
 def txn_history(spark: SparkSession, path: str) -> DataFrame:

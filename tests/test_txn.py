@@ -3650,3 +3650,51 @@ def test_idempotent_merge_replay_skips(spark, tmp_path):
     assert got[2] == 88.0
     with pytest.raises(ValueError, match="go together"):
         txn_upsert(b7, path, keys=["k"], app_id="stream")
+
+
+def test_idempotent_merge_twin_race_skips(spark, tmp_path, monkeypatch):
+    """Two foreachBatch twins racing the SAME merge: the loser's
+    version pin trips, but the loop-top watermark re-check turns it
+    into a graceful skip (current head returned, staged files
+    dropped) — not a ConcurrentWriteError the caller must interpret."""
+    from tdataframe_spark.sources.txn import txn_upsert
+
+    path = str(tmp_path / "t")
+    _seed_two_files(spark, path)
+    b = spark.createDataFrame([(0, 99.0)], "k int, v double")
+    _race_once(
+        monkeypatch,
+        lambda: txn_upsert(b, path, keys=["k"], app_id="stream",
+                           app_version=7),
+    )
+    v = txn_upsert(b, path, keys=["k"], app_id="stream", app_version=7)
+    assert v == txn_latest(path)[0] == 3  # seed(2) + twin(3); loser skipped
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got[0] == 99.0 and len(got) == 10
+    # loser's staged dir was dropped: 3 commit dirs only
+    assert len(os.listdir(os.path.join(path, "data"))) == 3
+
+
+def test_txn_drop_app_retires_watermark(spark, tmp_path):
+    """txn_drop_app bounds watermark growth (Delta's txn retention
+    valve): the dropped writer's mark leaves every future manifest,
+    other writers' marks survive, unknown ids raise, and a re-feed
+    with an old version is no longer skipped."""
+    from tdataframe_spark.sources.txn import txn_app_version, txn_drop_app
+
+    path = str(tmp_path / "t")
+    b = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    txn_write(b, path, app_id="dead", app_version=9)
+    txn_write(b, path, app_id="live", app_version=2)
+    txn_drop_app(path, "dead")
+    assert txn_app_version(path, "dead") is None
+    assert txn_app_version(path, "live") == 2
+    with pytest.raises(ValueError, match="no watermark recorded"):
+        txn_drop_app(path, "dead")
+    # replay window re-opened by design for the dropped id
+    n0 = txn_read(spark, path).count()
+    txn_write(b, path, app_id="dead", app_version=1)
+    assert txn_read(spark, path).count() == n0 + 1
+    # non-string app_id refused up front (JSON would re-key it)
+    with pytest.raises(ValueError, match="app_id must be a string"):
+        txn_write(b, path, app_id=5, app_version=1)
