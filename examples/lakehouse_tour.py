@@ -215,9 +215,40 @@ def main() -> None:
         f"{len(hit.inputFiles())} of 8 hash files scanned"
     )
 
-    # 7. OPTIMIZE — compact small files in one atomic commit
+    # 6h. IDEMPOTENT WRITES — a replayable loader names its commits;
+    # replays skip before staging (exactly-once without a checkpoint)
+    from tdataframe_spark.sources.txn import txn_app_version
+
+    idem_path = path + "_idem"
+    shutil.rmtree(idem_path, ignore_errors=True)
+    b1 = orders.limit(100)
+    txn_write(b1, idem_path, app_id="loader", app_version=1)
+    txn_write(b1, idem_path, app_id="loader", app_version=1)  # replay: no-op
+    print(
+        f"idempotent writes: {txn_read(spark, idem_path).count()} rows "
+        f"after a replayed batch (watermark "
+        f"{txn_app_version(idem_path, 'loader')})"
+    )
+    shutil.rmtree(idem_path, ignore_errors=True)
+
+    # 6i. METADATA TABLES — file inventory and DESCRIBE DETAIL from the
+    # manifest alone (rows/bytes ride every commit entry; no data read)
+    from tdataframe_spark.sources.txn import txn_detail, txn_files
+
+    det = txn_detail(spark, path).collect()[0]
+    print(
+        f"DESCRIBE DETAIL: v{det['version']}, {det['n_files']} files, "
+        f"{det['rows']} rows, {det['bytes']} bytes; inventory rows: "
+        f"{txn_files(spark, path).count()}"
+    )
+
+    # 7. OPTIMIZE — compact small files in one atomic commit.
+    # on_conflict="rebase" is the production shape: a concurrent append
+    # landing mid-compaction rides into the replacement commit instead
+    # of failing the OPTIMIZE (file-level replacement, column mapping
+    # preserved) — background maintenance never blocks ingestion
     n_files_before = len(txn_latest(path)[1]["files"])
-    compact_txn(spark, path)
+    compact_txn(spark, path, on_conflict="rebase")
     n_files_after = len(txn_latest(path)[1]["files"])
     print(f"OPTIMIZE: {n_files_before} files -> {n_files_after}; "
           f"as-of v1 still reads {txn_read(spark, path, version=1).count()} rows")
