@@ -177,6 +177,13 @@ EXTENDED = [
     # rewrite) and the point-lookup read path (value_filter)
     "merge_bloom_txn",
     "bloom_point_lookup",
+    # round-11 late: file-inventory metadata table — partitioned seed +
+    # evolving append + per-partition totals from the manifest alone
+    "txn_files_meta",
+    # round-11 late: idempotent writes — two app-versioned commits with
+    # a skipped replay between them (the skip cost IS the point:
+    # one manifest read, nothing staged)
+    "idempotent_writes",
 ]
 
 
