@@ -2125,6 +2125,7 @@ def txn_view(
     partition_filter: dict[str, list] | None = None,
     range_filter: dict[str, tuple] | None = None,
     value_filter: dict[str, list] | None = None,
+    metadata: bool = False,
 ) -> DataFrame:
     """SQL front door for txn tables: register the snapshot (column-
     mapped, DV-filtered, manifest-pruned) as a TEMP VIEW so plain
@@ -2134,6 +2135,13 @@ def txn_view(
 
         txn_view(spark, path, "t_v3", version=3)
         spark.sql("SELECT k, sum(v) FROM t_v3 GROUP BY k")
+
+    ``metadata=True`` also registers ``{name}_files`` (the inventory —
+    :func:`txn_files`, pinned to the SAME snapshot), ``{name}_detail``
+    and ``{name}_history`` — Iceberg's ``t.files`` / Delta's DESCRIBE
+    DETAIL|HISTORY as plain SQL views. Like the data view, all three
+    capture the state at REGISTRATION time (manifest walks are
+    driver-side local relations); re-register to refresh.
 
     The view is a logical plan over exactly the snapshot's pruned file
     list — manifest pruning (``partition_filter`` / ``range_filter``)
@@ -2153,6 +2161,11 @@ def txn_view(
         value_filter=value_filter,
     )
     df.createOrReplaceTempView(name)
+    if metadata:
+        txn_files(spark, path, version=version, as_of=as_of)\
+            .createOrReplaceTempView(f"{name}_files")
+        txn_detail(spark, path).createOrReplaceTempView(f"{name}_detail")
+        txn_history(spark, path).createOrReplaceTempView(f"{name}_history")
     return df
 
 

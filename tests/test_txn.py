@@ -3698,3 +3698,39 @@ def test_txn_drop_app_retires_watermark(spark, tmp_path):
     # non-string app_id refused up front (JSON would re-key it)
     with pytest.raises(ValueError, match="app_id must be a string"):
         txn_write(b, path, app_id=5, app_version=1)
+
+
+def test_txn_view_metadata_views(spark, tmp_path):
+    """txn_view(metadata=True) registers the inventory/detail/history
+    as SQL views — Iceberg's t.files / Delta's DESCRIBE DETAIL|HISTORY
+    through plain spark.sql; the files view pins the SAME snapshot as
+    the data view."""
+    from tdataframe_spark.sources.txn import txn_view
+
+    path = str(tmp_path / "t")
+    txn_write(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "k int, v double"),
+        path, mode="overwrite",
+    )
+    txn_view(spark, path, "t_meta", metadata=True)
+    txn_write(spark.createDataFrame([(99, 9.0)], "k int, v double"), path)
+    # every view captures registration-time state (v1)
+    assert spark.sql("SELECT count(*) c FROM t_meta").first()["c"] == 10
+    assert spark.sql(
+        "SELECT sum(rows) r FROM t_meta_files"
+    ).first()["r"] == 10
+    assert spark.sql(
+        "SELECT version FROM t_meta_detail"
+    ).first()["version"] == 1
+    # re-registration refreshes to the live head
+    txn_view(spark, path, "t_meta", metadata=True)
+    assert spark.sql(
+        "SELECT version FROM t_meta_detail"
+    ).first()["version"] == 2
+    assert spark.sql(
+        "SELECT count(*) c FROM t_meta_history"
+    ).first()["c"] == 2
+    assert spark.sql(
+        "SELECT sum(rows) r FROM t_meta_files"
+    ).first()["r"] == 11
