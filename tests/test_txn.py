@@ -3734,3 +3734,71 @@ def test_txn_view_metadata_views(spark, tmp_path):
     assert spark.sql(
         "SELECT sum(rows) r FROM t_meta_files"
     ).first()["r"] == 11
+
+
+def test_apps_and_contract_survive_vacuum(spark, tmp_path):
+    """Writer watermarks (like constraints/properties) are table state:
+    they must survive vacuum's in-place manifest rewrites and keep
+    skipping replays afterwards."""
+    from tdataframe_spark.sources.txn import txn_app_version
+
+    path = str(tmp_path / "t")
+    b = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    txn_write(b, path, app_id="loader", app_version=3)
+    for i in range(4):
+        # overwrites orphan the previous commits' files so the vacuum
+        # below actually reclaims (and rewrites retained manifests)
+        txn_write(
+            spark.createDataFrame([(10 + i, 1.0)], "k int, v double"),
+            path, mode="overwrite",
+        )
+    removed = txn_vacuum(path, keep_versions=1, min_age_s=0)
+    assert removed  # something was reclaimed
+    assert txn_app_version(path, "loader") == 3
+    n0 = txn_read(spark, path).count()
+    assert txn_write(b, path, app_id="loader", app_version=3) == txn_latest(path)[0]
+    assert txn_read(spark, path).count() == n0, "replay applied after vacuum"
+
+
+def test_upsert_rebase_across_parquet_checkpoint(spark, tmp_path, monkeypatch):
+    """The rebase checker reconstructs base/head states through
+    _materialize — it must work when the concurrent commit chain
+    crosses a PARQUET-checkpoint manifest (externalized file lists)."""
+    from tdataframe_spark.sources.txn import txn_set_properties, txn_upsert
+
+    path = str(tmp_path / "t")
+    _seed_two_files(spark, path)
+    # every commit from here checkpoints with an externalized sidecar
+    txn_set_properties(
+        path,
+        {"txn.parquet_checkpoint_rows": "1", "txn.checkpoint_interval": "1"},
+    )
+    base_v = txn_latest(path)[0]
+    _race_once(
+        monkeypatch,
+        lambda: txn_write(
+            spark.createDataFrame([(40, 40.0)], "k int, v double"), path
+        ),
+    )
+    txn_upsert(
+        spark.createDataFrame([(0, 99.0)], "k int, v double"),
+        path, keys=["k"], on_conflict="rebase",
+    )
+    assert txn_latest(path)[0] == base_v + 2
+    got = {r["k"]: r["v"] for r in txn_read(spark, path).collect()}
+    assert got[0] == 99.0 and got[40] == 40.0 and len(got) == 11
+
+
+def test_idempotent_skip_stages_nothing(spark, tmp_path):
+    """The replay skip happens BEFORE staging: no new commit dir, no
+    bloom sidecar, no Spark write job artifacts."""
+    path = str(tmp_path / "t")
+    b = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    txn_write(b, path, app_id="loader", app_version=1,
+              bloom_cols=["k"], bloom_bits=64)
+    data_dirs = set(os.listdir(os.path.join(path, "data")))
+    blooms = set(os.listdir(os.path.join(path, "bloom")))
+    txn_write(b, path, app_id="loader", app_version=1,
+              bloom_cols=["k"], bloom_bits=64)
+    assert set(os.listdir(os.path.join(path, "data"))) == data_dirs
+    assert set(os.listdir(os.path.join(path, "bloom"))) == blooms
