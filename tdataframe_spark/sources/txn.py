@@ -1608,9 +1608,10 @@ def txn_write(
                 )
 
     def _drop_staged():
-        """Terminal-raise cleanup: the staged data dir AND this
-        commit's bloom sidecar (staged alongside it) go together —
-        leaving either would linger until a vacuum ages it out."""
+        """Terminal-raise/skip cleanup: the staged data dir, this
+        commit's bloom sidecar, and the caller's recorded change files
+        (all staged for this one commit) go together — leaving any
+        would linger until a vacuum ages it out."""
         import shutil
 
         shutil.rmtree(commit_dir, ignore_errors=True)
@@ -1618,6 +1619,10 @@ def txn_write(
             os.unlink(os.path.join(path, "bloom", f"{commit_id}.parquet"))
         except OSError:
             pass
+        # cdf files were written by the CALLER (txn_upsert/_delete)
+        # before this commit attempt; they reference only this commit
+        for rel in {os.path.dirname(p) for p in _cdf_paths or []}:
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
 
     if bloom_cols and new_files:
         # one sidecar parquet per commit, outside the retry loop like
@@ -2933,6 +2938,12 @@ def txn_upsert(
         raise ValueError(
             f"on_conflict must be 'raise' or 'rebase', got {on_conflict!r}"
         )
+    if rewrite not in ("selective", "full"):
+        # validated HERE, before the replay skip — a bogus value must
+        # raise identically whether or not the batch already landed
+        raise ValueError(
+            f"rewrite must be 'selective' or 'full', got {rewrite!r}"
+        )
     if on_conflict == "rebase" and rewrite != "selective":
         raise ValueError(
             "on_conflict='rebase' requires rewrite='selective': a full "
@@ -3067,10 +3078,6 @@ def txn_upsert(
             finally:
                 if record_cdf:
                     subset.unpersist()
-        if rewrite != "full":
-            raise ValueError(
-                f"rewrite must be 'selective' or 'full', got {rewrite!r}"
-            )
         current = txn_read(spark, path, version=version)
         cdf_paths = None
         if record_cdf:

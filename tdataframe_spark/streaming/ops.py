@@ -458,10 +458,16 @@ def stream_upsert_to_parquet(
             if already_applied(batch_id):
                 return  # replayed batch: commit meta says it is folded in
             # ONE MERGE implementation — txn_upsert owns the order_col
-            # last-wins dedup too
+            # last-wins dedup too. The (app_id, batch_id) watermark
+            # makes the check-then-merge ATOMIC: a twin landing after
+            # already_applied() turns this commit into a graceful skip
+            # inside the commit loop, never a double-apply (the fence
+            # keeps the ownership refusal the watermark cannot express)
             txn_upsert(
                 batch, path, keys, order_col=order_col,
                 meta=meta_for(batch_id), delete_when=delete_when,
+                app_id=f"cdc_upsert:{_ckpt_id(checkpoint)}",
+                app_version=batch_id,
             )
             return
 
@@ -845,7 +851,13 @@ def _stream_signature_index(
         if already_applied(batch_id):
             return  # replayed batch: commit meta says it is folded in
         sigs = signer(batch).filter("ok").select("media_id", sig_col)
-        txn_write(sigs, index_path, mode="append", meta=meta_for(batch_id))
+        # watermark: a twin racing this append skips atomically in the
+        # commit loop (blind appends otherwise always land — the
+        # double-append window between the fence check and the commit)
+        txn_write(
+            sigs, index_path, mode="append", meta=meta_for(batch_id),
+            app_id=f"{what}:{_ckpt_id(checkpoint)}", app_version=batch_id,
+        )
 
     return _run_foreach_batch(media, _fold, checkpoint, available_now)
 
@@ -902,7 +914,12 @@ def stream_media_to_landmark_index(
         if already_applied(batch_id):
             return  # replayed batch: commit meta says it is folded in
         lms = landmarker(batch).select("media_id", "frame_off", "lhash")
-        txn_write(lms, index_path, mode="append", meta=meta_for(batch_id))
+        # same atomic twin guard as _stream_signature_index
+        txn_write(
+            lms, index_path, mode="append", meta=meta_for(batch_id),
+            app_id=f"landmark_index:{_ckpt_id(checkpoint)}",
+            app_version=batch_id,
+        )
 
     return _run_foreach_batch(media, _fold, checkpoint, available_now)
 

@@ -179,6 +179,12 @@ def test_upsert_txn_sink_is_exactly_once_and_snapshot_isolated(spark, tmp_path):
     assert final == {1: "a2", 2: "b2", 3: "c"}  # last version per key wins
 
     v_before, _ = txn_latest(path)
+    # r11: the sink also records an (app_id, batch_id) watermark so the
+    # fence's check-then-merge is atomic against a racing twin
+    from tdataframe_spark.streaming.ops import _ckpt_id
+    from tdataframe_spark.sources.txn import txn_app_version
+
+    assert txn_app_version(path, f"cdc_upsert:{_ckpt_id(ckpt)}") == 2
     _crash_before_checkpoint_commit(ckpt)
     run()  # replay fenced by commit meta
     assert {r["k"]: r["v"] for r in txn_read(spark, path).collect()} == final
