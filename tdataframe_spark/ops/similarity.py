@@ -149,48 +149,78 @@ def _centroid_df(spark, cents) -> DataFrame:
     )
 
 
-def _assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFrame:
-    """Nearest-centroid assignment as a broadcast data-join + argmax — ONE
-    generic plan reused across Lloyd iterations (baking centroids in as
-    literals would recompile codegen every iteration). Groups by the scalar
-    id ONLY (returns (id, cell)): grouping by the vector column itself
-    forces a sort-based aggregate over n_cells× replicated arrays — the
-    round-1 shape that collapsed at 1M+ rows. Callers that need the vector
-    join it back by id."""
-    spark = vectors.sparkSession
-    scored = vectors.crossJoin(F.broadcast(_centroid_df(spark, cents))).select(
-        id_field,
-        "__cell",
-        dot(F.col(vec_field), F.col("__cvec")).alias("__sim"),
+def _centroid_struct_df(spark, cents) -> DataFrame:
+    """ONE row holding the whole candidate set as an ascending-cell struct
+    array — the broadcast side of the per-row argmax assignment. Data
+    rides the broadcast (not the plan), so codegen stays stable across
+    Lloyd iterations."""
+    cands = [
+        (int(ci), [float(x) for x in vec]) for ci, vec in sorted(cents)
+    ]
+    return spark.createDataFrame(
+        [(cands,)], "__cands array<struct<__cell:int,__cvec:array<double>>>"
     )
-    # deterministic argmax: max similarity, ties to the lowest cell id
-    return scored.groupBy(id_field).agg(
-        F.max_by("__cell", F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc"))).alias(
-            "__cell"
-        )
+
+
+def _argmax_cell(scored_arr):
+    """Fold an ascending-cell array of (__cell, __sc) structs to the
+    max-score struct, ties to the LOWEST cell (strict > over an ascending
+    scan == the old ``max_by(cell, struct(score, -cell))`` ordering,
+    score-for-score bit-identical because the fold compares the same
+    double values the aggregate compared)."""
+    init = F.struct(
+        F.lit(-1).cast("int").alias("__cell"),
+        F.lit(float("-inf")).alias("__sc"),
+    )
+    return F.aggregate(
+        scored_arr,
+        init,
+        lambda acc, s: F.when(s["__sc"] > acc["__sc"], s).otherwise(acc),
+    )
+
+
+def _assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFrame:
+    """Nearest-centroid assignment as a per-row argmax over a broadcast
+    1-row candidate array — NO shuffle, NO aggregate. The previous shape
+    (broadcast data-join fanning each row ×n_cells, then a max_by groupBy)
+    planned a SortAggregate pair (struct-ordered max_by can't hash-agg)
+    with a full exchange + two sorts of the fanned-out rows per call —
+    per Lloyd iteration, in the hot case. The fold compares the same
+    dot-product doubles in the same (score, lowest-cell-on-tie) order, so
+    assignments are bit-identical; having no shuffle at all it is
+    trivially partitioning-invariant. Returns (id, cell)."""
+    spark = vectors.sparkSession
+    scored = F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(
+            c["__cell"].alias("__cell"),
+            dot(F.col(vec_field), c["__cvec"]).alias("__sc"),
+        ),
+    )
+    return vectors.crossJoin(F.broadcast(_centroid_struct_df(spark, cents))).select(
+        id_field,
+        _argmax_cell(scored)["__cell"].alias("__cell"),
     )
 
 
 def _assign_with_vec(
     vectors: DataFrame, vec_field: str, id_field: str, cents
 ) -> DataFrame:
-    """:func:`_assign` with the vector carried THROUGH the argmax
-    aggregate (``first`` over the n_cells replicas of the row, which are
-    identical — deterministic): one shuffle yields (id, cell, vec),
-    replacing the argmax-then-join-back-to-the-corpus shape that paid a
-    second shuffle per use (per Lloyd iteration, in the hot case)."""
+    """:func:`_assign` with the row's vector carried through — same
+    shuffle-free per-row argmax, selecting the vector column alongside.
+    Yields (id, cell, vec) in one narrow stage."""
     spark = vectors.sparkSession
-    scored = vectors.crossJoin(F.broadcast(_centroid_df(spark, cents))).select(
-        id_field,
-        "__cell",
-        vec_field,
-        dot(F.col(vec_field), F.col("__cvec")).alias("__sim"),
+    scored = F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(
+            c["__cell"].alias("__cell"),
+            dot(F.col(vec_field), c["__cvec"]).alias("__sc"),
+        ),
     )
-    return scored.groupBy(id_field).agg(
-        F.max_by(
-            "__cell", F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc"))
-        ).alias("__cell"),
-        F.first(vec_field).alias(vec_field),
+    return vectors.crossJoin(F.broadcast(_centroid_struct_df(spark, cents))).select(
+        id_field,
+        _argmax_cell(scored)["__cell"].alias("__cell"),
+        vec_field,
     )
 
 
@@ -705,25 +735,57 @@ def _pq_codebook_df(spark, codebook) -> DataFrame:
     )
 
 
-def _pq_assign(sv: DataFrame, id_field: str, codebook_df: DataFrame) -> DataFrame:
+def _half_self_dot(vec) -> float:
+    """||c||²/2 as the SAME ordered IEEE-double fold the JVM expression
+    ``dot(c, c) / 2`` performs (acc starts at 0.0, adds x·x left to
+    right, halves once) — bit-identical, so precomputing it driver-side
+    per codeword (k values) instead of re-evaluating the fold per
+    (row × codeword) cannot change any assignment."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return acc / 2
+
+
+def _pq_grouped_codebook_df(spark, codebook) -> DataFrame:
+    """One row per subspace: (__sub, ascending-cell candidate struct
+    array, each candidate carrying its precomputed ||c||²/2) — the
+    broadcast side of the per-row PQ argmax."""
+    by_sub: dict = {}
+    for (s, c), vec in sorted(codebook.items()):
+        fvec = [float(x) for x in vec]
+        by_sub.setdefault(s, []).append((int(c), fvec, _half_self_dot(fvec)))
+    return spark.createDataFrame(
+        [(s, cands) for s, cands in sorted(by_sub.items())],
+        "__sub int, "
+        "__cands array<struct<__cell:int,__cvec:array<double>,__half:double>>",
+    )
+
+
+def _pq_assign(
+    sv: DataFrame, id_field: str, codebook: dict, carry_vec: bool = False
+) -> DataFrame:
     """Per (id, subspace): nearest codeword by L2 — argmax of
     (s·c − ||c||²/2), the expansion of −||s−c||²/2 with the ||s||² term
-    dropped (constant per row). Broadcast codebook, one map-side argmax
-    groupBy — mirrors ``_assign`` but keyed by (id, sub)."""
-    scored = sv.join(F.broadcast(codebook_df), "__sub").select(
-        id_field,
-        "__sub",
-        "__cell",
-        (
-            dot(F.col("__sv"), F.col("__cvec"))
-            - dot(F.col("__cvec"), F.col("__cvec")) / 2
-        ).alias("__sc"),
+    dropped (constant per row). Per-row argmax over the subspace's
+    broadcast candidate array (see :func:`_assign` for why not max_by:
+    the struct-ordered aggregate planned SortAggregate + exchange over
+    the ×k fanned-out rows; this is one narrow map stage with
+    bit-identical assignments). ``carry_vec`` keeps ``__sv`` on the
+    output so the Lloyd update needs no join back to the corpus."""
+    spark = sv.sparkSession
+    g = _pq_grouped_codebook_df(spark, codebook)
+    scored = F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(
+            c["__cell"].alias("__cell"),
+            (dot(F.col("__sv"), c["__cvec"]) - c["__half"]).alias("__sc"),
+        ),
     )
-    return scored.groupBy(id_field, "__sub").agg(
-        F.max_by(
-            "__cell", F.struct(F.col("__sc"), (-F.col("__cell")).alias("__nc"))
-        ).alias("__cell")
-    )
+    cols = [id_field, "__sub", _argmax_cell(scored)["__cell"].alias("__cell")]
+    if carry_vec:
+        cols.append("__sv")
+    return sv.join(F.broadcast(g), "__sub").select(*cols)
 
 
 def _pq_fit(sv: DataFrame, k: int, lloyd_iterations: int) -> dict:
@@ -746,10 +808,12 @@ def _pq_fit(sv: DataFrame, k: int, lloyd_iterations: int) -> dict:
         codebook[(r["__sub"], c)] = list(r["__s"])
         cells[r["__sub"]] = c + 1
     for _ in range(lloyd_iterations):
-        assigned = _pq_assign(sv, "__cid", _pq_codebook_df(spark, codebook))
+        # carry_vec folds what used to be a join back to the corpus into
+        # the assignment projection: one narrow stage + one hash agg per
+        # iteration (was: fan-out join → SortAggregate pair → join → agg)
+        assigned = _pq_assign(sv, "__cid", codebook, carry_vec=True)
         sums = (
-            assigned.join(sv, ["__cid", "__sub"])
-            .select(
+            assigned.select(
                 "__sub",
                 "__cell",
                 F.posexplode("__sv").alias("__d", "__x"),
@@ -807,8 +871,7 @@ def pq_train(
 def _pq_code_rows(sv: DataFrame, codebook: dict) -> DataFrame:
     """(__cid, __sub, __cell): the exploded compressed representation —
     what the ADC scan consumes directly."""
-    spark = sv.sparkSession
-    return _pq_assign(sv, "__cid", _pq_codebook_df(spark, codebook))
+    return _pq_assign(sv, "__cid", codebook)
 
 
 def pq_encode(

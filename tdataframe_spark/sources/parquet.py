@@ -51,6 +51,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+# (applicationId, path) → analyzed reader DataFrame. A DataFrame here is an
+# UNEXECUTED plan — every action still scans the parquet from disk, so this
+# caches METADATA work only: `spark.read.parquet` pays ~80 ms of driver-side
+# footer read + schema inference per call (measured r11, guide §5 "the
+# driver should do almost no data work"), and the registry's queries each
+# re-read 1-7 tables per timed run. Keyed by applicationId so a new session
+# (e.g. the driver's lower-core bench run) never sees another session's
+# plan. The testdata is immutable per round, which makes the reuse safe;
+# tables written DURING a run (txn/layout paths) do not flow through here.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 class SchemaDriftError(TypeError):
     """A testdata table arrived with a column type no adapter understands."""
 
@@ -94,6 +106,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(NANOS) file (which Spark's reader rejects outright) is retried
     with the ``nanosAsLong`` legacy conf and then truncated to micros.
     """
+    key = (spark.sparkContext.applicationId, table_path(sf_dir, name))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     try:
         df = load_table(spark, sf_dir, name)
     except Exception as exc:  # legacy nanos encoding: reader refuses the type
@@ -104,6 +120,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raise
     if name == "events":
         df = normalize_events(df)
+    _TABLE_CACHE[key] = df
     return df
 
 
