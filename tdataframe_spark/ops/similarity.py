@@ -179,6 +179,72 @@ def _argmax_cell(scored_arr):
     )
 
 
+def _scored_cells(vec_field: str):
+    """(__cell, __sc) struct array: each broadcast candidate scored by
+    dot against the row's ``vec_field`` — input to the argmax/top-n
+    folds. Requires a ``__cands`` column (crossJoin of a 1-row
+    candidates frame)."""
+    return F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(
+            c["__cell"].alias("__cell"),
+            dot(F.col(vec_field), c["__cvec"]).alias("__sc"),
+        ),
+    )
+
+
+def _topn_cells(scored_arr, n: int):
+    """Top-``n`` of a (__cell, __sc) struct array by (score desc, cell
+    asc) — the SAME comparator as the window ``orderBy(__sim.desc(),
+    __cell.asc())`` it replaces (same doubles, same tie-break), but
+    per-row JVM array ops: no ×n_cells row fan-out, no exchange, no
+    sort of fanned rows."""
+    return F.slice(
+        F.array_sort(
+            scored_arr,
+            lambda a, b: F.when(a["__sc"] > b["__sc"], F.lit(-1))
+            .when(a["__sc"] < b["__sc"], F.lit(1))
+            .otherwise(a["__cell"] - b["__cell"]),
+        ),
+        1,
+        n,
+    )
+
+
+def _probe_cells(
+    vectors: DataFrame,
+    vec_field: str,
+    id_field: str,
+    cents,
+    n_probe: int,
+    extra: tuple = (),
+) -> DataFrame:
+    """Per row: its ``n_probe`` highest-dot cells — (id, *extra, __cell,
+    __sim) exploded from the per-row top-n fold. Replaces the
+    crossJoin-fanout + row_number window probe selection (which exchanged
+    and sorted n_rows × n_cells fanned rows) with one narrow stage;
+    selection is bit-identical (same dot doubles, same
+    desc-score/asc-cell order). ``extra`` columns (e.g. the query vector)
+    ride along so no join-back is needed."""
+    spark = vectors.sparkSession
+    return (
+        vectors.crossJoin(F.broadcast(_centroid_struct_df(spark, cents)))
+        .select(
+            id_field,
+            *extra,
+            F.explode(_topn_cells(_scored_cells(vec_field), n_probe)).alias(
+                "__t"
+            ),
+        )
+        .select(
+            id_field,
+            *extra,
+            F.col("__t.__cell").alias("__cell"),
+            F.col("__t.__sc").alias("__sim"),
+        )
+    )
+
+
 def _assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFrame:
     """Nearest-centroid assignment as a per-row argmax over a broadcast
     1-row candidate array — NO shuffle, NO aggregate. The previous shape
@@ -190,16 +256,9 @@ def _assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFra
     assignments are bit-identical; having no shuffle at all it is
     trivially partitioning-invariant. Returns (id, cell)."""
     spark = vectors.sparkSession
-    scored = F.transform(
-        F.col("__cands"),
-        lambda c: F.struct(
-            c["__cell"].alias("__cell"),
-            dot(F.col(vec_field), c["__cvec"]).alias("__sc"),
-        ),
-    )
     return vectors.crossJoin(F.broadcast(_centroid_struct_df(spark, cents))).select(
         id_field,
-        _argmax_cell(scored)["__cell"].alias("__cell"),
+        _argmax_cell(_scored_cells(vec_field))["__cell"].alias("__cell"),
     )
 
 
@@ -210,16 +269,9 @@ def _assign_with_vec(
     shuffle-free per-row argmax, selecting the vector column alongside.
     Yields (id, cell, vec) in one narrow stage."""
     spark = vectors.sparkSession
-    scored = F.transform(
-        F.col("__cands"),
-        lambda c: F.struct(
-            c["__cell"].alias("__cell"),
-            dot(F.col(vec_field), c["__cvec"]).alias("__sc"),
-        ),
-    )
     return vectors.crossJoin(F.broadcast(_centroid_struct_df(spark, cents))).select(
         id_field,
-        _argmax_cell(scored)["__cell"].alias("__cell"),
+        _argmax_cell(_scored_cells(vec_field))["__cell"].alias("__cell"),
         vec_field,
     )
 
@@ -281,27 +333,16 @@ def _probe_and_score(
     k: int,
     n_probe: int,
 ) -> DataFrame:
-    """Per query: its n_probe closest cells via windowed top-k over the
-    broadcast centroid join, then exact cosine against only those cells'
+    """Per query: its n_probe closest cells via a per-row top-n fold over
+    the broadcast candidate array (see :func:`_probe_cells` — no fan-out,
+    no window exchange/sort), then exact cosine against only those cells'
     vectors."""
-    spark = queries.sparkSession
     qn = _normalized(queries, id_col, vec_col, "query_id").withColumnRenamed(
         "__vn", "__qn"
     )
-    q_scored = qn.crossJoin(F.broadcast(_centroid_df(spark, centroids))).select(
-        "query_id",
-        "__qn",
-        "__cell",
-        dot(F.col("__qn"), F.col("__cvec")).alias("__sim"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("__cell").asc()
-    )
-    q_probed = (
-        q_scored.withColumn("__r", F.row_number().over(wp))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "__qn", "__cell")
-    )
+    q_probed = _probe_cells(
+        qn, "__qn", "query_id", centroids, n_probe, extra=("__qn",)
+    ).select("query_id", "__qn", "__cell")
     scored = (
         q_probed.join(corpus_cells.select("__cid", "__vn", "__cell"), "__cell")
         .filter(F.col("query_id") != F.col("__cid"))
