@@ -1390,23 +1390,10 @@ def ivfpq_query(
     qn = _normalized(queries, id_col, vec_col, "query_id").filter(
         F.col("__vn").isNotNull()
     )
-    q_scored = qn.crossJoin(
-        F.broadcast(_centroid_df(spark, centroids))
-    ).select(
+    q_probed = _probe_cells(qn, "__vn", "query_id", centroids, n_probe).select(
         "query_id",
-        "__cell",
-        dot(F.col("__vn"), F.col("__cvec")).alias("__sim"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("__cell").asc()
-    )
-    q_probed = (
-        q_scored.withColumn("__r", F.row_number().over(wp))
-        .filter(F.col("__r") <= n_probe)
-        .select(
-            "query_id", F.col("__cell").alias("__coarse"),
-            F.col("__sim").alias("__coff"),
-        )
+        F.col("__cell").alias("__coarse"),
+        F.col("__sim").alias("__coff"),
     )
     probed_cells = [
         r["__coarse"] for r in q_probed.select("__coarse").distinct().collect()
@@ -1674,21 +1661,23 @@ def semdedup_assign(
         F.lit(0).cast("long").alias("n_matches"),
     )
     nz = checked.filter(F.col("__vn").isNotNull())
-    scored = nz.crossJoin(F.broadcast(cents_df)).select(
-        "__nid",
-        "__vn",
-        "__cell",
-        dot(F.col("__vn"), F.col("__cvec")).alias("__sim"),
+    # per-row argmax over the broadcast candidate array (see _assign for
+    # why not fan-out+max_by: that shape plans a SortAggregate pair plus
+    # an exchange of the ×n_clusters replicated rows). The candidate
+    # array is aggregated IN-PLAN from the persisted centroids —
+    # ascending-cell sort_array gives the fold the same
+    # max-score/lowest-cell-tie ordering max_by(struct(sim, -cell)) had.
+    cands = F.broadcast(
+        cents_df.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__cell"), F.col("__cvec")))
+            ).alias("__cands")
+        )
     )
-    assigned = scored.groupBy("__nid").agg(
-        F.max_by(
-            F.struct(F.col("__cell"), F.col("__vn")),
-            F.struct(F.col("__sim"), (-F.col("__cell")).alias("__nc")),
-        ).alias("__best")
-    ).select(
+    assigned = nz.crossJoin(cands).select(
         "__nid",
-        F.col("__best.__cell").alias("__cell"),
-        F.col("__best.__vn").alias("__vn"),
+        _argmax_cell(_scored_cells("__vn"))["__cell"].alias("__cell"),
+        "__vn",
     )
     hits = (
         assigned.join(
