@@ -687,12 +687,21 @@ def _stats_match(stats: dict, range_filter: dict) -> bool:
 # read (or a byte-preserving rewrite in a MERGE); absence proofs are
 # exact, so pruning never drops a row.
 #
-# Portability contract: positions are md5-based — md5(str(value) +
-# "\x1f" + str(seed)) — computed identically by Spark expressions at
-# build time and by Python at check time, which is why bloom columns
-# are restricted to integer/string types (their Spark cast-to-string
-# rendering provably equals Python's str()).
+# Portability contract: positions are md5-based — computed identically
+# by Spark expressions at build time and by Python at check time, which
+# is why bloom columns are restricted to integer/string types (their
+# Spark cast-to-string rendering provably equals Python's str()). Each
+# bloom manifest entry records its position scheme as ``algo`` so old
+# sidecars stay probe-able:
+#   algo 1 (legacy): position i = md5(str(v) + "\x1f" + str(i))[:15hex] % m
+#     — k md5s per value.
+#   algo 2 (current): ONE md5(str(v)); h1 = hex[0:15], h2 = hex[15:30]|1;
+#     position i = (h1 + i*h2) % m (Kirsch–Mitzenmacher double hashing —
+#     same fpp regime, 1/k-th the hashing cost at build AND probe; h2
+#     forced odd so a power-of-two m cannot cycle a stuck stride; no
+#     overflow: h1 + 6*h2 < 7·2^60 < 2^63).
 _BLOOM_K = 7  # hash count; ~optimal for ~1% fpp at m/n ≈ 10
+_BLOOM_ALGO = 2  # scheme newly written sidecars use
 _BLOOM_DEFAULT_BITS = 1 << 17  # 16 KB/file; size for ~13k distinct @1%
 # above this many bloom-carrying candidates the membership test runs as
 # a Spark job over the sidecar parquet (bits never pass the driver);
@@ -700,19 +709,26 @@ _BLOOM_DEFAULT_BITS = 1 << 17  # 16 KB/file; size for ~13k distinct @1%
 _BLOOM_DRIVER_CAP = 512
 
 
-def _bloom_positions(value, m: int) -> list[int]:
+def _bloom_positions(value, m: int, algo: int = _BLOOM_ALGO) -> list[int]:
     """The _BLOOM_K bit positions of ``value`` in an m-bit filter —
     the Python twin of the Spark build expression in
-    :func:`_write_bloom_sidecar` (same md5, same rendering)."""
+    :func:`_write_bloom_sidecar` (same md5, same rendering), per
+    position scheme (see the portability-contract note above)."""
     import hashlib
 
     s = str(value)
-    return [
-        int(
-            hashlib.md5(f"{s}\x1f{i}".encode("utf-8")).hexdigest()[:15], 16
-        ) % m
-        for i in range(_BLOOM_K)
-    ]
+    if algo == 1:
+        return [
+            int(
+                hashlib.md5(f"{s}\x1f{i}".encode("utf-8")).hexdigest()[:15],
+                16,
+            ) % m
+            for i in range(_BLOOM_K)
+        ]
+    hexd = hashlib.md5(s.encode("utf-8")).hexdigest()
+    h1 = int(hexd[:15], 16)
+    h2 = int(hexd[15:30], 16) | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
 
 
 _BLOOM_OK_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
@@ -769,11 +785,13 @@ def _write_bloom_sidecar(
     then stamp each entry's ``bloom`` ref.
 
     100 TB shape: one column-pruned scan of just the new files'
-    bloom columns; positions are computed JVM-side, deduped with a
-    distributed distinct (the per-file position set is capped at m —
-    never row count), and the bit-packing runs executor-side in an
-    Arrow-batched grouped map, so only the packed ~m/8-byte filters
-    ever reach the driver."""
+    bloom columns — ONE md5 per value (algo 2: the k positions are
+    arithmetic on the two digest halves, not k digests); the per-file
+    position sets are deduped by collect_set's map-side partial
+    aggregation (bounded at m entries per file — never row count) so a
+    single exchange carries them, and the bit-packing runs
+    executor-side in a per-file vectorized UDF, so only the packed
+    ~m/8-byte filters ever reach the driver."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -792,26 +810,15 @@ def _write_bloom_sidecar(
     )
     per_col = []
     for pc in phys_cols:
+        hexd = F.md5(F.col(pc).cast("string"))
+        h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hexd, 16, 15), 16, 10).cast("long").bitwiseOR(
+            F.lit(1)
+        )
         pos = F.explode(
             F.array(
                 *[
-                    F.pmod(
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat(
-                                        F.col(pc).cast("string"),
-                                        F.lit(f"\x1f{i}"),
-                                    )
-                                ),
-                                1,
-                                15,
-                            ),
-                            16,
-                            10,
-                        ).cast("long"),
-                        F.lit(m),
-                    )
+                    F.pmod(h1 + F.lit(i) * h2, F.lit(m))
                     for i in range(_BLOOM_K)
                 ]
             )
@@ -827,24 +834,26 @@ def _write_bloom_sidecar(
     for d in per_col[1:]:
         positions = positions.unionByName(d)
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pack(sets: pd.Series) -> pd.Series:
         import numpy as np
 
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        p = pdf["pos"].to_numpy()
-        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
-        return pd.DataFrame(
-            {
-                "file": [pdf["file"].iloc[0]],
-                "col": [pdf["col"].iloc[0]],
-                "bits": [bits.tobytes()],
-            }
-        )
+        out = []
+        for pos_set in sets:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            p = np.asarray(pos_set, dtype=np.int64)
+            if p.size:
+                np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            out.append(bits.tobytes())
+        return pd.Series(out)
 
+    # real annotation objects: postponed annotations would stringify the
+    # inline hints and break pandas_udf's signature inference
+    _pack.__annotations__ = {"sets": pd.Series, "return": pd.Series}
+    pack_udf = F.pandas_udf(_pack, "binary")
     packed = (
-        positions.distinct()
-        .groupBy("file", "col")
-        .applyInPandas(_pack, "file string, col string, bits binary")
+        positions.groupBy("file", "col")
+        .agg(F.collect_set("pos").alias("pos_set"))
+        .select("file", "col", pack_udf("pos_set").alias("bits"))
         .collect()
     )
     rels, cols, bits = [], [], []
@@ -865,6 +874,7 @@ def _write_bloom_sidecar(
             "ref": ref,
             "m": m,
             "k": _BLOOM_K,
+            "algo": _BLOOM_ALGO,
             "cols": list(phys_cols),
         }
 
@@ -919,11 +929,18 @@ def _bloom_prune(
     ]
     if not with_bloom:
         return files, False
-    pos_by_m: dict[int, list[list[int]]] = {}
+    # positions per (m bits, position scheme) — files written before the
+    # algo-2 sidecars record no "algo" and probe with the legacy scheme
+    pos_by_ma: dict[tuple[int, int], list[list[int]]] = {}
+    algo_by_rel: dict[str, int] = {}
     for f in with_bloom:
         mm = int(f["bloom"]["m"])
-        if mm not in pos_by_m:
-            pos_by_m[mm] = [_bloom_positions(v, mm) for v in values]
+        aa = int(f["bloom"].get("algo", 1))
+        algo_by_rel[f["path"]] = aa
+        if (mm, aa) not in pos_by_ma:
+            pos_by_ma[(mm, aa)] = [
+                _bloom_positions(v, mm, aa) for v in values
+            ]
     # (sidecar ref, base root) -> rel file paths wanted from it
     want: dict[tuple[str, str], set] = {}
     for f in with_bloom:
@@ -955,7 +972,8 @@ def _bloom_prune(
                 if col != phys_col or file_rel not in rels:
                     continue
                 arr = np.frombuffer(bits, dtype=np.uint8)
-                for pos in pos_by_m.get(len(arr) * 8) or [None]:
+                key = (len(arr) * 8, algo_by_rel.get(file_rel, 1))
+                for pos in pos_by_ma.get(key) or [None]:
                     if pos is None:  # size/entry mismatch: no proof, keep
                         hits.add(file_rel)
                         break
@@ -970,19 +988,23 @@ def _bloom_prune(
 
         sidecars = sorted({os.path.join(b, r) for r, b in want})
         cand = spark.createDataFrame(
-            [(f["path"],) for f in with_bloom], "file string"
+            [
+                (f["path"], int(f["bloom"].get("algo", 1)))
+                for f in with_bloom
+            ],
+            "file string, algo int",
         )
         rows = spark.read.parquet(*sidecars).where(
             F.col("col") == phys_col
         ).join(F.broadcast(cand), "file")
 
-        def _may_contain(batch):
+        def _may_contain(batch, algos):
             import numpy as np
 
             out = []
-            for bits in batch:
+            for bits, algo in zip(batch, algos):
                 arr = np.frombuffer(bits, dtype=np.uint8)
-                plists = pos_by_m.get(len(arr) * 8)
+                plists = pos_by_ma.get((len(arr) * 8, int(algo)))
                 if plists is None:  # size/entry mismatch: no proof, keep
                     out.append(True)
                     continue
@@ -998,11 +1020,13 @@ def _bloom_prune(
         # real annotation objects: the module's postponed annotations
         # (PEP 563) would stringify inline hints and break pandas_udf's
         # signature inference
-        _may_contain.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+        _may_contain.__annotations__ = {
+            "batch": pd.Series, "algos": pd.Series, "return": pd.Series,
+        }
         probe = F.pandas_udf(_may_contain, "boolean")
         hits = {
             r["file"]
-            for r in rows.where(probe(F.col("bits")))
+            for r in rows.where(probe(F.col("bits"), F.col("algo")))
             .select("file")
             .distinct()
             .collect()
