@@ -365,6 +365,11 @@ def _jaccard_from_shingles(
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
+    if persist:
+        # sizes feeds BOTH broadcast builds (n_a and n_b attach) — each
+        # build is an independent job, so without a cache the
+        # explode+agg subtree executes twice
+        sizes = sizes.persist()
     common = (
         postings.select(F.explode(_posting_pairs(F.col("__ids"))).alias("__p"))
         .select("__p.id_a", "__p.id_b")
