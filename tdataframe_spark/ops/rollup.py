@@ -55,10 +55,15 @@ def build_rollup(
     bucket_us: int = HOUR_US,
     group_cols: list[str] | None = None,
 ) -> None:
-    """Materialize the rollup state, partitioned by day."""
-    _partials(events, value_col, bucket_us, group_cols or []).write.mode(
-        "overwrite"
-    ).partitionBy("day").parquet(path)
+    """Materialize the rollup state, partitioned by day. The repartition
+    keys the write by the on-disk partition column, so every day is ONE
+    file written by its own task — without it the (AQE-coalesced)
+    aggregate output leaves 1-2 tasks sequentially emitting a file per
+    day each (2x the files, serial commit)."""
+    parts = _partials(events, value_col, bucket_us, group_cols or [])
+    parts.repartition("day").write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
 
 
 def refresh_rollup(
@@ -86,7 +91,8 @@ def refresh_rollup(
     # partition overwrite below doesn't read the files it is replacing
     merged = _merge(existing.unionByName(batch)).localCheckpoint()
     (
-        merged.write.mode("overwrite")
+        merged.repartition("day")  # one file per refreshed day (see build)
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(path)
