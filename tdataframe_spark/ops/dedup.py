@@ -1371,6 +1371,10 @@ def tfidf_cosine_pairs(
             ).alias("__norm"),
         )
     )
+    if persist:
+        # referenced twice (na/nb) under different aliases, which defeats
+        # subtree reuse — persist so the per-doc fold aggregates once
+        norms = norms.persist()
     a = weighted.select(
         "__t", F.col("__id").alias("id_a"), F.col("__w").alias("__wa")
     )

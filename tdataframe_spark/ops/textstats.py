@@ -320,11 +320,14 @@ def train_bigram_lm(
     from tdataframe_spark.functions.text import words
 
     bg = _bigram_table(df, id_col, text_col)
-    bg.groupBy("w1", "w2").agg(
+    # c1 is the exact marginal of c12: derive it from the aggregated
+    # (small) table rather than re-exploding the corpus a second time.
+    c12 = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
-    ).write.mode("overwrite").parquet(f"{path}/c12")
-    bg.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("long").alias("c1")
+    ).persist()
+    c12.write.mode("overwrite").parquet(f"{path}/c12")
+    c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1")
     ).write.mode("overwrite").parquet(f"{path}/c1")
     (
         df.select(F.explode(words(F.col(text_col))).alias("__w"))
@@ -397,9 +400,13 @@ def ngram_lm_score(
     """
     from tdataframe_spark.functions.text import words
 
-    bg = _bigram_table(df, id_col, text_col)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    # bg feeds both the count build and the scoring probe: persist it so
+    # the corpus is scanned+exploded once, not three times. c1 is the
+    # exact integer marginal of c12 (sum over w2), so it aggregates the
+    # small distinct-bigram table instead of re-walking the bigram stream.
+    bg = _bigram_table(df, id_col, text_col).persist()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12")).persist()
+    c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     vocab = (
         df.select(F.explode(words(F.col(text_col))).alias("__w"))
         .agg(F.countDistinct("__w").alias("__v"))
@@ -634,18 +641,25 @@ def collocations(
     join; ln rounded to 9 dp (the cross-libm convention).
     """
     bg = _bigram_table(df, id_col, text_col)
-    c12 = bg.groupBy("w1", "w2").agg(
+    # one exploded pass: the unigram-slot counts and the totals are exact
+    # integer marginals of the distinct-pair table, so every other figure
+    # aggregates c12_all instead of re-walking the corpus (was 4 passes).
+    c12_all = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_pair")
-    ).filter(F.col("n_pair") >= min_count)
-    u = bg.select(F.col("w1").alias("w")).union(
-        bg.select(F.col("w2").alias("w"))
-    )
+    ).persist()
+    c12 = c12_all.filter(F.col("n_pair") >= min_count)
     # unigram occurrences counted over bigram slots (left+right) so the
     # probabilities share one denominator with the pair counts
-    c1 = u.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
-    tot = bg.agg(
-        (2 * F.count(F.lit(1))).cast("long").alias("n_tot_u"),
-        F.count(F.lit(1)).cast("long").alias("n_tot_b"),
+    c1 = (
+        c12_all.select(
+            F.explode(F.array(F.col("w1"), F.col("w2"))).alias("w"), "n_pair"
+        )
+        .groupBy("w")
+        .agg(F.sum("n_pair").cast("long").alias("n_w"))
+    )
+    tot = c12_all.agg(
+        (2 * F.sum("n_pair")).cast("long").alias("n_tot_u"),
+        F.sum("n_pair").cast("long").alias("n_tot_b"),
     )
     scored = (
         c12.join(c1.withColumnsRenamed({"w": "w1", "n_w": "n_w1"}), "w1")
@@ -739,10 +753,22 @@ def dsir_weights(
 
     tg = _hashed_grams(target, id_col, text_col, n_buckets)
     rg = _hashed_grams(raw, id_col, text_col, n_buckets)
-    t_counts = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    r_counts = rg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
-    t_tot = tg.agg(F.count(F.lit(1)).alias("__tt"))
-    r_tot = rg.agg(F.count(F.lit(1)).alias("__tr"))
+    # one exploded pass per corpus: the raw side aggregates straight to
+    # per-doc bucket counts (which per_doc needs anyway), and every other
+    # figure is an exact integer marginal of an already-aggregated table
+    # (bucket counts <= n_buckets rows, totals 1 row) — was 5 passes.
+    rg_doc = rg.groupBy("__id", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).persist()
+    t_counts = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")).persist()
+    r_counts = rg_doc.groupBy("__b").agg(F.sum("__n").alias("__cr"))
+    # coalesce: SUM over an empty table is NULL where COUNT was 0
+    t_tot = t_counts.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0).cast("long")).alias("__tt")
+    )
+    r_tot = rg_doc.agg(
+        F.coalesce(F.sum("__n"), F.lit(0).cast("long")).alias("__tr")
+    )
     # dense bucket table: missing buckets still carry the smoothed mass
     lr = (
         raw.sparkSession.range(n_buckets)
@@ -767,8 +793,7 @@ def dsir_weights(
         )
     )
     per_doc = (
-        rg.groupBy("__id", "__b")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        rg_doc
         .join(F.broadcast(lr), "__b")
         .groupBy("__id")
         .agg(
