@@ -108,6 +108,10 @@ def bm25_topk(
     (id, score, n_terms_hit).
     """
     idx = term_index(df, id_col, text_col)
+    # lens feeds both the scoring join and the global scalars; hits feeds
+    # both scoring and dfreq. Unpersisted, each re-runs its corpus pass
+    # (the two postings subtrees differ by a pushed IsNotNull, so even
+    # exchange reuse does not fire) — 4 corpus scans; persisted, 2.
     lens = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         F.size(words(F.col(text_col))).cast("long").alias("len"),
@@ -120,7 +124,9 @@ def bm25_topk(
             / F.count(F.lit(1))
         ).alias("avglen"),
     )
-    hits = idx.filter(F.col("term").isin([t.lower() for t in query_terms]))
+    hits = idx.filter(
+        F.col("term").isin([t.lower() for t in query_terms])
+    ).persist()
     return _bm25_score_topk(hits, lens, g, k1, b, k)
 
 

@@ -3048,10 +3048,21 @@ def txn_upsert(
         # get fresh filters, untouched files keep their sidecar refs
         bloom_spec = _logical_bloom_cols(manifest)
         bloom_cols, bloom_bits = bloom_spec or (None, None)
+        # the batch re-executes in drop_keys, the cdf branches, and the
+        # merge union — and each execution re-runs the caller's source
+        # plan (often a multi-scan union). Persist batch/tombstones/
+        # drop_keys for the merge's lifetime so the caller's plan runs
+        # once; unpersisted on every exit path below.
+        batch = batch.persist()
+        _merge_caches = [batch]
+        if tombstones is not None:
+            tombstones = tombstones.persist()
+            _merge_caches.append(tombstones)
         drop_keys = batch.select(*keys)
         if tombstones is not None:
             drop_keys = drop_keys.unionByName(tombstones)
-        drop_keys = drop_keys.dropDuplicates(keys)
+        drop_keys = drop_keys.dropDuplicates(keys).persist()
+        _merge_caches.append(drop_keys)
         record_cdf = _cdf_enabled(manifest)
         if rewrite == "selective":
             touched = _touched_files(spark, path, manifest, keys, drop_keys)
@@ -3100,6 +3111,8 @@ def txn_upsert(
                     _on_conflict=checker,
                 )
             finally:
+                for _c in _merge_caches:
+                    _c.unpersist()
                 if record_cdf:
                     subset.unpersist()
         current = txn_read(spark, path, version=version)
@@ -3128,6 +3141,7 @@ def txn_upsert(
         merged = batch
         record_cdf = False
         cdf_paths = None
+        _merge_caches = []
     try:
         return txn_write(
             merged,
@@ -3145,6 +3159,8 @@ def txn_upsert(
             _cdf_paths=cdf_paths,
         )
     finally:
+        for _c in _merge_caches:
+            _c.unpersist()
         if record_cdf:
             current.unpersist()
 
