@@ -309,6 +309,10 @@ def phrase_search(
             F.posexplode(words(F.col(text_col))).alias("__pos", "__w"),
         )
         .filter(F.col("__w").isin(terms))
+        # referenced once per phrase word: persist the (tiny, isin-
+        # filtered) postings so the corpus posexplode runs once, not
+        # n_terms times
+        .persist()
     )
     starts = postings.filter(F.col("__w") == terms[0]).select("__id", "__pos")
     for i, w in enumerate(terms[1:], start=1):
@@ -351,7 +355,7 @@ def build_text_index(
     lens = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         F.size(words(F.col(text_col))).cast("long").alias("len"),
-    )
+    ).persist()
     lens.write.mode("overwrite").parquet(f"{path}/lens")
     lens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -360,6 +364,7 @@ def build_text_index(
             / F.count(F.lit(1))
         ).alias("avglen"),
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    lens.unpersist()
 
 
 def query_text_index(
