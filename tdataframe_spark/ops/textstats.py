@@ -957,10 +957,13 @@ def corpus_divergence(
         )
         .select("__g", F.pmod(portable_hash64(F.col("__w")), F.lit(n_buckets)).alias("__b"))
     )
-    gb = g.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__c"))
-    gt = g.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-    cb = g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
-    ct = g.agg(F.count(F.lit(1)).alias("__ctot"))
+    # one exploded pass: the per-group, per-bucket and corpus totals are
+    # exact integer marginals of the (groups × buckets)-bounded gb table
+    # — deriving them there replaces three more corpus explodes
+    gb = g.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__c")).persist()
+    gt = gb.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    cb = gb.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    ct = gb.agg(F.coalesce(F.sum("__c"), F.lit(0).cast("long")).alias("__ctot"))
     # grid: every group × every OCCUPIED bucket (q > 0 everywhere on it;
     # buckets empty corpus-wide contribute 0 to every group's JS)
     grid = (
