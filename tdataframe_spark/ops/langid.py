@@ -196,17 +196,18 @@ def langid_classify(
                 * F.lit(top_k)
             ).alias("__d"),
         )
-        .localCheckpoint(eager=True)  # n_docs × n_langs rows; 2 consumers
     )
-    # deterministic argmin, ties to the lexicographically SMALLEST lang
-    best = scored.groupBy(id_col).agg(F.min("__d").alias("__bd"))
+    # deterministic argmin, ties to the lexicographically SMALLEST lang:
+    # struct ordering compares __d first, then __lang — one aggregate
+    # replaces the min-join-filter-regroup chain (and scored now has a
+    # single consumer, so no checkpoint is needed)
     tied = (
-        scored.join(best, id_col)
-        .filter(F.col("__d") == F.col("__bd"))
-        .groupBy(id_col)
-        .agg(
-            F.min("__lang").alias(out_col),
-            F.min("__d").alias("distance"),
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("__d", "__lang")).alias("__w"))
+        .select(
+            id_col,
+            F.col("__w.__lang").alias(out_col),
+            F.col("__w.__d").alias("distance"),
         )
     )
     return df.select(id_col).distinct().join(tied, id_col, "left").select(
