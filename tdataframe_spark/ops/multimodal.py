@@ -1177,9 +1177,14 @@ def video_signatures(
     of a mixed corpus by joining back on media_id.
 
     Scale shape: decode+hash is embarrassingly per-frame
-    (:func:`sample_frames` → :func:`phash_images`); pooling is ONE hash
-    aggregate on the video id (63 conditional bit-count sums, map-side
-    combined), so state per video is 64 longs — never a frame list.
+    (:func:`sample_frames` → :func:`phash_images`); pooling keys the BIT
+    next to the video id — two small hash aggregates whose first stage
+    map-side combines to at most 63 count rows per video per task, so
+    state per video is 63 small integers — never a frame list. (The
+    one-aggregate formulation with 63 separate conditional-sum columns
+    plus a 63-term packing projection produced identical integers but
+    compiled a ~64-buffer codegen unit per fresh plan — about 2 s of
+    pure driver/codegen time per run, dwarfing the aggregation itself.)
     Returns (media_id, vsig, n_frames_hashed).
     """
     frames = sample_frames(media, every_n=every_n, decode_stub=decode_stub)
@@ -1193,25 +1198,34 @@ def video_signatures(
             F.col("frame_payload").alias("payload"),
         ),
     ).filter(F.col("ok"))
-
-    def bit(j: int):
-        return (
-            F.shiftrightunsigned(F.col("phash"), j)
-            .bitwiseAND(F.lit(1).cast("long"))
-        )
-
-    cnts = sigs.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames_hashed"),
-        *[F.sum(bit(j)).alias(f"__b{j}") for j in range(63)],
+    # one row per (frame, bit): ×63 fan-out of 3 small ints — the same
+    # shuffle bytes as the wide 64-column row, integer-exact majorities
+    bits = sigs.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("__j"),
+        "phash",
+    ).select(
+        "media_id",
+        "__j",
+        F.expr("shiftrightunsigned(phash, CAST(__j AS INT))")
+        .bitwiseAND(F.lit(1).cast("long"))
+        .alias("__b"),
     )
-    packed = F.lit(0).cast("long")
-    for j in range(63):
-        packed = packed + F.when(
-            F.col(f"__b{j}") * 2 > F.col("n_frames_hashed"),
-            F.lit(1 << j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    return cnts.filter(F.col("n_frames_hashed") >= min_frames).select(
-        "media_id", packed.alias("vsig"), "n_frames_hashed"
+    per_bit = bits.groupBy("media_id", "__j").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__b").alias("__s")
+    )
+    # every bit of a video sees the same frame count; max() just picks it
+    pooled = per_bit.groupBy("media_id").agg(
+        F.max("__n").alias("n_frames_hashed"),
+        F.sum(
+            F.when(
+                F.col("__s") * 2 > F.col("__n"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__j AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("vsig"),
+    )
+    return pooled.filter(F.col("n_frames_hashed") >= min_frames).select(
+        "media_id", "vsig", "n_frames_hashed"
     )
 
 

@@ -63,6 +63,53 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _nrows(sf_dir: str, name: str) -> int:
+    """Row count of a testdata table from its parquet FOOTER (driver-side
+    metadata, no Spark job) — exactly ``_t(...).count()`` by parquet's
+    row-count invariant. Used only to SIZE fixture artifacts (bloom bits
+    from the expected per-file key count); never for query results. The
+    bench tables are single files, so this is one footer read."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _doc_ids(sf_dir: str, below: int) -> list:
+    """Sorted ``documents.doc_id`` values under ``below`` — the
+    multimodal fixture-id pull (bounded by construction: every fixture
+    family uses a single-digit id set), served by a row-group-pruned
+    driver-side parquet read instead of a Spark collect job. Identical
+    values to ``_t(spark, sf, "documents").filter(doc_id < below)
+    .select("doc_id").collect()``: same file, same exact predicate —
+    the pyarrow dataset filter applies the same min/max skipping a
+    distributed scan's pushed filter would."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    paths = (
+        sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    out: list = []
+    for p in paths:
+        tbl = _pq.read_table(
+            p, columns=["doc_id"], filters=[("doc_id", "<", below)]
+        )
+        out.extend(int(v) for v in tbl.column("doc_id").to_pylist())
+    return sorted(out)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to ``ts_us`` (bigint epoch micros),
     whatever parquet encoding the testdata was written with — see
@@ -1582,8 +1629,10 @@ def q_merge_bloom_txn(spark, sf):
     )
     shutil.rmtree(path, ignore_errors=True)
     # size the filters to the per-file distinct count (~12 bits/key,
-    # <1% fpp) so the demo scales with SF instead of saturating
-    n = o.count()
+    # <1% fpp) so the demo scales with SF instead of saturating — the
+    # count comes from the parquet footer (identical to o.count();
+    # sizing a fixture artifact never needs a Spark job)
+    n = _nrows(sf, "orders")
     bits = 1 << max(17, (12 * n // 8).bit_length())
     txn_write(
         o.repartition(8, "o_orderkey"),
@@ -1635,8 +1684,9 @@ def q_bloom_point_lookup(spark, sf):
         tempfile.gettempdir(), f"bloom_lookup_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
-    # filters sized to the per-file distinct count (see merge_bloom_txn)
-    n = o.count()
+    # filters sized to the per-file distinct count (see merge_bloom_txn
+    # — footer-metadata count, no Spark job)
+    n = _nrows(sf, "orders")
     bits = 1 << max(17, (12 * n // 8).bit_length())
     txn_write(
         o.repartition(8, "o_orderkey"),
@@ -3883,13 +3933,7 @@ def q_gif_frames(spark, sf):
         [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [200, 100, 50]],
         np.uint8,
     )
-    ids = [
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 8)
-        .select("doc_id")
-        .collect()
-    ]
+    ids = _doc_ids(sf, 8)
     rows = []
     for did in sorted(ids):
         frames = [
@@ -3940,13 +3984,7 @@ def q_video_frames(spark, sf):
         [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [200, 100, 50]],
         np.uint8,
     )
-    ids = [
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 6)
-        .select("doc_id")
-        .collect()
-    ]
+    ids = _doc_ids(sf, 6)
     rows = []
     for did in sorted(ids):
         frames = []
@@ -3998,13 +4036,7 @@ def q_audio_features(spark, sf):
     from tdataframe_spark.ops.multimodal import audio_features
 
     rate, n_fft = 8000, 256
-    ids = [
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 16)
-        .select("doc_id")
-        .collect()
-    ]
+    ids = _doc_ids(sf, 16)
     t = np.arange(rate, dtype=np.float64)  # 1 s per clip
     rows = []
     for did in sorted(ids):
@@ -4067,13 +4099,7 @@ def q_image_dedup(spark, sf):
     from tdataframe_spark.ops.multimodal import phash_images
     from tools.jpeg_codec import encode_baseline_jpeg
 
-    ids = [
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 10)
-        .select("doc_id")
-        .collect()
-    ]
+    ids = _doc_ids(sf, 10)
     h, w = 48, 64
     yy, xx = np.mgrid[0:h, 0:w]
 
@@ -4132,13 +4158,7 @@ def q_image_dedup_mirror(spark, sf):
     from tdataframe_spark.ops.multimodal import phash_images
     from tools.jpeg_codec import encode_baseline_jpeg
 
-    ids = sorted(
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 8)
-        .select("doc_id")
-        .collect()
-    )
+    ids = _doc_ids(sf, 8)
 
     def img(did):
         # 32x32 == the hash's resize: sampling is exact, so dihedral
@@ -4187,13 +4207,7 @@ def q_image_dedup_letterbox(spark, sf):
     from tdataframe_spark.ops.multimodal import phash_images
     from tools.jpeg_codec import encode_baseline_jpeg
 
-    ids = sorted(
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 8)
-        .select("doc_id")
-        .collect()
-    )
+    ids = _doc_ids(sf, 8)
 
     rows = []
     for did in ids:
@@ -4243,13 +4257,7 @@ def q_image_dedup_index(spark, sf):
     )
     from tools.jpeg_codec import encode_baseline_jpeg
 
-    ids = [
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 10)
-        .select("doc_id")
-        .collect()
-    ]
+    ids = _doc_ids(sf, 10)
     h, w = 48, 64
     yy, xx = np.mgrid[0:h, 0:w]
 
@@ -4310,13 +4318,7 @@ def q_shot_detect(spark, sf):
     from tdataframe_spark.ops.multimodal import shot_boundaries
     from tools.avi_codec import encode_avi
 
-    ids = [
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 4)
-        .select("doc_id")
-        .collect()
-    ]
+    ids = _doc_ids(sf, 4)
     h, w = 32, 48
     yy, xx = np.mgrid[0:h, 0:w]
     rows = []
@@ -4399,13 +4401,7 @@ def q_audio_dedup(spark, sf):
     from tdataframe_spark.ops.dedup import hamming_pairs
     from tdataframe_spark.ops.multimodal import audio_fingerprints
 
-    ids = [
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 8)
-        .select("doc_id")
-        .collect()
-    ]
+    ids = _doc_ids(sf, 8)
     rows = []
     for did in sorted(ids):
         x = _tone_clip_np(did)
@@ -4448,13 +4444,7 @@ def q_audio_dedup_index(spark, sf):
         match_afp_index,
     )
 
-    ids = sorted(
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 8)
-        .select("doc_id")
-        .collect()
-    )
+    ids = _doc_ids(sf, 8)
     path = os.path.join(
         tempfile.gettempdir(),
         f"afp_index_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
@@ -4505,13 +4495,7 @@ def q_trim_dedup_index(spark, sf):
     )
 
     hop = 128
-    ids = sorted(
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 5)
-        .select("doc_id")
-        .collect()
-    )
+    ids = _doc_ids(sf, 5)
     path = os.path.join(
         tempfile.gettempdir(),
         f"lm_index_{os.getpid()}_{sf.strip('/').replace('/', '_')}",
@@ -4578,13 +4562,7 @@ def q_audio_trim_dedup(spark, sf):
     )
 
     hop = 128
-    ids = sorted(
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 5)
-        .select("doc_id")
-        .collect()
-    )
+    ids = _doc_ids(sf, 5)
     rows = []
     for did in ids:
         x = _note_clip_np(did)
@@ -4618,13 +4596,7 @@ def q_video_dedup(spark, sf):
     from tools.avi_codec import encode_avi
     from tools.gif_codec import encode_gif
 
-    ids = sorted(
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 5)
-        .select("doc_id")
-        .collect()
-    )
+    ids = _doc_ids(sf, 5)
     h, w = 16, 24
     yy, xx = np.mgrid[0:h, 0:w]
 
@@ -4744,13 +4716,7 @@ def q_video_trim_dedup(spark, sf):
     )
     from tools.avi_codec import encode_avi
 
-    ids = sorted(
-        r["doc_id"]
-        for r in _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 5)
-        .select("doc_id")
-        .collect()
-    )
+    ids = _doc_ids(sf, 5)
     lossy = np.full((8, 8), 2, np.int64)
     rows = []
     for did in ids:
