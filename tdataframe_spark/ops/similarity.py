@@ -193,6 +193,137 @@ def _scored_cells(vec_field: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batched assignment scoring. The per-row argmax fold above is a
+# higher-order function — CodegenFallback, i.e. INTERPRETED expression
+# evaluation — and profiling put ~45% of every Lloyd iteration in those
+# interpreted dot products (r11 verdict item 1). The scorer below moves
+# the same arithmetic into numpy over Arrow batches (guide §4.2: hand
+# whole batches to vectorized native code) with a bit-identity argument,
+# not a tolerance: every float op is the same correctly-rounded IEEE-754
+# double the JVM fold produced, in the same order.
+
+
+def _np_candidates(cents):
+    """Ascending-cell candidate arrays for the Arrow scorer: int32 cell
+    ids + (C, d) float64 matrix — the same doubles, in the same order,
+    the broadcast struct array carried."""
+    import numpy as np
+
+    cands = sorted((int(c), [float(x) for x in v]) for c, v in cents)
+    cells = np.asarray([c for c, _ in cands], dtype=np.int32)
+    mat = np.asarray([v for _, v in cands], dtype=np.float64)
+    if mat.ndim == 1:  # zero candidates
+        mat = mat.reshape(0, 0)
+    return cells, mat
+
+
+def _np_fold_argmax(vecs, cells, mat, shift=None):
+    """Per-row winning cell over the candidates in ``mat``, bit-identical
+    to the JVM fold ``_argmax_cell(_scored_cells(...))``:
+
+    - scores accumulate dimension-by-dimension from a 0.0 init, exactly
+      the ordered left fold ``dot`` performs — numpy's elementwise
+      multiply and add are the same correctly-rounded IEEE-754 ops (no
+      FMA, no pairwise reassociation: each dimension is its own
+      vectorized multiply-then-add);
+    - the winner is the FIRST occurrence of the maximum (np.argmax), and
+      candidates are cell-ascending — the fold's strict-``>`` scan that
+      breaks ties to the lowest cell;
+    - NaN ranks greatest (Spark comparison semantics: ``NaN > x`` for
+      every non-NaN x; np.argmax likewise returns the first NaN);
+    - a row every candidate of which loses to the fold's (-1, -inf)
+      init — all scores exactly -inf — yields -1.
+
+    ``shift`` (per-candidate double, PQ's precomputed ||c||²/2) is
+    subtracted once after the fold, exactly like ``dot(...) - __half``.
+    """
+    import numpy as np
+
+    n = vecs.shape[0]
+    if n == 0 or mat.shape[0] == 0:
+        return np.full(n, -1, dtype=np.int32)
+    scores = np.zeros((n, mat.shape[0]))
+    for j in range(vecs.shape[1]):
+        scores += vecs[:, j, None] * mat[None, :, j]
+    if shift is not None:
+        scores -= shift[None, :]
+    idx = np.argmax(scores, axis=1)
+    win = scores[np.arange(n), idx]
+    keep = np.isnan(win) | (win > float("-inf"))
+    return np.where(keep, cells[idx], np.int32(-1)).astype(np.int32)
+
+
+def _batch_cells(vcol, cells, mat, shift=None):
+    """int32 ``__cell`` Arrow array for one ``list<double>`` column: rows
+    that are NULL, of a length other than the candidate dim, or carrying
+    a NULL element all score NULL against every candidate in the JVM
+    fold and therefore keep its (-1, -inf) init — here they come back
+    -1 through the same three gates."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(vcol)
+    d = mat.shape[1]
+    out = np.full(n, -1, dtype=np.int32)
+    lens = pc.list_value_length(vcol)  # NULL rows stay null
+    ok = pc.fill_null(pc.equal(lens, d), False).to_numpy(
+        zero_copy_only=False
+    )
+    idxs = np.flatnonzero(ok)
+    if idxs.size:
+        taken = vcol.take(pa.array(idxs))
+        flat = taken.flatten()
+        vals = flat.to_numpy(zero_copy_only=False)
+        k = idxs.size
+        matx = vals.reshape(k, d) if d else np.zeros((k, 0))
+        if flat.null_count:
+            isnull = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            good = ~isnull.reshape(k, d).any(axis=1)
+        else:
+            good = np.ones(k, dtype=bool)
+        sub = np.full(k, -1, dtype=np.int32)
+        sub[good] = _np_fold_argmax(matx[good], cells, mat, shift)
+        out[idxs] = sub
+    return pa.array(out, type=pa.int32())
+
+
+def _assign_arrow(
+    vectors: DataFrame,
+    vec_field: str,
+    id_field: str,
+    cents,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE narrow Arrow map stage: the
+    driver-known candidate set rides the task closure (it was already a
+    driver list — every caller collects centroids per Lloyd iteration),
+    each batch is scored by the numpy fold above. No shuffle, no
+    aggregate, no broadcast build job; assignments bit-identical to the
+    HOF fold (see ``_np_fold_argmax``). Returns (id, cell[, vec])."""
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cells, mat = _np_candidates(cents)
+    src = vectors.select(id_field, vec_field)
+    in_schema = src.schema
+    fields = [in_schema[0], StructField("__cell", IntegerType(), True)]
+    if carry_vec:
+        fields.append(in_schema[1])
+    names = [f.name for f in fields]
+
+    def score(batches):
+        for b in batches:
+            cell = _batch_cells(b.column(1), cells, mat)
+            cols = [b.column(0), cell] + (
+                [b.column(1)] if carry_vec else []
+            )
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return src.mapInArrow(score, StructType(fields))
+
+
 def _topn_cells(scored_arr, n: int):
     """Top-``n`` of a (__cell, __sc) struct array by (score desc, cell
     asc) — the SAME comparator as the window ``orderBy(__sim.desc(),
@@ -246,34 +377,24 @@ def _probe_cells(
 
 
 def _assign(vectors: DataFrame, vec_field: str, id_field: str, cents) -> DataFrame:
-    """Nearest-centroid assignment as a per-row argmax over a broadcast
-    1-row candidate array — NO shuffle, NO aggregate. The previous shape
-    (broadcast data-join fanning each row ×n_cells, then a max_by groupBy)
-    planned a SortAggregate pair (struct-ordered max_by can't hash-agg)
-    with a full exchange + two sorts of the fanned-out rows per call —
-    per Lloyd iteration, in the hot case. The fold compares the same
-    dot-product doubles in the same (score, lowest-cell-on-tie) order, so
-    assignments are bit-identical; having no shuffle at all it is
-    trivially partitioning-invariant. Returns (id, cell)."""
-    spark = vectors.sparkSession
-    return vectors.crossJoin(F.broadcast(_centroid_struct_df(spark, cents))).select(
-        id_field,
-        _argmax_cell(_scored_cells(vec_field))["__cell"].alias("__cell"),
-    )
+    """Nearest-centroid assignment — NO shuffle, NO aggregate, NO
+    broadcast: one Arrow map stage scoring each batch against the
+    driver-known candidates in numpy (see ``_assign_arrow``; r11 used a
+    per-row HOF fold over a broadcast candidate array, but HOFs are
+    CodegenFallback and the interpreted dot products were ~45% of every
+    Lloyd iteration). Assignments stay bit-identical to the fold — same
+    IEEE doubles, same (score, lowest-cell-on-tie) order — so every
+    consumer's output is unchanged. Returns (id, cell)."""
+    return _assign_arrow(vectors, vec_field, id_field, cents)
 
 
 def _assign_with_vec(
     vectors: DataFrame, vec_field: str, id_field: str, cents
 ) -> DataFrame:
     """:func:`_assign` with the row's vector carried through — same
-    shuffle-free per-row argmax, selecting the vector column alongside.
+    shuffle-free Arrow-batched argmax, vector passed through the map.
     Yields (id, cell, vec) in one narrow stage."""
-    spark = vectors.sparkSession
-    return vectors.crossJoin(F.broadcast(_centroid_struct_df(spark, cents))).select(
-        id_field,
-        _argmax_cell(_scored_cells(vec_field))["__cell"].alias("__cell"),
-        vec_field,
-    )
+    return _assign_arrow(vectors, vec_field, id_field, cents, carry_vec=True)
 
 
 def _train_ivf(u: DataFrame, n_cells: int, lloyd_iterations: int) -> list:
@@ -788,45 +909,81 @@ def _half_self_dot(vec) -> float:
     return acc / 2
 
 
-def _pq_grouped_codebook_df(spark, codebook) -> DataFrame:
-    """One row per subspace: (__sub, ascending-cell candidate struct
-    array, each candidate carrying its precomputed ||c||²/2) — the
-    broadcast side of the per-row PQ argmax."""
-    by_sub: dict = {}
-    for (s, c), vec in sorted(codebook.items()):
-        fvec = [float(x) for x in vec]
-        by_sub.setdefault(s, []).append((int(c), fvec, _half_self_dot(fvec)))
-    return spark.createDataFrame(
-        [(s, cands) for s, cands in sorted(by_sub.items())],
-        "__sub int, "
-        "__cands array<struct<__cell:int,__cvec:array<double>,__half:double>>",
-    )
-
-
 def _pq_assign(
     sv: DataFrame, id_field: str, codebook: dict, carry_vec: bool = False
 ) -> DataFrame:
     """Per (id, subspace): nearest codeword by L2 — argmax of
     (s·c − ||c||²/2), the expansion of −||s−c||²/2 with the ||s||² term
-    dropped (constant per row). Per-row argmax over the subspace's
-    broadcast candidate array (see :func:`_assign` for why not max_by:
-    the struct-ordered aggregate planned SortAggregate + exchange over
-    the ×k fanned-out rows; this is one narrow map stage with
-    bit-identical assignments). ``carry_vec`` keeps ``__sv`` on the
-    output so the Lloyd update needs no join back to the corpus."""
-    spark = sv.sparkSession
-    g = _pq_grouped_codebook_df(spark, codebook)
-    scored = F.transform(
-        F.col("__cands"),
-        lambda c: F.struct(
-            c["__cell"].alias("__cell"),
-            (dot(F.col("__sv"), c["__cvec"]) - c["__half"]).alias("__sc"),
-        ),
-    )
-    cols = [id_field, "__sub", _argmax_cell(scored)["__cell"].alias("__cell")]
+    dropped (constant per row). One narrow Arrow map stage: the per-
+    subspace codebooks (driver dict already) ride the task closure and
+    each batch is scored by the numpy fold (bit-identical to the HOF
+    fold it replaces — same doubles, same order, see
+    ``_np_fold_argmax``; the precomputed ||c||²/2 is subtracted once
+    after the fold exactly like ``dot(...) - __half``). Rows whose
+    ``__sub`` has no codebook entry drop, as the broadcast inner join
+    dropped them. ``carry_vec`` keeps ``__sv`` on the output so the
+    Lloyd update needs no join back to the corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    by_sub: dict = {}
+    for (s, c), vec in sorted(codebook.items()):
+        by_sub.setdefault(int(s), []).append((int(c), vec))
+    subs = {}
+    for s, cands in by_sub.items():
+        cells, mat = _np_candidates(cands)
+        order = sorted((int(c), [float(x) for x in v]) for c, v in cands)
+        half = np.asarray(
+            [_half_self_dot(v) for _, v in order], dtype=np.float64
+        )
+        subs[s] = (cells, mat, half)
+
+    src = sv.select(id_field, "__sub", "__sv")
+    in_schema = src.schema
+    fields = [
+        in_schema[0],
+        in_schema[1],
+        StructField("__cell", IntegerType(), True),
+    ]
     if carry_vec:
-        cols.append("__sv")
-    return sv.join(F.broadcast(g), "__sub").select(*cols)
+        fields.append(in_schema[2])
+    names = [f.name for f in fields]
+
+    def score(batches):
+        for b in batches:
+            subcol = b.column(1)
+            subnp = (
+                pc.fill_null(subcol, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vcol = b.column(2)
+            out = np.full(len(subnp), -1, dtype=np.int32)
+            keep = np.zeros(len(subnp), dtype=bool)
+            for s in np.unique(subnp):
+                trip = subs.get(int(s))
+                if trip is None:
+                    continue
+                rows = np.flatnonzero(subnp == s)
+                cells_s, mat_s, half_s = trip
+                got = _batch_cells(
+                    vcol.take(pa.array(rows)), cells_s, mat_s, half_s
+                )
+                out[rows] = got.to_numpy(zero_copy_only=False)
+                keep[rows] = True
+            kidx = pa.array(np.flatnonzero(keep))
+            cols = [
+                b.column(0).take(kidx),
+                subcol.take(kidx),
+                pa.array(out[keep], type=pa.int32()),
+            ]
+            if carry_vec:
+                cols.append(vcol.take(kidx))
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return src.mapInArrow(score, StructType(fields))
 
 
 def _pq_fit(sv: DataFrame, k: int, lloyd_iterations: int) -> dict:
@@ -1661,24 +1818,16 @@ def semdedup_assign(
         F.lit(0).cast("long").alias("n_matches"),
     )
     nz = checked.filter(F.col("__vn").isNotNull())
-    # per-row argmax over the broadcast candidate array (see _assign for
-    # why not fan-out+max_by: that shape plans a SortAggregate pair plus
-    # an exchange of the ×n_clusters replicated rows). The candidate
-    # array is aggregated IN-PLAN from the persisted centroids —
-    # ascending-cell sort_array gives the fold the same
-    # max-score/lowest-cell-tie ordering max_by(struct(sim, -cell)) had.
-    cands = F.broadcast(
-        cents_df.agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("__cell"), F.col("__cvec")))
-            ).alias("__cands")
-        )
-    )
-    assigned = nz.crossJoin(cands).select(
-        "__nid",
-        _argmax_cell(_scored_cells("__vn"))["__cell"].alias("__cell"),
-        "__vn",
-    )
+    # Arrow-batched argmax against the persisted centroids (see _assign
+    # for why not fan-out+max_by, and _np_fold_argmax for the
+    # bit-identity argument vs the r11 HOF fold). The centroid table is
+    # n_clusters tiny rows — collecting it driver-side costs what the
+    # broadcast build job cost, and the ascending-cell candidate order
+    # preserves the max-score/lowest-cell-tie ordering.
+    cents = [
+        (r["__cell"], list(r["__cvec"])) for r in cents_df.collect()
+    ]
+    assigned = _assign_arrow(nz, "__vn", "__nid", cents, carry_vec=True)
     hits = (
         assigned.join(
             reps.withColumnRenamed("cluster", "__cell").withColumnRenamed(
