@@ -376,7 +376,7 @@ def _jaccard_from_shingles(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    return (
+    out = (
         common.join(sizes.withColumnsRenamed({"__id": "id_a", "__n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"__id": "id_b", "__n": "n_b"}), "id_b")
         .withColumn(
@@ -387,6 +387,11 @@ def _jaccard_from_shingles(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
+    if persist:
+        from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+        out = tie_cache_lifetimes(out, postings, sizes)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -1400,7 +1405,7 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col("__id").alias("id_a"), F.col("__norm").alias("__na"))
     nb = norms.select(F.col("__id").alias("id_b"), F.col("__norm").alias("__nb"))
-    return (
+    out = (
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .select(
@@ -1412,6 +1417,11 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    if persist:
+        from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+        out = tie_cache_lifetimes(out, post, weighted, norms)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -159,9 +159,14 @@ def langid_classify(
     # capped prefix still join the same profiles, so any cap is
     # model-compatible — classification cost must not scale with
     # document length when the answer is decided in the first KBs.
-    # localCheckpoint: docprof feeds matched AND totals, and scored feeds
-    # best AND tied — without truncation the whole explode+rank pipeline
-    # re-executes once per consumer branch (observed 4x)
+    # persist: docprof feeds matched AND totals — without truncation the
+    # whole explode+rank pipeline re-executes once per consumer branch
+    # (observed 4x). A persist truncates exactly like the eager
+    # localCheckpoint this used (each branch plans an InMemoryRelation
+    # scan) but WITHOUT spending a separate materialization job up
+    # front: the first real action fills the cache in-stage. docprof is
+    # deterministic (total-order window ranking), so a recompute after
+    # eviction cannot change values.
     docprof = (
         _ranked(
             _gram_counts(df, text_col, [id_col], ns, max_chars),
@@ -169,9 +174,7 @@ def langid_classify(
             top_k,
         )
         .select(id_col, "__g", F.col("__r").alias("__dr"))
-        # EAGER: an eager=False checkpoint only dedupes across actions,
-        # so one final action would still recompute per branch
-        .localCheckpoint(eager=True)
+        .persist()
     )
     matched = (
         docprof.join(F.broadcast(prof), "__g")
@@ -210,8 +213,13 @@ def langid_classify(
             F.col("__w.__d").alias("distance"),
         )
     )
-    return df.select(id_col).distinct().join(tied, id_col, "left").select(
-        id_col, out_col, "distance"
+    from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+    return tie_cache_lifetimes(
+        df.select(id_col).distinct().join(tied, id_col, "left").select(
+            id_col, out_col, "distance"
+        ),
+        docprof,
     )
 
 

@@ -40,6 +40,26 @@ def _partials(
     )
 
 
+def _unit_partials(
+    events: DataFrame, value_col: str, bucket_us: int, group_cols: list[str]
+) -> DataFrame:
+    """Raw batch rows projected to the partials schema (n=1,
+    sum_value=value) WITHOUT aggregating: ``_merge`` over the union with
+    existing state then aggregates batch and state in ONE shuffle —
+    COUNT is a sum of ones and the decimal SUM is exact and associative,
+    so the result is bit-identical to pre-aggregating the batch first
+    (which cost the refresh a second exchange over the same rows)."""
+    b = F.expr(f"ts_us div {bucket_us}").alias("bucket")
+    day = F.expr(f"ts_us div {DAY_US}").cast("long").alias("day")
+    return events.select(
+        day,
+        b,
+        *group_cols,
+        F.lit(1).cast("long").alias("n"),
+        F.col(value_col).cast(_DEC).alias("sum_value"),
+    )
+
+
 def _merge(parts: DataFrame) -> DataFrame:
     keys = [c for c in parts.columns if c not in ("n", "sum_value")]
     return parts.groupBy(*keys).agg(
@@ -78,7 +98,10 @@ def refresh_rollup(
     overwrite) — cost scales with the batch, not with history. Returns the
     refreshed day list (bounded: distinct days in one batch)."""
     spark = new_events.sparkSession
-    batch = _partials(new_events, value_col, bucket_us, group_cols or [])
+    # raw rows ride into the ONE merge aggregate below (n=1 partials) —
+    # pre-aggregating the batch first cost a second exchange over the
+    # same rows AND re-executed the batch plan for this day collect
+    batch = _unit_partials(new_events, value_col, bucket_us, group_cols or [])
     days = [r["day"] for r in batch.select("day").distinct().collect()]
     if not days:
         return []
@@ -148,7 +171,9 @@ def refresh_rollup_txn(
     from tdataframe_spark.sources.txn import txn_read, txn_write
 
     spark = new_events.sparkSession
-    batch = _partials(new_events, value_col, bucket_us, group_cols or [])
+    # one merge aggregate over (state ∪ raw batch rows) — see
+    # refresh_rollup for the exactness argument
+    batch = _unit_partials(new_events, value_col, bucket_us, group_cols or [])
     days = [r["day"] for r in batch.select("day").distinct().collect()]
     if not days:
         return []

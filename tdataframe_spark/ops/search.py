@@ -127,7 +127,11 @@ def bm25_topk(
     hits = idx.filter(
         F.col("term").isin([t.lower() for t in query_terms])
     ).persist()
-    return _bm25_score_topk(hits, lens, g, k1, b, k)
+    from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+    return tie_cache_lifetimes(
+        _bm25_score_topk(hits, lens, g, k1, b, k), hits
+    )
 
 
 RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
@@ -320,10 +324,15 @@ def phrase_search(
             "__id", (F.col("__pos") - i).alias("__pos")
         )
         starts = starts.join(nxt, ["__id", "__pos"])
-    return starts.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-        F.min("__pos").cast("long").alias("first_pos"),
-    ).select(F.col("__id").alias(id_col), "n_occurrences", "first_pos")
+    from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+    return tie_cache_lifetimes(
+        starts.groupBy("__id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("__pos").cast("long").alias("first_pos"),
+        ).select(F.col("__id").alias(id_col), "n_occurrences", "first_pos"),
+        postings,
+    )
 
 
 def build_text_index(

@@ -325,10 +325,13 @@ def train_bigram_lm(
     c12 = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
     ).persist()
-    c12.write.mode("overwrite").parquet(f"{path}/c12")
-    c12.groupBy("w1").agg(
-        F.sum("c12").cast("long").alias("c1")
-    ).write.mode("overwrite").parquet(f"{path}/c1")
+    try:
+        c12.write.mode("overwrite").parquet(f"{path}/c12")
+        c12.groupBy("w1").agg(
+            F.sum("c12").cast("long").alias("c1")
+        ).write.mode("overwrite").parquet(f"{path}/c1")
+    finally:
+        c12.unpersist()
     (
         df.select(F.explode(words(F.col(text_col))).alias("__w"))
         .agg(
@@ -424,7 +427,9 @@ def ngram_lm_score(
         .crossJoin(F.broadcast(vocab))
         .select("__id", "pos", lp.alias("__lp"))
     )
-    return _fold_logprobs(scored, id_col)
+    from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+    return tie_cache_lifetimes(_fold_logprobs(scored, id_col), bg, c12)
 
 
 def perplexity_buckets(
@@ -681,9 +686,14 @@ def collocations(
             ).alias("pmi"),
         )
     )
-    return scored.orderBy(
-        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
-    ).limit(top_k)
+    from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+    return tie_cache_lifetimes(
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(top_k),
+        c12_all,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -801,14 +811,18 @@ def dsir_weights(
             dsum(F.col("__n") * F.col("__lr")).alias("log_weight"),
         )
     )
-    return (
+    from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+    return tie_cache_lifetimes(
         raw.select(F.col(id_col).alias("__id"))
         .join(per_doc, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
-        )
+        ),
+        rg_doc,
+        t_counts,
     )
 
 
@@ -999,8 +1013,13 @@ def corpus_divergence(
             ).alias("__js")
         )
     )
-    return folded.select(
-        F.col("__g").alias(group_col),
-        F.col("__n").cast("long").alias("n_tokens"),
-        F.round(F.col("__js"), 9).alias("js_div"),
+    from tdataframe_spark.core.caching import tie_cache_lifetimes
+
+    return tie_cache_lifetimes(
+        folded.select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.round(F.col("__js"), 9).alias("js_div"),
+        ),
+        gb,
     )

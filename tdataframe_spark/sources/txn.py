@@ -2538,26 +2538,6 @@ def _touched_files(
     have_stats = any(
         pk in f.get("stats", {}) for f in all_files for pk in phys_keys
     )
-    # stats pruning: a file whose recorded [min, max] cannot overlap the
-    # batch's key bounds cannot contain a matching row
-    if have_stats:
-        bounds_row = key_df.agg(
-            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
-            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
-        ).first()
-        bounds = {
-            pk: (bounds_row[f"lo_{i}"], bounds_row[f"hi_{i}"])
-            for i, pk in enumerate(phys_keys)
-        }
-        try:
-            files = [
-                f for f in all_files
-                if _stats_match(f.get("stats", {}), bounds)
-            ]
-        except TypeError:
-            files = all_files  # incomparable stat types: keep every candidate
-        if not files:
-            return set()
     kvals = None  # the batch's distinct keys, collected at most once
 
     def _batch_keys() -> list:
@@ -2572,7 +2552,70 @@ def _touched_files(
         return kvals
 
     exact_evidence = False  # did EXACT-KEY pruning vet the candidates?
+    did_exact_stats = False  # per-key stats pruning already ran up front?
     pk = phys_keys[0]
+    # stats pruning: a file whose recorded [min, max] cannot overlap the
+    # batch's keys cannot contain a matching row. Single-key merges with
+    # a driver-safe batch prune on the EXACT distinct key values in ONE
+    # pass (r12): the bounds aggregate the generic path runs below is a
+    # separate Spark job whose [min, max] window is strictly looser than
+    # the per-key bisect (keys {150, 450} mark every mid-range file
+    # candidate) — collecting the keys once replaces both. Restricted to
+    # int/bool/str keys, whose Python ordering provably matches Spark's
+    # (UTF-8 byte order equals code-point order); float keys (NaN
+    # ordering) and exotic types keep the aggregate path.
+    py_keys = None
+    if have_stats and len(keys) == 1:
+        ks = _batch_keys()
+        if len(ks) <= _EXACT_PRUNE_KEY_CAP and all(
+            v is None or isinstance(v, (int, str)) for v in ks
+        ):
+            py_keys = ks
+    if py_keys is not None:
+        import bisect
+
+        # NULL keys never equi-join: pruning on the non-null values is
+        # exact, and an all-NULL batch touches no file at all
+        skvals = sorted(v for v in py_keys if v is not None)
+
+        def _file_holds_a_key(f) -> bool:
+            st = f.get("stats", {}).get(pk)
+            if st is None:
+                return True  # no stats: conservatively candidate
+            mn, mx = st
+            i = bisect.bisect_left(skvals, mn)
+            return i < len(skvals) and skvals[i] <= mx
+
+        try:
+            files = [f for f in all_files if _file_holds_a_key(f)]
+            # evidence only when every survivor actually RECORDS key
+            # stats — stats-less files were kept unvetted, and bailing
+            # on them would rewrite files nothing ever checked
+            if all(f.get("stats", {}).get(pk) is not None for f in files):
+                exact_evidence = True
+            did_exact_stats = True
+        except TypeError:
+            files = all_files  # incomparable stat types: keep every candidate
+        if not files:
+            return set()
+    elif have_stats:
+        bounds_row = key_df.agg(
+            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
+        ).first()
+        bounds = {
+            pk_: (bounds_row[f"lo_{i}"], bounds_row[f"hi_{i}"])
+            for i, pk_ in enumerate(phys_keys)
+        }
+        try:
+            files = [
+                f for f in all_files
+                if _stats_match(f.get("stats", {}), bounds)
+            ]
+        except TypeError:
+            files = all_files  # incomparable stat types: keep every candidate
+        if not files:
+            return set()
     if (
         len(keys) == 1
         and any(pk in (f.get("bloom") or {}).get("cols", []) for f in files)
@@ -2598,14 +2641,17 @@ def _touched_files(
         if not files:
             return set()
     if (
-        have_stats
+        not did_exact_stats
+        and have_stats
         and len(keys) == 1
         and len(files) > _PROBE_SKIP_FRACTION * len(all_files)
         and len(_batch_keys()) <= _EXACT_PRUNE_KEY_CAP
     ):
         # global bounds are loose for sparse batches (keys {150, 450}
         # mark every mid-range file candidate) — re-prune on the actual
-        # key values when the batch is driver-safe
+        # key values when the batch is driver-safe. Only reached when
+        # the up-front per-key prune was skipped — non-int/str key
+        # types, whose Python ordering is not provably Spark's.
         import bisect
 
         skvals = sorted(v for v in _batch_keys() if v is not None)
